@@ -1,0 +1,81 @@
+"""Core relational operators (SURVEY.md §2.2, §2.4-2.5).
+
+Each maps a reference behavior to a declarative Spark plan. Nothing here
+shuffles more than the semantics require: projections/casts are free,
+distinct/dedup shuffle once on their keys with partial aggregation map-side.
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def project_rename(df: DataFrame, mapping: dict[str, str]) -> DataFrame:
+    """P1-P4 — projection with rename (`load.py:13,16,33,36,59`).
+
+    One `select` so Catalyst prunes the scan to exactly these columns
+    (check `.explain()` → ReadSchema lists only the mapped inputs)."""
+    return df.select(*[F.col(src).alias(dst) for src, dst in mapping.items()])
+
+
+def with_casts(df: DataFrame, casts: dict[str, str]) -> DataFrame:
+    """P7 — type-cast expressions (`load.py:16,61,75,80-81,111`)."""
+    return df.withColumns({c: F.col(c).cast(t) for c, t in casts.items()})
+
+
+def distinct_rows(df: DataFrame, cols: list[str] | None = None) -> DataFrame:
+    """A2/A3 — DISTINCT over a projection (`load.py:33,59`). Spark plans a
+    hash aggregate with a map-side partial, so the shuffle carries only the
+    already-deduplicated keys — this is what survives a 100x scale-up."""
+    return (df.select(*cols) if cols else df).distinct()
+
+
+def dedup_keep_first(
+    df: DataFrame, keys: list[str], order_by: list[Column | str]
+) -> DataFrame:
+    """A4 — dedup by key keeping the FIRST row (`load.py:13`,
+    `drop_duplicates(subset=...)`).
+
+    pandas keep-first depends on file order; `dropDuplicates` keeps an
+    arbitrary row under shuffle. The deterministic equivalent (SURVEY.md
+    §2.9.2) ranks within each key by an explicit tiebreak: one shuffle on
+    `keys`, per-partition sort, no global sort."""
+    w = Window.partitionBy(*keys).orderBy(*order_by)
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
+def union_all(*dfs: DataFrame) -> DataFrame:
+    """S4 — multi-DataFrame UNION ALL (`extract.py:48` `pd.concat`).
+
+    `unionByName` resolves by column name (pandas concat aligns on labels).
+    Union is a no-shuffle narrow op in Spark — partitions are appended, not
+    repartitioned."""
+    return reduce(lambda a, b: a.unionByName(b), dfs)
+
+
+def nonnull_filter(df: DataFrame, cols: list[str]) -> DataFrame:
+    """P6 — join-miss drop (`load.py:77`). The reference uses Python
+    truthiness (would also drop id 0 / ''); the intent is NOT NULL
+    (SURVEY.md §2.9.3), which is what inner-join semantics give."""
+    cond = reduce(lambda a, c: a & F.col(c).isNotNull(), cols, F.lit(True))
+    return df.filter(cond)
+
+
+def top_k_per_group(
+    df: DataFrame, keys: list[str], order_by: list[Column], k: int
+) -> DataFrame:
+    """Extended surface — top-k per group via rank-window. Spark pushes the
+    `row_number <= k` filter into a per-partition top-k sort (WindowGroupLimit
+    in the physical plan), so each shuffle partition keeps only k rows."""
+    w = Window.partitionBy(*keys).orderBy(*order_by)
+    return (
+        df.withColumn("rank_in_group", F.row_number().over(w))
+        .filter(F.col("rank_in_group") <= k)
+    )

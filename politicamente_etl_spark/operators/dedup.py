@@ -1,0 +1,159 @@
+"""Deduplication operators (SURVEY.md §2.10): exact, MinHash, n-gram
+Jaccard. SimHash and pyspark.ml LSH variants layer on top.
+
+Scale notes (the part that matters at 100 TB):
+- Exact dedup groups on a 128-bit digest, not the document body — the
+  shuffle carries 16 bytes + ids per row instead of full texts.
+- MinHash signatures are computed per-row from the shingle array with
+  expression-level folds (no explode → no row blow-up before the shuffle).
+- Candidate generation is LSH banding: documents meet only within a band
+  bucket, so the pair join is |bucket|² per bucket, never |corpus|².
+- Verification (exact Jaccard) runs only on banded candidates.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from politicamente_etl_spark.operators.text import shingles
+
+N_MINHASH = 8  # permutations; md5-keyed, engine-portable
+BAND_SIZE = 2  # 4 bands × 2 rows
+
+
+def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Exact dedup via content digest: one row per distinct md5(text),
+    keeping the smallest id (deterministic), with the duplicate count."""
+    return (
+        df.withColumn("text_hash", F.md5(F.col(text_col)))
+        .groupBy("text_hash")
+        .agg(
+            F.min(id_col).alias(id_col),
+            F.count("*").alias("n_copies"),
+        )
+    )
+
+
+def minhash_expr(shingle_col: Column, perm: int) -> Column:
+    """One md5-keyed minhash: min over shingles of md5(perm || shingle).
+    md5 is identical across engines → oracle-checkable, unlike JVM
+    hashCode-based hashes."""
+    hashed = F.transform(
+        shingle_col, lambda s: F.md5(F.concat_ws(":", F.lit(str(perm)), s))
+    )
+    return F.array_min(hashed)
+
+
+def with_minhash_signature(
+    df: DataFrame, text_col: str = "text", n_perm: int = N_MINHASH
+) -> DataFrame:
+    """MinHash signature columns mh_0..mh_{n-1} from 3-gram token shingles.
+    Per-row expressions only — the plan stays narrow until a consumer
+    groups or joins."""
+    sh = shingles(text_col)
+    return df.withColumns(
+        {f"mh_{i}": minhash_expr(sh, i) for i in range(n_perm)}
+    )
+
+
+def with_band_keys(df: DataFrame, n_perm: int = N_MINHASH, band_size: int = BAND_SIZE) -> DataFrame:
+    """LSH banding: concat each band's minhashes into a bucket key."""
+    n_bands = n_perm // band_size
+    return df.withColumns(
+        {
+            f"band_{b}": F.md5(
+                F.concat_ws(
+                    "|", *[F.col(f"mh_{b * band_size + r}") for r in range(band_size)]
+                )
+            )
+            for b in range(n_bands)
+        }
+    )
+
+
+def minhash_near_dup_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_perm: int = N_MINHASH,
+    band_size: int = BAND_SIZE,
+) -> DataFrame:
+    """Near-dup candidate pairs via MinHash LSH banding, with the estimated
+    Jaccard = fraction of agreeing minhashes. Pairs meet only inside band
+    buckets (equi-join per band, unioned, de-duplicated) — the 100 TB-safe
+    shape: no cross join anywhere."""
+    sig = with_band_keys(
+        with_minhash_signature(df.select(id_col, text_col), text_col, n_perm),
+        n_perm,
+        band_size,
+    ).drop(text_col)
+    n_bands = n_perm // band_size
+    a = sig.alias("a")
+    b = sig.alias("b")
+    pairs = None
+    for band in range(n_bands):
+        p = a.join(
+            b,
+            (F.col(f"a.band_{band}") == F.col(f"b.band_{band}"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        ).select(
+            F.col(f"a.{id_col}").alias("doc_a"),
+            F.col(f"b.{id_col}").alias("doc_b"),
+            *[F.col(f"a.mh_{i}").alias(f"a_mh_{i}") for i in range(n_perm)],
+            *[F.col(f"b.mh_{i}").alias(f"b_mh_{i}") for i in range(n_perm)],
+        )
+        pairs = p if pairs is None else pairs.unionByName(p)
+    agree = sum(
+        F.when(F.col(f"a_mh_{i}") == F.col(f"b_mh_{i}"), 1).otherwise(0)
+        for i in range(n_perm)
+    )
+    return (
+        pairs.dropDuplicates(["doc_a", "doc_b"])
+        .withColumn(
+            "est_jaccard", (agree.cast("double") / F.lit(float(n_perm)))
+        )
+        .select("doc_a", "doc_b", "est_jaccard")
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.4,
+) -> DataFrame:
+    """Exact n-gram Jaccard near-dup pairs: explode distinct shingles,
+    self-join on shingle (inverted index — pairs only meet on shared
+    shingles), count intersections, Jaccard = |∩| / (|A|+|B|-|∩|).
+
+    At 100 TB the shingle join is the scale risk (hot shingles → skew);
+    mitigations: stopword-shingle filtering and AQE skew-join (enabled in
+    session.py). Kept exact here because it is the oracle-checkable
+    verifier for the LSH estimate."""
+    sh = (
+        df.select(id_col, F.explode(F.array_distinct(shingles(text_col))).alias("sh"))
+    )
+    sizes = sh.groupBy(id_col).agg(F.count("*").alias("n_sh"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(b, (F.col("a.sh") == F.col("b.sh")) & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
+        .groupBy(
+            F.col(f"a.{id_col}").alias("doc_a"), F.col(f"b.{id_col}").alias("doc_b")
+        )
+        .agg(F.count("*").alias("n_common"))
+    )
+    sa = sizes.select(F.col(id_col).alias("doc_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col(id_col).alias("doc_b"), F.col("n_sh").alias("n_b"))
+    return (
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn(
+            "jaccard",
+            F.col("n_common").cast("double")
+            / (F.col("n_a") + F.col("n_b") - F.col("n_common")).cast("double"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "n_common", "jaccard")
+    )

@@ -1,0 +1,75 @@
+"""Join operators (SURVEY.md §2.3, J1-J5).
+
+The reference implements every join as a driver-side Python dict probe
+(`load.py:56-57,66,73-75`) — semantically a broadcast hash inner join. Here
+each is a declarative Spark join; dimension sides get an explicit
+`F.broadcast` hint so the fact table never shuffles (at 100 TB a shuffled
+fact join is the difference between minutes and hours). When a "dimension"
+outgrows the broadcast threshold, dropping the hint lets AQE pick
+sort-merge/shuffled-hash — the call sites don't change.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def broadcast_dim_join(
+    fact: DataFrame,
+    dim: DataFrame,
+    on: list[str] | Column,
+    how: str = "inner",
+) -> DataFrame:
+    """J1-J3 — broadcast hash equi-join against a dimension.
+
+    J1 single int key (`load.py:56,75`), J2 composite 2-col key
+    (`load.py:57,71,74` — multi-column, NOT the reference's collision-prone
+    string concat, SURVEY.md §2.9.4), J3 3-part derived key
+    (`load.py:66,70,73`). Inner `how` reproduces the miss-drop at
+    `load.py:77`."""
+    return fact.join(F.broadcast(dim), on=on, how=how)
+
+
+def anti_join_absent(
+    new: DataFrame, existing: DataFrame, keys: list[str]
+) -> DataFrame:
+    """J4 — insert-if-absent semantics (`INSERT … ON CONFLICT DO NOTHING`,
+    `load.py:40,63,88`): rows of `new` whose key is not in `existing`.
+    LEFT ANTI join — Spark broadcasts `existing`'s keys when small; at scale
+    AQE converts to a shuffled anti join."""
+    return new.join(existing.select(*keys), on=keys, how="left_anti")
+
+
+def join_update(
+    target: DataFrame,
+    updates: DataFrame,
+    keys: list[str],
+    set_cols: list[str],
+) -> DataFrame:
+    """J5 — keyed UPDATE as a left join + coalesce (`UPDATE … WHERE key=:k`,
+    `load.py:115-125`). Target rows with a matching update take the new
+    values; unmatched rows pass through unchanged. The update side is
+    typically small (aggregated) → broadcast."""
+    upd = updates.select(
+        *keys, *[F.col(c).alias(f"__new_{c}") for c in set_cols]
+    )
+    out = target.join(F.broadcast(upd), on=keys, how="left")
+    for c in set_cols:
+        out = out.withColumn(c, F.coalesce(F.col(f"__new_{c}"), F.col(c)))
+    return out.drop(*[f"__new_{c}" for c in set_cols])
+
+
+def update_match_accounting(
+    target: DataFrame, updates: DataFrame, keys: list[str]
+) -> DataFrame:
+    """J5/K5 — match accounting (`load.py:123-124`: rowcount checked, misses
+    logged). Returns one lazy row: (matched, unmatched) update keys — a left
+    join + conditional count, no driver-side action, works at any scale."""
+    upd_keys = updates.select(*keys).distinct()
+    tgt_keys = target.select(*keys).distinct().withColumn("__hit", F.lit(1))
+    flagged = upd_keys.join(F.broadcast(tgt_keys), on=keys, how="left")
+    return flagged.agg(
+        F.count("__hit").alias("matched_keys"),
+        F.count(F.when(F.col("__hit").isNull(), 1)).alias("unmatched_keys"),
+    )

@@ -1,0 +1,125 @@
+"""Similarity search over embedding columns (SURVEY.md §2.10).
+
+Brute-force cosine top-k is the exact baseline (oracle-checkable: the
+sequential fold over doubles is bit-identical in Spark and DuckDB). The
+LSH-bucketed variant is the scale path: random-hyperplane signatures bucket
+the corpus so each query scores only its bucket — at 100 TB the broadcast
+cross-join of the brute force becomes the bottleneck, the bucketed join
+does not.
+
+All vector math is expression-level (`transform`/`aggregate` lambdas, JVM
+codegen) — no Python UDF in either path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import Window
+
+DOT_DOUBLE = (
+    "aggregate(zip_with({a}, {b}, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)),"
+    " CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
+)
+NORM2_DOUBLE = (
+    "aggregate(transform({a}, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),"
+    " CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
+)
+
+
+def dot(a: str, b: str) -> Column:
+    """Sequential-fold dot product in double precision (deterministic;
+    left-to-right order matches DuckDB's list_reduce)."""
+    return F.expr(DOT_DOUBLE.format(a=a, b=b))
+
+
+def norm2(a: str) -> Column:
+    return F.expr(NORM2_DOUBLE.format(a=a))
+
+
+def cosine(a: str, b: str) -> Column:
+    return dot(a, b) / (F.sqrt(norm2(a)) * F.sqrt(norm2(b)))
+
+
+def cosine_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Exact brute-force cosine top-k: broadcast the (small) query set
+    against the corpus, score every pair, keep k per query via a rank
+    window. Spark turns the `row_number <= k` filter into a per-partition
+    top-k (WindowGroupLimit), so only q×k rows survive the shuffle."""
+    q = queries.select(
+        F.col(id_col).alias(query_id_col), F.col(vec_col).alias("q_vec")
+    )
+    scored = corpus.select(id_col, vec_col).crossJoin(F.broadcast(q))
+    scored = scored.withColumn(
+        "cos_sim",
+        F.expr(DOT_DOUBLE.format(a=vec_col, b="q_vec"))
+        / (
+            F.sqrt(F.expr(NORM2_DOUBLE.format(a=vec_col)))
+            * F.sqrt(F.expr(NORM2_DOUBLE.format(a="q_vec")))
+        ),
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("cos_sim").desc(), F.col(id_col)
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(query_id_col, id_col, "cos_sim", "rank")
+    )
+
+
+def hyperplane_signature(vec_col: str, planes: list[list[float]]) -> Column:
+    """Random-hyperplane LSH signature: one sign bit per plane, packed into
+    a string bucket key. Planes are passed as literals (broadcast with the
+    plan) — deterministic, seedable by the caller."""
+    bits = []
+    for p in planes:
+        s = F.expr(
+            DOT_DOUBLE.format(a=vec_col, b=f"array({', '.join(str(float(x)) for x in p)})")
+        )
+        bits.append(F.when(s >= 0, F.lit("1")).otherwise(F.lit("0")))
+    return F.concat(*bits)
+
+
+def cosine_topk_lsh(
+    corpus: DataFrame,
+    queries: DataFrame,
+    planes: list[list[float]],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """ANN variant: bucket corpus and queries by hyperplane signature and
+    score only same-bucket pairs. Recall < 1.0 by construction (rows-only
+    driver check; the exact verifier is cosine_topk). The join is an
+    equi-join on the bucket key → shuffle-partitionable, no cross join."""
+    sig = hyperplane_signature(vec_col, planes)
+    c = corpus.select(id_col, vec_col).withColumn("bucket", sig)
+    q = (
+        queries.select(F.col(id_col).alias(query_id_col), F.col(vec_col).alias("q_vec"))
+        .withColumn("bucket", hyperplane_signature("q_vec", planes))
+    )
+    scored = c.join(F.broadcast(q), "bucket").withColumn(
+        "cos_sim",
+        F.expr(DOT_DOUBLE.format(a=vec_col, b="q_vec"))
+        / (
+            F.sqrt(F.expr(NORM2_DOUBLE.format(a=vec_col)))
+            * F.sqrt(F.expr(NORM2_DOUBLE.format(a="q_vec")))
+        ),
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("cos_sim").desc(), F.col(id_col)
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(query_id_col, id_col, "cos_sim", "rank")
+    )

@@ -1,0 +1,102 @@
+"""Text-analysis operators for the LLM-data-pipeline surface
+(SURVEY.md §2.10; driver `documents` table).
+
+Everything is built from JVM-side expressions (split/transform/filter/
+aggregate/regexp) — no Python in the hot path, so whole-stage codegen covers
+each operator and the only shuffles are the explicit groupBys. All
+constructions are chosen to be expressible 1:1 in the DuckDB oracle (md5,
+list lambdas, regexp_extract_all exist on both engines).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Deterministic language markers for the heuristic scorer. The synthetic
+# corpus draws from one shared vocabulary, so this demonstrates the operator
+# shape (n-gram/marker scoring → argmax), not real linguistics.
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "a"),
+    "pt": ("data", "table"),
+    "es": ("row", "column"),
+}
+
+# BPE-ish pretokenizer: letter runs, digit runs, single non-space symbols.
+TOKEN_REGEX = r"[a-z]+|[0-9]+|[^a-z0-9\s]"
+
+
+def tokens(col: str = "text") -> Column:
+    """Whitespace tokenization as an array column (narrow, no shuffle)."""
+    return F.split(F.col(col), " ")
+
+
+def with_text_stats(df: DataFrame, col: str = "text") -> DataFrame:
+    """Quality-scoring features: char/token counts, mean token length,
+    stopword ratio — the classic cheap quality filters for pretraining
+    corpora, all as codegen'd expressions."""
+    toks = tokens(col)
+    n_tokens = F.size(toks).cast("long")
+    stop_hits = F.size(
+        F.filter(toks, lambda t: (t == "the") | (t == "a"))
+    ).cast("long")
+    return df.withColumns(
+        {
+            "n_chars_calc": F.length(col).cast("long"),
+            "n_tokens": n_tokens,
+            "avg_token_len": (
+                (F.length(col).cast("double") - (n_tokens - 1).cast("double"))
+                / n_tokens.cast("double")
+            ),
+            "stopword_ratio": stop_hits.cast("double") / n_tokens.cast("double"),
+        }
+    )
+
+
+def with_token_count_regex(df: DataFrame, col: str = "text") -> DataFrame:
+    """Token counting with a BPE-ish pretokenizer regex (ASCII classes only,
+    identical semantics under Java regex and RE2)."""
+    return df.withColumn(
+        "n_bpe_tokens",
+        F.size(F.regexp_extract_all(F.col(col), F.lit(TOKEN_REGEX), 0)).cast("long"),
+    )
+
+
+def with_lang_id(df: DataFrame, col: str = "text") -> DataFrame:
+    """Marker-based language-ID heuristic: count marker tokens per language,
+    argmax with a deterministic (alphabetical) tie-break."""
+    toks = tokens(col)
+
+    def score(markers: tuple[str, ...]) -> Column:
+        hits = F.filter(toks, lambda t: t.isin(*markers))
+        return F.size(hits).cast("long")
+
+    scored = df.withColumns(
+        {f"score_{lang}": score(m) for lang, m in sorted(LANG_MARKERS.items())}
+    )
+    langs = sorted(LANG_MARKERS)
+    best = F.greatest(*[F.col(f"score_{l}") for l in langs])
+    pred = F.lit(None).cast("string")
+    # Reverse order + when-chains → first alphabetical language wins ties.
+    for lang in reversed(langs):
+        pred = F.when(F.col(f"score_{lang}") == best, F.lit(lang)).otherwise(pred)
+    return scored.withColumn("pred_lang", pred)
+
+
+def with_fingerprint(df: DataFrame, col: str = "text") -> DataFrame:
+    """Document fingerprint: md5 over the normalized text — the exact-dedup
+    key. (Near-dup fingerprints come from shingle minhash in dedup.py.)"""
+    return df.withColumn("fingerprint", F.md5(F.lower(F.trim(F.col(col)))))
+
+
+def shingles(col: str = "text", n: int = 3) -> Column:
+    """Token n-gram shingles as an array column. Pure array expression —
+    narrow, codegen'd, no explode needed until an operator wants rows."""
+    toks = tokens(col)
+    idx = F.sequence(F.lit(0), F.size(toks) - n)
+    make = F.transform(
+        idx, lambda i: F.concat_ws(" ", *[F.element_at(toks, i + j + 1) for j in range(n)])
+    )
+    return F.when(F.size(toks) >= n, make).otherwise(
+        F.array().cast("array<string>")
+    )

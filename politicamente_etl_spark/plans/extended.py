@@ -1,0 +1,456 @@
+"""Extended-surface queries (SURVEY.md §2.10): text analysis, dedup,
+similarity search, JSON/eventstream analytics. Registered into the same
+CATALOG as the reference surface.
+
+Oracle-parity notes baked into each pair:
+- md5 is the cross-engine hash (identical hex on Spark and DuckDB) — used
+  for fingerprints, exact-dedup keys, and minhash permutations.
+- Array lambdas: Spark `aggregate`'s left fold with 0.0 init equals
+  DuckDB `list_reduce`'s first-element init exactly under IEEE doubles.
+- Shingle indexing: Spark arrays are 0-based (element_at 1-based), DuckDB
+  lists 1-based — both sides generate identical n-gram strings.
+- Timestamps: events carries ns parquet; both sides reduce through exact
+  integer truncation (unix_millis vs epoch_ms) before comparison.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from politicamente_etl_spark.functions.scalar import sql_money_sum
+from politicamente_etl_spark.operators import core, dedup, sim, text
+
+
+def _register():
+    # Local import to avoid a circular import at module load: catalog.py
+    # imports this module at its tail, after CATALOG/register exist.
+    from politicamente_etl_spark.plans.catalog import T, load_events, register
+
+    # -- text analysis ------------------------------------------------------
+
+    @register(
+        "text_stats",
+        sql="""
+        SELECT doc_id,
+               CAST(length(text) AS BIGINT) AS n_chars_calc,
+               CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+               (CAST(length(text) AS DOUBLE)
+                - CAST(len(string_split(text, ' ')) - 1 AS DOUBLE))
+                   / CAST(len(string_split(text, ' ')) AS DOUBLE)
+                   AS avg_token_len,
+               CAST(len(list_filter(string_split(text, ' '),
+                                    t -> t = 'the' OR t = 'a')) AS DOUBLE)
+                   / CAST(len(string_split(text, ' ')) AS DOUBLE)
+                   AS stopword_ratio
+        FROM documents
+        """,
+        bench=True,
+        tags=("ext-text",),
+    )
+    def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Quality-scoring features over documents — char/token counts,
+        mean token length, stopword ratio; all codegen'd expressions."""
+        docs = T(spark, sf_dir, "documents")
+        return text.with_text_stats(docs).select(
+            "doc_id", "n_chars_calc", "n_tokens", "avg_token_len", "stopword_ratio"
+        )
+
+    @register(
+        "token_count_regex",
+        sql=r"""
+        SELECT doc_id,
+               CAST(len(regexp_extract_all(text,
+                    '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS BIGINT) AS n_bpe_tokens
+        FROM documents
+        """,
+        tags=("ext-text",),
+    )
+    def q_token_count_regex(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """BPE-ish pretokenizer count (letter runs / digit runs / symbols);
+        ASCII classes behave identically under Java regex and RE2."""
+        docs = T(spark, sf_dir, "documents")
+        return text.with_token_count_regex(docs).select("doc_id", "n_bpe_tokens")
+
+    @register(
+        "lang_id_heuristic",
+        sql="""
+        WITH scored AS (
+            SELECT doc_id, lang,
+                   CAST(len(list_filter(string_split(text, ' '),
+                        t -> t IN ('the', 'a'))) AS BIGINT) AS score_en,
+                   CAST(len(list_filter(string_split(text, ' '),
+                        t -> t IN ('row', 'column'))) AS BIGINT) AS score_es,
+                   CAST(len(list_filter(string_split(text, ' '),
+                        t -> t IN ('data', 'table'))) AS BIGINT) AS score_pt
+            FROM documents
+        )
+        SELECT doc_id, lang, score_en, score_es, score_pt,
+               CASE WHEN score_en >= score_es AND score_en >= score_pt THEN 'en'
+                    WHEN score_es >= score_pt THEN 'es'
+                    ELSE 'pt' END AS pred_lang
+        FROM scored
+        """,
+        tags=("ext-text",),
+    )
+    def q_lang_id_heuristic(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Marker-token language-ID with deterministic alphabetical
+        tie-break (operator shape demo — the synthetic corpus shares one
+        vocabulary)."""
+        docs = T(spark, sf_dir, "documents")
+        return text.with_lang_id(docs).select(
+            "doc_id", "lang", "score_en", "score_es", "score_pt", "pred_lang"
+        )
+
+    @register(
+        "doc_fingerprint",
+        sql="""
+        SELECT doc_id, md5(lower(trim(text))) AS fingerprint
+        FROM documents
+        """,
+        tags=("ext-text", "ext-dedup"),
+    )
+    def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Content fingerprint: md5 over normalized text."""
+        docs = T(spark, sf_dir, "documents")
+        return text.with_fingerprint(docs).select("doc_id", "fingerprint")
+
+    # -- dedup --------------------------------------------------------------
+
+    @register(
+        "exact_dedup_docs",
+        sql="""
+        SELECT md5(text) AS text_hash,
+               MIN(doc_id) AS doc_id,
+               COUNT(*) AS n_copies
+        FROM documents GROUP BY md5(text)
+        """,
+        bench=True,
+        tags=("ext-dedup",),
+    )
+    def q_exact_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Exact dedup on a content digest — the shuffle carries 16-byte
+        hashes, not document bodies (the 100 TB-safe shape)."""
+        return dedup.exact_dedup(T(spark, sf_dir, "documents"))
+
+    _MH_SQL_SHINGLES = """
+        WITH t AS (
+            SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+        ), sh AS (
+            SELECT doc_id,
+                   [concat_ws(' ', toks[i], toks[i+1], toks[i+2])
+                    for i in range(1, len(toks) - 1)] AS shingles
+            FROM t
+        )
+    """
+    _mh_cols = ",\n".join(
+        "               list_min(list_transform(shingles,"
+        f" x -> md5(concat_ws(':', '{i}', x)))) AS mh_{i}"
+        for i in range(dedup.N_MINHASH)
+    )
+
+    @register(
+        "minhash_signatures",
+        sql=_MH_SQL_SHINGLES
+        + f"""
+        SELECT doc_id,
+{_mh_cols}
+        FROM sh
+        """,
+        tags=("ext-dedup",),
+    )
+    def q_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """MinHash signatures (8 md5-keyed permutations over 3-gram token
+        shingles) — per-row expressions, no explode, engine-portable hash."""
+        docs = T(spark, sf_dir, "documents").select("doc_id", "text")
+        return dedup.with_minhash_signature(docs).drop("text")
+
+    _bands = dedup.N_MINHASH // dedup.BAND_SIZE
+    _band_defs = ",\n".join(
+        f"               md5(concat_ws('|', mh_{b * dedup.BAND_SIZE},"
+        f" mh_{b * dedup.BAND_SIZE + 1})) AS band_{b}"
+        for b in range(_bands)
+    )
+    _band_joins = "\n            UNION ALL\n".join(
+        f"""            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                   {' + '.join(f'CASE WHEN a.mh_{i} = b.mh_{i} THEN 1 ELSE 0 END' for i in range(dedup.N_MINHASH))} AS n_agree
+            FROM sig a JOIN sig b
+              ON a.band_{b} = b.band_{b} AND a.doc_id < b.doc_id"""
+        for b in range(_bands)
+    )
+
+    @register(
+        "minhash_near_dup_pairs",
+        sql=_MH_SQL_SHINGLES
+        + f""", mh AS (
+            SELECT doc_id,
+{_mh_cols}
+            FROM sh
+        ), sig AS (
+            SELECT doc_id,
+{_band_defs},
+                   mh_0, mh_1, mh_2, mh_3, mh_4, mh_5, mh_6, mh_7
+            FROM mh
+        ), cand AS (
+{_band_joins}
+        )
+        SELECT DISTINCT doc_a, doc_b,
+               CAST(n_agree AS DOUBLE) / {float(dedup.N_MINHASH)} AS est_jaccard
+        FROM cand
+        """,
+        tags=("ext-dedup",),
+    )
+    def q_minhash_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """MinHash LSH banding (4 bands × 2 rows): near-dup candidate pairs
+        with estimated Jaccard. Pairs only meet inside band buckets — no
+        cross join at any scale."""
+        docs = T(spark, sf_dir, "documents").select("doc_id", "text")
+        return dedup.minhash_near_dup_pairs(docs)
+
+    @register(
+        "ngram_jaccard_pairs",
+        sql="""
+        WITH t AS (
+            SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+        ), sh AS (
+            SELECT DISTINCT doc_id,
+                   unnest([concat_ws(' ', toks[i], toks[i+1], toks[i+2])
+                           for i in range(1, len(toks) - 1)]) AS sh
+            FROM t
+        ), sizes AS (
+            SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id
+        ), inter AS (
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+            FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+            GROUP BY 1, 2
+        )
+        SELECT doc_a, doc_b, n_common,
+               CAST(n_common AS DOUBLE)
+                   / CAST(na.n_sh + nb.n_sh - n_common AS DOUBLE) AS jaccard
+        FROM inter
+        JOIN sizes na ON inter.doc_a = na.doc_id
+        JOIN sizes nb ON inter.doc_b = nb.doc_id
+        WHERE CAST(n_common AS DOUBLE)
+                  / CAST(na.n_sh + nb.n_sh - n_common AS DOUBLE) >= 0.4
+        """,
+        bench=True,
+        tags=("ext-dedup",),
+    )
+    def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Exact 3-gram Jaccard near-dup pairs via inverted shingle index —
+        the oracle-checkable verifier for the LSH estimate."""
+        docs = T(spark, sf_dir, "documents").select("doc_id", "text")
+        return dedup.ngram_jaccard_pairs(docs, threshold=0.4)
+
+    # -- similarity search --------------------------------------------------
+
+    _DOT_DD = (
+        "list_reduce(list_transform(list_zip({a}, {b}),"
+        " s -> CAST(s[1] AS DOUBLE) * CAST(s[2] AS DOUBLE)), (acc, v) -> acc + v)"
+    )
+    _NORM_DD = (
+        "sqrt(list_reduce(list_transform({a},"
+        " x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (acc, v) -> acc + v))"
+    )
+
+    @register(
+        "cosine_topk",
+        sql=f"""
+        WITH q AS (
+            SELECT vec_id AS query_id, embedding AS q_vec
+            FROM embeddings WHERE vec_id < 5
+        ), scored AS (
+            SELECT q.query_id, e.vec_id,
+                   {_DOT_DD.format(a='e.embedding', b='q.q_vec')}
+                   / ({_NORM_DD.format(a='e.embedding')}
+                      * {_NORM_DD.format(a='q.q_vec')}) AS cos_sim
+            FROM embeddings e CROSS JOIN q
+        )
+        SELECT query_id, vec_id, cos_sim,
+               CAST(row_number() OVER (PARTITION BY query_id
+                    ORDER BY cos_sim DESC, vec_id) AS INT) AS rank
+        FROM scored
+        QUALIFY rank <= 10
+        """,
+        bench=True,
+        tags=("ext-sim",),
+    )
+    def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Exact brute-force cosine top-10 for 5 query vectors against the
+        corpus. Sequential-fold double math → bit-identical to DuckDB's
+        list_reduce; ties broken by vec_id."""
+        emb = T(spark, sf_dir, "embeddings")
+        queries = emb.filter(F.col("vec_id") < 5)
+        return sim.cosine_topk(emb, queries, k=10)
+
+    @register(
+        "cosine_topk_lsh",
+        sql=None,  # approximate by construction → rows-only driver check
+        tags=("ext-sim",),
+    )
+    def q_cosine_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """ANN top-k via random-hyperplane LSH bucketing — the 100 TB path
+        (equi-join on bucket, no cross join). Recall < 1 → rows-only check;
+        cosine_topk above is the exact verifier."""
+        import random
+
+        rnd = random.Random(42)
+        planes = [[rnd.gauss(0, 1) for _ in range(64)] for _ in range(4)]
+        emb = T(spark, sf_dir, "embeddings")
+        queries = emb.filter(F.col("vec_id") < 5)
+        return sim.cosine_topk_lsh(emb, queries, planes, k=10)
+
+    # -- events / JSON / windows -------------------------------------------
+
+    @register(
+        "json_props_extract",
+        sql=f"""
+        SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_value,
+               COUNT(*) AS n_events,
+               {sql_money_sum("value", "total_value")}
+        FROM events
+        GROUP BY 1
+        """,
+        tags=("ext-json",),
+    )
+    def q_json_props_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """JSON prop extraction (`get_json_object`) + rollup over events."""
+        ev = load_events(spark, sf_dir)
+        return (
+            ev.withColumn(
+                "k_value", F.get_json_object("props", "$.k").cast("long")
+            )
+            .groupBy("k_value")
+            .agg(
+                F.count("*").alias("n_events"),
+                F.sum(F.col("value").cast("decimal(27,4)"))
+                .cast("double")
+                .alias("total_value"),
+            )
+        )
+
+    @register(
+        "events_tumbling_window",
+        sql=f"""
+        SELECT CAST(epoch(time_bucket(INTERVAL '10 minutes', ts)) AS BIGINT)
+                   AS window_start_epoch,
+               event_type,
+               COUNT(*) AS n_events,
+               {sql_money_sum("value", "total_value")}
+        FROM events
+        GROUP BY 1, 2
+        """,
+        bench=True,
+        tags=("ext-stream",),
+    )
+    def q_events_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Tumbling 10-minute window aggregate — the batch shape of the
+        Structured Streaming query in streaming/windows.py (same F.window
+        call); epoch-second window starts compare exactly across engines
+        (Spark and DuckDB 10-min buckets share alignment)."""
+        ev = load_events(spark, sf_dir)
+        return (
+            ev.groupBy(F.window("ts", "10 minutes").alias("w"), "event_type")
+            .agg(
+                F.count("*").alias("n_events"),
+                F.sum(F.col("value").cast("decimal(27,4)"))
+                .cast("double")
+                .alias("total_value"),
+            )
+            .select(
+                F.unix_timestamp("w.start").alias("window_start_epoch"),
+                "event_type",
+                "n_events",
+                "total_value",
+            )
+        )
+
+    @register(
+        "events_sessionization",
+        sql="""
+        WITH e AS (
+            SELECT user_id, event_id, epoch_ms(ts) AS ts_ms FROM events
+        ), flagged AS (
+            SELECT user_id, event_id, ts_ms,
+                   CASE WHEN lag(ts_ms) OVER w IS NULL
+                             OR ts_ms - lag(ts_ms) OVER w > 1800000
+                        THEN 1 ELSE 0 END AS is_new
+            FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_ms, event_id)
+        ), sess AS (
+            SELECT user_id, event_id,
+                   SUM(is_new) OVER (PARTITION BY user_id
+                        ORDER BY ts_ms, event_id
+                        ROWS UNBOUNDED PRECEDING) AS session_id
+            FROM flagged
+        )
+        SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+               COUNT(*) AS n_events
+        FROM sess GROUP BY 1, 2
+        """,
+        tags=("ext-stream",),
+    )
+    def q_events_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Batch sessionization: 30-min inactivity gap → new session;
+        lag + running sum windows (the batch twin of session_window)."""
+        from pyspark.sql import Window
+
+        ev = load_events(spark, sf_dir).select(
+            "user_id", "event_id", F.expr("unix_millis(ts)").alias("ts_ms")
+        )
+        w = Window.partitionBy("user_id").orderBy("ts_ms", "event_id")
+        flagged = ev.withColumn(
+            "is_new",
+            F.when(
+                F.lag("ts_ms").over(w).isNull()
+                | ((F.col("ts_ms") - F.lag("ts_ms").over(w)) > 1800000),
+                1,
+            ).otherwise(0),
+        )
+        sess = flagged.withColumn(
+            "session_id",
+            F.sum("is_new").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+        )
+        return sess.groupBy("user_id", "session_id").agg(
+            F.count("*").alias("n_events")
+        )
+
+    @register(
+        "window_topk_orders",
+        sql="""
+        SELECT o_custkey, o_orderkey, o_totalprice,
+               CAST(row_number() OVER (PARTITION BY o_custkey
+                    ORDER BY o_totalprice DESC, o_orderkey) AS INT)
+                   AS rank_in_group
+        FROM orders
+        QUALIFY rank_in_group <= 3
+        """,
+        tags=("ext-window",),
+    )
+    def q_window_topk_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Top-3 orders per customer — rank window with deterministic
+        tie-break; Spark plans a per-partition group-limit."""
+        o = T(spark, sf_dir, "orders").select(
+            "o_custkey", "o_orderkey", "o_totalprice"
+        )
+        return core.top_k_per_group(
+            o,
+            ["o_custkey"],
+            [F.col("o_totalprice").desc(), F.col("o_orderkey")],
+            3,
+        ).select("o_custkey", "o_orderkey", "o_totalprice", "rank_in_group")
+
+    @register(
+        "approx_aggs",
+        sql=None,  # sketch internals differ across engines → rows-only
+        tags=("ext-approx",),
+    )
+    def q_approx_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Approximate aggregates (HLL++ distinct count, approx median) per
+        event type — sketch outputs are engine-specific, so rows-only."""
+        from politicamente_etl_spark.operators.agg import approx_aggs
+
+        ev = load_events(spark, sf_dir)
+        return approx_aggs(ev, "event_type", "user_id", "value")
+
+
+_register()

@@ -1,0 +1,83 @@
+"""Source readers.
+
+Spark-first equivalents of the reference's extract stage
+(`/root/reference/src/politicamente_etl/etl/extract.py`):
+
+- S3 CSV scan (`extract.py:46`): `read_tse_csv` — `;`-separated latin-1 CSV
+  with an explicit StructType (never inferSchema at scale: inference is a
+  full extra pass over 100 TB).
+- S4 multi-file UNION ALL (`extract.py:48`): a multi-path `spark.read.csv`
+  — one distributed scan instead of a driver-side concat.
+- S2 file pruning (`extract.py:43-44`): `prune_consolidated` — prefer a
+  consolidated file over per-state shards, done as path-list pruning before
+  the scan so Spark never lists the discarded files.
+- S1 HTTP ZIP fetch (`extract.py:11-36`) is a driver-side landing utility,
+  kept out of the executor path: ZIPs are not splittable, so ingest unzips
+  to a landing dir and the distributed scan reads the extracted CSVs.
+"""
+
+from __future__ import annotations
+
+import os
+from fnmatch import fnmatch
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.types import StructType
+
+from politicamente_etl_spark.schemas import TESTDATA_TABLES
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Scan one driver parquet table. Types come from the parquet footer
+    (authoritative); Catalyst handles column pruning + predicate pushdown.
+
+    Pins the session timezone to UTC: the driver's own SparkSession may
+    inherit a non-UTC JVM zone, which would shift `year()`/`date_format()`
+    on timestamps relative to the UTC-naive DuckDB oracle."""
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+def load_tables(
+    spark: SparkSession, sf_dir: str, names: tuple[str, ...] = TESTDATA_TABLES
+) -> dict[str, DataFrame]:
+    """Scan the star schema and register each table as a temp view so both
+    the DataFrame API and spark.sql() address the same relations."""
+    out: dict[str, DataFrame] = {}
+    for name in names:
+        df = load_table(spark, sf_dir, name)
+        df.createOrReplaceTempView(name)
+        out[name] = df
+    return out
+
+
+def read_tse_csv(
+    spark: SparkSession,
+    paths: str | list[str],
+    schema: StructType,
+) -> DataFrame:
+    """TSE CSV scan with the reference's file conventions
+    (`extract.py:46`: sep=';', latin-1, header row) but an explicit schema.
+
+    Passing a list of paths is the distributed UNION ALL (S4): one scan, one
+    stage, no driver-side concat. Unknown columns in the file are simply not
+    read (column pruning at the parser level).
+    """
+    return (
+        spark.read.schema(schema)
+        .options(sep=";", encoding="ISO-8859-1", header=True, mode="PERMISSIVE")
+        .csv(paths)
+    )
+
+
+def prune_consolidated(
+    csv_names: list[str], prefix: str, year: int
+) -> list[str]:
+    """S2 file pruning (`extract.py:39-44`): if the consolidated
+    `{prefix}_{year}_BRASIL.csv` is present, read ONLY it; otherwise read all
+    per-state CSVs. Pure path logic — runs on the driver before the scan, so
+    the discarded ~27 shards are never listed, opened, or scheduled."""
+    consolidated = f"{prefix}_{year}_BRASIL.csv"
+    csvs = [n for n in csv_names if fnmatch(os.path.basename(n), "*.csv")]
+    only = [n for n in csvs if os.path.basename(n) == consolidated]
+    return only if only else csvs

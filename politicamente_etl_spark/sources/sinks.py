@@ -1,0 +1,60 @@
+"""Sink semantics as DataFrame algebra over managed parquet (SURVEY.md §2.7).
+
+The reference's sinks are Postgres statements with conflict handling
+(`load.py:17-22,37-42,60-65,84-92,113-127`). Parquet has no ON CONFLICT, so
+each sink op is expressed as join algebra and an atomic overwrite/append
+(Spark's output committer makes a write job all-or-nothing — replacing the
+reference's per-1000-row commit batching, which was an artifact of the
+row-at-a-time design, SURVEY.md §2.7 K6).
+
+Delta Lake would give MERGE + real ACID; it is not in this environment, so
+these helpers are the portable core and a Delta backend can be slotted in
+behind the same signatures later.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from politicamente_etl_spark.operators.joins import anti_join_absent, join_update
+
+
+def upsert(existing: DataFrame, new: DataFrame, keys: list[str]) -> DataFrame:
+    """K1 — UPSERT (`INSERT … ON CONFLICT DO UPDATE`, `load.py:17-22`):
+    rows of `new` win on key conflict, unmatched `existing` rows survive.
+    Implemented as (existing ANTI new) UNION ALL new — one broadcastable
+    anti join, no full-table shuffle when `new` is small."""
+    kept = anti_join_absent(existing, new.select(*keys), keys)
+    return kept.unionByName(new.select(*existing.columns))
+
+
+def insert_if_absent(existing: DataFrame, new: DataFrame, keys: list[str]) -> DataFrame:
+    """K2-K4 — `INSERT … ON CONFLICT DO NOTHING` (`load.py:37-42,60-65,
+    84-92`): append only the rows whose key is not already present. Dedups
+    `new` on the key first (deterministically, min-ranked) — the reference
+    achieves the same through sequential per-row conflict checks."""
+    from politicamente_etl_spark.operators.core import dedup_keep_first
+
+    fresh = anti_join_absent(new, existing, keys)
+    fresh = dedup_keep_first(fresh, keys, [F.col(c) for c in fresh.columns])
+    return existing.unionByName(fresh.select(*existing.columns))
+
+
+def keyed_update(
+    target: DataFrame, updates: DataFrame, keys: list[str], set_cols: list[str]
+) -> DataFrame:
+    """K5 — batched keyed UPDATE (`load.py:113-127`) — see
+    operators.joins.join_update; re-exported here as the sink-level verb."""
+    return join_update(target, updates, keys, set_cols)
+
+
+def write_managed(df: DataFrame, path: str, mode: str = "overwrite", partition_by: list[str] | None = None) -> None:
+    """Atomic managed-parquet write. `partition_by` mirrors the reference's
+    one real optimization — file-level pruning (`extract.py:43-44`) — as
+    partition pruning: partition facts by a coarse key (election year in the
+    reference's domain) so year-scoped queries touch only their files."""
+    w = df.write.mode(mode)
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    w.parquet(path)
