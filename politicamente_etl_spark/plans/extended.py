@@ -439,6 +439,106 @@ def _register():
             3,
         ).select("o_custkey", "o_orderkey", "o_totalprice", "rank_in_group")
 
+    # -- Structured Streaming (finite-replay; results equal their batch
+    #    twins, which is what makes them oracle-checkable) -----------------
+
+    def _stream(spark, sf_dir):
+        from politicamente_etl_spark.streaming import windows as W
+
+        return W.stream_events(spark, sf_dir)
+
+    @register(
+        "streaming_tumbling_window",
+        sql=f"""
+        SELECT CAST(epoch(time_bucket(INTERVAL '10 minutes', ts)) AS BIGINT)
+                   AS window_start_epoch,
+               event_type,
+               COUNT(*) AS n_events,
+               {sql_money_sum("value", "total_value")}
+        FROM events
+        GROUP BY 1, 2
+        """,
+        tags=("ext-stream",),
+    )
+    def q_streaming_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """The events_tumbling_window rollup executed through the
+        micro-batch streaming engine (readStream → window agg → memory
+        sink); finite replay ≡ batch, same oracle."""
+        from politicamente_etl_spark.streaming import windows as W
+
+        return W.run_stream_to_table(W.tumbling_agg(_stream(spark, sf_dir)))
+
+    @register(
+        "streaming_sliding_window",
+        sql="""
+        SELECT CAST(epoch(s) AS BIGINT) AS window_start_epoch,
+               event_type, COUNT(*) AS n_events
+        FROM (
+            SELECT unnest([time_bucket(INTERVAL '5 minutes', ts),
+                           time_bucket(INTERVAL '5 minutes', ts)
+                               - INTERVAL '5 minutes']) AS s,
+                   event_type
+            FROM events
+        )
+        GROUP BY 1, 2
+        """,
+        tags=("ext-stream",),
+    )
+    def q_streaming_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Sliding 10-min/5-min window counts via the streaming engine;
+        oracle enumerates both covering window starts per event."""
+        from politicamente_etl_spark.streaming import windows as W
+
+        return W.run_stream_to_table(W.sliding_agg(_stream(spark, sf_dir)))
+
+    @register(
+        "streaming_session_window",
+        sql="""
+        WITH e AS (
+            SELECT user_id, event_id, epoch_us(ts) AS ts_us FROM events
+        ), flagged AS (
+            SELECT user_id, ts_us,
+                   CASE WHEN lag(ts_us) OVER w IS NULL
+                             OR ts_us - lag(ts_us) OVER w >= 1800000000
+                        THEN 1 ELSE 0 END AS is_new
+            FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)
+        ), sess AS (
+            SELECT user_id, ts_us,
+                   SUM(is_new) OVER (PARTITION BY user_id
+                        ORDER BY ts_us ROWS UNBOUNDED PRECEDING) AS sid
+            FROM flagged
+        )
+        SELECT user_id,
+               CAST(min(ts_us) // 1000000 AS BIGINT) AS session_start_epoch,
+               COUNT(*) AS n_events
+        FROM sess GROUP BY user_id, sid
+        """,
+        tags=("ext-stream",),
+    )
+    def q_streaming_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """session_window(ts, 30 min) per user through the streaming engine.
+        Oracle reconstructs Spark's merge rule exactly in µs integers: a new
+        session starts iff the gap is >= 30 min (session windows are
+        half-open)."""
+        from politicamente_etl_spark.streaming import windows as W
+
+        return W.run_stream_to_table(W.session_agg(_stream(spark, sf_dir)))
+
+    @register(
+        "streaming_dedup_count",
+        sql="SELECT COUNT(DISTINCT event_id) AS n_unique FROM events",
+        tags=("ext-stream", "ext-dedup"),
+    )
+    def q_streaming_dedup_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """dropDuplicatesWithinWatermark on event_id (watermark-bounded
+        dedup state), reduced to a count for a deterministic compare."""
+        from politicamente_etl_spark.streaming import windows as W
+
+        deduped = W.stateful_dedup(_stream(spark, sf_dir))
+        return W.run_stream_to_table(
+            deduped.groupBy().agg(F.count("*").alias("n_unique"))
+        )
+
     @register(
         "approx_aggs",
         sql=None,  # sketch internals differ across engines → rows-only

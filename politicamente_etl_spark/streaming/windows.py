@@ -1,0 +1,154 @@
+"""Structured Streaming surface over the events table (SURVEY.md §2.10).
+
+The reference has no streams (its closest analogue is chunked HTTP download,
+`extract.py:28`); this is the north-star extension: the same event-rollup
+logic as the batch queries, expressed as an incremental streaming plan —
+tumbling/sliding/session windows, watermarked late-data handling, and
+stateful dedup.
+
+Local testing drives a finite parquet file through the micro-batch engine
+(`run_stream_to_table` + processAllAvailable) and asserts batch
+equivalence: a streaming window aggregate over a replayed file must equal
+the batch `F.window` aggregate — that equivalence is what makes these
+oracle-checkable.
+
+Scale notes: state-store size is bounded by the watermark horizon
+(`withWatermark` lets Spark evict window/dedup state); without it, complete
+mode state grows with key cardinality. Shuffle partitioning of the state
+store follows spark.sql.shuffle.partitions at first start — size it for
+the target key cardinality.
+"""
+
+from __future__ import annotations
+
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from politicamente_etl_spark.schemas import EVENTS
+from pyspark.sql.types import LongType, StructField, StructType
+
+# Streaming reads need an explicit schema; ts arrives as raw nanos (the
+# parquet carries TIMESTAMP(NANOS), read via nanosAsLong) and is converted
+# to a microsecond timestamp with exact integer math.
+EVENTS_NANOS = StructType(
+    [
+        StructField("event_id", LongType()),
+        StructField("ts", LongType()),
+        *[f for f in EVENTS.fields if f.name not in ("event_id", "ts")],
+    ]
+)
+
+
+def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """readStream over the events parquet (file-source; a directory/glob in
+    production — here the single driver file)."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    raw = (
+        spark.readStream.schema(EVENTS_NANOS)
+        .format("parquet")
+        # basePath must be a directory; the glob selects just the events file
+        .option("basePath", sf_dir)
+        .load(f"{sf_dir}/events.parque*")
+    )
+    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+def tumbling_agg(events: DataFrame, width: str = "10 minutes") -> DataFrame:
+    """Tumbling-window rollup — the streaming twin of the batch
+    events_tumbling_window catalog query (identical F.window call and
+    decimal-snap, so the finite-stream result hash-matches the oracle)."""
+    return (
+        events.groupBy(F.window("ts", width).alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(27,4)"))
+            .cast("double")
+            .alias("total_value"),
+        )
+        .select(
+            F.unix_timestamp("w.start").alias("window_start_epoch"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+def sliding_agg(
+    events: DataFrame, width: str = "10 minutes", slide: str = "5 minutes"
+) -> DataFrame:
+    """Sliding-window rollup: each event lands in width/slide windows."""
+    return (
+        events.groupBy(F.window("ts", width, slide).alias("w"), "event_type")
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            F.unix_timestamp("w.start").alias("window_start_epoch"),
+            "event_type",
+            "n_events",
+        )
+    )
+
+
+def session_agg(events: DataFrame, gap: str = "30 minutes") -> DataFrame:
+    """Session-window rollup per user: a session extends while events are
+    < gap apart — the streaming twin of the batch lag+cumsum
+    sessionization."""
+    return (
+        events.withWatermark("ts", "1 hour")
+        .groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            F.unix_timestamp("w.start").alias("session_start_epoch"),
+            "user_id",
+            "n_events",
+        )
+    )
+
+
+def watermarked_tumbling_agg(
+    events: DataFrame, width: str = "10 minutes", late: str = "10 minutes"
+) -> DataFrame:
+    """Tumbling agg with a watermark: state for windows older than the
+    watermark is evicted (bounded state at 100 TB/day rates); events later
+    than `late` are dropped by policy."""
+    return (
+        events.withWatermark("ts", late)
+        .groupBy(F.window("ts", width).alias("w"), "event_type")
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            F.unix_timestamp("w.start").alias("window_start_epoch"),
+            "event_type",
+            "n_events",
+        )
+    )
+
+
+def stateful_dedup(events: DataFrame, within: str = "1 hour") -> DataFrame:
+    """Streaming exact dedup on event_id with watermark-bounded state
+    (`dropDuplicatesWithinWatermark`): duplicates arriving within the
+    horizon are suppressed, state is evicted beyond it."""
+    return events.withWatermark("ts", within).dropDuplicatesWithinWatermark(
+        ["event_id"]
+    )
+
+
+def run_stream_to_table(
+    streaming_df: DataFrame, mode: str = "complete"
+) -> DataFrame:
+    """Drive a finite streaming plan to completion through the micro-batch
+    engine and return the materialized memory-sink table."""
+    name = f"stream_out_{uuid.uuid4().hex[:12]}"
+    q = (
+        streaming_df.writeStream.outputMode(mode)
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return streaming_df.sparkSession.table(name)

@@ -1,0 +1,168 @@
+"""Streaming semantics tests beyond the oracle suite: batch equivalence
+and genuine multi-batch watermark behavior (late-data eviction), which a
+single-file replay can't show.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from politicamente_etl_spark.plans.catalog import CATALOG
+from politicamente_etl_spark.streaming import windows as W
+
+
+def test_stream_equals_batch_tumbling(spark, sf_dir):
+    stream_out = (
+        W.run_stream_to_table(W.tumbling_agg(W.stream_events(spark, sf_dir)))
+        .toPandas()
+        .sort_values(["window_start_epoch", "event_type"])
+        .reset_index(drop=True)
+    )
+    batch_out = (
+        CATALOG["events_tumbling_window"]
+        .fn(spark, sf_dir)
+        .toPandas()
+        .sort_values(["window_start_epoch", "event_type"])
+        .reset_index(drop=True)
+    )
+    assert stream_out.equals(batch_out)
+
+
+def test_watermark_two_batches(spark, tmp_path):
+    """Drive two micro-batches (maxFilesPerTrigger=1) so the watermark
+    actually advances: batch 2 carries an event 2 hours late — beyond the
+    10-minute watermark — whose window was already finalized in append mode,
+    so it must be dropped, while batch 2's on-time event appears."""
+    import pandas as pd
+
+    d = tmp_path / "stream_src"
+    d.mkdir()
+    base = pd.Timestamp("2024-01-01 10:00:00")
+
+    def ns(ts):
+        return int(ts.value)
+
+    b1 = pd.DataFrame(
+        {
+            "event_id": [1, 2, 3],
+            "ts": [ns(base), ns(base + pd.Timedelta("5min")), ns(base + pd.Timedelta("2h"))],
+            "user_id": [1, 1, 1],
+            "event_type": ["click"] * 3,
+            "value": [1.0, 1.0, 1.0],
+            "props": ["{}"] * 3,
+        }
+    )
+    b2 = pd.DataFrame(
+        {
+            "event_id": [4, 5],
+            # event 4 is ON TIME (near the stream's max); event 5 is 2h LATE
+            "ts": [ns(base + pd.Timedelta("2h5min")), ns(base + pd.Timedelta("1min"))],
+            "user_id": [1, 1],
+            "event_type": ["click", "late"],
+            "value": [1.0, 1.0],
+            "props": ["{}"] * 2,
+        }
+    )
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    schema = pa.schema(
+        [
+            ("event_id", pa.int64()),
+            ("ts", pa.timestamp("ns")),
+            ("user_id", pa.int64()),
+            ("event_type", pa.string()),
+            ("value", pa.float64()),
+            ("props", pa.string()),
+        ]
+    )
+    pq.write_table(
+        pa.Table.from_pandas(b1.assign(ts=pd.to_datetime(b1.ts)), schema=schema),
+        d / "batch1.parquet",
+    )
+    pq.write_table(
+        pa.Table.from_pandas(b2.assign(ts=pd.to_datetime(b2.ts)), schema=schema),
+        d / "batch2.parquet",
+    )
+    # Batch order follows file modification time — pin it explicitly.
+    import os
+    import time
+
+    now = time.time()
+    os.utime(d / "batch1.parquet", (now - 60, now - 60))
+    os.utime(d / "batch2.parquet", (now, now))
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw = (
+        spark.readStream.schema(W.EVENTS_NANOS)
+        .format("parquet")
+        .option("maxFilesPerTrigger", 1)
+        .load(str(d))
+    )
+    ev = raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    agg = W.watermarked_tumbling_agg(ev, width="10 minutes", late="10 minutes")
+    name = "wm_test_out"
+    q = (
+        agg.writeStream.outputMode("append").format("memory").queryName(name).start()
+    )
+    q.processAllAvailable()
+    progress = [
+        (p["batchId"], p["eventTime"].get("watermark")) for p in q.recentProgress
+    ]
+    q.stop()
+    out = spark.table(name).toPandas()
+
+    # Guaranteed watermark semantics (observed: late-data *dropping* for
+    # aggregations is best-effort in Spark, so we don't assert it):
+    # 1. the watermark advanced across batches (10-min delay behind max ts)
+    watermarks = [w for _, w in progress if w and not w.startswith("1970")]
+    assert "2024-01-01T11:50:00.000Z" in watermarks  # after batch 1
+    # 2. append mode emitted the finalized 10:00-10:10 window...
+    emitted = set(zip(out.window_start_epoch, out.event_type, out.n_events))
+    epoch_1000 = int(pd.Timestamp("2024-01-01 10:00:00").timestamp())
+    assert (epoch_1000, "click", 2) in emitted  # events 1+2, finalized
+    # 3. ...and did NOT emit the still-open 12:00-12:10 window (its end is
+    # beyond the final watermark → state retained, nothing emitted)
+    epoch_1200 = int(pd.Timestamp("2024-01-01 12:00:00").timestamp())
+    assert not any(e == epoch_1200 for e, _, _ in emitted)
+
+
+def test_session_merge_semantics(spark, tmp_path):
+    """Two events 29 min apart share a session; 31 min apart split."""
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    d = tmp_path / "sess_src"
+    d.mkdir()
+    base = pd.Timestamp("2024-01-01 10:00:00")
+    rows = pd.DataFrame(
+        {
+            "event_id": [1, 2, 3],
+            "ts": pd.to_datetime(
+                [base, base + pd.Timedelta("29min"), base + pd.Timedelta("65min")]
+            ),
+            "user_id": [7, 7, 7],
+            "event_type": ["click"] * 3,
+            "value": [1.0] * 3,
+            "props": ["{}"] * 3,
+        }
+    )
+    schema = pa.schema(
+        [
+            ("event_id", pa.int64()),
+            ("ts", pa.timestamp("ns")),
+            ("user_id", pa.int64()),
+            ("event_type", pa.string()),
+            ("value", pa.float64()),
+            ("props", pa.string()),
+        ]
+    )
+    pq.write_table(pa.Table.from_pandas(rows, schema=schema), d / "a.parquet")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw = spark.readStream.schema(W.EVENTS_NANOS).format("parquet").load(str(d))
+    ev = raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    out = W.run_stream_to_table(W.session_agg(ev, gap="30 minutes")).toPandas()
+    sessions = sorted(out.n_events.tolist())
+    assert sessions == [1, 2]  # events 1+2 merged, event 3 alone
