@@ -117,6 +117,114 @@ def minhash_near_dup_pairs(
     )
 
 
+SIMHASH_BITS = 16  # compact demo width; production would pack 64
+
+
+def with_simhash(df: DataFrame, text_col: str = "text", n_bits: int = SIMHASH_BITS) -> DataFrame:
+    """SimHash document signature: each token hashes to an integer
+    (md5-prefix → conv base16, bit-identical to DuckDB's '0x' cast); bit i
+    of the signature is the majority vote of token-hash bit i. Near-dup
+    docs differ in few bits (Hamming distance).
+
+    Two expression passes, both narrow: hash each token once, then n_bits
+    majority counts over the integer array — no explode, no shuffle."""
+    df = df.withColumn(
+        "__tok_hashes",
+        F.expr(
+            f"transform(split({text_col}, ' '),"
+            " t -> CAST(conv(substring(md5(t), 1, 15), 16, 10) AS BIGINT))"
+        ),
+    )
+    n = F.size("__tok_hashes")
+
+    def bit_test(i: int):
+        # closure factory: a one-arg lambda (two args would be read as the
+        # (element, index) form and break shiftright's int parameter)
+        return lambda h: F.shiftright(h, i).bitwiseAND(1) == 1
+
+    sig = F.lit(0).cast("long")
+    for i in range(n_bits):
+        ones = F.size(F.filter("__tok_hashes", bit_test(i)))
+        bit = F.when((ones * 2) >= n, F.lit(1)).otherwise(F.lit(0))
+        sig = sig + (bit * (1 << i)).cast("long")
+    return df.withColumn("simhash", sig).drop("__tok_hashes")
+
+
+def simhash_near_dup_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
+) -> DataFrame:
+    """SimHash near-dup pairs: candidates meet on an 8-bit band of the
+    signature (high or low byte — any pair within Hamming ≤ 3 of a 16-bit
+    signature could still differ in both bands, so this is the classic
+    recall/cost trade; more+narrower bands raise recall), then exact
+    Hamming distance filters. Band join is an equi-join — scales."""
+    sig = with_simhash(df.select(id_col, text_col), text_col).drop(text_col)
+    sig = sig.withColumn("band_hi", F.shiftright("simhash", 8)).withColumn(
+        "band_lo", F.col("simhash").bitwiseAND(255)
+    )
+    a, b = sig.alias("a"), sig.alias("b")
+    pairs = None
+    for band in ("band_hi", "band_lo"):
+        p = a.join(
+            b,
+            (F.col(f"a.{band}") == F.col(f"b.{band}"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        ).select(
+            F.col(f"a.{id_col}").alias("doc_a"),
+            F.col(f"b.{id_col}").alias("doc_b"),
+            F.col("a.simhash").alias("sim_a"),
+            F.col("b.simhash").alias("sim_b"),
+        )
+        pairs = p if pairs is None else pairs.unionByName(p)
+    return (
+        pairs.dropDuplicates(["doc_a", "doc_b"])
+        .withColumn(
+            "hamming",
+            F.bit_count(
+                F.col("sim_a").bitwiseXOR(F.col("sim_b"))
+            ).cast("int"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .select("doc_a", "doc_b", "hamming")
+    )
+
+
+def ml_minhash_near_dup_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.6,
+    num_hash_tables: int = 8,
+) -> DataFrame:
+    """pyspark.ml-native near-dup: HashingTF over tokens → MinHashLSH →
+    approxSimilarityJoin (distance = 1 - Jaccard estimate). The JVM hash
+    family is engine-internal (not oracle-reproducible) — this is the
+    library route; the md5-keyed minhash above is the portable twin."""
+    from pyspark.ml.feature import HashingTF, MinHashLSH, Tokenizer
+
+    toks = Tokenizer(inputCol=text_col, outputCol="__toks").transform(
+        df.select(id_col, text_col)
+    )
+    vecs = HashingTF(
+        inputCol="__toks", outputCol="__vec", numFeatures=1 << 18, binary=True
+    ).transform(toks)
+    lsh = MinHashLSH(
+        inputCol="__vec", outputCol="__hashes", numHashTables=num_hash_tables, seed=42
+    ).fit(vecs)
+    pairs = lsh.approxSimilarityJoin(vecs, vecs, 1.0 - threshold, distCol="dist")
+    return (
+        pairs.filter(F.col(f"datasetA.{id_col}") < F.col(f"datasetB.{id_col}"))
+        .select(
+            F.col(f"datasetA.{id_col}").alias("doc_a"),
+            F.col(f"datasetB.{id_col}").alias("doc_b"),
+            (F.lit(1.0) - F.col("dist")).alias("est_jaccard"),
+        )
+    )
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     text_col: str = "text",

@@ -1,0 +1,117 @@
+"""Multimodal column plumbing (SURVEY.md §2.10 north star).
+
+Images/audio/video ride through the engine as opaque `binary` columns with
+typed metadata. Spark-side plumbing — schema, partition-friendly batch
+shape, Arrow-batched `mapInPandas` signatures — is real and tested; the
+actual codec calls are stubbed (`NotImplementedError`) because no
+image/audio libraries exist in this environment. A production deployment
+injects a decoder; everything around it is already distributed-correct.
+
+Scale notes: media bytes dominate row size, so feature extraction uses
+`mapInPandas` (per-partition Arrow batches — bytes cross the JVM↔Python
+boundary once, never per-row) and outputs drop the payload column as early
+as possible so downstream shuffles move only features.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable, Iterator
+from typing import Any
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+MEDIA_FEATURES_SCHEMA = (
+    "doc_id long, n_bytes long, content_md5 string, media_type string"
+)
+IMAGE_META_SCHEMA = "doc_id long, width int, height int, n_channels int"
+
+
+def with_binary_payload(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Deterministic fake media: the document text encoded as bytes, with a
+    media_type tag. Stands in for real image/audio payload columns."""
+    return df.withColumn("media", F.encode(F.col(text_col), "utf-8")).withColumn(
+        "media_type", F.lit("text/plain")
+    )
+
+
+def extract_media_features(df: DataFrame) -> DataFrame:
+    """Codec-independent feature pass over binary payloads via mapInPandas:
+    size + content digest + type. This is the real production shape — the
+    pandas batch loop is where a decoder would run."""
+
+    def featurize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "n_bytes": pdf["media"].map(len).astype("int64"),
+                    "content_md5": pdf["media"].map(
+                        lambda b: hashlib.md5(bytes(b)).hexdigest()
+                    ),
+                    "media_type": pdf["media_type"],
+                }
+            )
+
+    return df.select("doc_id", "media", "media_type").mapInPandas(
+        featurize, MEDIA_FEATURES_SCHEMA
+    )
+
+
+def decode_image_meta(
+    df: DataFrame, decoder: Callable[[bytes], tuple[int, int, int]] | None = None
+) -> DataFrame:
+    """Image decode → (width, height, channels). `decoder` must be supplied
+    (e.g. PIL-based) — this environment has no image codecs, so the default
+    raises NotImplementedError *inside the executor batch*, proving the
+    plumbing executes; tests inject a deterministic fake decoder."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if decoder is None:
+                raise NotImplementedError(
+                    "no image codec in this environment; inject decoder="
+                )
+            meta = [decoder(bytes(b)) for b in pdf["media"]]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "width": [m[0] for m in meta],
+                    "height": [m[1] for m in meta],
+                    "n_channels": [m[2] for m in meta],
+                }
+            )
+
+    return df.select("doc_id", "media").mapInPandas(run, IMAGE_META_SCHEMA)
+
+
+def sample_frames(
+    df: DataFrame,
+    every_n: int = 10,
+    frame_extractor: Callable[[bytes, int], list[bytes]] | None = None,
+) -> DataFrame:
+    """Video frame-sampling shape: one input row → N frame rows (binary).
+    Extractor stubbed like decode_image_meta; the explode-after-extract
+    pattern keeps the expensive decode single-pass per payload."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if frame_extractor is None:
+                raise NotImplementedError(
+                    "no video codec in this environment; inject frame_extractor="
+                )
+            rows: dict[str, list[Any]] = {"doc_id": [], "frame_no": [], "frame": []}
+            for doc_id, payload in zip(pdf["doc_id"], pdf["media"]):
+                for i, fr in enumerate(frame_extractor(bytes(payload), every_n)):
+                    rows["doc_id"].append(doc_id)
+                    rows["frame_no"].append(i)
+                    rows["frame"].append(fr)
+            yield pd.DataFrame(rows)
+
+    return df.select("doc_id", "media").mapInPandas(
+        run, "doc_id long, frame_no int, frame binary"
+    )

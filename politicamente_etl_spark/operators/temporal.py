@@ -1,0 +1,103 @@
+"""Temporal / inequality join operators Spark lacks natively:
+as-of join and range join (SURVEY.md §2.3 notes their absence in both the
+reference and stock Spark; large-scale feature pipelines need them).
+
+Both are built from shuffle-friendly primitives — union+window for as-of,
+bucketized equi-join for range — never a cross join or a per-row UDF, so
+the shapes survive 100 TB. DuckDB has native ASOF / inequality joins, which
+is what makes these oracle-checkable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_ts: str,
+    right_ts: str,
+    right_cols: list[str] | None = None,
+) -> DataFrame:
+    """As-of (backward) join: for each left row, attach the right row with
+    the greatest right_ts <= left_ts within the same `on` key.
+
+    Implementation is the union+window pattern (one shuffle on the key, a
+    per-partition sort, zero cross products): tag both sides, union, and
+    carry the last-seen right values forward with last(ignorenulls) ordered
+    by (ts, side) — right-before-left at equal ts gives the `<=` bound.
+    Equivalent to pandas merge_asof / DuckDB ASOF JOIN."""
+    right_cols = right_cols or [c for c in right.columns if c not in (on, right_ts)]
+    left_only = [c for c in left.columns if c not in (on, left_ts)]
+    carried = ["asof_ts"] + [f"asof_{c}" for c in right_cols]
+
+    l_u = left.select(
+        F.col(on),
+        F.col(left_ts).alias("__ts"),
+        F.lit(1).alias("__side"),
+        *[F.col(c) for c in left_only],
+        F.lit(None).cast(right.schema[right_ts].dataType).alias("asof_ts"),
+        *[
+            F.lit(None).cast(right.schema[c].dataType).alias(f"asof_{c}")
+            for c in right_cols
+        ],
+    )
+    r_u = right.select(
+        F.col(on),
+        F.col(right_ts).alias("__ts"),
+        F.lit(0).alias("__side"),
+        *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in left_only],
+        F.col(right_ts).alias("asof_ts"),
+        *[F.col(c).alias(f"asof_{c}") for c in right_cols],
+    )
+    w = (
+        Window.partitionBy(on)
+        .orderBy("__ts", "__side")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    filled = l_u.unionByName(r_u).select(
+        F.col(on),
+        "__ts",
+        "__side",
+        *left_only,
+        *[F.last(c, ignorenulls=True).over(w).alias(c) for c in carried],
+    )
+    return (
+        filled.filter(F.col("__side") == 1)
+        .withColumnRenamed("__ts", left_ts)
+        .drop("__side")
+    )
+
+
+def range_join_bucketed(
+    left: DataFrame,
+    ranges: DataFrame,
+    value_col: str,
+    lo_col: str,
+    hi_col: str,
+    bucket_width: float,
+) -> DataFrame:
+    """Range join (value ∈ [lo, hi)) via bucketization: each range row
+    explodes to its covering buckets (narrow on the small ranges side),
+    the probe side computes one bucket per row, and the join is a plain
+    equi-join on bucket + a residual filter. Shuffle cost is |left| +
+    |ranges| × avg_buckets — never |left| × |ranges|."""
+    w = float(bucket_width)
+    r_b = ranges.withColumn(
+        "__bucket",
+        F.explode(
+            F.sequence(
+                F.floor(F.col(lo_col) / w).cast("long"),
+                F.floor((F.col(hi_col) - 1e-9) / w).cast("long"),
+            )
+        ),
+    )
+    l_b = left.withColumn("__bucket", F.floor(F.col(value_col) / w).cast("long"))
+    return (
+        l_b.join(r_b, "__bucket")
+        .filter((F.col(value_col) >= F.col(lo_col)) & (F.col(value_col) < F.col(hi_col)))
+        .drop("__bucket")
+    )

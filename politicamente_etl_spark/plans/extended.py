@@ -242,6 +242,236 @@ def _register():
         docs = T(spark, sf_dir, "documents").select("doc_id", "text")
         return dedup.ngram_jaccard_pairs(docs, threshold=0.4)
 
+    # -- SimHash ------------------------------------------------------------
+
+    _SH_HASHES = (
+        "list_transform(string_split(text, ' '),"
+        " tk -> CAST(('0x' || substring(md5(tk), 1, 15)) AS BIGINT))"
+    )
+    _sh_bits = " + ".join(
+        f"(CASE WHEN 2 * len(list_filter(hs, h -> ((h >> {i}) & 1) = 1))"
+        f" >= len(hs) THEN 1 ELSE 0 END) * {1 << i}"
+        for i in range(dedup.SIMHASH_BITS)
+    )
+    _SH_SIG_CTE = f"""
+        WITH t AS (
+            SELECT doc_id, {_SH_HASHES} AS hs FROM documents
+        ), s AS (
+            SELECT doc_id, CAST({_sh_bits} AS BIGINT) AS simhash FROM t
+        )
+    """
+
+    @register(
+        "simhash_signatures",
+        sql=_SH_SIG_CTE + "SELECT doc_id, simhash FROM s",
+        tags=("ext-dedup",),
+    )
+    def q_simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """16-bit SimHash per document: token hashes via md5-prefix→int
+        (bit-identical to DuckDB's '0x' cast), majority vote per bit."""
+        docs = T(spark, sf_dir, "documents").select("doc_id", "text")
+        return dedup.with_simhash(docs).select("doc_id", "simhash")
+
+    @register(
+        "simhash_near_dup_pairs",
+        sql=_SH_SIG_CTE
+        + """, sig AS (
+            SELECT doc_id, simhash,
+                   simhash >> 8 AS band_hi, simhash & 255 AS band_lo
+            FROM s
+        ), cand AS (
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                   a.simhash AS sa, b.simhash AS sb
+            FROM sig a JOIN sig b
+              ON a.band_hi = b.band_hi AND a.doc_id < b.doc_id
+            UNION ALL
+            SELECT a.doc_id, b.doc_id, a.simhash, b.simhash
+            FROM sig a JOIN sig b
+              ON a.band_lo = b.band_lo AND a.doc_id < b.doc_id
+        )
+        SELECT DISTINCT doc_a, doc_b,
+               CAST(bit_count(xor(sa, sb)) AS INT) AS hamming
+        FROM cand
+        WHERE bit_count(xor(sa, sb)) <= 3
+        """,
+        tags=("ext-dedup",),
+    )
+    def q_simhash_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """SimHash near-dup pairs: byte-band candidate join + exact Hamming
+        filter (≤ 3 of 16 bits)."""
+        docs = T(spark, sf_dir, "documents").select("doc_id", "text")
+        return dedup.simhash_near_dup_pairs(docs)
+
+    @register(
+        "ml_minhash_lsh_pairs",
+        sql=None,  # pyspark.ml hash families are JVM-seeded → rows-only
+        tags=("ext-dedup",),
+    )
+    def q_ml_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """The pyspark.ml route: HashingTF token vectors → MinHashLSH →
+        approxSimilarityJoin. Engine-native LSH (JVM hash seeds) — not
+        reproducible in DuckDB, so rows-only; the md5-based minhash above is
+        the oracle-checked twin."""
+        docs = T(spark, sf_dir, "documents").select("doc_id", "text")
+        # high threshold: the synthetic corpus shares one vocabulary, so
+        # token-SET jaccard is high for most pairs; 0.9 keeps near-dups only
+        return dedup.ml_minhash_near_dup_pairs(docs, threshold=0.9)
+
+    # -- as-of / range joins ------------------------------------------------
+
+    @register(
+        "asof_join_purchases",
+        sql="""
+        WITH e AS (
+            SELECT user_id, event_id, epoch_us(ts) AS ts_us FROM events
+        ), p AS (
+            SELECT user_id, epoch_us(ts) AS pts FROM events
+            WHERE event_type = 'purchase'
+        )
+        SELECT e.user_id, e.event_id, e.ts_us, p.pts AS asof_purchase_us
+        FROM e ASOF LEFT JOIN p
+          ON e.user_id = p.user_id AND p.pts <= e.ts_us
+        """,
+        tags=("ext-temporal",),
+    )
+    def q_asof_join_purchases(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """As-of join (union+window implementation, operators/temporal.py):
+        each event gets the most recent purchase timestamp of its user.
+        DuckDB's native ASOF JOIN is the oracle."""
+        from politicamente_etl_spark.operators.temporal import asof_join
+
+        ev = load_events(spark, sf_dir).select(
+            "user_id", "event_id", F.expr("unix_micros(ts)").alias("ts_us")
+        )
+        ev_cached = ev  # same scan feeds both sides; Catalyst reuses it
+        purchases = (
+            load_events(spark, sf_dir)
+            .filter(F.col("event_type") == "purchase")
+            .select("user_id", F.expr("unix_micros(ts)").alias("pts"))
+        )
+        out = asof_join(
+            ev_cached, purchases, on="user_id", left_ts="ts_us", right_ts="pts",
+            right_cols=[],
+        )
+        return out.select(
+            "user_id", "event_id", "ts_us",
+            F.col("asof_ts").alias("asof_purchase_us"),
+        )
+
+    @register(
+        "range_join_value_bands",
+        sql="""
+        WITH bands AS (
+            SELECT CAST(range AS BIGINT) AS band_id,
+                   range * 100.0 AS lo, range * 100.0 + 150.0 AS hi
+            FROM range(5)
+        )
+        SELECT band_id, COUNT(*) AS n_events
+        FROM events e JOIN bands b ON e.value >= b.lo AND e.value < b.hi
+        GROUP BY band_id
+        """,
+        tags=("ext-temporal",),
+    )
+    def q_range_join_value_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Range join (value ∈ [lo, hi), overlapping bands) via the
+        bucketized equi-join in operators/temporal.py; DuckDB's native
+        inequality join is the oracle."""
+        from politicamente_etl_spark.operators.temporal import range_join_bucketed
+
+        ev = load_events(spark, sf_dir).select("event_id", "value")
+        bands = spark.range(5).select(
+            F.col("id").cast("long").alias("band_id"),
+            (F.col("id") * 100.0).alias("lo"),
+            (F.col("id") * 100.0 + 150.0).alias("hi"),
+        )
+        joined = range_join_bucketed(ev, bands, "value", "lo", "hi", 50.0)
+        return joined.groupBy("band_id").agg(F.count("*").alias("n_events"))
+
+    # -- pivot / rollup / cube ----------------------------------------------
+
+    _EVENT_TYPES = ("click", "error", "purchase", "signup", "view")
+
+    @register(
+        "pivot_event_counts",
+        sql=f"""
+        SELECT user_id,
+               {", ".join(f"COUNT(*) FILTER (WHERE event_type = '{t}') AS {t}" for t in _EVENT_TYPES)}
+        FROM events GROUP BY user_id
+        """,
+        tags=("ext-olap",),
+    )
+    def q_pivot_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Pivot: per-user event counts, one column per event type (explicit
+        value list → stable schema; absent combos filled 0 to match COUNT
+        FILTER)."""
+        ev = load_events(spark, sf_dir)
+        return (
+            ev.groupBy("user_id")
+            .pivot("event_type", list(_EVENT_TYPES))
+            .count()
+            .na.fill(0)
+        )
+
+    @register(
+        "rollup_orders",
+        sql=f"""
+        SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n_orders,
+               {sql_money_sum("o_totalprice", "total_price")}
+        FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+        """,
+        tags=("ext-olap",),
+    )
+    def q_rollup_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """ROLLUP: (status, priority) + per-status + grand totals in one
+        pass (Spark expands grouping sets with partial aggregation)."""
+        from politicamente_etl_spark.functions.scalar import money_sum
+
+        o = T(spark, sf_dir, "orders")
+        return o.rollup("o_orderstatus", "o_orderpriority").agg(
+            F.count("*").alias("n_orders"),
+            money_sum("o_totalprice", "total_price"),
+        )
+
+    @register(
+        "cube_customer_segments",
+        sql="""
+        SELECT c_nationkey, c_mktsegment, COUNT(*) AS n_customers
+        FROM customer GROUP BY CUBE (c_nationkey, c_mktsegment)
+        """,
+        tags=("ext-olap",),
+    )
+    def q_cube_customer_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """CUBE over (nation, segment): all 4 grouping sets in one plan."""
+        c = T(spark, sf_dir, "customer")
+        return c.cube("c_nationkey", "c_mktsegment").agg(
+            F.count("*").alias("n_customers")
+        )
+
+    # -- multimodal ---------------------------------------------------------
+
+    @register(
+        "multimodal_features",
+        sql="""
+        SELECT doc_id,
+               CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+               md5(text) AS content_md5,
+               'text/plain' AS media_type
+        FROM documents
+        """,
+        tags=("ext-multimodal",),
+    )
+    def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Binary media column plumbing: payload bytes → Arrow-batched
+        mapInPandas feature pass (size/digest/type). The codec slot is where
+        a real image/audio decoder plugs in (operators/multimodal.py)."""
+        from politicamente_etl_spark.operators.multimodal import (
+            extract_media_features,
+            with_binary_payload,
+        )
+
+        docs = with_binary_payload(T(spark, sf_dir, "documents"))
+        return extract_media_features(docs)
+
     # -- similarity search --------------------------------------------------
 
     _DOT_DD = (

@@ -1,0 +1,98 @@
+"""Unit tests: multimodal binary plumbing (with injected fake codecs and
+the stub path) and the as-of / range join operators on literal frames.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from politicamente_etl_spark.operators import multimodal as mm
+from politicamente_etl_spark.operators.temporal import asof_join, range_join_bucketed
+
+
+@pytest.fixture(scope="module")
+def media(spark):
+    df = spark.createDataFrame(
+        [(1, "hello world"), (2, "spark engine")], "doc_id long, text string"
+    )
+    return mm.with_binary_payload(df)
+
+
+def test_media_features_roundtrip(spark, media):
+    import hashlib
+
+    rows = {r.doc_id: r for r in mm.extract_media_features(media).collect()}
+    assert rows[1].n_bytes == len(b"hello world")
+    assert rows[1].content_md5 == hashlib.md5(b"hello world").hexdigest()
+    assert rows[1].media_type == "text/plain"
+
+
+def test_decode_image_meta_stub_raises(spark, media):
+    from py4j.protocol import Py4JJavaError
+
+    with pytest.raises(Exception) as exc_info:
+        mm.decode_image_meta(media).collect()
+    assert "NotImplementedError" in str(exc_info.value) or isinstance(
+        exc_info.value, NotImplementedError
+    )
+
+
+def test_decode_image_meta_injected(spark, media):
+    def fake_decoder(b: bytes):
+        return (len(b), len(b) * 2, 3)
+
+    rows = {r.doc_id: r for r in mm.decode_image_meta(media, fake_decoder).collect()}
+    assert rows[1].width == 11 and rows[1].height == 22 and rows[1].n_channels == 3
+
+
+def test_sample_frames_injected(spark, media):
+    def fake_frames(b: bytes, every_n: int):
+        return [b[:4], b[4:8]]
+
+    out = mm.sample_frames(media, frame_extractor=fake_frames).collect()
+    assert len(out) == 4  # 2 docs × 2 frames
+    assert {r.frame_no for r in out} == {0, 1}
+
+
+def test_asof_join_semantics(spark):
+    left = spark.createDataFrame(
+        [(1, 10, "a"), (1, 20, "b"), (1, 4, "early"), (2, 50, "c")],
+        "k long, ts long, name string",
+    )
+    right = spark.createDataFrame(
+        [(1, 5, 100), (1, 15, 200), (2, 60, 300)], "k long, rts long, payload long"
+    )
+    out = {
+        r.name: r
+        for r in asof_join(
+            left, right, on="k", left_ts="ts", right_ts="rts",
+            right_cols=["payload"],
+        ).collect()
+    }
+    assert out["a"].asof_ts == 5 and out["a"].asof_payload == 100
+    assert out["b"].asof_ts == 15 and out["b"].asof_payload == 200
+    assert out["early"].asof_ts is None  # nothing at-or-before ts=4
+    assert out["c"].asof_ts is None  # right row at 60 > 50
+
+
+def test_asof_join_equal_ts_inclusive(spark):
+    left = spark.createDataFrame([(1, 10)], "k long, ts long")
+    right = spark.createDataFrame([(1, 10)], "k long, rts long")
+    out = asof_join(left, right, on="k", left_ts="ts", right_ts="rts", right_cols=[])
+    assert out.collect()[0].asof_ts == 10  # <= bound is inclusive
+
+
+def test_range_join_bucketed(spark):
+    left = spark.createDataFrame(
+        [(1, 5.0), (2, 149.9), (3, 150.0), (4, 250.0)], "id long, v double"
+    )
+    ranges = spark.createDataFrame(
+        [(0, 0.0, 150.0), (1, 100.0, 250.0)], "band long, lo double, hi double"
+    )
+    got = sorted(
+        (r.id, r.band)
+        for r in range_join_bucketed(left, ranges, "v", "lo", "hi", 50.0).collect()
+    )
+    # 5.0→band0; 149.9→bands 0+1; 150.0→band1 only (hi-exclusive); 250.0→none
+    assert got == [(1, 0), (2, 0), (2, 1), (3, 1)]
