@@ -238,25 +238,35 @@ def ngram_jaccard_pairs(
     At 100 TB the shingle join is the scale risk (hot shingles → skew);
     mitigations: stopword-shingle filtering and AQE skew-join (enabled in
     session.py). Kept exact here because it is the oracle-checkable
-    verifier for the LSH estimate."""
-    sh = (
-        df.select(id_col, F.explode(F.array_distinct(shingles(text_col))).alias("sh"))
+    verifier for the LSH estimate.
+
+    Plan shape: the distinct-shingle set size is computed ONCE per doc from
+    the array (`F.size`) and carried through the explode, so the pair
+    aggregate already has |A| and |B| in its grouping keys — no separate
+    per-doc size aggregation and no post-agg re-joins (saves two shuffles
+    and two scans of the corpus vs the naive 4-branch formulation)."""
+    sh = df.select(
+        F.col(id_col), F.array_distinct(shingles(text_col)).alias("shs")
+    ).select(
+        F.col(id_col),
+        F.size("shs").alias("n_sh"),
+        F.explode("shs").alias("sh"),
     )
-    sizes = sh.groupBy(id_col).agg(F.count("*").alias("n_sh"))
     a = sh.alias("a")
     b = sh.alias("b")
-    inter = (
-        a.join(b, (F.col("a.sh") == F.col("b.sh")) & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
+    return (
+        a.join(
+            b,
+            (F.col("a.sh") == F.col("b.sh"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
         .groupBy(
-            F.col(f"a.{id_col}").alias("doc_a"), F.col(f"b.{id_col}").alias("doc_b")
+            F.col(f"a.{id_col}").alias("doc_a"),
+            F.col("a.n_sh").alias("n_a"),
+            F.col(f"b.{id_col}").alias("doc_b"),
+            F.col("b.n_sh").alias("n_b"),
         )
         .agg(F.count("*").alias("n_common"))
-    )
-    sa = sizes.select(F.col(id_col).alias("doc_a"), F.col("n_sh").alias("n_a"))
-    sb = sizes.select(F.col(id_col).alias("doc_b"), F.col("n_sh").alias("n_b"))
-    return (
-        inter.join(sa, "doc_a")
-        .join(sb, "doc_b")
         .withColumn(
             "jaccard",
             F.col("n_common").cast("double")
