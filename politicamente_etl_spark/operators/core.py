@@ -68,6 +68,22 @@ def nonnull_filter(df: DataFrame, cols: list[str]) -> DataFrame:
     return df.filter(cond)
 
 
+def spread(df: DataFrame, *cols: str) -> DataFrame:
+    """Fan a narrow scan out to the session's default parallelism before
+    CPU-heavy per-row expression work (shingling, hashing, vector math).
+
+    A small parquet scan yields fewer splits than cores (one file → one
+    partition at bench SF), which serializes expression-bound operators onto
+    a single thread. At production scale the scan already carries >= cores
+    partitions and this is a no-op — the check keeps the shuffle out of the
+    plan exactly when it would matter (100 TB inputs)."""
+    spark = df.sparkSession
+    target = spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() >= target:
+        return df
+    return df.repartition(target, *cols) if cols else df.repartition(target)
+
+
 def top_k_per_group(
     df: DataFrame, keys: list[str], order_by: list[Column], k: int
 ) -> DataFrame:

@@ -75,6 +75,81 @@ def cosine_topk(
     )
 
 
+def cosine_near_dup_pairs(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.45,
+) -> DataFrame:
+    """Embedding-cosine near-dup pairs (exact): every (a, b) with a < b and
+    cosine(a, b) >= threshold. Norms are computed once per row BEFORE the
+    pair join, so each pair costs one dot product, not three folds.
+
+    This exact all-pairs form is the oracle-checkable verifier; it is
+    quadratic and must not run on a full 100 TB corpus — the scale path is
+    `cosine_near_dup_pairs_lsh` below (hyperplane-bucketed candidates, same
+    exact cosine filter, recall < 1)."""
+    base = df.select(id_col, vec_col)
+    a = base.select(
+        F.col(id_col).alias("vec_a"),
+        F.col(vec_col).alias("va"),
+        F.sqrt(F.expr(NORM2_DOUBLE.format(a=vec_col))).alias("na"),
+    )
+    b = base.select(
+        F.col(id_col).alias("vec_b"),
+        F.col(vec_col).alias("vb"),
+        F.sqrt(F.expr(NORM2_DOUBLE.format(a=vec_col))).alias("nb"),
+    )
+    return (
+        a.join(b, F.col("vec_a") < F.col("vec_b"))
+        .withColumn(
+            "cos_sim",
+            F.expr(DOT_DOUBLE.format(a="va", b="vb")) / (F.col("na") * F.col("nb")),
+        )
+        .filter(F.col("cos_sim") >= threshold)
+        .select("vec_a", "vec_b", "cos_sim")
+    )
+
+
+def cosine_near_dup_pairs_lsh(
+    df: DataFrame,
+    planes: list[list[float]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.45,
+) -> DataFrame:
+    """Embedding-cosine near-dup at scale: candidates meet only inside a
+    random-hyperplane bucket (equi-join — shuffle-partitionable, never
+    |corpus|²), then the exact cosine filter keeps true near-dups. Recall
+    < 1 by construction (close pairs can straddle a hyperplane) — rows-only
+    driver check; the exact verifier is cosine_near_dup_pairs."""
+    sig = df.select(id_col, vec_col).withColumn(
+        "bucket", hyperplane_signature(vec_col, planes)
+    )
+    a = sig.select(
+        F.col("bucket"),
+        F.col(id_col).alias("vec_a"),
+        F.col(vec_col).alias("va"),
+        F.sqrt(F.expr(NORM2_DOUBLE.format(a=vec_col))).alias("na"),
+    )
+    b = sig.select(
+        F.col("bucket"),
+        F.col(id_col).alias("vec_b"),
+        F.col(vec_col).alias("vb"),
+        F.sqrt(F.expr(NORM2_DOUBLE.format(a=vec_col))).alias("nb"),
+    )
+    return (
+        a.join(b, "bucket")
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .withColumn(
+            "cos_sim",
+            F.expr(DOT_DOUBLE.format(a="va", b="vb")) / (F.col("na") * F.col("nb")),
+        )
+        .filter(F.col("cos_sim") >= threshold)
+        .select("vec_a", "vec_b", "cos_sim")
+    )
+
+
 def hyperplane_signature(vec_col: str, planes: list[list[float]]) -> Column:
     """Random-hyperplane LSH signature: one sign bit per plane, packed into
     a string bucket key. Planes are passed as literals (broadcast with the

@@ -530,6 +530,46 @@ def _register():
         queries = emb.filter(F.col("vec_id") < 5)
         return sim.cosine_topk_lsh(emb, queries, planes, k=10)
 
+    @register(
+        "embedding_cosine_near_dup",
+        sql=f"""
+        WITH n AS (
+            SELECT vec_id, embedding,
+                   {_NORM_DD.format(a='embedding')} AS nrm
+            FROM embeddings
+        )
+        SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+               {_DOT_DD.format(a='a.embedding', b='b.embedding')}
+                   / (a.nrm * b.nrm) AS cos_sim
+        FROM n a JOIN n b ON a.vec_id < b.vec_id
+        WHERE {_DOT_DD.format(a='a.embedding', b='b.embedding')}
+                  / (a.nrm * b.nrm) >= 0.45
+        """,
+        tags=("ext-dedup", "ext-sim"),
+    )
+    def q_embedding_cosine_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Exact embedding-cosine near-dup pairs (cos >= 0.45). Norms fold
+        once per row pre-join; identical sequential double math on both
+        engines makes the threshold cut bit-exact."""
+        emb = T(spark, sf_dir, "embeddings")
+        return sim.cosine_near_dup_pairs(emb, threshold=0.45)
+
+    @register(
+        "embedding_cosine_near_dup_lsh",
+        sql=None,  # bucketed candidates → recall < 1 → rows-only check
+        tags=("ext-dedup", "ext-sim"),
+    )
+    def q_embedding_cosine_near_dup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """The 100 TB shape of embedding near-dup: hyperplane-bucket
+        equi-join for candidates, exact cosine filter after. The exact
+        verifier is embedding_cosine_near_dup."""
+        import random
+
+        rnd = random.Random(7)
+        planes = [[rnd.gauss(0, 1) for _ in range(64)] for _ in range(3)]
+        emb = T(spark, sf_dir, "embeddings")
+        return sim.cosine_near_dup_pairs_lsh(emb, planes, threshold=0.45)
+
     # -- events / JSON / windows -------------------------------------------
 
     @register(

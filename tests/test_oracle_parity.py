@@ -32,4 +32,5 @@ def test_contract_shape():
     qs, sqls = e.queries(), e.oracle_sql()
     assert set(sqls) <= set(qs)
     # the vast majority of the surface must be oracle-checked, not rows-only
-    assert len(sqls) >= len(qs) - 3
+    # (rows-only is reserved for approximate/engine-seeded ops: LSH, sketches)
+    assert len(sqls) >= 0.9 * len(qs)
