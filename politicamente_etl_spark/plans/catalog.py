@@ -124,7 +124,7 @@ def q_flagship_revenue_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
            l_returnflag AS flag
     FROM lineitem
     """,
-    tags=("P1", "P4", "P7"),
+    tags=("P1", "P4", "P7", "F6"),
 )
 def q_project_cast(spark: SparkSession, sf_dir: str) -> DataFrame:
     """P1/P4/P7 — projection + rename + casts (`load.py:13,16`). One select
@@ -146,7 +146,7 @@ def q_project_cast(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "distinct_projection",
     sql="SELECT DISTINCT c_nationkey, c_mktsegment FROM customer",
-    tags=("A2", "A3", "P2"),
+    tags=("A2", "A3", "P2", "P3"),
 )
 def q_distinct_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A2/A3 — DISTINCT over a projection (`load.py:33,59`)."""

@@ -1,0 +1,103 @@
+"""Physical-plan audits: the scale properties SURVEY.md §4/§7 promise must
+be visible in `.explain("formatted")`, not just claimed in docstrings.
+
+These tests pin the plan SHAPE (join strategy, pushdown, group-limit,
+partial aggregation, absence of cartesian products) so a future refactor
+that silently degrades a plan fails here before it costs anything at scale.
+"""
+
+from __future__ import annotations
+
+import contextlib
+import io
+
+import pytest
+from pyspark.sql import functions as F
+
+from politicamente_etl_spark.plans.catalog import CATALOG
+
+
+def plan_of(df) -> str:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def q(name, spark, sf_dir):
+    return CATALOG[name].fn(spark, sf_dir)
+
+
+def test_flagship_joins_broadcast(spark, sf_dir):
+    """The dim-join chain (J1-J3 analogue) must broadcast every dimension —
+    the fact table is never shuffled for a join."""
+    plan = plan_of(q("flagship_revenue_rollup", spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_projection_prunes_scan(spark, sf_dir):
+    """P1/P7: the parquet scan must read only the projected columns
+    (column pruning reaches the source, not a post-scan select)."""
+    plan = plan_of(q("project_cast", spark, sf_dir))
+    scan = next(b for b in plan.split("\n\n") if "Scan parquet" in b)
+    assert "l_comment" not in scan  # the widest lineitem column stays unread
+
+
+def test_filter_pushdown_reaches_scan(spark, sf_dir):
+    """A predicate on a scanned column must appear in PushedFilters."""
+    from politicamente_etl_spark.sources.readers import load_table
+
+    df = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_totalprice") > 100.0
+    ).select("o_orderkey")
+    plan = plan_of(df)
+    assert "PushedFilters: [" in plan
+    assert "GreaterThan(o_totalprice" in plan
+
+
+def test_topk_window_group_limit(spark, sf_dir):
+    """top_k_per_group must plan a WindowGroupLimit (per-partition top-k
+    before the shuffle), not a full sort of every group."""
+    plan = plan_of(q("window_topk_orders", spark, sf_dir))
+    assert "WindowGroupLimit" in plan
+
+
+def test_exact_dedup_partial_aggregation(spark, sf_dir):
+    """The digest groupBy must do map-side partial aggregation — the
+    shuffle carries pre-aggregated (hash, min, count) rows."""
+    plan = plan_of(q("exact_dedup_docs", spark, sf_dir))
+    assert plan.count("HashAggregate") >= 2
+
+
+@pytest.mark.parametrize(
+    "name",
+    [
+        "minhash_near_dup_pairs",
+        "simhash_near_dup_pairs",
+        "ngram_jaccard_pairs",
+        "cosine_topk_lsh",
+        "embedding_cosine_near_dup_lsh",
+    ],
+)
+def test_candidate_generation_never_cartesian(spark, sf_dir, name):
+    """Every at-scale pair generator must meet candidates through an
+    equi-join (LSH band / bucket / shingle) — a cartesian or broadcast
+    nested-loop join here would be |corpus|² at 100 TB."""
+    plan = plan_of(q(name, spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_spread_noop_when_already_parallel(spark):
+    """spread() must not add a shuffle when the input already has enough
+    partitions (the 100 TB case)."""
+    from politicamente_etl_spark.operators.core import spread
+
+    wide = spark.range(0, 10000, 1, spark.sparkContext.defaultParallelism)
+    assert spread(wide.toDF("id")).rdd.getNumPartitions() == (
+        spark.sparkContext.defaultParallelism
+    )
+    narrow = spark.range(0, 100, 1, 1).toDF("id")
+    assert spread(narrow).rdd.getNumPartitions() > 1
