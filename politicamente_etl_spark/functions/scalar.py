@@ -20,19 +20,22 @@ from __future__ import annotations
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
-# Scale 4 absorbs products like extendedprice * (1 - discount).
+# Scale 4 absorbs products of TWO 2-decimal values (extendedprice *
+# (1 - discount)); a product of THREE needs scale 6 — snapping below the
+# expression's true decimal width rounds, and rounding modes differ across
+# engines.
 MONEY_DECIMAL = "decimal(27,4)"
 
 
-def money(col: Column | str) -> Column:
+def money(col: Column | str, scale: int = 4) -> Column:
     """Snap a (possibly computed) money expression to exact decimal."""
     c = F.col(col) if isinstance(col, str) else col
-    return c.cast(MONEY_DECIMAL)
+    return c.cast(f"decimal(27,{scale})")
 
 
-def money_sum(col: Column | str, alias: str) -> Column:
+def money_sum(col: Column | str, alias: str, scale: int = 4) -> Column:
     """Order-insensitive exact SUM of a money expression, as double."""
-    return F.sum(money(col)).cast("double").alias(alias)
+    return F.sum(money(col, scale)).cast("double").alias(alias)
 
 
 def money_avg(col: Column | str, alias: str) -> Column:
@@ -42,9 +45,11 @@ def money_avg(col: Column | str, alias: str) -> Column:
     return (F.sum(money(c)).cast("double") / F.count(c)).alias(alias)
 
 
-def sql_money_sum(expr: str, alias: str) -> str:
+def sql_money_sum(expr: str, alias: str, scale: int = 4) -> str:
     """DuckDB-side rendering of money_sum for oracle SQL strings."""
-    return f"CAST(SUM(CAST(({expr}) AS DECIMAL(27,4))) AS DOUBLE) AS {alias}"
+    return (
+        f"CAST(SUM(CAST(({expr}) AS DECIMAL(27,{scale}))) AS DOUBLE) AS {alias}"
+    )
 
 
 def sql_money_avg(expr: str, alias: str) -> str:

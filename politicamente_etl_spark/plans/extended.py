@@ -810,6 +810,108 @@ def _register():
         )
 
     @register(
+        "streaming_stateful_counts",
+        sql="SELECT user_id, COUNT(*) AS n_events FROM events GROUP BY user_id",
+        tags=("ext-stream",),
+    )
+    def q_streaming_stateful_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """applyInPandasWithState custom stateful operator: per-user running
+        counts in explicit group state, reduced by max (counts are monotone)
+        so the result equals the batch GROUP BY whatever the micro-batch
+        boundaries were."""
+        from politicamente_etl_spark.streaming import windows as W
+
+        out = W.run_stream_to_table(
+            W.stateful_user_counts(_stream(spark, sf_dir)), mode="update"
+        )
+        return out.groupBy("user_id").agg(F.max("n_events").alias("n_events"))
+
+    # -- classic OLAP rollups (TPC-H shapes over the driver tables) ---------
+
+    @register(
+        "pricing_summary",
+        sql=f"""
+        SELECT l_returnflag, l_linestatus,
+               {sql_money_sum("l_quantity", "sum_qty")},
+               {sql_money_sum("l_extendedprice", "sum_base_price")},
+               {sql_money_sum("l_extendedprice * (1 - l_discount)", "sum_disc_price")},
+               {sql_money_sum("l_extendedprice * (1 - l_discount) * (1 + l_tax)", "sum_charge", scale=6)},
+               COUNT(*) AS count_order
+        FROM lineitem
+        WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+        GROUP BY l_returnflag, l_linestatus
+        """,
+        bench=True,
+        tags=("ext-olap",),
+    )
+    def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """TPC-H Q1 shape: one scan, pushed date predicate, 4 decimal-snap
+        sums + count per (returnflag, linestatus). The predicate reaches the
+        parquet scan (PushedFilters) and the aggregate is partial+final."""
+        from politicamente_etl_spark.functions.scalar import money_sum
+
+        li = T(spark, sf_dir, "lineitem").filter(
+            F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp")
+        )
+        disc = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+        return li.groupBy("l_returnflag", "l_linestatus").agg(
+            money_sum("l_quantity", "sum_qty"),
+            money_sum("l_extendedprice", "sum_base_price"),
+            money_sum(disc, "sum_disc_price"),
+            money_sum(disc * (1 + F.col("l_tax")), "sum_charge", scale=6),
+            F.count("*").alias("count_order"),
+        )
+
+    @register(
+        "shipping_priority_top10",
+        sql=f"""
+        SELECT l.l_orderkey AS o_orderkey,
+               {sql_money_sum("l.l_extendedprice * (1 - l.l_discount)", "revenue")},
+               CAST(epoch(o.o_orderdate) AS BIGINT) AS orderdate_epoch,
+               o.o_orderpriority
+        FROM customer c
+        JOIN orders o ON c.c_custkey = o.o_custkey
+        JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        WHERE c.c_mktsegment = 'BUILDING'
+          AND o.o_orderdate < TIMESTAMP '1998-03-15'
+          AND l.l_shipdate > TIMESTAMP '1998-03-15'
+        GROUP BY 1, 3, 4
+        ORDER BY revenue DESC, o_orderkey
+        LIMIT 10
+        """,
+        tags=("ext-olap",),
+    )
+    def q_shipping_priority_top10(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """TPC-H Q3 shape: filtered dim broadcast-joins into the fact scan,
+        decimal-snap revenue rollup, global top-10 with a deterministic
+        tiebreak (Spark plans TakeOrderedAndProject — no full sort)."""
+        from politicamente_etl_spark.functions.scalar import money_sum
+
+        cutoff = F.lit("1998-03-15").cast("timestamp")
+        c = T(spark, sf_dir, "customer").filter(
+            F.col("c_mktsegment") == "BUILDING"
+        ).select("c_custkey")
+        o = T(spark, sf_dir, "orders").filter(F.col("o_orderdate") < cutoff)
+        li = T(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > cutoff)
+        return (
+            li.join(o, li.l_orderkey == o.o_orderkey)
+            .join(c, o.o_custkey == c.c_custkey)
+            .groupBy(
+                F.col("l_orderkey").alias("o_orderkey"),
+                F.unix_timestamp("o_orderdate").alias("orderdate_epoch"),
+                "o_orderpriority",
+            )
+            .agg(
+                money_sum(
+                    F.col("l_extendedprice") * (1 - F.col("l_discount")), "revenue"
+                )
+            )
+            .select("o_orderkey", "revenue", "orderdate_epoch", "o_orderpriority")
+            .orderBy(F.col("revenue").desc(), "o_orderkey")
+            .limit(10)
+        )
+
+    @register(
         "approx_aggs",
         sql=None,  # sketch internals differ across engines → rows-only
         tags=("ext-approx",),

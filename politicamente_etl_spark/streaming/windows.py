@@ -135,6 +135,36 @@ def stateful_dedup(events: DataFrame, within: str = "1 hour") -> DataFrame:
     )
 
 
+def stateful_user_counts(events: DataFrame) -> DataFrame:
+    """Custom stateful operator via `applyInPandasWithState` (SURVEY.md
+    §2.10): per-user running event count held in explicit group state.
+
+    Each micro-batch updates the user's state tuple and emits the running
+    total; counts are monotone, so the max over emitted rows equals the
+    final count regardless of how the file source splits micro-batches —
+    that reduction is what makes the operator deterministic and
+    oracle-checkable. State is one small tuple per user (bounded by key
+    cardinality, the knob that matters at 100 TB/day is the shuffle
+    partition count of the state store)."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def count_fn(key, pdfs, state: GroupState):
+        n = state.get[0] if state.exists else 0
+        for pdf in pdfs:
+            n += len(pdf)
+        state.update((n,))
+        yield pd.DataFrame({"user_id": [key[0]], "n_events": [n]})
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        count_fn,
+        outputStructType="user_id long, n_events long",
+        stateStructType="n long",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 def run_stream_to_table(
     streaming_df: DataFrame, mode: str = "complete"
 ) -> DataFrame:
