@@ -60,6 +60,32 @@ def join_update(
     return out.drop(*[f"__new_{c}" for c in set_cols])
 
 
+def salted_join(
+    skewed: DataFrame,
+    small: DataFrame,
+    keys: list[str],
+    how: str = "inner",
+    n_salts: int = 8,
+) -> DataFrame:
+    """Skew-breaking equi-join (SURVEY.md §7.2 scale pass): the skewed side
+    gets a synthetic salt, the small side is replicated once per salt value,
+    and the join runs on (keys + salt) — a hot key's rows spread across
+    n_salts shuffle partitions instead of melting one executor.
+
+    Use when a single key is so hot that even AQE's skew-join split (on in
+    session.py) leaves an oversized partition; n_salts multiplies the small
+    side's shuffle volume, so keep it near the observed skew factor. The
+    salt derives from a per-row id, not rand(), so retried tasks re-salt
+    identically. Join RESULTS are identical to the unsalted join."""
+    salted = skewed.withColumn(
+        "__salt", F.pmod(F.monotonically_increasing_id(), F.lit(n_salts)).cast("int")
+    )
+    replicated = small.withColumn(
+        "__salt", F.explode(F.array(*[F.lit(i) for i in range(n_salts)]))
+    )
+    return salted.join(replicated, on=[*keys, "__salt"], how=how).drop("__salt")
+
+
 def update_match_accounting(
     target: DataFrame, updates: DataFrame, keys: list[str]
 ) -> DataFrame:

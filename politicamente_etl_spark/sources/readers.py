@@ -70,6 +70,49 @@ def read_tse_csv(
     )
 
 
+def read_jsonl(
+    spark: SparkSession,
+    paths: str | list[str],
+    schema: StructType | None = None,
+) -> DataFrame:
+    """JSON-lines scan. An explicit schema skips the inference pass (at
+    100 TB inference reads everything twice); when omitted Spark samples —
+    dev only. Multi-path lists scan as one distributed job (S4 analogue)."""
+    reader = spark.read
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.json(paths)
+
+
+def read_jdbc(
+    spark: SparkSession,
+    url: str,
+    table: str,
+    partition_column: str | None = None,
+    lower_bound: int | None = None,
+    upper_bound: int | None = None,
+    num_partitions: int = 8,
+    **options: str,
+) -> DataFrame:
+    """JDBC table scan — the direct analogue of the reference's Postgres
+    read-back (S5, `load.py:56,57,66`), distributed instead of a driver
+    round-trip. Always pass the partition_column/bounds quad for any
+    non-tiny table: without it the whole table streams through ONE task.
+    Untested here (no database in this environment); the call shape is the
+    public DataFrameReader.jdbc contract."""
+    reader = spark.read.format("jdbc").option("url", url).option("dbtable", table)
+    if partition_column is not None:
+        reader = (
+            reader.option("partitionColumn", partition_column)
+            .option("lowerBound", str(lower_bound))
+            .option("upperBound", str(upper_bound))
+            .option("numPartitions", str(num_partitions))
+        )
+    for k, v in options.items():
+        reader = reader.option(k, v)
+    return reader.load()
+
+
 def prune_consolidated(
     csv_names: list[str], prefix: str, year: int
 ) -> list[str]:

@@ -49,6 +49,39 @@ def keyed_update(
     return join_update(target, updates, keys, set_cols)
 
 
+def write_jsonl(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    """JSON-lines sink (one object per line, splittable on read)."""
+    df.write.mode(mode).json(path)
+
+
+def write_jdbc(
+    df: DataFrame,
+    url: str,
+    table: str,
+    mode: str = "append",
+    batch_size: int = 1000,
+    **options: str,
+) -> None:
+    """JDBC sink — the reference's Postgres INSERT path (K1-K5 transport,
+    `load.py:18,38,85,115`) without the per-row loop: each partition writes
+    through one connection with `batchsize` statements (default mirrors the
+    reference's BATCH_SIZE=1000, `config.py:22`). Conflict semantics are NOT
+    expressible through plain JDBC inserts — run the upsert/insert_if_absent
+    algebra first and write the resolved table. Untested here (no database
+    in this environment); the call shape is the public DataFrameWriter.jdbc
+    contract."""
+    writer = (
+        df.write.format("jdbc")
+        .option("url", url)
+        .option("dbtable", table)
+        .option("batchsize", str(batch_size))
+        .mode(mode)
+    )
+    for k, v in options.items():
+        writer = writer.option(k, v)
+    writer.save()
+
+
 def write_managed(df: DataFrame, path: str, mode: str = "overwrite", partition_by: list[str] | None = None) -> None:
     """Atomic managed-parquet write. `partition_by` mirrors the reference's
     one real optimization — file-level pruning (`extract.py:43-44`) — as

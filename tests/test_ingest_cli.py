@@ -138,3 +138,22 @@ def test_cli_idempotent_rerun(spark, offline_env):
         )
     )
     assert first == second
+
+
+def test_jsonl_roundtrip(spark, tmp_path):
+    """read_jsonl/write_jsonl: explicit-schema scan returns exactly what was
+    written, types intact."""
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    from politicamente_etl_spark.sources.readers import read_jsonl
+    from politicamente_etl_spark.sources.sinks import write_jsonl
+
+    schema = StructType(
+        [StructField("id", LongType()), StructField("name", StringType())]
+    )
+    df = spark.createDataFrame([(1, "a"), (2, None), (3, "c")], schema)
+    path = str(tmp_path / "out_jsonl")
+    write_jsonl(df, path)
+    back = read_jsonl(spark, path, schema)
+    assert back.schema == schema
+    assert sorted(map(tuple, back.collect())) == [(1, "a"), (2, None), (3, "c")]

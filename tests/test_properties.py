@@ -1,0 +1,141 @@
+"""Property-based tests (hypothesis) for the operators whose semantics have
+sharp edges: keep-first dedup determinism, as-of join bounds, sink algebra
+set semantics, and salted-join equivalence.
+
+Each property drives the Spark operator with small generated frames and
+checks it against an independent Python-computed model — the same
+role the DuckDB oracle plays for the catalog queries, but over adversarial
+inputs (duplicate keys, equal timestamps, empty sides) rather than the
+fixed testdata distribution.
+"""
+
+from __future__ import annotations
+
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+SETTINGS = dict(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+rows = st.lists(
+    st.tuples(
+        st.integers(0, 4),  # key — few values → collisions guaranteed
+        st.integers(-100, 100),  # tiebreak / value
+        st.integers(0, 50),  # payload
+    ),
+    min_size=0,
+    max_size=25,
+)
+
+
+@given(data=rows)
+@settings(**SETTINGS)
+def test_dedup_keep_first_matches_model(spark, data):
+    """dedup_keep_first == take the row with the smallest (order, payload)
+    per key — deterministic regardless of input order or partitioning."""
+    from politicamente_etl_spark.operators.core import dedup_keep_first
+
+    df = spark.createDataFrame(data or [(0, 0, 0)], ["k", "ord", "v"])
+    if not data:
+        df = df.limit(0)
+    got = {
+        (r.k, r.ord, r.v)
+        for r in dedup_keep_first(df, ["k"], [F.col("ord"), F.col("v")]).collect()
+    }
+    model = {}
+    for k, o, v in sorted(data, key=lambda t: (t[1], t[2])):
+        model.setdefault(k, (k, o, v))
+    assert got == set(model.values())
+
+
+@given(
+    left=st.lists(
+        st.tuples(st.integers(0, 2), st.integers(0, 30)), min_size=1, max_size=15
+    ),
+    right=st.lists(
+        st.tuples(st.integers(0, 2), st.integers(0, 30), st.integers(0, 9)),
+        min_size=0,
+        max_size=15,
+    ),
+)
+@settings(**SETTINGS)
+def test_asof_join_matches_model(spark, left, right):
+    """asof_join attaches max(right_ts) with right_ts <= left_ts per key —
+    including the equal-timestamp boundary and missing-key None."""
+    from politicamente_etl_spark.operators.temporal import asof_join
+
+    # de-dup right on (key, ts): keep max payload, so the model is unique
+    rmap = {}
+    for k, ts, p in right:
+        rmap[(k, ts)] = max(rmap.get((k, ts), -1), p)
+    right_rows = [(k, ts, p) for (k, ts), p in rmap.items()]
+
+    ldf = spark.createDataFrame(left, ["k", "lts"])
+    rdf = spark.createDataFrame(right_rows or [(0, 0, 0)], ["k", "rts", "p"])
+    if not right_rows:
+        rdf = rdf.limit(0)
+    out = asof_join(ldf, rdf, on="k", left_ts="lts", right_ts="rts")
+    got = sorted((r.k, r.lts, r.asof_ts, r.asof_p) for r in out.collect())
+
+    model = []
+    for k, lts in left:
+        cands = [(ts, p) for (kk, ts), p in rmap.items() if kk == k and ts <= lts]
+        ts, p = max(cands) if cands else (None, None)
+        model.append((k, lts, ts, p))
+    assert got == sorted(model)
+
+
+@given(
+    existing=st.lists(st.tuples(st.integers(0, 5), st.integers(0, 9)), max_size=12),
+    new=st.lists(st.tuples(st.integers(0, 5), st.integers(10, 19)), max_size=12),
+)
+@settings(**SETTINGS)
+def test_sink_algebra_set_semantics(spark, existing, new):
+    """upsert: new wins per key, others survive. insert_if_absent: existing
+    wins, only genuinely new keys append (deterministically deduped)."""
+    from politicamente_etl_spark.sources.sinks import insert_if_absent, upsert
+
+    e = spark.createDataFrame(existing or [(0, 0)], ["k", "v"])
+    n = spark.createDataFrame(new or [(0, 0)], ["k", "v"])
+    if not existing:
+        e = e.limit(0)
+    if not new:
+        n = n.limit(0)
+
+    up = {(r.k, r.v) for r in upsert(e, n, ["k"]).collect()}
+    new_keys = {k for k, _ in new}
+    model_up = {(k, v) for k, v in existing if k not in new_keys} | set(new)
+    assert up == model_up
+
+    ins = [(r.k, r.v) for r in insert_if_absent(e, n, ["k"]).collect()]
+    ex_keys = {k for k, _ in existing}
+    fresh = {}
+    for k, v in sorted(new, key=lambda t: (t[0], t[1])):
+        if k not in ex_keys:
+            fresh.setdefault(k, (k, v))
+    # existing rows pass through with multiplicity; fresh keys append once
+    assert sorted(ins) == sorted(existing + list(fresh.values()))
+
+
+def test_salted_join_equals_plain_join(spark):
+    """salted_join must return exactly the plain join's rows, with the hot
+    key spread across salts."""
+    from politicamente_etl_spark.operators.joins import salted_join
+
+    # one hot key (0) with 500 rows, plus a uniform tail
+    facts = spark.range(600).select(
+        F.when(F.col("id") < 500, 0).otherwise(F.col("id") % 7).alias("k"),
+        F.col("id").alias("payload"),
+    )
+    dim = spark.createDataFrame([(i, f"d{i}") for i in range(7)], ["k", "name"])
+    plain = {(r.k, r.payload, r.name) for r in facts.join(dim, "k").collect()}
+    salted = {
+        (r.k, r.payload, r.name)
+        for r in salted_join(facts, dim, ["k"], n_salts=4).collect()
+    }
+    assert salted == plain
