@@ -826,6 +826,145 @@ def _register():
         )
         return out.groupBy("user_id").agg(F.max("n_events").alias("n_events"))
 
+    # -- join-type completions (semi / full outer) --------------------------
+
+    @register(
+        "semi_join_fulfilled_orders",
+        sql="""
+        SELECT o_orderkey, o_custkey
+        FROM orders o
+        WHERE EXISTS (SELECT 1 FROM lineitem l
+                      WHERE l.l_orderkey = o.o_orderkey)
+        """,
+        tags=("ext-join",),
+    )
+    def q_semi_join_fulfilled_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """LEFT SEMI join (EXISTS): orders with at least one lineitem. The
+        probe side streams; no dedup of the right side is needed — semi-join
+        short-circuits on first match."""
+        o = T(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+        li = T(spark, sf_dir, "lineitem").select("l_orderkey")
+        return o.join(li, o.o_orderkey == li.l_orderkey, "left_semi")
+
+    @register(
+        "full_outer_nation_reconcile",
+        sql="""
+        WITH c AS (
+            SELECT c_nationkey AS nationkey, COUNT(*) AS n_customers
+            FROM customer GROUP BY 1
+        ), s AS (
+            SELECT s_nationkey AS nationkey, COUNT(*) AS n_suppliers
+            FROM supplier GROUP BY 1
+        )
+        SELECT COALESCE(c.nationkey, s.nationkey) AS nationkey,
+               COALESCE(n_customers, 0) AS n_customers,
+               COALESCE(n_suppliers, 0) AS n_suppliers
+        FROM c FULL OUTER JOIN s ON c.nationkey = s.nationkey
+        """,
+        tags=("ext-join",),
+    )
+    def q_full_outer_nation_reconcile(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """FULL OUTER join over two pre-aggregated sides (customer vs
+        supplier presence per nation) with zero-fill — the reconciliation
+        shape. Aggregating BEFORE the join keeps the outer join tiny."""
+        c = (
+            T(spark, sf_dir, "customer")
+            .groupBy(F.col("c_nationkey").alias("nationkey"))
+            .agg(F.count("*").alias("n_customers"))
+        )
+        s = (
+            T(spark, sf_dir, "supplier")
+            .groupBy(F.col("s_nationkey").alias("nationkey"))
+            .agg(F.count("*").alias("n_suppliers"))
+        )
+        return (
+            c.join(s, "nationkey", "full_outer")
+            .select(
+                "nationkey",
+                F.coalesce("n_customers", F.lit(0)).alias("n_customers"),
+                F.coalesce("n_suppliers", F.lit(0)).alias("n_suppliers"),
+            )
+        )
+
+    @register(
+        "grouping_sets_orders",
+        sql=f"""
+        SELECT o_orderstatus, o_orderpriority,
+               COUNT(*) AS n_orders,
+               {sql_money_sum("o_totalprice", "total_price")}
+        FROM orders
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))
+        """,
+        tags=("ext-olap",),
+    )
+    def q_grouping_sets_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Explicit GROUPING SETS (neither rollup nor cube): per-status and
+        per-priority totals in ONE pass over orders — Spark expands the sets
+        with a single Expand node feeding one partial+final aggregate."""
+        from politicamente_etl_spark.sources.readers import load_tables
+
+        load_tables(spark, sf_dir, ("orders",))
+        return spark.sql(
+            """
+            SELECT o_orderstatus, o_orderpriority,
+                   COUNT(*) AS n_orders,
+                   CAST(SUM(CAST(o_totalprice AS DECIMAL(27,4))) AS DOUBLE)
+                       AS total_price
+            FROM orders
+            GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))
+            """
+        )
+
+    @register(
+        "exact_percentiles_quantity",
+        sql="""
+        SELECT l_returnflag,
+               quantile_cont(l_quantity, 0.5) AS p50,
+               quantile_cont(l_quantity, 0.9) AS p90,
+               quantile_cont(l_quantity, 0.99) AS p99
+        FROM lineitem GROUP BY l_returnflag
+        """,
+        tags=("ext-olap",),
+    )
+    def q_exact_percentiles_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Exact interpolated percentiles (the non-approximate twin of
+        approx_aggs): Spark `percentile` and DuckDB `quantile_cont` share
+        the (n-1)*p linear-interpolation definition, and l_quantity's
+        half-integer interpolants are exact doubles."""
+        li = T(spark, sf_dir, "lineitem")
+        return li.groupBy("l_returnflag").agg(
+            F.expr("percentile(l_quantity, 0.5)").alias("p50"),
+            F.expr("percentile(l_quantity, 0.9)").alias("p90"),
+            F.expr("percentile(l_quantity, 0.99)").alias("p99"),
+        )
+
+    @register(
+        "text_normalize",
+        sql=r"""
+        SELECT doc_id,
+               trim(regexp_replace(lower(text), '[^a-z0-9 ]+', ' ', 'g'))
+                   AS norm_text,
+               substring(lower(text), 1, 40) AS head40,
+               CAST(length(regexp_replace(lower(text), '[^a-z0-9 ]+', ' ', 'g'))
+                    AS BIGINT) AS n_norm_chars
+        FROM documents
+        """,
+        tags=("ext-text",),
+    )
+    def q_text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Normalization pipeline (lower → strip non-alnum → trim →
+        substring): the standard pre-tokenization cleanup, all codegen'd
+        string expressions with identical regex semantics on both engines
+        (ASCII classes only)."""
+        docs = T(spark, sf_dir, "documents")
+        norm = F.regexp_replace(F.lower("text"), r"[^a-z0-9 ]+", " ")
+        return docs.select(
+            "doc_id",
+            F.trim(norm).alias("norm_text"),
+            F.substring(F.lower("text"), 1, 40).alias("head40"),
+            F.length(norm).cast("long").alias("n_norm_chars"),
+        )
+
     # -- classic OLAP rollups (TPC-H shapes over the driver tables) ---------
 
     @register(
