@@ -887,6 +887,32 @@ def _register():
         )
 
     @register(
+        "salted_join_segment_counts",
+        sql="""
+        SELECT c.c_mktsegment, COUNT(*) AS n_orders
+        FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        GROUP BY 1
+        """,
+        tags=("ext-join",),
+    )
+    def q_salted_join_segment_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Skew-breaking salted join (operators/joins.py:salted_join): the
+        fact side is salted, the dim side replicated per salt — results are
+        provably identical to the plain join (the oracle runs the unsalted
+        SQL). This is the fallback for keys hotter than AQE's skew split."""
+        from politicamente_etl_spark.operators.joins import salted_join
+
+        o = T(spark, sf_dir, "orders").select("o_custkey")
+        c = T(spark, sf_dir, "customer").select(
+            F.col("c_custkey").alias("o_custkey"), "c_mktsegment"
+        )
+        return (
+            salted_join(o, c, ["o_custkey"], n_salts=4)
+            .groupBy("c_mktsegment")
+            .agg(F.count("*").alias("n_orders"))
+        )
+
+    @register(
         "grouping_sets_orders",
         sql=f"""
         SELECT o_orderstatus, o_orderpriority,

@@ -90,6 +90,21 @@ def test_candidate_generation_never_cartesian(spark, sf_dir, name):
     assert "BroadcastNestedLoopJoin" not in plan
 
 
+def test_partitioned_layout_prunes_files(spark, sf_dir, tmp_path):
+    """write_managed(partition_by=...) must yield scans with
+    PartitionFilters — the Spark mirror of the reference's consolidated-file
+    preference (`extract.py:43-44`): a keyed query touches only its files."""
+    from politicamente_etl_spark.plans.catalog import load_events
+    from politicamente_etl_spark.sources.sinks import write_managed
+
+    path = str(tmp_path / "events_by_type")
+    write_managed(load_events(spark, sf_dir), path, partition_by=["event_type"])
+    back = spark.read.parquet(path).filter(F.col("event_type") == "click")
+    plan = plan_of(back)
+    assert "PartitionFilters" in plan
+    assert "event_type" in plan.split("PartitionFilters", 1)[1].split("]", 1)[0]
+
+
 def test_spread_noop_when_already_parallel(spark):
     """spread() must not add a shuffle when the input already has enough
     partitions (the 100 TB case)."""
