@@ -150,6 +150,82 @@ def cosine_near_dup_pairs_lsh(
     )
 
 
+def cosine_topk_ivf(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    n_cells: int = 16,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """IVF-Flat ANN top-k: a k-means coarse quantizer partitions the corpus
+    into cells; each query scores only its n_probe nearest cells.
+
+    - Train: pyspark.ml KMeans over the corpus vectors (at 100 TB train on
+      a `.sample()` — the quantizer needs thousands of points, not all).
+    - Assign: one narrow pass tags every corpus row with its cell.
+    - Probe: queries × centroids is a broadcast of n_cells rows; the
+      candidate join is an equi-join on cell id — the corpus is touched
+      only in the probed cells (with a cell-partitioned layout this is
+      partition pruning at scan time).
+    Recall < 1 by construction (a true neighbor can live in an unprobed
+    cell) and the k-means seed is engine-internal → rows-only check; the
+    exact verifier is cosine_topk."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    dense = corpus.select(id_col, vec_col).withColumn(
+        "__v", array_to_vector(F.col(vec_col).cast("array<double>"))
+    )
+    model = KMeans(k=n_cells, seed=42, featuresCol="__v", predictionCol="cell").fit(
+        dense
+    )
+    assigned = model.transform(dense).select(id_col, vec_col, "cell")
+
+    spark = corpus.sparkSession
+    cent = spark.createDataFrame(
+        [(i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())],
+        ["cell", "centroid"],
+    )
+    q = queries.select(F.col(id_col).alias(query_id_col), F.col(vec_col).alias("q_vec"))
+    # nearest n_probe cells per query: n_cells is tiny → broadcast + rank
+    probed = (
+        q.crossJoin(F.broadcast(cent))
+        .withColumn(
+            "__d2",
+            F.expr(
+                "aggregate(zip_with(q_vec, centroid, (x, y) ->"
+                " (CAST(x AS DOUBLE) - y) * (CAST(x AS DOUBLE) - y)),"
+                " CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
+            ),
+        )
+        .withColumn(
+            "__r",
+            F.row_number().over(
+                Window.partitionBy(query_id_col).orderBy("__d2", "cell")
+            ),
+        )
+        .filter(F.col("__r") <= n_probe)
+        .select(query_id_col, "q_vec", "cell")
+    )
+    scored = assigned.join(F.broadcast(probed), "cell").withColumn(
+        "cos_sim",
+        F.expr(DOT_DOUBLE.format(a=vec_col, b="q_vec"))
+        / (
+            F.sqrt(F.expr(NORM2_DOUBLE.format(a=vec_col)))
+            * F.sqrt(F.expr(NORM2_DOUBLE.format(a="q_vec")))
+        ),
+    )
+    w = Window.partitionBy(query_id_col).orderBy(F.col("cos_sim").desc(), F.col(id_col))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(query_id_col, id_col, "cos_sim", "rank")
+    )
+
+
 def hyperplane_signature(vec_col: str, planes: list[list[float]]) -> Column:
     """Random-hyperplane LSH signature: one sign bit per plane, packed into
     a string bucket key. Planes are passed as literals (broadcast with the

@@ -531,6 +531,19 @@ def _register():
         return sim.cosine_topk_lsh(emb, queries, planes, k=10)
 
     @register(
+        "cosine_topk_ivf",
+        sql=None,  # k-means seed is engine-internal → rows-only check
+        tags=("ext-sim",),
+    )
+    def q_cosine_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """IVF-Flat ANN: k-means cells + n_probe nearest-cell search — the
+        second at-scale ANN family next to the hyperplane LSH; exact
+        verifier is cosine_topk."""
+        emb = T(spark, sf_dir, "embeddings")
+        queries = emb.filter(F.col("vec_id") < 5)
+        return sim.cosine_topk_ivf(emb, queries, k=10, n_cells=8, n_probe=3)
+
+    @register(
         "embedding_cosine_near_dup",
         sql=f"""
         WITH n AS (
