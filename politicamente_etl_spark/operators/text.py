@@ -89,6 +89,53 @@ def with_fingerprint(df: DataFrame, col: str = "text") -> DataFrame:
     return df.withColumn("fingerprint", F.md5(F.lower(F.trim(F.col(col)))))
 
 
+def quality_score(col: str = "text") -> Column:
+    """Composite quality score in [0, 1] from the cheap pretraining-filter
+    features: penalizes very short docs, extreme mean token length, and
+    stopword-free text. Pure JVM expression — this is the fast path."""
+    toks = tokens(col)
+    n_tok = F.size(toks).cast("double")
+    len_score = F.least(n_tok / F.lit(20.0), F.lit(1.0))
+    avg_len = (F.length(col).cast("double") - (n_tok - 1)) / n_tok
+    shape_score = F.when((avg_len >= 3.0) & (avg_len <= 10.0), 1.0).otherwise(0.5)
+    stop_hits = F.size(F.filter(toks, lambda t: (t == "the") | (t == "a"))).cast(
+        "double"
+    )
+    stop_score = F.least(stop_hits / F.greatest(n_tok * 0.01, F.lit(1.0)), F.lit(1.0))
+    return (len_score * 0.4 + shape_score * 0.3 + stop_score * 0.3).alias(
+        "quality_score"
+    )
+
+
+def quality_score_pandas_udf():
+    """Arrow-vectorized twin of `quality_score` (§2.8 UDF surface): the
+    same arithmetic over pandas Series batches. Exists to (a) prove the
+    expression and UDF paths agree bit-for-bit (tests), (b) be the template
+    for scoring logic that genuinely needs Python (an ML model, a tokenizer
+    lib). The expression form is preferred in every hot path — JVM codegen
+    beats Arrow transfer whenever the logic is expressible."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    # no pd.Series type hints: `from __future__ import annotations` turns
+    # them into strings the UDF type-inferencer can't resolve here; the
+    # explicit "double" returnType carries the contract
+    @pandas_udf("double")
+    def score(text):
+        n_tok = text.str.split(" ").str.len().astype("float64")
+        len_score = np.minimum(n_tok / 20.0, 1.0)
+        avg_len = (text.str.len().astype("float64") - (n_tok - 1)) / n_tok
+        shape_score = np.where((avg_len >= 3.0) & (avg_len <= 10.0), 1.0, 0.5)
+        stop_hits = text.str.split(" ").map(
+            lambda ts: float(sum(t in ("the", "a") for t in ts))
+        )
+        stop_score = np.minimum(stop_hits / np.maximum(n_tok * 0.01, 1.0), 1.0)
+        return len_score * 0.4 + shape_score * 0.3 + stop_score * 0.3
+
+    return score
+
+
 def shingles_from_tokens(tok_col: str, n: int = 3) -> Column:
     """Shingles from an already-materialized token-array column. The index
     `transform` touches a bound attribute, not an expression, so the

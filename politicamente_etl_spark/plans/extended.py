@@ -823,6 +823,69 @@ def _register():
         )
 
     @register(
+        "quality_score_docs",
+        sql="""
+        WITH f AS (
+            SELECT doc_id,
+                   CAST(len(string_split(text, ' ')) AS DOUBLE) AS n_tok,
+                   CAST(length(text) AS DOUBLE) AS n_chars,
+                   CAST(len(list_filter(string_split(text, ' '),
+                        t -> t = 'the' OR t = 'a')) AS DOUBLE) AS stop_hits
+            FROM documents
+        )
+        SELECT doc_id,
+               least(n_tok / 20.0, 1.0) * 0.4
+               + (CASE WHEN (n_chars - (n_tok - 1)) / n_tok >= 3.0
+                        AND (n_chars - (n_tok - 1)) / n_tok <= 10.0
+                       THEN 1.0 ELSE 0.5 END) * 0.3
+               + least(stop_hits / greatest(n_tok * 0.01, 1.0), 1.0) * 0.3
+                   AS quality_score
+        FROM f
+        """,
+        tags=("ext-text",),
+    )
+    def q_quality_score_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Composite pretraining quality score (length / token-shape /
+        stopword components) as a single codegen'd expression; the
+        pandas_udf twin is proven equivalent in tests."""
+        docs = T(spark, sf_dir, "documents")
+        return docs.select("doc_id", text.quality_score("text"))
+
+    @register(
+        "streaming_enrich_join",
+        sql=f"""
+        WITH dim AS (
+            SELECT event_type, COUNT(*) AS type_total FROM events GROUP BY 1
+        )
+        SELECT e.user_id, d.event_type, d.type_total,
+               {sql_money_sum("e.value", "user_type_value")}
+        FROM events e JOIN dim d ON e.event_type = d.event_type
+        GROUP BY 1, 2, 3
+        """,
+        tags=("ext-stream",),
+    )
+    def q_streaming_enrich_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Stream-static enrichment join: the events STREAM joins a static
+        dimension (per-type totals, batch-read) each micro-batch, then
+        rolls up per (user, type) — the streaming twin of the broadcast dim
+        joins (J1-J3). Finite replay ≡ the batch join, hence the oracle."""
+        from politicamente_etl_spark.streaming import windows as W
+
+        dim = (
+            load_events(spark, sf_dir)
+            .groupBy("event_type")
+            .agg(F.count("*").alias("type_total"))
+        )
+        joined = W.enrich_join(_stream(spark, sf_dir), dim)
+        return W.run_stream_to_table(
+            joined.groupBy("user_id", "event_type", "type_total").agg(
+                F.sum(F.col("value").cast("decimal(27,4)"))
+                .cast("double")
+                .alias("user_type_value")
+            )
+        )
+
+    @register(
         "streaming_stateful_counts",
         sql="SELECT user_id, COUNT(*) AS n_events FROM events GROUP BY user_id",
         tags=("ext-stream",),

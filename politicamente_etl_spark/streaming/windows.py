@@ -165,6 +165,53 @@ def stateful_user_counts(events: DataFrame) -> DataFrame:
     )
 
 
+def enrich_join(events: DataFrame, dim: DataFrame, on: str = "event_type") -> DataFrame:
+    """Stream-static enrichment join: each micro-batch of the stream joins
+    the static dimension (broadcast per batch — the dimension is re-read
+    each trigger, so slowly-changing dims stay fresh). The streaming twin
+    of the reference's broadcast dim joins (J1-J3)."""
+    return events.join(F.broadcast(dim), on)
+
+
+def stream_upsert_sink(
+    streaming_df: DataFrame,
+    target_path: str,
+    keys: list[str],
+    checkpoint_dir: str,
+) -> DataFrame:
+    """foreachBatch sink: upsert each micro-batch into a managed parquet
+    table with the same algebra as the batch sinks (sources/sinks.py K1) —
+    the standard streaming→warehouse pattern. Each batch is one atomic
+    rewrite; exactly-once comes from the checkpoint + idempotent upsert
+    (re-applying a replayed batch is a no-op on key conflict).
+
+    At scale the full-table rewrite becomes Delta MERGE; the algebra and
+    call sites stay identical."""
+    from politicamente_etl_spark.sources.sinks import upsert, write_managed
+
+    spark = streaming_df.sparkSession
+
+    def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        try:
+            existing = spark.read.parquet(target_path)
+        except Exception:
+            existing = batch_df.limit(0)
+        merged = upsert(existing, batch_df.dropDuplicates(keys), keys)
+        # localCheckpoint: materialize BEFORE overwriting the files we read
+        write_managed(merged.localCheckpoint(), target_path)
+
+    q = (
+        streaming_df.writeStream.foreachBatch(apply_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.read.parquet(target_path)
+
+
 def run_stream_to_table(
     streaming_df: DataFrame, mode: str = "complete"
 ) -> DataFrame:

@@ -139,3 +139,25 @@ def test_salted_join_equals_plain_join(spark):
         for r in salted_join(facts, dim, ["k"], n_salts=4).collect()
     }
     assert salted == plain
+
+
+def test_quality_score_udf_equals_expression(spark, sf_dir):
+    """§2.8: the Arrow pandas_udf twin must agree with the JVM expression
+    path bit-for-bit on real documents."""
+    from politicamente_etl_spark.operators.text import (
+        quality_score,
+        quality_score_pandas_udf,
+    )
+    from politicamente_etl_spark.sources.readers import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    expr_rows = {
+        r.doc_id: r.quality_score
+        for r in docs.select("doc_id", quality_score("text")).collect()
+    }
+    udf = quality_score_pandas_udf()
+    udf_rows = {
+        r.doc_id: r.q
+        for r in docs.select("doc_id", udf("text").alias("q")).collect()
+    }
+    assert expr_rows == udf_rows

@@ -166,3 +166,23 @@ def test_session_merge_semantics(spark, tmp_path):
     out = W.run_stream_to_table(W.session_agg(ev, gap="30 minutes")).toPandas()
     sessions = sorted(out.n_events.tolist())
     assert sessions == [1, 2]  # events 1+2 merged, event 3 alone
+
+
+def test_stream_upsert_sink_foreachbatch(spark, sf_dir, tmp_path):
+    """foreachBatch upsert sink: after a finite replay, the managed table
+    holds exactly one row per key — same result as batch dedup."""
+    from pyspark.sql import functions as F
+
+    from politicamente_etl_spark.plans.catalog import load_events
+    from politicamente_etl_spark.streaming import windows as W
+
+    stream = W.stream_events(spark, sf_dir).select("event_id", "user_id", "value")
+    out = W.stream_upsert_sink(
+        stream,
+        str(tmp_path / "events_table"),
+        keys=["event_id"],
+        checkpoint_dir=str(tmp_path / "ckpt"),
+    )
+    batch = load_events(spark, sf_dir)
+    assert out.count() == batch.select("event_id").distinct().count()
+    assert out.groupBy("event_id").count().filter(F.col("count") > 1).count() == 0
