@@ -15,7 +15,7 @@ Oracle-parity notes baked into each pair:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from politicamente_etl_spark.functions.scalar import sql_money_sum
@@ -114,6 +114,77 @@ def _register():
         """Content fingerprint: md5 over normalized text."""
         docs = T(spark, sf_dir, "documents")
         return text.with_fingerprint(docs).select("doc_id", "fingerprint")
+
+    @register(
+        "top_terms",
+        sql="""
+        WITH toks AS (
+            SELECT unnest(string_split(text, ' ')) AS term FROM documents
+        ), counts AS (
+            SELECT term, COUNT(*) AS n FROM toks GROUP BY term
+        )
+        SELECT term, n,
+               CAST(row_number() OVER (ORDER BY n DESC, term) AS INT) AS rnk
+        FROM counts
+        QUALIFY rnk <= 50
+        """,
+        tags=("ext-text",),
+    )
+    def q_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Vocabulary extraction: explode tokens → count → global top-50
+        with a deterministic tiebreak. The count aggregates map-side before
+        the shuffle, and the global top-k is a TakeOrdered, not a full
+        sort — the shape that survives a trillion-token corpus."""
+        docs = T(spark, sf_dir, "documents")
+        counts = (
+            docs.select(F.explode(text.tokens("text")).alias("term"))
+            .groupBy("term")
+            .agg(F.count("*").alias("n"))
+        )
+        w = Window.orderBy(F.col("n").desc(), "term")
+        return (
+            counts.withColumn("rnk", F.row_number().over(w))
+            .filter(F.col("rnk") <= 50)
+        )
+
+    @register(
+        "repetition_ratio",
+        sql="""
+        WITH t AS (
+            SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+        ), sh AS (
+            SELECT doc_id,
+                   [concat_ws(' ', toks[i], toks[i+1], toks[i+2])
+                    for i in range(1, len(toks) - 1)] AS shingles
+            FROM t
+        )
+        SELECT doc_id,
+               CAST(len(shingles) AS BIGINT) AS n_shingles,
+               CAST(len(list_distinct(shingles)) AS BIGINT) AS n_distinct,
+               CASE WHEN len(shingles) = 0 THEN 0.0
+                    ELSE 1.0 - CAST(len(list_distinct(shingles)) AS DOUBLE)
+                               / CAST(len(shingles) AS DOUBLE) END
+                   AS repetition_ratio
+        FROM sh
+        """,
+        tags=("ext-text", "ext-dedup"),
+    )
+    def q_repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Boilerplate/repetition filter (C4-style): fraction of repeated
+        3-gram shingles within each document — high ratio flags templated
+        or looping text. Narrow per-row array math, no shuffle at all."""
+        docs = T(spark, sf_dir, "documents").select("doc_id", "text")
+        sh = text.with_shingles(docs, "text", out="shs")
+        n = F.size("shs").cast("long")
+        nd = F.size(F.array_distinct(F.col("shs"))).cast("long")
+        return sh.select(
+            "doc_id",
+            n.alias("n_shingles"),
+            nd.alias("n_distinct"),
+            F.when(n == 0, F.lit(0.0))
+            .otherwise(1.0 - nd.cast("double") / n.cast("double"))
+            .alias("repetition_ratio"),
+        )
 
     # -- dedup --------------------------------------------------------------
 
@@ -695,6 +766,49 @@ def _register():
         )
         return sess.groupBy("user_id", "session_id").agg(
             F.count("*").alias("n_events")
+        )
+
+    @register(
+        "funnel_signup_purchase",
+        sql="""
+        WITH firsts AS (
+            SELECT user_id,
+                   MIN(epoch_us(ts)) FILTER (WHERE event_type = 'signup')
+                       AS first_signup,
+                   MIN(epoch_us(ts)) FILTER (WHERE event_type = 'purchase')
+                       AS first_purchase
+            FROM events GROUP BY user_id
+        )
+        SELECT COUNT(*) AS n_users,
+               COUNT(first_signup) AS n_signed_up,
+               COUNT(CASE WHEN first_purchase > first_signup THEN 1 END)
+                   AS n_converted
+        FROM firsts
+        """,
+        tags=("ext-stream", "ext-olap"),
+    )
+    def q_funnel_signup_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Behavioral funnel: users whose first purchase strictly follows
+        their first signup. One conditional-min aggregate per user, one
+        global rollup — two shuffles total, no self-join of the event log
+        (the naive events⋈events formulation is quadratic in hot users)."""
+        ev = load_events(spark, sf_dir).select(
+            "user_id", "event_type", F.expr("unix_micros(ts)").alias("ts_us")
+        )
+        firsts = ev.groupBy("user_id").agg(
+            F.min(F.when(F.col("event_type") == "signup", F.col("ts_us"))).alias(
+                "first_signup"
+            ),
+            F.min(F.when(F.col("event_type") == "purchase", F.col("ts_us"))).alias(
+                "first_purchase"
+            ),
+        )
+        return firsts.agg(
+            F.count("*").alias("n_users"),
+            F.count("first_signup").alias("n_signed_up"),
+            F.count(
+                F.when(F.col("first_purchase") > F.col("first_signup"), 1)
+            ).alias("n_converted"),
         )
 
     @register(

@@ -105,6 +105,46 @@ def test_partitioned_layout_prunes_files(spark, sf_dir, tmp_path):
     assert "event_type" in plan.split("PartitionFilters", 1)[1].split("]", 1)[0]
 
 
+def test_bucketed_join_avoids_shuffle(spark, sf_dir, tmp_path):
+    """Bucketing both join sides on the key pre-partitions the data on
+    disk: the join plan must contain NO Exchange — the co-located join
+    that turns a 100 TB fact⋈fact from an hours-long shuffle into a local
+    zip. (SortMergeJoin still sorts within buckets; that's per-bucket.)"""
+    from politicamente_etl_spark.sources.readers import load_table
+
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    spark.sql("DROP TABLE IF EXISTS bk_orders")
+    spark.sql("DROP TABLE IF EXISTS bk_lineitem")
+    (
+        o.write.bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+        .option("path", str(tmp_path / "bk_orders"))
+        .saveAsTable("bk_orders")
+    )
+    (
+        li.write.bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+        .option("path", str(tmp_path / "bk_lineitem"))
+        .saveAsTable("bk_lineitem")
+    )
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        # disable broadcast so the bucket-aware sort-merge join is chosen
+        # (a fact⋈fact at 100 TB has no broadcastable side anyway)
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        joined = spark.table("bk_lineitem").join(
+            spark.table("bk_orders"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        plan = plan_of(joined)
+        assert "SortMergeJoin" in plan
+        assert "Exchange" not in plan
+        assert joined.count() > 0
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql("DROP TABLE IF EXISTS bk_orders")
+        spark.sql("DROP TABLE IF EXISTS bk_lineitem")
+
+
 def test_spread_noop_when_already_parallel(spark):
     """spread() must not add a shuffle when the input already has enough
     partitions (the 100 TB case)."""
