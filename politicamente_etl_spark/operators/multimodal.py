@@ -89,6 +89,45 @@ def decode_image_meta(
     return df.select("doc_id", "media").mapInPandas(run, IMAGE_META_SCHEMA)
 
 
+def resize_images(
+    df: DataFrame,
+    width: int = 224,
+    height: int = 224,
+    resizer: Callable[[bytes, int, int], bytes] | None = None,
+) -> DataFrame:
+    """Image resize shape: binary payload in → resized binary payload out,
+    plus the target dims as metadata. The codec slot (`resizer`) is stubbed
+    like decode_image_meta — a PIL/opencv-backed callable in production,
+    a deterministic fake in tests.
+
+    Resize preserves row count (1:1), so it composes with feature
+    extraction in the same mapInPandas pass in a real pipeline; kept
+    separate here so each operator's batch contract is independently
+    testable. Payload bytes stay inside the Arrow batch — one JVM↔Python
+    crossing each way."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if resizer is None:
+                raise NotImplementedError(
+                    "no image codec in this environment; inject resizer="
+                )
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "media": [
+                        resizer(bytes(b), width, height) for b in pdf["media"]
+                    ],
+                    "width": width,
+                    "height": height,
+                }
+            )
+
+    return df.select("doc_id", "media").mapInPandas(
+        run, "doc_id long, media binary, width int, height int"
+    )
+
+
 def sample_frames(
     df: DataFrame,
     every_n: int = 10,

@@ -711,6 +711,35 @@ def _register():
         )
 
     @register(
+        "json_props_map_explode",
+        sql="""
+        WITH kv AS (
+            SELECT unnest(json_keys(props)) AS prop_key, props FROM events
+        )
+        SELECT prop_key,
+               COUNT(*) AS n_events,
+               SUM(CAST(json_extract_string(props,
+                        '$."' || prop_key || '"') AS BIGINT)) AS total_value
+        FROM kv GROUP BY 1
+        """,
+        tags=("ext-json",),
+    )
+    def q_json_props_map_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """from_json → MapType → explode: schema-free key/value prop
+        analytics (the complement of the typed-path get_json_object query).
+        The map explode is a Generate — narrow, no shuffle until the agg."""
+        ev = load_events(spark, sf_dir)
+        kv = ev.select(
+            F.explode(F.from_json("props", "map<string,bigint>")).alias(
+                "prop_key", "prop_value"
+            )
+        )
+        return kv.groupBy("prop_key").agg(
+            F.count("*").alias("n_events"),
+            F.sum("prop_value").alias("total_value"),
+        )
+
+    @register(
         "events_tumbling_window",
         sql=f"""
         SELECT CAST(epoch(time_bucket(INTERVAL '10 minutes', ts)) AS BIGINT)

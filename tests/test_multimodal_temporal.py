@@ -96,3 +96,28 @@ def test_range_join_bucketed(spark):
     )
     # 5.0→band0; 149.9→bands 0+1; 150.0→band1 only (hi-exclusive); 250.0→none
     assert got == [(1, 0), (2, 0), (2, 1), (3, 1)]
+
+
+def test_resize_images_injected(spark, media):
+    """resize_images: 1:1 rows, payload transformed by the injected codec,
+    dims attached."""
+    import politicamente_etl_spark.operators.multimodal as mm
+
+    def fake_resizer(b: bytes, w: int, h: int) -> bytes:
+        return b[: w % 7 + 1]  # deterministic, size-dependent
+
+    out = {r.doc_id: r for r in mm.resize_images(media, 224, 224, fake_resizer).collect()}
+    src = {r.doc_id: r for r in media.collect()}
+    assert set(out) == set(src)
+    for doc_id, r in out.items():
+        assert bytes(r.media) == bytes(src[doc_id].media)[:1]
+        assert (r.width, r.height) == (224, 224)
+
+
+def test_resize_images_stub_raises(spark, media):
+    import pytest
+
+    import politicamente_etl_spark.operators.multimodal as mm
+
+    with pytest.raises(Exception, match="NotImplementedError|no image codec"):
+        mm.resize_images(media).collect()
