@@ -269,6 +269,7 @@ def _register():
                CAST(n_agree AS DOUBLE) / {float(dedup.N_MINHASH)} AS est_jaccard
         FROM cand
         """,
+        bench=True,
         tags=("ext-dedup",),
     )
     def q_minhash_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1238,6 +1239,62 @@ def _register():
         )
 
     # -- classic OLAP rollups (TPC-H shapes over the driver tables) ---------
+
+    _Q17_SQL = f"""
+        SELECT l.l_partkey,
+               {sql_money_sum("l.l_extendedprice", "small_qty_revenue")}
+        FROM lineitem l
+        WHERE l.l_quantity < (
+            SELECT 0.2 * AVG(l2.l_quantity) FROM lineitem l2
+            WHERE l2.l_partkey = l.l_partkey
+        )
+        GROUP BY l.l_partkey
+        """
+
+    @register(
+        "small_quantity_orders",
+        sql=_Q17_SQL,
+        tags=("ext-olap", "ext-subquery"),
+    )
+    def q_small_quantity_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """TPC-H Q17 shape: correlated scalar subquery (per-part average)
+        — submitted through spark.sql with the SAME text as the oracle;
+        Catalyst decorrelates it into an aggregate + join, no per-row
+        re-execution (the plan shows one extra aggregate, not N subquery
+        runs). AVG(l_quantity) is exact: quantities are integral doubles
+        and every partition sum is exact, so the single division is
+        bit-stable across engines."""
+        from politicamente_etl_spark.sources.readers import load_tables
+
+        load_tables(spark, sf_dir, ("lineitem",))
+        return spark.sql(_Q17_SQL)
+
+    _Q18_SQL = f"""
+        SELECT c.c_custkey, o.o_orderkey,
+               {sql_money_sum("l.l_quantity", "total_qty")}
+        FROM customer c
+        JOIN orders o ON o.o_custkey = c.c_custkey
+        JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        WHERE o.o_orderkey IN (
+            SELECT l_orderkey FROM lineitem
+            GROUP BY l_orderkey HAVING SUM(l_quantity) > 150
+        )
+        GROUP BY 1, 2
+        """
+
+    @register(
+        "large_order_customers",
+        sql=_Q18_SQL,
+        tags=("ext-olap", "ext-subquery"),
+    )
+    def q_large_order_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """TPC-H Q18 shape: IN-subquery with HAVING — Catalyst rewrites the
+        IN to a left-semi join against the pre-aggregated order totals.
+        Same SQL text on both engines."""
+        from politicamente_etl_spark.sources.readers import load_tables
+
+        load_tables(spark, sf_dir, ("customer", "orders", "lineitem"))
+        return spark.sql(_Q18_SQL)
 
     @register(
         "pricing_summary",
