@@ -826,6 +826,121 @@ def _register():
         )
 
     @register(
+        "window_running_totals",
+        sql=f"""
+        SELECT o_custkey, o_orderkey,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(27,4)))
+                    OVER (PARTITION BY o_custkey ORDER BY o_orderkey
+                          ROWS UNBOUNDED PRECEDING) AS DOUBLE)
+                   AS running_total,
+               lag(o_totalprice) OVER (PARTITION BY o_custkey
+                                       ORDER BY o_orderkey) AS prev_price,
+               CAST(dense_rank() OVER (PARTITION BY o_custkey
+                    ORDER BY o_orderstatus) AS INT) AS status_rank
+        FROM orders
+        """,
+        tags=("ext-window",),
+    )
+    def q_window_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Window-frame breadth: running decimal-snapped sum (ROWS
+        UNBOUNDED PRECEDING), lag, dense_rank — one shuffle on the
+        partition key serves all three (same window spec family)."""
+        o = T(spark, sf_dir, "orders")
+        wk = Window.partitionBy("o_custkey").orderBy("o_orderkey")
+        ws = Window.partitionBy("o_custkey").orderBy("o_orderstatus")
+        return o.select(
+            "o_custkey",
+            "o_orderkey",
+            F.sum(F.col("o_totalprice").cast("decimal(27,4)"))
+            .over(wk.rowsBetween(Window.unboundedPreceding, 0))
+            .cast("double")
+            .alias("running_total"),
+            F.lag("o_totalprice").over(wk).alias("prev_price"),
+            F.dense_rank().over(ws).alias("status_rank"),
+        )
+
+    @register(
+        "intersect_active_rich_customers",
+        sql="""
+        SELECT o_custkey AS custkey FROM orders
+        INTERSECT
+        SELECT c_custkey FROM customer WHERE c_acctbal > 5000
+        """,
+        tags=("ext-setop",),
+    )
+    def q_intersect_active_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """INTERSECT (distinct): customers who both ordered and hold a high
+        balance — planned as a left-semi join over deduplicated keys."""
+        o = T(spark, sf_dir, "orders").select(F.col("o_custkey").alias("custkey"))
+        c = (
+            T(spark, sf_dir, "customer")
+            .filter(F.col("c_acctbal") > 5000)
+            .select(F.col("c_custkey").alias("custkey"))
+        )
+        return o.intersect(c)
+
+    @register(
+        "except_rich_inactive_customers",
+        sql="""
+        SELECT c_custkey AS custkey FROM customer WHERE c_acctbal > 5000
+        EXCEPT
+        SELECT o_custkey FROM orders
+        """,
+        tags=("ext-setop",),
+    )
+    def q_except_rich_inactive_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """EXCEPT (distinct): high-balance customers who never ordered —
+        planned as a left-anti join over deduplicated keys."""
+        c = (
+            T(spark, sf_dir, "customer")
+            .filter(F.col("c_acctbal") > 5000)
+            .select(F.col("c_custkey").alias("custkey"))
+        )
+        o = T(spark, sf_dir, "orders").select(F.col("o_custkey").alias("custkey"))
+        return c.exceptAll(o.distinct()).distinct()
+
+    @register(
+        "date_math_orders",
+        sql="""
+        SELECT CAST(strftime(date_trunc('month', o_orderdate), '%Y-%m-%d')
+                    AS VARCHAR) AS order_month,
+               COUNT(*) AS n_orders,
+               CAST(MAX(date_diff('day', o_orderdate,
+                        TIMESTAMP '2000-01-01')) AS BIGINT) AS max_days_before_y2k,
+               CAST(strftime(MIN(o_orderdate + INTERVAL 30 DAY), '%Y-%m-%d')
+                    AS VARCHAR) AS earliest_due
+        FROM orders
+        GROUP BY 1
+        """,
+        tags=("ext-olap",),
+    )
+    def q_date_math_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Date-function surface: trunc-to-month, datediff against a fixed
+        date, interval arithmetic — all emitted as ISO strings / integers
+        (never raw DATE/TIMESTAMP, which dtype-mismatch across engines)."""
+        o = T(spark, sf_dir, "orders")
+        return (
+            o.groupBy(
+                F.date_format(F.date_trunc("month", "o_orderdate"), "yyyy-MM-dd")
+                .alias("order_month")
+            )
+            .agg(
+                F.count("*").alias("n_orders"),
+                F.max(
+                    F.datediff(
+                        F.lit("2000-01-01").cast("date"), F.col("o_orderdate")
+                    )
+                )
+                .cast("long")
+                .alias("max_days_before_y2k"),
+                F.date_format(
+                    F.min(F.col("o_orderdate") + F.expr("INTERVAL 30 DAYS")),
+                    "yyyy-MM-dd",
+                ).alias("earliest_due"),
+            )
+        )
+
+    @register(
         "funnel_signup_purchase",
         sql="""
         WITH firsts AS (
