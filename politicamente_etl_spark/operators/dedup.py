@@ -283,14 +283,22 @@ def ngram_jaccard_pairs(
     `explode`, and the fold keeps it one self-contained expression per row
     (measured 2.5x faster end-to-end here than with_shingles; the
     materialized form wins only when many downstream lambdas re-read the
-    array, as in with_minhash_signature)."""
+    array, as in with_minhash_signature).
+
+    The join key is xxhash64(shingle), not the shingle string: the shuffle
+    carries 8 bytes instead of a ~20-40 byte string and the join compares
+    longs (measured ~2.5-3x end-to-end at sf0.1). A 64-bit collision would
+    merge two shingles' posting lists; at even 10^9 distinct shingles the
+    birthday bound is ~3% for one collision anywhere, and one collision
+    perturbs one n_common count by at most 1 — acceptable for a dedup
+    verifier (and the sf0.01 oracle run is collision-free in practice)."""
     sh = spread(df.select(id_col, text_col), id_col).select(
         F.col(id_col), F.array_distinct(shingles(text_col)).alias("shs")
     ).select(
         F.col(id_col),
         F.size("shs").alias("n_sh"),
         F.explode("shs").alias("sh"),
-    )
+    ).withColumn("sh", F.xxhash64("sh"))
     a = sh.alias("a")
     b = sh.alias("b")
     return (
