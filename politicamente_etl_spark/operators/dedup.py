@@ -64,21 +64,6 @@ def with_minhash_signature(
     ).drop("__shingles")
 
 
-def with_band_keys(df: DataFrame, n_perm: int = N_MINHASH, band_size: int = BAND_SIZE) -> DataFrame:
-    """LSH banding: concat each band's minhashes into a bucket key."""
-    n_bands = n_perm // band_size
-    return df.withColumns(
-        {
-            f"band_{b}": F.md5(
-                F.concat_ws(
-                    "|", *[F.col(f"mh_{b * band_size + r}") for r in range(band_size)]
-                )
-            )
-            for b in range(n_bands)
-        }
-    )
-
-
 def minhash_near_dup_pairs(
     df: DataFrame,
     text_col: str = "text",
@@ -95,15 +80,28 @@ def minhash_near_dup_pairs(
     unioned (which re-computed the signature per band side). The
     shuffle_hash hint makes both join sides identical shuffles, so Spark
     reuses one exchange — the signature pipeline runs once (measured ~25%
-    faster than the unioned form, and the gap widens with n_bands)."""
-    sig = with_band_keys(
-        with_minhash_signature(
-            spread(df.select(id_col, text_col), id_col), text_col, n_perm
-        ),
-        n_perm,
-        band_size,
+    faster than the unioned form, and the gap widens with n_bands).
+
+    Width: est_jaccard only needs EQUALITY of minhashes, so the md5 minhash
+    strings are collapsed to xxhash64 longs before the shuffle — the join
+    payload is n_perm longs (64 B) instead of n_perm 32-char strings
+    (~256 B+), and the band key is one xxhash64 over the band's minhashes
+    instead of an md5 string. Equality is preserved modulo 64-bit
+    collisions (negligible; one collision flips one agreement bit by 1/8)."""
+    sig = with_minhash_signature(
+        spread(df.select(id_col, text_col), id_col), text_col, n_perm
     ).drop(text_col)
     n_bands = n_perm // band_size
+    sig = sig.select(
+        id_col,
+        *[F.xxhash64(f"mh_{i}").alias(f"mh_{i}") for i in range(n_perm)],
+        *[
+            F.xxhash64(
+                *[F.col(f"mh_{b * band_size + r}") for r in range(band_size)]
+            ).alias(f"band_{b}")
+            for b in range(n_bands)
+        ],
+    )
     mh_cols = [f"mh_{i}" for i in range(n_perm)]
     ex = sig.select(
         id_col,
