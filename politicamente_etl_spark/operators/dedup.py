@@ -17,7 +17,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from politicamente_etl_spark.operators.core import spread
-from politicamente_etl_spark.operators.text import shingles, with_shingles
+from politicamente_etl_spark.operators.text import shingles_regex
 
 N_MINHASH = 8  # permutations; md5-keyed, engine-portable
 BAND_SIZE = 2  # 4 bands × 2 rows
@@ -57,8 +57,9 @@ def with_minhash_signature(
     n_perm minhash lambdas each read a bound column; inlining the shingle
     expression would evaluate the tokenizer n_perm times per row (Catalyst
     keeps non-cheap aliases un-collapsed, which is what makes the two-step
-    shape stick)."""
-    sh = with_shingles(df, text_col, out="__shingles")
+    shape stick). Shingling itself is the single-pass regex form — see
+    shingles_regex for why it beats the HOF shapes."""
+    sh = df.withColumn("__shingles", shingles_regex(text_col))
     return sh.withColumns(
         {f"mh_{i}": minhash_expr(F.col("__shingles"), i) for i in range(n_perm)}
     ).drop("__shingles")
@@ -276,12 +277,10 @@ def ngram_jaccard_pairs(
     The input is `spread` to all cores first — shingling is expression-CPU
     bound, and a one-file bench scan would otherwise run it on one thread
     (at real scale the scan has >= cores splits and spread is a no-op).
-    The shingle set is built with the single-expression fold, NOT the
-    materialized-token form: this projection feeds both `size` and
-    `explode`, and the fold keeps it one self-contained expression per row
-    (measured 2.5x faster end-to-end here than with_shingles; the
-    materialized form wins only when many downstream lambdas re-read the
-    array, as in with_minhash_signature).
+    The shingle set is built with the single-pass regex form
+    (shingles_regex) — shingling dominated this query's runtime under the
+    HOF fold (interpreted per-element, accumulator array copies); the
+    regex swap took the sf0.1 query from ~3.4s to ~1.1s warm.
 
     The join key is xxhash64(shingle), not the shingle string: the shuffle
     carries 8 bytes instead of a ~20-40 byte string and the join compares
@@ -291,7 +290,7 @@ def ngram_jaccard_pairs(
     perturbs one n_common count by at most 1 — acceptable for a dedup
     verifier (and the sf0.01 oracle run is collision-free in practice)."""
     sh = spread(df.select(id_col, text_col), id_col).select(
-        F.col(id_col), F.array_distinct(shingles(text_col)).alias("shs")
+        F.col(id_col), F.array_distinct(shingles_regex(text_col)).alias("shs")
     ).select(
         F.col(id_col),
         F.size("shs").alias("n_sh"),

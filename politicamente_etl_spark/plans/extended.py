@@ -174,7 +174,7 @@ def _register():
         3-gram shingles within each document — high ratio flags templated
         or looping text. Narrow per-row array math, no shuffle at all."""
         docs = T(spark, sf_dir, "documents").select("doc_id", "text")
-        sh = text.with_shingles(docs, "text", out="shs")
+        sh = docs.withColumn("shs", text.shingles_regex("text"))
         n = F.size("shs").cast("long")
         nd = F.size(F.array_distinct(F.col("shs"))).cast("long")
         return sh.select(
