@@ -253,6 +253,75 @@ def ml_minhash_near_dup_pairs(
     )
 
 
+def near_dup_clusters(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    max_iter: int = 15,
+) -> DataFrame:
+    """Resolve near-dup PAIRS into connected-component CLUSTERS — the step
+    that turns candidate generation into an actual dedup decision: every
+    document gets a cluster_id (the smallest doc id reachable through the
+    pair graph) and `is_canonical` marks the one row per cluster to keep.
+
+    Algorithm: iterative min-label propagation. Each round every node
+    takes min(own label, neighbors' labels); after d rounds a label has
+    traveled d hops, so the loop converges in graph-diameter rounds (near-
+    dup graphs are overwhelmingly tiny cliques — diameter 1-2). The loop
+    exits when a round changes no label, checked with a driver-side
+    `.count()` (scalar aggregate — control flow, not data collection;
+    the standard shape for iterative graph algorithms on Spark).
+
+    Scale notes: labels are `localCheckpoint`ed each round to cut the
+    growing lineage (else round k replays rounds 1..k-1). Each round is
+    one shuffle join + one aggregate on (node, label) longs. For adversar-
+    ially long chains at 100 TB, swap the per-hop loop for the
+    large-star/small-star algorithm (Kiveris et al., "Connected Components
+    in MapReduce") — same join primitives, O(log n) rounds."""
+    edges = pairs.select(
+        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+    )
+    edges = edges.unionByName(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).localCheckpoint()
+    labels = (
+        df.select(F.col(id_col).alias("node"))
+        .distinct()
+        .withColumn("label", F.col("node"))
+        .localCheckpoint()
+    )
+    for _ in range(max_iter):
+        nbr_min = (
+            edges.join(labels, edges.dst == labels.node)
+            .groupBy("src")
+            .agg(F.min("label").alias("nbr_min"))
+        )
+        new_labels = (
+            labels.join(nbr_min, labels.node == nbr_min.src, "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("label"), F.coalesce("nbr_min", F.col("label"))
+                ).alias("label"),
+            )
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(
+        F.col("node").alias(id_col),
+        F.col("label").alias("cluster_id"),
+        F.when(F.col("node") == F.col("label"), 1).otherwise(0).alias("is_canonical"),
+    )
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     text_col: str = "text",

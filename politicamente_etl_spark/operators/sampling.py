@@ -1,0 +1,98 @@
+"""Deterministic sampling and dataset-split operators for the
+training-data-pipeline surface (SURVEY.md §2.10 extension).
+
+Everything keys off a salted md5 hash bucket, NOT `rand()` or
+`DataFrame.sample`, for three properties a 100 TB pipeline needs:
+
+- **Reproducible across runs/engines**: the split of a given doc_id is a
+  pure function of (seed, doc_id) — re-running the pipeline, adding data,
+  or moving to another engine never reshuffles existing assignments.
+  (`DataFrame.sample` depends on partitioning and seed plumbing; md5
+  doesn't.)
+- **Join-free leakage control**: near-duplicate handling can hash the
+  CLUSTER id instead of the doc id so a whole near-dup cluster lands in
+  one split (no train/test contamination).
+- **Oracle-checkable**: md5 is identical hex on Spark and DuckDB, so the
+  driver verifies every assignment, not just the sample rate.
+
+Narrow per-row expressions only — no shuffle, no UDF, codegen end-to-end.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+N_BUCKETS = 10_000  # 0.01% split granularity
+
+
+def hash_bucket(col: Column | str, seed: str = "v1", n_buckets: int = N_BUCKETS) -> Column:
+    """Deterministic bucket in [0, n_buckets): first 8 hex chars of
+    md5(seed:value) as an integer, mod n_buckets. 32 bits of hash for
+    ≤10^4 buckets keeps the modulo bias < 10^-5 of a bucket width."""
+    c = F.col(col) if isinstance(col, str) else col
+    h = F.conv(
+        F.substring(F.md5(F.concat_ws(":", F.lit(seed), c.cast("string"))), 1, 8),
+        16,
+        10,
+    ).cast("bigint")
+    return (h % n_buckets).alias("bucket")
+
+
+def sql_hash_bucket(expr: str, seed: str = "v1", n_buckets: int = N_BUCKETS) -> str:
+    """DuckDB twin of `hash_bucket` for oracle queries."""
+    return (
+        f"(CAST(('0x' || substring(md5(concat_ws(':', '{seed}', "
+        f"CAST({expr} AS VARCHAR))), 1, 8)) AS BIGINT) % {n_buckets})"
+    )
+
+
+def with_split(
+    df: DataFrame,
+    key_col: str = "doc_id",
+    train: float = 0.9,
+    val: float = 0.05,
+    seed: str = "split-v1",
+) -> DataFrame:
+    """Assign train/val/test by hash bucket: [0, train) → train,
+    [train, train+val) → val, rest → test. Pass the near-dup cluster id
+    as `key_col` to keep whole clusters in one split."""
+    n_train = int(train * N_BUCKETS)
+    n_val = int((train + val) * N_BUCKETS)
+    b = hash_bucket(key_col, seed)
+    return df.withColumn("bucket", b).withColumn(
+        "split",
+        F.when(F.col("bucket") < n_train, "train")
+        .when(F.col("bucket") < n_val, "val")
+        .otherwise("test"),
+    )
+
+
+def hash_sample(
+    df: DataFrame, rate: float, key_col: str = "doc_id", seed: str = "sample-v1"
+) -> DataFrame:
+    """Deterministic ~rate sample: keep rows whose bucket falls below
+    rate·N_BUCKETS. Unlike `DataFrame.sample`, membership is stable under
+    re-runs, repartitioning, and incremental appends."""
+    return df.filter(hash_bucket(key_col, seed) < int(rate * N_BUCKETS))
+
+
+def stratified_hash_sample(
+    df: DataFrame,
+    rates: dict[str, float],
+    strata_col: str = "lang",
+    key_col: str = "doc_id",
+    default_rate: float = 0.0,
+    seed: str = "strata-v1",
+) -> DataFrame:
+    """Per-stratum deterministic sampling — the language-rebalancing
+    primitive for pretraining mixes (e.g. downsample the dominant
+    language). Rows in strata absent from `rates` keep `default_rate`.
+    Pure per-row predicate: the plan is scan → filter, fully pushdown-
+    and codegen-friendly at any scale."""
+    rate = F.lit(default_rate)
+    for stratum, r in sorted(rates.items()):
+        rate = F.when(F.col(strata_col) == stratum, F.lit(r)).otherwise(rate)
+    return df.filter(
+        hash_bucket(key_col, seed).cast("double") < rate * float(N_BUCKETS)
+    )

@@ -19,7 +19,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from politicamente_etl_spark.functions.scalar import sql_money_sum
-from politicamente_etl_spark.operators import core, dedup, sim, text
+from politicamente_etl_spark.operators import core, dedup, sampling, sim, text
 
 
 def _register():
@@ -313,6 +313,113 @@ def _register():
         the oracle-checkable verifier for the LSH estimate."""
         docs = T(spark, sf_dir, "documents").select("doc_id", "text")
         return dedup.ngram_jaccard_pairs(docs, threshold=0.4)
+
+    _JACCARD_PAIRS_CTES = """
+        t AS (
+            SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+        ), sh AS (
+            SELECT DISTINCT doc_id,
+                   unnest([concat_ws(' ', toks[i], toks[i+1], toks[i+2])
+                           for i in range(1, len(toks) - 1)]) AS sh
+            FROM t
+        ), sizes AS (
+            SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id
+        ), inter AS (
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+            FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+            GROUP BY 1, 2
+        ), pairs AS (
+            SELECT doc_a, doc_b
+            FROM inter
+            JOIN sizes na ON inter.doc_a = na.doc_id
+            JOIN sizes nb ON inter.doc_b = nb.doc_id
+            WHERE CAST(n_common AS DOUBLE)
+                      / CAST(na.n_sh + nb.n_sh - n_common AS DOUBLE) >= 0.4
+        )
+    """
+
+    @register(
+        "near_dup_clusters",
+        sql=f"""
+        WITH RECURSIVE {_JACCARD_PAIRS_CTES},
+        edges AS (
+            SELECT doc_a AS src, doc_b AS dst FROM pairs
+            UNION ALL
+            SELECT doc_b, doc_a FROM pairs
+        ),
+        reach(node, label) AS (
+            SELECT doc_id, doc_id FROM documents
+            UNION
+            SELECT e.src, r.label FROM edges e JOIN reach r ON r.node = e.dst
+        )
+        SELECT node AS doc_id,
+               MIN(label) AS cluster_id,
+               CASE WHEN MIN(label) = node THEN 1 ELSE 0 END AS is_canonical
+        FROM reach GROUP BY node
+        """,
+        tags=("ext-dedup",),
+    )
+    def q_near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Near-dup pair graph → connected-component clusters: every doc
+        gets the min reachable doc_id as cluster_id and one canonical row
+        per cluster — the step that makes pair generation an actual dedup
+        decision. Spark side is iterative min-label propagation with a
+        convergence early-exit; the oracle is a recursive CTE computing
+        the same transitive closure."""
+        docs = T(spark, sf_dir, "documents").select("doc_id", "text")
+        pairs = dedup.ngram_jaccard_pairs(docs, threshold=0.4)
+        return dedup.near_dup_clusters(docs, pairs)
+
+    # -- sampling / dataset splits ------------------------------------------
+
+    @register(
+        "dataset_hash_split",
+        sql=f"""
+        SELECT doc_id, bucket,
+               CASE WHEN bucket < 9000 THEN 'train'
+                    WHEN bucket < 9500 THEN 'val'
+                    ELSE 'test' END AS split
+        FROM (
+            SELECT doc_id,
+                   {sampling.sql_hash_bucket('doc_id', seed='split-v1')} AS bucket
+            FROM documents
+        )
+        """,
+        tags=("ext-sampling",),
+    )
+    def q_dataset_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Deterministic 90/5/5 train/val/test assignment by salted md5
+        bucket — stable under re-runs, appends, and engine moves, unlike
+        rand()/DataFrame.sample. Every row's assignment is oracle-checked,
+        not just the rates."""
+        docs = T(spark, sf_dir, "documents").select("doc_id")
+        return sampling.with_split(docs, "doc_id", train=0.9, val=0.05)
+
+    @register(
+        "stratified_sample_docs",
+        sql=f"""
+        SELECT doc_id, lang
+        FROM (
+            SELECT doc_id, lang,
+                   {sampling.sql_hash_bucket('doc_id', seed='strata-v1')} AS bucket,
+                   CASE WHEN lang = 'en' THEN 0.25
+                        WHEN lang = 'zh' THEN 1.0
+                        ELSE 0.6 END AS rate
+            FROM documents
+        )
+        WHERE CAST(bucket AS DOUBLE) < rate * {float(sampling.N_BUCKETS)}
+        """,
+        tags=("ext-sampling",),
+    )
+    def q_stratified_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Per-language deterministic downsampling (pretraining-mix
+        rebalance: keep 25% of dominant 'en', all of 'zh', 60% elsewhere).
+        Pure scan → filter plan; the predicate is codegen'd and
+        pushdown-friendly at any scale."""
+        docs = T(spark, sf_dir, "documents").select("doc_id", "lang")
+        return sampling.stratified_hash_sample(
+            docs, {"en": 0.25, "zh": 1.0}, default_rate=0.6
+        )
 
     # -- SimHash ------------------------------------------------------------
 
