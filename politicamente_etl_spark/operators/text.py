@@ -152,6 +152,50 @@ def shingles_from_tokens(tok_col: str, n: int = 3) -> Column:
     return F.when(last >= 1, mk).otherwise(F.array().cast("array<string>"))
 
 
+def tfidf_top_terms(df: DataFrame, k: int = 5, col: str = "text") -> DataFrame:
+    """Per-document TF-IDF top-k terms: tf = in-doc term count, df = docs
+    containing the term (a `count over (partition by term)` window on the
+    unique (doc, term) table — no separate doc-frequency aggregate+join),
+    score = tf · ln(N/df).
+
+    Plan: explode → partial-agg'd groupBy(doc,term) → window by term →
+    broadcast of the one-row corpus count → per-doc top-k window
+    (WindowGroupLimit pushes the k-filter below the sort at scale).
+
+    Determinism: ln differs between engines in the last ulp for ~8% of
+    inputs (measured vs DuckDB), so the score is snapped to 4 decimals
+    BEFORE ranking and output — ranks compare rounded values, ties break
+    on the term string, so a ulp can no longer reorder the top-k."""
+    toks = df.select("doc_id", F.explode(tokens(col)).alias("term"))
+    tf = toks.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    from pyspark.sql import Window
+
+    wdf = tf.withColumn("df", F.count("*").over(Window.partitionBy("term")))
+    n = df.select(F.countDistinct("doc_id").alias("n_docs"))
+    score = F.round(
+        F.col("tf").cast("double")
+        * F.log(F.col("n_docs").cast("double") / F.col("df").cast("double")),
+        4,
+    )
+    ranked = (
+        wdf.crossJoin(F.broadcast(n))
+        .withColumn("tfidf", score)
+        .withColumn(
+            "rnk",
+            F.row_number()
+            .over(
+                Window.partitionBy("doc_id").orderBy(
+                    F.col("tfidf").desc(), F.col("term")
+                )
+            )
+            .cast("int"),
+        )
+    )
+    return ranked.filter(F.col("rnk") <= k).select(
+        "doc_id", "term", "tf", "df", "tfidf", "rnk"
+    )
+
+
 def shingles_regex(col: str = "text", n: int = 3) -> Column:
     """Token n-gram shingles via one regex pass: a lookahead captures the
     n-token window at every token start, so the scan is a single

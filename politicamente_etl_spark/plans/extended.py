@@ -186,6 +186,42 @@ def _register():
             .alias("repetition_ratio"),
         )
 
+    @register(
+        "tfidf_top_terms",
+        sql="""
+        WITH toks AS (
+            SELECT doc_id, unnest(string_split(text, ' ')) AS term
+            FROM documents
+        ), tf AS (
+            SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY 1, 2
+        ), wdf AS (
+            SELECT doc_id, term, tf,
+                   COUNT(*) OVER (PARTITION BY term) AS df
+            FROM tf
+        ), n AS (
+            SELECT COUNT(DISTINCT doc_id) AS n_docs FROM documents
+        ), scored AS (
+            SELECT doc_id, term, tf, df,
+                   round(CAST(tf AS DOUBLE)
+                         * ln(CAST(n_docs AS DOUBLE) / CAST(df AS DOUBLE)),
+                         4) AS tfidf
+            FROM wdf, n
+        )
+        SELECT doc_id, term, tf, df, tfidf,
+               CAST(row_number() OVER (PARTITION BY doc_id
+                    ORDER BY tfidf DESC, term) AS INT) AS rnk
+        FROM scored
+        QUALIFY rnk <= 5
+        """,
+        tags=("ext-text",),
+    )
+    def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Per-document TF-IDF top-5 terms — keyword extraction over the
+        corpus. Scores are snapped to 4 decimals before ranking because
+        ln() differs between engines in the last ulp."""
+        docs = T(spark, sf_dir, "documents").select("doc_id", "text")
+        return text.tfidf_top_terms(docs, k=5)
+
     # -- dedup --------------------------------------------------------------
 
     @register(
