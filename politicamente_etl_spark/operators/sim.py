@@ -226,6 +226,47 @@ def cosine_topk_ivf(
     )
 
 
+def group_centroids(
+    df: DataFrame,
+    group_col: str = "label",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Mean-pool embedding centroid per group — the building block for
+    class prototypes, cluster summaries, and IVF retraining. Output is one
+    row per (group, dimension): `centroid_val` = mean of that dimension.
+
+    Determinism at scale: a plain SUM(double) over a shuffle is
+    order-dependent (IEEE addition does not associate), so each element is
+    snapped to an integer first — floor(val·1e9) as BIGINT. Double
+    multiply and floor are exactly specified by IEEE, so every engine and
+    partition layout produces the same integers, and integer SUM is exact
+    and order-independent. (A decimal cast is NOT portable here: Spark
+    HALF_UPs the double→decimal conversion while DuckDB differs in the
+    last decimal ulp for ~1 element in 10³.) Two double divisions at the
+    end, in a fixed order, finish the mean.
+
+    Plan: posexplode (narrow) → one partial-aggregated groupBy on
+    (group, pos) — dimension count multiplies rows before the shuffle, but
+    map-side combine collapses them to |groups|·dims per partition, so the
+    exchange carries aggregates, not elements."""
+    ex = df.select(
+        F.col(group_col), F.posexplode(F.col(vec_col)).alias("pos", "val")
+    )
+    return (
+        ex.groupBy(group_col, "pos")
+        .agg(
+            (
+                F.sum(
+                    F.floor(F.col("val").cast("double") * F.lit(1e9)).cast("long")
+                ).cast("double")
+                / F.lit(1e9)
+                / F.count("*")
+            ).alias("centroid_val"),
+            F.count("*").cast("long").alias("n_members"),
+        )
+    )
+
+
 def hyperplane_signature(vec_col: str, planes: list[list[float]]) -> Column:
     """Random-hyperplane LSH signature: one sign bit per plane, packed into
     a string bucket key. Planes are passed as literals (broadcast with the

@@ -756,6 +756,29 @@ def _register():
         return sim.cosine_topk(emb, queries, k=10)
 
     @register(
+        "embedding_group_centroids",
+        sql="""
+        SELECT label, i AS pos,
+               CAST(SUM(CAST(floor(CAST(embedding[i + 1] AS DOUBLE) * 1e9)
+                             AS BIGINT)) AS DOUBLE) / 1e9
+                   / COUNT(*) AS centroid_val,
+               COUNT(*) AS n_members
+        FROM embeddings CROSS JOIN range(0, 64) t(i)
+        GROUP BY label, i
+        """,
+        tags=("ext-sim",),
+    )
+    def q_embedding_group_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Per-label mean-pool centroid, one row per (label, dimension).
+        Elements are integer-snapped (floor(val·1e9)) before the cross-row
+        SUM so the result is order-independent — the discipline any float
+        aggregate needs to be reproducible on a shuffled 100 TB corpus.
+        (The oracle indexes a fixed 64-dim layout; the Spark side
+        posexplodes.)"""
+        emb = T(spark, sf_dir, "embeddings")
+        return sim.group_centroids(emb)
+
+    @register(
         "cosine_topk_lsh",
         sql=None,  # approximate by construction → rows-only driver check
         tags=("ext-sim",),
