@@ -103,6 +103,41 @@ def compact(spark, path: str, target_files: int = 8) -> None:
     shutil.move(staging, path)
 
 
+def write_training_shards(
+    df: DataFrame,
+    path: str,
+    split_col: str = "split",
+    shard_rows: int = 100_000,
+    shuffle_key: str | None = None,
+) -> None:
+    """Write a training dataset as split-partitioned, bounded-size parquet
+    shards — the layout a data-loader fleet consumes (`path/split=train/
+    part-*.parquet`, each ≤ shard_rows rows via maxRecordsPerFile, so
+    loader workers get uniform units regardless of upstream partitioning).
+
+    `shuffle_key`: optional column to cluster rows by a deterministic hash
+    BEFORE sharding (repartitionByRange over md5 buckets) — a static
+    global shuffle baked into the layout, so epoch-order randomization
+    doesn't depend on loader-side buffer sizes. Deterministic: same key,
+    same layout."""
+    w = df
+    if shuffle_key is not None:
+        from politicamente_etl_spark.operators.sampling import hash_bucket
+
+        w = (
+            w.withColumn("__shard_bucket", hash_bucket(shuffle_key, seed="shard-v1"))
+            .repartitionByRange("__shard_bucket")
+            .sortWithinPartitions("__shard_bucket")
+            .drop("__shard_bucket")
+        )
+    (
+        w.write.mode("overwrite")
+        .option("maxRecordsPerFile", shard_rows)
+        .partitionBy(split_col)
+        .parquet(path)
+    )
+
+
 def write_managed(df: DataFrame, path: str, mode: str = "overwrite", partition_by: list[str] | None = None) -> None:
     """Atomic managed-parquet write. `partition_by` mirrors the reference's
     one real optimization — file-level pruning (`extract.py:43-44`) — as

@@ -156,3 +156,29 @@ def test_spread_noop_when_already_parallel(spark):
     )
     narrow = spark.range(0, 100, 1, 1).toDF("id")
     assert spread(narrow).rdd.getNumPartitions() > 1
+
+
+def test_stratified_sample_is_narrow(spark, sf_dir):
+    """Hash sampling/splitting must be scan → project/filter only — any
+    Exchange would mean the sampler shuffles the corpus it is supposed to
+    thin out."""
+    plan = plan_of(q("stratified_sample_docs", spark, sf_dir))
+    assert "Exchange" not in plan
+    plan = plan_of(q("dataset_hash_split", spark, sf_dir))
+    assert "Exchange" not in plan
+
+
+def test_tfidf_uses_window_group_limit(spark, sf_dir):
+    """The per-doc top-k must plan a WindowGroupLimit so only k rows per
+    doc survive each partition before the rank shuffle."""
+    plan = plan_of(q("tfidf_top_terms", spark, sf_dir))
+    assert "WindowGroupLimit" in plan
+
+
+def test_centroid_aggregates_partially(spark, sf_dir):
+    """posexplode multiplies rows by the vector dimension; the groupBy
+    must partial-aggregate before the exchange so the shuffle carries
+    (group, pos) sums, not exploded elements."""
+    plan = plan_of(q("embedding_group_centroids", spark, sf_dir))
+    assert "partial" in plan.lower()
+    assert "CartesianProduct" not in plan

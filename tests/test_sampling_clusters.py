@@ -93,3 +93,31 @@ def test_cluster_keyed_split_keeps_cluster_together(spark):
         .count()
     )
     assert n_multi == 0
+
+
+def test_write_training_shards_layout(spark, tmp_path):
+    from politicamente_etl_spark.operators import sampling
+    from politicamente_etl_spark.sources.sinks import write_training_shards
+
+    df = sampling.with_split(
+        spark.range(0, 3000).withColumnRenamed("id", "doc_id")
+    )
+    path = str(tmp_path / "shards")
+    write_training_shards(df, path, shard_rows=500, shuffle_key="doc_id")
+
+    import glob
+    import os
+
+    splits = {os.path.basename(p) for p in glob.glob(f"{path}/split=*")}
+    assert splits == {"split=train", "split=val", "split=test"}
+
+    back = spark.read.parquet(path)
+    assert back.count() == 3000
+    # every shard respects the row bound
+    for f in glob.glob(f"{path}/split=*/part-*.parquet"):
+        n = spark.read.parquet(f).count()
+        assert n <= 500, f
+    # round trip preserves the assignment exactly
+    orig = {(r["doc_id"], r["split"]) for r in df.collect()}
+    got = {(r["doc_id"], r["split"]) for r in back.collect()}
+    assert orig == got
