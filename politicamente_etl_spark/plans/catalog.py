@@ -97,7 +97,7 @@ def q_flagship_revenue_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     schema. nation broadcasts; lineitem⋈orders is the fact-fact join AQE
     plans (sort-merge at scale, broadcast at small SF). sum(l_quantity) is
     exact (integral doubles); revenue is decimal-snapped."""
-    li = T(spark, sf_dir, "lineitem")
+    li = core.spread(T(spark, sf_dir, "lineitem"), "l_orderkey")
     o = T(spark, sf_dir, "orders")
     c = T(spark, sf_dir, "customer")
     n = T(spark, sf_dir, "nation")
@@ -336,7 +336,7 @@ def q_sum_status_by_key(spark: SparkSession, sf_dir: str) -> DataFrame:
     (SURVEY.md §2.9.1). Quantities are integral doubles → plain SUM is
     order-insensitive-exact."""
     return agg_ops.sum_and_status_by_key(
-        T(spark, sf_dir, "lineitem"),
+        core.spread(T(spark, sf_dir, "lineitem"), "l_orderkey"),
         key="l_orderkey",
         sum_col="l_quantity",
         status_col="l_returnflag",

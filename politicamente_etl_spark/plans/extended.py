@@ -1599,8 +1599,11 @@ def _register():
         parquet scan (PushedFilters) and the aggregate is partial+final."""
         from politicamente_etl_spark.functions.scalar import money_sum
 
-        li = T(spark, sf_dir, "lineitem").filter(
-            F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp")
+        li = core.spread(
+            T(spark, sf_dir, "lineitem").filter(
+                F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp")
+            ),
+            "l_orderkey",
         )
         disc = F.col("l_extendedprice") * (1 - F.col("l_discount"))
         return li.groupBy("l_returnflag", "l_linestatus").agg(
