@@ -190,23 +190,38 @@ def simhash_near_dup_pairs(
     recall/cost trade; more+narrower bands raise recall), then exact
     Hamming distance filters. Band join is an equi-join — scales."""
     sig = with_simhash(spread(df.select(id_col, text_col), id_col), text_col).drop(text_col)
-    sig = sig.withColumn("band_hi", F.shiftright("simhash", 8)).withColumn(
-        "band_lo", F.col("simhash").bitwiseAND(255)
+    # explode the two 8-bit bands into (band_id, band_key) rows and meet in
+    # ONE self equi-join — same shape as minhash_near_dup_pairs: the
+    # signature pipeline and its exchange run once (ReusedExchange) instead
+    # of once per band, and adding bands never adds joins
+    ex = sig.select(
+        id_col,
+        "simhash",
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit(0).alias("band_id"),
+                    F.shiftright("simhash", 8).alias("band_key"),
+                ),
+                F.struct(
+                    F.lit(1).alias("band_id"),
+                    F.col("simhash").bitwiseAND(255).alias("band_key"),
+                ),
+            )
+        ).alias("bk"),
+    ).select(id_col, "simhash", "bk.band_id", "bk.band_key")
+    a, b = ex.alias("a"), ex.alias("b")
+    pairs = a.join(
+        b.hint("shuffle_hash"),
+        (F.col("a.band_id") == F.col("b.band_id"))
+        & (F.col("a.band_key") == F.col("b.band_key"))
+        & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+    ).select(
+        F.col(f"a.{id_col}").alias("doc_a"),
+        F.col(f"b.{id_col}").alias("doc_b"),
+        F.col("a.simhash").alias("sim_a"),
+        F.col("b.simhash").alias("sim_b"),
     )
-    a, b = sig.alias("a"), sig.alias("b")
-    pairs = None
-    for band in ("band_hi", "band_lo"):
-        p = a.join(
-            b,
-            (F.col(f"a.{band}") == F.col(f"b.{band}"))
-            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
-        ).select(
-            F.col(f"a.{id_col}").alias("doc_a"),
-            F.col(f"b.{id_col}").alias("doc_b"),
-            F.col("a.simhash").alias("sim_a"),
-            F.col("b.simhash").alias("sim_b"),
-        )
-        pairs = p if pairs is None else pairs.unionByName(p)
     return (
         pairs.dropDuplicates(["doc_a", "doc_b"])
         .withColumn(
