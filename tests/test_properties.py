@@ -161,3 +161,50 @@ def test_quality_score_udf_equals_expression(spark, sf_dir):
         for r in docs.select("doc_id", udf("text").alias("q")).collect()
     }
     assert expr_rows == udf_rows
+
+
+edge_lists = st.lists(
+    st.tuples(st.integers(0, 14), st.integers(0, 14)),
+    min_size=0,
+    max_size=20,
+)
+
+
+@given(edges=edge_lists)
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_near_dup_clusters_matches_union_find(spark, edges):
+    """near_dup_clusters == union-find connected components: cluster_id is
+    the min node of the component, one canonical row per cluster —
+    regardless of edge order, duplicate edges, or self-loops."""
+    from politicamente_etl_spark.operators.dedup import near_dup_clusters
+
+    nodes = list(range(15))
+    parent = {n: n for n in nodes}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    expect = {n: find(n) for n in nodes}
+
+    docs = spark.createDataFrame([(n,) for n in nodes], ["doc_id"])
+    # operator contract: pairs have doc_a < doc_b; drop self-loops like a
+    # threshold filter would
+    pairs_data = [(min(a, b), max(a, b)) for a, b in edges if a != b]
+    pairs = (
+        spark.createDataFrame(pairs_data, "doc_a long, doc_b long")
+        if pairs_data
+        else spark.createDataFrame([], "doc_a long, doc_b long")
+    )
+    got = {
+        r["doc_id"]: r["cluster_id"]
+        for r in near_dup_clusters(docs, pairs).collect()
+    }
+    assert got == expect
