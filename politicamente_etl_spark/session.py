@@ -37,9 +37,15 @@ def get_spark(
     """
     cpus = cpus if cpus is not None else os.environ.get("SPARK_GRAFT_CPUS", "*")
     n_shuffle = shuffle_partitions or (int(cpus) if str(cpus).isdigit() else 32)
+    # local[] runs everything in the driver JVM; the 1g default heap both
+    # GC-throttles wide shuffles and OOMs multi-GB probes. Sized for the
+    # bench box; on a real cluster use spark-submit's --driver-memory /
+    # --executor-memory instead (this conf only applies pre-JVM-start).
+    driver_mem = os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g")
     builder = (
         SparkSession.builder.master(f"local[{cpus}]")
         .appName(app_name)
+        .config("spark.driver.memory", driver_mem)
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.shuffle.partitions", str(n_shuffle))
         .config("spark.sql.adaptive.enabled", "true")
