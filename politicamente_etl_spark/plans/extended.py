@@ -18,7 +18,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from politicamente_etl_spark.functions.scalar import sql_money_sum
+from politicamente_etl_spark.functions.scalar import money_sum, sql_money_sum
 from politicamente_etl_spark.operators import core, dedup, sampling, sim, text
 
 
@@ -1023,6 +1023,47 @@ def _register():
             .alias("running_total"),
             F.lag("o_totalprice").over(wk).alias("prev_price"),
             F.dense_rank().over(ws).alias("status_rank"),
+        )
+
+    @register(
+        "customer_value_deciles",
+        sql="""
+        WITH spend AS (
+            SELECT o_custkey,
+                   CAST(SUM(CAST(o_totalprice AS DECIMAL(27,4))) AS DOUBLE)
+                       AS total_spend,
+                   COUNT(*) AS n_orders
+            FROM orders GROUP BY o_custkey
+        )
+        SELECT o_custkey, total_spend, n_orders,
+               CAST(ntile(10) OVER w AS INT) AS decile,
+               percent_rank() OVER w AS pct_rank
+        FROM spend
+        WINDOW w AS (ORDER BY total_spend DESC, o_custkey)
+        """,
+        tags=("ext-window",),
+    )
+    def q_customer_value_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Customer lifetime-value deciles: decimal-snapped spend rollup,
+        then ntile(10) + percent_rank over a GLOBAL ordering. percent_rank
+        = (rank-1)/(n-1) is one exact IEEE division → engine-portable
+        without snapping; the spend ordering is deterministic because the
+        sum is decimal-snapped and ties break on the key. NB: a global
+        (unpartitioned) window funnels through one task — fine for a
+        per-customer rollup (|customers| « |orders|); for percentiles over
+        raw 100 TB facts use approx_percentile instead."""
+        o = T(spark, sf_dir, "orders")
+        spend = o.groupBy("o_custkey").agg(
+            money_sum("o_totalprice", "total_spend"),
+            F.count("*").alias("n_orders"),
+        )
+        w = Window.orderBy(F.col("total_spend").desc(), "o_custkey")
+        return spend.select(
+            "o_custkey",
+            "total_spend",
+            "n_orders",
+            F.ntile(10).over(w).cast("int").alias("decile"),
+            F.percent_rank().over(w).alias("pct_rank"),
         )
 
     @register(
