@@ -778,22 +778,64 @@ def _register():
         emb = T(spark, sf_dir, "embeddings")
         return sim.group_centroids(emb)
 
+    # Hyperplane-LSH planes: seeded Python floats, embedded as literals in
+    # BOTH the Spark plan and the oracle SQL. str(float) is the shortest
+    # round-trip repr and both engines parse decimal literals correctly-
+    # rounded, so the two sides see bit-identical planes — which makes even
+    # the APPROXIMATE queries fully oracle-checkable (recall < 1 vs the
+    # exact query, but deterministic and reproducible in SQL).
+    import random as _random
+
+    _rnd = _random.Random(42)
+    _TOPK_PLANES = [[_rnd.gauss(0, 1) for _ in range(64)] for _ in range(4)]
+    _rnd = _random.Random(7)
+    _DUP_PLANES = [[_rnd.gauss(0, 1) for _ in range(64)] for _ in range(3)]
+
+    def _sql_plane_lit(plane):
+        return "[" + ", ".join(str(float(x)) for x in plane) + "]"
+
+    def _sql_bucket(vec, planes):
+        bits = " || ".join(
+            f"(CASE WHEN {_DOT_DD.format(a=vec, b=_sql_plane_lit(p))} >= 0"
+            " THEN '1' ELSE '0' END)"
+            for p in planes
+        )
+        return f"({bits})"
+
     @register(
         "cosine_topk_lsh",
-        sql=None,  # approximate by construction → rows-only driver check
+        sql=f"""
+        WITH sigc AS (
+            SELECT vec_id, embedding,
+                   {_sql_bucket('embedding', _TOPK_PLANES)} AS bucket,
+                   {_NORM_DD.format(a='embedding')} AS nrm
+            FROM embeddings
+        ), sigq AS (
+            SELECT vec_id AS query_id, embedding AS q_vec, bucket,
+                   nrm AS q_nrm
+            FROM sigc WHERE vec_id < 5
+        ), scored AS (
+            SELECT q.query_id, c.vec_id,
+                   {_DOT_DD.format(a='c.embedding', b='q.q_vec')}
+                       / (c.nrm * q.q_nrm) AS cos_sim
+            FROM sigc c JOIN sigq q USING (bucket)
+        )
+        SELECT query_id, vec_id, cos_sim,
+               CAST(row_number() OVER (PARTITION BY query_id
+                    ORDER BY cos_sim DESC, vec_id) AS INT) AS rank
+        FROM scored
+        QUALIFY rank <= 10
+        """,
         tags=("ext-sim",),
     )
     def q_cosine_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         """ANN top-k via random-hyperplane LSH bucketing — the 100 TB path
-        (equi-join on bucket, no cross join). Recall < 1 → rows-only check;
-        cosine_topk above is the exact verifier."""
-        import random
-
-        rnd = random.Random(42)
-        planes = [[rnd.gauss(0, 1) for _ in range(64)] for _ in range(4)]
+        (equi-join on bucket, no cross join). Recall < 1 vs cosine_topk,
+        but the seeded literal planes make the approximation itself
+        deterministic and fully oracle-checked."""
         emb = T(spark, sf_dir, "embeddings")
         queries = emb.filter(F.col("vec_id") < 5)
-        return sim.cosine_topk_lsh(emb, queries, planes, k=10)
+        return sim.cosine_topk_lsh(emb, queries, _TOPK_PLANES, k=10)
 
     @register(
         "cosine_topk_ivf",
@@ -834,19 +876,30 @@ def _register():
 
     @register(
         "embedding_cosine_near_dup_lsh",
-        sql=None,  # bucketed candidates → recall < 1 → rows-only check
+        sql=f"""
+        WITH sig AS (
+            SELECT vec_id, embedding,
+                   {_sql_bucket('embedding', _DUP_PLANES)} AS bucket,
+                   {_NORM_DD.format(a='embedding')} AS nrm
+            FROM embeddings
+        )
+        SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+               {_DOT_DD.format(a='a.embedding', b='b.embedding')}
+                   / (a.nrm * b.nrm) AS cos_sim
+        FROM sig a JOIN sig b
+          ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+        WHERE {_DOT_DD.format(a='a.embedding', b='b.embedding')}
+                  / (a.nrm * b.nrm) >= 0.45
+        """,
         tags=("ext-dedup", "ext-sim"),
     )
     def q_embedding_cosine_near_dup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         """The 100 TB shape of embedding near-dup: hyperplane-bucket
-        equi-join for candidates, exact cosine filter after. The exact
-        verifier is embedding_cosine_near_dup."""
-        import random
-
-        rnd = random.Random(7)
-        planes = [[rnd.gauss(0, 1) for _ in range(64)] for _ in range(3)]
+        equi-join for candidates, exact cosine filter after. Recall < 1 vs
+        embedding_cosine_near_dup, but seeded literal planes make the
+        bucketing reproducible in SQL → full oracle check."""
         emb = T(spark, sf_dir, "embeddings")
-        return sim.cosine_near_dup_pairs_lsh(emb, planes, threshold=0.45)
+        return sim.cosine_near_dup_pairs_lsh(emb, _DUP_PLANES, threshold=0.45)
 
     # -- events / JSON / windows -------------------------------------------
 
