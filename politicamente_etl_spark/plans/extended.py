@@ -904,6 +904,40 @@ def _register():
     # -- events / JSON / windows -------------------------------------------
 
     @register(
+        "retention_cohorts",
+        sql="""
+        WITH d AS (
+            SELECT user_id, epoch_us(ts) // 86400000000 AS day FROM events
+        ), c AS (
+            SELECT user_id, day,
+                   MIN(day) OVER (PARTITION BY user_id) AS cohort_day
+            FROM d
+        )
+        SELECT cohort_day, day - cohort_day AS offset_days,
+               COUNT(DISTINCT user_id) AS n_users
+        FROM c
+        GROUP BY 1, 2
+        """,
+        tags=("ext-events",),
+    )
+    def q_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Retention-cohort triangle: users bucketed by first-seen day
+        (a window MIN per user — one shuffle on user_id, no self-join),
+        counted per (cohort, day-offset). Day bucketing is exact integer
+        epoch math (µs div 86400e6) — no DATE columns, no TZ sensitivity."""
+        ev = load_events(spark, sf_dir).select(
+            "user_id", F.expr("unix_micros(ts) div 86400000000").alias("day")
+        )
+        w = Window.partitionBy("user_id")
+        c = ev.withColumn("cohort_day", F.min("day").over(w))
+        return (
+            c.groupBy(
+                "cohort_day", (F.col("day") - F.col("cohort_day")).alias("offset_days")
+            )
+            .agg(F.count_distinct("user_id").alias("n_users"))
+        )
+
+    @register(
         "json_props_extract",
         sql=f"""
         SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_value,
