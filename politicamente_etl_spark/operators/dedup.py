@@ -136,12 +136,16 @@ def minhash_near_dup_pairs(
         F.when(F.col(f"a_mh_{i}") == F.col(f"b_mh_{i}"), 1).otherwise(0)
         for i in range(n_perm)
     )
+    # est_jaccard BEFORE the pair-dedup: a pair matching in k bands gets the
+    # same estimate from every band, so dedup-after-project is equivalent —
+    # and the dedup shuffle then carries 3 columns, not 2·n_perm signature
+    # longs.
     return (
-        pairs.dropDuplicates(["doc_a", "doc_b"])
-        .withColumn(
+        pairs.withColumn(
             "est_jaccard", (agree.cast("double") / F.lit(float(n_perm)))
         )
         .select("doc_a", "doc_b", "est_jaccard")
+        .dropDuplicates(["doc_a", "doc_b"])
     )
 
 
@@ -222,9 +226,10 @@ def simhash_near_dup_pairs(
         F.col("a.simhash").alias("sim_a"),
         F.col("b.simhash").alias("sim_b"),
     )
+    # hamming + threshold BEFORE the pair-dedup: identical per duplicate
+    # pair, and filtering first shrinks the dedup shuffle to surviving rows
     return (
-        pairs.dropDuplicates(["doc_a", "doc_b"])
-        .withColumn(
+        pairs.withColumn(
             "hamming",
             F.bit_count(
                 F.col("sim_a").bitwiseXOR(F.col("sim_b"))
@@ -232,6 +237,7 @@ def simhash_near_dup_pairs(
         )
         .filter(F.col("hamming") <= max_hamming)
         .select("doc_a", "doc_b", "hamming")
+        .dropDuplicates(["doc_a", "doc_b"])
     )
 
 
