@@ -152,6 +152,40 @@ def shingles_from_tokens(tok_col: str, n: int = 3) -> Column:
     return F.when(last >= 1, mk).otherwise(F.array().cast("array<string>"))
 
 
+def winnowing_fingerprints(
+    df: DataFrame, k: int = 8, w: int = 4, col: str = "text"
+) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken, the MOSS
+    algorithm): hash every character k-gram, slide a window of w hashes,
+    keep the minimum per window, emit the distinct minima as the doc's
+    fingerprint set — overlap between fingerprint sets localizes shared
+    substrings, not just whole-document equality.
+
+    The classic formulation uses a Karp-Rabin ROLLING hash so each
+    successive k-gram costs O(1); per-row expressions can't carry that
+    running state, so each k-gram is hashed independently (md5-prefix →
+    bigint — engine-portable, and the k-gram extraction is the same
+    single-pass regex-lookahead trick as shingles_regex, so the scan stays
+    one linear sweep). Same fingerprint SET as the rolling version, O(k)
+    per gram instead of O(1) — a constant factor inside one narrow
+    codegen'd projection, no shuffle anywhere until a consumer aggregates."""
+    grams = F.regexp_extract_all(F.col(col), F.lit(rf"(?=(.{{{k}}}))."), 1)
+    hashes = F.transform(
+        grams,
+        lambda g: F.conv(F.substring(F.md5(g), 1, 15), 16, 10).cast("bigint"),
+    )
+    n_win = F.size(hashes) - (w - 1)
+    wins = F.transform(
+        F.sequence(F.lit(1), n_win), lambda i: F.array_min(F.slice(hashes, i, w))
+    )
+    # sequence(1, n) with n < 1 counts DOWN (and DuckDB range() would be
+    # empty) — guard short docs to an empty fingerprint set explicitly
+    fps = F.when(n_win >= 1, F.array_distinct(wins)).otherwise(
+        F.array().cast("array<bigint>")
+    )
+    return df.select("doc_id", F.explode(fps).alias("fp"))
+
+
 def tfidf_top_terms(df: DataFrame, k: int = 5, col: str = "text") -> DataFrame:
     """Per-document TF-IDF top-k terms: tf = in-doc term count, df = docs
     containing the term (a `count over (partition by term)` window on the

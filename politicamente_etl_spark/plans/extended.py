@@ -116,6 +116,37 @@ def _register():
         return text.with_fingerprint(docs).select("doc_id", "fingerprint")
 
     @register(
+        "winnowing_fingerprints",
+        sql="""
+        WITH g AS (
+            -- RE2 has no lookahead; the k-gram scan is a substring
+            -- comprehension here, the regex-lookahead form on Spark
+            SELECT doc_id,
+                   [CAST(('0x' || substring(md5(substring(text, i, 8)), 1, 15))
+                         AS BIGINT)
+                    for i in range(1, length(text) - 6)] AS hs
+            FROM documents
+        ), wins AS (
+            SELECT doc_id,
+                   CASE WHEN len(hs) >= 4 THEN
+                       list_distinct([list_min(hs[i:i+3])
+                                      for i in range(1, len(hs) - 2)])
+                   ELSE [] END AS fps
+            FROM g
+        )
+        SELECT doc_id, unnest(fps) AS fp FROM wins
+        """,
+        tags=("ext-text", "ext-dedup"),
+    )
+    def q_winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """MOSS-style winnowing fingerprints (char 8-grams, window 4):
+        substring-level dedup signals, not just whole-doc digests. One
+        narrow projection per doc; md5-prefix hashing keeps both engines
+        bit-identical."""
+        docs = T(spark, sf_dir, "documents").select("doc_id", "text")
+        return text.winnowing_fingerprints(docs, k=8, w=4)
+
+    @register(
         "top_terms",
         sql="""
         WITH toks AS (
