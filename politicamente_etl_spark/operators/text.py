@@ -169,6 +169,15 @@ def winnowing_fingerprints(
     one linear sweep). Same fingerprint SET as the rolling version, O(k)
     per gram instead of O(1) — a constant factor inside one narrow
     codegen'd projection, no shuffle anywhere until a consumer aggregates."""
+    return df.select(
+        "doc_id", F.explode(winnowing_fp_set(col, k=k, w=w)).alias("fp")
+    )
+
+
+def winnowing_fp_set(col: str = "text", k: int = 8, w: int = 4) -> Column:
+    """The winnowing fingerprint SET as an array column (see
+    winnowing_fingerprints) — for consumers that also need the set size
+    carried through an explode."""
     grams = F.regexp_extract_all(F.col(col), F.lit(rf"(?=(.{{{k}}}))."), 1)
     hashes = F.transform(
         grams,
@@ -180,10 +189,55 @@ def winnowing_fingerprints(
     )
     # sequence(1, n) with n < 1 counts DOWN (and DuckDB range() would be
     # empty) — guard short docs to an empty fingerprint set explicitly
-    fps = F.when(n_win >= 1, F.array_distinct(wins)).otherwise(
+    return F.when(n_win >= 1, F.array_distinct(wins)).otherwise(
         F.array().cast("array<bigint>")
     )
-    return df.select("doc_id", F.explode(fps).alias("fp"))
+
+
+def winnowing_overlap_pairs(
+    df: DataFrame,
+    k: int = 8,
+    w: int = 4,
+    min_common: int = 5,
+    col: str = "text",
+) -> DataFrame:
+    """Substring-overlap near-dup pairs from winnowing fingerprints: docs
+    meet on shared fingerprints (inverted index — the same bucket-local
+    equi-join shape as the shingle Jaccard, keys already bigint), counted
+    per pair and thresholded. Catches copied PASSAGES between otherwise
+    different documents, which whole-doc digests and token-set Jaccard
+    both dilute.
+
+    The per-doc set size rides through the explode in the projection
+    (same trick as ngram_jaccard_pairs) — no separate count aggregate,
+    no re-join."""
+    sized = df.select(
+        "doc_id", winnowing_fp_set(col, k=k, w=w).alias("fps")
+    ).select(
+        "doc_id", F.size("fps").alias("n_fp"), F.explode("fps").alias("fp")
+    )
+    a, b = sized.alias("a"), sized.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.fp") == F.col("b.fp"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("a.n_fp").alias("n_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("b.n_fp").alias("n_b"),
+        )
+        .agg(F.count("*").alias("n_common"))
+        .filter(F.col("n_common") >= min_common)
+        .withColumn(
+            "overlap",
+            F.col("n_common").cast("double")
+            / F.least("n_a", "n_b").cast("double"),
+        )
+        .select("doc_a", "doc_b", "n_common", "overlap")
+    )
 
 
 def tfidf_top_terms(df: DataFrame, k: int = 5, col: str = "text") -> DataFrame:

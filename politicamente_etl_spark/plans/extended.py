@@ -147,6 +147,43 @@ def _register():
         return text.winnowing_fingerprints(docs, k=8, w=4)
 
     @register(
+        "winnowing_overlap_pairs",
+        sql="""
+        WITH g AS (
+            SELECT doc_id,
+                   [CAST(('0x' || substring(md5(substring(text, i, 8)), 1, 15))
+                         AS BIGINT)
+                    for i in range(1, length(text) - 6)] AS hs
+            FROM documents
+        ), wins AS (
+            SELECT doc_id,
+                   CASE WHEN len(hs) >= 4 THEN
+                       list_distinct([list_min(hs[i:i+3])
+                                      for i in range(1, len(hs) - 2)])
+                   ELSE [] END AS fps
+            FROM g
+        ), fp AS (
+            SELECT doc_id, len(fps) AS n_fp, unnest(fps) AS fp FROM wins
+        )
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               COUNT(*) AS n_common,
+               CAST(COUNT(*) AS DOUBLE)
+                   / CAST(least(a.n_fp, b.n_fp) AS DOUBLE) AS overlap
+        FROM fp a JOIN fp b ON a.fp = b.fp AND a.doc_id < b.doc_id
+        GROUP BY a.doc_id, a.n_fp, b.doc_id, b.n_fp
+        HAVING COUNT(*) >= 5
+        """,
+        tags=("ext-text", "ext-dedup"),
+    )
+    def q_winnowing_overlap_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Substring-overlap near-dup pairs: docs meet on shared winnowing
+        fingerprints (inverted index, bigint keys), counted and
+        thresholded — catches copied passages that token-set measures
+        dilute."""
+        docs = T(spark, sf_dir, "documents").select("doc_id", "text")
+        return text.winnowing_overlap_pairs(docs, min_common=5)
+
+    @register(
         "top_terms",
         sql="""
         WITH toks AS (
