@@ -343,6 +343,100 @@ def near_dup_clusters(
     )
 
 
+def dedup_cluster_report(
+    docs: DataFrame,
+    clusters: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Apply the dedup decision and account for it: per multi-document
+    cluster, how many docs collapse into the canonical one and how many
+    characters the cleaned corpus keeps vs drops. This is the report a
+    training-data pipeline publishes after a dedup pass (corpus shrinkage
+    must be auditable before anyone trains on the output).
+
+    One broadcast-or-shuffle join (cluster labels are two longs + a flag —
+    tiny next to the corpus) and one aggregate on cluster_id; no second
+    scan of the text column because the length is projected before the
+    join."""
+    sized = docs.select(
+        F.col(id_col), F.length(F.col(text_col)).alias("n_chars")
+    )
+    return (
+        clusters.join(sized, id_col)
+        .groupBy("cluster_id")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").alias("chars_total"),
+            F.sum(
+                F.when(F.col("is_canonical") == 1, F.col("n_chars")).otherwise(
+                    F.lit(0)
+                )
+            ).alias("chars_kept"),
+        )
+        .filter(F.col("n_docs") >= 2)
+        .withColumn("chars_dropped", F.col("chars_total") - F.col("chars_kept"))
+        .select("cluster_id", "n_docs", "chars_total", "chars_kept", "chars_dropped")
+    )
+
+
+def cross_split_contamination(
+    docs_with_split: DataFrame,
+    train: str = "train",
+    test: str = "test",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    split_col: str = "split",
+) -> DataFrame:
+    """Train→test contamination check: for every TEST document, how many of
+    its distinct token shingles also occur anywhere in the TRAIN split.
+    This is the eval-decontamination step of a training-data pipeline —
+    a test doc whose shingles are largely present in train is leaked.
+
+    Plan shape: one scan shingles both splits (the split predicate rides
+    in a projection, not two scans), the train side collapses to a
+    distinct shingle set, and the test side LEFT-joins it with a hit
+    marker so one aggregate yields both the total and the contaminated
+    count — no second join, no count-then-rejoin. The join key is
+    xxhash64(shingle) (8-byte shuffle rows, long compares — same
+    trade-off as ngram_jaccard_pairs). The train-distinct shuffle and the
+    join shuffle share the same key, so AQE reuses the exchange
+    partitioning.
+
+    At 100 TB the train shingle set is the big side; this stays a plain
+    shuffled equi-join (bucket-local by shingle), and hot shingles (stop
+    phrases) are the skew risk — mitigate upstream with stopword-shingle
+    filtering or AQE skew-join (on in session.py)."""
+    sh = spread(
+        docs_with_split.select(id_col, split_col, text_col), id_col
+    ).select(
+        F.col(id_col),
+        F.col(split_col),
+        F.explode(F.array_distinct(shingles_regex(text_col))).alias("sh"),
+    ).withColumn("sh", F.xxhash64("sh"))
+    train_sh = (
+        sh.filter(F.col(split_col) == train)
+        .select("sh")
+        .distinct()
+        .withColumn("hit", F.lit(1))
+    )
+    test_sh = sh.filter(F.col(split_col) == test).select(id_col, "sh")
+    return (
+        test_sh.join(train_sh, "sh", "left")
+        .groupBy(id_col)
+        .agg(
+            F.count("*").alias("n_grams"),
+            F.sum(F.coalesce(F.col("hit"), F.lit(0))).alias("n_contaminated"),
+        )
+        .withColumn(
+            "contamination",
+            F.col("n_contaminated").cast("double")
+            / F.col("n_grams").cast("double"),
+        )
+        .select(id_col, "n_grams", "n_contaminated", "contamination")
+    )
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     text_col: str = "text",

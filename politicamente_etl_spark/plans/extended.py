@@ -474,6 +474,100 @@ def _register():
         pairs = dedup.ngram_jaccard_pairs(docs, threshold=0.4)
         return dedup.near_dup_clusters(docs, pairs)
 
+    @register(
+        "dedup_cluster_report",
+        sql=f"""
+        WITH RECURSIVE {_JACCARD_PAIRS_CTES},
+        edges AS (
+            SELECT doc_a AS src, doc_b AS dst FROM pairs
+            UNION ALL
+            SELECT doc_b, doc_a FROM pairs
+        ),
+        reach(node, label) AS (
+            SELECT doc_id, doc_id FROM documents
+            UNION
+            SELECT e.src, r.label FROM edges e JOIN reach r ON r.node = e.dst
+        ),
+        clusters AS (
+            SELECT node AS doc_id,
+                   MIN(label) AS cluster_id,
+                   CASE WHEN MIN(label) = node THEN 1 ELSE 0 END AS is_canonical
+            FROM reach GROUP BY node
+        )
+        SELECT cluster_id,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(length(d.text)) AS BIGINT) AS chars_total,
+               CAST(SUM(CASE WHEN is_canonical = 1 THEN length(d.text)
+                             ELSE 0 END) AS BIGINT) AS chars_kept,
+               CAST(SUM(length(d.text))
+                    - SUM(CASE WHEN is_canonical = 1 THEN length(d.text)
+                               ELSE 0 END) AS BIGINT) AS chars_dropped
+        FROM clusters c JOIN documents d USING (doc_id)
+        GROUP BY cluster_id
+        HAVING COUNT(*) >= 2
+        """,
+        tags=("ext-dedup",),
+    )
+    def q_dedup_cluster_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """The dedup decision APPLIED and audited: per multi-doc cluster,
+        docs collapsed and characters kept vs dropped — the corpus-
+        shrinkage report a training pipeline publishes after a dedup
+        pass."""
+        docs = T(spark, sf_dir, "documents").select("doc_id", "text")
+        pairs = dedup.ngram_jaccard_pairs(docs, threshold=0.4)
+        clusters = dedup.near_dup_clusters(docs, pairs)
+        return dedup.dedup_cluster_report(docs, clusters)
+
+    @register(
+        "train_test_contamination",
+        sql=f"""
+        WITH split_docs AS (
+            SELECT doc_id, text,
+                   CASE WHEN bucket < 9000 THEN 'train'
+                        WHEN bucket < 9500 THEN 'val'
+                        ELSE 'test' END AS split
+            FROM (
+                SELECT doc_id, text,
+                       {sampling.sql_hash_bucket('doc_id', seed='split-v1')}
+                           AS bucket
+                FROM documents
+            )
+        ), toks AS (
+            SELECT doc_id, split, string_split(text, ' ') AS toks
+            FROM split_docs WHERE split IN ('train', 'test')
+        ), sh AS (
+            SELECT DISTINCT doc_id, split,
+                   unnest([concat_ws(' ', toks[i], toks[i+1], toks[i+2])
+                           for i in range(1, len(toks) - 1)]) AS sh
+            FROM toks
+        ), train_sh AS (
+            SELECT DISTINCT sh FROM sh WHERE split = 'train'
+        )
+        SELECT t.doc_id,
+               CAST(COUNT(*) AS BIGINT) AS n_grams,
+               CAST(SUM(CASE WHEN train_sh.sh IS NOT NULL THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_contaminated,
+               CAST(SUM(CASE WHEN train_sh.sh IS NOT NULL THEN 1 ELSE 0 END)
+                    AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS contamination
+        FROM (SELECT doc_id, sh FROM sh WHERE split = 'test') t
+        LEFT JOIN train_sh ON t.sh = train_sh.sh
+        GROUP BY t.doc_id
+        """,
+        tags=("ext-dedup", "ext-sampling"),
+    )
+    def q_train_test_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Eval decontamination: per TEST document, the fraction of its
+        distinct token shingles that also occur anywhere in the TRAIN
+        split (hash-split, seed split-v1) — test docs with high overlap
+        are leaked into training data. One scan shingles both splits;
+        the test side left-joins the distinct train shingle set with a
+        hit marker so a single aggregate yields total and contaminated
+        counts."""
+        docs = T(spark, sf_dir, "documents").select("doc_id", "text")
+        return dedup.cross_split_contamination(
+            sampling.with_split(docs, "doc_id", train=0.9, val=0.05)
+        )
+
     # -- sampling / dataset splits ------------------------------------------
 
     @register(
