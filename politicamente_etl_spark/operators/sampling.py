@@ -96,3 +96,63 @@ def stratified_hash_sample(
     return df.filter(
         hash_bucket(key_col, seed).cast("double") < rate * float(N_BUCKETS)
     )
+
+
+def order_hash(col: Column | str, seed: str = "pack-v1") -> Column:
+    """Deterministic 60-bit ordering hash (15 hex chars of md5(seed:value)
+    as bigint) — a reproducible, engine-portable global shuffle order.
+    Distinct from `hash_bucket`: full-width, no modulo."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.conv(
+        F.substring(F.md5(F.concat_ws(":", F.lit(seed), c.cast("string"))), 1, 15),
+        16,
+        10,
+    ).cast("bigint")
+
+
+def pack_sequences(
+    df: DataFrame,
+    n_tokens_col: str = "n_tokens",
+    budget: int = 8192,
+    n_buckets: int = 64,
+    id_col: str = "doc_id",
+    seed: str = "pack-v1",
+) -> DataFrame:
+    """Greedy sequence packing: stream documents in a deterministic
+    pseudo-random order and cut a new pack every time the running token
+    count crosses the budget — the step that turns a cleaned corpus into
+    fixed-token-budget training sequences (packing efficiency is why
+    pretraining data loaders concatenate documents instead of padding).
+
+    Scale design: packing is a running sum, which is inherently
+    sequential — a single global window would serialize the corpus
+    through one task. Instead documents are salted into `n_buckets`
+    independent streams (md5 bucket) and packed per bucket:
+    `Window.partitionBy(bucket)` keeps every partition's state local, so
+    the only shuffle is the hash partition and each bucket packs in
+    parallel. Pack ids are globally unique via bucket · 2^32 + local id.
+    Within a bucket the order (order_hash, id) is total and
+    deterministic, so the same corpus packs identically on any engine —
+    every row is oracle-checkable, not just the pack-fill statistics."""
+    from pyspark.sql import Window
+
+    nt = F.col(n_tokens_col)
+    w = (
+        Window.partitionBy("pack_bucket")
+        .orderBy("pack_order", id_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = F.sum(nt).over(w)
+    local_pack = F.floor(
+        (F.greatest(cum, F.lit(1)) - F.lit(1)) / F.lit(float(budget))
+    ).cast("bigint")
+    return (
+        df.withColumn(
+            "pack_bucket", hash_bucket(id_col, seed, n_buckets).cast("bigint")
+        )
+        .withColumn("pack_order", order_hash(id_col, seed))
+        .withColumn("cum_tokens", cum.cast("bigint"))
+        .withColumn(
+            "pack_id", F.col("pack_bucket") * F.lit(1 << 32) + local_pack
+        )
+    )

@@ -240,6 +240,53 @@ def winnowing_overlap_pairs(
     )
 
 
+def chunk_documents(
+    df: DataFrame,
+    window: int = 128,
+    stride: int = 96,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Split documents into fixed-token-window chunks with overlap
+    (window − stride tokens shared between consecutive chunks) — the
+    context-window preparation step of a training pipeline: long docs
+    become multiple training examples, and the overlap keeps boundary
+    context.
+
+    Chunk k covers tokens [k·stride+1, k·stride+window]; the number of
+    chunks is 1 + ceil(max(0, n−window)/stride), so every token is in at
+    least one chunk and a short doc yields exactly one (possibly short)
+    chunk. Entirely narrow expressions (tokenize → per-row chunk array →
+    explode): no shuffle, parallelism is the scan's, and row blow-up is
+    bounded by ~n/stride per doc."""
+    toks = F.col("__toks")
+    n = F.size(toks)
+    n_chunks = (
+        F.floor(
+            (F.greatest(n - F.lit(window), F.lit(0)) + F.lit(stride - 1))
+            / F.lit(stride)
+        ).cast("int")
+        + F.lit(1)
+    )
+    chunks = F.transform(
+        F.sequence(F.lit(0), n_chunks - 1),
+        lambda k: F.struct(
+            k.cast("int").alias("chunk_idx"),
+            F.slice(toks, k * stride + 1, window).alias("ctoks"),
+        ),
+    )
+    return (
+        df.withColumn("__toks", tokens(text_col))
+        .select(F.col(id_col), F.explode(chunks).alias("ch"))
+        .select(
+            F.col(id_col),
+            F.col("ch.chunk_idx").alias("chunk_idx"),
+            F.size("ch.ctoks").cast("long").alias("n_chunk_tokens"),
+            F.concat_ws(" ", F.col("ch.ctoks")).alias("chunk_text"),
+        )
+    )
+
+
 def tfidf_top_terms(df: DataFrame, k: int = 5, col: str = "text") -> DataFrame:
     """Per-document TF-IDF top-k terms: tf = in-doc term count, df = docs
     containing the term (a `count over (partition by term)` window on the

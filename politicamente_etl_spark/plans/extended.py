@@ -568,6 +568,76 @@ def _register():
             sampling.with_split(docs, "doc_id", train=0.9, val=0.05)
         )
 
+    @register(
+        "chunk_documents",
+        sql="""
+        WITH t AS (
+            SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+        ), c AS (
+            SELECT doc_id,
+                   unnest([{'chunk_idx': k,
+                            'ctoks': toks[k * 96 + 1 : k * 96 + 128]}
+                           for k in range(0,
+                               1 + (greatest(len(toks) - 128, 0) + 95) // 96)])
+                       AS ch
+            FROM t
+        )
+        SELECT doc_id,
+               CAST(ch.chunk_idx AS BIGINT) AS chunk_idx,
+               CAST(len(ch.ctoks) AS BIGINT) AS n_chunk_tokens,
+               array_to_string(ch.ctoks, ' ') AS chunk_text
+        FROM c
+        """,
+        tags=("ext-text", "ext-sampling"),
+    )
+    def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Context-window chunking: 128-token windows at stride 96 (32
+        tokens of overlap), every chunk of every doc oracle-checked
+        including the chunk text itself. Narrow expressions + explode —
+        no shuffle."""
+        docs = T(spark, sf_dir, "documents").select("doc_id", "text")
+        return text.chunk_documents(docs, window=128, stride=96)
+
+    @register(
+        "pack_sequences",
+        sql=f"""
+        WITH d AS (
+            SELECT doc_id,
+                   CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+                   CAST({sampling.sql_hash_bucket('doc_id', seed='pack-v1',
+                                                  n_buckets=64)} AS BIGINT)
+                       AS pack_bucket,
+                   CAST(('0x' || substring(md5(concat_ws(':', 'pack-v1',
+                            CAST(doc_id AS VARCHAR))), 1, 15)) AS BIGINT)
+                       AS pack_order
+            FROM documents
+        )
+        SELECT doc_id, n_tokens, pack_bucket,
+               CAST(SUM(n_tokens) OVER w AS BIGINT) AS cum_tokens,
+               pack_bucket * 4294967296
+                   + CAST(floor((greatest(SUM(n_tokens) OVER w, 1) - 1)
+                                / 8192.0) AS BIGINT) AS pack_id
+        FROM d
+        WINDOW w AS (PARTITION BY pack_bucket ORDER BY pack_order, doc_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        """,
+        tags=("ext-sampling",),
+    )
+    def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Greedy sequence packing into 8192-token training sequences:
+        deterministic md5-shuffled order, 64 independent bucket streams
+        (running sums stay partition-local — no global serialization),
+        globally unique pack ids. Every row's pack assignment is
+        oracle-checked."""
+        from politicamente_etl_spark.operators.text import tokens
+
+        docs = T(spark, sf_dir, "documents").select(
+            "doc_id", F.size(tokens("text")).cast("long").alias("n_tokens")
+        )
+        return sampling.pack_sequences(docs, budget=8192, n_buckets=64).select(
+            "doc_id", "n_tokens", "pack_bucket", "cum_tokens", "pack_id"
+        )
+
     # -- sampling / dataset splits ------------------------------------------
 
     @register(

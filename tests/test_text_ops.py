@@ -71,3 +71,48 @@ def test_winnowing_overlap_short_docs_empty(spark):
         [(1, "tiny"), (2, "tiny")], "doc_id int, text string"
     )
     assert text.winnowing_overlap_pairs(df, k=8, w=4, min_common=1).count() == 0
+
+
+def test_chunk_documents_windows_and_overlap(spark):
+    toks = [f"t{i}" for i in range(1, 301)]  # 300 tokens
+    df = spark.createDataFrame([(1, " ".join(toks))], "doc_id int, text string")
+    chunks = sorted(
+        text.chunk_documents(df, window=128, stride=96).collect(),
+        key=lambda r: r.chunk_idx,
+    )
+    # 1 + ceil((300-128)/96) = 3 chunks, starts 1/97/193
+    assert [r.chunk_idx for r in chunks] == [0, 1, 2]
+    assert [r.n_chunk_tokens for r in chunks] == [128, 128, 108]
+    assert chunks[0].chunk_text.split(" ")[0] == "t1"
+    assert chunks[1].chunk_text.split(" ")[0] == "t97"
+    assert chunks[2].chunk_text.split(" ")[-1] == "t300"
+    # consecutive chunks share window-stride = 32 tokens
+    a = chunks[0].chunk_text.split(" ")
+    b = chunks[1].chunk_text.split(" ")
+    assert a[-32:] == b[:32]
+
+
+def test_chunk_documents_short_doc_single_chunk(spark):
+    df = spark.createDataFrame([(7, "only four tokens here")], "doc_id int, text string")
+    rows = text.chunk_documents(df, window=128, stride=96).collect()
+    assert len(rows) == 1
+    assert rows[0].chunk_idx == 0
+    assert rows[0].n_chunk_tokens == 4
+    assert rows[0].chunk_text == "only four tokens here"
+
+
+def test_pack_sequences_cuts_at_budget(spark):
+    from politicamente_etl_spark.operators import sampling
+
+    df = spark.createDataFrame(
+        [(i, 60) for i in range(1, 11)], "doc_id int, n_tokens long"
+    )
+    packed = sampling.pack_sequences(df, budget=100, n_buckets=1).collect()
+    by_order = sorted(packed, key=lambda r: (r.pack_order, r.doc_id))
+    # single bucket: running sum 60,120,...,600 -> pack flips every other doc
+    assert [r.cum_tokens for r in by_order] == [60 * i for i in range(1, 11)]
+    assert [r.pack_id % (1 << 32) for r in by_order] == [
+        (60 * i - 1) // 100 for i in range(1, 11)
+    ]
+    # every pack holds <= ceil(budget/doc_len) docs and ids are unique
+    assert len({r.doc_id for r in packed}) == 10
