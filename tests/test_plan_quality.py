@@ -182,3 +182,33 @@ def test_centroid_aggregates_partially(spark, sf_dir):
     plan = plan_of(q("embedding_group_centroids", spark, sf_dir))
     assert "partial" in plan.lower()
     assert "CartesianProduct" not in plan
+
+
+def test_chunking_is_narrow(spark, sf_dir):
+    """Context-window chunking is tokenize → per-row chunk array →
+    explode: any Exchange would mean the chunker shuffles the corpus."""
+    plan = plan_of(q("chunk_documents", spark, sf_dir))
+    assert "Exchange" not in plan
+
+
+def test_pack_sequences_single_partition_exchange(spark, sf_dir):
+    """Sequence packing must shuffle exactly once — the hash partition by
+    pack_bucket — and never collapse into a single global-window
+    partition (the serialization trap for running sums)."""
+    plan = plan_of(q("pack_sequences", spark, sf_dir))
+    exchanges = [
+        b for b in plan.split("\n\n") if b.lstrip().startswith("(") and "Exchange" in b.split("\n")[0]
+    ]
+    assert len(exchanges) == 1, plan
+    assert "hashpartitioning(pack_bucket" in exchanges[0]
+    assert "SinglePartition" not in plan
+
+
+def test_contamination_no_cartesian_and_partial_agg(spark, sf_dir):
+    """The train-shingle membership probe must be an equi-join on the
+    shingle hash (never a nested-loop) and the train-distinct side must
+    partial-aggregate before its exchange."""
+    plan = plan_of(q("train_test_contamination", spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert plan.count("HashAggregate") >= 2
