@@ -240,6 +240,37 @@ def winnowing_overlap_pairs(
     )
 
 
+# PII patterns kept to constructs with identical semantics in Java regex
+# (Spark) and RE2 (DuckDB): character classes, +/{m,} quantifiers. No
+# lookarounds or backreferences (RE2 has neither).
+EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+URL_RE = r"https?://[^ ]+"
+
+
+def redact_pii(
+    df: DataFrame, text_col: str = "text", out_col: str = "clean_text"
+) -> DataFrame:
+    """PII scrubbing for pretraining corpora: replace emails and URLs with
+    typed placeholder tokens and count what was removed (the removal
+    counts feed the pipeline's audit report, like dedup_cluster_report's
+    char accounting). Pure per-row regexp expressions — narrow, codegen'd,
+    no shuffle; at 100 TB this is scan-bound like any projection.
+
+    Counts are taken on the raw text BEFORE replacement so overlapping
+    patterns can't hide each other; emails are replaced first so an email
+    inside a URL query-string redacts as part of the URL span it sits in."""
+    raw = F.col(text_col)
+    return df.withColumns(
+        {
+            "n_emails": F.regexp_count(raw, F.lit(EMAIL_RE)).cast("long"),
+            "n_urls": F.regexp_count(raw, F.lit(URL_RE)).cast("long"),
+            out_col: F.regexp_replace(
+                F.regexp_replace(raw, EMAIL_RE, "<EMAIL>"), URL_RE, "<URL>"
+            ),
+        }
+    )
+
+
 def chunk_documents(
     df: DataFrame,
     window: int = 128,

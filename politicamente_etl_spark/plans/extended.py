@@ -599,6 +599,50 @@ def _register():
         return text.chunk_documents(docs, window=128, stride=96)
 
     @register(
+        "redact_pii_docs",
+        sql="""
+        WITH seeded AS (
+            SELECT doc_id,
+                   text || ' contact user' || CAST(doc_id AS VARCHAR)
+                        || '@example.com via http://ex.com/d/'
+                        || CAST(doc_id AS VARCHAR) AS text
+            FROM documents
+        )
+        SELECT doc_id,
+               CAST(len(regexp_extract_all(text,
+                   '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}'))
+                   AS BIGINT) AS n_emails,
+               CAST(len(regexp_extract_all(text, 'https?://[^ ]+'))
+                   AS BIGINT) AS n_urls,
+               regexp_replace(
+                   regexp_replace(text,
+                       '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}',
+                       '<EMAIL>', 'g'),
+                   'https?://[^ ]+', '<URL>', 'g') AS clean_text
+        FROM seeded
+        """,
+        tags=("ext-text",),
+    )
+    def q_redact_pii_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """PII scrubbing, oracle-checked end-to-end: the corpus carries no
+        emails/URLs, so deterministic contact strings are appended per doc
+        first — the oracle then verifies the actual redacted text and the
+        removal counts, not an identity map."""
+        docs = T(spark, sf_dir, "documents").select(
+            "doc_id",
+            F.concat(
+                F.col("text"),
+                F.lit(" contact user"),
+                F.col("doc_id").cast("string"),
+                F.lit("@example.com via http://ex.com/d/"),
+                F.col("doc_id").cast("string"),
+            ).alias("text"),
+        )
+        return text.redact_pii(docs).select(
+            "doc_id", "n_emails", "n_urls", "clean_text"
+        )
+
+    @register(
         "pack_sequences",
         sql=f"""
         WITH d AS (

@@ -116,3 +116,18 @@ def test_pack_sequences_cuts_at_budget(spark):
     ]
     # every pack holds <= ceil(budget/doc_len) docs and ids are unique
     assert len({r.doc_id for r in packed}) == 10
+
+
+def test_redact_pii_literal(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "mail me at bob.smith+x@corp.example.org or see https://ex.org/a?b=1 now"),
+            (2, "no pii here at all"),
+        ],
+        "doc_id int, text string",
+    )
+    rows = {r.doc_id: r for r in text.redact_pii(df).collect()}
+    assert rows[1].n_emails == 1 and rows[1].n_urls == 1
+    assert rows[1].clean_text == "mail me at <EMAIL> or see <URL> now"
+    assert rows[2].n_emails == 0 and rows[2].n_urls == 0
+    assert rows[2].clean_text == "no pii here at all"
