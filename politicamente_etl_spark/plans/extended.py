@@ -2080,5 +2080,211 @@ def _register():
         ev = load_events(spark, sf_dir)
         return approx_aggs(ev, "event_type", "user_id", "value")
 
+    # -- statistical aggregates (exact-moment formulation) ------------------
+
+    # Shared second-moment formulas, rendered VERBATIM into both engines'
+    # final projection: every input is an exact decimal sum cast to double
+    # at the same points, so the IEEE double arithmetic (and sqrt, correctly
+    # rounded per IEEE-754) runs the identical op sequence on both sides —
+    # bit-identical without any post-hoc rounding. Native stddev/corr/covar
+    # use order-dependent running co-moments (Chan et al.) and would drift
+    # between engines AND between Spark runs.
+    _STD = (
+        "sqrt((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)"
+        " - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))"
+        " / (CAST(n AS DOUBLE) * CAST(n - 1 AS DOUBLE)))"
+    )
+    _COV = (
+        "(CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)"
+        " / CAST(n AS DOUBLE)) / CAST(n - 1 AS DOUBLE)"
+    )
+    _CORR = (
+        "(CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)"
+        " - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))"
+        " / (sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)"
+        " - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))"
+        " * sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)"
+        " - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))"
+    )
+
+    @register(
+        "grouped_moments",
+        sql=f"""
+        WITH s AS (
+            SELECT l_returnflag,
+                   COUNT(*) AS n,
+                   SUM(CAST(l_quantity AS DECIMAL(27,2))) AS sx,
+                   SUM(CAST(l_extendedprice AS DECIMAL(27,2))) AS sy,
+                   SUM(CAST(l_quantity * l_quantity AS DECIMAL(27,4))) AS sxx,
+                   SUM(CAST(l_extendedprice * l_extendedprice
+                            AS DECIMAL(27,4))) AS syy,
+                   SUM(CAST(l_quantity * l_extendedprice
+                            AS DECIMAL(27,4))) AS sxy
+            FROM lineitem GROUP BY l_returnflag
+        )
+        SELECT l_returnflag, n,
+               {_STD} AS std_qty,
+               {_COV} AS covar_qty_price,
+               {_CORR} AS corr_qty_price
+        FROM s
+        """,
+        tags=("ext-olap", "ext-stats"),
+    )
+    def q_grouped_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """stddev_samp / covar_samp / corr per group, computed from exact
+        decimal power sums (n, Σx, Σy, Σx², Σy², Σxy) — one map-side-
+        combining hash aggregate, same shuffle shape as any SUM, then a
+        narrow final projection. The exact-sum formulation is also the
+        distributed-friendly one: power sums merge associatively across
+        any partitioning, unlike streaming co-moment state."""
+        li = T(spark, sf_dir, "lineitem")
+        x, y = F.col("l_quantity"), F.col("l_extendedprice")
+        s = li.groupBy("l_returnflag").agg(
+            F.count("*").alias("n"),
+            F.sum(x.cast("decimal(27,2)")).alias("sx"),
+            F.sum(y.cast("decimal(27,2)")).alias("sy"),
+            F.sum((x * x).cast("decimal(27,4)")).alias("sxx"),
+            F.sum((y * y).cast("decimal(27,4)")).alias("syy"),
+            F.sum((x * y).cast("decimal(27,4)")).alias("sxy"),
+        )
+        return s.selectExpr(
+            "l_returnflag",
+            "n",
+            f"{_STD} AS std_qty",
+            f"{_COV} AS covar_qty_price",
+            f"{_CORR} AS corr_qty_price",
+        )
+
+    @register(
+        "argmax_order_per_customer",
+        sql="""
+        SELECT o_custkey,
+               first(o_totalprice ORDER BY o_totalprice DESC, o_orderkey DESC)
+                   AS top_totalprice,
+               first(o_orderkey ORDER BY o_totalprice DESC, o_orderkey DESC)
+                   AS top_orderkey,
+               COUNT(*) AS n_orders
+        FROM orders GROUP BY o_custkey
+        """,
+        tags=("ext-olap", "ext-stats"),
+    )
+    def q_argmax_order_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Arg-max as an AGGREGATE (max over a (value, key) struct — ties
+        broken by the larger key, so deterministic), not a window. The
+        struct buffer makes Spark pick SortAggregate, but the partial
+        still combines map-side, so only ONE row per customer crosses the
+        shuffle — at scale this beats the row_number()-over-window top-1,
+        which must shuffle and sort EVERY order row. The window form is
+        only needed for k > 1; see window_topk_orders for that shape."""
+        o = T(spark, sf_dir, "orders")
+        m = o.groupBy("o_custkey").agg(
+            F.max(F.struct("o_totalprice", "o_orderkey")).alias("m"),
+            F.count("*").alias("n_orders"),
+        )
+        return m.select(
+            "o_custkey",
+            F.col("m.o_totalprice").alias("top_totalprice"),
+            F.col("m.o_orderkey").alias("top_orderkey"),
+            "n_orders",
+        )
+
+    # -- corpus statistics --------------------------------------------------
+
+    @register(
+        "doc_length_histogram",
+        sql="""
+        SELECT n_chars // 100 AS bucket, lang,
+               COUNT(*) AS n_docs,
+               CAST(SUM(n_chars) AS BIGINT) AS total_chars
+        FROM documents GROUP BY 1, 2
+        """,
+        tags=("ext-text", "ext-stats"),
+    )
+    def q_doc_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Length histogram per language (100-char buckets) — the standard
+        first look at a new corpus. Exact integer bucket math (`DIV`), one
+        hash aggregate; bucket count is bounded so the reduce side is tiny
+        regardless of corpus size."""
+        docs = T(spark, sf_dir, "documents")
+        return docs.groupBy(
+            F.expr("n_chars DIV 100").alias("bucket"), "lang"
+        ).agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+        )
+
+    @register(
+        "bigram_top_terms",
+        sql="""
+        WITH t AS (
+            SELECT lang, string_split(text, ' ') AS toks FROM documents
+        ), bi AS (
+            SELECT lang,
+                   unnest([concat_ws(' ', toks[i], toks[i+1])
+                           for i in range(1, len(toks))]) AS bigram
+            FROM t
+        ), counts AS (
+            SELECT lang, bigram, COUNT(*) AS n FROM bi GROUP BY 1, 2
+        )
+        SELECT lang, bigram, n,
+               CAST(row_number() OVER (PARTITION BY lang
+                        ORDER BY n DESC, bigram) AS INT) AS rnk
+        FROM counts
+        QUALIFY rnk <= 10
+        """,
+        tags=("ext-text", "ext-stats"),
+    )
+    def q_bigram_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Language-model-style bigram frequency: explode token 2-grams
+        (single-pass regex shingler), count per (lang, bigram), keep the
+        top-10 per language. The count shuffle partial-aggregates map-side;
+        the per-lang top-k is a WindowGroupLimit (per-partition heap), not
+        a full sort of the bigram vocabulary."""
+        docs = T(spark, sf_dir, "documents")
+        counts = (
+            docs.select(
+                "lang", F.explode(text.shingles_regex("text", 2)).alias("bigram")
+            )
+            .groupBy("lang", "bigram")
+            .agg(F.count("*").alias("n"))
+        )
+        w = Window.partitionBy("lang").orderBy(F.col("n").desc(), "bigram")
+        return counts.withColumn(
+            "rnk", F.row_number().over(w)
+        ).filter(F.col("rnk") <= 10)
+
+    # -- stream-stream join -------------------------------------------------
+
+    @register(
+        "streaming_interval_join",
+        sql="""
+        SELECT c.user_id,
+               c.event_id AS left_id,
+               p.event_id AS right_id,
+               CAST(epoch_us(c.ts) AS BIGINT) AS left_ts_us,
+               CAST(epoch_us(p.ts) AS BIGINT) AS right_ts_us
+        FROM events c
+        JOIN events p
+          ON p.user_id = c.user_id
+         AND c.event_type = 'click' AND p.event_type = 'purchase'
+         AND epoch_us(p.ts) >= epoch_us(c.ts)
+         AND epoch_us(p.ts) <= epoch_us(c.ts) + 1800000000
+        """,
+        tags=("ext-stream", "ext-temporal"),
+    )
+    def q_streaming_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Stream-stream inner join with watermark-bounded state: each
+        purchase joined to the same user's clicks from the preceding 30
+        minutes (attribution). Finite replay emits the exact pair set the
+        batch self-join produces — the oracle IS that batch join, with the
+        time condition in floored-µs integers on both engines."""
+        from politicamente_etl_spark.streaming import windows as W
+
+        ev = W.stream_events(spark, sf_dir)
+        return W.run_stream_to_table(
+            W.interval_join(ev, "click", "purchase", "30 minutes"),
+            mode="append",
+        )
+
 
 _register()

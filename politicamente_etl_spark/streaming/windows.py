@@ -165,6 +165,61 @@ def stateful_user_counts(events: DataFrame) -> DataFrame:
     )
 
 
+def interval_join(
+    events: DataFrame,
+    left_type: str = "click",
+    right_type: str = "purchase",
+    within: str = "30 minutes",
+    watermark: str = "2 hours",
+    events_right: DataFrame | None = None,
+) -> DataFrame:
+    """Stream-stream inner join with a time-range condition: every
+    `right_type` event joined to the same user's `left_type` events from
+    the preceding `within` interval. Both sides carry watermarks and the
+    range condition bounds the buffered state on BOTH sides — Spark can
+    evict a click once the purchase-side watermark passes click_ts +
+    within, so state stays O(watermark-window of events), not O(stream).
+
+    `events` must be a fresh streaming DataFrame; the two sides are
+    derived from it by filter (a supported streaming self-join). Output
+    is the exact pair set — append-mode, emitted as matches arrive
+    (inner joins need no watermark to EMIT, only to clean state)."""
+    clicks = (
+        events.filter(F.col("event_type") == left_type)
+        .select(
+            "user_id",
+            F.col("event_id").alias("left_id"),
+            F.col("ts").alias("left_ts"),
+        )
+        .withWatermark("left_ts", watermark)
+    )
+    purchases = (
+        (events_right if events_right is not None else events)
+        .filter(F.col("event_type") == right_type)
+        .select(
+            F.col("user_id").alias("r_user_id"),
+            F.col("event_id").alias("right_id"),
+            F.col("ts").alias("right_ts"),
+        )
+        .withWatermark("right_ts", watermark)
+    )
+    pairs = clicks.join(
+        purchases,
+        F.expr(
+            "user_id = r_user_id"
+            " AND right_ts >= left_ts"
+            f" AND right_ts <= left_ts + interval {within}"
+        ),
+    )
+    return pairs.select(
+        "user_id",
+        "left_id",
+        "right_id",
+        F.unix_micros("left_ts").alias("left_ts_us"),
+        F.unix_micros("right_ts").alias("right_ts_us"),
+    )
+
+
 def enrich_join(events: DataFrame, dim: DataFrame, on: str = "event_type") -> DataFrame:
     """Stream-static enrichment join: each micro-batch of the stream joins
     the static dimension (broadcast per batch — the dimension is re-read
