@@ -25,6 +25,12 @@ NORM2_DOUBLE = (
     "aggregate(transform({a}, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),"
     " CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
 )
+D2_DOUBLE = (
+    "aggregate(zip_with({a}, {b}, (x, y) ->"
+    " (CAST(x AS DOUBLE) - CAST(y AS DOUBLE))"
+    " * (CAST(x AS DOUBLE) - CAST(y AS DOUBLE))),"
+    " CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
+)
 
 
 def dot(a: str, b: str) -> Column:
@@ -159,48 +165,65 @@ def cosine_topk_ivf(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
+    centroids: DataFrame | None = None,
 ) -> DataFrame:
-    """IVF-Flat ANN top-k: a k-means coarse quantizer partitions the corpus
-    into cells; each query scores only its n_probe nearest cells.
+    """IVF-Flat ANN top-k: a coarse quantizer partitions the corpus into
+    cells; each query scores only its n_probe nearest cells.
 
-    - Train: pyspark.ml KMeans over the corpus vectors (at 100 TB train on
-      a `.sample()` — the quantizer needs thousands of points, not all).
-    - Assign: one narrow pass tags every corpus row with its cell.
+    - Quantizer: either pyspark.ml KMeans over the corpus vectors (at
+      100 TB train on a `.sample()` — the quantizer needs thousands of
+      points, not all), or a caller-supplied `centroids` DataFrame
+      (cell, centroid array<double>). A deterministic hash-sample of the
+      corpus itself as centroids ("random quantizer") is standard IVF
+      practice and makes the whole query oracle-checkable — the k-means
+      seed is engine-internal, a sampled quantizer is plain algebra.
+    - Assign: nearest centroid per corpus row. With supplied centroids
+      this is one MIN(struct(d2, cell)) hash aggregate over the
+      broadcast pair expansion — argmin as an aggregate, map-side
+      combining, ties broken by cell id for determinism.
     - Probe: queries × centroids is a broadcast of n_cells rows; the
       candidate join is an equi-join on cell id — the corpus is touched
       only in the probed cells (with a cell-partitioned layout this is
       partition pruning at scan time).
     Recall < 1 by construction (a true neighbor can live in an unprobed
-    cell) and the k-means seed is engine-internal → rows-only check; the
-    exact verifier is cosine_topk."""
-    from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector
+    cell); the exact verifier is cosine_topk."""
+    if centroids is not None:
+        cent = centroids
+        pairs = corpus.select(id_col, vec_col).crossJoin(F.broadcast(cent))
+        best = (
+            pairs.withColumn("__d2", F.expr(D2_DOUBLE.format(a=vec_col, b="centroid")))
+            # embedding rides as the LAST struct field: (d2, cell) is unique
+            # per pair, so the array never participates in the comparison
+            .groupBy(id_col)
+            .agg(F.min(F.struct("__d2", "cell", vec_col)).alias("__m"))
+        )
+        assigned = best.select(
+            id_col,
+            F.col("__m.cell").alias("cell"),
+            F.col(f"__m.{vec_col}").alias(vec_col),
+        )
+    else:
+        from pyspark.ml.clustering import KMeans
+        from pyspark.ml.functions import array_to_vector
 
-    dense = corpus.select(id_col, vec_col).withColumn(
-        "__v", array_to_vector(F.col(vec_col).cast("array<double>"))
-    )
-    model = KMeans(k=n_cells, seed=42, featuresCol="__v", predictionCol="cell").fit(
-        dense
-    )
-    assigned = model.transform(dense).select(id_col, vec_col, "cell")
+        dense = corpus.select(id_col, vec_col).withColumn(
+            "__v", array_to_vector(F.col(vec_col).cast("array<double>"))
+        )
+        model = KMeans(
+            k=n_cells, seed=42, featuresCol="__v", predictionCol="cell"
+        ).fit(dense)
+        assigned = model.transform(dense).select(id_col, vec_col, "cell")
 
-    spark = corpus.sparkSession
-    cent = spark.createDataFrame(
-        [(i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())],
-        ["cell", "centroid"],
-    )
+        spark = corpus.sparkSession
+        cent = spark.createDataFrame(
+            [(i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())],
+            ["cell", "centroid"],
+        )
     q = queries.select(F.col(id_col).alias(query_id_col), F.col(vec_col).alias("q_vec"))
     # nearest n_probe cells per query: n_cells is tiny → broadcast + rank
     probed = (
         q.crossJoin(F.broadcast(cent))
-        .withColumn(
-            "__d2",
-            F.expr(
-                "aggregate(zip_with(q_vec, centroid, (x, y) ->"
-                " (CAST(x AS DOUBLE) - y) * (CAST(x AS DOUBLE) - y)),"
-                " CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
-            ),
-        )
+        .withColumn("__d2", F.expr(D2_DOUBLE.format(a="q_vec", b="centroid")))
         .withColumn(
             "__r",
             F.row_number().over(

@@ -1113,18 +1113,70 @@ def _register():
         queries = emb.filter(F.col("vec_id") < 5)
         return sim.cosine_topk_lsh(emb, queries, _TOPK_PLANES, k=10)
 
+    _D2_DD = (
+        "list_reduce(list_transform(list_zip({a}, {b}),"
+        " s -> (CAST(s[1] AS DOUBLE) - CAST(s[2] AS DOUBLE))"
+        " * (CAST(s[1] AS DOUBLE) - CAST(s[2] AS DOUBLE))), (acc, v) -> acc + v)"
+    )
+
     @register(
         "cosine_topk_ivf",
-        sql=None,  # k-means seed is engine-internal → rows-only check
+        sql=f"""
+        WITH cent AS (
+            SELECT vec_id AS cell,
+                   list_transform(embedding, x -> CAST(x AS DOUBLE)) AS centroid
+            FROM embeddings WHERE vec_id % 125 = 0
+        ), ass AS (
+            SELECT e.vec_id, e.embedding, c.cell,
+                   row_number() OVER (PARTITION BY e.vec_id ORDER BY
+                       {_D2_DD.format(a='e.embedding', b='c.centroid')},
+                       c.cell) AS rn
+            FROM embeddings e CROSS JOIN cent c
+        ), assigned AS (
+            SELECT vec_id, embedding, cell FROM ass WHERE rn = 1
+        ), q AS (
+            SELECT vec_id AS query_id, embedding AS q_vec
+            FROM embeddings WHERE vec_id < 5
+        ), pr AS (
+            SELECT q.query_id, q.q_vec, c.cell,
+                   row_number() OVER (PARTITION BY q.query_id ORDER BY
+                       {_D2_DD.format(a='q.q_vec', b='c.centroid')},
+                       c.cell) AS rn
+            FROM q CROSS JOIN cent c
+        ), probed AS (
+            SELECT query_id, q_vec, cell FROM pr WHERE rn <= 3
+        ), scored AS (
+            SELECT p.query_id, a.vec_id,
+                   {_DOT_DD.format(a='a.embedding', b='p.q_vec')}
+                       / ({_NORM_DD.format(a='a.embedding')}
+                          * {_NORM_DD.format(a='p.q_vec')}) AS cos_sim
+            FROM assigned a JOIN probed p USING (cell)
+        )
+        SELECT query_id, vec_id, cos_sim,
+               CAST(row_number() OVER (PARTITION BY query_id
+                    ORDER BY cos_sim DESC, vec_id) AS INT) AS rank
+        FROM scored
+        QUALIFY rank <= 10
+        """,
         tags=("ext-sim",),
     )
     def q_cosine_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
-        """IVF-Flat ANN: k-means cells + n_probe nearest-cell search — the
-        second at-scale ANN family next to the hyperplane LSH; exact
-        verifier is cosine_topk."""
+        """IVF-Flat ANN: coarse-quantizer cells + n_probe nearest-cell
+        search — the second at-scale ANN family next to the hyperplane
+        LSH. The quantizer is a deterministic hash-sample of the corpus
+        (every 125th vec_id), so the whole approximate query — assign,
+        probe, score — is oracle-checked; the distance folds are
+        bit-identical across engines. Exact verifier: cosine_topk.
+        (sim.cosine_topk_ivf also offers the pyspark.ml KMeans quantizer;
+        its seed is engine-internal, which is why the registered query
+        uses the sampled one.)"""
         emb = T(spark, sf_dir, "embeddings")
         queries = emb.filter(F.col("vec_id") < 5)
-        return sim.cosine_topk_ivf(emb, queries, k=10, n_cells=8, n_probe=3)
+        cent = emb.filter(F.col("vec_id") % 125 == 0).select(
+            F.col("vec_id").alias("cell"),
+            F.col("embedding").cast("array<double>").alias("centroid"),
+        )
+        return sim.cosine_topk_ivf(emb, queries, k=10, n_probe=3, centroids=cent)
 
     @register(
         "embedding_cosine_near_dup",
