@@ -2305,6 +2305,113 @@ def _register():
             "rnk", F.row_number().over(w)
         ).filter(F.col("rnk") <= 10)
 
+    @register(
+        "inverted_index_postings",
+        sql="""
+        WITH toks AS (
+            SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS term
+            FROM documents
+        )
+        SELECT term, COUNT(*) AS doc_freq,
+               array_to_string(list(doc_id ORDER BY doc_id), ',')
+                   AS posting_list
+        FROM toks GROUP BY term
+        """,
+        tags=("ext-text", "ext-stats"),
+    )
+    def q_inverted_index_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Search-index build: term → sorted doc-id posting list + document
+        frequency. Per-doc dedup happens BEFORE the explode (array_distinct
+        on the token array — narrow), so the shuffle carries one (term,
+        doc) pair per containing doc, not per occurrence. Postings are
+        emitted as a joined string for the cross-engine hash; at real
+        scale a hot term's posting list must be sharded — (term, bucket)
+        keys with bounded lists, same algebra as pack_sequences' bucket
+        streams."""
+        docs = T(spark, sf_dir, "documents")
+        toks = docs.select(
+            "doc_id",
+            F.explode(F.array_distinct(text.tokens("text"))).alias("term"),
+        )
+        return toks.groupBy("term").agg(
+            F.count("*").alias("doc_freq"),
+            F.array_join(
+                F.sort_array(F.collect_list("doc_id")), ","
+            ).alias("posting_list"),
+        )
+
+    @register(
+        "rolling_7day_order_totals",
+        sql="""
+        SELECT o_custkey, o_orderkey, day,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(27,2))) OVER (
+                    PARTITION BY o_custkey ORDER BY day
+                    RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)
+                    AS DOUBLE) AS rolling_7d
+        FROM (
+            SELECT o_custkey, o_orderkey,
+                   CAST(epoch(o_orderdate) AS BIGINT) // 86400 AS day,
+                   o_totalprice
+            FROM orders
+        )
+        """,
+        tags=("ext-window", "ext-temporal"),
+    )
+    def q_rolling_7day_order_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Per-customer rolling 7-day spend: a RANGE window frame over
+        epoch-day integers — the frame is defined by VALUE distance (6
+        days back), not row count, so peers on the same day aggregate
+        together deterministically. Decimal-snapped running sum; one
+        shuffle on the partition key, per-partition sort, single pass."""
+        o = T(spark, sf_dir, "orders").select(
+            "o_custkey",
+            "o_orderkey",
+            F.expr("unix_timestamp(o_orderdate) div 86400").alias("day"),
+            "o_totalprice",
+        )
+        w = (
+            Window.partitionBy("o_custkey")
+            .orderBy("day")
+            .rangeBetween(-6, Window.currentRow)
+        )
+        return o.select(
+            "o_custkey",
+            "o_orderkey",
+            "day",
+            F.sum(F.col("o_totalprice").cast("decimal(27,2)"))
+            .over(w)
+            .cast("double")
+            .alias("rolling_7d"),
+        )
+
+    @register(
+        "unpivot_lineitem_metrics",
+        sql="""
+        SELECT l_orderkey, l_linenumber,
+               'l_extendedprice' AS metric, l_extendedprice AS value
+        FROM lineitem
+        UNION ALL
+        SELECT l_orderkey, l_linenumber, 'l_discount', l_discount
+        FROM lineitem
+        UNION ALL
+        SELECT l_orderkey, l_linenumber, 'l_tax', l_tax FROM lineitem
+        """,
+        tags=("ext-olap",),
+    )
+    def q_unpivot_lineitem_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Wide→long reshaping (the inverse of pivot_event_counts) via the
+        native unpivot/stack operator: one narrow generator pass, no
+        shuffle, no triple scan — the oracle's UNION ALL of three scans is
+        the semantic twin, not the plan we'd run. Raw values pass through
+        untouched, so the compare is exact."""
+        li = T(spark, sf_dir, "lineitem")
+        return li.unpivot(
+            ["l_orderkey", "l_linenumber"],
+            ["l_extendedprice", "l_discount", "l_tax"],
+            "metric",
+            "value",
+        )
+
     # -- stream-stream join -------------------------------------------------
 
     @register(
