@@ -212,3 +212,51 @@ def test_contamination_no_cartesian_and_partial_agg(spark, sf_dir):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert plan.count("HashAggregate") >= 2
+
+
+def test_moments_single_exchange_partial_agg(spark, sf_dir):
+    """Power sums must partial-aggregate map-side and shuffle exactly once;
+    the moment formulas stay in the final narrow projection."""
+    plan = plan_of(q("grouped_moments", spark, sf_dir))
+    assert plan.count("HashAggregate") >= 2
+    assert plan.count(") Exchange") == 1, plan  # detail headers = node count
+
+
+def test_argmax_combines_before_shuffle(spark, sf_dir):
+    """The struct-max argmax must partial-combine before its exchange so
+    only one row per customer crosses the wire (SortAggregate is expected
+    for the struct buffer, but partial_max must appear below Exchange)."""
+    plan = plan_of(q("argmax_order_per_customer", spark, sf_dir))
+    assert "partial_max" in plan
+    assert plan.count(") Exchange") == 1, plan
+
+
+def test_unpivot_is_narrow(spark, sf_dir):
+    """Wide→long unpivot is a generator over each row — a shuffle here
+    would mean the reshape re-partitions 3× the corpus for nothing."""
+    plan = plan_of(q("unpivot_lineitem_metrics", spark, sf_dir))
+    assert "Exchange" not in plan
+
+
+def test_rolling_window_single_exchange(spark, sf_dir):
+    """The RANGE-frame rolling sum shuffles once on the partition key and
+    never collapses to a single global partition."""
+    plan = plan_of(q("rolling_7day_order_totals", spark, sf_dir))
+    assert plan.count(") Exchange") == 1, plan
+    assert "SinglePartition" not in plan
+
+
+def test_bigram_topk_group_limit(spark, sf_dir):
+    """Per-lang bigram top-k must plan a WindowGroupLimit, not a full
+    sort of the bigram vocabulary."""
+    plan = plan_of(q("bigram_top_terms", spark, sf_dir))
+    assert "WindowGroupLimit" in plan
+
+
+def test_ivf_broadcasts_centroids_no_cartesian_fact_join(spark, sf_dir):
+    """IVF assign/probe may cross-join only against the tiny broadcast
+    centroid set; the candidate scoring join must be an equi-join on the
+    cell id."""
+    plan = plan_of(q("cosine_topk_ivf", spark, sf_dir))
+    assert "BroadcastExchange" in plan
+    assert "CartesianProduct" not in plan
