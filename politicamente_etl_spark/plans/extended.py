@@ -2305,6 +2305,70 @@ def _register():
             "rnk", F.row_number().over(w)
         ).filter(F.col("rnk") <= 10)
 
+    # z-score mean/std formulas over integer-snapped sums, shared verbatim
+    # by both engines (same discipline as _STD/_COV/_CORR above; the
+    # floor(value·1e6) integer snap makes the power sums exact and
+    # order-independent, per embedding_group_centroids).
+    _ZMEAN = "CAST(s1 AS DOUBLE) / 1e6 / CAST(n AS DOUBLE)"
+    _ZSTD = (
+        "sqrt((CAST(n AS DOUBLE) * (CAST(s2 AS DOUBLE) / 1e12)"
+        " - (CAST(s1 AS DOUBLE) / 1e6) * (CAST(s1 AS DOUBLE) / 1e6))"
+        " / (CAST(n AS DOUBLE) * CAST(n - 1 AS DOUBLE)))"
+    )
+
+    @register(
+        "zscore_outlier_events",
+        sql=f"""
+        WITH v AS (
+            SELECT event_id, event_type, value,
+                   CAST(floor(value * 1e6) AS BIGINT) AS v6
+            FROM events
+        ), s AS (
+            SELECT event_type, COUNT(*) AS n,
+                   CAST(SUM(v6) AS BIGINT) AS s1,
+                   SUM(CAST(v6 AS DECIMAL(19,0)) * CAST(v6 AS DECIMAL(19,0)))
+                       AS s2
+            FROM v GROUP BY event_type
+        ), m AS (
+            SELECT event_type, {_ZMEAN} AS mean_v, {_ZSTD} AS std_v FROM s
+        )
+        SELECT v.event_id, v.event_type, v.value,
+               (v.value - m.mean_v) / m.std_v AS zscore
+        FROM v JOIN m USING (event_type)
+        WHERE abs((v.value - m.mean_v) / m.std_v) > 2.0
+        """,
+        tags=("ext-stats", "ext-events"),
+    )
+    def q_zscore_outlier_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Per-type anomaly detection: events whose value deviates more
+        than 2σ from their event_type mean. Two-phase standardization —
+        one map-side-combining aggregate builds exact integer-snapped
+        power sums per type, then the tiny stats table broadcasts back
+        onto the event stream (no second shuffle of the fact). The z
+        computation runs the identical IEEE op sequence on both engines,
+        so even the >2σ boundary decision is bit-reproducible."""
+        ev = load_events(spark, sf_dir).select("event_id", "event_type", "value")
+        v = ev.withColumn(
+            "v6", F.expr("CAST(floor(value * 1e6) AS BIGINT)")
+        )
+        s = v.groupBy("event_type").agg(
+            F.count("*").alias("n"),
+            F.sum("v6").alias("s1"),
+            F.sum(
+                F.col("v6").cast("decimal(19,0)") * F.col("v6").cast("decimal(19,0)")
+            ).alias("s2"),
+        )
+        m = s.selectExpr(
+            "event_type", f"{_ZMEAN} AS mean_v", f"{_ZSTD} AS std_v"
+        )
+        z = F.expr("(value - mean_v) / std_v")
+        return (
+            v.join(F.broadcast(m), "event_type")
+            .withColumn("zscore", z)
+            .filter(F.abs(F.col("zscore")) > 2.0)
+            .select("event_id", "event_type", "value", "zscore")
+        )
+
     @register(
         "inverted_index_postings",
         sql="""
