@@ -2135,20 +2135,25 @@ def _register():
     # -- statistical aggregates (exact-moment formulation) ------------------
 
     # Shared second-moment formulas, rendered VERBATIM into both engines'
-    # final projection: every input is an exact decimal sum cast to double
-    # at the same points, so the IEEE double arithmetic (and sqrt, correctly
-    # rounded per IEEE-754) runs the identical op sequence on both sides —
-    # bit-identical without any post-hoc rounding. Native stddev/corr/covar
-    # use order-dependent running co-moments (Chan et al.) and would drift
-    # between engines AND between Spark runs.
+    # final projection. Every input is an exact INTEGER-valued sum
+    # (quantity units / price cents via the floor-snap pattern), so the
+    # only cross-engine conversions are integer→double — correctly
+    # rounded and bit-identical in both engines (verified for
+    # DECIMAL(38,0) magnitudes ~1e27). A decimal WITH scale would not
+    # be: DuckDB converts scaled decimals via int→double then a second
+    # rounding division, which drifts a last ulp from Spark's single
+    # BigDecimal conversion once sums pass 2^53 (bit us at sf0.001).
+    # corr is scale-invariant so cent units need no rescale; covar needs
+    # one final /100. Native stddev/corr/covar use order-dependent
+    # running co-moments and would drift between engines AND runs.
     _STD = (
         "sqrt((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)"
         " - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))"
         " / (CAST(n AS DOUBLE) * CAST(n - 1 AS DOUBLE)))"
     )
     _COV = (
-        "(CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)"
-        " / CAST(n AS DOUBLE)) / CAST(n - 1 AS DOUBLE)"
+        "((CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)"
+        " / CAST(n AS DOUBLE)) / CAST(n - 1 AS DOUBLE)) / 100.0"
     )
     _CORR = (
         "(CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)"
@@ -2162,17 +2167,22 @@ def _register():
     @register(
         "grouped_moments",
         sql=f"""
-        WITH s AS (
+        WITH v AS (
+            SELECT l_returnflag,
+                   CAST(floor(l_quantity) AS BIGINT) AS xq,
+                   CAST(floor(l_extendedprice * 100) AS BIGINT) AS yc
+            FROM lineitem
+        ), s AS (
             SELECT l_returnflag,
                    COUNT(*) AS n,
-                   SUM(CAST(l_quantity AS DECIMAL(27,2))) AS sx,
-                   SUM(CAST(l_extendedprice AS DECIMAL(27,2))) AS sy,
-                   SUM(CAST(l_quantity * l_quantity AS DECIMAL(27,4))) AS sxx,
-                   SUM(CAST(l_extendedprice * l_extendedprice
-                            AS DECIMAL(27,4))) AS syy,
-                   SUM(CAST(l_quantity * l_extendedprice
-                            AS DECIMAL(27,4))) AS sxy
-            FROM lineitem GROUP BY l_returnflag
+                   CAST(SUM(xq) AS BIGINT) AS sx,
+                   CAST(SUM(yc) AS BIGINT) AS sy,
+                   CAST(SUM(xq * xq) AS BIGINT) AS sxx,
+                   SUM(CAST(yc AS DECIMAL(19,0)) * CAST(yc AS DECIMAL(19,0)))
+                       AS syy,
+                   SUM(CAST(xq AS DECIMAL(19,0)) * CAST(yc AS DECIMAL(19,0)))
+                       AS sxy
+            FROM v GROUP BY l_returnflag
         )
         SELECT l_returnflag, n,
                {_STD} AS std_qty,
@@ -2184,20 +2194,31 @@ def _register():
     )
     def q_grouped_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
         """stddev_samp / covar_samp / corr per group, computed from exact
-        decimal power sums (n, Σx, Σy, Σx², Σy², Σxy) — one map-side-
-        combining hash aggregate, same shuffle shape as any SUM, then a
-        narrow final projection. The exact-sum formulation is also the
-        distributed-friendly one: power sums merge associatively across
-        any partitioning, unlike streaming co-moment state."""
+        integer power sums (n, Σx, Σy, Σx², Σy², Σxy; quantities integral,
+        prices floor-snapped to cents) — one map-side-combining hash
+        aggregate, same shuffle shape as any SUM, then a narrow final
+        projection. The exact-sum formulation is also the distributed-
+        friendly one: power sums merge associatively across any
+        partitioning, unlike streaming co-moment state. (floor+CAST, not
+        a bare double→BIGINT cast: Spark truncates there, DuckDB
+        rounds.)"""
         li = T(spark, sf_dir, "lineitem")
-        x, y = F.col("l_quantity"), F.col("l_extendedprice")
-        s = li.groupBy("l_returnflag").agg(
+        v = li.select(
+            "l_returnflag",
+            F.expr("CAST(floor(l_quantity) AS BIGINT)").alias("xq"),
+            F.expr("CAST(floor(l_extendedprice * 100) AS BIGINT)").alias("yc"),
+        )
+        s = v.groupBy("l_returnflag").agg(
             F.count("*").alias("n"),
-            F.sum(x.cast("decimal(27,2)")).alias("sx"),
-            F.sum(y.cast("decimal(27,2)")).alias("sy"),
-            F.sum((x * x).cast("decimal(27,4)")).alias("sxx"),
-            F.sum((y * y).cast("decimal(27,4)")).alias("syy"),
-            F.sum((x * y).cast("decimal(27,4)")).alias("sxy"),
+            F.sum("xq").alias("sx"),
+            F.sum("yc").alias("sy"),
+            F.sum(F.col("xq") * F.col("xq")).alias("sxx"),
+            F.sum(
+                F.col("yc").cast("decimal(19,0)") * F.col("yc").cast("decimal(19,0)")
+            ).alias("syy"),
+            F.sum(
+                F.col("xq").cast("decimal(19,0)") * F.col("yc").cast("decimal(19,0)")
+            ).alias("sxy"),
         )
         return s.selectExpr(
             "l_returnflag",
