@@ -13,7 +13,7 @@ Scale notes (the part that matters at 100 TB):
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from politicamente_etl_spark.operators.core import spread
@@ -495,6 +495,101 @@ def ngram_jaccard_pairs(
             F.col("b.n_sh").alias("n_b"),
         )
         .agg(F.count("*").alias("n_common"))
+        .withColumn(
+            "jaccard",
+            F.col("n_common").cast("double")
+            / (F.col("n_a") + F.col("n_b") - F.col("n_common")).cast("double"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "n_common", "jaccard")
+    )
+
+
+def jaccard_pairs_prefix_filter(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    t_num: int = 2,
+    t_den: int = 5,
+) -> DataFrame:
+    """Exact Jaccard near-dup pairs via PREFIX FILTERING (Bayardo et al.
+    AllPairs / Chaudhuri et al. SSJoin): identical output to
+    ngram_jaccard_pairs (threshold t = t_num/t_den), but candidates come
+    only from each document's RAREST shingles.
+
+    Order all shingles by (global document frequency, hash) — a total
+    order. For a set of size n, two sets with Jaccard >= t must share a
+    shingle inside each other's first ``n - ceil(t*n) + 1`` shingles
+    under that order, so the inverted index is built over prefixes only.
+    Hot shingles (the skew risk of the plain shingle join — their
+    postings grow with corpus size and the pair blowup is quadratic)
+    land at the END of the order and never enter the index; prefix
+    postings stay short. The price is two extra LINEAR shuffles (the
+    frequency join and the per-doc rank) — the classic trade: linear
+    work to avoid quadratic candidates. Verification then recounts the
+    true intersection per candidate from the full hashed-shingle arrays
+    (array_intersect, JVM-side) — the filter is lossless, so this is
+    NOT an approximation.
+
+    ceil(t*n) is computed in INTEGER arithmetic ((t_num*n + t_den - 1)
+    DIV t_den): a float ceil(0.4*n) can land one too high at exact
+    multiples (0.4*20 -> 8.000000000000002), silently shortening the
+    prefix and DROPPING true pairs. Shingles ride as xxhash64 longs
+    (same hashing + collision reasoning as ngram_jaccard_pairs, so both
+    queries see identical counts)."""
+    threshold = t_num / t_den
+    # build hashed distinct shingle sets once; reused for index and verify
+    sets = spread(df.select(id_col, text_col), id_col).select(
+        F.col(id_col),
+        F.array_distinct(shingles_regex(text_col)).alias("__shs"),
+    ).select(
+        F.col(id_col),
+        F.expr("transform(__shs, s -> xxhash64(s))").alias("hs"),
+        F.size("__shs").alias("n_sh"),
+    ).filter(F.col("n_sh") > 0)
+
+    tok = sets.select(id_col, "n_sh", F.explode("hs").alias("h"))
+    freq = tok.groupBy("h").agg(F.count("*").alias("gdf"))
+    w = Window.partitionBy(id_col).orderBy("gdf", "h")
+    prefix = (
+        tok.join(freq, "h")
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(
+            F.col("__rn")
+            <= F.col("n_sh")
+            - F.expr(f"(({t_num} * n_sh + {t_den} - 1) DIV {t_den})")
+            + 1
+        )
+        .select(id_col, "n_sh", "h")
+    )
+    a, b = prefix.alias("a"), prefix.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.h") == F.col("b.h"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+            # size band: t*max(|A|,|B|) <= min(|A|,|B|), in integers
+            & (
+                t_num * F.greatest(F.col("a.n_sh"), F.col("b.n_sh"))
+                <= t_den * F.least(F.col("a.n_sh"), F.col("b.n_sh"))
+            ),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("doc_a"),
+            F.col(f"b.{id_col}").alias("doc_b"),
+        )
+        .distinct()
+    )
+    sa = sets.select(
+        F.col(id_col).alias("doc_a"), F.col("hs").alias("hs_a"), F.col("n_sh").alias("n_a")
+    )
+    sb = sets.select(
+        F.col(id_col).alias("doc_b"), F.col("hs").alias("hs_b"), F.col("n_sh").alias("n_b")
+    )
+    return (
+        cand.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn("n_common", F.size(F.array_intersect("hs_a", "hs_b")))
         .withColumn(
             "jaccard",
             F.col("n_common").cast("double")

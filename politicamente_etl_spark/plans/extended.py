@@ -418,6 +418,47 @@ def _register():
         docs = T(spark, sf_dir, "documents").select("doc_id", "text")
         return dedup.ngram_jaccard_pairs(docs, threshold=0.4)
 
+    @register(
+        "jaccard_pairs_prefix_filter",
+        # IDENTICAL oracle to ngram_jaccard_pairs: prefix filtering is a
+        # lossless candidate pruning, so the brute inverted-index SQL is
+        # the ground truth for it too.
+        sql="""
+        WITH t AS (
+            SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+        ), sh AS (
+            SELECT DISTINCT doc_id,
+                   unnest([concat_ws(' ', toks[i], toks[i+1], toks[i+2])
+                           for i in range(1, len(toks) - 1)]) AS sh
+            FROM t
+        ), sizes AS (
+            SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id
+        ), inter AS (
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+            FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+            GROUP BY 1, 2
+        )
+        SELECT doc_a, doc_b, n_common,
+               CAST(n_common AS DOUBLE)
+                   / CAST(na.n_sh + nb.n_sh - n_common AS DOUBLE) AS jaccard
+        FROM inter
+        JOIN sizes na ON inter.doc_a = na.doc_id
+        JOIN sizes nb ON inter.doc_b = nb.doc_id
+        WHERE CAST(n_common AS DOUBLE)
+                  / CAST(na.n_sh + nb.n_sh - n_common AS DOUBLE) >= 0.4
+        """,
+        tags=("ext-dedup",),
+    )
+    def q_jaccard_pairs_prefix_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """AllPairs-style prefix-filtered exact Jaccard self-join: the
+        inverted index is built over each doc's rarest shingles only, so
+        hot-shingle postings (the quadratic blowup of the plain shingle
+        join at corpus scale) never generate candidates; true
+        intersections are recounted per candidate, making the pruning
+        lossless — same output, same oracle, as ngram_jaccard_pairs."""
+        docs = T(spark, sf_dir, "documents").select("doc_id", "text")
+        return dedup.jaccard_pairs_prefix_filter(docs, t_num=2, t_den=5)
+
     _JACCARD_PAIRS_CTES = """
         t AS (
             SELECT doc_id, string_split(text, ' ') AS toks FROM documents

@@ -260,3 +260,11 @@ def test_ivf_broadcasts_centroids_no_cartesian_fact_join(spark, sf_dir):
     plan = plan_of(q("cosine_topk_ivf", spark, sf_dir))
     assert "BroadcastExchange" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_prefix_filter_no_cartesian_and_equijoins(spark, sf_dir):
+    """Prefix-filtered Jaccard must stay equi-join end to end: candidates
+    meet on shared prefix shingle hashes, verification meets on doc ids."""
+    plan = plan_of(q("jaccard_pairs_prefix_filter", spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
