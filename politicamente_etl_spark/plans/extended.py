@@ -2538,6 +2538,124 @@ def _register():
             "value",
         )
 
+    @register(
+        "incremental_dedup_new_docs",
+        sql="""
+        WITH d AS (
+            SELECT doc_id, source, md5(text) AS digest,
+                   CAST(substr(source, 4) AS INT) AS src_num
+            FROM documents
+        ), corpus AS (
+            SELECT DISTINCT digest FROM d WHERE src_num < 10
+        ), batch_first AS (
+            SELECT digest,
+                   min(doc_id) AS doc_id,
+                   first(source ORDER BY doc_id) AS source
+            FROM d WHERE src_num >= 10 GROUP BY digest
+        )
+        SELECT doc_id, source, digest
+        FROM batch_first b
+        WHERE NOT EXISTS (SELECT 1 FROM corpus c WHERE c.digest = b.digest)
+        """,
+        tags=("ext-dedup", "ext-sampling"),
+    )
+    def q_incremental_dedup_new_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Production ingestion dedup: a NEW batch (sources src10+) is
+        deduplicated internally (keep the lowest doc_id per content
+        digest — one struct-min aggregate) and then anti-joined against
+        the EXISTING corpus's digest set (sources src0-9). Both joins meet
+        on 16-byte digests, never documents — the shuffle cost is
+        O(batch), independent of corpus width; at scale the corpus digest
+        side is a bucketed table so the anti-join is shuffle-free."""
+        d = T(spark, sf_dir, "documents").select(
+            "doc_id",
+            "source",
+            F.md5("text").alias("digest"),
+            F.expr("CAST(substr(source, 4) AS INT)").alias("src_num"),
+        )
+        corpus = d.filter(F.col("src_num") < 10).select("digest").distinct()
+        batch_first = (
+            d.filter(F.col("src_num") >= 10)
+            .groupBy("digest")
+            .agg(F.min(F.struct("doc_id", "source")).alias("m"))
+            .select(
+                F.col("m.doc_id").alias("doc_id"),
+                F.col("m.source").alias("source"),
+                "digest",
+            )
+        )
+        return batch_first.join(corpus, "digest", "left_anti").select(
+            "doc_id", "source", "digest"
+        )
+
+    @register(
+        "corpus_admission_report",
+        sql="""
+        WITH d AS (
+            SELECT doc_id,
+                   CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+                   string_split(text, ' ') AS toks,
+                   md5(text) AS digest
+            FROM documents
+        ), sh AS (
+            SELECT doc_id, n_tokens, digest,
+                   [concat_ws(' ', toks[i], toks[i+1], toks[i+2])
+                    for i in range(1, len(toks) - 1)] AS shingles
+            FROM d
+        ), feat AS (
+            SELECT doc_id, n_tokens, digest,
+                   CASE WHEN len(shingles) = 0 THEN 0.0
+                        ELSE 1.0 - CAST(len(list_distinct(shingles)) AS DOUBLE)
+                                   / CAST(len(shingles) AS DOUBLE) END AS rep,
+                   min(doc_id) OVER (PARTITION BY digest) AS first_doc
+            FROM sh
+        )
+        SELECT doc_id, n_tokens,
+               CASE WHEN n_tokens < 30 THEN 'too_short'
+                    WHEN rep > 0.3 THEN 'repetitive'
+                    WHEN doc_id <> first_doc THEN 'duplicate'
+                    ELSE 'admitted' END AS verdict
+        FROM feat
+        """,
+        tags=("ext-text", "ext-dedup"),
+    )
+    def q_corpus_admission_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """The admission pipeline DECISION, per document: first failing
+        rule in a fixed order — too_short (token count), repetitive
+        (3-gram repetition ratio), duplicate (not the first doc of its
+        content-digest group), else admitted. Everything is narrow
+        per-row expression work except the digest window (one shuffle on
+        a 16-byte key); the rule cascade is a single CASE projection, so
+        adding rules costs nothing at scale."""
+        docs = (
+            T(spark, sf_dir, "documents")
+            .select("doc_id", "text")
+            .withColumn("__shs", text.shingles_regex("text"))
+        )
+        shs = F.col("__shs")
+        n_sh = F.size(shs)
+        nd = F.size(F.array_distinct(shs))
+        feat = docs.select(
+            "doc_id",
+            F.size(F.split("text", " ")).cast("long").alias("n_tokens"),
+            F.md5("text").alias("digest"),
+            F.when(n_sh == 0, F.lit(0.0))
+            .otherwise(1.0 - nd.cast("double") / n_sh.cast("double"))
+            .alias("rep"),
+        ).withColumn(
+            "first_doc",
+            F.min("doc_id").over(Window.partitionBy("digest")),
+        )
+        return feat.select(
+            "doc_id",
+            "n_tokens",
+            F.when(F.col("n_tokens") < 30, F.lit("too_short"))
+            .when(F.col("rep") > 0.3, F.lit("repetitive"))
+            .when(F.col("doc_id") != F.col("first_doc"), F.lit("duplicate"))
+            .otherwise(F.lit("admitted"))
+            .alias("verdict"),
+        )
+
     # -- stream-stream join -------------------------------------------------
 
     @register(
