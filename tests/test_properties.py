@@ -208,3 +208,39 @@ def test_near_dup_clusters_matches_union_find(spark, edges):
         for r in near_dup_clusters(docs, pairs).collect()
     }
     assert got == expect
+
+
+# word pool small enough to force shared shingles and hot tokens
+_words = st.sampled_from(["a", "b", "c", "d", "e"])
+_docs = st.lists(
+    st.lists(_words, min_size=0, max_size=12).map(" ".join),
+    min_size=0,
+    max_size=10,
+)
+
+
+@given(texts=_docs)
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_prefix_filter_is_lossless(spark, texts):
+    """jaccard_pairs_prefix_filter must emit EXACTLY the pairs the plain
+    inverted-index join emits — prefix pruning is a candidate superset,
+    never a filter on true pairs. Adversarial inputs: tiny vocab (every
+    token is hot), duplicate docs, empty docs, sets of size 1 (prefix
+    length boundary: p = n - ceil(t*n) + 1 with n*t at exact multiples)."""
+    from politicamente_etl_spark.operators import dedup
+
+    df = spark.createDataFrame(
+        list(enumerate(texts)) or [(0, "")], ["doc_id", "text"]
+    )
+    if not texts:
+        df = df.limit(0)
+    brute = {
+        (r.doc_a, r.doc_b, r.n_common)
+        for r in dedup.ngram_jaccard_pairs(df, threshold=0.4).collect()
+    }
+    pruned = {
+        (r.doc_a, r.doc_b, r.n_common)
+        for r in dedup.jaccard_pairs_prefix_filter(df, t_num=2, t_den=5).collect()
+    }
+    assert pruned == brute
