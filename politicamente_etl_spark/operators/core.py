@@ -79,9 +79,43 @@ def spread(df: DataFrame, *cols: str) -> DataFrame:
     plan exactly when it would matter (100 TB inputs)."""
     spark = df.sparkSession
     target = spark.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() >= target:
+    if _estimated_scan_splits(df, spark) >= target:
         return df
     return df.repartition(target, *cols) if cols else df.repartition(target)
+
+
+def _estimated_scan_splits(df: DataFrame, spark) -> int:
+    """Approximate the scan's split count from input-file sizes — the same
+    ceil(size / maxPartitionBytes) arithmetic FilePartition planning uses
+    (openCostInBytes packing only merges splits, never adds). Plan-free:
+    avoids `df.rdd.getNumPartitions()`, which compiles the plan to an RDD
+    on every call. Falls back to the RDD probe when file sizes aren't
+    locally readable (non-file scheme, in-memory relation)."""
+    import math
+    import os
+
+    try:
+        files = df.inputFiles()
+        if not files:
+            return df.rdd.getNumPartitions()
+        raw = spark.conf.get("spark.sql.files.maxPartitionBytes", "134217728")
+        digits = "".join(ch for ch in raw if ch.isdigit())
+        max_bytes = int(digits) if digits else 134_217_728
+        low = raw.lower()
+        if low.endswith(("k", "kb")):
+            max_bytes *= 1024
+        elif low.endswith(("m", "mb")):
+            max_bytes *= 1024**2
+        elif low.endswith(("g", "gb")):
+            max_bytes *= 1024**3
+        splits = 0
+        for uri in files:
+            path = uri.split("://", 1)[-1] if "://" in uri else uri
+            path = path[5:] if path.startswith("file:") else path
+            splits += max(1, math.ceil(os.path.getsize(path) / max_bytes))
+        return splits
+    except Exception:  # noqa: BLE001 — heuristic; fall back to exact probe
+        return df.rdd.getNumPartitions()
 
 
 def top_k_per_group(

@@ -86,15 +86,27 @@ def cosine_near_dup_pairs(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     threshold: float = 0.45,
+    max_rows: int | None = 100_000,
 ) -> DataFrame:
     """Embedding-cosine near-dup pairs (exact): every (a, b) with a < b and
     cosine(a, b) >= threshold. Norms are computed once per row BEFORE the
     pair join, so each pair costs one dot product, not three folds.
 
-    This exact all-pairs form is the oracle-checkable verifier; it is
-    quadratic and must not run on a full 100 TB corpus — the scale path is
+    VERIFIER ONLY — this exact all-pairs form is a quadratic theta-join and
+    must not run on a full 100 TB corpus; the scale path is
     `cosine_near_dup_pairs_lsh` below (hyperplane-bucketed candidates, same
-    exact cosine filter, recall < 1)."""
+    exact cosine filter, recall < 1). The ``max_rows`` guard enforces that:
+    it refuses corpora above the cap (one cheap count job) unless the
+    caller explicitly passes ``max_rows=None``."""
+    if max_rows is not None:
+        n = df.count()
+        if n > max_rows:
+            raise ValueError(
+                f"cosine_near_dup_pairs is the quadratic exact verifier; "
+                f"input has {n} rows > max_rows={max_rows}. Use "
+                "cosine_near_dup_pairs_lsh for full-corpus runs, or pass "
+                "max_rows=None to override deliberately."
+            )
     base = df.select(id_col, vec_col)
     a = base.select(
         F.col(id_col).alias("vec_a"),

@@ -19,6 +19,7 @@ from typing import Callable
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
+from pyspark.sql.types import LongType, TimestampNTZType
 
 from politicamente_etl_spark.functions.scalar import (
     election_date,
@@ -60,13 +61,31 @@ def T(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 
 def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The events table carries TIMESTAMP(NANOS) parquet, which Spark's
-    vectorized reader rejects. Read nanos as long (legacy conf, runtime-
-    settable) and derive a microsecond timestamp with exact integer math —
-    `div 1000` floors, matching DuckDB's ns→ms/µs truncation."""
+    """Schema-adaptive events scan. The driver's events.parquet carries
+    ``ts: timestamp[us]`` (isAdjustedToUTC=false, which Spark surfaces as
+    TIMESTAMP_NTZ); other vintages carry TIMESTAMP(NANOS), which Spark's
+    vectorized reader only accepts as a nanosecond LONG under the legacy
+    conf. Branch on the actual footer dtype so every vintage normalizes to
+    a proper UTC TimestampType ``ts``:
+
+    - LongType (nanos-as-long): exact integer floor to micros (`div 1000`),
+      matching DuckDB's ns→µs truncation.
+    - TIMESTAMP_NTZ: wall-clock == UTC instant under the UTC session tz;
+      cast to TimestampType because `unix_micros()` / `F.window()` reject
+      NTZ inputs.
+    - TimestampType: already an instant — pass through.
+
+    Both branches are unit-tested against µs and ns fixtures
+    (tests/test_oracle_parity.py, tests/test_streaming.py) so a testdata
+    regeneration can't silently flip the assumption again."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = load_table(spark, sf_dir, "events")
-    return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    dt = df.schema["ts"].dataType
+    if isinstance(dt, LongType):
+        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if isinstance(dt, TimestampNTZType):
+        return df.withColumn("ts", F.col("ts").cast("timestamp"))
+    return df
 
 
 # ===========================================================================

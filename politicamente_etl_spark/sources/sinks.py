@@ -67,9 +67,9 @@ def write_jdbc(
     through one connection with `batchsize` statements (default mirrors the
     reference's BATCH_SIZE=1000, `config.py:22`). Conflict semantics are NOT
     expressible through plain JDBC inserts — run the upsert/insert_if_absent
-    algebra first and write the resolved table. Untested here (no database
-    in this environment); the call shape is the public DataFrameWriter.jdbc
-    contract."""
+    algebra first and write the resolved table. Tested end-to-end against
+    embedded Apache Derby in tests/test_jdbc_roundtrip.py (overwrite,
+    append, and read-back paths)."""
     writer = (
         df.write.format("jdbc")
         .option("url", url)

@@ -27,11 +27,16 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from politicamente_etl_spark.schemas import EVENTS
-from pyspark.sql.types import LongType, StructField, StructType
+from pyspark.sql.types import (
+    LongType,
+    StructField,
+    StructType,
+    TimestampNTZType,
+)
 
-# Streaming reads need an explicit schema; ts arrives as raw nanos (the
-# parquet carries TIMESTAMP(NANOS), read via nanosAsLong) and is converted
-# to a microsecond timestamp with exact integer math.
+# Explicit schema for the legacy TIMESTAMP(NANOS) vintage, where the
+# vectorized reader surfaces ts as a raw nanosecond long (nanosAsLong).
+# Kept for the ns-fixture unit tests; driver data is timestamp[us].
 EVENTS_NANOS = StructType(
     [
         StructField("event_id", LongType()),
@@ -41,19 +46,42 @@ EVENTS_NANOS = StructType(
 )
 
 
+def normalize_ts(events: DataFrame) -> DataFrame:
+    """Normalize the ``ts`` column to a UTC TimestampType instant,
+    whatever vintage the source schema carries — the streaming twin of the
+    batch ``load_events`` branching (plans/catalog.py):
+
+    - LongType nanos → exact integer floor to micros;
+    - TIMESTAMP_NTZ → cast (wall-clock == UTC instant under the UTC
+      session tz; `unix_micros`/`F.window` reject NTZ);
+    - TimestampType → pass through.
+    """
+    dt = events.schema["ts"].dataType
+    if isinstance(dt, LongType):
+        return events.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if isinstance(dt, TimestampNTZType):
+        return events.withColumn("ts", F.col("ts").cast("timestamp"))
+    return events
+
+
 def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """readStream over the events parquet (file-source; a directory/glob in
-    production — here the single driver file)."""
+    production — here the single driver file).
+
+    Streaming sources need an explicit schema; derive it from the batch
+    parquet footer instead of hardcoding a vintage, then normalize ts
+    through the same branch as the batch loader."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
+    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
     raw = (
-        spark.readStream.schema(EVENTS_NANOS)
+        spark.readStream.schema(schema)
         .format("parquet")
         # basePath must be a directory; the glob selects just the events file
         .option("basePath", sf_dir)
         .load(f"{sf_dir}/events.parque*")
     )
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return normalize_ts(raw)
 
 
 def tumbling_agg(events: DataFrame, width: str = "10 minutes") -> DataFrame:
