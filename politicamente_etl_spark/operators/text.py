@@ -430,3 +430,74 @@ def shingles(col: str = "text", n: int = 3) -> Column:
         )
 
     return F.aggregate(tokens(col), init, step, lambda acc: acc["out"])
+
+
+def unigram_logprob_scores(
+    df: DataFrame,
+    col: str = "text",
+    id_col: str = "doc_id",
+    n_buckets: int = 3,
+) -> DataFrame:
+    """Corpus-level statistical quality scoring: each document's mean
+    log-probability under the corpus's own unigram language model, plus a
+    head/middle/tail quality bucket — the public CCNet recipe (Wenzek et
+    al. 2020) with the corpus unigram LM standing in for KenLM (no model
+    artifacts in this environment; slot a real LM's per-token logprob into
+    the same join and everything downstream is unchanged).
+
+    Plan (the aggregate → broadcast → score pattern): explode tokens →
+    vocab-sized groupBy(term) count → broadcast the vocab's log-probs back
+    onto the token stream (map-side join, no shuffle of the big side) →
+    one partial-agg'd groupBy(doc). At 100 TB the token explode is linear,
+    the vocab table is the only state (fits broadcast for natural-language
+    vocabularies; falls back to a shuffle join past the threshold, still
+    linear), and the per-doc agg is the single fact shuffle.
+
+    Determinism across engines: ln() differs in the last ulp, so each
+    term's logprob is snapped to integer MICRO-NATS
+    (round(ln(p)·1e6) as BIGINT) before the per-doc sum — integer sums are
+    exact and order-independent, so partition count can't change the
+    result; the mean is one double division at the end. The bucket is
+    ntile over (mean desc, doc_id) — a global doc-level sort, fine at any
+    doc count that fits a single reducer's sort spill; the 100 TB variant
+    computes approx-percentile thresholds instead and buckets by
+    comparison (no global sort), at the cost of oracle exactness.
+    """
+    from pyspark.sql import Window
+
+    toks = df.select(id_col, F.explode(tokens(col)).alias("term"))
+    vocab = toks.groupBy("term").agg(F.count("*").alias("tf_corpus"))
+    total = toks.groupBy().agg(F.count("*").alias("n_total"))
+    lp = (
+        vocab.crossJoin(F.broadcast(total))
+        .withColumn(
+            "lp_micro",
+            F.round(
+                F.log(
+                    F.col("tf_corpus").cast("double")
+                    / F.col("n_total").cast("double")
+                )
+                * F.lit(1e6),
+                0,
+            ).cast("long"),
+        )
+        .select("term", "lp_micro")
+    )
+    doc = (
+        toks.join(F.broadcast(lp), "term")
+        .groupBy(id_col)
+        .agg(
+            F.count("*").cast("long").alias("n_tokens"),
+            F.sum("lp_micro").alias("sum_lp_micro"),
+        )
+        .withColumn(
+            "mean_logprob",
+            F.col("sum_lp_micro").cast("double")
+            / F.lit(1000000.0)
+            / F.col("n_tokens").cast("double"),
+        )
+    )
+    w = Window.orderBy(F.col("mean_logprob").desc(), F.col(id_col))
+    return doc.withColumn(
+        "quality_bucket", F.ntile(n_buckets).over(w).cast("int")
+    ).select(id_col, "n_tokens", "sum_lp_micro", "mean_logprob", "quality_bucket")

@@ -2689,5 +2689,48 @@ def _register():
             mode="append",
         )
 
+    # -- corpus-level statistical scoring ----------------------------------
+
+    @register(
+        "unigram_logprob_quality",
+        sql="""
+        WITH toks AS (
+            SELECT doc_id, unnest(string_split(text, ' ')) AS term
+            FROM documents
+        ), vocab AS (
+            SELECT term, COUNT(*) AS tf_corpus FROM toks GROUP BY term
+        ), tot AS (
+            SELECT COUNT(*) AS n_total FROM toks
+        ), lp AS (
+            SELECT term,
+                   CAST(round(ln(CAST(tf_corpus AS DOUBLE)
+                                 / CAST(n_total AS DOUBLE)) * 1000000, 0)
+                        AS BIGINT) AS lp_micro
+            FROM vocab CROSS JOIN tot
+        ), doc AS (
+            SELECT t.doc_id,
+                   CAST(COUNT(*) AS BIGINT) AS n_tokens,
+                   CAST(SUM(l.lp_micro) AS BIGINT) AS sum_lp_micro
+            FROM toks t JOIN lp l USING (term)
+            GROUP BY t.doc_id
+        )
+        SELECT doc_id, n_tokens, sum_lp_micro,
+               CAST(sum_lp_micro AS DOUBLE) / 1000000.0
+                   / CAST(n_tokens AS DOUBLE) AS mean_logprob,
+               CAST(ntile(3) OVER (
+                    ORDER BY CAST(sum_lp_micro AS DOUBLE) / 1000000.0
+                             / CAST(n_tokens AS DOUBLE) DESC, doc_id)
+                    AS INT) AS quality_bucket
+        FROM doc
+        """,
+        tags=("ext-text",),
+    )
+    def q_unigram_logprob_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """CCNet-style quality scoring: per-doc mean log-prob under the
+        corpus unigram LM + head/middle/tail bucket (`text.py:
+        unigram_logprob_scores` — integer micro-nat snapping makes the
+        per-doc sums exact and order-independent on both engines)."""
+        return text.unigram_logprob_scores(T(spark, sf_dir, "documents"))
+
 
 _register()

@@ -1,0 +1,98 @@
+"""Multi-format source/sink round-trips beyond parquet.
+
+The reference reads `;`-separated latin-1 CSV and writes Postgres; a
+production corpus pipeline additionally lands ORC and JSON-lines drops and
+raw media files. Spark supports all three natively — these tests pin the
+exact read-back semantics (types, row identity) so each format is a
+first-class source, and exercise the `binaryFile` source as the real
+ingestion path for the multimodal operators (one row per file with
+content + metadata, feeding the same mapInPandas feature pass as the
+parquet-borne payload column).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from politicamente_etl_spark.operators.multimodal import extract_media_features
+from politicamente_etl_spark.sources.readers import load_table, read_jsonl
+
+
+def test_orc_roundtrip(spark, sf_dir, tmp_path):
+    """ORC write → read preserves rows and types (nation dim)."""
+    nation = load_table(spark, sf_dir, "nation")
+    path = str(tmp_path / "nation_orc")
+    nation.write.format("orc").mode("overwrite").save(path)
+    back = spark.read.format("orc").load(path)
+    assert back.schema == nation.schema
+    assert {tuple(r) for r in back.collect()} == {tuple(r) for r in nation.collect()}
+
+
+def test_jsonl_roundtrip_with_schema(spark, sf_dir, tmp_path):
+    """JSON-lines write → schema'd read: explicit schema (no inference
+    pass) reproduces the source rows; longs stay longs, doubles stay
+    doubles."""
+    region = load_table(spark, sf_dir, "region")
+    path = str(tmp_path / "region_jsonl")
+    region.write.format("json").mode("overwrite").save(path)
+    back = read_jsonl(spark, path, schema=region.schema).select(*region.columns)
+    assert back.schema == region.schema
+    assert {tuple(r) for r in back.collect()} == {tuple(r) for r in region.collect()}
+
+
+def test_binaryfile_source_feeds_multimodal(spark, tmp_path):
+    """binaryFile ingestion: one row per media file (path, length,
+    content). Renaming to the multimodal contract (doc_id via filename,
+    media bytes, media_type) must feed extract_media_features unchanged —
+    this is the production path for raw image/audio drops."""
+    media_dir = tmp_path / "media"
+    media_dir.mkdir()
+    payloads = {i: bytes(f"fake-media-{i}", "utf-8") * (i + 1) for i in range(5)}
+    for i, blob in payloads.items():
+        (media_dir / f"{i}.bin").write_bytes(blob)
+
+    files = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.bin")
+        .load(str(media_dir))
+    )
+    assert files.count() == 5
+    # length column comes from file metadata — no content read needed for it
+    assert {"path", "modificationTime", "length", "content"} <= set(files.columns)
+
+    media = files.select(
+        F.regexp_extract(F.col("path"), r"(\d+)\.bin$", 1)
+        .cast("long")
+        .alias("doc_id"),
+        F.col("content").alias("media"),
+        F.lit("application/octet-stream").alias("media_type"),
+    )
+    feats = extract_media_features(media).collect()
+    assert len(feats) == 5
+    by_id = {r.doc_id: r for r in feats}
+    import hashlib
+
+    for i, blob in payloads.items():
+        assert by_id[i].n_bytes == len(blob)
+        assert by_id[i].content_md5 == hashlib.md5(blob).hexdigest()
+
+
+def test_csv_roundtrip_tse_conventions(spark, sf_dir, tmp_path):
+    """The reference's CSV conventions (`;`, latin-1, header) survive a
+    write → read round-trip through read_tse_csv with an explicit schema."""
+    from politicamente_etl_spark.sources.readers import read_tse_csv
+
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_nationkey", "c_acctbal"
+    ).limit(100)
+    path = str(tmp_path / "cust_csv")
+    (
+        cust.write.option("sep", ";")
+        .option("header", True)
+        .option("encoding", "ISO-8859-1")
+        .mode("overwrite")
+        .csv(path)
+    )
+    back = read_tse_csv(spark, path, cust.schema).select(*cust.columns)
+    assert back.schema == cust.schema
+    assert {tuple(r) for r in back.collect()} == {tuple(r) for r in cust.collect()}

@@ -131,3 +131,21 @@ def test_redact_pii_literal(spark):
     assert rows[1].clean_text == "mail me at <EMAIL> or see <URL> now"
     assert rows[2].n_emails == 0 and rows[2].n_urls == 0
     assert rows[2].clean_text == "no pii here at all"
+
+
+def test_unigram_logprob_scores_semantics(spark, sf_dir):
+    """Bucket 1 = head (highest mean logprob); micro-nat sums are integral
+    and every doc is scored exactly once."""
+    from politicamente_etl_spark.operators.text import unigram_logprob_scores
+    from politicamente_etl_spark.sources.readers import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = unigram_logprob_scores(docs).collect()
+    assert len(out) == docs.count()
+    assert {r.doc_id for r in out} == {r.doc_id for r in docs.select("doc_id").collect()}
+    by_bucket = {}
+    for r in out:
+        by_bucket.setdefault(r.quality_bucket, []).append(r.mean_logprob)
+        # logprobs are negative; micro-nat sums must be too
+        assert r.sum_lp_micro < 0 and r.mean_logprob < 0
+    assert min(by_bucket[1]) >= max(by_bucket[max(by_bucket)])
