@@ -21,23 +21,41 @@ def asof_join(
     left_ts: str,
     right_ts: str,
     right_cols: list[str] | None = None,
+    direction: str = "backward",
+    tolerance: Column | None = None,
 ) -> DataFrame:
-    """As-of (backward) join: for each left row, attach the right row with
-    the greatest right_ts <= left_ts within the same `on` key.
+    """As-of join: for each left row, attach the nearest right row within
+    the same `on` key — `direction="backward"` takes the greatest
+    right_ts <= left_ts (the default, pandas/DuckDB ASOF semantics),
+    `direction="forward"` the smallest right_ts >= left_ts. An optional
+    `tolerance` (a Column the ts difference must not exceed, e.g.
+    ``F.expr("INTERVAL 30 MINUTES")`` for timestamps or a numeric literal
+    for epoch columns) nulls out matches farther than the bound — pandas
+    ``merge_asof(tolerance=...)`` parity.
 
     Implementation is the union+window pattern (one shuffle on the key, a
     per-partition sort, zero cross products): tag both sides, union, and
-    carry the last-seen right values forward with last(ignorenulls) ordered
-    by (ts, side) — right-before-left at equal ts gives the `<=` bound.
-    Equivalent to pandas merge_asof / DuckDB ASOF JOIN."""
+    carry the nearest right values with last/first(ignorenulls) over a
+    one-sided window ordered by (ts, side) — the side bit ordered so an
+    equal-ts right row satisfies the <= / >= bound. The tolerance check is
+    a post-projection, not a join condition, so the plan shape is
+    unchanged. Equivalent to pandas merge_asof / DuckDB ASOF JOIN."""
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be backward|forward, got {direction!r}")
+    backward = direction == "backward"
     right_cols = right_cols or [c for c in right.columns if c not in (on, right_ts)]
     left_only = [c for c in left.columns if c not in (on, left_ts)]
     carried = ["asof_ts"] + [f"asof_{c}" for c in right_cols]
 
+    # Side ordering: the equal-ts right row must fall INSIDE the one-sided
+    # window of a left row — before it for backward, after it for forward.
+    side_left = 1 if backward else 0
+    side_right = 0 if backward else 1
+
     l_u = left.select(
         F.col(on),
         F.col(left_ts).alias("__ts"),
-        F.lit(1).alias("__side"),
+        F.lit(side_left).alias("__side"),
         *[F.col(c) for c in left_only],
         F.lit(None).cast(right.schema[right_ts].dataType).alias("asof_ts"),
         *[
@@ -48,28 +66,57 @@ def asof_join(
     r_u = right.select(
         F.col(on),
         F.col(right_ts).alias("__ts"),
-        F.lit(0).alias("__side"),
+        F.lit(side_right).alias("__side"),
         *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in left_only],
         F.col(right_ts).alias("asof_ts"),
         *[F.col(c).alias(f"asof_{c}") for c in right_cols],
     )
-    w = (
-        Window.partitionBy(on)
-        .orderBy("__ts", "__side")
-        .rowsBetween(Window.unboundedPreceding, 0)
-    )
+    if backward:
+        w = (
+            Window.partitionBy(on)
+            .orderBy("__ts", "__side")
+            .rowsBetween(Window.unboundedPreceding, 0)
+        )
+
+        def pick(c: str) -> Column:
+            return F.last(c, ignorenulls=True).over(w)
+
+    else:
+        w = (
+            Window.partitionBy(on)
+            .orderBy("__ts", "__side")
+            .rowsBetween(0, Window.unboundedFollowing)
+        )
+
+        def pick(c: str) -> Column:
+            return F.first(c, ignorenulls=True).over(w)
+
     filled = l_u.unionByName(r_u).select(
         F.col(on),
         "__ts",
         "__side",
         *left_only,
-        *[F.last(c, ignorenulls=True).over(w).alias(c) for c in carried],
+        *[pick(c).alias(c) for c in carried],
     )
-    return (
-        filled.filter(F.col("__side") == 1)
+    out = (
+        filled.filter(F.col("__side") == F.lit(side_left))
         .withColumnRenamed("__ts", left_ts)
         .drop("__side")
     )
+    if tolerance is not None:
+        delta = (
+            (F.col(left_ts) - F.col("asof_ts"))
+            if backward
+            else (F.col("asof_ts") - F.col(left_ts))
+        )
+        keep = F.col("asof_ts").isNotNull() & (delta <= tolerance)
+        out = out.select(
+            on,
+            left_ts,
+            *left_only,
+            *[F.when(keep, F.col(c)).otherwise(F.lit(None)).alias(c) for c in carried],
+        )
+    return out
 
 
 def range_join_bucketed(

@@ -121,3 +121,92 @@ def test_resize_images_stub_raises(spark, media):
 
     with pytest.raises(Exception, match="NotImplementedError|no image codec"):
         mm.resize_images(media).collect()
+
+
+def test_asof_join_forward_direction(spark):
+    """forward: smallest right_ts >= left_ts; >= bound inclusive."""
+    from pyspark.sql import functions as F
+
+    left = spark.createDataFrame(
+        [(1, 10, "a"), (1, 20, "b"), (1, 16, "mid"), (2, 70, "late")],
+        "k long, ts long, name string",
+    )
+    right = spark.createDataFrame(
+        [(1, 5, 100), (1, 15, 200), (1, 20, 300), (2, 60, 400)],
+        "k long, rts long, payload long",
+    )
+    out = {
+        r.name: r
+        for r in asof_join(
+            left, right, on="k", left_ts="ts", right_ts="rts",
+            right_cols=["payload"], direction="forward",
+        ).collect()
+    }
+    assert out["a"].asof_ts == 15 and out["a"].asof_payload == 200
+    assert out["b"].asof_ts == 20 and out["b"].asof_payload == 300  # >= inclusive
+    assert out["mid"].asof_ts == 20 and out["mid"].asof_payload == 300
+    assert out["late"].asof_ts is None  # nothing at-or-after 70
+
+
+def test_asof_join_tolerance(spark):
+    """tolerance nulls matches farther than the bound (pandas parity),
+    in both directions."""
+    from pyspark.sql import functions as F
+
+    left = spark.createDataFrame(
+        [(1, 100, "near"), (1, 500, "far")], "k long, ts long, name string"
+    )
+    right = spark.createDataFrame([(1, 90, 7)], "k long, rts long, payload long")
+    back = {
+        r.name: r
+        for r in asof_join(
+            left, right, on="k", left_ts="ts", right_ts="rts",
+            right_cols=["payload"], tolerance=F.lit(50),
+        ).collect()
+    }
+    assert back["near"].asof_ts == 90 and back["near"].asof_payload == 7
+    assert back["far"].asof_ts is None and back["far"].asof_payload is None
+
+    fwd_left = spark.createDataFrame(
+        [(1, 80, "near"), (1, 10, "far")], "k long, ts long, name string"
+    )
+    fwd = {
+        r.name: r
+        for r in asof_join(
+            fwd_left, right, on="k", left_ts="ts", right_ts="rts",
+            right_cols=["payload"], direction="forward", tolerance=F.lit(20),
+        ).collect()
+    }
+    assert fwd["near"].asof_ts == 90
+    assert fwd["far"].asof_ts is None  # 90 - 10 = 80 > 20
+
+
+def test_asof_join_timestamp_interval_tolerance(spark, sf_dir):
+    """Timestamp columns with an INTERVAL tolerance: same operator, the
+    delta comparison runs in day-time-interval arithmetic."""
+    from pyspark.sql import functions as F
+
+    from politicamente_etl_spark.plans.catalog import load_events
+
+    ev = load_events(spark, sf_dir).limit(2000)
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", F.col("ts").alias("c_ts"), F.col("event_id").alias("c_id")
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("ts").alias("p_ts"), F.col("event_id").alias("p_id")
+    )
+    joined = asof_join(
+        purchases,
+        clicks,
+        on="user_id",
+        left_ts="p_ts",
+        right_ts="c_ts",
+        right_cols=["c_id"],
+        tolerance=F.expr("INTERVAL 30 MINUTES"),
+    )
+    rows = joined.collect()
+    assert len(rows) == purchases.count()
+    for r in rows:
+        if r.asof_ts is not None:
+            delta = (r.p_ts - r.asof_ts).total_seconds()
+            assert 0 <= delta <= 1800
