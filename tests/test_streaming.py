@@ -186,3 +186,83 @@ def test_stream_upsert_sink_foreachbatch(spark, sf_dir, tmp_path):
     batch = load_events(spark, sf_dir)
     assert out.count() == batch.select("event_id").distinct().count()
     assert out.groupBy("event_id").count().filter(F.col("count") > 1).count() == 0
+
+
+def test_stateful_counts_persist_across_batches(spark, tmp_path):
+    """applyInPandasWithState must CARRY state between micro-batches: user
+    7 sends 2 events in batch 1 and 3 in batch 2 — the update-mode output
+    of batch 2 must show the running total 5, not a fresh count of 3.
+    Fixtures are timestamp[us] (the driver's vintage), exercising the
+    NTZ branch of normalize_ts."""
+    import os
+    import time
+
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    d = tmp_path / "state_src"
+    d.mkdir()
+    base = pd.Timestamp("2024-01-01 10:00:00")
+    schema = pa.schema(
+        [
+            ("event_id", pa.int64()),
+            ("ts", pa.timestamp("us")),
+            ("user_id", pa.int64()),
+            ("event_type", pa.string()),
+            ("value", pa.float64()),
+            ("props", pa.string()),
+        ]
+    )
+
+    def write(name, rows):
+        pdf = pd.DataFrame(
+            {
+                "event_id": [r[0] for r in rows],
+                "ts": [base + pd.Timedelta(minutes=r[1]) for r in rows],
+                "user_id": [r[2] for r in rows],
+                "event_type": ["click"] * len(rows),
+                "value": [1.0] * len(rows),
+                "props": ["{}"] * len(rows),
+            }
+        )
+        pq.write_table(pa.Table.from_pandas(pdf, schema=schema), d / name)
+
+    write("b1.parquet", [(1, 0, 7), (2, 1, 7), (3, 2, 9)])
+    write("b2.parquet", [(4, 10, 7), (5, 11, 7), (6, 12, 7)])
+    now = time.time()
+    os.utime(d / "b1.parquet", (now - 60, now - 60))
+    os.utime(d / "b2.parquet", (now, now))
+
+    raw = (
+        spark.readStream.schema(
+            spark.read.parquet(str(d / "b1.parquet")).schema
+        )
+        .format("parquet")
+        .option("maxFilesPerTrigger", 1)
+        .load(str(d))
+    )
+    ev = W.normalize_ts(raw)
+    out_name = "stateful_counts_out"
+    q = (
+        W.stateful_user_counts(ev)
+        .writeStream.outputMode("update")
+        .format("memory")
+        .queryName(out_name)
+        .start()
+    )
+    q.processAllAvailable()
+    n_batches = len([p for p in q.recentProgress if p["numInputRows"] > 0])
+    q.stop()
+    rows = spark.table(out_name).collect()
+
+    assert n_batches >= 2  # the file source really split the replay
+    per_user = {}
+    for r in rows:
+        per_user.setdefault(r.user_id, []).append(r.n_events)
+    # running totals are monotone; final max is the all-time count
+    assert max(per_user[7]) == 5  # 2 (batch 1) + 3 (batch 2) — state carried
+    assert max(per_user[9]) == 1
+    # batch-1 emission for user 7 must be the partial count, proving the
+    # final 5 came from state + batch-2 rows, not a re-read of everything
+    assert 2 in per_user[7]
