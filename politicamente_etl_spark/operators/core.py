@@ -51,13 +51,20 @@ def dedup_keep_first(
     )
 
 
-def union_all(*dfs: DataFrame) -> DataFrame:
+def union_all(*dfs: DataFrame, allow_missing: bool = False) -> DataFrame:
     """S4 — multi-DataFrame UNION ALL (`extract.py:48` `pd.concat`).
 
     `unionByName` resolves by column name (pandas concat aligns on labels).
     Union is a no-shuffle narrow op in Spark — partitions are appended, not
-    repartitioned."""
-    return reduce(lambda a, b: a.unionByName(b), dfs)
+    repartitioned.
+
+    ``allow_missing=True`` tolerates schema drift across vintages (a
+    source added or dropped a column mid-history — routine over a 100 TB
+    multi-year landing zone): columns absent on one side fill with NULL,
+    exactly pandas concat's outer-align behavior."""
+    return reduce(
+        lambda a, b: a.unionByName(b, allowMissingColumns=allow_missing), dfs
+    )
 
 
 def nonnull_filter(df: DataFrame, cols: list[str]) -> DataFrame:

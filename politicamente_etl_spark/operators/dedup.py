@@ -89,36 +89,7 @@ def minhash_near_dup_pairs(
     (~256 B+), and the band key is one xxhash64 over the band's minhashes
     instead of an md5 string. Equality is preserved modulo 64-bit
     collisions (negligible; one collision flips one agreement bit by 1/8)."""
-    sig = with_minhash_signature(
-        spread(df.select(id_col, text_col), id_col), text_col, n_perm
-    ).drop(text_col)
-    n_bands = n_perm // band_size
-    sig = sig.select(
-        id_col,
-        *[F.xxhash64(f"mh_{i}").alias(f"mh_{i}") for i in range(n_perm)],
-        *[
-            F.xxhash64(
-                *[F.col(f"mh_{b * band_size + r}") for r in range(band_size)]
-            ).alias(f"band_{b}")
-            for b in range(n_bands)
-        ],
-    )
-    mh_cols = [f"mh_{i}" for i in range(n_perm)]
-    ex = sig.select(
-        id_col,
-        *mh_cols,
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(band).alias("band_id"),
-                        F.col(f"band_{band}").alias("band_key"),
-                    )
-                    for band in range(n_bands)
-                ]
-            )
-        ).alias("bk"),
-    ).select(id_col, *mh_cols, "bk.band_id", "bk.band_key")
+    ex = _banded_signature(df, text_col, id_col, n_perm, band_size)
     a = ex.alias("a")
     b = ex.alias("b")
     pairs = a.join(
@@ -146,6 +117,92 @@ def minhash_near_dup_pairs(
         )
         .select("doc_a", "doc_b", "est_jaccard")
         .dropDuplicates(["doc_a", "doc_b"])
+    )
+
+
+def _banded_signature(
+    df: DataFrame, text_col: str, id_col: str, n_perm: int, band_size: int
+) -> DataFrame:
+    """Exploded (band_id, band_key) rows + xxhash64-collapsed signature —
+    the shared front half of the self-join and cross-join LSH shapes."""
+    sig = with_minhash_signature(
+        spread(df.select(id_col, text_col), id_col), text_col, n_perm
+    ).drop(text_col)
+    n_bands = n_perm // band_size
+    sig = sig.select(
+        id_col,
+        *[F.xxhash64(f"mh_{i}").alias(f"mh_{i}") for i in range(n_perm)],
+        *[
+            F.xxhash64(
+                *[F.col(f"mh_{b * band_size + r}") for r in range(band_size)]
+            ).alias(f"band_{b}")
+            for b in range(n_bands)
+        ],
+    )
+    mh_cols = [f"mh_{i}" for i in range(n_perm)]
+    return sig.select(
+        id_col,
+        *mh_cols,
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(band).alias("band_id"),
+                        F.col(f"band_{band}").alias("band_key"),
+                    )
+                    for band in range(n_bands)
+                ]
+            )
+        ).alias("bk"),
+    ).select(id_col, *mh_cols, "bk.band_id", "bk.band_key")
+
+
+def minhash_cross_pairs(
+    batch: DataFrame,
+    corpus: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_perm: int = N_MINHASH,
+    band_size: int = BAND_SIZE,
+) -> DataFrame:
+    """Incremental-ingestion NEAR-dup: candidate pairs between a NEW batch
+    and the EXISTING corpus via MinHash LSH banding — the fuzzy twin of
+    the digest anti-join (`incremental_dedup_new_docs`). A batch doc pairs
+    with a corpus doc only when they share a band bucket, so the join cost
+    is O(|batch| + |corpus|) shuffle + bucket-local products — never
+    |batch| × |corpus|.
+
+    At 100 TB the corpus side's banded signature is a PRECOMPUTED bucketed
+    table (signatures are append-only — computed once per doc at
+    admission), so each nightly batch shuffles only itself plus the
+    colliding corpus buckets; this function computes both sides inline
+    because the test corpus is synthetic.
+
+    Output: (batch_doc, corpus_doc, est_jaccard) — downstream either drops
+    batch docs with any pair over a threshold (strict) or routes them to
+    the exact-Jaccard verifier (ngram_jaccard shapes)."""
+    b_ex = _banded_signature(batch, text_col, id_col, n_perm, band_size)
+    c_ex = _banded_signature(corpus, text_col, id_col, n_perm, band_size)
+    pairs = b_ex.alias("a").join(
+        c_ex.alias("b").hint("shuffle_hash"),
+        (F.col("a.band_id") == F.col("b.band_id"))
+        & (F.col("a.band_key") == F.col("b.band_key")),
+    ).select(
+        F.col(f"a.{id_col}").alias("batch_doc"),
+        F.col(f"b.{id_col}").alias("corpus_doc"),
+        *[F.col(f"a.mh_{i}").alias(f"a_mh_{i}") for i in range(n_perm)],
+        *[F.col(f"b.mh_{i}").alias(f"b_mh_{i}") for i in range(n_perm)],
+    )
+    agree = sum(
+        F.when(F.col(f"a_mh_{i}") == F.col(f"b_mh_{i}"), 1).otherwise(0)
+        for i in range(n_perm)
+    )
+    return (
+        pairs.withColumn(
+            "est_jaccard", (agree.cast("double") / F.lit(float(n_perm)))
+        )
+        .select("batch_doc", "corpus_doc", "est_jaccard")
+        .dropDuplicates(["batch_doc", "corpus_doc"])
     )
 
 

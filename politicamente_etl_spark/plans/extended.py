@@ -2732,5 +2732,62 @@ def _register():
         per-doc sums exact and order-independent on both engines)."""
         return text.unigram_logprob_scores(T(spark, sf_dir, "documents"))
 
+    _cross_band_joins = "\n            UNION ALL\n".join(
+        f"""            SELECT a.doc_id AS batch_doc, b.doc_id AS corpus_doc,
+                   {' + '.join(f'CASE WHEN a.mh_{i} = b.mh_{i} THEN 1 ELSE 0 END' for i in range(dedup.N_MINHASH))} AS n_agree
+            FROM bsig a JOIN csig b ON a.band_{b} = b.band_{b}"""
+        for b in range(_bands)
+    )
+
+    @register(
+        "minhash_incremental_pairs",
+        sql=f"""
+        WITH t AS (
+            SELECT doc_id, string_split(text, ' ') AS toks,
+                   CAST(substr(source, 4) AS INT) AS src_num
+            FROM documents
+        ), sh AS (
+            SELECT doc_id, src_num,
+                   [concat_ws(' ', toks[i], toks[i+1], toks[i+2])
+                    for i in range(1, len(toks) - 1)] AS shingles
+            FROM t
+        ), mh AS (
+            SELECT doc_id, src_num,
+{_mh_cols}
+            FROM sh
+        ), sig AS (
+            SELECT doc_id, src_num,
+{_band_defs},
+                   mh_0, mh_1, mh_2, mh_3, mh_4, mh_5, mh_6, mh_7
+            FROM mh
+        ), bsig AS (
+            SELECT * FROM sig WHERE src_num >= 10
+        ), csig AS (
+            SELECT * FROM sig WHERE src_num < 10
+        ), cand AS (
+{_cross_band_joins}
+        )
+        SELECT DISTINCT batch_doc, corpus_doc,
+               CAST(n_agree AS DOUBLE) / {float(dedup.N_MINHASH)} AS est_jaccard
+        FROM cand
+        """,
+        tags=("ext-dedup", "ext-sampling"),
+    )
+    def q_minhash_incremental_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Incremental-ingestion NEAR-dup (`dedup.minhash_cross_pairs`):
+        the new batch (sources src10+) LSH-banded against the existing
+        corpus (src0-9) — the fuzzy twin of incremental_dedup_new_docs'
+        digest anti-join. Batch×corpus pairs meet only inside shared band
+        buckets; at scale the corpus's banded signatures are a precomputed
+        bucketed table, so a nightly batch never reshuffles the corpus."""
+        d = T(spark, sf_dir, "documents").select(
+            "doc_id",
+            "text",
+            F.expr("CAST(substr(source, 4) AS INT)").alias("src_num"),
+        )
+        batch = d.filter(F.col("src_num") >= 10).select("doc_id", "text")
+        corpus = d.filter(F.col("src_num") < 10).select("doc_id", "text")
+        return dedup.minhash_cross_pairs(batch, corpus)
+
 
 _register()

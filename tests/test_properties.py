@@ -244,3 +244,51 @@ def test_prefix_filter_is_lossless(spark, texts):
         for r in dedup.jaccard_pairs_prefix_filter(df, t_num=2, t_den=5).collect()
     }
     assert pruned == brute
+
+
+@given(
+    left=st.lists(
+        st.tuples(st.integers(0, 2), st.integers(0, 30)), min_size=1, max_size=15
+    ),
+    right=st.lists(
+        st.tuples(st.integers(0, 2), st.integers(0, 30), st.integers(0, 9)),
+        min_size=0,
+        max_size=15,
+    ),
+    tol=st.one_of(st.none(), st.integers(0, 12)),
+)
+@settings(**SETTINGS)
+def test_asof_join_forward_tolerance_matches_model(spark, left, right, tol):
+    """Forward direction: min(right_ts) with right_ts >= left_ts per key;
+    tolerance nulls matches farther than the bound — checked against a
+    brute-force model including the equal-ts boundary."""
+    from politicamente_etl_spark.operators.temporal import asof_join
+
+    rmap = {}
+    for k, ts, p in right:
+        rmap[(k, ts)] = max(rmap.get((k, ts), -1), p)
+    right_rows = [(k, ts, p) for (k, ts), p in rmap.items()]
+
+    ldf = spark.createDataFrame(left, ["k", "lts"])
+    rdf = spark.createDataFrame(right_rows or [(0, 0, 0)], ["k", "rts", "p"])
+    if not right_rows:
+        rdf = rdf.limit(0)
+    out = asof_join(
+        ldf,
+        rdf,
+        on="k",
+        left_ts="lts",
+        right_ts="rts",
+        direction="forward",
+        tolerance=None if tol is None else F.lit(tol),
+    )
+    got = sorted((r.k, r.lts, r.asof_ts, r.asof_p) for r in out.collect())
+
+    model = []
+    for k, lts in left:
+        cands = [(ts, p) for (kk, ts), p in rmap.items() if kk == k and ts >= lts]
+        ts, p = min(cands) if cands else (None, None)
+        if tol is not None and ts is not None and ts - lts > tol:
+            ts, p = None, None
+        model.append((k, lts, ts, p))
+    assert got == sorted(model)

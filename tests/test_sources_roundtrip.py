@@ -96,3 +96,54 @@ def test_csv_roundtrip_tse_conventions(spark, sf_dir, tmp_path):
     back = read_tse_csv(spark, path, cust.schema).select(*cust.columns)
     assert back.schema == cust.schema
     assert {tuple(r) for r in back.collect()} == {tuple(r) for r in cust.collect()}
+
+
+def test_union_all_schema_drift(spark):
+    """Vintage drift: a newer file carries an extra column — outer-align
+    union fills NULL on the old side; strict mode still raises."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from politicamente_etl_spark.operators.core import union_all
+
+    old = spark.createDataFrame([(1, "a")], "id long, name string")
+    new = spark.createDataFrame(
+        [(2, "b", "2024-01")], "id long, name string, vintage string"
+    )
+    out = union_all(old, new, allow_missing=True)
+    assert set(out.columns) == {"id", "name", "vintage"}
+    rows = {r.id: r for r in out.collect()}
+    assert rows[1].vintage is None and rows[2].vintage == "2024-01"
+
+    with pytest.raises(Exception):
+        union_all(old, new).collect()
+
+
+def test_minhash_cross_pairs_vs_self_join(spark, sf_dir):
+    """The cross (batch x corpus) LSH must find exactly the self-join's
+    cross-side pairs: split the corpus in two, run both shapes, compare."""
+    from pyspark.sql import functions as F
+
+    from politicamente_etl_spark.operators.dedup import (
+        minhash_cross_pairs,
+        minhash_near_dup_pairs,
+    )
+    from politicamente_etl_spark.sources.readers import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    batch = docs.filter(F.col("doc_id") % 2 == 0)
+    corpus = docs.filter(F.col("doc_id") % 2 == 1)
+
+    cross = {
+        (r.batch_doc, r.corpus_doc, r.est_jaccard)
+        for r in minhash_cross_pairs(batch, corpus).collect()
+    }
+    self_pairs = {
+        # keep only odd-even pairs, normalized to (even=batch, odd=corpus)
+        (r.doc_a if r.doc_a % 2 == 0 else r.doc_b,
+         r.doc_b if r.doc_a % 2 == 0 else r.doc_a,
+         r.est_jaccard)
+        for r in minhash_near_dup_pairs(docs).collect()
+        if (r.doc_a % 2) != (r.doc_b % 2)
+    }
+    assert cross == self_pairs
