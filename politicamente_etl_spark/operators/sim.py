@@ -350,3 +350,46 @@ def cosine_topk_lsh(
         .filter(F.col("rank") <= k)
         .select(query_id_col, id_col, "cos_sim", "rank")
     )
+
+
+def rrf_fuse(
+    ranked_a: DataFrame,
+    ranked_b: DataFrame,
+    query_col: str = "query_id",
+    id_col: str = "vec_id",
+    rank_col: str = "rank",
+    k: int = 10,
+    rrf_k: int = 60,
+) -> DataFrame:
+    """Reciprocal-rank fusion of two per-query candidate rankings (the
+    standard hybrid-retrieval combiner): each list contributes
+    1/(rrf_k + rank) for candidates it ranked, the fused list is the
+    top-k by summed score. Inputs are (query, id, rank) tables — e.g. a
+    lexical top-k and a vector top-k.
+
+    Determinism: ranks are ints, so each contribution is one correctly-
+    rounded double division and the score is one fixed-order two-term sum —
+    bit-identical across engines; ties break on the candidate id.
+
+    Scale: both inputs are already top-k-per-query (tiny relative to the
+    corpus); the fusion is a key-aligned full-outer join + one window —
+    cost O(queries × k), independent of corpus size."""
+    a = ranked_a.select(query_col, id_col, F.col(rank_col).alias("__rank_a"))
+    b = ranked_b.select(query_col, id_col, F.col(rank_col).alias("__rank_b"))
+    fused = a.join(b, [query_col, id_col], "full_outer").withColumn(
+        "rrf_score",
+        F.coalesce(
+            F.lit(1.0) / (F.lit(rrf_k) + F.col("__rank_a")), F.lit(0.0)
+        )
+        + F.coalesce(
+            F.lit(1.0) / (F.lit(rrf_k) + F.col("__rank_b")), F.lit(0.0)
+        ),
+    )
+    w = Window.partitionBy(query_col).orderBy(
+        F.col("rrf_score").desc(), F.col(id_col)
+    )
+    return (
+        fused.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= k)
+        .select(query_col, id_col, "rrf_score", "rank")
+    )

@@ -2789,5 +2789,92 @@ def _register():
         corpus = d.filter(F.col("src_num") < 10).select("doc_id", "text")
         return dedup.minhash_cross_pairs(batch, corpus)
 
+    @register(
+        "hybrid_search_rrf",
+        sql=f"""
+        WITH t AS (
+            SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+        ), sh AS (
+            SELECT DISTINCT doc_id,
+                   unnest([concat_ws(' ', toks[i], toks[i+1], toks[i+2])
+                           for i in range(1, len(toks) - 1)]) AS sh
+            FROM t
+        ), lex AS (
+            SELECT q.doc_id AS query_id, c.doc_id AS vec_id,
+                   COUNT(*) AS n_common
+            FROM sh q JOIN sh c ON q.sh = c.sh
+            WHERE q.doc_id < 5
+            GROUP BY 1, 2
+        ), lexr AS (
+            SELECT query_id, vec_id,
+                   CAST(row_number() OVER (PARTITION BY query_id
+                        ORDER BY n_common DESC, vec_id) AS INT) AS rnk
+            FROM lex
+            QUALIFY rnk <= 10
+        ), q AS (
+            SELECT vec_id AS query_id, embedding AS q_vec
+            FROM embeddings WHERE vec_id < 5
+        ), scored AS (
+            SELECT q.query_id, e.vec_id,
+                   {_DOT_DD.format(a='e.embedding', b='q.q_vec')}
+                   / ({_NORM_DD.format(a='e.embedding')}
+                      * {_NORM_DD.format(a='q.q_vec')}) AS cos_sim
+            FROM embeddings e CROSS JOIN q
+        ), vecr AS (
+            SELECT query_id, vec_id,
+                   CAST(row_number() OVER (PARTITION BY query_id
+                        ORDER BY cos_sim DESC, vec_id) AS INT) AS rnk
+            FROM scored
+            QUALIFY rnk <= 10
+        ), fused AS (
+            SELECT COALESCE(l.query_id, v.query_id) AS query_id,
+                   COALESCE(l.vec_id, v.vec_id) AS vec_id,
+                   COALESCE(CAST(1.0 AS DOUBLE) / (60 + l.rnk), 0.0)
+                       + COALESCE(CAST(1.0 AS DOUBLE) / (60 + v.rnk), 0.0)
+                       AS rrf_score
+            FROM lexr l
+            FULL OUTER JOIN vecr v
+              ON l.query_id = v.query_id AND l.vec_id = v.vec_id
+        )
+        SELECT query_id, vec_id, rrf_score,
+               CAST(row_number() OVER (PARTITION BY query_id
+                    ORDER BY rrf_score DESC, vec_id) AS INT) AS rank
+        FROM fused
+        QUALIFY rank <= 10
+        """,
+        tags=("ext-sim", "ext-text"),
+    )
+    def q_hybrid_search_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Hybrid retrieval (`sim.rrf_fuse`): a lexical top-10 (distinct
+        3-gram shingle overlap via the inverted-index equi-join) and a
+        vector top-10 (exact cosine) fused by reciprocal-rank fusion,
+        score = Σ 1/(60+rank). Both candidate lists are corpus-scale-safe
+        shapes; the fusion itself is O(queries × k). Integer ranks make
+        the RRF score bit-identical across engines."""
+        docs = T(spark, sf_dir, "documents").select("doc_id", "text")
+        sh = (
+            text.with_shingles(docs, distinct=True, out="sh_arr")
+            .select("doc_id", F.explode("sh_arr").alias("sh"))
+        )
+        q_side = sh.filter(F.col("doc_id") < 5).select(
+            F.col("doc_id").alias("query_id"), "sh"
+        )
+        overlap = (
+            q_side.join(sh, "sh")
+            .groupBy("query_id", F.col("doc_id").alias("vec_id"))
+            .agg(F.count("*").alias("n_common"))
+        )
+        w_lex = Window.partitionBy("query_id").orderBy(
+            F.col("n_common").desc(), F.col("vec_id")
+        )
+        lexr = (
+            overlap.withColumn("rank", F.row_number().over(w_lex).cast("int"))
+            .filter(F.col("rank") <= 10)
+            .select("query_id", "vec_id", "rank")
+        )
+        emb = T(spark, sf_dir, "embeddings")
+        vecr = sim.cosine_topk(emb, emb.filter(F.col("vec_id") < 5), k=10)
+        return sim.rrf_fuse(lexr, vecr, k=10)
+
 
 _register()

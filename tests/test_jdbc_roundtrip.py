@@ -83,3 +83,44 @@ def test_jdbc_append_then_dedup_algebra(spark, sf_dir, derby_url):
     assert back.count() == 2 * region.count()
     deduped = back.dropDuplicates(["R_REGIONKEY"])
     assert deduped.count() == region.count()
+
+
+def test_streaming_foreachbatch_jdbc_sink(spark, sf_dir, derby_url):
+    """Streaming → relational warehouse, end to end: replay the events
+    stream, foreachBatch-dedup each micro-batch and append it over JDBC,
+    and read back exactly one row per event_id. This is the reference's
+    Postgres load path (K1 transport) fed by Structured Streaming instead
+    of pandas iterrows — conflict resolution stays in the DataFrame
+    algebra (anti-join against the table) because plain JDBC inserts carry
+    none."""
+    from politicamente_etl_spark.streaming import windows as W
+
+    stream = W.stream_events(spark, sf_dir).select("event_id", "user_id", "value")
+
+    def to_jdbc(batch_df, batch_id):
+        batch = batch_df.dropDuplicates(["event_id"])
+        try:
+            existing = read_jdbc(spark, derby_url, "events_sink", driver=DERBY_DRIVER)
+            existing_ids = existing.select(
+                F.col("EVENT_ID").alias("event_id")
+            ).distinct()
+            batch = batch.join(existing_ids, "event_id", "left_anti")
+            mode = "append"
+        except Exception:
+            mode = "overwrite"  # first batch creates the table
+        write_jdbc(batch, derby_url, "events_sink", mode=mode, driver=DERBY_DRIVER)
+
+    q = stream.writeStream.foreachBatch(to_jdbc).start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    back = read_jdbc(spark, derby_url, "events_sink", driver=DERBY_DRIVER)
+    from politicamente_etl_spark.plans.catalog import load_events
+
+    n_ids = load_events(spark, sf_dir).select("event_id").distinct().count()
+    assert back.count() == n_ids
+    assert (
+        back.groupBy("EVENT_ID").count().filter(F.col("count") > 1).count() == 0
+    )
