@@ -268,3 +268,34 @@ def test_prefix_filter_no_cartesian_and_equijoins(spark, sf_dir):
     plan = plan_of(q("jaccard_pairs_prefix_filter", spark, sf_dir))
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_unigram_logprob_broadcasts_vocab(spark, sf_dir):
+    """The vocab log-prob table must come back onto the token stream via
+    broadcast joins — the exploded (big) side is never shuffled for the
+    join; the only fact shuffle is the per-doc aggregate."""
+    plan = plan_of(q("unigram_logprob_quality", spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_minhash_incremental_cross_is_equi_join(spark, sf_dir):
+    """batch x corpus candidates must meet through the banded equi-join —
+    never a nested-loop over the corpus."""
+    plan = plan_of(q("minhash_incremental_pairs", spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_hybrid_rrf_no_corpus_blowup(spark, sf_dir):
+    """Hybrid fusion: the only non-equi join allowed is the documented
+    broadcast of the 5-row query set inside cosine_topk; the lexical index
+    and the fusion itself must be equi-joins, and the per-query top-k
+    windows must plan WindowGroupLimit."""
+    plan = plan_of(q("hybrid_search_rrf", spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "WindowGroupLimit" in plan
+    # cosine_topk's query broadcast is a BroadcastNestedLoopJoin over 5
+    # rows — acceptable; anything joining the shingle index must be hash.
+    assert "ShuffledHashJoin" in plan or "BroadcastHashJoin" in plan
