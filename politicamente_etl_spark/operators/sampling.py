@@ -156,3 +156,69 @@ def pack_sequences(
             "pack_id", F.col("pack_bucket") * F.lit(1 << 32) + local_pack
         )
     )
+
+
+def consistent_sample_k(
+    df: DataFrame,
+    k: int,
+    id_col: str = "doc_id",
+    seed: str = "v1",
+) -> DataFrame:
+    """Exact-k deterministic sample: the k rows whose salted md5 rank
+    lowest — the distributed replacement for reservoir sampling. The
+    chosen set is a pure function of (seed, id): stable across runs,
+    engines, partitionings, AND appends (a new row only enters by
+    displacing the current max — the 'bottom-k sketch' property, which
+    also makes per-partition bottom-k merges exact at 100 TB: Spark plans
+    the global-sort + limit as per-partition TakeOrdered, so only k rows
+    per partition reach the driver stage).
+
+    `DataFrame.sample` cannot do this: it's probabilistic (no exact k),
+    partitioning-dependent, and engine-private. Ties are impossible modulo
+    md5 collisions."""
+    c = F.col(id_col)
+    key = F.md5(F.concat_ws(":", F.lit(seed), c.cast("string"))).alias("__sk")
+    return (
+        df.select("*", key)
+        .orderBy("__sk")
+        .limit(k)
+        .drop("__sk")
+    )
+
+
+def oov_rate(
+    batch: DataFrame,
+    corpus: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document out-of-vocabulary rate of a NEW batch against the
+    EXISTING corpus's token vocabulary — the tokenizer-drift signal a
+    training pipeline checks before admitting a new data source (a spike
+    means new language/domain/encoding, not more of the same).
+
+    Shape: the corpus collapses to its distinct vocab (small), the batch
+    token stream left-joins it (broadcast at natural vocab sizes), one
+    per-doc aggregate. Exact integer counts → oracle-exact."""
+    from politicamente_etl_spark.operators.text import tokens
+
+    vocab = (
+        corpus.select(F.explode(tokens(text_col)).alias("term"))
+        .distinct()
+        .withColumn("__in_vocab", F.lit(1))
+    )
+    toks = batch.select(id_col, F.explode(tokens(text_col)).alias("term"))
+    return (
+        toks.join(F.broadcast(vocab), "term", "left")
+        .groupBy(id_col)
+        .agg(
+            F.count("*").cast("long").alias("n_tokens"),
+            F.sum(F.when(F.col("__in_vocab").isNull(), 1).otherwise(0))
+            .cast("long")
+            .alias("n_oov"),
+        )
+        .withColumn(
+            "oov_rate",
+            F.col("n_oov").cast("double") / F.col("n_tokens").cast("double"),
+        )
+    )

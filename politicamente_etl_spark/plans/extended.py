@@ -2876,5 +2876,63 @@ def _register():
         vecr = sim.cosine_topk(emb, emb.filter(F.col("vec_id") < 5), k=10)
         return sim.rrf_fuse(lexr, vecr, k=10)
 
+    @register(
+        "consistent_sample_k",
+        sql="""
+        SELECT doc_id, source, n_chars
+        FROM documents
+        ORDER BY md5(concat_ws(':', 'v1', CAST(doc_id AS VARCHAR)))
+        LIMIT 50
+        """,
+        tags=("ext-sampling",),
+    )
+    def q_consistent_sample_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Exact-k deterministic sample (`sampling.consistent_sample_k`):
+        bottom-50 by salted md5 — run/engine/partitioning/append-stable,
+        the distributed replacement for reservoir sampling. Spark plans
+        the sort+limit as per-partition TakeOrdered (k rows per partition,
+        never a full global sort)."""
+        docs = T(spark, sf_dir, "documents").select("doc_id", "source", "n_chars")
+        return sampling.consistent_sample_k(docs, k=50)
+
+    @register(
+        "oov_rate_new_sources",
+        sql="""
+        WITH d AS (
+            SELECT doc_id, text,
+                   CAST(substr(source, 4) AS INT) AS src_num
+            FROM documents
+        ), vocab AS (
+            SELECT DISTINCT unnest(string_split(text, ' ')) AS term
+            FROM d WHERE src_num < 10
+        ), toks AS (
+            SELECT doc_id, unnest(string_split(text, ' ')) AS term
+            FROM d WHERE src_num >= 10
+        )
+        SELECT t.doc_id,
+               CAST(COUNT(*) AS BIGINT) AS n_tokens,
+               CAST(SUM(CASE WHEN v.term IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_oov,
+               CAST(SUM(CASE WHEN v.term IS NULL THEN 1 ELSE 0 END) AS DOUBLE)
+                   / CAST(COUNT(*) AS DOUBLE) AS oov_rate
+        FROM toks t LEFT JOIN vocab v ON t.term = v.term
+        GROUP BY t.doc_id
+        """,
+        tags=("ext-text", "ext-sampling"),
+    )
+    def q_oov_rate_new_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Tokenizer-drift gate (`sampling.oov_rate`): per-doc OOV rate of
+        the new-source batch (src10+) against the established corpus's
+        vocabulary (src0-9). Vocab is distinct-collapsed then broadcast —
+        the batch token stream never shuffles for the join."""
+        d = T(spark, sf_dir, "documents").select(
+            "doc_id",
+            "text",
+            F.expr("CAST(substr(source, 4) AS INT)").alias("src_num"),
+        )
+        batch = d.filter(F.col("src_num") >= 10).select("doc_id", "text")
+        corpus = d.filter(F.col("src_num") < 10).select("text")
+        return sampling.oov_rate(batch, corpus)
+
 
 _register()
