@@ -299,3 +299,18 @@ def test_hybrid_rrf_no_corpus_blowup(spark, sf_dir):
     # cosine_topk's query broadcast is a BroadcastNestedLoopJoin over 5
     # rows — acceptable; anything joining the shingle index must be hash.
     assert "ShuffledHashJoin" in plan or "BroadcastHashJoin" in plan
+
+
+def test_consistent_sample_plans_take_ordered(spark, sf_dir):
+    """Exact-k sampling must plan TakeOrdered (per-partition bottom-k,
+    k rows per partition cross the wire) — never a global Sort+Limit."""
+    plan = plan_of(q("consistent_sample_k", spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_oov_rate_broadcasts_vocab(spark, sf_dir):
+    """The corpus vocabulary joins the batch token stream by broadcast —
+    the exploded batch side never shuffles for the join."""
+    plan = plan_of(q("oov_rate_new_sources", spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
