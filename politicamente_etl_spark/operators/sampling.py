@@ -222,3 +222,44 @@ def oov_rate(
             F.col("n_oov").cast("double") / F.col("n_tokens").cast("double"),
         )
     )
+
+
+def length_bucketed_batches(
+    df: DataFrame,
+    n_tokens_col: str = "n_tokens",
+    batch_size: int = 16,
+    bucket_edges: tuple[int, ...] = (32, 64, 128),
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Length-bucketed inference batching: documents are banded by token
+    length (padding waste is bounded by the band width, the standard
+    dynamic-batching trick), then numbered into fixed-size batches within
+    each band. Output adds (len_bucket, batch_id, pos_in_batch).
+
+    Scale design: the bucket assignment is a narrow expression; the only
+    shuffle is the per-band window. Band cardinality is tiny (len(edges)+1
+    partitions), so for very large corpora pre-split by a salted sub-key
+    the same way pack_sequences buckets its running sums — here the
+    deterministic (length, id) order is the contract, so the window stays
+    one-per-band and Spark's WindowGroupLimit-style partial sort keeps
+    memory bounded. Batch ids are globally unique: bucket · 2^32 + local.
+    Every row is oracle-checkable (integer arithmetic only)."""
+    from pyspark.sql import Window
+
+    nt = F.col(n_tokens_col)
+    bucket = F.lit(0)
+    for i, edge in enumerate(bucket_edges):
+        bucket = F.when(nt >= edge, i + 1).otherwise(bucket)
+    w = Window.partitionBy("len_bucket").orderBy(nt, id_col)
+    rn = F.row_number().over(w) - F.lit(1)
+    return (
+        df.withColumn("len_bucket", bucket.cast("int"))
+        .withColumn(
+            "batch_id",
+            (
+                F.col("len_bucket").cast("bigint") * F.lit(1 << 32)
+                + F.floor(rn / F.lit(batch_size))
+            ).cast("bigint"),
+        )
+        .withColumn("pos_in_batch", (rn % F.lit(batch_size)).cast("int"))
+    )

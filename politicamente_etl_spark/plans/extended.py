@@ -2934,5 +2934,43 @@ def _register():
         corpus = d.filter(F.col("src_num") < 10).select("text")
         return sampling.oov_rate(batch, corpus)
 
+    @register(
+        "length_bucketed_batches",
+        sql="""
+        WITH d AS (
+            SELECT doc_id,
+                   CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+            FROM documents
+        ), b AS (
+            SELECT doc_id, n_tokens,
+                   CAST(CASE WHEN n_tokens >= 128 THEN 3
+                             WHEN n_tokens >= 64 THEN 2
+                             WHEN n_tokens >= 32 THEN 1
+                             ELSE 0 END AS INT) AS len_bucket
+            FROM d
+        ), r AS (
+            SELECT doc_id, n_tokens, len_bucket,
+                   row_number() OVER (PARTITION BY len_bucket
+                        ORDER BY n_tokens, doc_id) - 1 AS rn
+            FROM b
+        )
+        SELECT doc_id, n_tokens, len_bucket,
+               CAST(len_bucket * 4294967296 + rn // 16 AS BIGINT) AS batch_id,
+               CAST(rn % 16 AS INT) AS pos_in_batch
+        FROM r
+        """,
+        tags=("ext-sampling",),
+    )
+    def q_length_bucketed_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Inference batching (`sampling.length_bucketed_batches`): band
+        docs by token length (padding waste bounded by band width), number
+        fixed-size batches of 16 within each band — deterministic integer
+        arithmetic end-to-end, globally-unique batch ids."""
+        d = T(spark, sf_dir, "documents").select(
+            "doc_id",
+            F.size(F.split("text", " ")).cast("long").alias("n_tokens"),
+        )
+        return sampling.length_bucketed_batches(d)
+
 
 _register()
