@@ -314,3 +314,11 @@ def test_oov_rate_broadcasts_vocab(spark, sf_dir):
     plan = plan_of(q("oov_rate_new_sources", spark, sf_dir))
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_length_bucketed_single_window_shuffle(spark, sf_dir):
+    """Batching must cost exactly one hash shuffle (the per-band window) —
+    no join, no extra exchange beyond the window partitioning."""
+    plan = plan_of(q("length_bucketed_batches", spark, sf_dir))
+    assert plan.count(") Exchange") == 1
+    assert "Join" not in plan
