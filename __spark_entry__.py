@@ -9,14 +9,15 @@ All real logic lives in ``politicamente_etl_spark``; this module only
 adapts the query catalog (plans/catalog.py + plans/extended.py) to the
 driver's three-function surface.
 
-Round-1 observation (VERDICT.md): the driver emitted correctness rows for
-exactly the first 50 dict entries, leaving 45 registered queries with no
-driver signal. ``queries()`` therefore orders entries by verification
-priority: everything WITHOUT a green round-1 row first (45 untested +
-3 events-loader errors), then the round-1-green queries (still covered by
-tests/driver_sim.py + tests/test_oracle_parity.py every round), most
-important first. The goal is that across rounds every catalog entry gets
-at least one driver correctness row.
+Driver-window rotation (VERDICT r1/r2): the driver emits correctness rows
+for exactly the first 50 dict entries. ``queries()`` therefore orders by
+verification priority: (a) everything without a green driver row from any
+prior round, plus (b) verified queries whose OPERATOR CODE was refactored
+this round (a regression there must surface as a driver row, not only in
+local parity tests), then (c) the parked verified-and-untouched queries —
+still covered by tests/driver_sim.py + tests/test_oracle_parity.py every
+round. Goal: every catalog entry keeps ≥1 driver row across rounds and no
+refactor ships unwatched.
 """
 
 from __future__ import annotations
@@ -27,10 +28,15 @@ from pyspark.sql import DataFrame, SparkSession
 
 from politicamente_etl_spark.plans.catalog import CATALOG
 
-# Names with a green CORRECTNESS_r01.json row (46 hash-match passes + the
-# by-design rows-only ml_minhash_lsh_pairs). Everything else sorts first.
-R1_VERIFIED: frozenset[str] = frozenset(
+# Names with a green driver CORRECTNESS row: CORRECTNESS_r01.json (46
+# hash-match + by-design rows-only ml_minhash_lsh_pairs) ∪
+# CORRECTNESS_r02.json (48 hash-match + by-design rows-only approx_aggs).
+# json_props_map_explode is deliberately absent: its r2 row was red
+# (DuckDB HUGEINT dtype artifact — oracle SQL fixed this round) and it
+# must re-enter the window.
+VERIFIED: frozenset[str] = frozenset(
     {
+        # --- round 1 ---
         "flagship_revenue_rollup",
         "project_cast",
         "distinct_projection",
@@ -78,15 +84,86 @@ R1_VERIFIED: frozenset[str] = frozenset(
         "multimodal_features",
         "cosine_topk",
         "embedding_group_centroids",
+        # --- round 2 ---
+        "asof_join_purchases",
+        "range_join_value_bands",
+        "pivot_event_counts",
+        "cosine_topk_lsh",
+        "cosine_topk_ivf",
+        "embedding_cosine_near_dup",
+        "embedding_cosine_near_dup_lsh",
+        "retention_cohorts",
+        "json_props_extract",
+        "events_tumbling_window",
+        "events_sessionization",
+        "window_running_totals",
+        "customer_value_deciles",
+        "intersect_active_rich_customers",
+        "except_rich_inactive_customers",
+        "date_math_orders",
+        "funnel_signup_purchase",
+        "window_topk_orders",
+        "streaming_tumbling_window",
+        "streaming_sliding_window",
+        "streaming_session_window",
+        "streaming_dedup_count",
+        "quality_score_docs",
+        "streaming_enrich_join",
+        "streaming_stateful_counts",
+        "semi_join_fulfilled_orders",
+        "full_outer_nation_reconcile",
+        "salted_join_segment_counts",
+        "grouping_sets_orders",
+        "exact_percentiles_quantity",
+        "text_normalize",
+        "small_quantity_orders",
+        "large_order_customers",
+        "pricing_summary",
+        "shipping_priority_top10",
+        "approx_aggs",
+        "grouped_moments",
+        "argmax_order_per_customer",
+        "doc_length_histogram",
+        "bigram_top_terms",
+        "zscore_outlier_events",
+        "inverted_index_postings",
+        "rolling_7day_order_totals",
+        "unpivot_lineitem_metrics",
+        "incremental_dedup_new_docs",
+        "corpus_admission_report",
+        "streaming_interval_join",
+        "unigram_logprob_quality",
+        "minhash_incremental_pairs",
+    }
+)
+
+# Verified queries whose operator implementation changed THIS round —
+# parked status is 'verified AND untouched since'; these stay in the front
+# window one more round so a refactor regression gets a driver row
+# (ADVICE.md r2, last item).
+REFACTORED_THIS_ROUND: frozenset[str] = frozenset(
+    {
+        "minhash_incremental_pairs",  # dedup.minhash_cross_pairs: narrow band exchange + signature re-join
+        "unigram_logprob_quality",  # text.unigram_logprob_scores: un-forced vocab join + scale-bucket mode
+        "embedding_cosine_near_dup",  # sim.cosine_near_dup_pairs: short-circuit limit() guard
+        "events_tumbling_window",  # catalog.load_events: UTC session-tz pin
+        "flagship_revenue_rollup",  # core.spread: packing-aware split estimate
+        "sum_status_by_key",  # core.spread (same change), second sentinel
     }
 )
 
 
 def _ordered_names() -> list[str]:
-    """Unverified queries first (catalog order preserved within each
-    group), then the round-1-green ones."""
-    front = [n for n in CATALOG if n not in R1_VERIFIED]
-    back = [n for n in CATALOG if n in R1_VERIFIED]
+    """Never-verified + refactored-this-round first (catalog order
+    preserved within each group), then the parked verified queries."""
+    front = [
+        n
+        for n in CATALOG
+        if n not in VERIFIED or n in REFACTORED_THIS_ROUND
+    ]
+    back = [
+        n for n in CATALOG if n in VERIFIED and n not in REFACTORED_THIS_ROUND
+    ]
     return front + back
 
 

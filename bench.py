@@ -73,6 +73,11 @@ def main() -> None:
         "sf": float(sf) if sf.replace(".", "", 1).isdigit() else sf,
     }
     if errors:
+        # Mark the headline total as incomplete: it sums only surviving
+        # queries, so without this flag a crashed query reads as a speedup
+        # in round-over-round comparisons.
+        out["partial"] = True
+        out["n_errors"] = len(errors)
         out["errors"] = errors
     print(json.dumps(out))
 

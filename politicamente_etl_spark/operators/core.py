@@ -91,13 +91,39 @@ def spread(df: DataFrame, *cols: str) -> DataFrame:
     return df.repartition(target, *cols) if cols else df.repartition(target)
 
 
+def _parse_bytes_conf(spark, key: str, default: int) -> int:
+    raw = spark.conf.get(key, str(default))
+    digits = "".join(ch for ch in raw if ch.isdigit())
+    n = int(digits) if digits else default
+    low = raw.lower()
+    if low.endswith(("k", "kb")):
+        n *= 1024
+    elif low.endswith(("m", "mb")):
+        n *= 1024**2
+    elif low.endswith(("g", "gb")):
+        n *= 1024**3
+    return n
+
+
 def _estimated_scan_splits(df: DataFrame, spark) -> int:
-    """Approximate the scan's split count from input-file sizes — the same
-    ceil(size / maxPartitionBytes) arithmetic FilePartition planning uses
-    (openCostInBytes packing only merges splits, never adds). Plan-free:
-    avoids `df.rdd.getNumPartitions()`, which compiles the plan to an RDD
-    on every call. Falls back to the RDD probe when file sizes aren't
-    locally readable (non-file scheme, in-memory relation)."""
+    """Estimate the scan's partition count with FilePartition's own
+    arithmetic. Spark sizes splits dynamically:
+
+        bytesPerCore = (totalBytes + nFiles·openCost) / defaultParallelism
+        maxSplitBytes = min(maxPartitionBytes, max(openCost, bytesPerCore))
+
+    then bin-packs splits into partitions of ≤ maxSplitBytes (each file
+    padded by openCost). We return the PACKED estimate
+    ceil(paddedTotal / maxSplitBytes) — a lower-ish bound — rather than the
+    per-file ceil sum, which is an UPPER bound: openCost packing merges
+    many small files into few partitions, and an upper bound here would
+    make spread() skip the repartition exactly on the tiny-file inputs
+    that need it. Erring low only costs a redundant repartition of an
+    already-parallel input at bench scale; at production scale paddedTotal
+    dominates and the estimate is asymptotically exact. Plan-free: avoids
+    `df.rdd.getNumPartitions()`, which compiles the plan to an RDD on
+    every call. Falls back to the RDD probe when file sizes aren't locally
+    readable (non-file scheme, in-memory relation)."""
     import math
     import os
 
@@ -105,22 +131,21 @@ def _estimated_scan_splits(df: DataFrame, spark) -> int:
         files = df.inputFiles()
         if not files:
             return df.rdd.getNumPartitions()
-        raw = spark.conf.get("spark.sql.files.maxPartitionBytes", "134217728")
-        digits = "".join(ch for ch in raw if ch.isdigit())
-        max_bytes = int(digits) if digits else 134_217_728
-        low = raw.lower()
-        if low.endswith(("k", "kb")):
-            max_bytes *= 1024
-        elif low.endswith(("m", "mb")):
-            max_bytes *= 1024**2
-        elif low.endswith(("g", "gb")):
-            max_bytes *= 1024**3
-        splits = 0
+        max_bytes = _parse_bytes_conf(
+            spark, "spark.sql.files.maxPartitionBytes", 134_217_728
+        )
+        open_cost = _parse_bytes_conf(
+            spark, "spark.sql.files.openCostInBytes", 4_194_304
+        )
+        total = 0
         for uri in files:
             path = uri.split("://", 1)[-1] if "://" in uri else uri
             path = path[5:] if path.startswith("file:") else path
-            splits += max(1, math.ceil(os.path.getsize(path) / max_bytes))
-        return splits
+            total += os.path.getsize(path)
+        padded = total + len(files) * open_cost
+        bytes_per_core = padded / max(1, spark.sparkContext.defaultParallelism)
+        max_split = min(max_bytes, max(open_cost, bytes_per_core))
+        return max(1, math.ceil(padded / max_split))
     except Exception:  # noqa: BLE001 — heuristic; fall back to exact probe
         return df.rdd.getNumPartitions()
 

@@ -120,16 +120,18 @@ def minhash_near_dup_pairs(
     )
 
 
-def _banded_signature(
+def _signature_table(
     df: DataFrame, text_col: str, id_col: str, n_perm: int, band_size: int
 ) -> DataFrame:
-    """Exploded (band_id, band_key) rows + xxhash64-collapsed signature —
-    the shared front half of the self-join and cross-join LSH shapes."""
+    """One row per doc: xxhash64-collapsed minhashes mh_0..mh_{n-1} plus
+    the per-band bucket keys band_0..band_{b-1}. The band keys hash the
+    ORIGINAL md5 minhash strings (not the collapsed longs) — both join
+    shapes below depend on that equality contract."""
     sig = with_minhash_signature(
         spread(df.select(id_col, text_col), id_col), text_col, n_perm
     ).drop(text_col)
     n_bands = n_perm // band_size
-    sig = sig.select(
+    return sig.select(
         id_col,
         *[F.xxhash64(f"mh_{i}").alias(f"mh_{i}") for i in range(n_perm)],
         *[
@@ -139,10 +141,27 @@ def _banded_signature(
             for b in range(n_bands)
         ],
     )
+
+
+def _banded_signature(
+    df: DataFrame, text_col: str, id_col: str, n_perm: int, band_size: int
+) -> DataFrame:
+    """Exploded (band_id, band_key) rows + xxhash64-collapsed signature —
+    the shared front half of the self-join and cross-join LSH shapes."""
+    sig = _signature_table(df, text_col, id_col, n_perm, band_size)
     mh_cols = [f"mh_{i}" for i in range(n_perm)]
+    return _explode_bands(sig, id_col, n_perm // band_size, carry=mh_cols)
+
+
+def _explode_bands(
+    sig: DataFrame, id_col: str, n_bands: int, carry: list[str]
+) -> DataFrame:
+    """Explode a signature table into (band_id, band_key) rows, carrying
+    only ``carry`` extra columns — the exchange payload of any downstream
+    band join is exactly id + carry + 12 bytes of band key."""
     return sig.select(
         id_col,
-        *mh_cols,
+        *carry,
         F.explode(
             F.array(
                 *[
@@ -154,7 +173,7 @@ def _banded_signature(
                 ]
             )
         ).alias("bk"),
-    ).select(id_col, *mh_cols, "bk.band_id", "bk.band_key")
+    ).select(id_col, *carry, "bk.band_id", "bk.band_key")
 
 
 def minhash_cross_pairs(
@@ -175,34 +194,63 @@ def minhash_cross_pairs(
     At 100 TB the corpus side's banded signature is a PRECOMPUTED bucketed
     table (signatures are append-only — computed once per doc at
     admission), so each nightly batch shuffles only itself plus the
-    colliding corpus buckets; this function computes both sides inline
-    because the test corpus is synthetic.
+    colliding corpus buckets; this function models that with an eager
+    localCheckpoint of each side's signature table — computed once,
+    reused by both the band explode and the estimate re-join below.
+
+    The candidate exchange is NARROW by construction: the band join
+    carries only (id, band_id, band_key) — no signature columns — so its
+    shuffle payload is independent of n_perm (a 128-perm signature would
+    otherwise push 1 KB per exploded row through the exchange). The
+    deduplicated candidate pairs then re-join the two signature tables on
+    doc id (equi-joins against candidate-sized inputs) and est_jaccard =
+    fraction of agreeing minhashes via one zip_with fold.
 
     Output: (batch_doc, corpus_doc, est_jaccard) — downstream either drops
     batch docs with any pair over a threshold (strict) or routes them to
     the exact-Jaccard verifier (ngram_jaccard shapes)."""
-    b_ex = _banded_signature(batch, text_col, id_col, n_perm, band_size)
-    c_ex = _banded_signature(corpus, text_col, id_col, n_perm, band_size)
-    pairs = b_ex.alias("a").join(
-        c_ex.alias("b").hint("shuffle_hash"),
-        (F.col("a.band_id") == F.col("b.band_id"))
-        & (F.col("a.band_key") == F.col("b.band_key")),
-    ).select(
-        F.col(f"a.{id_col}").alias("batch_doc"),
-        F.col(f"b.{id_col}").alias("corpus_doc"),
-        *[F.col(f"a.mh_{i}").alias(f"a_mh_{i}") for i in range(n_perm)],
-        *[F.col(f"b.mh_{i}").alias(f"b_mh_{i}") for i in range(n_perm)],
+    n_bands = n_perm // band_size
+    mh_cols = [f"mh_{i}" for i in range(n_perm)]
+    b_sig = _signature_table(
+        batch, text_col, id_col, n_perm, band_size
+    ).localCheckpoint()
+    c_sig = _signature_table(
+        corpus, text_col, id_col, n_perm, band_size
+    ).localCheckpoint()
+    b_ex = _explode_bands(b_sig, id_col, n_bands, carry=[])
+    c_ex = _explode_bands(c_sig, id_col, n_bands, carry=[])
+    cand = (
+        b_ex.alias("a")
+        .join(
+            c_ex.alias("b").hint("shuffle_hash"),
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_key") == F.col("b.band_key")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("batch_doc"),
+            F.col(f"b.{id_col}").alias("corpus_doc"),
+        )
+        .dropDuplicates(["batch_doc", "corpus_doc"])
     )
-    agree = sum(
-        F.when(F.col(f"a_mh_{i}") == F.col(f"b_mh_{i}"), 1).otherwise(0)
-        for i in range(n_perm)
+    sig_a = b_sig.select(
+        F.col(id_col).alias("batch_doc"), F.array(*mh_cols).alias("__sig_a")
+    )
+    sig_b = c_sig.select(
+        F.col(id_col).alias("corpus_doc"), F.array(*mh_cols).alias("__sig_b")
+    )
+    agree = F.size(
+        F.filter(
+            F.zip_with("__sig_a", "__sig_b", lambda x, y: x == y),
+            lambda v: v,
+        )
     )
     return (
-        pairs.withColumn(
-            "est_jaccard", (agree.cast("double") / F.lit(float(n_perm)))
+        cand.join(sig_a, "batch_doc")
+        .join(sig_b, "corpus_doc")
+        .withColumn(
+            "est_jaccard", agree.cast("double") / F.lit(float(n_perm))
         )
         .select("batch_doc", "corpus_doc", "est_jaccard")
-        .dropDuplicates(["batch_doc", "corpus_doc"])
     )
 
 

@@ -197,9 +197,14 @@ def oov_rate(
     training pipeline checks before admitting a new data source (a spike
     means new language/domain/encoding, not more of the same).
 
-    Shape: the corpus collapses to its distinct vocab (small), the batch
-    token stream left-joins it (broadcast at natural vocab sizes), one
-    per-doc aggregate. Exact integer counts → oracle-exact."""
+    Shape: the corpus collapses to its distinct vocab, the batch token
+    stream left-joins it, one per-doc aggregate. The vocab join carries NO
+    broadcast hint: `F.broadcast()` is mandatory (an oversized build side
+    OOMs — it does not fall back), and a 100 TB web corpus's distinct-token
+    vocab (typos, URLs, IDs) can run to 10⁹ rows. Natural-language vocabs
+    are small, so the planner's size estimate / AQE picks a broadcast hash
+    join on its own; past the threshold it degrades to a shuffle join —
+    still linear, never a failure. Exact integer counts → oracle-exact."""
     from politicamente_etl_spark.operators.text import tokens
 
     vocab = (
@@ -209,7 +214,7 @@ def oov_rate(
     )
     toks = batch.select(id_col, F.explode(tokens(text_col)).alias("term"))
     return (
-        toks.join(F.broadcast(vocab), "term", "left")
+        toks.join(vocab, "term", "left")
         .groupBy(id_col)
         .agg(
             F.count("*").cast("long").alias("n_tokens"),
@@ -230,36 +235,102 @@ def length_bucketed_batches(
     batch_size: int = 16,
     bucket_edges: tuple[int, ...] = (32, 64, 128),
     id_col: str = "doc_id",
+    n_sub_buckets: int = 64,
+    seed: str = "lenbatch-v1",
 ) -> DataFrame:
     """Length-bucketed inference batching: documents are banded by token
     length (padding waste is bounded by the band width, the standard
     dynamic-batching trick), then numbered into fixed-size batches within
-    each band. Output adds (len_bucket, batch_id, pos_in_batch).
+    each band. Output adds (len_bucket, len_sub, batch_id, pos_in_batch).
 
     Scale design: the bucket assignment is a narrow expression; the only
-    shuffle is the per-band window. Band cardinality is tiny (len(edges)+1
-    partitions), so for very large corpora pre-split by a salted sub-key
-    the same way pack_sequences buckets its running sums — here the
-    deterministic (length, id) order is the contract, so the window stays
-    one-per-band and Spark's WindowGroupLimit-style partial sort keeps
-    memory bounded. Batch ids are globally unique: bucket · 2^32 + local.
-    Every row is oracle-checkable (integer arithmetic only)."""
+    shuffle is the batching window. Band cardinality alone is tiny
+    (len(edges)+1), so a window partitioned by band would be a ≤4-way
+    parallel full sort of the corpus at any scale. Instead — exactly the
+    `pack_sequences` shape — each band is salted into ``n_sub_buckets``
+    independent md5 sub-streams and the window partitions by
+    (len_bucket, len_sub): (bands · n_sub_buckets)-way parallelism, each
+    partition sorting only its own slice. Batches never span sub-streams
+    (at most bands · n_sub_buckets ragged tail batches — noise at corpus
+    scale), documents within a batch are still length-adjacent, and batch
+    ids are globally unique: (band · n_sub + sub) · 2^32 + local.
+
+    The sub-bucket is md5-deterministic (`hash_bucket`), so every row —
+    not just the band histogram — stays oracle-checkable integer
+    arithmetic. ``n_sub_buckets=1`` (or 0) recovers the strict global
+    per-band order if a consumer's contract needs it."""
     from pyspark.sql import Window
 
     nt = F.col(n_tokens_col)
     bucket = F.lit(0)
     for i, edge in enumerate(bucket_edges):
         bucket = F.when(nt >= edge, i + 1).otherwise(bucket)
-    w = Window.partitionBy("len_bucket").orderBy(nt, id_col)
+    n_sub = max(1, int(n_sub_buckets))
+    w = Window.partitionBy("len_bucket", "len_sub").orderBy(nt, id_col)
     rn = F.row_number().over(w) - F.lit(1)
     return (
         df.withColumn("len_bucket", bucket.cast("int"))
         .withColumn(
+            "len_sub", hash_bucket(id_col, seed, n_sub).cast("int")
+        )
+        .withColumn(
             "batch_id",
             (
-                F.col("len_bucket").cast("bigint") * F.lit(1 << 32)
+                (
+                    F.col("len_bucket").cast("bigint") * F.lit(n_sub)
+                    + F.col("len_sub").cast("bigint")
+                )
+                * F.lit(1 << 32)
                 + F.floor(rn / F.lit(batch_size))
             ).cast("bigint"),
         )
         .withColumn("pos_in_batch", (rn % F.lit(batch_size)).cast("int"))
+    )
+
+
+def temperature_mix_weights(
+    df: DataFrame,
+    strata_col: str = "source",
+    temperature: float = 2.0,
+) -> DataFrame:
+    """Temperature-scaled source mixing weights — the standard multilingual
+    /multi-source rebalancing rule (share^(1/T), renormalized; T>1 upsamples
+    the tail, T=1 is proportional). Output per stratum: n_docs, share, and
+    the normalized sampling weight; feed the weights into
+    `stratified_hash_sample` rates to materialize the mix.
+
+    Scale shape: one partial-agg'd groupBy(strata) — the only corpus-sized
+    pass — then two broadcast cross-joins of single-row totals; the strata
+    table itself is tiny at any corpus size.
+
+    Cross-engine determinism: share^(1/T) for T=2 is sqrt() (correctly
+    rounded in IEEE-754 on every engine, unlike pow(), which is
+    implementation-defined in the last ulp); the powered weight is snapped
+    to integer micro-units (floor·1e9) so the renormalizing SUM is an
+    exact integer sum, and the final weight is one exact double division.
+    Non-default temperatures use pow() — document the last-ulp caveat or
+    snap harder if an oracle needs them."""
+    powered = (
+        F.sqrt(F.col("share"))
+        if float(temperature) == 2.0
+        else F.pow(F.col("share"), F.lit(1.0 / float(temperature)))
+    )
+    counts = df.groupBy(strata_col).agg(F.count("*").cast("long").alias("n_docs"))
+    total = counts.groupBy().agg(F.sum("n_docs").alias("__n_total"))
+    shared = (
+        counts.crossJoin(F.broadcast(total))
+        .withColumn(
+            "share",
+            F.col("n_docs").cast("double") / F.col("__n_total").cast("double"),
+        )
+        .withColumn("__w_micro", F.floor(powered * F.lit(1e9)).cast("long"))
+    )
+    wtotal = shared.groupBy().agg(F.sum("__w_micro").alias("__w_total"))
+    return (
+        shared.crossJoin(F.broadcast(wtotal))
+        .withColumn(
+            "weight",
+            F.col("__w_micro").cast("double") / F.col("__w_total").cast("double"),
+        )
+        .select(strata_col, "n_docs", "share", "weight")
     )

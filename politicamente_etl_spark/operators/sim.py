@@ -96,14 +96,16 @@ def cosine_near_dup_pairs(
     must not run on a full 100 TB corpus; the scale path is
     `cosine_near_dup_pairs_lsh` below (hyperplane-bucketed candidates, same
     exact cosine filter, recall < 1). The ``max_rows`` guard enforces that:
-    it refuses corpora above the cap (one cheap count job) unless the
-    caller explicitly passes ``max_rows=None``."""
+    it refuses corpora above the cap unless the caller explicitly passes
+    ``max_rows=None``. The probe is ``limit(max_rows+1).count()`` so the
+    guard job short-circuits after max_rows+1 rows instead of scanning the
+    whole input just to check a cap."""
     if max_rows is not None:
-        n = df.count()
+        n = df.limit(max_rows + 1).count()
         if n > max_rows:
             raise ValueError(
                 f"cosine_near_dup_pairs is the quadratic exact verifier; "
-                f"input has {n} rows > max_rows={max_rows}. Use "
+                f"input exceeds max_rows={max_rows}. Use "
                 "cosine_near_dup_pairs_lsh for full-corpus runs, or pass "
                 "max_rows=None to override deliberately."
             )
@@ -392,4 +394,34 @@ def rrf_fuse(
         fused.withColumn("rank", F.row_number().over(w).cast("int"))
         .filter(F.col("rank") <= k)
         .select(query_col, id_col, "rrf_score", "rank")
+    )
+
+
+def mips_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Maximum-inner-product top-k (the retrieval scoring used when
+    embeddings are trained with dot-product objectives — no norm
+    division): broadcast the query set, one sequential-fold dot product
+    per pair, per-query rank window. Same WindowGroupLimit shape as
+    cosine_topk; the score is a plain fold → bit-identical to DuckDB's
+    list_reduce."""
+    q = queries.select(
+        F.col(id_col).alias(query_id_col), F.col(vec_col).alias("q_vec")
+    )
+    scored = corpus.select(id_col, vec_col).crossJoin(F.broadcast(q)).withColumn(
+        "dot_score", F.expr(DOT_DOUBLE.format(a=vec_col, b="q_vec"))
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("dot_score").desc(), F.col(id_col)
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(query_id_col, id_col, "dot_score", "rank")
     )

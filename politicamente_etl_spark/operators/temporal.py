@@ -148,3 +148,60 @@ def range_join_bucketed(
         .filter((F.col(value_col) >= F.col(lo_col)) & (F.col(value_col) < F.col(hi_col)))
         .drop("__bucket")
     )
+
+
+def ohlc_bars(
+    df: DataFrame,
+    ts_col: str = "ts",
+    key_col: str = "event_type",
+    value_col: str = "value",
+    id_col: str = "event_id",
+    width: str = "1 hour",
+) -> DataFrame:
+    """Time-bucketed OHLC (open/high/low/close) bars per key — the classic
+    downsampling aggregate for metric/tick streams. Open/close are the
+    first/last value by (ts, id) within the bar; high/low are max/min.
+
+    Shape: one shuffle on (key, bar), two per-partition sorts (asc rank
+    for open, desc rank for close — same window partition, Spark plans
+    them in one Window stage pair without a second exchange), then the
+    bar-level aggregate. Values pass through un-summed (open/close copy a
+    row, high/low are exact comparisons), so doubles are hash-safe
+    without snapping."""
+    bar = F.window(ts_col, width).getField("start")
+    base = df.select(
+        F.col(key_col),
+        bar.alias("__bar"),
+        F.col(ts_col).alias("__ts"),
+        F.col(id_col).alias("__id"),
+        F.col(value_col).alias("__v"),
+    )
+    w_asc = Window.partitionBy(key_col, "__bar").orderBy("__ts", "__id")
+    w_desc = Window.partitionBy(key_col, "__bar").orderBy(
+        F.col("__ts").desc(), F.col("__id").desc()
+    )
+    ranked = base.withColumns(
+        {
+            "__rn_a": F.row_number().over(w_asc),
+            "__rn_d": F.row_number().over(w_desc),
+        }
+    )
+    return (
+        ranked.groupBy(key_col, "__bar")
+        .agg(
+            F.min(F.when(F.col("__rn_a") == 1, F.col("__v"))).alias("open"),
+            F.max("__v").alias("high"),
+            F.min("__v").alias("low"),
+            F.min(F.when(F.col("__rn_d") == 1, F.col("__v"))).alias("close"),
+            F.count("*").cast("long").alias("n_events"),
+        )
+        .select(
+            key_col,
+            F.unix_timestamp("__bar").alias("bar_start_epoch"),
+            "open",
+            "high",
+            "low",
+            "close",
+            "n_events",
+        )
+    )

@@ -437,6 +437,7 @@ def unigram_logprob_scores(
     col: str = "text",
     id_col: str = "doc_id",
     n_buckets: int = 3,
+    exact_buckets: bool = True,
 ) -> DataFrame:
     """Corpus-level statistical quality scoring: each document's mean
     log-probability under the corpus's own unigram language model, plus a
@@ -445,23 +446,33 @@ def unigram_logprob_scores(
     artifacts in this environment; slot a real LM's per-token logprob into
     the same join and everything downstream is unchanged).
 
-    Plan (the aggregate → broadcast → score pattern): explode tokens →
-    vocab-sized groupBy(term) count → broadcast the vocab's log-probs back
-    onto the token stream (map-side join, no shuffle of the big side) →
-    one partial-agg'd groupBy(doc). At 100 TB the token explode is linear,
-    the vocab table is the only state (fits broadcast for natural-language
-    vocabularies; falls back to a shuffle join past the threshold, still
-    linear), and the per-doc agg is the single fact shuffle.
+    Plan (the aggregate → join → score pattern): explode tokens →
+    vocab-sized groupBy(term) count → join the vocab's log-probs back onto
+    the token stream → one partial-agg'd groupBy(doc). The vocab join
+    carries NO broadcast hint: `F.broadcast()` is mandatory (an oversized
+    build side OOMs the executors — it does NOT fall back past the
+    threshold), and a 100 TB web corpus's distinct-token vocab (typos,
+    URLs, IDs) can reach 10⁹ rows. Natural-language vocabs are small, so
+    the planner's size estimate / AQE picks the broadcast hash join on its
+    own; a huge vocab degrades to a shuffle join — still linear, never a
+    failure. The per-doc agg is the single guaranteed fact shuffle.
 
     Determinism across engines: ln() differs in the last ulp, so each
     term's logprob is snapped to integer MICRO-NATS
     (round(ln(p)·1e6) as BIGINT) before the per-doc sum — integer sums are
     exact and order-independent, so partition count can't change the
-    result; the mean is one double division at the end. The bucket is
-    ntile over (mean desc, doc_id) — a global doc-level sort, fine at any
-    doc count that fits a single reducer's sort spill; the 100 TB variant
-    computes approx-percentile thresholds instead and buckets by
-    comparison (no global sort), at the cost of oracle exactness.
+    result; the mean is one double division at the end.
+
+    Bucketing has two modes:
+    - ``exact_buckets=True`` (oracle mode): ntile over (mean desc, doc_id)
+      — a global doc-level sort through a single reducer. Exact and
+      engine-portable, but single-threaded at the doc count; use it where
+      per-row reproducibility is the contract (driver correctness rows).
+    - ``exact_buckets=False`` (scale mode): approx-percentile thresholds
+      of mean_logprob (one tiny aggregate, broadcast back) and buckets by
+      comparison — no global sort anywhere, boundary rows may land one
+      bucket off vs exact ntile (and ntile's equal-count tie-split is
+      approximated by value thresholds).
     """
     from pyspark.sql import Window
 
@@ -484,7 +495,7 @@ def unigram_logprob_scores(
         .select("term", "lp_micro")
     )
     doc = (
-        toks.join(F.broadcast(lp), "term")
+        toks.join(lp, "term")
         .groupBy(id_col)
         .agg(
             F.count("*").cast("long").alias("n_tokens"),
@@ -497,7 +508,129 @@ def unigram_logprob_scores(
             / F.col("n_tokens").cast("double"),
         )
     )
-    w = Window.orderBy(F.col("mean_logprob").desc(), F.col(id_col))
-    return doc.withColumn(
-        "quality_bucket", F.ntile(n_buckets).over(w).cast("int")
-    ).select(id_col, "n_tokens", "sum_lp_micro", "mean_logprob", "quality_bucket")
+    if exact_buckets:
+        w = Window.orderBy(F.col("mean_logprob").desc(), F.col(id_col))
+        doc = doc.withColumn(
+            "quality_bucket", F.ntile(n_buckets).over(w).cast("int")
+        )
+    else:
+        # Approx-percentile thresholds (ascending interior cut points);
+        # bucket 1 = best (highest mean). quality_bucket =
+        # 1 + #{thresholds strictly above the doc's mean} — a broadcast of
+        # an n_buckets-1 element array, zero global sorts.
+        fracs = [i / n_buckets for i in range(1, n_buckets)]
+        th = doc.agg(
+            F.percentile_approx(
+                "mean_logprob", fracs, 10_000
+            ).alias("__th")
+        )
+        doc = (
+            doc.crossJoin(F.broadcast(th))
+            .withColumn(
+                "quality_bucket",
+                (
+                    F.lit(1)
+                    + F.size(
+                        F.filter(
+                            F.col("__th"),
+                            lambda t: F.col("mean_logprob") < t,
+                        )
+                    )
+                ).cast("int"),
+            )
+            .drop("__th")
+        )
+    return doc.select(
+        id_col, "n_tokens", "sum_lp_micro", "mean_logprob", "quality_bucket"
+    )
+
+
+def gopher_quality_report(
+    df: DataFrame,
+    col: str = "text",
+    id_col: str = "doc_id",
+    min_words: int = 20,
+    max_words: int = 100_000,
+    min_mean_word_len: float = 2.0,
+    max_mean_word_len: float = 10.0,
+    min_unique_frac: float = 0.125,
+) -> DataFrame:
+    """Gopher-style rule-based admission filters (Rae et al. 2021, public
+    recipe): per-document word count bounds, mean word length bounds,
+    unique-word fraction, and stopword presence, each as a boolean flag
+    plus the final ``admitted`` verdict.
+
+    Every feature is a narrow JVM expression over the token array (size /
+    array_distinct / filter folds) — the whole report is scan → project,
+    zero shuffles, codegen end-to-end, so it runs at scan speed on 100 TB
+    and composes with any downstream filter pushdown. Integer counts and
+    exact double divisions only → every row oracle-checkable."""
+    toks = tokens(col)
+    n_words = F.size(toks).cast("long")
+    # mean word length over the words themselves (not chars/words), exact
+    # on both engines: sum of int lengths / int count.
+    sum_word_len = F.aggregate(
+        F.transform(toks, lambda t: F.length(t)),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x.cast("long"),
+    )
+    mean_word_len = sum_word_len.cast("double") / n_words.cast("double")
+    unique_frac = (
+        F.size(F.array_distinct(toks)).cast("double") / n_words.cast("double")
+    )
+    has_stopword = F.arrays_overlap(toks, F.array(F.lit("the"), F.lit("a")))
+    out = df.select(
+        id_col,
+        n_words.alias("n_words"),
+        mean_word_len.alias("mean_word_len"),
+        unique_frac.alias("unique_frac"),
+        has_stopword.alias("has_stopword"),
+    )
+    ok_words = (F.col("n_words") >= min_words) & (F.col("n_words") <= max_words)
+    ok_len = (F.col("mean_word_len") >= min_mean_word_len) & (
+        F.col("mean_word_len") <= max_mean_word_len
+    )
+    ok_unique = F.col("unique_frac") >= min_unique_frac
+    return out.withColumns(
+        {
+            "ok_word_count": ok_words,
+            "ok_mean_word_len": ok_len,
+            "ok_unique_frac": ok_unique,
+            "admitted": ok_words & ok_len & ok_unique & F.col("has_stopword"),
+        }
+    )
+
+
+def top_bigram_fraction(
+    df: DataFrame, col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-document repetition signal (Gopher's duplicate-n-gram family):
+    the fraction of the document's bigrams covered by its single most
+    frequent bigram. High values flag boilerplate/spam long before an
+    exact or fuzzy dedup would.
+
+    Shape: explode bigrams → count per (doc, bigram) → one max/sum
+    aggregate per doc. Two shuffles, both keyed by doc id (the second
+    reuses the first's partitioning modulo the dropped bigram column);
+    integer counts + one final division → oracle-exact."""
+    bigrams = F.expr(
+        f"transform(slice(split({col}, ' '), 1, size(split({col}, ' ')) - 1),"
+        f" (t, i) -> concat_ws(' ', t, element_at(split({col}, ' '), i + 2)))"
+    )
+    per_bigram = (
+        df.select(id_col, F.explode(bigrams).alias("bigram"))
+        .groupBy(id_col, "bigram")
+        .agg(F.count("*").alias("n"))
+    )
+    return (
+        per_bigram.groupBy(id_col)
+        .agg(
+            F.sum("n").cast("long").alias("n_bigrams"),
+            F.max("n").cast("long").alias("top_bigram_n"),
+        )
+        .withColumn(
+            "top_bigram_frac",
+            F.col("top_bigram_n").cast("double")
+            / F.col("n_bigrams").cast("double"),
+        )
+    )

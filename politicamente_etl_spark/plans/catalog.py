@@ -77,7 +77,15 @@ def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Both branches are unit-tested against µs and ns fixtures
     (tests/test_oracle_parity.py, tests/test_streaming.py) so a testdata
-    regeneration can't silently flip the assumption again."""
+    regeneration can't silently flip the assumption again.
+
+    The session timezone is pinned to UTC here (not only in get_spark):
+    the NTZ→TimestampType cast reinterprets wall-clock values in the
+    SESSION zone, so a driver-owned session in a non-UTC zone would shift
+    every epoch derivation (unix_micros, window alignment for offsets not
+    divisible by the window width, DST boundaries) away from the UTC-naive
+    DuckDB oracle. stream_events already pins this; batch must match."""
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = load_table(spark, sf_dir, "events")
     dt = df.schema["ts"].dataType

@@ -1341,8 +1341,9 @@ def _register():
         )
         SELECT prop_key,
                COUNT(*) AS n_events,
-               SUM(CAST(json_extract_string(props,
-                        '$."' || prop_key || '"') AS BIGINT)) AS total_value
+               CAST(SUM(CAST(json_extract_string(props,
+                        '$."' || prop_key || '"') AS BIGINT)) AS BIGINT)
+                   AS total_value
         FROM kv GROUP BY 1
         """,
         tags=("ext-json",),
@@ -2936,7 +2937,7 @@ def _register():
 
     @register(
         "length_bucketed_batches",
-        sql="""
+        sql=f"""
         WITH d AS (
             SELECT doc_id,
                    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
@@ -2946,16 +2947,19 @@ def _register():
                    CAST(CASE WHEN n_tokens >= 128 THEN 3
                              WHEN n_tokens >= 64 THEN 2
                              WHEN n_tokens >= 32 THEN 1
-                             ELSE 0 END AS INT) AS len_bucket
+                             ELSE 0 END AS INT) AS len_bucket,
+                   CAST({sampling.sql_hash_bucket('doc_id',
+                        seed='lenbatch-v1', n_buckets=64)} AS INT) AS len_sub
             FROM d
         ), r AS (
-            SELECT doc_id, n_tokens, len_bucket,
-                   row_number() OVER (PARTITION BY len_bucket
+            SELECT doc_id, n_tokens, len_bucket, len_sub,
+                   row_number() OVER (PARTITION BY len_bucket, len_sub
                         ORDER BY n_tokens, doc_id) - 1 AS rn
             FROM b
         )
-        SELECT doc_id, n_tokens, len_bucket,
-               CAST(len_bucket * 4294967296 + rn // 16 AS BIGINT) AS batch_id,
+        SELECT doc_id, n_tokens, len_bucket, len_sub,
+               CAST((len_bucket * 64 + len_sub) * 4294967296 + rn // 16
+                    AS BIGINT) AS batch_id,
                CAST(rn % 16 AS INT) AS pos_in_batch
         FROM r
         """,
@@ -2963,14 +2967,750 @@ def _register():
     )
     def q_length_bucketed_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
         """Inference batching (`sampling.length_bucketed_batches`): band
-        docs by token length (padding waste bounded by band width), number
-        fixed-size batches of 16 within each band — deterministic integer
-        arithmetic end-to-end, globally-unique batch ids."""
+        docs by token length (padding waste bounded by band width), salt
+        each band into 64 md5 sub-streams, number fixed-size batches of 16
+        within each (band, sub-stream) — deterministic integer arithmetic
+        end-to-end, globally-unique batch ids, (bands·64)-way parallel
+        window instead of a ≤4-way per-band sort."""
         d = T(spark, sf_dir, "documents").select(
             "doc_id",
             F.size(F.split("text", " ")).cast("long").alias("n_tokens"),
         )
         return sampling.length_bucketed_batches(d)
+
+    # -- round-3 surface: corpus quality filters ---------------------------
+
+    @register(
+        "gopher_quality_report",
+        sql="""
+        WITH t AS (
+            SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+        ), s AS (
+            SELECT doc_id,
+                   CAST(len(toks) AS BIGINT) AS n_words,
+                   CAST(list_reduce(list_transform(toks,
+                            x -> CAST(length(x) AS BIGINT)),
+                        (a, b) -> a + b) AS DOUBLE)
+                       / CAST(len(toks) AS DOUBLE) AS mean_word_len,
+                   CAST(len(list_distinct(toks)) AS DOUBLE)
+                       / CAST(len(toks) AS DOUBLE) AS unique_frac,
+                   list_has_any(toks, ['the', 'a']) AS has_stopword
+            FROM t
+        )
+        SELECT doc_id, n_words, mean_word_len, unique_frac, has_stopword,
+               (n_words >= 20 AND n_words <= 100000) AS ok_word_count,
+               (mean_word_len >= 2.0 AND mean_word_len <= 10.0)
+                   AS ok_mean_word_len,
+               (unique_frac >= 0.125) AS ok_unique_frac,
+               ((n_words >= 20 AND n_words <= 100000)
+                AND (mean_word_len >= 2.0 AND mean_word_len <= 10.0)
+                AND (unique_frac >= 0.125) AND has_stopword) AS admitted
+        FROM s
+        """,
+        bench=True,
+        tags=("ext-text",),
+    )
+    def q_gopher_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Gopher-style rule-based admission filters
+        (`text.gopher_quality_report`): word-count bounds, mean word
+        length, unique-word fraction, stopword presence → per-rule flags +
+        admitted verdict. Narrow expressions end to end — the whole report
+        runs at scan speed with zero shuffles."""
+        return text.gopher_quality_report(T(spark, sf_dir, "documents"))
+
+    @register(
+        "top_bigram_repetition",
+        sql="""
+        WITH t AS (
+            SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+        ), bg AS (
+            SELECT doc_id,
+                   unnest([concat_ws(' ', toks[i], toks[i+1])
+                           for i in range(1, len(toks))]) AS bigram
+            FROM t
+        ), pc AS (
+            SELECT doc_id, bigram, COUNT(*) AS n FROM bg GROUP BY 1, 2
+        )
+        SELECT doc_id,
+               CAST(SUM(n) AS BIGINT) AS n_bigrams,
+               CAST(MAX(n) AS BIGINT) AS top_bigram_n,
+               CAST(MAX(n) AS DOUBLE) / CAST(SUM(n) AS DOUBLE)
+                   AS top_bigram_frac
+        FROM pc GROUP BY doc_id
+        """,
+        tags=("ext-text",),
+    )
+    def q_top_bigram_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Per-doc repetition signal (`text.top_bigram_fraction`): fraction
+        of a document's bigrams covered by its most frequent bigram —
+        Gopher's duplicate-n-gram boilerplate flag, two doc-keyed
+        shuffles."""
+        return text.top_bigram_fraction(T(spark, sf_dir, "documents"))
+
+    @register(
+        "dedup_rate_by_source",
+        sql="""
+        SELECT source,
+               COUNT(*) AS n_docs,
+               CAST(COUNT(DISTINCT md5(text)) AS BIGINT) AS n_unique,
+               1.0 - (CAST(COUNT(DISTINCT md5(text)) AS DOUBLE)
+                      / CAST(COUNT(*) AS DOUBLE)) AS dup_rate
+        FROM documents GROUP BY source
+        """,
+        tags=("ext-dedup",),
+    )
+    def q_dedup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Per-source duplication audit: exact-dup rate (1 − distinct
+        digests / docs) by ingestion source — the triage report that tells
+        a pipeline WHICH feed is rotten before any row-level dedup runs.
+        Shuffles digests (16 B), never text."""
+        d = T(spark, sf_dir, "documents")
+        return (
+            d.withColumn("__digest", F.md5("text"))
+            .groupBy("source")
+            .agg(
+                F.count("*").alias("n_docs"),
+                F.count_distinct("__digest").alias("n_unique"),
+            )
+            .withColumn(
+                "dup_rate",
+                F.lit(1.0)
+                - (
+                    F.col("n_unique").cast("double")
+                    / F.col("n_docs").cast("double")
+                ),
+            )
+        )
+
+    # Oracle reuses the already-registered minhash self-join SQL as a CTE.
+    from politicamente_etl_spark.plans.catalog import CATALOG as _CAT
+
+    _minhash_pairs_sql = _CAT["minhash_near_dup_pairs"].sql
+
+    @register(
+        "near_dup_edit_distance",
+        sql=f"""
+        WITH cand AS ({_minhash_pairs_sql})
+        SELECT c.doc_a, c.doc_b, c.est_jaccard,
+               CAST(levenshtein(substr(a.text, 1, 80), substr(b.text, 1, 80))
+                    AS INT) AS edit_distance
+        FROM cand c
+        JOIN documents a ON c.doc_a = a.doc_id
+        JOIN documents b ON c.doc_b = b.doc_id
+        """,
+        tags=("ext-dedup",),
+    )
+    def q_near_dup_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Verifier chain: LSH candidate pairs (minhash banding) → join the
+        two texts back → exact Levenshtein on the 80-char prefixes. The
+        edit-distance DP is quadratic in the prefix length but runs ONLY on
+        banded candidates (corpus-linear count), never all pairs — the
+        standard cheap-filter→exact-verify cascade. Integer distance →
+        oracle-exact."""
+        docs = T(spark, sf_dir, "documents").select("doc_id", "text")
+        cand = dedup.minhash_near_dup_pairs(docs)
+        a = docs.select(
+            F.col("doc_id").alias("doc_a"),
+            F.substring("text", 1, 80).alias("__ta"),
+        )
+        b = docs.select(
+            F.col("doc_id").alias("doc_b"),
+            F.substring("text", 1, 80).alias("__tb"),
+        )
+        return (
+            cand.join(a, "doc_a")
+            .join(b, "doc_b")
+            .select(
+                "doc_a",
+                "doc_b",
+                "est_jaccard",
+                F.levenshtein("__ta", "__tb").cast("int").alias("edit_distance"),
+            )
+        )
+
+    @register(
+        "temperature_mix_weights",
+        sql="""
+        WITH c AS (
+            SELECT source, COUNT(*) AS n_docs FROM documents GROUP BY source
+        ), t AS (
+            SELECT CAST(SUM(n_docs) AS BIGINT) AS n_total FROM c
+        ), s AS (
+            SELECT source, n_docs,
+                   CAST(n_docs AS DOUBLE) / CAST(n_total AS DOUBLE) AS share,
+                   CAST(floor(sqrt(CAST(n_docs AS DOUBLE)
+                                   / CAST(n_total AS DOUBLE)) * 1e9)
+                        AS BIGINT) AS w_micro
+            FROM c CROSS JOIN t
+        ), wt AS (
+            SELECT CAST(SUM(w_micro) AS BIGINT) AS w_total FROM s
+        )
+        SELECT source, n_docs, share,
+               CAST(w_micro AS DOUBLE) / CAST(w_total AS DOUBLE) AS weight
+        FROM s CROSS JOIN wt
+        """,
+        tags=("ext-sampling",),
+    )
+    def q_temperature_mix_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Temperature-scaled source mixing (T=2:
+        `sampling.temperature_mix_weights`): per-source share^(1/2),
+        integer-snapped and renormalized — the multilingual/multi-source
+        rebalancing rule; feed the weights into stratified_hash_sample.
+        sqrt (not pow) is correctly-rounded IEEE on both engines."""
+        return sampling.temperature_mix_weights(
+            T(spark, sf_dir, "documents"), strata_col="source", temperature=2.0
+        )
+
+    # -- round-3 surface: relational analytics (TPC-H-style shapes) --------
+
+    @register(
+        "discounted_revenue",
+        sql=f"""
+        SELECT {sql_money_sum("l_extendedprice * l_discount", "revenue")},
+               COUNT(*) AS n_items
+        FROM lineitem
+        WHERE year(l_shipdate) = 1996
+          AND l_discount >= 0.05 AND l_discount <= 0.07
+          AND l_quantity < 24
+        """,
+        bench=True,
+        tags=("ext-rel",),
+    )
+    def q_discounted_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """TPC-H Q6 shape: pure filter + ungrouped aggregate — the
+        pushdown/codegen showcase (l_discount and l_quantity predicates
+        reach the parquet scan; no shuffle at all, one partial-agg'd
+        reduce). Revenue decimal-snapped."""
+        li = T(spark, sf_dir, "lineitem")
+        return (
+            li.filter(
+                (F.year("l_shipdate") == 1996)
+                & (F.col("l_discount") >= 0.05)
+                & (F.col("l_discount") <= 0.07)
+                & (F.col("l_quantity") < 24)
+            )
+            .agg(
+                money_sum(
+                    F.col("l_extendedprice") * F.col("l_discount"), "revenue"
+                ),
+                F.count("*").alias("n_items"),
+            )
+        )
+
+    @register(
+        "promo_revenue_share",
+        sql=f"""
+        WITH j AS (
+            SELECT p_type, l_extendedprice, l_discount
+            FROM lineitem JOIN part ON l_partkey = p_partkey
+        ), a AS (
+            SELECT
+                {sql_money_sum(
+                    "CASE WHEN p_type = 'PROMO' "
+                    "THEN l_extendedprice * (1 - l_discount) ELSE 0 END",
+                    "promo_revenue")},
+                {sql_money_sum("l_extendedprice * (1 - l_discount)",
+                               "total_revenue")}
+            FROM j
+        )
+        SELECT promo_revenue, total_revenue,
+               promo_revenue / total_revenue AS promo_share
+        FROM a
+        """,
+        tags=("ext-rel",),
+    )
+    def q_promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """TPC-H Q14 shape: conditional aggregation ratio over a broadcast
+        dim join (part never shuffles the fact). Both sums decimal-snap
+        before the final division, so the share is one exact double op."""
+        li = T(spark, sf_dir, "lineitem")
+        p = T(spark, sf_dir, "part").select("p_partkey", "p_type")
+        rev = F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount"))
+        return (
+            li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+            .agg(
+                money_sum(
+                    F.when(F.col("p_type") == "PROMO", rev).otherwise(0.0),
+                    "promo_revenue",
+                ),
+                money_sum(rev, "total_revenue"),
+            )
+            .withColumn(
+                "promo_share", F.col("promo_revenue") / F.col("total_revenue")
+            )
+        )
+
+    @register(
+        "order_priority_followups",
+        sql="""
+        SELECT o_orderpriority, COUNT(*) AS n_orders
+        FROM orders o
+        WHERE EXISTS (
+            SELECT 1 FROM lineitem l
+            WHERE l.l_orderkey = o.o_orderkey
+              AND CAST(l.l_shipdate AS DATE)
+                  > CAST(o.o_orderdate AS DATE) + 30
+        )
+        GROUP BY o_orderpriority
+        """,
+        tags=("ext-rel",),
+    )
+    def q_order_priority_followups(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """TPC-H Q4 shape: correlated EXISTS as a LEFT SEMI join with a
+        non-equi residual (lineitem shipped >30 days after the order
+        date), then the priority rollup. The semi join still hashes on the
+        equi key — the inequality is a residual filter, never a
+        cross-product."""
+        o = T(spark, sf_dir, "orders")
+        li = T(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+        cond = (o.o_orderkey == li.l_orderkey) & (
+            li.l_shipdate.cast("date")
+            > F.date_add(o.o_orderdate.cast("date"), 30)
+        )
+        return (
+            o.join(li, cond, "left_semi")
+            .groupBy("o_orderpriority")
+            .agg(F.count("*").alias("n_orders"))
+        )
+
+    @register(
+        "small_quantity_revenue",
+        sql=f"""
+        WITH stats AS (
+            SELECT l_partkey,
+                   CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+                   COUNT(*) AS n_items
+            FROM lineitem GROUP BY l_partkey
+        ), small AS (
+            SELECT l.l_extendedprice
+            FROM lineitem l JOIN stats s ON l.l_partkey = s.l_partkey
+            WHERE 5 * CAST(l.l_quantity AS BIGINT) * s.n_items < s.sum_qty
+        ), a AS (
+            SELECT {sql_money_sum("l_extendedprice", "price_sum")},
+                   COUNT(*) AS n_small
+            FROM small
+        )
+        SELECT price_sum / 7.0 AS avg_yearly, n_small FROM a
+        """,
+        tags=("ext-rel",),
+    )
+    def q_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """TPC-H Q17 shape: scalar-correlated subquery (per-part average
+        quantity) decorrelated into an aggregate + equi-join. The fractional
+        threshold qty < 0.2·avg is algebraically rewritten to the
+        ALL-INTEGER comparison 5·qty·n < sum_qty — exact on both engines,
+        no division anywhere in the predicate."""
+        li = T(spark, sf_dir, "lineitem")
+        stats = li.groupBy("l_partkey").agg(
+            F.sum(F.col("l_quantity").cast("long")).alias("sum_qty"),
+            F.count("*").alias("n_items"),
+        )
+        small = li.join(stats, "l_partkey").filter(
+            F.lit(5) * F.col("l_quantity").cast("long") * F.col("n_items")
+            < F.col("sum_qty")
+        )
+        return (
+            small.agg(
+                money_sum("l_extendedprice", "price_sum"),
+                F.count("*").alias("n_small"),
+            )
+            .select(
+                (F.col("price_sum") / F.lit(7.0)).alias("avg_yearly"),
+                "n_small",
+            )
+        )
+
+    @register(
+        "top_supplier_revenue",
+        sql=f"""
+        WITH rev AS (
+            SELECT l_suppkey,
+                   {sql_money_sum("l_extendedprice * (1 - l_discount)",
+                                  "total_rev")}
+            FROM lineitem
+            WHERE year(l_shipdate) = 1996 AND month(l_shipdate) <= 3
+            GROUP BY l_suppkey
+        )
+        SELECT s.s_suppkey, s.s_name, r.total_rev
+        FROM rev r JOIN supplier s ON r.l_suppkey = s.s_suppkey
+        WHERE r.total_rev = (SELECT MAX(total_rev) FROM rev)
+        """,
+        tags=("ext-rel",),
+    )
+    def q_top_supplier_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """TPC-H Q15 shape: windowed revenue per supplier, then the
+        argmax-by-aggregate (suppliers matching the max, ties all kept) —
+        the max is a 1-row broadcast back onto the aggregate, never a
+        global sort. Decimal-snapped sums make the float equality exact."""
+        li = T(spark, sf_dir, "lineitem")
+        rev = (
+            li.filter(
+                (F.year("l_shipdate") == 1996) & (F.month("l_shipdate") <= 3)
+            )
+            .groupBy("l_suppkey")
+            .agg(
+                money_sum(
+                    F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount")),
+                    "total_rev",
+                )
+            )
+        )
+        mx = rev.agg(F.max("total_rev").alias("__mx"))
+        s = T(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+        return (
+            rev.crossJoin(F.broadcast(mx))
+            .filter(F.col("total_rev") == F.col("__mx"))
+            .join(
+                F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey")
+            )
+            .select("s_suppkey", "s_name", "total_rev")
+        )
+
+    @register(
+        "local_supplier_volume",
+        sql=f"""
+        SELECT n_name,
+               {sql_money_sum("l_extendedprice * (1 - l_discount)", "revenue")}
+        FROM lineitem
+        JOIN orders   ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation   ON s_nationkey = n_nationkey
+        WHERE c_nationkey = s_nationkey
+          AND year(o_orderdate) = 1997
+        GROUP BY n_name
+        """,
+        tags=("ext-rel",),
+    )
+    def q_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """TPC-H Q5 shape: revenue where the customer and supplier share a
+        nation. supplier/nation broadcast; lineitem⋈orders is the one
+        fact-fact shuffle (AQE picks sort-merge at scale); the
+        customer-nation equality is a residual on already-joined rows."""
+        li = T(spark, sf_dir, "lineitem")
+        o = T(spark, sf_dir, "orders").filter(F.year("o_orderdate") == 1997)
+        c = T(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+        s = T(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+        n = T(spark, sf_dir, "nation")
+        rev = F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount"))
+        return (
+            li.join(o, li.l_orderkey == o.o_orderkey)
+            .join(c, o.o_custkey == c.c_custkey)
+            .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+            .filter(F.col("c_nationkey") == F.col("s_nationkey"))
+            .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+            .groupBy("n_name")
+            .agg(money_sum(rev, "revenue"))
+        )
+
+    @register(
+        "returned_items_top_customers",
+        sql=f"""
+        SELECT c.c_custkey, c.c_name,
+               {sql_money_sum("l_extendedprice * (1 - l_discount)", "revenue")}
+        FROM lineitem l
+        JOIN orders o   ON l.l_orderkey = o.o_orderkey
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        WHERE l.l_returnflag = 'R'
+        GROUP BY c.c_custkey, c.c_name
+        ORDER BY revenue DESC, c_custkey
+        LIMIT 20
+        """,
+        tags=("ext-rel",),
+    )
+    def q_returned_items_top_customers(
+        spark: SparkSession, sf_dir: str
+    ) -> DataFrame:
+        """TPC-H Q10 shape: lost-revenue rollup over returned items, top 20
+        customers. The final order-by+limit plans as TakeOrdered (per-
+        partition top-k, 20 rows per partition cross the wire — never a
+        global sort); revenue ties break on c_custkey."""
+        li = T(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+        o = T(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+        c = T(spark, sf_dir, "customer").select("c_custkey", "c_name")
+        rev = F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount"))
+        return (
+            li.join(o, li.l_orderkey == o.o_orderkey)
+            .join(c, o.o_custkey == c.c_custkey)
+            .groupBy("c_custkey", "c_name")
+            .agg(money_sum(rev, "revenue"))
+            .orderBy(F.col("revenue").desc(), F.col("c_custkey"))
+            .limit(20)
+        )
+
+    # -- round-3 surface: temporal / event analytics -----------------------
+
+    @register(
+        "customer_order_gaps",
+        sql="""
+        SELECT o_orderkey, o_custkey,
+               CAST(date_diff('day',
+                    lag(CAST(o_orderdate AS DATE)) OVER w,
+                    CAST(o_orderdate AS DATE)) AS BIGINT) AS gap_days
+        FROM orders
+        WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+        """,
+        tags=("ext-window",),
+    )
+    def q_customer_order_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Inter-event gap via lag(): days since the customer's previous
+        order (NULL for the first). One shuffle on the customer key,
+        per-partition sort — the purchase-cadence feature for churn/LTV
+        models; integer day arithmetic is oracle-exact."""
+        o = T(spark, sf_dir, "orders")
+        w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+        d = F.col("o_orderdate").cast("date")
+        return o.select(
+            "o_orderkey",
+            "o_custkey",
+            F.datediff(d, F.lag(d).over(w)).cast("long").alias("gap_days"),
+        )
+
+    @register(
+        "orders_yoy_growth",
+        sql=f"""
+        WITH yearly AS (
+            SELECT CAST(year(o_orderdate) AS BIGINT) AS order_year,
+                   {sql_money_sum("o_totalprice", "revenue")}
+            FROM orders GROUP BY 1
+        )
+        SELECT order_year, revenue,
+               lag(revenue) OVER (ORDER BY order_year) AS prev_revenue,
+               (revenue - lag(revenue) OVER (ORDER BY order_year))
+                   / lag(revenue) OVER (ORDER BY order_year) AS yoy_growth
+        FROM yearly
+        """,
+        tags=("ext-window",),
+    )
+    def q_orders_yoy_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Year-over-year growth: yearly decimal-snapped revenue + lag
+        window. The unpartitioned window runs on the POST-AGGREGATE year
+        table (a handful of rows — same pattern as the elections dim), not
+        the fact; growth is one exact double expression."""
+        o = T(spark, sf_dir, "orders")
+        yearly = (
+            o.groupBy(F.year("o_orderdate").cast("long").alias("order_year"))
+            .agg(money_sum("o_totalprice", "revenue"))
+        )
+        w = Window.orderBy("order_year")
+        prev = F.lag("revenue").over(w)
+        return yearly.select(
+            "order_year",
+            "revenue",
+            prev.alias("prev_revenue"),
+            ((F.col("revenue") - prev) / prev).alias("yoy_growth"),
+        )
+
+    @register(
+        "events_ohlc_bars",
+        sql="""
+        WITH e AS (
+            SELECT event_type, time_bucket(INTERVAL '1 hour', ts) AS bar,
+                   ts, event_id, value
+            FROM events
+        ), r AS (
+            SELECT *,
+                   row_number() OVER (PARTITION BY event_type, bar
+                        ORDER BY ts, event_id) AS rn_a,
+                   row_number() OVER (PARTITION BY event_type, bar
+                        ORDER BY ts DESC, event_id DESC) AS rn_d
+            FROM e
+        )
+        SELECT event_type,
+               CAST(epoch(bar) AS BIGINT) AS bar_start_epoch,
+               MIN(CASE WHEN rn_a = 1 THEN value END) AS open,
+               MAX(value) AS high,
+               MIN(value) AS low,
+               MIN(CASE WHEN rn_d = 1 THEN value END) AS close,
+               COUNT(*) AS n_events
+        FROM r GROUP BY 1, 2
+        """,
+        tags=("ext-stream", "ext-window"),
+    )
+    def q_events_ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Hourly OHLC bars per event type (`temporal.ohlc_bars`): the
+        metric-downsampling aggregate — open/close by (ts, id) rank,
+        high/low exact comparisons, values never summed so raw doubles are
+        hash-safe."""
+        from politicamente_etl_spark.operators.temporal import ohlc_bars
+
+        return ohlc_bars(load_events(spark, sf_dir))
+
+    @register(
+        "user_activity_profile",
+        sql=f"""
+        SELECT user_id,
+               COUNT(*) AS n_events,
+               CAST(COUNT(DISTINCT event_type) AS BIGINT) AS n_types,
+               CAST(epoch_ms(MIN(ts)) AS BIGINT) AS first_ts_ms,
+               CAST(epoch_ms(MAX(ts)) AS BIGINT) AS last_ts_ms,
+               {sql_money_sum("value", "total_value")}
+        FROM events GROUP BY user_id
+        """,
+        tags=("ext-stream",),
+    )
+    def q_user_activity_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Per-user activity profile: event count, distinct types, first/
+        last seen (exact ms epochs), decimal-snapped value total — one
+        partial-agg'd groupBy; count_distinct expands to a two-phase
+        aggregate that still map-side combines."""
+        ev = load_events(spark, sf_dir)
+        return ev.groupBy("user_id").agg(
+            F.count("*").alias("n_events"),
+            F.count_distinct("event_type").alias("n_types"),
+            F.unix_millis(F.min("ts")).alias("first_ts_ms"),
+            F.unix_millis(F.max("ts")).alias("last_ts_ms"),
+            money_sum("value", "total_value"),
+        )
+
+    # -- round-3 surface: embedding retrieval extras -----------------------
+
+    @register(
+        "mips_topk",
+        sql=f"""
+        WITH q AS (
+            SELECT vec_id AS query_id, embedding AS q_vec
+            FROM embeddings WHERE vec_id < 5
+        ), scored AS (
+            SELECT q.query_id, e.vec_id,
+                   {_DOT_DD.format(a='e.embedding', b='q.q_vec')} AS dot_score
+            FROM embeddings e CROSS JOIN q
+        )
+        SELECT query_id, vec_id, dot_score,
+               CAST(row_number() OVER (PARTITION BY query_id
+                    ORDER BY dot_score DESC, vec_id) AS INT) AS rank
+        FROM scored
+        QUALIFY rank <= 10
+        """,
+        tags=("ext-sim",),
+    )
+    def q_mips_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Maximum-inner-product top-10 (`sim.mips_topk`) — dot-product
+        retrieval without norm division, the scoring for dot-trained
+        embedding models. Same broadcast + WindowGroupLimit shape as
+        cosine_topk."""
+        emb = T(spark, sf_dir, "embeddings")
+        return sim.mips_topk(emb, emb.filter(F.col("vec_id") < 5), k=10)
+
+    @register(
+        "knn_label_vote",
+        sql=f"""
+        WITH q AS (
+            SELECT vec_id AS query_id, embedding AS q_vec
+            FROM embeddings WHERE vec_id < 5
+        ), scored AS (
+            SELECT q.query_id, e.vec_id,
+                   {_DOT_DD.format(a='e.embedding', b='q.q_vec')}
+                   / ({_NORM_DD.format(a='e.embedding')}
+                      * {_NORM_DD.format(a='q.q_vec')}) AS cos_sim
+            FROM embeddings e CROSS JOIN q
+        ), topk AS (
+            SELECT query_id, vec_id FROM scored
+            QUALIFY row_number() OVER (PARTITION BY query_id
+                    ORDER BY cos_sim DESC, vec_id) <= 10
+        ), votes AS (
+            SELECT t.query_id, e.label, COUNT(*) AS n_votes
+            FROM topk t JOIN embeddings e ON t.vec_id = e.vec_id
+            GROUP BY 1, 2
+        )
+        SELECT query_id, CAST(label AS INT) AS pred_label,
+               CAST(n_votes AS BIGINT) AS n_votes
+        FROM votes
+        QUALIFY row_number() OVER (PARTITION BY query_id
+                ORDER BY n_votes DESC, label) = 1
+        """,
+        tags=("ext-sim",),
+    )
+    def q_knn_label_vote(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """k-NN classification by retrieval: cosine top-10 per query →
+        majority label vote (ties break on the smaller label). The label
+        join touches only q×k candidate rows; the vote is a tiny two-level
+        aggregate — classification at retrieval cost."""
+        emb = T(spark, sf_dir, "embeddings")
+        topk = sim.cosine_topk(emb, emb.filter(F.col("vec_id") < 5), k=10)
+        labels = emb.select("vec_id", "label")
+        votes = (
+            topk.join(labels, "vec_id")
+            .groupBy("query_id", "label")
+            .agg(F.count("*").alias("n_votes"))
+        )
+        w = Window.partitionBy("query_id").orderBy(
+            F.col("n_votes").desc(), F.col("label")
+        )
+        return (
+            votes.withColumn("__r", F.row_number().over(w))
+            .filter(F.col("__r") == 1)
+            .select(
+                "query_id",
+                F.col("label").cast("int").alias("pred_label"),
+                F.col("n_votes").cast("long").alias("n_votes"),
+            )
+        )
+
+    @register(
+        "ann_recall_report",
+        sql=f"""
+        WITH q AS (
+            SELECT vec_id AS query_id, embedding AS q_vec
+            FROM embeddings WHERE vec_id < 5
+        ), ex_scored AS (
+            SELECT q.query_id, e.vec_id,
+                   {_DOT_DD.format(a='e.embedding', b='q.q_vec')}
+                   / ({_NORM_DD.format(a='e.embedding')}
+                      * {_NORM_DD.format(a='q.q_vec')}) AS cos_sim
+            FROM embeddings e CROSS JOIN q
+        ), exact AS (
+            SELECT query_id, vec_id FROM ex_scored
+            QUALIFY row_number() OVER (PARTITION BY query_id
+                    ORDER BY cos_sim DESC, vec_id) <= 10
+        ), sigc AS (
+            SELECT vec_id, embedding,
+                   {_sql_bucket('embedding', _TOPK_PLANES)} AS bucket,
+                   {_NORM_DD.format(a='embedding')} AS nrm
+            FROM embeddings
+        ), sigq AS (
+            SELECT vec_id AS query_id, embedding AS q_vec, bucket,
+                   nrm AS q_nrm
+            FROM sigc WHERE vec_id < 5
+        ), l_scored AS (
+            SELECT q.query_id, c.vec_id,
+                   {_DOT_DD.format(a='c.embedding', b='q.q_vec')}
+                       / (c.nrm * q.q_nrm) AS cos_sim
+            FROM sigc c JOIN sigq q USING (bucket)
+        ), approx AS (
+            SELECT query_id, vec_id FROM l_scored
+            QUALIFY row_number() OVER (PARTITION BY query_id
+                    ORDER BY cos_sim DESC, vec_id) <= 10
+        )
+        SELECT e.query_id,
+               CAST(COUNT(*) AS BIGINT) AS n_overlap,
+               CAST(COUNT(*) AS DOUBLE) / 10.0 AS recall_at_10
+        FROM exact e
+        JOIN approx a ON e.query_id = a.query_id AND e.vec_id = a.vec_id
+        GROUP BY e.query_id
+        """,
+        tags=("ext-sim",),
+    )
+    def q_ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """ANN quality audit: recall@10 of the hyperplane-LSH top-k against
+        the exact top-k, per query — the operator a pipeline runs before
+        trusting an index at scale. Both rankings are corpus-safe shapes;
+        the recall join is O(queries × k). Seeded literal planes make even
+        the approximate side oracle-reproducible."""
+        emb = T(spark, sf_dir, "embeddings")
+        queries = emb.filter(F.col("vec_id") < 5)
+        exact = sim.cosine_topk(emb, queries, k=10).select("query_id", "vec_id")
+        approx = sim.cosine_topk_lsh(
+            emb, queries, _TOPK_PLANES, k=10
+        ).select("query_id", "vec_id")
+        return (
+            exact.join(approx, ["query_id", "vec_id"])
+            .groupBy("query_id")
+            .agg(F.count("*").cast("long").alias("n_overlap"))
+            .withColumn(
+                "recall_at_10", F.col("n_overlap").cast("double") / F.lit(10.0)
+            )
+        )
 
 
 _register()

@@ -271,21 +271,56 @@ def test_prefix_filter_no_cartesian_and_equijoins(spark, sf_dir):
 
 
 def test_unigram_logprob_broadcasts_vocab(spark, sf_dir):
-    """The vocab log-prob table must come back onto the token stream via
-    broadcast joins — the exploded (big) side is never shuffled for the
-    join; the only fact shuffle is the per-doc aggregate."""
+    """At bench scale the vocab log-prob table comes back onto the token
+    stream via a broadcast join CHOSEN BY THE PLANNER's size estimate —
+    there is deliberately no F.broadcast() hint (a mandatory hint would
+    OOM on a 10⁹-term web vocab; estimate/AQE-driven selection degrades
+    to a linear shuffle join instead). This pin asserts the estimate
+    still picks broadcast for a natural-language vocab."""
     plan = plan_of(q("unigram_logprob_quality", spark, sf_dir))
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
     assert "CartesianProduct" not in plan
 
 
+def test_unigram_scale_mode_no_global_sort(spark, sf_dir):
+    """exact_buckets=False must bucket by approx-percentile threshold
+    comparison: no window (no single-reducer global sort) anywhere, and
+    the buckets must agree with the exact mode away from boundaries."""
+    from politicamente_etl_spark.operators.text import unigram_logprob_scores
+    from politicamente_etl_spark.sources.readers import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    scaled = unigram_logprob_scores(docs, exact_buckets=False)
+    plan = plan_of(scaled)
+    assert "Window" not in plan and "ntile(" not in plan
+    rows = {r.doc_id: r for r in scaled.collect()}
+    exact = {
+        r.doc_id: r
+        for r in unigram_logprob_scores(docs, exact_buckets=True).collect()
+    }
+    assert set(rows) == set(exact)
+    assert all(1 <= r.quality_bucket <= 3 for r in rows.values())
+    # scores identical; buckets may differ only at threshold boundaries
+    same = sum(
+        1 for d in rows if rows[d].quality_bucket == exact[d].quality_bucket
+    )
+    assert same >= 0.9 * len(rows)
+    for d in rows:
+        assert rows[d].sum_lp_micro == exact[d].sum_lp_micro
+
+
 def test_minhash_incremental_cross_is_equi_join(spark, sf_dir):
     """batch x corpus candidates must meet through the banded equi-join —
-    never a nested-loop over the corpus."""
+    never a nested-loop over the corpus — and the band-join exchanges must
+    carry NO signature columns (payload independent of n_perm; est_jaccard
+    comes from the post-candidate signature re-join)."""
     plan = plan_of(q("minhash_incremental_pairs", spark, sf_dir))
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+    for blk in plan.split("\n\n"):
+        if "Exchange" in blk and "band_key" in blk:
+            assert "mh_" not in blk
 
 
 def test_hybrid_rrf_no_corpus_blowup(spark, sf_dir):
@@ -317,8 +352,15 @@ def test_oov_rate_broadcasts_vocab(spark, sf_dir):
 
 
 def test_length_bucketed_single_window_shuffle(spark, sf_dir):
-    """Batching must cost exactly one hash shuffle (the per-band window) —
-    no join, no extra exchange beyond the window partitioning."""
+    """Batching must cost exactly one hash shuffle (the batching window) —
+    no join, no extra exchange — AND the window must partition by
+    (len_bucket, len_sub): the 64-way salted sub-streams are what keep the
+    sort (bands·64)-way parallel instead of one task per band."""
     plan = plan_of(q("length_bucketed_batches", spark, sf_dir))
     assert plan.count(") Exchange") == 1
     assert "Join" not in plan
+    assert "len_sub" in plan
+    window_blk = next(
+        b for b in plan.split("\n\n") if ") Window" in b and "Arguments" in b
+    )
+    assert "len_sub" in window_blk
