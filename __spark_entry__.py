@@ -149,6 +149,7 @@ REFACTORED_THIS_ROUND: frozenset[str] = frozenset(
         "events_tumbling_window",  # catalog.load_events: UTC session-tz pin
         "flagship_revenue_rollup",  # core.spread: packing-aware split estimate
         "sum_status_by_key",  # core.spread (same change), second sentinel
+        "cosine_topk_ivf",  # sim.assign_cells extraction (shared with semdedup)
     }
 )
 

@@ -86,6 +86,93 @@ def salted_join(
     return salted.join(replicated, on=[*keys, "__salt"], how=how).drop("__salt")
 
 
+def scd2_merge(
+    current: DataFrame,
+    updates: DataFrame,
+    keys: list[str],
+    tracked: list[str],
+    batch_id: int,
+    version_col: str = "version",
+    current_col: str = "is_current",
+) -> DataFrame:
+    """Slowly-changing-dimension type-2 merge: apply a batch of attribute
+    updates to a versioned dimension, closing superseded rows and opening
+    new versions — the warehouse-side history-keeping MERGE that plain
+    parquet lacks (Delta/Iceberg express it as MERGE WHEN MATCHED; this is
+    the engine-portable join algebra with identical output).
+
+    Inputs: `current` carries (keys, attrs, version_col, current_col);
+    `updates` carries (keys, tracked attrs) for this batch. Semantics:
+    - key absent from updates            → row passes through unchanged;
+    - key matched, all tracked equal     → row passes through unchanged
+      (no spurious version churn);
+    - key matched, any tracked differs   → the open row closes
+      (current_col=false, version kept) AND a new open row appends with
+      version_col=batch_id;
+    - key new (not in current)           → inserted open at batch_id.
+    Closed historical rows (current_col already false) never rejoin the
+    update — they pass through on the cheap side of the union.
+
+    Plan shape: ONE equi-join between the open slice and the updates (the
+    update batch is the small side → planner broadcast), a change flag as
+    an expression, and a three-way unionByName (history ∥ survivors+closed
+    ∥ openings). Nothing shuffles except the join itself; at 100 TB with a
+    key-partitioned dimension layout this is a map-side merge per
+    partition. Delta's MERGE compiles to exactly this shape + a
+    transactional commit; see sinks.merge_upsert for the slot-in."""
+    attrs = [c for c in current.columns if c not in (version_col, current_col)]
+    closed_hist = current.filter(~F.col(current_col))
+    open_now = current.filter(F.col(current_col))
+
+    upd = updates.select(
+        *keys,
+        *[F.col(c).alias(f"__u_{c}") for c in tracked],
+        F.lit(1).alias("__u_hit"),  # NULL-safe match marker
+    )
+    joined = open_now.join(F.broadcast(upd), on=keys, how="left")
+    matched = F.col("__u_hit").isNotNull()
+    same = F.lit(True)
+    for c in tracked:
+        same = same & F.col(c).eqNullSafe(F.col(f"__u_{c}"))
+    changed = matched & ~same
+
+    # unchanged / unmatched open rows survive as-is; changed rows close
+    survivors = joined.select(
+        *attrs,
+        F.col(version_col),
+        F.when(changed, F.lit(False)).otherwise(F.col(current_col)).alias(current_col),
+    )
+    # new versions for changed keys
+    openings = joined.filter(changed).select(
+        *[
+            F.col(f"__u_{c}").alias(c) if c in tracked else F.col(c)
+            for c in attrs
+        ],
+        F.lit(batch_id).cast(current.schema[version_col].dataType).alias(version_col),
+        F.lit(True).alias(current_col),
+    )
+    # brand-new keys
+    inserts = (
+        updates.join(current.select(*keys).distinct(), on=keys, how="left_anti")
+        .select(
+            *[
+                F.col(c)
+                if c in keys or c in tracked
+                else F.lit(None).cast(current.schema[c].dataType).alias(c)
+                for c in attrs
+            ],
+            F.lit(batch_id).cast(current.schema[version_col].dataType).alias(version_col),
+            F.lit(True).alias(current_col),
+        )
+    )
+    return (
+        closed_hist.select(*attrs, version_col, current_col)
+        .unionByName(survivors)
+        .unionByName(openings)
+        .unionByName(inserts)
+    )
+
+
 def update_match_accounting(
     target: DataFrame, updates: DataFrame, keys: list[str]
 ) -> DataFrame:

@@ -334,3 +334,45 @@ def temperature_mix_weights(
         )
         .select(strata_col, "n_docs", "share", "weight")
     )
+
+
+def realize_epoch_mix(
+    df: DataFrame,
+    weights: DataFrame,
+    strata_col: str = "source",
+    key_col: str = "doc_id",
+    epoch_frac: float = 1.0,
+    seed: str = "epoch-v1",
+) -> DataFrame:
+    """Materialize a temperature-mixed training epoch: given the per-source
+    `weights` table from `temperature_mix_weights`, keep each row with
+    probability rate_s = min(1, weight_s · N_total · epoch_frac / n_s) —
+    the acceptance rate that makes the REALIZED epoch composition match the
+    target mix (upsampled tail sources saturate at rate 1; true upsampling
+    beyond 1 is a loader-side repeat, not a filter).
+
+    Membership is the deterministic md5 acceptance of `hash_sample`
+    (stable under re-runs, repartitioning, appends — a re-run of the same
+    epoch seed reproduces the same dataset bit-for-bit; vary `seed` per
+    epoch for fresh draws). The weights table is strata-sized (tiny) so
+    the join broadcasts; the filter itself is a pure per-row predicate.
+
+    Rate determinism: weight comes out of integer micro-unit
+    renormalization (see temperature_mix_weights), n/N are exact longs,
+    and the rate expression is a fixed sequence of double ops — identical
+    on any engine, so the oracle reproduces the exact membership."""
+    totals = weights.groupBy().agg(F.sum("n_docs").alias("__n_total"))
+    w = weights.crossJoin(F.broadcast(totals)).select(
+        strata_col,
+        F.least(
+            F.lit(1.0),
+            F.col("weight")
+            * F.col("__n_total").cast("double")
+            * F.lit(float(epoch_frac))
+            / F.col("n_docs").cast("double"),
+        ).alias("accept_rate"),
+    )
+    return df.join(F.broadcast(w), strata_col).filter(
+        hash_bucket(key_col, seed).cast("double")
+        < F.col("accept_rate") * float(N_BUCKETS)
+    )

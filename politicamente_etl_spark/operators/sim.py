@@ -203,19 +203,7 @@ def cosine_topk_ivf(
     cell); the exact verifier is cosine_topk."""
     if centroids is not None:
         cent = centroids
-        pairs = corpus.select(id_col, vec_col).crossJoin(F.broadcast(cent))
-        best = (
-            pairs.withColumn("__d2", F.expr(D2_DOUBLE.format(a=vec_col, b="centroid")))
-            # embedding rides as the LAST struct field: (d2, cell) is unique
-            # per pair, so the array never participates in the comparison
-            .groupBy(id_col)
-            .agg(F.min(F.struct("__d2", "cell", vec_col)).alias("__m"))
-        )
-        assigned = best.select(
-            id_col,
-            F.col("__m.cell").alias("cell"),
-            F.col(f"__m.{vec_col}").alias(vec_col),
-        )
+        assigned = assign_cells(corpus, cent, id_col, vec_col)
     else:
         from pyspark.ml.clustering import KMeans
         from pyspark.ml.functions import array_to_vector
@@ -424,4 +412,103 @@ def mips_topk(
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select(query_id_col, id_col, "dot_score", "rank")
+    )
+
+
+def assign_cells(
+    corpus: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Nearest-centroid assignment (the IVF coarse-quantizer step, shared
+    by cosine_topk_ivf and semdedup): broadcast the small centroid table,
+    argmin squared distance as a MIN(struct(d2, cell, vec)) hash
+    aggregate — map-side combined, ties broken by cell id. Returns
+    (id, cell, vec)."""
+    pairs = corpus.select(id_col, vec_col).crossJoin(F.broadcast(centroids))
+    best = (
+        pairs.withColumn("__d2", F.expr(D2_DOUBLE.format(a=vec_col, b="centroid")))
+        .groupBy(id_col)
+        .agg(F.min(F.struct("__d2", "cell", vec_col)).alias("__m"))
+    )
+    return best.select(
+        id_col,
+        F.col("__m.cell").alias("cell"),
+        F.col(f"__m.{vec_col}").alias(vec_col),
+    )
+
+
+def semdedup(
+    corpus: DataFrame,
+    centroids: DataFrame,
+    threshold: float = 0.45,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    arXiv:2303.09540): cluster embeddings with a coarse quantizer, then
+    inside each cluster drop every item that has a sufficiently-similar
+    neighbor with a smaller id (keep-first greedy — the paper keeps one
+    representative per semantic-duplicate group; min-id is the
+    deterministic representative choice).
+
+    Pipeline shape, all equi-joins:
+      1. nearest-centroid assignment (broadcast centroids, argmin agg);
+      2. within-cell pair generation — an equi-join ON CELL, never the
+         |corpus|² theta-join (the cell structure IS the scale story:
+         pairwise cost is sum of per-cell sizes squared, and cells are
+         capped by the quantizer's granularity);
+      3. exact cosine on candidate pairs, threshold filter;
+      4. per-item verdict: dup_of = min smaller-id neighbor, is_kept =
+         no such neighbor (left join against the dropped set).
+
+    Returns one row per corpus item: (id, cell, dup_of, is_kept) — the
+    admission list a curation pipeline joins against the raw corpus.
+    Unlike connected-component dedup (near_dup_clusters) there is no
+    iteration: SemDeDup's greedy semantics need only the direct-neighbor
+    minimum, one shot. Centroids come from a deterministic hash-sample
+    (oracle-reproducible) or pyspark.ml KMeans at the caller's choice.
+
+    The assignment table feeds three consumers (both pair-join sides and
+    the final verdict join), so it is localCheckpoint'ed — computed once,
+    not re-derived per subtree (the small-scale model of a production
+    precomputed cell-assignment table, same rationale as
+    dedup.minhash_cross_pairs' signature checkpoints)."""
+    assigned = assign_cells(corpus, centroids, id_col, vec_col).localCheckpoint()
+    sides = assigned.withColumn(
+        "__nrm", F.sqrt(F.expr(NORM2_DOUBLE.format(a=vec_col)))
+    )
+    a = sides.select(
+        F.col("cell"),
+        F.col(id_col).alias("__ia"),
+        F.col(vec_col).alias("__va"),
+        F.col("__nrm").alias("__na"),
+    )
+    b = sides.select(
+        F.col("cell"),
+        F.col(id_col).alias("__ib"),
+        F.col(vec_col).alias("__vb"),
+        F.col("__nrm").alias("__nb"),
+    )
+    dup_edges = (
+        a.join(b, "cell")
+        .filter(F.col("__ia") < F.col("__ib"))
+        .withColumn(
+            "__cos",
+            F.expr(DOT_DOUBLE.format(a="__va", b="__vb"))
+            / (F.col("__na") * F.col("__nb")),
+        )
+        .filter(F.col("__cos") >= threshold)
+        .groupBy(F.col("__ib").alias(id_col))
+        .agg(F.min("__ia").alias("dup_of"))
+    )
+    return (
+        assigned.join(dup_edges, id_col, "left")
+        .select(
+            id_col,
+            "cell",
+            "dup_of",
+            F.col("dup_of").isNull().alias("is_kept"),
+        )
     )

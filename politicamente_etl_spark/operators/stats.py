@@ -1,0 +1,213 @@
+"""Robust / distributional statistics operators (SURVEY.md §2.10 —
+pipeline-quality analytics beyond plain moments).
+
+Everything here is built from exact `percentile` aggregates plus joins —
+no global-sort windows. The pattern shared by all four operators:
+
+    1. one hash aggregate computes the distribution summary (percentile
+       array / median — map-side partial, one row per group through the
+       shuffle);
+    2. the summary (tiny: one row per group or one row total) joins back
+       against the full table, where the planner broadcasts it;
+    3. per-row classification is pure expression work (codegen'd).
+
+That is the scale-safe replacement for the NTILE-over-global-sort shape:
+an `ntile(10) OVER (ORDER BY x)` funnels 100 TB through one reducer,
+while a percentile aggregate + broadcast-threshold comparison touches the
+data twice with no sort at all. Exact `percentile` itself hash-aggregates
+per group; for corpora where even the per-group value multiset is too
+large, swap in `percentile_approx` (same call shape — documented
+per-operator).
+
+DuckDB's `quantile_cont` matches Spark's `percentile` interpolation
+(linear between closest ranks), which is what makes these oracle-exact.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def mad_outliers(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    n_mads: float = 3.0,
+) -> DataFrame:
+    """Median-absolute-deviation outlier flagging per group — the robust
+    alternative to z-scores (a handful of extreme rows drags a mean/stddev
+    fence toward itself; the median fence does not move).
+
+    Two percentile aggregates (median, then median of |x - median|), each
+    a map-side-combined hash agg; the per-group summaries are broadcast
+    back. Returns only the outlier rows with their fence values.
+
+    100 TB: both aggs shuffle one row per (partition, group); the joins
+    broadcast (groups are few). No window, no sort. If per-group value
+    multisets outgrow executor memory, substitute percentile_approx.
+    """
+    med = df.groupBy(group_col).agg(
+        F.expr(f"percentile({value_col}, 0.5)").alias("med")
+    )
+    with_med = df.join(F.broadcast(med), group_col)
+    mad = (
+        with_med.withColumn("__ad", F.abs(F.col(value_col) - F.col("med")))
+        .groupBy(group_col)
+        .agg(F.expr("percentile(__ad, 0.5)").alias("mad"))
+    )
+    return (
+        with_med.join(F.broadcast(mad), group_col)
+        .filter(F.abs(F.col(value_col) - F.col("med")) > F.lit(n_mads) * F.col("mad"))
+        .withColumn(
+            "deviation_mads",
+            F.abs(F.col(value_col) - F.col("med")) / F.col("mad"),
+        )
+    )
+
+
+def equi_depth_histogram(
+    df: DataFrame,
+    value_col: str,
+    n_buckets: int = 10,
+) -> DataFrame:
+    """Equi-depth (equal-frequency) histogram: bucket edges are the exact
+    1/n..(n-1)/n percentiles; each row lands in the count of edges at or
+    below its value. One percentile aggregate produces the n-1 edges as a
+    single array literal-sized row; the bucket assignment is
+    `size(filter(edges, e -> e <= x))` over the broadcast edges — pure
+    expression, no sort, no window, two scans total.
+
+    Buckets can be unequal when the value distribution has heavy ties
+    (all tied values share a bucket) — that is the correct equi-depth
+    semantics, not an artifact. Returns (bucket, n_rows, min_v, max_v).
+    """
+    fracs = ", ".join(str(i / n_buckets) for i in range(1, n_buckets))
+    edges = df.agg(
+        F.expr(f"percentile({value_col}, array({fracs}))").alias("edges")
+    )
+    return (
+        df.crossJoin(F.broadcast(edges))
+        .withColumn(
+            "bucket",
+            F.size(
+                F.filter("edges", lambda e: e <= F.col(value_col).cast("double"))
+            ),
+        )
+        .groupBy("bucket")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.min(value_col).alias("min_v"),
+            F.max(value_col).alias("max_v"),
+        )
+    )
+
+
+def _score_against_edges(value: Column, edges_col: str) -> Column:
+    """1 + number of edges strictly below the value → a 1..n score."""
+    return (F.size(F.filter(edges_col, lambda e: e < value)) + F.lit(1)).cast("int")
+
+
+def rfm_scores(
+    orders: DataFrame,
+    cust_col: str = "o_custkey",
+    date_col: str = "o_orderdate",
+    amount_col: str = "o_totalprice",
+    n_tiles: int = 5,
+) -> DataFrame:
+    """RFM customer segmentation: per-customer Recency (days since last
+    order, counted from the corpus max date), Frequency (order count),
+    Monetary (total spend), each scored 1..n against exact quantile edges
+    of the per-customer distribution. The conventional implementation is
+    three `ntile` windows — three global sorts; here each scorebook is a
+    percentile aggregate over the (already reduced) per-customer rows and
+    the edges broadcast back, so nothing is ever globally sorted.
+
+    Scores use "1 + edges strictly below" so tied boundary customers get
+    identical scores on any engine — `ntile`'s arbitrary boundary split
+    is exactly what breaks cross-engine determinism. Returns one row per
+    customer: (cust, recency_days, frequency, monetary, r/f/m scores,
+    rfm_cell)."""
+    base = orders.groupBy(F.col(cust_col).alias("cust")).agg(
+        F.max(date_col).alias("last_order"),
+        F.count("*").cast("bigint").alias("frequency"),
+        # exact decimal sum → double: order-insensitive, engine-identical
+        # (see functions.scalar.money_sum)
+        F.sum(F.col(amount_col).cast("decimal(27,4)")).cast("double").alias("monetary"),
+    )
+    anchor = orders.agg(F.max(date_col).alias("anchor"))
+    base = base.crossJoin(F.broadcast(anchor)).withColumn(
+        "recency_days",
+        F.datediff(F.to_date("anchor"), F.to_date("last_order")).cast("bigint"),
+    )
+    fracs = ", ".join(str(i / n_tiles) for i in range(1, n_tiles))
+    edges = base.agg(
+        F.expr(f"percentile(recency_days, array({fracs}))").alias("r_edges"),
+        F.expr(f"percentile(frequency, array({fracs}))").alias("f_edges"),
+        F.expr(f"percentile(monetary, array({fracs}))").alias("m_edges"),
+    )
+    scored = (
+        base.crossJoin(F.broadcast(edges))
+        # recency scores run reversed: the MOST recent customer earns n
+        .withColumn(
+            "r_score",
+            (
+                F.lit(n_tiles + 1)
+                - _score_against_edges(F.col("recency_days").cast("double"), "r_edges")
+            ).cast("int"),
+        )
+        .withColumn(
+            "f_score", _score_against_edges(F.col("frequency").cast("double"), "f_edges")
+        )
+        .withColumn(
+            "m_score", _score_against_edges(F.col("monetary").cast("double"), "m_edges")
+        )
+        .withColumn(
+            "rfm_cell",
+            F.concat_ws("", "r_score", "f_score", "m_score"),
+        )
+    )
+    return scored.select(
+        "cust",
+        "recency_days",
+        "frequency",
+        "monetary",
+        "r_score",
+        "f_score",
+        "m_score",
+        "rfm_cell",
+    )
+
+
+def event_transitions(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    order_tiebreak: str = "event_id",
+) -> DataFrame:
+    """First-order event-type transition matrix (empirical Markov chain):
+    for each user's time-ordered event stream, count (state → next state)
+    hops and normalize within each source state.
+
+    One window partitioned BY USER (thousands of rows each, never a
+    global sort — the partition key carries the scale), then a hash
+    aggregate on the (cur, nxt) pair. The per-source normalizing join is
+    an aggregate of the tiny transition table against itself, broadcast.
+    Ties on `ts` break by `order_tiebreak` so the sequence — and hence
+    the matrix — is engine-independent."""
+    w = Window.partitionBy(user_col).orderBy(ts_col, order_tiebreak)
+    hops = (
+        events.withColumn("nxt", F.lead(type_col).over(w))
+        .filter(F.col("nxt").isNotNull())
+        .groupBy(F.col(type_col).alias("cur"), "nxt")
+        .agg(F.count("*").alias("n_hops"))
+    )
+    totals = hops.groupBy("cur").agg(F.sum("n_hops").alias("n_from"))
+    return (
+        hops.join(F.broadcast(totals), "cur")
+        .withColumn(
+            "p_hop", F.col("n_hops").cast("double") / F.col("n_from").cast("double")
+        )
+        .select("cur", "nxt", "n_hops", "n_from", "p_hop")
+    )

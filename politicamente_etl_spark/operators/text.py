@@ -634,3 +634,95 @@ def top_bigram_fraction(
             / F.col("n_bigrams").cast("double"),
         )
     )
+
+
+def boilerplate_shingle_scores(
+    docs: DataFrame,
+    n: int = 5,
+    hot_doc_count: int = 10,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Boilerplate / template-content scoring — the shingle-frequency
+    analogue of CCNet's paragraph-dedup signal for corpora whose docs
+    carry no paragraph structure: a doc whose n-gram shingles mostly
+    occur in MANY other documents is boilerplate (nav chrome, license
+    headers, templated listings), and curation pipelines demote or strip
+    it.
+
+    Per doc: its distinct n-token shingles; per shingle: the corpus-wide
+    document frequency (count over the doc-distinct exploded pairs — one
+    hash agg, map-side combined); score = fraction of the doc's shingles
+    whose doc-frequency exceeds `hot_doc_count`.
+
+    Plan: explode → agg(doc-freq) → join back on shingle hash → per-doc
+    agg. Both shuffles key on xxhash64(shingle) (8-byte rows); the join
+    reuses the agg's partitioning (AQE exchange reuse), hot stop-shingles
+    are the skew risk and ride AQE skew-join. Never materializes text
+    through a shuffle. Returns (doc_id, n_shingles, n_boiler,
+    boiler_ratio)."""
+    from politicamente_etl_spark.operators.core import spread
+
+    sh = spread(docs.select(id_col, text_col), id_col).select(
+        F.col(id_col),
+        F.explode(F.array_distinct(shingles_regex(text_col, n))).alias("sh"),
+    ).withColumn("sh", F.xxhash64("sh"))
+    doc_freq = sh.groupBy("sh").agg(F.count("*").alias("doc_freq"))
+    return (
+        sh.join(doc_freq, "sh")
+        .groupBy(id_col)
+        .agg(
+            F.count("*").alias("n_shingles"),
+            F.sum((F.col("doc_freq") > hot_doc_count).cast("bigint")).alias(
+                "n_boiler"
+            ),
+        )
+        .withColumn(
+            "boiler_ratio",
+            F.col("n_boiler").cast("double") / F.col("n_shingles").cast("double"),
+        )
+    )
+
+
+def vocab_growth_curve(
+    docs: DataFrame,
+    bucket_docs: int = 50,
+    n: int = 1,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Heaps-law vocabulary growth: how many NEW distinct n-gram types each
+    successive block of `bucket_docs` documents contributes, plus the
+    running vocabulary size — the curve that tells a corpus builder
+    whether more data still buys vocabulary (and when token-frequency
+    truncation is safe). ``n=1`` counts unigram types; higher n tracks the
+    phrase-type space (the one BPE merges and dedup shingles live in).
+
+    The naive form is a sequential scan (vocabulary so far → is this
+    token new?); the distributed form inverts it: each type's FIRST
+    document (min doc_id per token — one hash agg) decides which block
+    gets credit. The per-block rollup output is tiny (corpus/bucket_docs
+    rows), so the cumulative window over blocks is a no-risk
+    single-partition pass over an already-reduced table, not over rows.
+    Returns (bucket, first_doc, new_types, cum_types)."""
+    from pyspark.sql import Window
+
+    gram = tokens(text_col) if n == 1 else shingles_regex(text_col, n)
+    toks = docs.select(
+        F.col(id_col), F.explode(F.array_distinct(gram)).alias("tok")
+    )
+    first_seen = toks.groupBy("tok").agg(F.min(id_col).alias("first_doc"))
+    per_bucket = (
+        first_seen.withColumn(
+            "bucket", (F.col("first_doc") / bucket_docs).cast("bigint")
+        )
+        .groupBy("bucket")
+        .agg(F.count("*").alias("new_types"))
+    )
+    w = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, 0)
+    return per_bucket.select(
+        "bucket",
+        (F.col("bucket") * bucket_docs).alias("first_doc"),
+        "new_types",
+        F.sum("new_types").over(w).alias("cum_types"),
+    )

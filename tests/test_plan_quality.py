@@ -364,3 +364,135 @@ def test_length_bucketed_single_window_shuffle(spark, sf_dir):
         b for b in plan.split("\n\n") if ") Window" in b and "Arguments" in b
     )
     assert "len_sub" in window_blk
+
+
+def test_semdedup_cell_local_equi_join(spark, sf_dir):
+    """SemDeDup's pair generation must be the cell equi-join — never the
+    |corpus|^2 theta-join. The only nested-loop allowed is the broadcast
+    of the tiny centroid table for assignment."""
+    plan = plan_of(q("semdedup_keep_list", spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    # the assignment (and its broadcast centroid expansion) is checkpointed
+    # and computed once — downstream the plan reads the checkpoint, so NO
+    # nested-loop join appears at all
+    assert "BroadcastNestedLoopJoin" not in plan
+    # the pair join and the verdict join are equi-joins (SMJ/hash both
+    # scale — the key is that they join ON CELL, not all-pairs)
+    assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan or "BroadcastHashJoin" in plan
+
+
+def test_boilerplate_joins_on_hash_not_text(spark, sf_dir):
+    """The shingle doc-frequency join must key on xxhash64(shingle) — text
+    never rides an exchange."""
+    plan = plan_of(q("boilerplate_shingle_score", spark, sf_dir))
+    assert "xxhash64" in plan
+    # the shingle-keyed exchanges (doc-freq agg + join) carry only the
+    # 8-byte hash — full text rides only the initial spread() fan-out
+    for blk in plan.split("\n\n"):
+        if ") Exchange" in blk and "hashpartitioning(sh#" in blk:
+            assert "text#" not in blk
+
+
+def test_equi_depth_histogram_no_sort_no_window(spark, sf_dir):
+    """Equi-depth bucketing must be percentile-agg + broadcast threshold
+    comparison: no Window, no global Sort — the ntile shape is banned."""
+    import re
+
+    plan = plan_of(q("equi_depth_histogram_prices", spark, sf_dir))
+    assert "Window" not in plan
+    assert not re.search(r"\bntile\(", plan)  # \b: don't match percentile(
+
+
+def test_rfm_no_global_sort(spark, sf_dir):
+    """RFM scoring must not plan any Window (the three-ntile shape) —
+    quantile edges + broadcast comparisons only."""
+    import re
+
+    plan = plan_of(q("rfm_customer_segments", spark, sf_dir))
+    assert "Window" not in plan
+    assert not re.search(r"\bntile\(", plan)
+    assert "CartesianProduct" not in plan
+
+
+def test_mad_outliers_broadcasts_fences(spark, sf_dir):
+    """Both fence joins (median, MAD) must broadcast the tiny per-group
+    summaries against the event stream."""
+    plan = plan_of(q("mad_outlier_events", spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_markov_window_partitions_by_user(spark, sf_dir):
+    """The lead() window must partition by user_id (scale rides the key),
+    and the normalizing join must broadcast the tiny totals."""
+    plan = plan_of(q("markov_event_transitions", spark, sf_dir))
+    window_blk = next(
+        b for b in plan.split("\n\n") if ") Window" in b and "Arguments" in b
+    )
+    assert "user_id" in window_blk
+    assert "BroadcastHashJoin" in plan
+
+
+def test_dense_rank_topk_group_limit(spark, sf_dir):
+    """The rnk <= 2 filter must push into WindowGroupLimit so only ~2 rows
+    per supplier survive each partition pre-shuffle."""
+    plan = plan_of(q("dense_rank_supplier_parts", spark, sf_dir))
+    assert "WindowGroupLimit" in plan
+
+
+def test_scd2_single_broadcast_join_plus_union(spark, sf_dir):
+    """SCD2 must plan the update batch as a broadcast build side and no
+    sort-merge anywhere; the three output legs union without exchanges."""
+    plan = plan_of(q("scd2_customer_history", spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_attribution_single_user_shuffle(spark, sf_dir):
+    """The forward as-of join must stay the union+window shape: exchanges
+    only on user_id (hash), no join operator at all in the plan."""
+    plan = plan_of(q("click_conversion_attribution", spark, sf_dir))
+    assert "Join" not in plan
+    window_blk = next(
+        b for b in plan.split("\n\n") if ") Window" in b and "Arguments" in b
+    )
+    assert "user_id" in window_blk
+
+
+def test_epoch_mix_broadcasts_rates(spark, sf_dir):
+    """The per-source accept-rate table is strata-sized — the docs join
+    must broadcast it, and membership is a pure predicate (no extra
+    shuffle beyond the weight aggregation)."""
+    plan = plan_of(q("epoch_sample_realized", spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_funnel_three_step_no_cartesian(spark, sf_dir):
+    """Stage joins are user_id equi-joins; the only nested loops are the
+    three single-row count legs at the end."""
+    plan = plan_of(q("funnel_three_step_ordered", spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    n_bnlj = plan.count("(") and plan.count("BroadcastNestedLoopJoin")
+    assert n_bnlj <= 4  # 1-row count legs only
+
+
+def test_ltv_curve_no_cartesian_window_on_rollup(spark, sf_dir):
+    """The cumulative window must run over the (cohort, month) rollup —
+    partitioned by cohort_ym — never over raw orders."""
+    plan = plan_of(q("customer_ltv_curve", spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    window_blk = next(
+        b for b in plan.split("\n\n") if ") Window" in b and "Arguments" in b
+    )
+    assert "cohort_ym" in window_blk
+
+
+def test_cross_source_matrix_no_cartesian(spark, sf_dir):
+    """Pairs come from the banded LSH equi-join; source pulls are id
+    equi-joins."""
+    plan = plan_of(q("cross_source_dup_matrix", spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
