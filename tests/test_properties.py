@@ -292,3 +292,118 @@ def test_asof_join_forward_tolerance_matches_model(spark, left, right, tol):
             ts, p = None, None
         model.append((k, lts, ts, p))
     assert got == sorted(model)
+
+
+@given(
+    dim=st.lists(
+        st.tuples(st.integers(0, 5), st.integers(-50, 50)),
+        min_size=0, max_size=12, unique_by=lambda t: t[0],
+    ),
+    upd=st.lists(
+        st.tuples(st.integers(0, 8), st.integers(-50, 50)),
+        min_size=0, max_size=8, unique_by=lambda t: t[0],
+    ),
+)
+@settings(**SETTINGS)
+def test_scd2_merge_matches_model_and_is_idempotent(spark, dim, upd):
+    """scd2_merge == the per-key model (close-and-open on change, no-op on
+    equal, insert on new), AND re-applying the same batch to the merged
+    result changes nothing (idempotence — the property a retried MERGE
+    job needs)."""
+    from politicamente_etl_spark.operators.joins import scd2_merge
+
+    cur = spark.createDataFrame(
+        [(k, float(v), 0, True) for k, v in dim] or [(0, 0.0, 0, True)],
+        ["k", "bal", "version", "is_current"],
+    )
+    if not dim:
+        cur = cur.limit(0)
+    updates = spark.createDataFrame(
+        [(k, float(v)) for k, v in upd] or [(0, 0.0)], ["k", "bal"]
+    )
+    if not upd:
+        updates = updates.limit(0)
+
+    merged = scd2_merge(cur, updates, ["k"], ["bal"], batch_id=1)
+    got = {(r.k, r.bal, r.version, r.is_current) for r in merged.collect()}
+
+    model = set()
+    upd_map = dict(upd)
+    dim_keys = {k for k, _ in dim}
+    for k, v in dim:
+        v = float(v)
+        u = upd_map.get(k)
+        if u is not None and float(u) != v:
+            model.add((k, v, 0, False))
+            model.add((k, float(u), 1, True))
+        else:
+            model.add((k, v, 0, True))
+    for k, u in upd:
+        if k not in dim_keys:
+            model.add((k, float(u), 1, True))
+    assert got == model
+
+    again = scd2_merge(merged, updates, ["k"], ["bal"], batch_id=2)
+    got2 = {(r.k, r.bal, r.version, r.is_current) for r in again.collect()}
+    assert got2 == got  # same batch re-applied → no new versions
+
+
+@given(
+    vals=st.lists(st.integers(0, 1000), min_size=1, max_size=40),
+    n_buckets=st.integers(2, 6),
+)
+@settings(**SETTINGS)
+def test_equi_depth_histogram_partitions_all_rows(spark, vals, n_buckets):
+    """Bucket counts always sum to the row count (no row dropped or
+    double-counted), and bucket value ranges never overlap."""
+    from politicamente_etl_spark.operators.stats import equi_depth_histogram
+
+    df = spark.createDataFrame([(float(v),) for v in vals], ["x"])
+    out = sorted(
+        equi_depth_histogram(df, "x", n_buckets).collect(),
+        key=lambda r: r.bucket,
+    )
+    assert sum(r.n_rows for r in out) == len(vals)
+    for a, b in zip(out, out[1:]):
+        assert a.max_v <= b.min_v
+
+
+@given(
+    events=st.lists(
+        st.tuples(
+            st.integers(0, 3),      # user
+            st.integers(0, 100),    # minutes offset (ties allowed)
+            st.sampled_from(["a", "b", "c"]),
+        ),
+        min_size=0, max_size=30,
+    )
+)
+@settings(**SETTINGS)
+def test_event_transitions_conserve_hops(spark, events):
+    """Total hops == sum over users of (len(stream) - 1); per-source rows
+    normalize to 1."""
+    import datetime
+
+    from politicamente_etl_spark.operators.stats import event_transitions
+
+    t0 = datetime.datetime(2024, 1, 1)
+    rows = [
+        (u, t0 + datetime.timedelta(minutes=m), i, typ)
+        for i, (u, m, typ) in enumerate(events)
+    ]
+    df = spark.createDataFrame(
+        rows or [(0, t0, 0, "a")], ["user_id", "ts", "event_id", "event_type"]
+    )
+    if not rows:
+        df = df.limit(0)
+    out = event_transitions(df).collect()
+    from collections import Counter
+
+    per_user = Counter(u for u, _, _ in events)
+    expect_hops = sum(n - 1 for n in per_user.values() if n > 0)
+    assert sum(r.n_hops for r in out) == expect_hops
+    by_cur: dict[str, float] = {}
+    for r in out:
+        by_cur[r.cur] = by_cur.get(r.cur, 0.0) + r.p_hop
+    for total in by_cur.values():
+        assert abs(total - 1.0) < 1e-9
