@@ -425,8 +425,18 @@ def assign_cells(
     by cosine_topk_ivf and semdedup): broadcast the small centroid table,
     argmin squared distance as a MIN(struct(d2, cell, vec)) hash
     aggregate — map-side combined, ties broken by cell id. Returns
-    (id, cell, vec)."""
-    pairs = corpus.select(id_col, vec_col).crossJoin(F.broadcast(centroids))
+    (id, cell, vec).
+
+    The corpus side is spread() first: the distance folds are interpreted
+    per element (higher-order functions don't codegen), so the
+    |corpus|×|centroids| expansion must fan out across all cores — a
+    single-split scan would serialize the whole assignment onto one task
+    (measured 4× on the bench corpus)."""
+    from politicamente_etl_spark.operators.core import spread
+
+    pairs = spread(corpus.select(id_col, vec_col), id_col).crossJoin(
+        F.broadcast(centroids)
+    )
     best = (
         pairs.withColumn("__d2", F.expr(D2_DOUBLE.format(a=vec_col, b="centroid")))
         .groupBy(id_col)
