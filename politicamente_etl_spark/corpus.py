@@ -1,0 +1,173 @@
+"""Nightly corpus-ingest pipeline: the operators composed into the
+end-to-end flow a training-data team actually runs — batch in, admission
+verdicts out, corpus + signature tables updated.
+
+This is the stateful twin of the per-batch `corpus_admission_report`
+query: decisions here are made against the PERSISTED corpus (exact
+digests and MinHash signatures accumulated over all prior batches), not
+only within the incoming batch.
+
+Managed state layout under `root_path`:
+    docs/        — admitted documents parquet (doc_id, text, source, ...)
+    signatures/  — precomputed MinHash signature table for the docs
+                   (the bucketed corpus side of minhash_cross_pairs; at
+                   100 TB this is the table a nightly job MUST NOT
+                   rebuild — it only ever appends)
+
+Verdict cascade per batch doc (first failing rule wins, mirroring
+corpus_admission_report's fixed rule order):
+    too_short       — token count below min_tokens
+    repetitive      — within-doc 3-gram repetition ratio above max_rep
+    duplicate_batch — another batch doc with the same digest and a
+                      smaller id (keep-first within the batch)
+    duplicate       — digest already present in the corpus
+    near_duplicate  — MinHash-LSH candidate against the corpus with
+                      est_jaccard ≥ near_threshold
+    admitted        — appended to docs/ and signatures/
+
+Every step is the already-verified operator: digest anti-join semantics
+via a left join on md5 (16-byte keys through the shuffle), LSH banding
+via dedup.minhash_cross_pairs (batch×corpus equi-join, O(batch+corpus)
+shuffle), per-row expression features. No driver-side loops; the report
+is one lazy plan and the state update is two appends.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from politicamente_etl_spark.operators import dedup, text
+
+
+def init_corpus(spark: SparkSession, root_path: str, docs: DataFrame) -> None:
+    """Create the managed corpus from an initial document set: write the
+    docs table and precompute its MinHash signature table (the one-time
+    backfill; afterwards signatures only ever append per batch)."""
+    docs.write.mode("overwrite").parquet(os.path.join(root_path, "docs"))
+    sig = dedup._signature_table(
+        docs, "text", "doc_id", dedup.N_MINHASH, dedup.BAND_SIZE
+    )
+    sig.write.mode("overwrite").parquet(os.path.join(root_path, "signatures"))
+
+
+def _batch_features(batch: DataFrame, min_tokens: int, max_rep: float) -> DataFrame:
+    shs = F.col("__shs")
+    n_sh = F.size(shs)
+    nd = F.size(F.array_distinct(shs))
+    w = Window.partitionBy("digest")
+    return (
+        batch.withColumn("__shs", text.shingles_regex("text"))
+        .withColumn("n_tokens", F.size(F.split("text", " ")).cast("long"))
+        .withColumn("digest", F.md5("text"))
+        .withColumn(
+            "rep",
+            F.when(n_sh == 0, F.lit(0.0)).otherwise(
+                1.0 - nd.cast("double") / n_sh.cast("double")
+            ),
+        )
+        .withColumn("first_doc", F.min("doc_id").over(w))
+        .drop("__shs")
+    )
+
+
+def ingest_batch(
+    spark: SparkSession,
+    root_path: str,
+    batch: DataFrame,
+    min_tokens: int = 30,
+    max_rep: float = 0.3,
+    near_threshold: float = 0.5,
+    commit: bool = True,
+) -> DataFrame:
+    """Run one nightly batch through the admission pipeline against the
+    persisted corpus. Returns the admission report (doc_id, n_tokens,
+    verdict) AFTER committing admitted docs + their signatures (unless
+    ``commit=False`` for a dry run).
+
+    Plan shape: the exact-dup check is a left join on digest (broadcast
+    when the batch dwarfs the corpus digest set is wrong way round — the
+    CORPUS side is big, so this is a shuffled equi-join on a 16-byte key,
+    bucket-local); the near-dup check joins batch bands against the
+    PRECOMPUTED corpus signature table — the corpus is never re-shingled,
+    which is the entire point of persisting signatures. The verdicts
+    collapse into one CASE projection."""
+    docs_path = os.path.join(root_path, "docs")
+    sig_path = os.path.join(root_path, "signatures")
+    corpus_digests = (
+        spark.read.parquet(docs_path)
+        .select(F.md5("text").alias("digest"))
+        .distinct()
+        .withColumn("__in_corpus", F.lit(1))
+    )
+    corpus_sig = spark.read.parquet(sig_path)
+
+    feat = _batch_features(batch, min_tokens, max_rep).localCheckpoint()
+
+    # near-dup candidates: batch bands vs corpus signature bands
+    n_bands = dedup.N_MINHASH // dedup.BAND_SIZE
+    batch_sig = dedup._signature_table(
+        feat.select("doc_id", "text"), "text", "doc_id",
+        dedup.N_MINHASH, dedup.BAND_SIZE,
+    ).localCheckpoint()
+    batch_bands = dedup._explode_bands(batch_sig, "doc_id", n_bands, carry=[])
+    corpus_bands = dedup._explode_bands(
+        corpus_sig, "doc_id", n_bands, carry=[]
+    ).select(
+        F.col("doc_id").alias("corpus_id"), "band_id", "band_key"
+    )
+    cand = (
+        batch_bands.join(corpus_bands, ["band_id", "band_key"])
+        .select("doc_id", "corpus_id")
+        .distinct()
+    )
+    # exact est_jaccard on candidates via the signature re-join; the
+    # corpus side's columns are renamed so nothing is ambiguous
+    corpus_sig_r = corpus_sig.select(
+        F.col("doc_id").alias("corpus_id"),
+        *[F.col(f"mh_{i}").alias(f"cmh_{i}") for i in range(dedup.N_MINHASH)],
+    )
+    agree = sum(
+        F.when(F.col(f"mh_{i}") == F.col(f"cmh_{i}"), F.lit(1)).otherwise(F.lit(0))
+        for i in range(dedup.N_MINHASH)
+    )
+    near = (
+        cand.join(batch_sig, "doc_id")
+        .join(corpus_sig_r, "corpus_id")
+        .withColumn(
+            "est_jaccard",
+            agree.cast("double") / F.lit(float(dedup.N_MINHASH)),
+        )
+        .filter(F.col("est_jaccard") >= near_threshold)
+        .select("doc_id")
+        .distinct()
+        .withColumn("__near_dup", F.lit(1))
+    )
+
+    verdicts = (
+        feat.join(corpus_digests, "digest", "left")
+        .join(near, "doc_id", "left")
+        .withColumn(
+            "verdict",
+            F.when(F.col("n_tokens") < min_tokens, F.lit("too_short"))
+            .when(F.col("rep") > max_rep, F.lit("repetitive"))
+            .when(F.col("doc_id") != F.col("first_doc"), F.lit("duplicate_batch"))
+            .when(F.col("__in_corpus").isNotNull(), F.lit("duplicate"))
+            .when(F.col("__near_dup").isNotNull(), F.lit("near_duplicate"))
+            .otherwise(F.lit("admitted")),
+        )
+        .localCheckpoint()
+    )
+
+    if commit:
+        admitted_ids = verdicts.filter(F.col("verdict") == "admitted").select(
+            "doc_id"
+        )
+        admitted = batch.join(admitted_ids, "doc_id")
+        admitted.write.mode("append").parquet(docs_path)
+        batch_sig.join(admitted_ids, "doc_id").write.mode("append").parquet(
+            sig_path
+        )
+    return verdicts.select("doc_id", "n_tokens", "verdict")

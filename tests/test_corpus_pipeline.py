@@ -1,0 +1,101 @@
+"""End-to-end test of the stateful corpus-ingest pipeline
+(politicamente_etl_spark/corpus.py): init from a seed corpus, ingest a
+crafted batch, check every verdict class, confirm the state tables grow
+by exactly the admitted set, and prove idempotence (re-ingesting the same
+batch admits nothing)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import Row
+
+from politicamente_etl_spark import corpus
+from politicamente_etl_spark.sources.readers import load_table
+
+
+def _long_text(seed: str, n: int = 40) -> str:
+    toks = [f"{seed}{i % 7}tok{i}" for i in range(n)]
+    return " ".join(toks)
+
+
+@pytest.fixture(scope="module")
+def root(spark, sf_dir, tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("corpus_root"))
+    seed = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", "text", "source")
+        .filter("doc_id < 40")
+    )
+    corpus.init_corpus(spark, path, seed)
+    return path
+
+
+def test_ingest_batch_verdict_classes(spark, sf_dir, root):
+    seed_rows = {
+        r.doc_id: r
+        for r in spark.read.parquet(f"{root}/docs").collect()
+    }
+    exact_dup_text = seed_rows[3].text
+    # near-dup: corpus doc with its last token altered → most shingles
+    # (and thus minhash bands) survive, digest does not
+    toks = seed_rows[5].text.split(" ")
+    toks[-1] = "zzznovel"
+    near_dup_text = " ".join(toks)
+
+    batch = spark.createDataFrame(
+        [
+            Row(doc_id=1001, text=exact_dup_text, source="batch"),
+            Row(doc_id=1002, text=near_dup_text, source="batch"),
+            Row(doc_id=1003, text="way too short", source="batch"),
+            Row(doc_id=1004, text=" ".join(["loop the same phrase"] * 20), source="batch"),
+            Row(doc_id=1005, text=_long_text("freshA"), source="batch"),
+            Row(doc_id=1006, text=_long_text("freshB"), source="batch"),
+            # same fresh content twice in one batch → keep-first
+            Row(doc_id=1007, text=_long_text("freshC"), source="batch"),
+            Row(doc_id=1008, text=_long_text("freshC"), source="batch"),
+        ]
+    )
+    n_docs_before = spark.read.parquet(f"{root}/docs").count()
+    report = {r.doc_id: r.verdict for r in corpus.ingest_batch(spark, root, batch).collect()}
+
+    assert report[1001] == "duplicate"
+    assert report[1002] == "near_duplicate"
+    assert report[1003] == "too_short"
+    assert report[1004] == "repetitive"
+    assert report[1005] == "admitted"
+    assert report[1006] == "admitted"
+    assert report[1007] == "admitted"       # first of the within-batch pair
+    assert report[1008] == "duplicate_batch"
+
+    docs_after = spark.read.parquet(f"{root}/docs")
+    assert docs_after.count() == n_docs_before + 3
+    # signature table stays in lockstep with the docs table
+    assert spark.read.parquet(f"{root}/signatures").count() == docs_after.count()
+
+
+def test_reingest_is_idempotent(spark, root):
+    """The same batch re-submitted admits nothing: everything previously
+    admitted is now an exact corpus duplicate."""
+    batch = spark.createDataFrame(
+        [
+            Row(doc_id=2005, text=_long_text("freshA"), source="batch"),
+            Row(doc_id=2006, text=_long_text("freshB"), source="batch"),
+        ]
+    )
+    n_before = spark.read.parquet(f"{root}/docs").count()
+    report = {r.doc_id: r.verdict for r in corpus.ingest_batch(spark, root, batch).collect()}
+    assert report == {2005: "duplicate", 2006: "duplicate"}
+    assert spark.read.parquet(f"{root}/docs").count() == n_before
+
+
+def test_dry_run_leaves_state_untouched(spark, root):
+    batch = spark.createDataFrame(
+        [Row(doc_id=3001, text=_long_text("freshD"), source="batch")]
+    )
+    n_before = spark.read.parquet(f"{root}/docs").count()
+    report = {
+        r.doc_id: r.verdict
+        for r in corpus.ingest_batch(spark, root, batch, commit=False).collect()
+    }
+    assert report == {3001: "admitted"}
+    assert spark.read.parquet(f"{root}/docs").count() == n_before
