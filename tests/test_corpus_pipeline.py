@@ -99,3 +99,47 @@ def test_dry_run_leaves_state_untouched(spark, root):
     }
     assert report == {3001: "admitted"}
     assert spark.read.parquet(f"{root}/docs").count() == n_before
+
+
+def test_stream_ingest_drains_and_audits(spark, sf_dir, tmp_path):
+    """The streaming twin: files landing in the watch directory flow
+    through ingest_batch per micro-batch; admitted docs commit, verdicts
+    land in the reports audit table, and a second run with no new files
+    re-admits nothing."""
+    root = str(tmp_path / "root")
+    inbox = str(tmp_path / "inbox")
+    seed = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", "text", "source")
+        .filter("doc_id < 20")
+    )
+    corpus.init_corpus(spark, root, seed)
+
+    batch = spark.createDataFrame(
+        [
+            Row(doc_id=5001, text=_long_text("streamA"), source="stream"),
+            Row(doc_id=5002, text="tiny", source="stream"),
+        ]
+    )
+    batch.coalesce(1).write.mode("append").parquet(inbox)
+    corpus.stream_ingest(spark, root, inbox)
+
+    reports = spark.read.parquet(f"{root}/reports")
+    got = {r.doc_id: r.verdict for r in reports.collect()}
+    assert got == {5001: "admitted", 5002: "too_short"}
+    assert spark.read.parquet(f"{root}/docs").filter("doc_id = 5001").count() == 1
+
+    # drain again with nothing new: checkpoint skips the processed file
+    corpus.stream_ingest(spark, root, inbox)
+    assert spark.read.parquet(f"{root}/reports").count() == 2
+
+    # a second file lands; only it is processed
+    spark.createDataFrame(
+        [Row(doc_id=5003, text=_long_text("streamA"), source="stream")]
+    ).coalesce(1).write.mode("append").parquet(inbox)
+    corpus.stream_ingest(spark, root, inbox)
+    got = {
+        r.doc_id: r.verdict for r in spark.read.parquet(f"{root}/reports").collect()
+    }
+    # 5003 duplicates the already-admitted 5001 content → exact dup
+    assert got[5003] == "duplicate"
