@@ -22,7 +22,7 @@ import os
 from fnmatch import fnmatch
 
 from pyspark.sql import DataFrame, SparkSession
-from pyspark.sql.types import StructType
+from pyspark.sql.types import StringType, StructField, StructType
 
 from politicamente_etl_spark.schemas import TESTDATA_TABLES
 
@@ -55,6 +55,7 @@ def read_tse_csv(
     spark: SparkSession,
     paths: str | list[str],
     schema: StructType,
+    corrupt_col: str | None = None,
 ) -> DataFrame:
     """TSE CSV scan with the reference's file conventions
     (`extract.py:46`: sep=';', latin-1, header row) but an explicit schema.
@@ -62,12 +63,48 @@ def read_tse_csv(
     Passing a list of paths is the distributed UNION ALL (S4): one scan, one
     stage, no driver-side concat. Unknown columns in the file are simply not
     read (column pruning at the parser level).
-    """
+
+    ``corrupt_col``: capture rows the parser cannot fit to the schema
+    (wrong field count, unparseable numerics) — the raw line lands in this
+    extra string column and every schema column is NULL for that row,
+    letting the caller quarantine instead of silently nulling (PERMISSIVE
+    default) or killing the job (FAILFAST). The reference's pandas read
+    would raise on these lines; a 100 TB ingest must not die on one bad
+    line, so quarantine-and-report is the production semantics. Split the
+    result with ``quarantine_malformed``."""
+    reader = spark.read
+    if corrupt_col is not None:
+        schema = StructType(
+            [*schema.fields, StructField(corrupt_col, StringType(), True)]
+        )
+        reader = reader.option("columnNameOfCorruptRecord", corrupt_col)
     return (
-        spark.read.schema(schema)
+        reader.schema(schema)
         .options(sep=";", encoding="ISO-8859-1", header=True, mode="PERMISSIVE")
         .csv(paths)
     )
+
+
+def quarantine_malformed(
+    df: DataFrame, corrupt_col: str
+) -> tuple[DataFrame, DataFrame]:
+    """Split a ``read_tse_csv(corrupt_col=...)`` scan into (clean rows
+    without the capture column, quarantined rows). Both halves are
+    projections of the one scan — no second read, no shuffle.
+
+    The quarantine half keeps the schema columns (all NULL for a corrupt
+    row) alongside ``raw_line`` — partly for triage context, partly
+    because Spark's CSV source refuses a query whose only required column
+    is the corrupt-record capture (QUERY_ONLY_CORRUPT_RECORD_COLUMN): the
+    parser must be forced to actually parse, or the capture would be
+    trivially empty."""
+    from pyspark.sql import functions as F
+
+    clean = df.filter(F.col(corrupt_col).isNull()).drop(corrupt_col)
+    bad = df.filter(F.col(corrupt_col).isNotNull()).withColumnRenamed(
+        corrupt_col, "raw_line"
+    )
+    return clean, bad
 
 
 def read_jsonl(

@@ -147,3 +147,38 @@ def test_minhash_cross_pairs_vs_self_join(spark, sf_dir):
         if (r.doc_a % 2) != (r.doc_b % 2)
     }
     assert cross == self_pairs
+
+
+def test_malformed_csv_quarantine(spark, tmp_path):
+    """A 100 TB ingest must not die on one bad line: rows that don't fit
+    the schema land in the corrupt-capture column with the raw line
+    preserved; clean rows parse normally; both halves come from ONE scan."""
+    from pyspark.sql.types import IntegerType, StringType, StructField, StructType
+
+    from politicamente_etl_spark.sources.readers import (
+        quarantine_malformed,
+        read_tse_csv,
+    )
+
+    p = tmp_path / "votes.csv"
+    p.write_text(
+        "SQ_CANDIDATO;QT_VOTOS\n"
+        "111;10\n"
+        "222;not_a_number\n"   # unparseable int → quarantined
+        "333;30\n",
+        encoding="ISO-8859-1",
+    )
+    schema = StructType(
+        [
+            StructField("SQ_CANDIDATO", StringType(), True),
+            StructField("QT_VOTOS", IntegerType(), True),
+        ]
+    )
+    df = read_tse_csv(spark, str(p), schema, corrupt_col="_corrupt")
+    clean, bad = quarantine_malformed(df, "_corrupt")
+    got = {r.SQ_CANDIDATO: r.QT_VOTOS for r in clean.collect()}
+    assert got == {"111": 10, "333": 30}
+    bad_rows = bad.collect()
+    assert [r.raw_line for r in bad_rows] == ["222;not_a_number"]
+    assert bad_rows[0].QT_VOTOS is None  # schema cols null on corrupt rows
+    assert "_corrupt" not in clean.columns
