@@ -44,3 +44,46 @@ def approx_aggs(
         F.approx_count_distinct(distinct_col).alias("approx_distinct"),
         F.percentile_approx(quantile_col, 0.5).alias("approx_median"),
     )
+
+
+def merge_aggregates(
+    state: DataFrame,
+    delta: DataFrame,
+    keys: list[str],
+    sum_cols: list[str] | None = None,
+    count_cols: list[str] | None = None,
+    min_cols: list[str] | None = None,
+    max_cols: list[str] | None = None,
+) -> DataFrame:
+    """Incremental aggregate maintenance: merge an already-aggregated
+    state table with a new batch's partial aggregate — the
+    materialized-view refresh that does NOT rescan history. Nightly cost
+    becomes O(batch + |state|) instead of O(all data ever ingested).
+
+    Correctness rests on the merged measures being associative: counts
+    and sums add, min/max fold — so merge(agg(A), agg(B)) == agg(A ∪ B)
+    exactly. For money sums both the per-partition aggregate AND this
+    merge snap to DECIMAL(27,4) (exact 4-decimal partials stay exact
+    through the double round-trip up to 2^53·10⁻⁴), which is what makes
+    the refreshed view bit-identical to a full recompute — the property
+    the paired catalog query proves against the full-table oracle.
+    AVG must be carried as (sum, count), never merged as avg-of-avgs.
+
+    One unionByName (no shuffle) + one partial-aggregated groupBy on the
+    keys. With the state table written bucketed by the keys, the merge
+    reuses the on-disk partitioning and only the batch side shuffles."""
+    sum_cols = sum_cols or []
+    count_cols = count_cols or []
+    min_cols = min_cols or []
+    max_cols = max_cols or []
+    both = state.unionByName(delta)
+    aggs = (
+        [
+            F.sum(F.col(c).cast("decimal(27,4)")).cast("double").alias(c)
+            for c in sum_cols
+        ]
+        + [F.sum(c).alias(c) for c in count_cols]
+        + [F.min(c).alias(c) for c in min_cols]
+        + [F.max(c).alias(c) for c in max_cols]
+    )
+    return both.groupBy(*keys).agg(*aggs)

@@ -943,3 +943,54 @@ def _register_batch3():
 
 
 _register_batch3()
+
+
+def _register_batch4():
+    """Batch 4: incremental aggregate maintenance."""
+    from politicamente_etl_spark.operators.agg import merge_aggregates
+    from politicamente_etl_spark.plans.catalog import T, register
+
+    @register(
+        "incremental_agg_merge",
+        sql=f"""
+        SELECT o_custkey AS cust,
+               CAST(COUNT(*) AS BIGINT) AS n_orders,
+               {sql_money_sum("o_totalprice", "total_spend")},
+               MAX(o_totalprice) AS max_price
+        FROM orders
+        GROUP BY o_custkey
+        """,
+        tags=("ext-olap", "ext-sampling"),
+    )
+    def q_incremental_agg_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Materialized-view refresh without rescanning history
+        (operators.agg.merge_aggregates): yesterday's per-customer
+        aggregate state merges with today's batch aggregate, and the
+        ORACLE IS THE FULL RECOMPUTE — the query passes only if
+        merge(agg(A), agg(B)) == agg(A ∪ B) bit-exactly (counts/sums
+        add, max folds, money partials stay exact through the decimal
+        snap). The split is o_orderkey % 4 (batch ≈ a quarter of rows);
+        at scale the state table is bucketed by the key so only the
+        batch side shuffles."""
+        o = T(spark, sf_dir, "orders")
+
+        def part_agg(df: DataFrame) -> DataFrame:
+            return df.groupBy(F.col("o_custkey").alias("cust")).agg(
+                F.count("*").alias("n_orders"),
+                money_sum(F.col("o_totalprice"), "total_spend"),
+                F.max("o_totalprice").alias("max_price"),
+            )
+
+        state = part_agg(o.filter(F.col("o_orderkey") % 4 != 0))
+        delta = part_agg(o.filter(F.col("o_orderkey") % 4 == 0))
+        return merge_aggregates(
+            state,
+            delta,
+            keys=["cust"],
+            sum_cols=["total_spend"],
+            count_cols=["n_orders"],
+            max_cols=["max_price"],
+        )
+
+
+_register_batch4()

@@ -369,3 +369,48 @@ def test_ltv_curve_cumulative_monotone(spark, sf_dir):
         assert pts[0][0] == 0  # every cohort starts at its own first month
         cums = [c for _, c in pts]
         assert all(b >= a for a, b in zip(cums, cums[1:]))
+
+
+# ---------------------------------------------------------------------------
+# batch 4: incremental aggregate maintenance
+# ---------------------------------------------------------------------------
+
+
+def test_merge_aggregates_equals_full_recompute(spark):
+    from politicamente_etl_spark.operators.agg import merge_aggregates
+
+    rows = [Row(k=i % 5, amt=round(0.01 * i, 2), n=1) for i in range(200)]
+    df = spark.createDataFrame(rows)
+
+    def agg(d):
+        return d.groupBy("k").agg(
+            F.sum(F.col("amt").cast("decimal(27,4)")).cast("double").alias("amt"),
+            F.count("*").alias("n"),
+            F.max("amt").alias("hi"),
+        )
+
+    full = {r.k: (r.amt, r.n, r.hi) for r in agg(df).collect()}
+    merged = merge_aggregates(
+        agg(df.filter("k IN (0, 1) OR amt < 0.5")),
+        agg(df.filter("NOT (k IN (0, 1) OR amt < 0.5)")),
+        keys=["k"],
+        sum_cols=["amt"],
+        count_cols=["n"],
+        max_cols=["hi"],
+    )
+    got = {r.k: (r.amt, r.n, r.hi) for r in merged.collect()}
+    assert got == full
+
+
+def test_merge_aggregates_key_only_in_one_side(spark):
+    from politicamente_etl_spark.operators.agg import merge_aggregates
+
+    state = spark.createDataFrame([Row(k=1, total=10.0, n=2)])
+    delta = spark.createDataFrame([Row(k=2, total=5.0, n=1)])
+    got = {
+        r.k: (r.total, r.n)
+        for r in merge_aggregates(
+            state, delta, ["k"], sum_cols=["total"], count_cols=["n"]
+        ).collect()
+    }
+    assert got == {1: (10.0, 2), 2: (5.0, 1)}
