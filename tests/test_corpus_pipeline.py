@@ -143,3 +143,34 @@ def test_stream_ingest_drains_and_audits(spark, sf_dir, tmp_path):
     }
     # 5003 duplicates the already-admitted 5001 content → exact dup
     assert got[5003] == "duplicate"
+
+
+def test_corpus_cli_init_ingest(spark, sf_dir, tmp_path, capsys):
+    """The CLI wraps init + ingest and prints the verdict histogram as one
+    JSON line (the scheduler-facing signal)."""
+    import json
+
+    from politicamente_etl_spark import corpus_cli
+
+    root = str(tmp_path / "root")
+    seed_path = str(tmp_path / "seed")
+    batch_path = str(tmp_path / "batch")
+    load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text", "source"
+    ).filter("doc_id < 10").write.parquet(seed_path)
+    spark.createDataFrame(
+        [
+            Row(doc_id=9001, text=_long_text("cliA"), source="cli"),
+            Row(doc_id=9002, text="nope", source="cli"),
+        ]
+    ).write.parquet(batch_path)
+
+    assert corpus_cli.main(
+        ["init", "--root", root, "--seed", seed_path], spark=spark
+    ) == 0
+    assert corpus_cli.main(
+        ["ingest", "--root", root, "--batch", batch_path], spark=spark
+    ) == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["verdicts"] == {"admitted": 1, "too_short": 1}
+    assert spark.read.parquet(f"{root}/docs").count() == 11
