@@ -414,3 +414,42 @@ def test_merge_aggregates_key_only_in_one_side(spark):
         ).collect()
     }
     assert got == {1: (10.0, 2), 2: (5.0, 1)}
+
+
+# ---------------------------------------------------------------------------
+# semi-structured / VARIANT
+# ---------------------------------------------------------------------------
+
+
+def test_variant_parse_extract_and_malformed_tolerance(spark):
+    from politicamente_etl_spark.operators import semistruct
+
+    df = spark.createDataFrame(
+        [
+            Row(id=1, props='{"k": 5, "tags": ["a", "b"]}'),
+            Row(id=2, props='{"k": "not_an_int"}'),
+            Row(id=3, props="{broken json"),
+        ]
+    )
+    v = semistruct.with_variant(df, "props")
+    out = {
+        r.id: r
+        for r in semistruct.variant_fields(
+            v, "v", {"k": ("$.k", "int"), "t0": ("$.tags[0]", "string")}
+        ).collect()
+    }
+    assert out[1].k == 5 and out[1].t0 == "a"
+    assert out[2].k is None          # uncastable → NULL, not an error
+    assert out[3].k is None          # malformed JSON → NULL variant
+
+
+def test_variant_schema_profile_detects_drift(spark):
+    from politicamente_etl_spark.operators import semistruct
+
+    rows = [Row(props='{"k": %d}' % i) for i in range(5)]
+    rows += [Row(props='{"k": 1, "new_field": "x"}')]  # drifted shape
+    v = semistruct.with_variant(spark.createDataFrame(rows), "props")
+    prof = semistruct.variant_schema_profile(v, "v").collect()
+    assert prof[0].n_rows == 5  # dominant shape first
+    assert len(prof) == 2
+    assert "new_field" in prof[1].variant_schema
