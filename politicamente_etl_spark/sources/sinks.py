@@ -201,3 +201,62 @@ def write_managed(df: DataFrame, path: str, mode: str = "overwrite", partition_b
     if partition_by:
         w = w.partitionBy(*partition_by)
     w.parquet(path)
+
+
+def write_zordered(
+    df: DataFrame,
+    path: str,
+    cols: list[str],
+    n_files: int = 16,
+    bits: int = 8,
+) -> None:
+    """Multi-dimensional clustered layout (Z-order / Morton curve): rows
+    close in ANY of `cols` land in the same files, so a selective filter
+    on any clustered column prunes most files via parquet min/max stats —
+    the data-skipping layout Delta's OPTIMIZE ZORDER BY produces,
+    expressed as plain DataFrame algebra.
+
+    Mechanics: each column linearly bucketizes to `bits` bits against its
+    global min/max (one tiny agg, broadcast back); the per-column bucket
+    bits interleave into one Morton key (shiftleft/OR expression chain,
+    codegen'd); repartitionByRange on the key range-partitions the curve
+    into `n_files` contiguous segments and rows sort by key within each.
+
+    A single-column sort gives perfect locality on one column and none on
+    the others; the Morton curve trades a little per-column locality for
+    locality on ALL clustered columns at once. Linear bucketing is the
+    simple variant — skewed columns want quantile bucketing (swap the
+    min/max scaling for percentile edges, same interleave)."""
+    aggs = []
+    for c in cols:
+        aggs += [F.min(c).alias(f"__min_{c}"), F.max(c).alias(f"__max_{c}")]
+    bounds = df.agg(*aggs)
+    w = df.crossJoin(F.broadcast(bounds))
+    top = (1 << bits) - 1
+    for c in cols:
+        span = F.col(f"__max_{c}").cast("double") - F.col(f"__min_{c}").cast("double")
+        frac = F.when(span > 0, (F.col(c).cast("double") - F.col(f"__min_{c}").cast("double")) / span).otherwise(F.lit(0.0))
+        w = w.withColumn(
+            f"__b_{c}", F.least(F.lit(top), F.floor(frac * (1 << bits)).cast("int"))
+        )
+    # Column.bitwiseOR/bitwiseAND — the Python &/| operators on Columns
+    # resolve to BOOLEAN and/or and fail analysis on integers
+    one = F.lit(1).cast("bigint")
+    z = F.lit(0).cast("bigint")
+    for bit in range(bits - 1, -1, -1):
+        for c in cols:
+            z = F.shiftleft(z, 1).bitwiseOR(
+                F.shiftright(F.col(f"__b_{c}"), bit).cast("bigint").bitwiseAND(one)
+            )
+    w = w.withColumn("__z", z).drop(
+        *[f"__min_{c}" for c in cols],
+        *[f"__max_{c}" for c in cols],
+        *[f"__b_{c}" for c in cols],
+    )
+    (
+        w.repartitionByRange(n_files, "__z")
+        .sortWithinPartitions("__z")
+        .drop("__z")
+        .write.mode("overwrite")
+        .parquet(path)
+    )

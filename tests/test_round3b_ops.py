@@ -453,3 +453,44 @@ def test_variant_schema_profile_detects_drift(spark):
     assert prof[0].n_rows == 5  # dominant shape first
     assert len(prof) == 2
     assert "new_field" in prof[1].variant_schema
+
+
+# ---------------------------------------------------------------------------
+# z-ordered layout
+# ---------------------------------------------------------------------------
+
+
+def test_zorder_layout_gives_multi_column_file_locality(spark, tmp_path):
+    """A selective filter on EITHER clustered column must touch a small
+    fraction of the files — the data-skipping property the Morton curve
+    buys. Compared against a hash-scattered layout where every file
+    contains every value range."""
+    from politicamente_etl_spark.sources.sinks import write_zordered
+
+    n, files = 10_000, 16
+    df = spark.range(n).select(
+        (F.col("id") % 100).alias("x"),
+        (F.col("id") / 100).cast("int").alias("y"),
+        F.col("id").alias("payload"),
+    )
+    zpath = str(tmp_path / "zordered")
+    spath = str(tmp_path / "scattered")
+    write_zordered(df, zpath, cols=["x", "y"], n_files=files)
+    df.repartition(files).write.parquet(spath)
+
+    def files_touched(path, cond):
+        return (
+            spark.read.parquet(path)
+            .filter(cond)
+            .select(F.input_file_name().alias("f"))
+            .distinct()
+            .count()
+        )
+
+    for cond in ["x < 10", "y < 10"]:
+        z = files_touched(zpath, cond)
+        s = files_touched(spath, cond)
+        assert s >= files * 0.9          # scattered: value range in ~every file
+        assert z <= files * 0.5          # clustered: a curve segment subset
+    # row fidelity: nothing lost or duplicated
+    assert spark.read.parquet(zpath).count() == n
