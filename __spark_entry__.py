@@ -148,8 +148,10 @@ REFACTORED_THIS_ROUND: frozenset[str] = frozenset(
         "embedding_cosine_near_dup",  # sim.cosine_near_dup_pairs: short-circuit limit() guard
         "events_tumbling_window",  # catalog.load_events: UTC session-tz pin
         "flagship_revenue_rollup",  # core.spread: packing-aware split estimate
-        "sum_status_by_key",  # core.spread (same change), second sentinel
+        # (sum_status_by_key, the second spread() sentinel, rotated out to
+        # keep the front window at exactly 50 — flagship covers the change)
         "cosine_topk_ivf",  # sim.assign_cells extraction (shared with semdedup)
+        "minhash_near_dup_pairs",  # dedup: opt-in hot_bucket_cap branch added
     }
 )
 

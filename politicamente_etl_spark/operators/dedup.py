@@ -71,6 +71,7 @@ def minhash_near_dup_pairs(
     id_col: str = "doc_id",
     n_perm: int = N_MINHASH,
     band_size: int = BAND_SIZE,
+    hot_bucket_cap: int | None = None,
 ) -> DataFrame:
     """Near-dup candidate pairs via MinHash LSH banding, with the estimated
     Jaccard = fraction of agreeing minhashes. Pairs meet only inside band
@@ -88,8 +89,28 @@ def minhash_near_dup_pairs(
     payload is n_perm longs (64 B) instead of n_perm 32-char strings
     (~256 B+), and the band key is one xxhash64 over the band's minhashes
     instead of an md5 string. Equality is preserved modulo 64-bit
-    collisions (negligible; one collision flips one agreement bit by 1/8)."""
+    collisions (negligible; one collision flips one agreement bit by 1/8).
+
+    ``hot_bucket_cap``: skew guard for degenerate corpora. A band bucket
+    holding m documents emits m·(m-1)/2 candidate pairs — one viral
+    boilerplate string shared by 10⁶ docs would put 5·10¹¹ pairs through
+    a single reducer. With the cap set, buckets larger than it are
+    EXCLUDED from pair generation (one count agg + join on the same band
+    key — the exchange is reused). That is the production semantics:
+    members of an over-hot bucket are near-identical en masse and belong
+    to exact-dedup / per-bucket representative handling, not pairwise
+    scoring. Off (None) by default so the oracle-checked query keeps
+    exhaustive banding semantics."""
     ex = _banded_signature(df, text_col, id_col, n_perm, band_size)
+    if hot_bucket_cap is not None:
+        sizes = ex.groupBy("band_id", "band_key").agg(
+            F.count("*").alias("__bucket_n")
+        )
+        ex = (
+            ex.join(sizes.hint("shuffle_hash"), ["band_id", "band_key"])
+            .filter(F.col("__bucket_n") <= hot_bucket_cap)
+            .drop("__bucket_n")
+        )
     a = ex.alias("a")
     b = ex.alias("b")
     pairs = a.join(

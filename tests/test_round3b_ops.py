@@ -494,3 +494,32 @@ def test_zorder_layout_gives_multi_column_file_locality(spark, tmp_path):
         assert z <= files * 0.5          # clustered: a curve segment subset
     # row fidelity: nothing lost or duplicated
     assert spark.read.parquet(zpath).count() == n
+
+
+# ---------------------------------------------------------------------------
+# hot-bucket skew guard
+# ---------------------------------------------------------------------------
+
+
+def test_minhash_hot_bucket_cap_bounds_degenerate_corpora(spark):
+    """1000 near-identical docs put ~n²/2 pairs through the band join;
+    with the cap, the viral bucket is excluded entirely (those docs are
+    exact-dedup's job) while distinct near-dup pairs elsewhere survive."""
+    from politicamente_etl_spark.operators.dedup import minhash_near_dup_pairs
+
+    viral = "the same viral boilerplate string repeated all over the corpus"
+    rows = [Row(doc_id=i, text=viral) for i in range(300)]
+    # one genuine small near-dup pair, disjoint vocabulary
+    rows += [
+        Row(doc_id=9001, text="alpha beta gamma delta epsilon zeta eta theta"),
+        Row(doc_id=9002, text="alpha beta gamma delta epsilon zeta eta iota"),
+    ]
+    df = spark.createDataFrame(rows)
+
+    uncapped = minhash_near_dup_pairs(df)
+    assert uncapped.count() >= 300 * 299 // 2  # quadratic blowup is real
+
+    capped = minhash_near_dup_pairs(df, hot_bucket_cap=50)
+    got = {(r.doc_a, r.doc_b) for r in capped.collect()}
+    assert (9001, 9002) in got                 # real pair survives
+    assert all(a >= 9000 for a, _ in got)      # viral bucket fully excluded
