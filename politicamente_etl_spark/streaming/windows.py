@@ -312,3 +312,70 @@ def run_stream_to_table(
     finally:
         q.stop()
     return streaming_df.sparkSession.table(name)
+
+
+def tws_available() -> bool:
+    """transformWithStateInPandas needs a working google.protobuf in the
+    Python workers (its state-server protocol is protobuf-based); probe it
+    so callers/tests can fall back to the GroupState op where the
+    dependency is absent (this sandbox ships a broken protobuf install —
+    the ImportError surfaces as an opaque 'driver worker crashed')."""
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+def stateful_user_totals_tws(events: DataFrame) -> DataFrame:
+    """Per-user running (count, value-total) via `transformWithStateInPandas`
+    (Spark 4's StatefulProcessor API — the successor to
+    applyInPandasWithState used by `stateful_user_counts`): explicit named
+    state handles (ValueState here; the API also offers List/MapState and
+    per-key timers, which the GroupState API could not express), Arrow
+    batch transfer, state evolution across query restarts. Requires the
+    RocksDB state-store provider and protobuf in the Python workers —
+    check `tws_available()` first; `stateful_user_counts` is the
+    dependency-free GroupState twin.
+
+    Semantics twin of stateful_user_counts plus a value total: each
+    micro-batch folds its rows into the user's ValueState and emits the
+    running pair. Totals are monotone under non-negative values, so the
+    per-user max over emissions equals the final answer regardless of
+    micro-batch splits — the same determinism argument as the GroupState
+    op, which is what the batch-equivalence test asserts."""
+    if not tws_available():
+        raise RuntimeError(
+            "transformWithStateInPandas requires google.protobuf in the "
+            "Python workers; use stateful_user_counts (GroupState) instead"
+        )
+    import pandas as pd
+    from pyspark.sql.streaming import StatefulProcessor, StatefulProcessorHandle
+
+    class RunningTotals(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._state = handle.getValueState("totals", "n LONG, v DOUBLE")
+
+        def handleInputRows(self, key, rows, timerValues):
+            if self._state.exists():
+                n, v = self._state.get()
+            else:
+                n, v = 0, 0.0
+            for pdf in rows:
+                n += len(pdf)
+                v += float(pdf["value"].sum())
+            self._state.update((n, v))
+            yield pd.DataFrame(
+                {"user_id": [key[0]], "n_events": [n], "total_value": [v]}
+            )
+
+        def close(self) -> None:
+            pass
+
+    return events.groupBy("user_id").transformWithStateInPandas(
+        statefulProcessor=RunningTotals(),
+        outputStructType="user_id long, n_events long, total_value double",
+        outputMode="Update",
+        timeMode="None",
+    )

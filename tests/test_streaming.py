@@ -266,3 +266,79 @@ def test_stateful_counts_persist_across_batches(spark, tmp_path):
     # batch-1 emission for user 7 must be the partial count, proving the
     # final 5 came from state + batch-2 rows, not a re-read of everything
     assert 2 in per_user[7]
+
+
+def test_transform_with_state_running_totals(spark, tmp_path):
+    """The StatefulProcessor (transformWithStateInPandas) twin of the
+    GroupState op: state carries across micro-batches, emitting monotone
+    running (count, value-total) pairs per user. Skipped where the
+    sandbox's protobuf install is broken (the API's state-server protocol
+    needs it); the guard itself is tested either way."""
+    if not W.tws_available():
+        with pytest.raises(RuntimeError, match="protobuf"):
+            W.stateful_user_totals_tws(spark.range(1).toDF("user_id"))
+        pytest.skip("google.protobuf unavailable: transformWithState needs it")
+    import os
+    import time
+
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    d = tmp_path
+    schema = pa.schema(
+        [
+            ("event_id", pa.int64()),
+            ("ts", pa.timestamp("us")),
+            ("user_id", pa.int64()),
+            ("event_type", pa.string()),
+            ("value", pa.float64()),
+            ("props", pa.string()),
+        ]
+    )
+    base = pd.Timestamp("2024-01-01")
+
+    def write(name, rows):
+        pdf = pd.DataFrame(
+            {
+                "event_id": [r[0] for r in rows],
+                "ts": [base + pd.Timedelta(minutes=r[1]) for r in rows],
+                "user_id": [r[2] for r in rows],
+                "event_type": ["click"] * len(rows),
+                "value": [float(r[3]) for r in rows],
+                "props": ["{}"] * len(rows),
+            }
+        )
+        pq.write_table(pa.Table.from_pandas(pdf, schema=schema), d / name)
+
+    write("b1.parquet", [(1, 0, 7, 2.0), (2, 1, 7, 3.0), (3, 2, 9, 1.0)])
+    write("b2.parquet", [(4, 10, 7, 5.0)])
+    now = time.time()
+    os.utime(d / "b1.parquet", (now - 60, now - 60))
+    os.utime(d / "b2.parquet", (now, now))
+
+    raw = (
+        spark.readStream.schema(spark.read.parquet(str(d / "b1.parquet")).schema)
+        .format("parquet")
+        .option("maxFilesPerTrigger", 1)
+        .load(str(d))
+    )
+    ev = W.normalize_ts(raw)
+    out_name = "tws_totals_out"
+    q = (
+        W.stateful_user_totals_tws(ev)
+        .writeStream.outputMode("update")
+        .format("memory")
+        .queryName(out_name)
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    rows = spark.table(out_name).collect()
+    per_user = {}
+    for r in rows:
+        per_user.setdefault(r.user_id, []).append((r.n_events, r.total_value))
+    assert max(per_user[7]) == (3, 10.0)  # 2+3 (batch 1) + 5 (batch 2)
+    assert max(per_user[9]) == (1, 1.0)
+    # batch-1 emission proves state carry, not an all-data re-read
+    assert (2, 5.0) in per_user[7]
