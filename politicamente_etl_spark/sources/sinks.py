@@ -209,6 +209,7 @@ def write_zordered(
     cols: list[str],
     n_files: int = 16,
     bits: int = 8,
+    bucketize: str = "linear",
 ) -> None:
     """Multi-dimensional clustered layout (Z-order / Morton curve): rows
     close in ANY of `cols` land in the same files, so a selective filter
@@ -224,21 +225,55 @@ def write_zordered(
 
     A single-column sort gives perfect locality on one column and none on
     the others; the Morton curve trades a little per-column locality for
-    locality on ALL clustered columns at once. Linear bucketing is the
-    simple variant — skewed columns want quantile bucketing (swap the
-    min/max scaling for percentile edges, same interleave)."""
-    aggs = []
-    for c in cols:
-        aggs += [F.min(c).alias(f"__min_{c}"), F.max(c).alias(f"__max_{c}")]
-    bounds = df.agg(*aggs)
-    w = df.crossJoin(F.broadcast(bounds))
+    locality on ALL clustered columns at once.
+
+    ``bucketize="linear"`` scales each column against its global min/max —
+    right for roughly uniform columns. ``bucketize="quantile"`` assigns
+    bucket = count of approx-percentile edges at or below the value, so a
+    heavy-tailed column still spreads across all 2^bits codes instead of
+    collapsing its mass into one (a single outlier under linear scaling
+    squeezes 99% of rows into bucket 0 and the curve degenerates to a
+    sort on the OTHER columns). Same interleave either way; both are one
+    tiny agg broadcast back + pure expressions."""
     top = (1 << bits) - 1
-    for c in cols:
-        span = F.col(f"__max_{c}").cast("double") - F.col(f"__min_{c}").cast("double")
-        frac = F.when(span > 0, (F.col(c).cast("double") - F.col(f"__min_{c}").cast("double")) / span).otherwise(F.lit(0.0))
-        w = w.withColumn(
-            f"__b_{c}", F.least(F.lit(top), F.floor(frac * (1 << bits)).cast("int"))
+    if bucketize == "quantile":
+        fracs = ", ".join(str(i / (1 << bits)) for i in range(1, 1 << bits))
+        bounds = df.agg(
+            *[
+                F.expr(
+                    f"percentile_approx({c}, array({fracs}), 10000)"
+                ).alias(f"__edges_{c}")
+                for c in cols
+            ]
         )
+        w = df.crossJoin(F.broadcast(bounds))
+        for c in cols:
+            val = F.col(c).cast("double")
+            w = w.withColumn(
+                f"__b_{c}",
+                F.least(
+                    F.lit(top),
+                    F.size(F.filter(f"__edges_{c}", lambda e: e <= val)),
+                ),
+            )
+        w = w.drop(*[f"__edges_{c}" for c in cols])
+    elif bucketize == "linear":
+        aggs = []
+        for c in cols:
+            aggs += [F.min(c).alias(f"__min_{c}"), F.max(c).alias(f"__max_{c}")]
+        bounds = df.agg(*aggs)
+        w = df.crossJoin(F.broadcast(bounds))
+        for c in cols:
+            span = F.col(f"__max_{c}").cast("double") - F.col(f"__min_{c}").cast("double")
+            frac = F.when(span > 0, (F.col(c).cast("double") - F.col(f"__min_{c}").cast("double")) / span).otherwise(F.lit(0.0))
+            w = w.withColumn(
+                f"__b_{c}", F.least(F.lit(top), F.floor(frac * (1 << bits)).cast("int"))
+            )
+        w = w.drop(
+            *[f"__min_{c}" for c in cols], *[f"__max_{c}" for c in cols]
+        )
+    else:
+        raise ValueError(f"bucketize must be linear|quantile, got {bucketize!r}")
     # Column.bitwiseOR/bitwiseAND — the Python &/| operators on Columns
     # resolve to BOOLEAN and/or and fail analysis on integers
     one = F.lit(1).cast("bigint")
@@ -248,11 +283,7 @@ def write_zordered(
             z = F.shiftleft(z, 1).bitwiseOR(
                 F.shiftright(F.col(f"__b_{c}"), bit).cast("bigint").bitwiseAND(one)
             )
-    w = w.withColumn("__z", z).drop(
-        *[f"__min_{c}" for c in cols],
-        *[f"__max_{c}" for c in cols],
-        *[f"__b_{c}" for c in cols],
-    )
+    w = w.withColumn("__z", z).drop(*[f"__b_{c}" for c in cols])
     (
         w.repartitionByRange(n_files, "__z")
         .sortWithinPartitions("__z")

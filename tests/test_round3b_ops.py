@@ -523,3 +523,36 @@ def test_minhash_hot_bucket_cap_bounds_degenerate_corpora(spark):
     got = {(r.doc_a, r.doc_b) for r in capped.collect()}
     assert (9001, 9002) in got                 # real pair survives
     assert all(a >= 9000 for a, _ in got)      # viral bucket fully excluded
+
+
+def test_zorder_quantile_bucketing_survives_skew(spark, tmp_path):
+    """Under a heavy-tailed column, linear bucketing collapses most rows
+    into one code (the outlier owns the range); quantile bucketing keeps
+    locality on BOTH columns. Verified by the files-touched metric on the
+    skewed layout."""
+    from politicamente_etl_spark.sources.sinks import write_zordered
+
+    n, files = 10_000, 16
+    df = spark.range(n).select(
+        # heavy tail: 99.99% of x in [0,100), one row at 10^9
+        F.when(F.col("id") == 0, F.lit(1_000_000_000))
+        .otherwise(F.col("id") % 100)
+        .alias("x"),
+        (F.col("id") / 100).cast("int").alias("y"),
+    )
+    qpath = str(tmp_path / "zq")
+    write_zordered(df, qpath, cols=["x", "y"], n_files=files, bucketize="quantile")
+
+    def files_touched(path, cond):
+        return (
+            spark.read.parquet(path)
+            .filter(cond)
+            .select(F.input_file_name().alias("f"))
+            .distinct()
+            .count()
+        )
+
+    # selective filters on either column still prune most files
+    assert files_touched(qpath, "x >= 10 AND x < 20") <= files * 0.5
+    assert files_touched(qpath, "y < 10") <= files * 0.5
+    assert spark.read.parquet(qpath).count() == n
