@@ -29,11 +29,22 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
+def _pct(col: str, frac_expr: str, approx: bool) -> Column:
+    """Exact or sketch percentile with one call shape. The exact form
+    holds each group's value multiset in the aggregation buffer; the
+    approx form (KLL-style sketch, bounded memory) is the swap-in when a
+    group's values outgrow an executor — same SQL surface, documented
+    rank error instead of exactness."""
+    fn = "approx_percentile" if approx else "percentile"
+    return F.expr(f"{fn}({col}, {frac_expr})")
+
+
 def mad_outliers(
     df: DataFrame,
     group_col: str,
     value_col: str,
     n_mads: float = 3.0,
+    approx: bool = False,
 ) -> DataFrame:
     """Median-absolute-deviation outlier flagging per group — the robust
     alternative to z-scores (a handful of extreme rows drags a mean/stddev
@@ -44,17 +55,19 @@ def mad_outliers(
     back. Returns only the outlier rows with their fence values.
 
     100 TB: both aggs shuffle one row per (partition, group); the joins
-    broadcast (groups are few). No window, no sort. If per-group value
-    multisets outgrow executor memory, substitute percentile_approx.
+    broadcast (groups are few). No window, no sort. ``approx=True`` swaps
+    both medians for the bounded-memory percentile sketch — the mode to
+    run when a single group's value multiset outgrows an executor (the
+    fences move by the sketch's rank error; the flagging stays robust).
     """
     med = df.groupBy(group_col).agg(
-        F.expr(f"percentile({value_col}, 0.5)").alias("med")
+        _pct(value_col, "0.5", approx).alias("med")
     )
     with_med = df.join(F.broadcast(med), group_col)
     mad = (
         with_med.withColumn("__ad", F.abs(F.col(value_col) - F.col("med")))
         .groupBy(group_col)
-        .agg(F.expr("percentile(__ad, 0.5)").alias("mad"))
+        .agg(_pct("__ad", "0.5", approx).alias("mad"))
     )
     return (
         with_med.join(F.broadcast(mad), group_col)
@@ -70,6 +83,7 @@ def equi_depth_histogram(
     df: DataFrame,
     value_col: str,
     n_buckets: int = 10,
+    approx: bool = False,
 ) -> DataFrame:
     """Equi-depth (equal-frequency) histogram: bucket edges are the exact
     1/n..(n-1)/n percentiles; each row lands in the count of edges at or
@@ -80,11 +94,14 @@ def equi_depth_histogram(
 
     Buckets can be unequal when the value distribution has heavy ties
     (all tied values share a bucket) — that is the correct equi-depth
-    semantics, not an artifact. Returns (bucket, n_rows, min_v, max_v).
+    semantics, not an artifact. ``approx=True`` computes the edges with
+    the bounded-memory percentile sketch — the mode for a value multiset
+    too large for one aggregation buffer (bucket depths then deviate by
+    the sketch's rank error). Returns (bucket, n_rows, min_v, max_v).
     """
     fracs = ", ".join(str(i / n_buckets) for i in range(1, n_buckets))
     edges = df.agg(
-        F.expr(f"percentile({value_col}, array({fracs}))").alias("edges")
+        _pct(value_col, f"array({fracs})", approx).alias("edges")
     )
     return (
         df.crossJoin(F.broadcast(edges))

@@ -556,3 +556,24 @@ def test_zorder_quantile_bucketing_survives_skew(spark, tmp_path):
     assert files_touched(qpath, "x >= 10 AND x < 20") <= files * 0.5
     assert files_touched(qpath, "y < 10") <= files * 0.5
     assert spark.read.parquet(qpath).count() == n
+
+
+def test_stats_approx_mode_matches_exact_on_small_data(spark):
+    """On data far below the sketch's accuracy budget the approx modes
+    agree with the exact ones — proving the swap is a drop-in."""
+    rows = [Row(g="a", v=float(i)) for i in range(101)]
+    rows.append(Row(g="a", v=1000.0))
+    df = spark.createDataFrame(rows)
+    exact = stats.mad_outliers(df, "g", "v", 3.0, approx=False).collect()
+    apx = stats.mad_outliers(df, "g", "v", 3.0, approx=True).collect()
+    assert {r.v for r in exact} == {r.v for r in apx} == {1000.0}
+
+    h_exact = {r.bucket: r.n_rows for r in stats.equi_depth_histogram(
+        spark.createDataFrame([Row(x=float(i)) for i in range(1000)]), "x", 10
+    ).collect()}
+    h_apx = {r.bucket: r.n_rows for r in stats.equi_depth_histogram(
+        spark.createDataFrame([Row(x=float(i)) for i in range(1000)]), "x", 10,
+        approx=True,
+    ).collect()}
+    assert sum(h_apx.values()) == 1000
+    assert all(abs(h_apx[b] - h_exact[b]) <= 20 for b in h_exact)
