@@ -726,3 +726,67 @@ def vocab_growth_curve(
         "new_types",
         F.sum("new_types").over(w).alias("cum_types"),
     )
+
+
+def bigram_logprob_scores(
+    df: DataFrame,
+    col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Bigram-LM quality scoring: each document's mean log-probability of
+    its token transitions, ln P(w_i | w_{i-1}), under the corpus's own
+    bigram model — the context-aware step up from unigram_logprob_scores
+    (a doc of real phrases scores high even when its unigrams are common;
+    shuffled word salad with the same unigram profile scores low, which
+    is exactly the failure mode the unigram LM cannot see).
+
+    MLE conditionals need no smoothing here BY CONSTRUCTION: the corpus
+    is scored under its own counts, so every bigram observed in a doc has
+    corpus count ≥ 1. Scoring external text against these tables needs a
+    backoff (join the unigram lp table for missing bigrams — same join
+    shape, one extra coalesce).
+
+    Plan mirrors the unigram scorer's aggregate → join → score pattern:
+    explode bigrams → bigram counts ⟕ left-context counts (both
+    vocab-sized aggs; the left-context agg reuses the exploded stream) →
+    micro-nat snapped conditional lp per bigram → join back onto the
+    stream → one partial-agg'd per-doc sum. No broadcast hints (the
+    bigram table of a web corpus is far past any threshold — planner/AQE
+    decide); the per-doc agg is the single guaranteed fact shuffle.
+    Determinism: ln() snapped to integer micro-nats before the sum, mean
+    as one double division — identical everywhere (the unigram scorer's
+    argument)."""
+    bigs = df.select(id_col, F.explode(shingles_regex(col, 2)).alias("bg"))
+    bg_counts = bigs.groupBy("bg").agg(F.count("*").alias("c_bg"))
+    left_counts = (
+        bigs.select(F.substring_index("bg", " ", 1).alias("w1"))
+        .groupBy("w1")
+        .agg(F.count("*").alias("c_left"))
+    )
+    lp = (
+        bg_counts.withColumn("w1", F.substring_index("bg", " ", 1))
+        .join(left_counts, "w1")
+        .withColumn(
+            "lp_micro",
+            F.round(
+                F.log(F.col("c_bg").cast("double") / F.col("c_left").cast("double"))
+                * F.lit(1e6),
+                0,
+            ).cast("long"),
+        )
+        .select("bg", "lp_micro")
+    )
+    return (
+        bigs.join(lp, "bg")
+        .groupBy(id_col)
+        .agg(
+            F.count("*").cast("long").alias("n_bigrams"),
+            F.sum("lp_micro").alias("sum_lp_micro"),
+        )
+        .withColumn(
+            "mean_logprob",
+            F.col("sum_lp_micro").cast("double")
+            / F.lit(1000000.0)
+            / F.col("n_bigrams").cast("double"),
+        )
+    )

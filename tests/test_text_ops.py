@@ -149,3 +149,52 @@ def test_unigram_logprob_scores_semantics(spark, sf_dir):
         # logprobs are negative; micro-nat sums must be too
         assert r.sum_lp_micro < 0 and r.mean_logprob < 0
     assert min(by_bucket[1]) >= max(by_bucket[max(by_bucket)])
+
+
+def test_bigram_logprob_scores_hand_model(spark):
+    """Two docs over a 3-doc corpus: the doc made of the corpus's dominant
+    transitions outscores the doc using rare ones; values match the
+    hand-computed MLE conditionals."""
+    import math
+
+    from pyspark.sql import Row
+    from politicamente_etl_spark.operators.text import bigram_logprob_scores
+
+    docs = spark.createDataFrame(
+        [
+            Row(doc_id=0, text="a b a b a b"),   # transitions: ab,ba,ab,ba,ab
+            Row(doc_id=1, text="a b a c"),        # ab, ba, ac
+            Row(doc_id=2, text="c d"),            # cd
+        ]
+    )
+    out = {r.doc_id: r for r in bigram_logprob_scores(docs).collect()}
+    # corpus bigram counts: ab=4, ba=3, ac=1, cd=1 ; left counts: a=5 (4+1... )
+    # left-context occurrences: 'a b'x4,'a c'x1 → a=5; 'b a'x3 → b=3; 'c d' → c=1
+    lp = lambda c, l: round(math.log(c / l) * 1e6)
+    d0 = 3 * lp(4, 5) + 2 * lp(3, 3)
+    d1 = lp(4, 5) + lp(3, 3) + lp(1, 5)
+    assert out[0].sum_lp_micro == d0 and out[0].n_bigrams == 5
+    assert out[1].sum_lp_micro == d1 and out[1].n_bigrams == 3
+    assert out[0].mean_logprob > out[1].mean_logprob
+    assert out[2].sum_lp_micro == 0  # cd is c's only transition: ln(1)=0
+
+
+def test_bigram_beats_unigram_on_word_salad(spark):
+    """A shuffled doc with the SAME unigram profile as a structured one
+    must score lower under the bigram LM — the signal unigrams miss."""
+    from pyspark.sql import Row
+    from politicamente_etl_spark.operators.text import (
+        bigram_logprob_scores,
+        unigram_logprob_scores,
+    )
+
+    phrase = "the quick brown fox jumps over the lazy dog"
+    salad = "fox the over quick lazy jumps dog brown the"  # same multiset
+    corpus = [Row(doc_id=i, text=phrase) for i in range(9)]
+    corpus.append(Row(doc_id=99, text=salad))
+    docs = spark.createDataFrame(corpus)
+
+    uni = {r.doc_id: r.mean_logprob for r in unigram_logprob_scores(docs).collect()}
+    assert abs(uni[0] - uni[99]) < 1e-9  # unigram LM can't tell them apart
+    big = {r.doc_id: r.mean_logprob for r in bigram_logprob_scores(docs).collect()}
+    assert big[0] > big[99]  # bigram LM can
