@@ -757,13 +757,39 @@ def bigram_logprob_scores(
     as one double division — identical everywhere (the unigram scorer's
     argument)."""
     bigs = df.select(id_col, F.explode(shingles_regex(col, 2)).alias("bg"))
+    lp, _ = bigram_lm_tables(df, col)
+    return (
+        bigs.join(lp, "bg")
+        .groupBy(id_col)
+        .agg(
+            F.count("*").cast("long").alias("n_bigrams"),
+            F.sum("lp_micro").alias("sum_lp_micro"),
+        )
+        .withColumn(
+            "mean_logprob",
+            F.col("sum_lp_micro").cast("double")
+            / F.lit(1000000.0)
+            / F.col("n_bigrams").cast("double"),
+        )
+    )
+
+
+def bigram_lm_tables(
+    corpus: DataFrame, col: str = "text"
+) -> tuple[DataFrame, DataFrame]:
+    """Train the corpus bigram LM once and hand back its two tables —
+    (bigram conditional lp, unigram lp), both in micro-nats — for scoring
+    OTHER batches with `score_with_bigram_lm`. At scale these persist as
+    managed tables next to the corpus (the signature-table pattern of
+    corpus.py: train nightly, score every batch against them)."""
+    bigs = corpus.select(F.explode(shingles_regex(col, 2)).alias("bg"))
     bg_counts = bigs.groupBy("bg").agg(F.count("*").alias("c_bg"))
     left_counts = (
         bigs.select(F.substring_index("bg", " ", 1).alias("w1"))
         .groupBy("w1")
         .agg(F.count("*").alias("c_left"))
     )
-    lp = (
+    bg_lp = (
         bg_counts.withColumn("w1", F.substring_index("bg", " ", 1))
         .join(left_counts, "w1")
         .withColumn(
@@ -776,12 +802,67 @@ def bigram_logprob_scores(
         )
         .select("bg", "lp_micro")
     )
+    toks = corpus.select(F.explode(tokens(col)).alias("term"))
+    uni_counts = toks.groupBy("term").agg(F.count("*").alias("tf"))
+    total = toks.groupBy().agg(F.count("*").alias("n_total"))
+    uni_lp = (
+        uni_counts.crossJoin(F.broadcast(total))
+        .withColumn(
+            "uni_lp_micro",
+            F.round(
+                F.log(F.col("tf").cast("double") / F.col("n_total").cast("double"))
+                * F.lit(1e6),
+                0,
+            ).cast("long"),
+        )
+        .select("term", "uni_lp_micro")
+    )
+    return bg_lp, uni_lp
+
+
+# Penalty (micro-nats) applied on top of the unigram backoff for a
+# transition the reference LM never saw — a fixed, engine-exact constant
+# standing in for a tuned backoff weight (ln(0.01) ≈ -4.6).
+OOV_BACKOFF_PENALTY_MICRO = -4_605_170
+
+
+def score_with_bigram_lm(
+    batch: DataFrame,
+    bg_lp: DataFrame,
+    uni_lp: DataFrame,
+    col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Score an EXTERNAL batch against a reference bigram LM — the
+    backoff case bigram_logprob_scores (corpus-on-itself) never hits:
+    a batch transition absent from the reference tables backs off to the
+    target unigram's lp plus a fixed penalty; a fully-novel token bottoms
+    out at the penalty alone. One coalesce chain over two left joins —
+    the join shapes are identical to the self-scoring path, so the 100 TB
+    properties carry over unchanged. Emits per-doc n_bigrams, the snapped
+    sum, the mean, and n_backoff (how often the model was out of its
+    depth — itself a quality signal: high backoff = out-of-domain text)."""
+    bigs = batch.select(id_col, F.explode(shingles_regex(col, 2)).alias("bg"))
+    bigs = bigs.withColumn("term", F.substring_index("bg", " ", -1))
+    scored = (
+        bigs.join(bg_lp, "bg", "left")
+        .join(uni_lp, "term", "left")
+        .withColumn(
+            "lp_eff",
+            F.coalesce(
+                F.col("lp_micro"),
+                F.col("uni_lp_micro") + F.lit(OOV_BACKOFF_PENALTY_MICRO),
+                F.lit(2 * OOV_BACKOFF_PENALTY_MICRO),
+            ),
+        )
+        .withColumn("is_backoff", F.col("lp_micro").isNull().cast("long"))
+    )
     return (
-        bigs.join(lp, "bg")
-        .groupBy(id_col)
+        scored.groupBy(id_col)
         .agg(
             F.count("*").cast("long").alias("n_bigrams"),
-            F.sum("lp_micro").alias("sum_lp_micro"),
+            F.sum("lp_eff").alias("sum_lp_micro"),
+            F.sum("is_backoff").alias("n_backoff"),
         )
         .withColumn(
             "mean_logprob",

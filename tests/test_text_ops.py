@@ -198,3 +198,40 @@ def test_bigram_beats_unigram_on_word_salad(spark):
     assert abs(uni[0] - uni[99]) < 1e-9  # unigram LM can't tell them apart
     big = {r.doc_id: r.mean_logprob for r in bigram_logprob_scores(docs).collect()}
     assert big[0] > big[99]  # bigram LM can
+
+
+def test_score_external_batch_with_backoff(spark):
+    """External scoring: in-domain transitions use the bigram table,
+    unseen transitions back off to unigram+penalty, fully-novel tokens
+    bottom out — and n_backoff counts the model's blind spots."""
+    import math
+
+    from pyspark.sql import Row
+    from politicamente_etl_spark.operators.text import (
+        OOV_BACKOFF_PENALTY_MICRO,
+        bigram_lm_tables,
+        score_with_bigram_lm,
+    )
+
+    corpus = spark.createDataFrame(
+        [Row(doc_id=i, text="a b a b a b") for i in range(3)]
+    )
+    bg_lp, uni_lp = bigram_lm_tables(corpus)
+
+    batch = spark.createDataFrame(
+        [
+            Row(doc_id=100, text="a b a b"),  # fully in-domain
+            Row(doc_id=101, text="b b"),      # unseen transition, known token
+            Row(doc_id=102, text="a zzz"),    # novel token
+        ]
+    )
+    out = {r.doc_id: r for r in score_with_bigram_lm(batch, bg_lp, uni_lp).collect()}
+    lp = lambda c, l: round(math.log(c / l) * 1e6)
+    # corpus: bigrams ab x9 (a=9 lefts), ba x6 (b=6 lefts); unigrams a=9/18, b=9/18
+    assert out[100].sum_lp_micro == 2 * lp(9, 9) + lp(6, 6) == 0
+    assert out[100].n_backoff == 0
+    assert out[101].sum_lp_micro == lp(9, 18) + OOV_BACKOFF_PENALTY_MICRO
+    assert out[101].n_backoff == 1
+    assert out[102].sum_lp_micro == 2 * OOV_BACKOFF_PENALTY_MICRO
+    assert out[102].n_backoff == 1
+    assert out[100].mean_logprob > out[101].mean_logprob > out[102].mean_logprob
