@@ -18,6 +18,8 @@ Verdict cascade per batch doc (first failing rule wins, mirroring
 corpus_admission_report's fixed rule order):
     too_short       — token count below min_tokens
     repetitive      — within-doc 3-gram repetition ratio above max_rep
+    low_quality_lm  — (only with lm_gate set) mean bigram-LM log-prob
+                      under the corpus-trained model below the gate
     duplicate_batch — another batch doc with the same digest and a
                       smaller id (keep-first within the batch)
     duplicate       — digest already present in the corpus
@@ -80,6 +82,7 @@ def ingest_batch(
     min_tokens: int = 30,
     max_rep: float = 0.3,
     near_threshold: float = 0.5,
+    lm_gate: float | None = None,
     commit: bool = True,
 ) -> DataFrame:
     """Run one nightly batch through the admission pipeline against the
@@ -105,6 +108,24 @@ def ingest_batch(
     corpus_sig = spark.read.parquet(sig_path)
 
     feat = _batch_features(batch, min_tokens, max_rep).localCheckpoint()
+
+    # optional statistical quality gate: score the batch under the
+    # CORPUS-trained bigram LM (text.bigram_lm_tables — at scale these are
+    # nightly-persisted tables like the signatures; trained ad hoc here)
+    # and flag docs whose mean transition log-prob falls below the gate —
+    # word salad and out-of-domain text that the length/repetition rules
+    # cannot see. Joined as a per-doc flag so it slots into the CASE
+    # cascade like every other rule.
+    if lm_gate is not None:
+        bg_lp, uni_lp = text.bigram_lm_tables(spark.read.parquet(docs_path))
+        lm_scores = text.score_with_bigram_lm(
+            feat.select("doc_id", "text"), bg_lp, uni_lp
+        ).select(
+            "doc_id", F.col("mean_logprob").alias("__lm_mean")
+        )
+        feat = feat.join(lm_scores, "doc_id", "left")
+    else:
+        feat = feat.withColumn("__lm_mean", F.lit(None).cast("double"))
 
     # near-dup candidates: batch bands vs corpus signature bands
     n_bands = dedup.N_MINHASH // dedup.BAND_SIZE
@@ -153,6 +174,11 @@ def ingest_batch(
             "verdict",
             F.when(F.col("n_tokens") < min_tokens, F.lit("too_short"))
             .when(F.col("rep") > max_rep, F.lit("repetitive"))
+            .when(
+                F.lit(lm_gate is not None)
+                & (F.coalesce(F.col("__lm_mean"), F.lit(float("-inf"))) < lm_gate),
+                F.lit("low_quality_lm"),
+            )
             .when(F.col("doc_id") != F.col("first_doc"), F.lit("duplicate_batch"))
             .when(F.col("__in_corpus").isNotNull(), F.lit("duplicate"))
             .when(F.col("__near_dup").isNotNull(), F.lit("near_duplicate"))

@@ -174,3 +174,49 @@ def test_corpus_cli_init_ingest(spark, sf_dir, tmp_path, capsys):
     out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert out["verdicts"] == {"admitted": 1, "too_short": 1}
     assert spark.read.parquet(f"{root}/docs").count() == 11
+
+
+def test_lm_gate_rejects_word_salad(spark, tmp_path):
+    """With lm_gate set, a batch doc whose token TRANSITIONS are alien to
+    the corpus (same vocabulary, shuffled order) is rejected as
+    low_quality_lm while the in-domain doc passes — the statistical gate
+    the length/repetition rules cannot express."""
+    root = str(tmp_path / "root")
+    phrase = (
+        "the quick brown fox jumps over the lazy dog while a calm cat naps "
+        "under an old tree near a blue river and the cold wind blows softly "
+        "through green leaves as birds sing their evening songs"
+    )
+    seed = spark.createDataFrame(
+        [Row(doc_id=i, text=phrase, source="seed") for i in range(20)]
+    )
+    corpus.init_corpus(spark, root, seed)
+
+    in_domain = phrase.replace("evening songs", "morning songs")
+    words = phrase.split(" ")
+    salad = " ".join(words[1::2] + words[0::2])  # same multiset, alien order
+    batch = spark.createDataFrame(
+        [
+            Row(doc_id=7001, text=in_domain, source="batch"),
+            Row(doc_id=7002, text=salad, source="batch"),
+        ]
+    )
+    # near-dup gate disabled (threshold above 1.0) for both runs: the
+    # in-domain doc legitimately shares most shingles with the seed, and
+    # this test isolates the LM gate as the only discriminator
+    dry = {
+        r.doc_id: r.verdict
+        for r in corpus.ingest_batch(
+            spark, root, batch, near_threshold=1.01, commit=False
+        ).collect()
+    }
+    assert dry == {7001: "admitted", 7002: "admitted"}
+    # gated: only the in-domain doc survives
+    report = {
+        r.doc_id: r.verdict
+        for r in corpus.ingest_batch(
+            spark, root, batch, near_threshold=1.01, lm_gate=-2.0, commit=False
+        ).collect()
+    }
+    assert report[7001] == "admitted"
+    assert report[7002] == "low_quality_lm"
