@@ -36,6 +36,7 @@ def cmd_ingest(spark: SparkSession, args: argparse.Namespace) -> None:
         spark.read.parquet(args.batch),
         min_tokens=args.min_tokens,
         near_threshold=args.near_threshold,
+        lm_gate=args.lm_gate,
         commit=not args.dry_run,
     )
     hist = {
@@ -74,6 +75,11 @@ def build_parser() -> argparse.ArgumentParser:
     p_ing.add_argument("--dry-run", action="store_true")
     p_ing.add_argument("--min-tokens", type=int, default=30)
     p_ing.add_argument("--near-threshold", type=float, default=0.5)
+    p_ing.add_argument(
+        "--lm-gate", type=float, default=None,
+        help="reject docs whose mean bigram-LM log-prob under the corpus "
+             "model falls below this (off by default)",
+    )
 
     p_str = sub.add_parser("stream")
     p_str.add_argument("--root", required=True)
