@@ -205,3 +205,48 @@ def ohlc_bars(
             "n_events",
         )
     )
+
+
+def gap_fill_forward(
+    df: DataFrame,
+    key_cols: list[str],
+    date_col: str,
+    value_col: str,
+    fill_col: str = "ffill",
+) -> DataFrame:
+    """Regularize a sparse per-key daily series onto a dense calendar and
+    forward-fill the value — the time-series `gap fill + locf` operator
+    (neither stock Spark nor the reference has one; every metrics/feature
+    pipeline regrids before windowed models).
+
+    Shape: per-key MIN/MAX date (one partial-agg shuffle on the key) →
+    `sequence()` + explode generates each key's calendar slice WITHOUT any
+    cross join (the grid is born distributed, co-partitioned by key) →
+    left join the observed rows back on (key, date) → one
+    `last(value, ignoreNulls=True)` running window per key for the fill.
+    Every stage is keyed by `key_cols`: with |keys| >> cores this is
+    embarrassingly parallel at any corpus size, and the only risk — a
+    single key spanning a huge date range — grows the generated rows
+    linearly, never quadratically.
+
+    Output grain: one row per (key, calendar day); `value_col` is NULL on
+    gap days, `fill_col` carries the last observation. Emits the day as an
+    ISO string (oracle-compared outputs never carry raw DATE columns)."""
+    bounds = df.groupBy(*key_cols).agg(
+        F.min(date_col).alias("__lo"), F.max(date_col).alias("__hi")
+    )
+    grid = bounds.select(
+        *key_cols,
+        F.explode(
+            F.sequence("__lo", "__hi", F.expr("interval 1 day"))
+        ).alias(date_col),
+    )
+    joined = grid.join(df, [*key_cols, date_col], "left")
+    w = (
+        Window.partitionBy(*key_cols)
+        .orderBy(date_col)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return joined.withColumn(
+        fill_col, F.last(value_col, ignorenulls=True).over(w)
+    ).withColumn(date_col, F.date_format(date_col, "yyyy-MM-dd"))

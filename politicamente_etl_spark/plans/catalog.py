@@ -528,3 +528,4 @@ def q_insert_if_absent(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Extended surface registers on import (same CATALOG).
 from politicamente_etl_spark.plans import extended as _extended  # noqa: E402,F401
 from politicamente_etl_spark.plans import extended_r3 as _extended_r3  # noqa: E402,F401
+from politicamente_etl_spark.plans import extended_r3b as _extended_r3b  # noqa: E402,F401

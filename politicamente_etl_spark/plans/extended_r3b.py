@@ -1,0 +1,594 @@
+"""Round-3 closing batch: bigram-LM quality scoring (self-scored corpus +
+backoff-scored external batch) and VARIANT semi-structured analytics.
+
+These register the operators that landed late in round 3
+(`operators/text.py: bigram_logprob_scores / bigram_lm_tables /
+score_with_bigram_lm`, `operators/semistruct.py`) as catalog queries with
+DuckDB oracles, clearing the round-4 backlog SURVEY.md noted.
+
+Oracle-parity rules carried from plans/extended.py / extended_r3.py:
+- integer SUM/COUNT aggregates cast to BIGINT in the SQL (DuckDB HUGEINT
+  artifact);
+- ln() snapped to integer micro-nats BEFORE any sum, so floating-point
+  accumulation order cannot differ between engines;
+- bigram shingles: Spark's single-pass regex shingler produces the same
+  strings as the DuckDB list comprehension for single-space text (parity
+  pinned since r1 by `bigram_top_terms` / the minhash family);
+- VARIANT never leaves Spark: queries compare only typed extractions
+  (json_extract twins) or `schema_of_variant` strings, which the oracle
+  maps from `json_structure` with an exhaustive CASE — a new upstream
+  payload shape fails loudly instead of silently passing.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from politicamente_etl_spark.operators import semistruct, text
+from politicamente_etl_spark.operators.text import OOV_BACKOFF_PENALTY_MICRO
+
+# The two-shape JSON payload used by the VARIANT queries: purchases gain a
+# "flag" field, every other event keeps the upstream single-key shape.
+# Pure string surgery on single-'}' JSON, so both engines construct
+# byte-identical payloads.
+_PAYLOAD_SQL = """CASE WHEN event_type = 'purchase'
+                 THEN replace(props, '}', ', "flag": 1}')
+                 ELSE props END"""
+
+
+def _payload_col():
+    return F.when(
+        F.col("event_type") == "purchase",
+        F.replace(F.col("props"), F.lit("}"), F.lit(', "flag": 1}')),
+    ).otherwise(F.col("props"))
+
+
+def _register():
+    from politicamente_etl_spark.plans.catalog import T, load_events, register
+
+    # -- bigram language-model quality --------------------------------------
+
+    @register(
+        "bigram_logprob_quality",
+        sql="""
+        WITH t AS (
+            SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+        ), bi AS (
+            SELECT doc_id,
+                   unnest([concat_ws(' ', toks[i], toks[i+1])
+                           for i in range(1, len(toks))]) AS bg
+            FROM t
+        ), bgc AS (
+            SELECT bg, COUNT(*) AS c_bg FROM bi GROUP BY bg
+        ), lc AS (
+            SELECT string_split(bg, ' ')[1] AS w1,
+                   CAST(SUM(c_bg) AS BIGINT) AS c_left
+            FROM bgc GROUP BY 1
+        ), lp AS (
+            SELECT bg,
+                   CAST(round(ln(CAST(c_bg AS DOUBLE)
+                                 / CAST(c_left AS DOUBLE)) * 1000000, 0)
+                        AS BIGINT) AS lp_micro
+            FROM bgc JOIN lc ON string_split(bgc.bg, ' ')[1] = lc.w1
+        )
+        SELECT b.doc_id,
+               CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+               CAST(SUM(l.lp_micro) AS BIGINT) AS sum_lp_micro,
+               CAST(SUM(l.lp_micro) AS DOUBLE) / 1000000.0
+                   / CAST(COUNT(*) AS DOUBLE) AS mean_logprob
+        FROM bi b JOIN lp l USING (bg)
+        GROUP BY b.doc_id
+        """,
+        tags=("ext-text",),
+    )
+    def q_bigram_logprob_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Context-aware quality scoring: per-doc mean ln P(w_i | w_{i-1})
+        under the corpus's own bigram LM (`text.bigram_logprob_scores`) —
+        catches shuffled word salad the unigram LM scores as fluent. MLE
+        conditionals need no smoothing (corpus scored under its own
+        counts); micro-nat snapping makes the per-doc sums exact on both
+        engines."""
+        return text.bigram_logprob_scores(T(spark, sf_dir, "documents"))
+
+    @register(
+        "bigram_backoff_score_batch",
+        sql=f"""
+        WITH ref AS (
+            SELECT doc_id, text FROM documents WHERE doc_id % 5 <> 0
+        ), batch AS (
+            SELECT doc_id, text FROM documents WHERE doc_id % 5 = 0
+        ), rt AS (
+            SELECT string_split(text, ' ') AS toks FROM ref
+        ), rbi AS (
+            SELECT unnest([concat_ws(' ', toks[i], toks[i+1])
+                           for i in range(1, len(toks))]) AS bg
+            FROM rt
+        ), bgc AS (
+            SELECT bg, COUNT(*) AS c_bg FROM rbi GROUP BY bg
+        ), lc AS (
+            SELECT string_split(bg, ' ')[1] AS w1,
+                   CAST(SUM(c_bg) AS BIGINT) AS c_left
+            FROM bgc GROUP BY 1
+        ), bg_lp AS (
+            SELECT bg,
+                   CAST(round(ln(CAST(c_bg AS DOUBLE)
+                                 / CAST(c_left AS DOUBLE)) * 1000000, 0)
+                        AS BIGINT) AS lp_micro
+            FROM bgc JOIN lc ON string_split(bgc.bg, ' ')[1] = lc.w1
+        ), rtok AS (
+            SELECT unnest(string_split(text, ' ')) AS term FROM ref
+        ), uc AS (
+            SELECT term, COUNT(*) AS tf FROM rtok GROUP BY term
+        ), tot AS (
+            SELECT COUNT(*) AS n_total FROM rtok
+        ), uni_lp AS (
+            SELECT term,
+                   CAST(round(ln(CAST(tf AS DOUBLE)
+                                 / CAST(n_total AS DOUBLE)) * 1000000, 0)
+                        AS BIGINT) AS uni_lp_micro
+            FROM uc CROSS JOIN tot
+        ), bt AS (
+            SELECT doc_id, string_split(text, ' ') AS toks FROM batch
+        ), bbi AS (
+            SELECT doc_id,
+                   unnest([concat_ws(' ', toks[i], toks[i+1])
+                           for i in range(1, len(toks))]) AS bg
+            FROM bt
+        ), scored AS (
+            SELECT b.doc_id,
+                   COALESCE(g.lp_micro,
+                            u.uni_lp_micro + ({OOV_BACKOFF_PENALTY_MICRO}),
+                            {2 * OOV_BACKOFF_PENALTY_MICRO}) AS lp_eff,
+                   CASE WHEN g.lp_micro IS NULL THEN 1 ELSE 0 END AS is_backoff
+            FROM bbi b
+            LEFT JOIN bg_lp g USING (bg)
+            LEFT JOIN uni_lp u ON string_split(b.bg, ' ')[2] = u.term
+        )
+        SELECT doc_id,
+               CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+               CAST(SUM(lp_eff) AS BIGINT) AS sum_lp_micro,
+               CAST(SUM(is_backoff) AS BIGINT) AS n_backoff,
+               CAST(SUM(lp_eff) AS DOUBLE) / 1000000.0
+                   / CAST(COUNT(*) AS DOUBLE) AS mean_logprob
+        FROM scored
+        GROUP BY doc_id
+        """,
+        tags=("ext-text",),
+    )
+    def q_bigram_backoff_score_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Score an EXTERNAL batch (hash-split fifth of the corpus) against
+        a reference bigram LM trained on the rest — the nightly-ingest
+        shape (`text.bigram_lm_tables` + `text.score_with_bigram_lm`):
+        unseen transitions back off to the target unigram plus a fixed
+        penalty; fully-novel tokens bottom out at twice the penalty.
+        n_backoff per doc is itself the out-of-domain signal the corpus
+        gate consumes."""
+        docs = T(spark, sf_dir, "documents")
+        ref = docs.filter(F.col("doc_id") % 5 != 0)
+        batch = docs.filter(F.col("doc_id") % 5 == 0)
+        bg_lp, uni_lp = text.bigram_lm_tables(ref)
+        return text.score_with_bigram_lm(batch, bg_lp, uni_lp).select(
+            "doc_id", "n_bigrams", "sum_lp_micro", "n_backoff", "mean_logprob"
+        )
+
+    # -- VARIANT semi-structured analytics ----------------------------------
+
+    @register(
+        "variant_props_extract",
+        sql=f"""
+        WITH p AS (
+            SELECT event_type, {_PAYLOAD_SQL} AS payload FROM events
+        )
+        SELECT event_type,
+               CAST(COUNT(*) AS BIGINT) AS n_events,
+               CAST(SUM(CAST(json_extract_string(payload, '$.k') AS BIGINT))
+                    AS BIGINT) AS sum_k,
+               CAST(SUM(CASE WHEN json_extract_string(payload, '$.flag')
+                             IS NOT NULL THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_flagged
+        FROM p GROUP BY event_type
+        """,
+        tags=("ext-json",),
+    )
+    def q_variant_props_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Typed VARIANT extraction (`semistruct.with_variant` +
+        `variant_fields`): parse the two-shape payload ONCE into Spark 4's
+        binary VARIANT, pull `$.k` / `$.flag` as typed columns
+        (try_variant_get → NULL on missing paths, no job failure), roll up
+        per event type. The oracle extracts the same paths from the same
+        constructed JSON strings — the VARIANT value itself never needs to
+        leave Spark."""
+        ev = load_events(spark, sf_dir).withColumn("payload", _payload_col())
+        v = semistruct.with_variant(ev, "payload", out="v")
+        typed = semistruct.variant_fields(
+            v, "v", {"k": ("$.k", "bigint"), "flag": ("$.flag", "bigint")}
+        )
+        return typed.groupBy("event_type").agg(
+            F.count("*").cast("long").alias("n_events"),
+            F.sum("k").cast("long").alias("sum_k"),
+            F.count("flag").cast("long").alias("n_flagged"),
+        )
+
+    @register(
+        "variant_schema_profile",
+        sql=f"""
+        WITH p AS (
+            SELECT {_PAYLOAD_SQL} AS payload FROM events
+        )
+        SELECT CASE json_structure(payload)
+                 WHEN '{{"k":"UBIGINT"}}'
+                   THEN 'OBJECT<k: BIGINT>'
+                 WHEN '{{"k":"UBIGINT","flag":"UBIGINT"}}'
+                   THEN 'OBJECT<flag: BIGINT, k: BIGINT>'
+                 ELSE 'UNMAPPED: ' || json_structure(payload)
+               END AS variant_schema,
+               CAST(COUNT(*) AS BIGINT) AS n_rows
+        FROM p GROUP BY 1
+        """,
+        tags=("ext-json",),
+    )
+    def q_variant_schema_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Schema-drift audit (`semistruct.variant_schema_profile`):
+        distinct `schema_of_variant` shapes of the payload with row
+        counts — what a pipeline runs when an upstream feed starts
+        emitting a new payload shape. One hash aggregate over a short
+        schema string; output is |distinct shapes| rows at any corpus
+        size. The oracle maps DuckDB's `json_structure` strings onto
+        Spark's alphabetically-keyed rendering via an exhaustive CASE, so
+        an unexpected upstream shape mismatches loudly."""
+        ev = load_events(spark, sf_dir).withColumn("payload", _payload_col())
+        v = semistruct.with_variant(ev, "payload", out="v")
+        return semistruct.variant_schema_profile(v, "v").select(
+            "variant_schema", F.col("n_rows").cast("long").alias("n_rows")
+        )
+
+
+_register()
+
+
+def _register_rel2():
+    """TPC-H-style decorrelation shapes (Q8/Q9/Q11/Q13/Q16/Q22 analogs —
+    the schema carries no partsupp/receiptdate, so each query keeps the
+    plan shape of its TPC-H namesake on the columns that exist) plus the
+    gap-fill/locf temporal operator. All scalar subqueries broadcast a
+    1-row aggregate (genuinely bounded — the one broadcast that can never
+    outgrow the threshold); money aggregates decimal-snap before any
+    division so cross-engine doubles compare exactly."""
+    from politicamente_etl_spark.plans.catalog import T, register
+
+    from politicamente_etl_spark.functions.scalar import (
+        money_avg,
+        money_sum,
+        sql_money_avg,
+        sql_money_sum,
+    )
+    from politicamente_etl_spark.operators import temporal
+
+    @register(
+        "order_count_distribution",
+        sql="""
+        WITH per_cust AS (
+            SELECT c_custkey, COUNT(o_orderkey) AS n_orders
+            FROM customer LEFT JOIN orders ON o_custkey = c_custkey
+            GROUP BY c_custkey
+        )
+        SELECT CAST(n_orders AS BIGINT) AS n_orders,
+               CAST(COUNT(*) AS BIGINT) AS n_customers
+        FROM per_cust GROUP BY n_orders
+        """,
+        tags=("ext-rel",),
+    )
+    def q_order_count_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """TPC-H Q13 shape: customers LEFT JOIN orders (zero-order
+        customers must survive), per-customer order count, then the
+        distribution of counts. Two shuffles (join + first group) and a
+        tiny second group — the histogram input is |customers| rows, its
+        output |distinct counts|."""
+        c = T(spark, sf_dir, "customer").select("c_custkey")
+        o = T(spark, sf_dir, "orders").select("o_custkey", "o_orderkey")
+        per_cust = (
+            c.join(o, c.c_custkey == o.o_custkey, "left")
+            .groupBy("c_custkey")
+            .agg(F.count("o_orderkey").alias("n_orders"))
+        )
+        return per_cust.groupBy("n_orders").agg(
+            F.count("*").alias("n_customers")
+        )
+
+    @register(
+        "idle_rich_customers",
+        sql=f"""
+        WITH threshold AS (
+            SELECT {sql_money_avg("c_acctbal", "avg_bal")}
+            FROM customer WHERE c_acctbal > 0.0
+        )
+        SELECT c_nationkey,
+               CAST(COUNT(*) AS BIGINT) AS n_custs,
+               {sql_money_sum("c_acctbal", "total_bal")}
+        FROM customer, threshold
+        WHERE c_acctbal > avg_bal
+          AND NOT EXISTS (
+            SELECT 1 FROM orders
+            WHERE o_custkey = c_custkey
+              AND o_orderdate >= TIMESTAMP '2000-01-01'
+          )
+        GROUP BY c_nationkey
+        """,
+        tags=("ext-rel", "ext-subquery"),
+    )
+    def q_idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """TPC-H Q22 shape: scalar-subquery threshold (mean positive
+        balance, decimal-snapped so both engines divide the same exact
+        sum) + NOT EXISTS over RECENT orders decorrelated to a LEFT ANTI
+        join on the filtered order stream (the date predicate pushes to
+        the orders scan before the anti join builds).
+        The 1-row threshold broadcasts; the anti join hashes on the
+        customer key."""
+        c = T(spark, sf_dir, "customer")
+        o = (
+            T(spark, sf_dir, "orders")
+            .filter(F.col("o_orderdate") >= F.lit("2000-01-01").cast("timestamp"))
+            .select("o_custkey")
+        )
+        thr = c.filter(F.col("c_acctbal") > 0.0).agg(
+            money_avg("c_acctbal", "avg_bal")
+        )
+        rich = c.join(F.broadcast(thr)).filter(
+            F.col("c_acctbal") > F.col("avg_bal")
+        )
+        idle = rich.join(o, rich.c_custkey == o.o_custkey, "left_anti")
+        return idle.groupBy("c_nationkey").agg(
+            F.count("*").alias("n_custs"),
+            money_sum(F.col("c_acctbal"), "total_bal"),
+        )
+
+    @register(
+        "supplier_revenue_share_gate",
+        sql=f"""
+        WITH rev AS (
+            SELECT l_suppkey,
+                   {sql_money_sum("l_extendedprice * (1 - l_discount)",
+                                  "revenue")}
+            FROM lineitem GROUP BY l_suppkey
+        ), tot AS (
+            SELECT {sql_money_sum("l_extendedprice * (1 - l_discount)",
+                                  "total_rev")}
+            FROM lineitem
+        ), n AS (
+            SELECT CAST(COUNT(*) AS BIGINT) AS n_sup FROM rev
+        )
+        SELECT r.l_suppkey AS s_suppkey, s.s_name, r.revenue
+        FROM rev r JOIN supplier s ON s.s_suppkey = r.l_suppkey, tot, n
+        WHERE r.revenue > 1.05 * (total_rev / CAST(n_sup AS DOUBLE))
+        """,
+        tags=("ext-rel", "ext-subquery"),
+    )
+    def q_supplier_revenue_share_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """TPC-H Q11 shape: per-key aggregate gated on a scalar multiple
+        of the global mean (1.05x — the synthetic revenue distribution is
+        near-uniform, max/mean = 1.12). The global total is computed from the SOURCE
+        rows with one decimal-snapped sum (never by re-summing per-key
+        doubles, whose order differs between engines) and divided by the
+        group count once — both 1-row sides broadcast."""
+        li = T(spark, sf_dir, "lineitem")
+        s = T(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+        rev_expr = F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount"))
+        rev = li.groupBy("l_suppkey").agg(money_sum(rev_expr, "revenue"))
+        tot = li.agg(money_sum(rev_expr, "total_rev"))
+        n = rev.agg(F.count("*").alias("n_sup"))
+        return (
+            rev.join(F.broadcast(tot))
+            .join(F.broadcast(n))
+            .filter(
+                F.col("revenue")
+                > F.lit(1.05) * (F.col("total_rev") / F.col("n_sup").cast("double"))
+            )
+            .join(s, rev.l_suppkey == s.s_suppkey)
+            .select(
+                F.col("l_suppkey").alias("s_suppkey"), "s_name", "revenue"
+            )
+        )
+
+    @register(
+        "brand_supplier_counts",
+        sql="""
+        SELECT p_brand, p_size,
+               CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS n_suppliers
+        FROM part JOIN lineitem ON l_partkey = p_partkey
+        WHERE l_suppkey NOT IN (
+            SELECT s_suppkey FROM supplier WHERE s_acctbal < 0.0
+        )
+        GROUP BY p_brand, p_size
+        """,
+        tags=("ext-rel", "ext-subquery"),
+    )
+    def q_brand_supplier_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """TPC-H Q16 shape: supplier diversity per (brand, size) with a
+        NOT IN exclusion list. The exclusion decorrelates to a LEFT ANTI
+        join against the (tiny, but unhinted) bad-supplier list; the
+        distinct count shuffles once on the group key."""
+        li = T(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
+        p = T(spark, sf_dir, "part").select("p_partkey", "p_brand", "p_size")
+        bad = (
+            T(spark, sf_dir, "supplier")
+            .filter(F.col("s_acctbal") < 0.0)
+            .select("s_suppkey")
+        )
+        return (
+            li.join(bad, li.l_suppkey == bad.s_suppkey, "left_anti")
+            .join(p, li.l_partkey == p.p_partkey)
+            .groupBy("p_brand", "p_size")
+            .agg(F.count_distinct("l_suppkey").alias("n_suppliers"))
+        )
+
+    @register(
+        "regional_market_share",
+        sql=f"""
+        WITH j AS (
+            SELECT CAST(year(o_orderdate) AS INT) AS o_year,
+                   l_extendedprice * (1 - l_discount) AS rev,
+                   r_name
+            FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN supplier ON l_suppkey = s_suppkey
+            JOIN nation ON s_nationkey = n_nationkey
+            JOIN region ON n_regionkey = r_regionkey
+        ), a AS (
+            SELECT o_year,
+                   {sql_money_sum(
+                       "CASE WHEN r_name = 'ASIA' THEN rev ELSE 0 END",
+                       "asia_revenue")},
+                   {sql_money_sum("rev", "total_revenue")}
+            FROM j GROUP BY o_year
+        )
+        SELECT o_year, asia_revenue, total_revenue,
+               asia_revenue / total_revenue AS asia_share
+        FROM a
+        """,
+        tags=("ext-rel",),
+    )
+    def q_regional_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """TPC-H Q8 shape: one supplier-region's share of yearly revenue.
+        The fact shuffles once for the orders join; supplier→nation→region
+        chain is dimension joins the planner broadcasts on its own. Both
+        sums snap before the single share division."""
+        li = T(spark, sf_dir, "lineitem")
+        o = T(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+        s = T(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+        nat = T(spark, sf_dir, "nation").select("n_nationkey", "n_regionkey")
+        r = T(spark, sf_dir, "region").select("r_regionkey", "r_name")
+        rev = F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount"))
+        j = (
+            li.join(o, li.l_orderkey == o.o_orderkey)
+            .join(s, li.l_suppkey == s.s_suppkey)
+            .join(nat, s.s_nationkey == nat.n_nationkey)
+            .join(r, nat.n_regionkey == r.r_regionkey)
+            .select(
+                F.year("o_orderdate").alias("o_year"),
+                rev.alias("rev"),
+                "r_name",
+            )
+        )
+        return (
+            j.groupBy("o_year")
+            .agg(
+                money_sum(
+                    F.when(F.col("r_name") == "ASIA", F.col("rev")).otherwise(
+                        0.0
+                    ),
+                    "asia_revenue",
+                ),
+                money_sum(F.col("rev"), "total_revenue"),
+            )
+            .withColumn(
+                "asia_share", F.col("asia_revenue") / F.col("total_revenue")
+            )
+        )
+
+    @register(
+        "nation_product_margin",
+        sql=f"""
+        SELECT n_name, CAST(year(o_orderdate) AS INT) AS o_year,
+               {sql_money_sum(
+                   "l_extendedprice * (1 - l_discount)"
+                   " - 0.8 * p_retailprice * l_quantity",
+                   "margin")}
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN part ON l_partkey = p_partkey
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation ON s_nationkey = n_nationkey
+        GROUP BY n_name, o_year
+        """,
+        tags=("ext-rel",),
+    )
+    def q_nation_product_margin(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """TPC-H Q9 shape (profit by nation and year; p_retailprice·0.8
+        stands in for the absent ps_supplycost). Margin is computed per
+        row in doubles — deterministic product/subtract — and snapped at
+        the sum; the orders join is the one fact shuffle."""
+        li = T(spark, sf_dir, "lineitem")
+        o = T(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+        p = T(spark, sf_dir, "part").select("p_partkey", "p_retailprice")
+        s = T(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+        nat = T(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+        margin = F.col("l_extendedprice") * (
+            F.lit(1) - F.col("l_discount")
+        ) - F.lit(0.8) * F.col("p_retailprice") * F.col("l_quantity")
+        return (
+            li.join(o, li.l_orderkey == o.o_orderkey)
+            .join(p, li.l_partkey == p.p_partkey)
+            .join(s, li.l_suppkey == s.s_suppkey)
+            .join(nat, s.s_nationkey == nat.n_nationkey)
+            .select(
+                "n_name", F.year("o_orderdate").alias("o_year"), margin.alias("m")
+            )
+            .groupBy("n_name", "o_year")
+            .agg(money_sum(F.col("m"), "margin"))
+        )
+
+    @register(
+        "gap_fill_daily_revenue",
+        sql=f"""
+        WITH daily AS (
+            SELECT n_name, CAST(o_orderdate AS DATE) AS day,
+                   {sql_money_sum("o_totalprice", "revenue")}
+            FROM orders
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation ON c_nationkey = n_nationkey
+            GROUP BY n_name, day
+        ), b AS (
+            SELECT n_name, MIN(day) AS lo, MAX(day) AS hi
+            FROM daily GROUP BY n_name
+        ), grid AS (
+            SELECT n_name,
+                   CAST(unnest(generate_series(lo, hi, INTERVAL 1 DAY))
+                        AS DATE) AS day
+            FROM b
+        ), filled AS (
+            SELECT g.n_name, g.day, d.revenue,
+                   last_value(d.revenue IGNORE NULLS) OVER (
+                       PARTITION BY g.n_name ORDER BY g.day
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                   ) AS revenue_ffill
+            FROM grid g LEFT JOIN daily d USING (n_name, day)
+        )
+        SELECT n_name, strftime(day, '%Y-%m-%d') AS day,
+               COALESCE(revenue, 0.0) AS revenue_day,
+               revenue_ffill,
+               CAST(CASE WHEN revenue IS NULL THEN 0 ELSE 1 END AS BIGINT)
+                   AS had_orders
+        FROM filled
+        """,
+        tags=("ext-temporal", "ext-window"),
+    )
+    def q_gap_fill_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Gap-fill + forward-fill (`temporal.gap_fill_forward`): per-nation
+        daily revenue regridded onto each nation's dense calendar, gap days
+        carrying the last observed value — the regularization step before
+        any windowed model. The grid is generated per key (sequence +
+        explode — born co-partitioned, no cross join); one running window
+        per nation fills forward."""
+        o = T(spark, sf_dir, "orders")
+        c = T(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+        nat = T(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+        daily = (
+            o.join(c, o.o_custkey == c.c_custkey)
+            .join(nat, c.c_nationkey == nat.n_nationkey)
+            .groupBy("n_name", F.col("o_orderdate").cast("date").alias("day"))
+            .agg(money_sum(F.col("o_totalprice"), "revenue"))
+        )
+        filled = temporal.gap_fill_forward(
+            daily, ["n_name"], "day", "revenue", fill_col="revenue_ffill"
+        )
+        return filled.select(
+            "n_name",
+            "day",
+            F.coalesce("revenue", F.lit(0.0)).alias("revenue_day"),
+            "revenue_ffill",
+            F.col("revenue").isNotNull().cast("long").alias("had_orders"),
+        )
+
+
+_register_rel2()
