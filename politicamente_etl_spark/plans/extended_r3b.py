@@ -592,3 +592,56 @@ def _register_rel2():
 
 
 _register_rel2()
+
+
+def _register_stream_outer():
+    from politicamente_etl_spark.plans.catalog import register
+
+    @register(
+        "streaming_left_outer_join",
+        sql="""
+        SELECT c.user_id,
+               c.event_id AS left_id,
+               COALESCE(p.event_id, -1) AS right_id,
+               CAST(epoch_us(c.ts) AS BIGINT) AS left_ts_us,
+               COALESCE(CAST(epoch_us(p.ts) AS BIGINT), -1) AS right_ts_us
+        FROM events c
+        LEFT JOIN events p
+          ON p.user_id = c.user_id
+         AND p.event_type = 'purchase'
+         AND epoch_us(p.ts) >= epoch_us(c.ts)
+         AND epoch_us(p.ts) <= epoch_us(c.ts) + 1800000000
+        WHERE c.event_type = 'click'
+        """,
+        tags=("ext-stream", "ext-temporal"),
+    )
+    def q_streaming_left_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Stream-stream LEFT OUTER interval join: every click, matched to
+        the same user's purchases within 30 minutes OR emitted with NULL
+        right columns once the watermark proves no match can arrive — the
+        attribution shape where unconverted clicks matter as much as
+        conversions. Outer rows emit on state eviction (watermark >
+        left_ts + within), so finite-replay equivalence needs the
+        far-future sentinel batch (`stream_events_with_sentinel`) to push
+        the final watermark past the last real click; production streams
+        get that advancement for free from continuously-arriving data.
+        NULLs are coalesced to -1 sentinels in both engines (oracle
+        outputs never carry nullable compare columns)."""
+        from politicamente_etl_spark.streaming import windows as W
+
+        ev = W.stream_events_with_sentinel(spark, sf_dir)
+        j = W.interval_join(
+            ev, "click", "purchase", "30 minutes",
+            watermark="10 minutes", how="left_outer",
+        )
+        out = W.run_stream_to_table(j, mode="append")
+        return out.filter(F.col("user_id") >= 0).select(
+            "user_id",
+            "left_id",
+            F.coalesce("right_id", F.lit(-1)).alias("right_id"),
+            "left_ts_us",
+            F.coalesce("right_ts_us", F.lit(-1)).alias("right_ts_us"),
+        )
+
+
+_register_stream_outer()

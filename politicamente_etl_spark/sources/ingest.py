@@ -5,7 +5,10 @@ ZIPs are not splittable, so ingest is deliberately a driver/landing-zone
 concern, kept OUT of the executor path: download → unzip to a landing dir →
 hand the extracted CSV paths to the distributed scan (readers.read_tse_csv).
 At real scale this step belongs to an upstream fetcher writing to object
-storage; the interface here is the same.
+storage; the interface here is the same. For many-member / many-archive
+feeds, `sources/zipsource.py` (the `zipcsv` Python DataSource) skips the
+extraction entirely and scans members executor-parallel straight out of
+the archives.
 
 Fidelity with the reference:
 - streamed download in 8 KiB chunks (`extract.py:28`)

@@ -203,6 +203,38 @@ def write_managed(df: DataFrame, path: str, mode: str = "overwrite", partition_b
     w.parquet(path)
 
 
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    keys: list[str],
+    buckets: int = 64,
+    sort_by: list[str] | None = None,
+    path: str | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Bucketed (hash-clustered) managed table: rows are pre-shuffled into
+    `buckets` files by hash(keys) at WRITE time, so every later
+    join/aggregate on those keys skips its Exchange entirely — the
+    pay-once-join-free layout for fact tables that are joined on the same
+    key daily (the 100 TB complement of broadcast joins, which only cover
+    small dims). Two tables bucketed on the same key with the same bucket
+    count sort-merge-join with ZERO shuffles (pinned by
+    tests/test_round3c_ops.py::test_bucketed_join_no_exchange).
+
+    `sort_by` additionally sorts within each bucket file, which lets the
+    join skip its Sort too and gives parquet min/max pruning on the sort
+    key. `path` makes it an external table (object-storage layout);
+    default is a managed table in the session warehouse. Bucket count is
+    a layout contract: pick it for the TARGET scale (buckets ≈ total
+    bytes / 1 GiB) — changing it rewrites the table."""
+    w = df.write.mode(mode).bucketBy(buckets, *keys)
+    if sort_by:
+        w = w.sortBy(*sort_by)
+    if path is not None:
+        w = w.option("path", path)
+    w.format("parquet").saveAsTable(table)
+
+
 def write_zordered(
     df: DataFrame,
     path: str,

@@ -1,0 +1,141 @@
+"""Executor-parallel ZIP-member CSV source (Spark 4 Python DataSource).
+
+The reference's feeds arrive as ZIP archives of ~27 per-state CSVs
+(`extract.py:38-44`). ZIPs aren't splittable, so `sources/ingest.py` keeps
+the UNPACK on the driver/landing zone; this module removes that bottleneck
+for the common many-members / many-archives case: each (archive, member)
+pair becomes one Spark input partition, and executors read their member
+directly out of the archive via the ZIP central directory — no extraction
+step, no landing-dir copy, parallelism = Σ members across archives.
+
+Implementation notes (scale-relevant):
+- `partitions()` lists members from each archive's central directory on
+  the driver (metadata-only: a few KiB per archive, no data read).
+- `read(partition)` opens ONE member stream and parses it with
+  pyarrow.csv in streaming mode, yielding Arrow RecordBatches — the
+  entire row path stays in C/Arrow; Python touches only batch handles
+  (the Python DataSource API transfers Arrow batches zero-copy).
+- A 100 TB corpus of ZIPs therefore scans at (members × batch) grain
+  with per-member admission control, the same shape the multimodal
+  reader uses. One giant member still caps at single-task parallelism —
+  that's the format's limit (central-directory entries are the atoms),
+  which is why `sinks.compact` re-lands hot feeds as parquet after first
+  read.
+- All columns surface as strings (TSE CSVs carry no typed schema; the
+  typed boundary is `operators/core.cast_columns`, same as the reference
+  pipeline). Delimiter/encoding default to the TSE dialect (';',
+  latin-1).
+"""
+
+from __future__ import annotations
+
+import zipfile
+from collections.abc import Iterator, Sequence
+
+from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.types import StringType, StructField, StructType
+
+from politicamente_etl_spark.sources.readers import prune_consolidated
+
+
+class ZipMemberPartition(InputPartition):
+    def __init__(self, archive: str, member: str):
+        self.archive = archive
+        self.member = member
+
+
+def _list_members(
+    paths: Sequence[str], prefix: str | None, year: int | None
+) -> list[tuple[str, str]]:
+    """(archive, member) pairs across archives, consolidated-file pruning
+    applied per archive when a prefix/year is configured."""
+    out: list[tuple[str, str]] = []
+    for p in paths:
+        with zipfile.ZipFile(p) as z:
+            names = [n for n in z.namelist() if n.lower().endswith(".csv")]
+        if prefix is not None and year is not None:
+            names = prune_consolidated(names, prefix, int(year))
+        out.extend((p, n) for n in sorted(names))
+    return out
+
+
+def _read_header(archive: str, member: str, delimiter: str, encoding: str) -> list[str]:
+    with zipfile.ZipFile(archive) as z, z.open(member) as f:
+        header = f.readline().decode(encoding).rstrip("\r\n")
+    return [c.strip('"') for c in header.split(delimiter)]
+
+
+class ZipCsvReader(DataSourceReader):
+    def __init__(self, schema: StructType, options: dict):
+        self.schema = schema
+        self.delimiter = options.get("delimiter", ";")
+        self.encoding = options.get("encoding", "latin-1")
+        paths = options.get("path") or options.get("paths")
+        if not paths:
+            raise ValueError("zipcsv: 'path' option is required")
+        self.paths = paths.split(",") if isinstance(paths, str) else list(paths)
+        self.members = _list_members(
+            self.paths, options.get("prefix"), options.get("year")
+        )
+
+    def partitions(self) -> Sequence[InputPartition]:
+        return [ZipMemberPartition(a, m) for a, m in self.members]
+
+    def read(self, partition: ZipMemberPartition) -> Iterator:
+        import pyarrow as pa
+        import pyarrow.csv as pacsv
+
+        cols = [f.name for f in self.schema.fields]
+        convert = pacsv.ConvertOptions(
+            column_types={c: pa.string() for c in cols},
+            include_columns=cols,
+            include_missing_columns=True,
+        )
+        parse = pacsv.ParseOptions(delimiter=self.delimiter)
+        read = pacsv.ReadOptions(encoding=self.encoding)
+        with zipfile.ZipFile(partition.archive) as z, z.open(
+            partition.member
+        ) as f:
+            reader = pacsv.open_csv(
+                f, read_options=read, parse_options=parse, convert_options=convert
+            )
+            for batch in reader:
+                if batch.num_rows:
+                    yield batch
+
+
+class ZipCsvDataSource(DataSource):
+    """``spark.read.format("zipcsv").schema(...).option("path", ...)`` —
+    member-parallel CSV-in-ZIP scan. Options: path (comma-separated
+    archive paths), delimiter (default ';'), encoding (default latin-1),
+    prefix+year (enable the reference's consolidated-file pruning)."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "zipcsv"
+
+    def schema(self):
+        # Infer column names from the first member's header when the user
+        # gave no schema; everything is a string column (typed casts are a
+        # downstream, Catalyst-visible concern).
+        members = _list_members(
+            (self.options.get("path") or "").split(","),
+            self.options.get("prefix"),
+            self.options.get("year"),
+        )
+        if not members:
+            raise ValueError("zipcsv: no CSV members found")
+        a, m = members[0]
+        names = _read_header(
+            a, m, self.options.get("delimiter", ";"),
+            self.options.get("encoding", "latin-1"),
+        )
+        return StructType([StructField(n, StringType()) for n in names])
+
+    def reader(self, schema: StructType) -> DataSourceReader:
+        return ZipCsvReader(schema, dict(self.options))
+
+
+def register_zipcsv(spark) -> None:
+    """Idempotent registration of the zipcsv format on a session."""
+    spark.dataSource.register(ZipCsvDataSource)

@@ -200,6 +200,7 @@ def interval_join(
     within: str = "30 minutes",
     watermark: str = "2 hours",
     events_right: DataFrame | None = None,
+    how: str = "inner",
 ) -> DataFrame:
     """Stream-stream inner join with a time-range condition: every
     `right_type` event joined to the same user's `left_type` events from
@@ -211,7 +212,18 @@ def interval_join(
     `events` must be a fresh streaming DataFrame; the two sides are
     derived from it by filter (a supported streaming self-join). Output
     is the exact pair set — append-mode, emitted as matches arrive
-    (inner joins need no watermark to EMIT, only to clean state)."""
+    (inner joins need no watermark to EMIT, only to clean state).
+
+    `how="left_outer"` keeps unmatched left events (NULL right columns).
+    Outer rows are emitted only when the watermark passes `left_ts +
+    within` — the state-eviction point — so on a FINITE replay the
+    trailing `watermark + within` of clicks never surfaces unless
+    something pushes the watermark past the end of real data. That is
+    exactly what `stream_events_with_sentinel` is for: it stages a
+    far-future sentinel event into a second file/micro-batch, the engine
+    runs its no-data batch (SPARK-24156) with the advanced watermark, and
+    every real unmatched click flushes. Callers filter the sentinel rows
+    (user_id < 0) out of the result."""
     clicks = (
         events.filter(F.col("event_type") == left_type)
         .select(
@@ -238,6 +250,7 @@ def interval_join(
             " AND right_ts >= left_ts"
             f" AND right_ts <= left_ts + interval {within}"
         ),
+        how,
     )
     return pairs.select(
         "user_id",
@@ -246,6 +259,59 @@ def interval_join(
         F.unix_micros("left_ts").alias("left_ts_us"),
         F.unix_micros("right_ts").alias("right_ts_us"),
     )
+
+
+def stream_events_with_sentinel(
+    spark: SparkSession,
+    sf_dir: str,
+    sentinel_types: tuple[str, ...] = ("click", "purchase"),
+    horizon_days: int = 365,
+) -> DataFrame:
+    """readStream over a staged copy of the events parquet PLUS a second
+    file holding far-future sentinel rows (user_id = -1, one per type in
+    `sentinel_types`, ts = max real ts + `horizon_days`).
+
+    Purpose: finite-replay equivalence for operators that emit on
+    WATERMARK ADVANCEMENT (outer joins, append-mode windows). The file
+    source reads the files in mtime order under maxFilesPerTrigger=1, so
+    the sentinel lands in a second micro-batch; the watermark computed
+    from it exceeds every real event's eviction point, and the engine's
+    no-data batch then flushes all remaining state. This mirrors what a
+    production stream gets for free from continuously-arriving data —
+    the sentinel is a test-harness construct, not a scale workaround."""
+    import os
+    import shutil
+    import tempfile
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    src = f"{sf_dir}/events.parquet"
+    batch = normalize_ts(spark.read.parquet(src))
+    max_ts = batch.agg(F.max("ts").alias("m")).collect()[0]["m"]
+
+    stage = tempfile.mkdtemp(prefix="events_sentinel_")
+    shutil.copyfile(src, os.path.join(stage, "00_events.parquet"))
+    sentinel = spark.createDataFrame(
+        [
+            (-(i + 1), max_ts, -1, t, 0.0, "{}")
+            for i, t in enumerate(sentinel_types)
+        ],
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    ).withColumn("ts", F.col("ts") + F.expr(f"interval {horizon_days} days"))
+    sentinel.coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(stage, "zz_sentinel")
+    )
+
+    schema = spark.read.parquet(os.path.join(stage, "00_events.parquet")).schema
+    raw = (
+        spark.readStream.schema(schema)
+        .format("parquet")
+        .option("maxFilesPerTrigger", "1")
+        .option("recursiveFileLookup", "true")
+        .load(stage)
+    )
+    return normalize_ts(raw)
 
 
 def enrich_join(events: DataFrame, dim: DataFrame, on: str = "event_type") -> DataFrame:

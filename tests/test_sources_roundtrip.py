@@ -182,3 +182,81 @@ def test_malformed_csv_quarantine(spark, tmp_path):
     assert [r.raw_line for r in bad_rows] == ["222;not_a_number"]
     assert bad_rows[0].QT_VOTOS is None  # schema cols null on corrupt rows
     assert "_corrupt" not in clean.columns
+
+
+# ---------------------------------------------------------------------------
+# zipcsv Python DataSource (executor-parallel CSV-in-ZIP)
+# ---------------------------------------------------------------------------
+
+
+def _tse_zip(tmp_path, name="consulta_cand_2022.zip"):
+    import zipfile
+
+    zp = str(tmp_path / name)
+    with zipfile.ZipFile(zp, "w") as z:
+        z.writestr(
+            "consulta_cand_2022_SP.csv",
+            'NM_CANDIDATO;NR_CPF\n"ANA";"123"\n"BO";"456"\n'.encode("latin-1"),
+        )
+        z.writestr(
+            "consulta_cand_2022_RJ.csv",
+            'NM_CANDIDATO;NR_CPF\n"ZÉ";"789"\n'.encode("latin-1"),
+        )
+        z.writestr(
+            "consulta_cand_2022_BRASIL.csv",
+            'NM_CANDIDATO;NR_CPF\n"ALL";"000"\n'.encode("latin-1"),
+        )
+    return zp
+
+
+def test_zipcsv_member_parallel_scan(spark, tmp_path):
+    """Each ZIP member is one input partition; rows and latin-1 content
+    match a driver-extracted read_tse_csv of the same members."""
+    from politicamente_etl_spark.sources.zipsource import register_zipcsv
+
+    register_zipcsv(spark)
+    zp = _tse_zip(tmp_path)
+    df = spark.read.format("zipcsv").option("path", zp).load()
+    assert df.columns == ["NM_CANDIDATO", "NR_CPF"]
+    assert df.rdd.getNumPartitions() == 3  # one per member — the scale win
+    rows = {(r.NM_CANDIDATO, r.NR_CPF) for r in df.collect()}
+    assert rows == {("ANA", "123"), ("BO", "456"), ("ZÉ", "789"), ("ALL", "000")}
+
+
+def test_zipcsv_consolidated_pruning(spark, tmp_path):
+    """prefix+year options apply the reference's consolidated-file rule
+    (extract.py:43-44): the BRASIL file shadows the per-state members."""
+    from politicamente_etl_spark.sources.zipsource import register_zipcsv
+
+    register_zipcsv(spark)
+    zp = _tse_zip(tmp_path)
+    df = (
+        spark.read.format("zipcsv")
+        .option("path", zp)
+        .option("prefix", "consulta_cand")
+        .option("year", "2022")
+        .load()
+    )
+    assert [r.NM_CANDIDATO for r in df.collect()] == ["ALL"]
+
+
+def test_zipcsv_schema_drift_missing_column(spark, tmp_path):
+    """A member lacking a schema column yields NULLs for it (drift
+    tolerance), instead of failing the scan."""
+    import zipfile
+
+    from pyspark.sql.types import StringType, StructField, StructType
+
+    from politicamente_etl_spark.sources.zipsource import register_zipcsv
+
+    register_zipcsv(spark)
+    zp = str(tmp_path / "drift.zip")
+    with zipfile.ZipFile(zp, "w") as z:
+        z.writestr("a.csv", "x;y\n1;2\n".encode("latin-1"))
+        z.writestr("b.csv", "x\n9\n".encode("latin-1"))
+    schema = StructType(
+        [StructField("x", StringType()), StructField("y", StringType())]
+    )
+    df = spark.read.format("zipcsv").schema(schema).option("path", zp).load()
+    rows = {(r.x, r.y) for r in df.collect()}
+    assert rows == {("1", "2"), ("9", None)}
