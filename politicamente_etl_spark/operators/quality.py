@@ -1,0 +1,158 @@
+"""Declarative data-quality constraints (Deequ-style), single-pass.
+
+The reference guards its loads imperatively (P5 null-input early-outs,
+P6 join-miss drops — `load.py:44-55`); a production lakehouse needs the
+same checks as DECLARATIVE constraints evaluated per batch, cheaply, with
+an auditable report. This module compiles a constraint list into ONE
+aggregate pass over the table (every row-level predicate becomes a
+conditional count inside the same HashAggregate — no per-constraint
+scans), plus one anti-join per referential constraint (the only check
+that genuinely needs a second relation).
+
+Report grain: one row per constraint — (constraint, metric, threshold,
+passed). `metric` is the violation count for row-level checks and the
+dangling-key count for referential ones, so `passed = metric <= threshold`
+with threshold 0 meaning hard constraints; a nonzero threshold expresses
+tolerance budgets ("≤ 0.1 % nulls") as absolute counts the caller
+precomputes.
+
+At 100 TB: the row-level pass is a single partial-agg'd scan (cost =
+one read of the checked columns); referential checks are hash anti-joins
+on the key — broadcast when the parent side is a dim, shuffle otherwise,
+the planner's call. Nothing here sorts, windows, or collects.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+@dataclass(frozen=True)
+class Check:
+    """One constraint: `name` labels the report row; `violation` is a
+    boolean Column that is TRUE where a row VIOLATES the constraint."""
+
+    name: str
+    violation: Column
+    threshold: int = 0
+
+
+def not_null(col: str) -> Check:
+    return Check(f"not_null({col})", F.col(col).isNull())
+
+
+def in_range(col: str, lo: float, hi: float) -> Check:
+    return Check(
+        f"in_range({col},{lo},{hi})",
+        ~F.col(col).between(F.lit(lo), F.lit(hi)) | F.col(col).isNull(),
+    )
+
+
+def in_set(col: str, allowed: tuple) -> Check:
+    return Check(
+        f"in_set({col})",
+        ~F.col(col).isin(list(allowed)) | F.col(col).isNull(),
+    )
+
+
+def matches(col: str, pattern: str) -> Check:
+    return Check(
+        f"matches({col})",
+        ~F.col(col).rlike(pattern) | F.col(col).isNull(),
+    )
+
+
+def row_level_report(df: DataFrame, checks: list[Check]) -> DataFrame:
+    """All row-level constraints in ONE aggregate pass: each check is a
+    conditional count in the same HashAggregate."""
+    aggs = [
+        F.sum(c.violation.cast("long")).cast("long").alias(c.name)
+        for c in checks
+    ]
+    wide = df.agg(*aggs)
+    # unpivot the 1-row wide frame into (constraint, metric) — stack() is
+    # a narrow Generate over a single row, not a shuffle.
+    pairs = ", ".join(f"'{c.name}', `{c.name}`" for c in checks)
+    long = wide.selectExpr(
+        f"stack({len(checks)}, {pairs}) AS (check_name, metric)"
+    )
+    thr = F.create_map(
+        *[x for c in checks for x in (F.lit(c.name), F.lit(c.threshold))]
+    )
+    return long.select(
+        "check_name",
+        "metric",
+        thr[F.col("check_name")].cast("long").alias("threshold"),
+        (F.col("metric") <= thr[F.col("check_name")]).alias("passed"),
+    )
+
+
+def uniqueness_report(df: DataFrame, keys: list[str], threshold: int = 0) -> DataFrame:
+    """Duplicate-key count as a constraint row: count rows beyond the
+    first per key (one hash agg; metric = Σ(count−1) over keys)."""
+    name = f"unique({','.join(keys)})"
+    dups = (
+        df.groupBy(*keys)
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .agg(
+            F.coalesce(F.sum(F.col("__n") - 1), F.lit(0))
+            .cast("long")
+            .alias("metric")
+        )
+    )
+    return dups.select(
+        F.lit(name).alias("check_name"),
+        "metric",
+        F.lit(threshold).cast("long").alias("threshold"),
+        (F.col("metric") <= threshold).alias("passed"),
+    )
+
+
+def referential_report(
+    child: DataFrame,
+    parent: DataFrame,
+    child_key: str,
+    parent_key: str,
+    threshold: int = 0,
+) -> DataFrame:
+    """Dangling-foreign-key count: child keys with no parent (hash
+    anti-join on the key — broadcast for dim parents, shuffle otherwise)."""
+    name = f"ref({child_key}->{parent_key})"
+    dangling = (
+        child.select(child_key)
+        .join(
+            parent.select(F.col(parent_key).alias(child_key)),
+            child_key,
+            "left_anti",
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("metric"))
+    )
+    return dangling.select(
+        F.lit(name).alias("check_name"),
+        "metric",
+        F.lit(threshold).cast("long").alias("threshold"),
+        (F.col("metric") <= threshold).alias("passed"),
+    )
+
+
+def constraint_report(
+    df: DataFrame,
+    checks: list[Check],
+    unique_keys: list[list[str]] | None = None,
+    referential: list[tuple[DataFrame, str, str]] | None = None,
+) -> DataFrame:
+    """Full audit: one row-level pass + one agg per uniqueness key set +
+    one anti-join per FK. The unions are unions of 1-to-few-row frames —
+    report size is |constraints|, never data-sized."""
+    parts = [row_level_report(df, checks)] if checks else []
+    for keys in unique_keys or []:
+        parts.append(uniqueness_report(df, keys))
+    for parent, ck, pk in referential or []:
+        parts.append(referential_report(df, parent, ck, pk))
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out

@@ -228,3 +228,47 @@ def event_transitions(
         )
         .select("cur", "nxt", "n_hops", "n_from", "p_hop")
     )
+
+
+def key_skew_report(
+    df: DataFrame,
+    key_col: str,
+    top_k: int = 5,
+) -> DataFrame:
+    """Partition-skew diagnostic for a join/agg key: the top-k heaviest
+    keys with their share of the table and the global skew ratio
+    (max key count ÷ mean key count) — the number that predicts whether a
+    shuffle on this key straggles. This is the probe a pipeline runs
+    BEFORE choosing between a plain shuffle join, salting
+    (`joins.salted_join`), or an AQE skew split.
+
+    Shape: one hash agg to per-key counts (map-side combined), one 1-row
+    global rollup over those counts broadcast back onto the top-k rows,
+    and a TakeOrdered for the top-k itself — no full sort, no window over
+    the key space. Count arithmetic is integer; the two ratios are single
+    double divisions, so the report is engine-exact."""
+    counts = df.groupBy(key_col).agg(F.count(F.lit(1)).alias("key_count"))
+    totals = counts.agg(
+        F.count(F.lit(1)).cast("long").alias("n_keys"),
+        F.sum("key_count").cast("long").alias("n_rows"),
+        F.max("key_count").cast("long").alias("max_count"),
+    )
+    top = counts.orderBy(F.col("key_count").desc(), key_col).limit(top_k)
+    return (
+        top.crossJoin(F.broadcast(totals))
+        .select(
+            F.col(key_col),
+            F.col("key_count").cast("long").alias("key_count"),
+            "n_keys",
+            "n_rows",
+            (
+                F.col("key_count").cast("double")
+                / F.col("n_rows").cast("double")
+            ).alias("key_share"),
+            (
+                F.col("max_count").cast("double")
+                * F.col("n_keys").cast("double")
+                / F.col("n_rows").cast("double")
+            ).alias("skew_ratio"),
+        )
+    )

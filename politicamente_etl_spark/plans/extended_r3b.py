@@ -645,3 +645,124 @@ def _register_stream_outer():
 
 
 _register_stream_outer()
+
+
+def _register_quality():
+    from politicamente_etl_spark.plans.catalog import T, register
+
+    @register(
+        "data_quality_orders",
+        sql="""
+        SELECT 'not_null(o_custkey)' AS check_name,
+               CAST(SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END)
+                    AS BIGINT) AS metric,
+               CAST(0 AS BIGINT) AS threshold,
+               SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) <= 0
+                   AS passed
+        FROM orders
+        UNION ALL
+        SELECT 'in_range(o_totalprice,1.0,400000.0)',
+               CAST(SUM(CASE WHEN o_totalprice IS NULL
+                             OR o_totalprice < 1.0
+                             OR o_totalprice > 400000.0
+                        THEN 1 ELSE 0 END) AS BIGINT),
+               CAST(0 AS BIGINT),
+               SUM(CASE WHEN o_totalprice IS NULL OR o_totalprice < 1.0
+                        OR o_totalprice > 400000.0
+                   THEN 1 ELSE 0 END) <= 0
+        FROM orders
+        UNION ALL
+        SELECT 'in_set(o_orderstatus)',
+               CAST(SUM(CASE WHEN o_orderstatus IS NULL
+                             OR o_orderstatus NOT IN ('F', 'O', 'P')
+                        THEN 1 ELSE 0 END) AS BIGINT),
+               CAST(0 AS BIGINT),
+               SUM(CASE WHEN o_orderstatus IS NULL
+                        OR o_orderstatus NOT IN ('F', 'O', 'P')
+                   THEN 1 ELSE 0 END) <= 0
+        FROM orders
+        UNION ALL
+        SELECT 'unique(o_orderkey)',
+               CAST(COALESCE(SUM(n - 1), 0) AS BIGINT),
+               CAST(0 AS BIGINT),
+               COALESCE(SUM(n - 1), 0) <= 0
+        FROM (SELECT COUNT(*) AS n FROM orders GROUP BY o_orderkey)
+        UNION ALL
+        SELECT 'ref(o_custkey->c_custkey)',
+               CAST(COUNT(*) AS BIGINT),
+               CAST(0 AS BIGINT),
+               COUNT(*) <= 0
+        FROM (
+            SELECT o_custkey FROM orders
+            WHERE o_custkey NOT IN (SELECT c_custkey FROM customer)
+        )
+        """,
+        tags=("ext-quality", "ext-rel"),
+    )
+    def q_data_quality_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Declarative batch admission audit (`operators/quality.py`,
+        Deequ-style): null/range/domain checks compiled into ONE
+        conditional-count aggregate pass, plus a duplicate-key agg and a
+        dangling-FK anti-join — the P5/P6 guards of the reference
+        (`load.py:44-55`) as an auditable constraint report instead of
+        imperative early-outs. The price-range bound is deliberately
+        tighter than the data (≈2 % of orders exceed it) so the report's
+        FAIL path is exercised, not just a wall of green."""
+        from politicamente_etl_spark.operators import quality as Q
+
+        o = T(spark, sf_dir, "orders")
+        c = T(spark, sf_dir, "customer")
+        return Q.constraint_report(
+            o,
+            checks=[
+                Q.not_null("o_custkey"),
+                Q.in_range("o_totalprice", 1.0, 400000.0),
+                Q.in_set("o_orderstatus", ("F", "O", "P")),
+            ],
+            unique_keys=[["o_orderkey"]],
+            referential=[(c, "o_custkey", "c_custkey")],
+        )
+
+
+_register_quality()
+
+
+def _register_skew():
+    from politicamente_etl_spark.plans.catalog import register
+    from politicamente_etl_spark.plans.catalog import load_events
+    from politicamente_etl_spark.operators import stats
+
+    @register(
+        "event_key_skew_report",
+        sql="""
+        WITH counts AS (
+            SELECT user_id, COUNT(*) AS key_count FROM events GROUP BY user_id
+        ), tot AS (
+            SELECT CAST(COUNT(*) AS BIGINT) AS n_keys,
+                   CAST(SUM(key_count) AS BIGINT) AS n_rows,
+                   CAST(MAX(key_count) AS BIGINT) AS max_count
+            FROM counts
+        )
+        SELECT user_id,
+               CAST(key_count AS BIGINT) AS key_count,
+               n_keys, n_rows,
+               CAST(key_count AS DOUBLE) / CAST(n_rows AS DOUBLE)
+                   AS key_share,
+               CAST(max_count AS DOUBLE) * CAST(n_keys AS DOUBLE)
+                   / CAST(n_rows AS DOUBLE) AS skew_ratio
+        FROM counts, tot
+        ORDER BY key_count DESC, user_id
+        LIMIT 5
+        """,
+        tags=("ext-stats", "ext-join"),
+    )
+    def q_event_key_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Join-key skew probe (`stats.key_skew_report`) on the event
+        stream's user_id — the decision input for plain shuffle vs
+        salting vs AQE skew split. Per-key counts (map-side combined) +
+        a broadcast 1-row rollup + TakeOrdered top-k; never a full sort."""
+        ev = load_events(spark, sf_dir)
+        return stats.key_skew_report(ev, "user_id", top_k=5)
+
+
+_register_skew()

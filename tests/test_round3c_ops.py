@@ -197,3 +197,152 @@ def test_bucketed_agg_no_exchange(spark, sf_dir, tmp_path):
         assert agg.count() > 0
     finally:
         spark.sql("DROP TABLE IF EXISTS bt_orders_agg")
+
+
+# ---------------------------------------------------------------------------
+# Python UDTF surface
+# ---------------------------------------------------------------------------
+
+
+def test_chunk_text_udtf_matches_expression_operator(spark, sf_dir):
+    """The SQL-LATERAL UDTF must produce exactly the expression operator's
+    chunks (idx, token count, text) for every document."""
+    from politicamente_etl_spark.functions.udtf import register_udtfs
+    from politicamente_etl_spark.operators import text as T_ops
+    from politicamente_etl_spark.sources.readers import load_table
+
+    register_udtfs(spark)
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    docs.createOrReplaceTempView("udtf_docs")
+    via_udtf = spark.sql(
+        "SELECT d.doc_id, c.chunk_idx, c.n_chunk_tokens, c.chunk_text"
+        " FROM udtf_docs d, LATERAL chunk_text(d.text, 128, 96) c"
+    )
+    via_expr = T_ops.chunk_documents(docs, window=128, stride=96)
+    cols = ["doc_id", "chunk_idx", "n_chunk_tokens", "chunk_text"]
+    a = via_udtf.toPandas().astype({"chunk_idx": "int64"})[cols]
+    b = via_expr.toPandas().astype({"chunk_idx": "int64"})[cols]
+    a = a.sort_values(cols[:2]).reset_index(drop=True)
+    b = b.sort_values(cols[:2]).reset_index(drop=True)
+    assert a.equals(b)
+
+
+# ---------------------------------------------------------------------------
+# end-to-end: zip feed -> quality/dedup gates -> bucketed corpus table
+# ---------------------------------------------------------------------------
+
+
+def test_zip_to_bucketed_corpus_pipeline(spark, tmp_path):
+    """The switch-over narrative in one test: a zipped CSV feed scans
+    member-parallel (zipcsv), flows through exact dedup, and lands as a
+    bucketed table that joins back to new batches with zero Exchange."""
+    import zipfile
+
+    from politicamente_etl_spark.operators import dedup
+    from politicamente_etl_spark.sources import sinks
+    from politicamente_etl_spark.sources.zipsource import register_zipcsv
+
+    register_zipcsv(spark)
+    zp = str(tmp_path / "feed.zip")
+    rows = [(str(i), f"doc text number {i % 8}") for i in range(32)]
+    half = len(rows) // 2
+    with zipfile.ZipFile(zp, "w") as z:
+        for m, part in (("a.csv", rows[:half]), ("b.csv", rows[half:])):
+            body = "doc_id;text\n" + "\n".join(f"{i};{t}" for i, t in part)
+            z.writestr(m, body.encode("latin-1"))
+
+    feed = (
+        spark.read.format("zipcsv").option("path", zp).load()
+        .selectExpr("CAST(doc_id AS BIGINT) AS doc_id", "text")
+    )
+    assert feed.rdd.getNumPartitions() == 2  # member-parallel
+
+    kept = dedup.exact_dedup(feed, id_col="doc_id", text_col="text")
+    assert kept.count() == 8  # 8 distinct texts survive
+
+    sinks.write_bucketed(
+        kept, "corpus_e2e", ["doc_id"], buckets=4,
+        path=str(tmp_path / "corpus_e2e"),
+    )
+    try:
+        prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            batch = spark.table("corpus_e2e").select("doc_id").limit(4)
+            j = spark.table("corpus_e2e").join(
+                batch.hint("shuffle_merge"), "doc_id"
+            )
+            assert j.count() == 4
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    finally:
+        spark.sql("DROP TABLE IF EXISTS corpus_e2e")
+
+
+# ---------------------------------------------------------------------------
+# declarative data-quality constraints
+# ---------------------------------------------------------------------------
+
+
+def test_constraint_report_dirty_data(spark):
+    """Every check kind fires on a deliberately dirty frame, and the
+    report carries exact violation counts."""
+    from politicamente_etl_spark.operators import quality as Q
+
+    child = spark.createDataFrame(
+        [
+            (1, 10.0, "F"),
+            (1, -5.0, "X"),      # dup key, out of range, bad domain
+            (None, 20.0, "O"),   # null key
+            (7, 999.0, "F"),     # dangling FK (parent has no 7)
+        ],
+        "k int, v double, s string",
+    )
+    parent = spark.createDataFrame([(1,), (2,)], "pk int")
+    rep = Q.constraint_report(
+        child,
+        checks=[
+            Q.not_null("k"),
+            Q.in_range("v", 0.0, 100.0),
+            Q.in_set("s", ("F", "O")),
+        ],
+        unique_keys=[["k"]],
+        referential=[(parent, "k", "pk")],
+    ).toPandas().set_index("check_name")
+    assert rep.loc["not_null(k)", "metric"] == 1
+    assert rep.loc["in_range(v,0.0,100.0)", "metric"] == 2  # -5 and 999
+    assert rep.loc["in_set(s)", "metric"] == 1
+    assert rep.loc["unique(k)", "metric"] == 1  # one extra row on k=1
+    # dangling: k=7 (null key rows don't join either; left_anti keeps null)
+    assert rep.loc["ref(k->pk)", "metric"] == 2
+    assert not rep.loc["in_range(v,0.0,100.0)", "passed"]
+    assert rep.loc["in_set(s)", "threshold"] == 0
+
+
+def test_row_level_report_single_pass(spark, sf_dir):
+    """All row-level checks must compile into ONE aggregate over ONE scan
+    — the plan contains exactly one parquet scan."""
+    from politicamente_etl_spark.operators import quality as Q
+    from politicamente_etl_spark.sources.readers import load_table
+
+    o = load_table(spark, sf_dir, "orders")
+    rep = Q.row_level_report(
+        o,
+        [
+            Q.not_null("o_custkey"),
+            Q.in_range("o_totalprice", 1.0, 400000.0),
+            Q.in_set("o_orderstatus", ("F", "O", "P")),
+        ],
+    )
+    plan = plan_of(rep)
+    # one scan block (each source appears once as a "Location:" detail)
+    assert plan.count("Location: InMemoryFileIndex") == 1
+    assert "partial_sum" in plan  # map-side combine of the check counters
+
+
+def test_key_skew_report_plan(spark, sf_dir):
+    """Top-k heavy keys must plan as TakeOrdered (per-partition heaps),
+    never a full sort of the key space; the global rollup broadcasts."""
+    plan = plan_of(q("event_key_skew_report", spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan
+    assert "CartesianProduct" not in plan
