@@ -250,3 +250,68 @@ def gap_fill_forward(
     return joined.withColumn(
         fill_col, F.last(value_col, ignorenulls=True).over(w)
     ).withColumn(date_col, F.date_format(date_col, "yyyy-MM-dd"))
+
+
+def cogrouped_conversion_stats(
+    clicks: DataFrame,
+    purchases: DataFrame,
+    within_us: int = 1_800_000_000,
+    key_col: str = "user_id",
+    ts_col: str = "ts_us",
+) -> DataFrame:
+    """Per-user click→purchase conversion stats via COGROUPED
+    applyInPandas — the API tier for per-key imperative logic that
+    DataFrame algebra can't express cleanly (two sorted event streams
+    walked together per key). Here the walk is a vectorized numpy
+    searchsorted per user: for each click, the first purchase at or after
+    it; converted if within `within_us`.
+
+    This is deliberately the ONLY cogroup in the repo: everything
+    expressible as joins/windows stays JVM-side (the equivalent SQL is
+    this operator's oracle — kept equivalent BY TEST, which is exactly
+    the discipline a pipeline needs before trusting a pandas path).
+    Scale shape: cogroup shuffles each side once on the key, then
+    per-key Arrow batches; cost is linear in events, parallelism is
+    |users|. Output only for users with ≥1 click; all-integer µs
+    arithmetic keeps it engine-exact (-1 sentinels for 'never')."""
+    import numpy as np
+    import pandas as pd
+
+    def fn(cdf: pd.DataFrame, pdf: pd.DataFrame) -> pd.DataFrame:
+        if len(cdf) == 0:
+            return pd.DataFrame(
+                columns=[key_col, "n_clicks", "n_purchases", "n_converted",
+                         "min_latency_us"]
+            )
+        tc = np.sort(cdf[ts_col].to_numpy(dtype="int64"))
+        tp = np.sort(pdf[ts_col].to_numpy(dtype="int64"))
+        if len(tp):
+            idx = np.searchsorted(tp, tc, side="left")
+            hit = idx < len(tp)
+            lat = np.where(hit, tp[np.minimum(idx, len(tp) - 1)] - tc, -1)
+        else:
+            lat = np.full(len(tc), -1, dtype="int64")
+        converted = (lat >= 0) & (lat <= within_us)
+        return pd.DataFrame(
+            {
+                key_col: [int(cdf[key_col].iloc[0])],
+                "n_clicks": [len(tc)],
+                "n_purchases": [len(tp)],
+                "n_converted": [int(converted.sum())],
+                "min_latency_us": [
+                    int(lat[converted].min()) if converted.any() else -1
+                ],
+            }
+        )
+
+    return (
+        clicks.groupBy(key_col)
+        .cogroup(purchases.groupBy(key_col))
+        .applyInPandas(
+            fn,
+            schema=(
+                f"{key_col} long, n_clicks long, n_purchases long,"
+                " n_converted long, min_latency_us long"
+            ),
+        )
+    )

@@ -766,3 +766,66 @@ def _register_skew():
 
 
 _register_skew()
+
+
+def _register_cogroup():
+    from politicamente_etl_spark.plans.catalog import load_events, register
+    from politicamente_etl_spark.operators import temporal
+
+    @register(
+        "cogroup_conversion_stats",
+        sql="""
+        WITH c AS (
+            SELECT user_id, CAST(epoch_us(ts) AS BIGINT) AS tc
+            FROM events WHERE event_type = 'click'
+        ), p AS (
+            SELECT user_id, CAST(epoch_us(ts) AS BIGINT) AS tp
+            FROM events WHERE event_type = 'purchase'
+        ), conv AS (
+            SELECT c.user_id, c.tc,
+                   MIN(CASE WHEN p.tp IS NOT NULL
+                            AND p.tp - c.tc <= 1800000000
+                       THEN p.tp - c.tc END) AS lat
+            FROM c LEFT JOIN p
+              ON p.user_id = c.user_id AND p.tp >= c.tc
+            GROUP BY c.user_id, c.tc
+        ), agg AS (
+            SELECT user_id,
+                   CAST(COUNT(*) AS BIGINT) AS n_clicks,
+                   CAST(SUM(CASE WHEN lat IS NOT NULL THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_converted,
+                   MIN(lat) AS min_lat
+            FROM conv GROUP BY user_id
+        ), pn AS (
+            SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_purchases
+            FROM p GROUP BY user_id
+        )
+        SELECT a.user_id, a.n_clicks,
+               COALESCE(pn.n_purchases, 0) AS n_purchases,
+               a.n_converted,
+               COALESCE(a.min_lat, -1) AS min_latency_us
+        FROM agg a LEFT JOIN pn USING (user_id)
+        """,
+        tags=("ext-temporal", "ext-events"),
+    )
+    def q_cogroup_conversion_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Cogrouped-applyInPandas surface (`temporal.
+        cogrouped_conversion_stats`): per-user click/purchase streams
+        walked together with numpy searchsorted — the per-key imperative
+        tier, kept oracle-equivalent to the decorrelated SQL BY TEST.
+        First purchase at-or-after each click; converted within 30 min;
+        integer-µs arithmetic, -1 sentinels."""
+        ev = load_events(spark, sf_dir)
+        base = ev.select(
+            "user_id", "event_type", F.unix_micros("ts").alias("ts_us")
+        )
+        clicks = base.filter(F.col("event_type") == "click").select(
+            "user_id", "ts_us"
+        )
+        purchases = base.filter(F.col("event_type") == "purchase").select(
+            "user_id", "ts_us"
+        )
+        return temporal.cogrouped_conversion_stats(clicks, purchases)
+
+
+_register_cogroup()

@@ -322,6 +322,46 @@ def enrich_join(events: DataFrame, dim: DataFrame, on: str = "event_type") -> Da
     return events.join(F.broadcast(dim), on)
 
 
+def stream_quality_audit(
+    streaming_df: DataFrame,
+    checks: list,
+    audit_path: str,
+    checkpoint_dir: str,
+) -> DataFrame:
+    """Per-micro-batch data-quality gate: every batch runs the SAME
+    single-pass constraint compilation as the batch engine
+    (`operators/quality.row_level_report`) and appends its report —
+    stamped with batch_id and row count — to a parquet audit table. The
+    streaming twin of `data_quality_orders`: admission decisions (alert,
+    quarantine, halt) key off the audit rows, and the report cost per
+    batch is one aggregate pass over that batch, nothing cumulative.
+
+    Returns the materialized audit table; one row per (batch, constraint)."""
+    from politicamente_etl_spark.operators.quality import row_level_report
+
+    spark = streaming_df.sparkSession
+
+    def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        n = batch_df.count()
+        report = (
+            row_level_report(batch_df, checks)
+            .withColumn("batch_id", F.lit(batch_id).cast("long"))
+            .withColumn("batch_rows", F.lit(n).cast("long"))
+        )
+        report.write.mode("append").parquet(audit_path)
+
+    q = (
+        streaming_df.writeStream.foreachBatch(apply_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.read.parquet(audit_path)
+
+
 def stream_upsert_sink(
     streaming_df: DataFrame,
     target_path: str,

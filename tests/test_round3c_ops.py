@@ -346,3 +346,96 @@ def test_key_skew_report_plan(spark, sf_dir):
     plan = plan_of(q("event_key_skew_report", spark, sf_dir))
     assert "TakeOrderedAndProject" in plan
     assert "CartesianProduct" not in plan
+
+
+# ---------------------------------------------------------------------------
+# AQE skew-join split: the runtime answer to hot keys
+# ---------------------------------------------------------------------------
+
+
+def test_aqe_splits_skewed_join(spark):
+    """A hot key 200x heavier than its siblings must be split by AQE at
+    runtime (SortMergeJoin(skew=true)) — this is the engine-level
+    complement to explicit salting (joins.salted_join) and the behavior
+    key_skew_report's skew_ratio is the advance warning for."""
+    saved = {
+        k: spark.conf.get(k, None)
+        for k in (
+            "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+            "spark.sql.autoBroadcastJoinThreshold",
+        )
+    }
+    try:
+        spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+        spark.conf.set(
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "64KB"
+        )
+        spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "32KB")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        left = (
+            spark.range(0, 200_000)
+            .select(F.lit(0).alias("k"), F.col("id").alias("v"))
+            .union(
+                spark.range(0, 900).select(
+                    (F.col("id") % 9 + 1).cast("long").alias("k"),
+                    F.col("id").alias("v"),
+                )
+            )
+        )
+        right = spark.range(0, 10).select(
+            F.col("id").alias("k"), (F.col("id") * 2).alias("w")
+        )
+        j = left.join(right, "k")
+        # collect() j itself: count() would run a separate QueryExecution
+        # and leave j's own adaptive plan unfinalized
+        assert len(j.collect()) == 200_900  # correctness survives the split
+        final = j._jdf.queryExecution().executedPlan().toString()
+        assert "skew=true" in final
+        assert "skewed" in final  # AQEShuffleRead split the hot partition
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+
+
+def test_stream_quality_audit_per_batch(spark, tmp_path):
+    """Two micro-batches, one dirty: the audit table carries one report
+    row per (batch, constraint) and the dirty batch's violation shows up
+    with its batch_id."""
+    import pandas as pd
+
+    from politicamente_etl_spark.operators import quality as Q
+    from politicamente_etl_spark.streaming import windows as W
+
+    src = tmp_path / "qsrc"
+    src.mkdir()
+    clean = pd.DataFrame({"user_id": [1.0, 2.0], "value": [5.0, 7.0]})
+    dirty = pd.DataFrame({"user_id": [3.0, None], "value": [9.0, -4.0]})
+    clean.to_parquet(src / "00_clean.parquet")
+    dirty.to_parquet(src / "01_dirty.parquet")
+
+    stream = (
+        spark.readStream.schema("user_id double, value double")
+        .option("maxFilesPerTrigger", "1")
+        .format("parquet")
+        .load(str(src))
+    )
+    audit = W.stream_quality_audit(
+        stream,
+        checks=[Q.not_null("user_id"), Q.in_range("value", 0.0, 100.0)],
+        audit_path=str(tmp_path / "audit"),
+        checkpoint_dir=str(tmp_path / "ckpt"),
+    ).toPandas()
+    assert len(audit) == 4  # 2 batches x 2 constraints
+    assert set(audit.batch_id) == {0, 1}
+    by = audit.set_index(["batch_id", "check_name"])
+    clean_id = audit[audit.batch_rows == 2].batch_id.iloc[0]
+    dirty_id = 1 - clean_id
+    assert by.loc[(clean_id, "not_null(user_id)"), "metric"] == 0
+    assert by.loc[(dirty_id, "not_null(user_id)"), "metric"] == 1
+    assert by.loc[(dirty_id, "in_range(value,0.0,100.0)"), "metric"] == 1
+    assert not by.loc[(dirty_id, "in_range(value,0.0,100.0)"), "passed"]
