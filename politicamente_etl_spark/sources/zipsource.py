@@ -21,6 +21,17 @@ Implementation notes (scale-relevant):
   that's the format's limit (central-directory entries are the atoms),
   which is why `sinks.compact` re-lands hot feeds as parquet after first
   read.
+- MEASURED trade-off (tools/zip_scale_probe.py, 16 zips × 16 members ×
+  20k rows, warm): zipcsv 5.8 s vs extract-then-JVM-CSV 2.8 s (serial
+  unzip itself only 0.14 s on local SSD). Spark's vectorized JVM CSV
+  parser beats pyarrow-through-Python-workers ~2× when the landing zone
+  is fast local disk, so on such hosts PREFER ingest.py's extract path.
+  zipcsv wins where the landing write is the bottleneck or impossible:
+  object-store feeds (extract doubles the I/O and needs a staging
+  bucket), space-constrained hosts, or very wide archive fleets where
+  the per-archive serial unzip (linear in bytes) dominates. It also
+  pays the session's Python-worker cold start once (~5 s on this box) —
+  irrelevant on a long-lived cluster, visible in a cold benchmark.
 - All columns surface as strings (TSE CSVs carry no typed schema; the
   typed boundary is `operators/core.cast_columns`, same as the reference
   pipeline). Delimiter/encoding default to the TSE dialect (';',
