@@ -7,7 +7,7 @@ through the shuffle — the property that makes these plans scale-stable.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -87,3 +87,59 @@ def merge_aggregates(
         + [F.max(c).alias(c) for c in max_cols]
     )
     return both.groupBy(*keys).agg(*aggs)
+
+
+# 48-bit hash space for the KMV sketch: 12 hex chars of md5, exactly
+# representable in a BIGINT on both engines (Spark conv(,16,10), DuckDB
+# CAST('0x'||… AS BIGINT)) and in a DOUBLE (< 2^53) for the estimator.
+KMV_SPACE = float(1 << 48)
+
+
+def kmv_distinct(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    k: int = 64,
+) -> DataFrame:
+    """Approximate distinct count per group via a K-Minimum-Values sketch
+    (Bar-Yossef et al. 2002) built from PURE DataFrame algebra — unlike
+    HLL (`approx_aggs`, whose register layout is engine-private and can
+    only be rows-only-checked), every intermediate here is deterministic
+    md5 arithmetic, so the APPROXIMATE answer itself hash-matches the
+    DuckDB oracle exactly. The estimator: with the k smallest 48-bit
+    hashes of the distinct values, est = (k−1) · 2⁴⁸ / kth_min; if a
+    group has fewer than k distinct hashes the sketch is exhaustive and
+    the count is exact.
+
+    Scale shape: one distinct on (group, hash) — map-side combined, the
+    only data-sized shuffle — then a WindowGroupLimit top-k per group
+    (per-partition heaps of k rows BEFORE the exchange, so the rank
+    shuffle carries ≤ k·partitions rows per group) and a k-row-per-group
+    final agg. The sketch is mergeable by construction (union two KMV
+    tables, re-rank, cut at k) — the nightly-rollup property that makes
+    it a real alternative to exact COUNT(DISTINCT) at 100 TB."""
+    h = F.conv(
+        F.substring(F.md5(F.col(value_col).cast("string")), 1, 12), 16, 10
+    ).cast("long")
+    hashes = df.select(F.col(group_col), h.alias("__h")).distinct()
+    w = Window.partitionBy(group_col).orderBy("__h")
+    kept = hashes.withColumn("__rn", F.row_number().over(w)).filter(
+        F.col("__rn") <= k
+    )
+    return (
+        kept.groupBy(group_col)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_kept"),
+            F.max("__h").alias("kth_hash"),
+        )
+        .withColumn(
+            "est_distinct",
+            F.when(
+                F.col("n_kept") < k, F.col("n_kept").cast("double")
+            ).otherwise(
+                F.lit(float(k - 1))
+                * F.lit(KMV_SPACE)
+                / F.col("kth_hash").cast("double")
+            ),
+        )
+    )

@@ -829,3 +829,71 @@ def _register_cogroup():
 
 
 _register_cogroup()
+
+
+def _register_kmv():
+    from politicamente_etl_spark.plans.catalog import load_events, register
+    from politicamente_etl_spark.operators import agg
+
+    @register(
+        "kmv_distinct_users",
+        sql="""
+        WITH h AS (
+            SELECT DISTINCT event_type,
+                   CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 12)
+                        AS BIGINT) AS hv
+            FROM events
+        ), ranked AS (
+            SELECT event_type, hv,
+                   row_number() OVER (PARTITION BY event_type ORDER BY hv)
+                       AS rn
+            FROM h
+        ), sk AS (
+            SELECT event_type,
+                   CAST(COUNT(*) AS BIGINT) AS n_kept,
+                   CAST(MAX(hv) AS BIGINT) AS kth_hash
+            FROM ranked WHERE rn <= 64
+            GROUP BY event_type
+        ), est AS (
+            SELECT event_type, n_kept, kth_hash,
+                   CASE WHEN n_kept < 64 THEN CAST(n_kept AS DOUBLE)
+                        ELSE CAST(63 AS DOUBLE)
+                             * CAST(281474976710656 AS DOUBLE)
+                             / CAST(kth_hash AS DOUBLE)
+                   END AS est_distinct
+            FROM sk
+        ), exact AS (
+            SELECT event_type,
+                   CAST(COUNT(DISTINCT user_id) AS BIGINT) AS true_distinct
+            FROM events GROUP BY event_type
+        )
+        SELECT e.event_type, n_kept, kth_hash, est_distinct, true_distinct,
+               (est_distinct - CAST(true_distinct AS DOUBLE))
+                   / CAST(true_distinct AS DOUBLE) AS rel_error
+        FROM est e JOIN exact USING (event_type)
+        """,
+        tags=("ext-approx", "ext-stats"),
+    )
+    def q_kmv_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Deterministic approximate distinct (`agg.kmv_distinct`): the
+        K-Minimum-Values sketch as pure md5 algebra, so even the
+        APPROXIMATE answer hash-matches the oracle — the counterexample
+        to 'sketches can only be rows-only-checked' (engine-private HLL
+        registers stay rows-only in approx_aggs). Audited against the
+        exact COUNT(DISTINCT) with per-group relative error."""
+        ev = load_events(spark, sf_dir)
+        sketch = agg.kmv_distinct(ev, "event_type", "user_id", k=64)
+        exact = ev.groupBy("event_type").agg(
+            F.count_distinct("user_id").alias("true_distinct")
+        )
+        return (
+            sketch.join(exact, "event_type")
+            .withColumn(
+                "rel_error",
+                (F.col("est_distinct") - F.col("true_distinct").cast("double"))
+                / F.col("true_distinct").cast("double"),
+            )
+        )
+
+
+_register_kmv()

@@ -439,3 +439,48 @@ def test_stream_quality_audit_per_batch(spark, tmp_path):
     assert by.loc[(dirty_id, "not_null(user_id)"), "metric"] == 1
     assert by.loc[(dirty_id, "in_range(value,0.0,100.0)"), "metric"] == 1
     assert not by.loc[(dirty_id, "in_range(value,0.0,100.0)"), "passed"]
+
+
+# ---------------------------------------------------------------------------
+# KMV distinct sketch: deterministic, oracle-exact approximation
+# ---------------------------------------------------------------------------
+
+
+def test_kmv_accuracy_and_exact_small_groups(spark):
+    """Error within the ~1/sqrt(k) theory band for a 10k-distinct group;
+    EXACT count for groups with fewer than k distinct values."""
+    from politicamente_etl_spark.operators.agg import kmv_distinct
+
+    big = spark.range(0, 10_000).selectExpr("'big' AS g", "id AS v")
+    small = spark.range(0, 40).selectExpr("'small' AS g", "id AS v")
+    rep = (
+        kmv_distinct(big.union(small), "g", "v", k=64)
+        .toPandas()
+        .set_index("g")
+    )
+    assert rep.loc["small", "est_distinct"] == 40.0  # exhaustive: exact
+    err = abs(rep.loc["big", "est_distinct"] - 10_000) / 10_000
+    assert err < 0.35  # 1/sqrt(64) = 12.5% expected; generous determinism-safe cap
+
+
+def test_kmv_sketch_is_mergeable(spark):
+    """Sketching the union of two disjoint halves equals sketching the
+    full data — the nightly-rollup property (the k smallest hashes of
+    A ∪ B are a subset of the k smallest of A plus the k smallest of B,
+    so partial sketches merge losslessly)."""
+    from politicamente_etl_spark.operators.agg import kmv_distinct
+
+    full = spark.range(0, 5_000).selectExpr("'g' AS g", "id AS v")
+    a = full.filter("v % 2 = 0")
+    b = full.filter("v % 2 = 1")
+    s_ab = kmv_distinct(a.union(b), "g", "v", k=64).collect()[0]
+    s_full = kmv_distinct(full, "g", "v", k=64).collect()[0]
+    assert s_ab.kth_hash == s_full.kth_hash
+    assert s_ab.est_distinct == s_full.est_distinct
+
+
+def test_kmv_plan_group_limit(spark, sf_dir):
+    """The per-group top-k must plan as WindowGroupLimit (partial heaps
+    before the exchange), not a full per-group sort."""
+    plan = plan_of(q("kmv_distinct_users", spark, sf_dir))
+    assert "WindowGroupLimit" in plan
