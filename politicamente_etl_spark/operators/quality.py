@@ -156,3 +156,27 @@ def constraint_report(
     for p in parts[1:]:
         out = out.unionByName(p)
     return out
+
+
+def observed(df: DataFrame, checks: list[Check]):
+    """Attach the row-level constraints to the MAIN pass via
+    ``df.observe()``: the violation counters accumulate as the pipeline's
+    own action executes — zero extra scans, zero extra shuffles. Returns
+    (df_with_observation, Observation); after the caller runs ITS action
+    (write, count, …), ``observation.get`` yields
+    {check_name: violation_count}. The complement of `row_level_report`
+    (a dedicated audit pass): use this when the batch is already being
+    written/aggregated anyway and the audit should ride along for free —
+    at 100 TB that saves a full table read per batch.
+
+    The same `.observe(name, *aggs)` form (string name instead of an
+    Observation) works on streaming DataFrames, surfacing the counters in
+    every StreamingQueryProgress."""
+    from pyspark.sql import Observation
+
+    obs = Observation()
+    aggs = [
+        F.sum(c.violation.cast("long")).cast("long").alias(c.name)
+        for c in checks
+    ]
+    return df.observe(obs, *aggs), obs

@@ -484,3 +484,23 @@ def test_kmv_plan_group_limit(spark, sf_dir):
     before the exchange), not a full per-group sort."""
     plan = plan_of(q("kmv_distinct_users", spark, sf_dir))
     assert "WindowGroupLimit" in plan
+
+
+def test_observed_metrics_ride_the_main_pass(spark, tmp_path):
+    """Constraint counters attached via observe() must accumulate during
+    the pipeline's OWN write action — no second scan — and match the
+    dedicated audit pass."""
+    from politicamente_etl_spark.operators import quality as Q
+    from politicamente_etl_spark.sources.readers import load_table
+
+    o = load_table(spark, "/root/testdata/sf0.001", "orders")
+    checks = [Q.not_null("o_custkey"), Q.in_range("o_totalprice", 1.0, 400000.0)]
+    obs_df, obs = Q.observed(o, checks)
+    obs_df.write.mode("overwrite").parquet(str(tmp_path / "out"))  # main pass
+    got = obs.get
+    audit = {
+        r.check_name: r.metric
+        for r in Q.row_level_report(o, checks).collect()
+    }
+    assert got == audit
+    assert got["in_range(o_totalprice,1.0,400000.0)"] > 0
