@@ -47,16 +47,18 @@ def main() -> None:
         except Exception as exc:  # noqa: BLE001 — record and continue
             errors[name] = f"{type(exc).__name__}: {exc}"[:500]
 
-    # Best-of-2 per query: the box this runs on is a shared VM and single
-    # runs see 2-4x transient spikes from host contention; the min of two
-    # trials is the steady-state engine time.
+    # Best-of-3 per query: the box this runs on is a shared VM — identical
+    # code has measured 8.9 s and 16.9 s totals in adjacent runs, so a
+    # single trial is noise, not signal. The min of three trials is the
+    # steady-state engine time (warmup above already paid JIT/footer/
+    # Python-worker cold starts).
     timings: dict[str, float] = {}
     for name in headline:
         if name in errors:
             continue
         best = float("inf")
         try:
-            for _ in range(2):
+            for _ in range(3):
                 t0 = time.perf_counter()
                 run_once(name)
                 best = min(best, time.perf_counter() - t0)
