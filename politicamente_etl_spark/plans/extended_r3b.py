@@ -897,3 +897,221 @@ def _register_kmv():
 
 
 _register_kmv()
+
+
+def _register_rel3():
+    """Second TPC-H analog batch: Q7 (two-nation trade volume), Q19
+    (disjunctive bracket predicates), Q2-style per-part argmin supplier,
+    Q20-style dominant-supplier share. Quantity sums are exact (integral
+    doubles well under 2^53 — order-independent), money sums decimal-snap,
+    unit prices are single per-row divisions; everything else is
+    joins + hash aggs."""
+    from politicamente_etl_spark.functions.scalar import money_sum, sql_money_sum
+    from politicamente_etl_spark.plans.catalog import T, register
+
+    @register(
+        "two_nation_trade_volume",
+        sql=f"""
+        WITH j AS (
+            SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+                   CAST(year(o_orderdate) AS INT) AS o_year,
+                   l_extendedprice * (1 - l_discount) AS volume
+            FROM lineitem
+            JOIN supplier ON l_suppkey = s_suppkey
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation n1 ON s_nationkey = n1.n_nationkey
+            JOIN nation n2 ON c_nationkey = n2.n_nationkey
+            WHERE (n1.n_name = 'NATION_3' AND n2.n_name = 'NATION_7')
+               OR (n1.n_name = 'NATION_7' AND n2.n_name = 'NATION_3')
+        )
+        SELECT supp_nation, cust_nation, o_year,
+               {sql_money_sum("volume", "revenue")},
+               CAST(COUNT(*) AS BIGINT) AS n_items
+        FROM j GROUP BY supp_nation, cust_nation, o_year
+        """,
+        tags=("ext-rel",),
+    )
+    def q_two_nation_trade_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """TPC-H Q7 shape: bilateral trade volume between one nation pair
+        by year and direction — the nation dim joins TWICE under
+        different roles (self-aliased broadcast), the pair predicate
+        filters before the rollup."""
+        li = T(spark, sf_dir, "lineitem")
+        s = T(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+        o = T(spark, sf_dir, "orders").select("o_orderkey", "o_custkey", "o_orderdate")
+        c = T(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+        n1 = T(spark, sf_dir, "nation").select(
+            F.col("n_nationkey").alias("nk1"), F.col("n_name").alias("supp_nation")
+        )
+        n2 = T(spark, sf_dir, "nation").select(
+            F.col("n_nationkey").alias("nk2"), F.col("n_name").alias("cust_nation")
+        )
+        pair = (
+            (F.col("supp_nation") == "NATION_3") & (F.col("cust_nation") == "NATION_7")
+        ) | (
+            (F.col("supp_nation") == "NATION_7") & (F.col("cust_nation") == "NATION_3")
+        )
+        vol = F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount"))
+        return (
+            li.join(s, li.l_suppkey == s.s_suppkey)
+            .join(o, li.l_orderkey == o.o_orderkey)
+            .join(c, o.o_custkey == c.c_custkey)
+            .join(n1, s.s_nationkey == n1.nk1)
+            .join(n2, c.c_nationkey == n2.nk2)
+            .filter(pair)
+            .groupBy(
+                "supp_nation", "cust_nation", F.year("o_orderdate").alias("o_year")
+            )
+            .agg(money_sum(vol, "revenue"), F.count("*").alias("n_items"))
+        )
+
+    @register(
+        "bracketed_discount_revenue",
+        sql=f"""
+        SELECT {sql_money_sum("l_extendedprice * (1 - l_discount)", "revenue")},
+               CAST(COUNT(*) AS BIGINT) AS n_items
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        WHERE (p_brand = 'Brand#1' AND p_size <= 20
+               AND l_quantity >= 1 AND l_quantity <= 11)
+           OR (p_brand = 'Brand#2' AND p_size <= 30
+               AND l_quantity >= 10 AND l_quantity <= 20)
+           OR (p_brand = 'Brand#3' AND p_size <= 40
+               AND l_quantity >= 20 AND l_quantity <= 30)
+        """,
+        tags=("ext-rel",),
+    )
+    def q_bracketed_discount_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """TPC-H Q19 shape: disjunctive (brand, size, quantity-bracket)
+        predicates across the join — Catalyst pushes the common
+        `l_quantity <= 30` bound and the brand/size conjuncts to their
+        respective scans, and the OR evaluates post-join in codegen; one
+        ungrouped snap-summed aggregate."""
+        li = T(spark, sf_dir, "lineitem")
+        p = T(spark, sf_dir, "part").select("p_partkey", "p_brand", "p_size")
+        cond = (
+            (F.col("p_brand") == "Brand#1")
+            & (F.col("p_size") <= 20)
+            & F.col("l_quantity").between(1, 11)
+        ) | (
+            (F.col("p_brand") == "Brand#2")
+            & (F.col("p_size") <= 30)
+            & F.col("l_quantity").between(10, 20)
+        ) | (
+            (F.col("p_brand") == "Brand#3")
+            & (F.col("p_size") <= 40)
+            & F.col("l_quantity").between(20, 30)
+        )
+        return (
+            li.join(p, li.l_partkey == p.p_partkey)
+            .filter(cond)
+            .agg(
+                money_sum(
+                    F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount")),
+                    "revenue",
+                ),
+                F.count("*").alias("n_items"),
+            )
+        )
+
+    @register(
+        "min_unit_price_supplier",
+        sql="""
+        WITH up AS (
+            SELECT l_partkey, l_suppkey,
+                   l_extendedprice / l_quantity AS unit_price
+            FROM lineitem WHERE l_quantity > 0
+        ), best AS (
+            SELECT l_partkey, l_suppkey, unit_price,
+                   row_number() OVER (PARTITION BY l_partkey
+                       ORDER BY unit_price, l_suppkey) AS rn
+            FROM up
+        )
+        SELECT b.l_partkey AS p_partkey, p.p_brand,
+               b.l_suppkey AS s_suppkey, b.unit_price
+        FROM best b JOIN part p ON b.l_partkey = p.p_partkey
+        WHERE rn = 1 AND p.p_size <= 5
+        """,
+        tags=("ext-rel", "ext-window"),
+    )
+    def q_min_unit_price_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """TPC-H Q2 shape on the available columns: the cheapest observed
+        supplier per part (argmin unit price from lineitem history,
+        suppkey tie-break) for small parts. Argmin is MIN(struct(price,
+        suppkey)) — a partial+final aggregate (SortAggregate: struct
+        mins aren't hash-aggregable, but the map-side partial still
+        reduces each task to one row per part), never a window over the
+        fact; unit price is a single per-row double division, identical
+        on both engines."""
+        li = T(spark, sf_dir, "lineitem").filter(F.col("l_quantity") > 0)
+        p = T(spark, sf_dir, "part").select("p_partkey", "p_brand", "p_size")
+        up = li.select(
+            "l_partkey",
+            "l_suppkey",
+            (F.col("l_extendedprice") / F.col("l_quantity")).alias("unit_price"),
+        )
+        best = up.groupBy("l_partkey").agg(
+            F.min(F.struct("unit_price", "l_suppkey")).alias("__b")
+        )
+        return (
+            best.join(p, best.l_partkey == p.p_partkey)
+            .filter(F.col("p_size") <= 5)
+            .select(
+                F.col("l_partkey").alias("p_partkey"),
+                "p_brand",
+                F.col("__b.l_suppkey").alias("s_suppkey"),
+                F.col("__b.unit_price").alias("unit_price"),
+            )
+        )
+
+    @register(
+        "dominant_supplier_share",
+        sql="""
+        WITH ps AS (
+            SELECT l_partkey, l_suppkey, SUM(l_quantity) AS sup_qty
+            FROM lineitem GROUP BY l_partkey, l_suppkey
+        ), pt AS (
+            SELECT l_partkey, SUM(sup_qty) AS part_qty,
+                   CAST(COUNT(*) AS BIGINT) AS n_suppliers
+            FROM ps GROUP BY l_partkey
+        )
+        SELECT ps.l_partkey AS p_partkey, ps.l_suppkey AS s_suppkey,
+               ps.sup_qty, pt.part_qty, pt.n_suppliers,
+               ps.sup_qty / pt.part_qty AS qty_share
+        FROM ps JOIN pt USING (l_partkey)
+        WHERE ps.sup_qty / pt.part_qty > 0.15 AND pt.n_suppliers > 1
+        """,
+        tags=("ext-rel", "ext-subquery"),
+    )
+    def q_dominant_supplier_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """TPC-H Q20 shape: suppliers holding an outsized share (> 15% —
+        the synthetic assignment is near-uniform, max observed 24.5%) of
+        a part's shipped quantity (supply-concentration audit), only
+        where the part has competition. Quantities are integral doubles, so both SUM levels
+        are exact and order-independent; the share is one double
+        division. Two partial-agg'd shuffles on the same key — the
+        second agg and the join reuse the first shuffle's partitioning."""
+        li = T(spark, sf_dir, "lineitem")
+        ps = li.groupBy("l_partkey", "l_suppkey").agg(
+            F.sum("l_quantity").alias("sup_qty")
+        )
+        pt = ps.groupBy("l_partkey").agg(
+            F.sum("sup_qty").alias("part_qty"),
+            F.count(F.lit(1)).cast("long").alias("n_suppliers"),
+        )
+        return (
+            ps.join(pt, "l_partkey")
+            .withColumn("qty_share", F.col("sup_qty") / F.col("part_qty"))
+            .filter((F.col("qty_share") > 0.15) & (F.col("n_suppliers") > 1))
+            .select(
+                F.col("l_partkey").alias("p_partkey"),
+                F.col("l_suppkey").alias("s_suppkey"),
+                "sup_qty",
+                "part_qty",
+                "n_suppliers",
+                "qty_share",
+            )
+        )
+
+
+_register_rel3()

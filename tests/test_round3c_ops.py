@@ -504,3 +504,35 @@ def test_observed_metrics_ride_the_main_pass(spark, tmp_path):
     }
     assert got == audit
     assert got["in_range(o_totalprice,1.0,400000.0)"] > 0
+
+
+@pytest.mark.parametrize(
+    "name",
+    [
+        "two_nation_trade_volume",
+        "bracketed_discount_revenue",
+        "min_unit_price_supplier",
+        "dominant_supplier_share",
+    ],
+)
+def test_rel3_no_cartesian(name, spark, sf_dir):
+    plan = plan_of(q(name, spark, sf_dir))
+    assert "CartesianProduct" not in plan
+
+
+def test_bracketed_predicates_push_to_scans(spark, sf_dir):
+    """Q19 shape: the common quantity upper bound and the part-side
+    brand/size disjunction must reach their scans as pushed filters."""
+    plan = plan_of(q("bracketed_discount_revenue", spark, sf_dir))
+    scans = [b for b in plan.split("\n\n") if "PushedFilters" in b]
+    assert any("l_quantity" in b for b in scans)
+    assert any("p_brand" in b or "p_size" in b for b in scans)
+
+
+def test_min_unit_price_is_agg_argmin(spark, sf_dir):
+    """The per-part argmin must be an aggregate (min of struct — planned
+    as partial+final SortAggregate, since struct mins aren't
+    hash-aggregable), never a window sort over the whole fact table."""
+    plan = plan_of(q("min_unit_price_supplier", spark, sf_dir))
+    assert "Window" not in plan
+    assert plan.count("SortAggregate") >= 2  # partial + final
