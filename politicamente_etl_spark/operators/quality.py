@@ -65,19 +65,32 @@ def matches(col: str, pattern: str) -> Check:
     )
 
 
-def row_level_report(df: DataFrame, checks: list[Check]) -> DataFrame:
+def row_level_report(
+    df: DataFrame, checks: list[Check], rows_col: str | None = None
+) -> DataFrame:
     """All row-level constraints in ONE aggregate pass: each check is a
-    conditional count in the same HashAggregate."""
+    conditional count in the same HashAggregate. SUM over an empty input
+    is NULL, so every counter coalesces to 0 — an empty batch must read
+    as 'clean', not as NULL-is-neither-passed-nor-failed. `rows_col`
+    additionally carries the input row count through the SAME pass (for
+    per-batch audits that would otherwise pay a second scan)."""
+    if not checks:
+        raise ValueError("row_level_report: empty check list")
     aggs = [
-        F.sum(c.violation.cast("long")).cast("long").alias(c.name)
+        F.coalesce(F.sum(c.violation.cast("long")), F.lit(0))
+        .cast("long")
+        .alias(c.name)
         for c in checks
     ]
+    if rows_col is not None:
+        aggs.append(F.count(F.lit(1)).cast("long").alias(rows_col))
     wide = df.agg(*aggs)
     # unpivot the 1-row wide frame into (constraint, metric) — stack() is
     # a narrow Generate over a single row, not a shuffle.
     pairs = ", ".join(f"'{c.name}', `{c.name}`" for c in checks)
     long = wide.selectExpr(
-        f"stack({len(checks)}, {pairs}) AS (check_name, metric)"
+        f"stack({len(checks)}, {pairs}) AS (check_name, metric)",
+        *([f"`{rows_col}`"] if rows_col is not None else []),
     )
     thr = F.create_map(
         *[x for c in checks for x in (F.lit(c.name), F.lit(c.threshold))]
@@ -87,6 +100,7 @@ def row_level_report(df: DataFrame, checks: list[Check]) -> DataFrame:
         "metric",
         thr[F.col("check_name")].cast("long").alias("threshold"),
         (F.col("metric") <= thr[F.col("check_name")]).alias("passed"),
+        *([rows_col] if rows_col is not None else []),
     )
 
 
@@ -146,12 +160,18 @@ def constraint_report(
 ) -> DataFrame:
     """Full audit: one row-level pass + one agg per uniqueness key set +
     one anti-join per FK. The unions are unions of 1-to-few-row frames —
-    report size is |constraints|, never data-sized."""
+    report size is |constraints|, never data-sized. With no constraints
+    at all (e.g. a dynamically-built config that resolved empty) the
+    result is an EMPTY report with the right schema, not an error."""
     parts = [row_level_report(df, checks)] if checks else []
     for keys in unique_keys or []:
         parts.append(uniqueness_report(df, keys))
     for parent, ck, pk in referential or []:
         parts.append(referential_report(df, parent, ck, pk))
+    if not parts:
+        return df.sparkSession.createDataFrame(
+            [], "check_name string, metric long, threshold long, passed boolean"
+        )
     out = parts[0]
     for p in parts[1:]:
         out = out.unionByName(p)

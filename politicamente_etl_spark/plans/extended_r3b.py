@@ -693,8 +693,13 @@ def _register_quality():
                CAST(0 AS BIGINT),
                COUNT(*) <= 0
         FROM (
+            -- anti-join semantics (referential_report): a NULL child key
+            -- has no parent and COUNTS as dangling; plain NOT IN would
+            -- evaluate NULL and silently drop it.
             SELECT o_custkey FROM orders
-            WHERE o_custkey NOT IN (SELECT c_custkey FROM customer)
+            WHERE o_custkey IS NULL
+               OR o_custkey NOT IN (SELECT c_custkey FROM customer
+                                    WHERE c_custkey IS NOT NULL)
         )
         """,
         tags=("ext-quality", "ext-rel"),
@@ -1115,3 +1120,47 @@ def _register_rel3():
 
 
 _register_rel3()
+
+
+def _register_recursive():
+    from politicamente_etl_spark.plans.catalog import load_events, register
+
+    _CHAIN_SQL = """
+        WITH RECURSIVE chain AS (
+            SELECT user_id AS start_user, user_id AS cur, 0 AS depth
+            FROM (SELECT DISTINCT user_id FROM {src})
+            UNION ALL
+            SELECT start_user, CAST(floor(cur / 2) AS BIGINT) AS cur,
+                   depth + 1 AS depth
+            FROM chain WHERE cur > 0
+        )
+        SELECT start_user AS user_id,
+               CAST(MAX(depth) AS BIGINT) AS chain_depth,
+               CAST(COUNT(*) AS BIGINT) AS n_nodes,
+               CAST(SUM(cur) AS BIGINT) AS path_sum
+        FROM chain GROUP BY start_user
+    """
+
+    @register(
+        "recursive_user_ancestry",
+        sql=_CHAIN_SQL.format(src="events"),
+        tags=("ext-rel", "ext-graph"),
+    )
+    def q_recursive_user_ancestry(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Recursive CTE (Spark 4 WITH RECURSIVE): walk each user's
+        ancestor chain in the implicit binary hierarchy parent(u) =
+        floor(u/2) down to the root, reporting depth, node count, and
+        path sum — the org-chart / BOM traversal class Spark previously
+        needed driver-side loops for (near_dup_clusters' iterative
+        label propagation is the hand-rolled analogue). The SQL text is
+        the SAME on both engines; recursion depth is bounded at
+        log2(max user_id), and each iteration is one incremental
+        union-all step over the frontier, so the plan's work is
+        O(users x depth), not quadratic."""
+        ev = load_events(spark, sf_dir)
+        view = "events_for_recursion"
+        ev.select("user_id").createOrReplaceTempView(view)
+        return spark.sql(_CHAIN_SQL.format(src=view))
+
+
+_register_recursive()

@@ -70,6 +70,16 @@ def _list_members(
     return out
 
 
+def _option_paths(options) -> list[str]:
+    """The archive list from either the 'path' or 'paths' spelling —
+    shared by schema inference and the reader so both fail the same way
+    (a clear ValueError) when neither is given."""
+    paths = options.get("path") or options.get("paths")
+    if not paths:
+        raise ValueError("zipcsv: 'path' option is required")
+    return paths.split(",") if isinstance(paths, str) else list(paths)
+
+
 def _read_header(archive: str, member: str, delimiter: str, encoding: str) -> list[str]:
     with zipfile.ZipFile(archive) as z, z.open(member) as f:
         header = f.readline().decode(encoding).rstrip("\r\n")
@@ -81,10 +91,7 @@ class ZipCsvReader(DataSourceReader):
         self.schema = schema
         self.delimiter = options.get("delimiter", ";")
         self.encoding = options.get("encoding", "latin-1")
-        paths = options.get("path") or options.get("paths")
-        if not paths:
-            raise ValueError("zipcsv: 'path' option is required")
-        self.paths = paths.split(",") if isinstance(paths, str) else list(paths)
+        self.paths = _option_paths(options)
         self.members = _list_members(
             self.paths, options.get("prefix"), options.get("year")
         )
@@ -130,7 +137,7 @@ class ZipCsvDataSource(DataSource):
         # gave no schema; everything is a string column (typed casts are a
         # downstream, Catalyst-visible concern).
         members = _list_members(
-            (self.options.get("path") or "").split(","),
+            _option_paths(self.options),
             self.options.get("prefix"),
             self.options.get("year"),
         )

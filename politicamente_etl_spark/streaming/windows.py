@@ -278,7 +278,14 @@ def stream_events_with_sentinel(
     from it exceeds every real event's eviction point, and the engine's
     no-data batch then flushes all remaining state. This mirrors what a
     production stream gets for free from continuously-arriving data —
-    the sentinel is a test-harness construct, not a scale workaround."""
+    the sentinel is a test-harness construct, not a scale workaround.
+
+    Both staged files are written through `normalize_ts`, so the staging
+    dir is uniform TimestampType whatever vintage the source carries
+    (copying the raw ns-vintage file next to a µs sentinel would crash
+    the scan with a footer-type mismatch). Stage dirs are tracked and
+    removed at process exit."""
+    import atexit
     import os
     import shutil
     import tempfile
@@ -290,7 +297,11 @@ def stream_events_with_sentinel(
     max_ts = batch.agg(F.max("ts").alias("m")).collect()[0]["m"]
 
     stage = tempfile.mkdtemp(prefix="events_sentinel_")
-    shutil.copyfile(src, os.path.join(stage, "00_events.parquet"))
+    atexit.register(shutil.rmtree, stage, ignore_errors=True)
+    # re-land the real events NORMALIZED (not a raw byte copy) so both
+    # files in the stage share one ts vintage; write real data first so
+    # the sentinel's later mtime puts it in the second micro-batch.
+    batch.write.mode("overwrite").parquet(os.path.join(stage, "00_events"))
     sentinel = spark.createDataFrame(
         [
             (-(i + 1), max_ts, -1, t, 0.0, "{}")
@@ -299,13 +310,13 @@ def stream_events_with_sentinel(
         "event_id long, ts timestamp, user_id long, event_type string,"
         " value double, props string",
     ).withColumn("ts", F.col("ts") + F.expr(f"interval {horizon_days} days"))
+    sentinel = sentinel.select([f.name for f in batch.schema.fields])
     sentinel.coalesce(1).write.mode("overwrite").parquet(
         os.path.join(stage, "zz_sentinel")
     )
 
-    schema = spark.read.parquet(os.path.join(stage, "00_events.parquet")).schema
     raw = (
-        spark.readStream.schema(schema)
+        spark.readStream.schema(batch.schema)
         .format("parquet")
         .option("maxFilesPerTrigger", "1")
         .option("recursiveFileLookup", "true")
@@ -336,18 +347,20 @@ def stream_quality_audit(
     quarantine, halt) key off the audit rows, and the report cost per
     batch is one aggregate pass over that batch, nothing cumulative.
 
-    Returns the materialized audit table; one row per (batch, constraint)."""
+    Returns the materialized audit table; one row per (batch, constraint).
+    A stream that produced zero micro-batches (cold start on an empty
+    source) yields an EMPTY audit table, not a read error."""
     from politicamente_etl_spark.operators.quality import row_level_report
 
     spark = streaming_df.sparkSession
 
     def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
-        n = batch_df.count()
-        report = (
-            row_level_report(batch_df, checks)
-            .withColumn("batch_id", F.lit(batch_id).cast("long"))
-            .withColumn("batch_rows", F.lit(n).cast("long"))
-        )
+        # rows_col rides the same aggregate as the violation counters —
+        # one pass per batch, honoring the quality module's single-scan
+        # contract (a separate count() would double the audit cost).
+        report = row_level_report(
+            batch_df, checks, rows_col="batch_rows"
+        ).withColumn("batch_id", F.lit(batch_id).cast("long"))
         report.write.mode("append").parquet(audit_path)
 
     q = (
@@ -359,7 +372,14 @@ def stream_quality_audit(
         q.processAllAvailable()
     finally:
         q.stop()
-    return spark.read.parquet(audit_path)
+    try:
+        return spark.read.parquet(audit_path)
+    except Exception:
+        return spark.createDataFrame(
+            [],
+            "check_name string, metric long, threshold long, passed boolean,"
+            " batch_rows long, batch_id long",
+        )
 
 
 def stream_upsert_sink(

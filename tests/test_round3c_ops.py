@@ -432,9 +432,13 @@ def test_stream_quality_audit_per_batch(spark, tmp_path):
     ).toPandas()
     assert len(audit) == 4  # 2 batches x 2 constraints
     assert set(audit.batch_id) == {0, 1}
+    assert set(audit.batch_rows) == {2}  # both batches carry 2 rows
     by = audit.set_index(["batch_id", "check_name"])
-    clean_id = audit[audit.batch_rows == 2].batch_id.iloc[0]
-    dirty_id = 1 - clean_id
+    # identify the dirty batch by its violation (file->batch order is
+    # not guaranteed)
+    nn = audit[audit.check_name == "not_null(user_id)"]
+    dirty_id = nn[nn.metric == 1].batch_id.iloc[0]
+    clean_id = 1 - dirty_id
     assert by.loc[(clean_id, "not_null(user_id)"), "metric"] == 0
     assert by.loc[(dirty_id, "not_null(user_id)"), "metric"] == 1
     assert by.loc[(dirty_id, "in_range(value,0.0,100.0)"), "metric"] == 1
@@ -486,14 +490,14 @@ def test_kmv_plan_group_limit(spark, sf_dir):
     assert "WindowGroupLimit" in plan
 
 
-def test_observed_metrics_ride_the_main_pass(spark, tmp_path):
+def test_observed_metrics_ride_the_main_pass(spark, sf_dir, tmp_path):
     """Constraint counters attached via observe() must accumulate during
     the pipeline's OWN write action — no second scan — and match the
     dedicated audit pass."""
     from politicamente_etl_spark.operators import quality as Q
     from politicamente_etl_spark.sources.readers import load_table
 
-    o = load_table(spark, "/root/testdata/sf0.001", "orders")
+    o = load_table(spark, sf_dir, "orders")
     checks = [Q.not_null("o_custkey"), Q.in_range("o_totalprice", 1.0, 400000.0)]
     obs_df, obs = Q.observed(o, checks)
     obs_df.write.mode("overwrite").parquet(str(tmp_path / "out"))  # main pass
@@ -536,3 +540,102 @@ def test_min_unit_price_is_agg_argmin(spark, sf_dir):
     plan = plan_of(q("min_unit_price_supplier", spark, sf_dir))
     assert "Window" not in plan
     assert plan.count("SortAggregate") >= 2  # partial + final
+
+
+def test_observed_metrics_on_streaming_progress(spark, tmp_path):
+    """The same observe() counters must surface per micro-batch in
+    StreamingQueryProgress.observedMetrics (string-name form)."""
+    import pandas as pd
+
+    from politicamente_etl_spark.operators import quality as Q
+
+    src = tmp_path / "osrc"
+    src.mkdir()
+    pd.DataFrame({"v": [1.0, -3.0, 5.0]}).to_parquet(src / "a.parquet")
+    stream = (
+        spark.readStream.schema("v double").format("parquet").load(str(src))
+    )
+    checks = [Q.in_range("v", 0.0, 10.0)]
+    aggs = [
+        F.sum(c.violation.cast("long")).cast("long").alias(c.name)
+        for c in checks
+    ]
+    q_stream = (
+        stream.observe("audit", *aggs)
+        .writeStream.format("noop")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .start()
+    )
+    try:
+        q_stream.processAllAvailable()
+        progresses = [p for p in q_stream.recentProgress if p.observedMetrics]
+    finally:
+        q_stream.stop()
+    assert progresses, "no progress carried observedMetrics"
+    got = progresses[-1].observedMetrics["audit"]
+    assert got["in_range(v,0.0,10.0)"] == 1
+
+
+def test_sentinel_stream_handles_nanos_vintage(spark, tmp_path):
+    """stream_events_with_sentinel must work when events.parquet carries
+    the TIMESTAMP(NANOS)/int64 vintage: both staged files are re-landed
+    through normalize_ts, so the stage directory is uniform TimestampType
+    (a raw copy next to a µs sentinel would crash the scan with a
+    footer-type mismatch)."""
+    import pandas as pd
+
+    from politicamente_etl_spark.streaming import windows as W
+
+    d = tmp_path / "nsv"
+    d.mkdir()
+    base = pd.Timestamp("2024-01-01 10:00:00")
+    pd.DataFrame(
+        {
+            "event_id": [1, 2, 3],
+            "ts": [
+                int(base.value),
+                int((base + pd.Timedelta("5min")).value),
+                int((base + pd.Timedelta("10min")).value),
+            ],
+            "user_id": [1, 1, 2],
+            "event_type": ["click", "purchase", "click"],
+            "value": [1.0, 2.0, 3.0],
+            "props": ["{}", "{}", "{}"],
+        }
+    ).to_parquet(d / "events.parquet")
+
+    ev = W.stream_events_with_sentinel(spark, str(d))
+    j = W.interval_join(
+        ev, "click", "purchase", "30 minutes",
+        watermark="10 minutes", how="left_outer",
+    )
+    out = W.run_stream_to_table(j, mode="append").filter(F.col("user_id") >= 0)
+    rows = {(r.left_id, r.right_id) for r in out.collect()}
+    # user 1's click converts; user 2's click has no purchase -> outer row
+    assert rows == {(1, 2), (3, None)}
+
+
+def test_quality_empty_inputs_are_clean_not_null(spark, tmp_path):
+    """Review regressions: (a) an EMPTY input yields metric=0/passed=true
+    (never NULL); (b) a fully-empty constraint set yields an empty typed
+    report; (c) a zero-batch stream yields an empty audit table."""
+    from politicamente_etl_spark.operators import quality as Q
+    from politicamente_etl_spark.streaming import windows as W
+
+    empty = spark.createDataFrame([], "k int, v double")
+    rep = Q.row_level_report(empty, [Q.in_range("v", 0.0, 1.0)]).collect()
+    assert rep[0].metric == 0 and rep[0].passed is True
+
+    none_at_all = Q.constraint_report(empty, checks=[])
+    assert none_at_all.count() == 0
+    assert "check_name" in none_at_all.columns
+
+    src = tmp_path / "empty_src"
+    src.mkdir()  # no files: the stream runs zero micro-batches
+    audit = W.stream_quality_audit(
+        spark.readStream.schema("v double").format("parquet").load(str(src)),
+        checks=[Q.in_range("v", 0.0, 1.0)],
+        audit_path=str(tmp_path / "audit"),
+        checkpoint_dir=str(tmp_path / "ck"),
+    )
+    assert audit.count() == 0 and "batch_id" in audit.columns
