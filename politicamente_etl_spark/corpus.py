@@ -55,7 +55,7 @@ def init_corpus(spark: SparkSession, root_path: str, docs: DataFrame) -> None:
     sig.write.mode("overwrite").parquet(os.path.join(root_path, "signatures"))
 
 
-def _batch_features(batch: DataFrame, min_tokens: int, max_rep: float) -> DataFrame:
+def _batch_features(batch: DataFrame) -> DataFrame:
     shs = F.col("__shs")
     n_sh = F.size(shs)
     nd = F.size(F.array_distinct(shs))
@@ -107,7 +107,7 @@ def ingest_batch(
     )
     corpus_sig = spark.read.parquet(sig_path)
 
-    feat = _batch_features(batch, min_tokens, max_rep).localCheckpoint()
+    feat = _batch_features(batch).localCheckpoint()
 
     # optional statistical quality gate: score the batch under the
     # CORPUS-trained bigram LM (text.bigram_lm_tables — at scale these are
@@ -175,8 +175,13 @@ def ingest_batch(
             F.when(F.col("n_tokens") < min_tokens, F.lit("too_short"))
             .when(F.col("rep") > max_rep, F.lit("repetitive"))
             .when(
+                # gate only docs the LM actually MEASURED: a doc with
+                # < 2 tokens produces no bigram rows and a NULL score —
+                # reporting it as measured-and-failed would be a lie
+                # (it is handled by too_short / its own rules instead)
                 F.lit(lm_gate is not None)
-                & (F.coalesce(F.col("__lm_mean"), F.lit(float("-inf"))) < lm_gate),
+                & F.col("__lm_mean").isNotNull()
+                & (F.col("__lm_mean") < lm_gate),
                 F.lit("low_quality_lm"),
             )
             .when(F.col("doc_id") != F.col("first_doc"), F.lit("duplicate_batch"))

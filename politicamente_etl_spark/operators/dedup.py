@@ -151,6 +151,14 @@ def _signature_table(
     sig = with_minhash_signature(
         spread(df.select(id_col, text_col), id_col), text_col, n_perm
     ).drop(text_col)
+    # Docs with fewer tokens than the shingle width have an EMPTY shingle
+    # set → every array_min minhash is NULL → xxhash64(NULL) collapses to
+    # one shared constant, which would put every short doc in the same
+    # band bucket and report all of them as mutual est_jaccard=1.0
+    # near-dups (false positives + the exact m²-pair hot-bucket blowup
+    # the cap exists for). MinHash is undefined on an empty set: such
+    # docs get NO signature row and therefore never pair.
+    sig = sig.filter(F.col("mh_0").isNotNull())
     n_bands = n_perm // band_size
     return sig.select(
         id_col,
@@ -437,6 +445,7 @@ def near_dup_clusters(
         .withColumn("label", F.col("node"))
         .localCheckpoint()
     )
+    changed = 0
     for _ in range(max_iter):
         nbr_min = (
             edges.join(labels, edges.dst == labels.node)
@@ -462,6 +471,16 @@ def near_dup_clusters(
         labels = new_labels
         if changed == 0:
             break
+    if changed != 0:
+        # a component with diameter > max_iter has NOT converged — the
+        # labels would silently split one real cluster into several,
+        # leaking near-dup content across keep-lists and train/test
+        # splits. Fail loudly; the caller raises max_iter (label
+        # propagation needs O(diameter) rounds).
+        raise RuntimeError(
+            f"near_dup_clusters: not converged after {max_iter} rounds "
+            f"({changed} labels still changing) — raise max_iter"
+        )
     return labels.select(
         F.col("node").alias(id_col),
         F.col("label").alias("cluster_id"),

@@ -639,3 +639,49 @@ def test_quality_empty_inputs_are_clean_not_null(spark, tmp_path):
         checkpoint_dir=str(tmp_path / "ck"),
     )
     assert audit.count() == 0 and "batch_id" in audit.columns
+
+
+# ---------------------------------------------------------------------------
+# dedup hardening (second self-review pass)
+# ---------------------------------------------------------------------------
+
+
+def test_short_docs_never_minhash_pair(spark):
+    """Docs shorter than the shingle width have an empty shingle set →
+    NO signature row and NO pairs (previously every short doc collapsed
+    into one xxhash64(NULL) bucket and paired with est_jaccard 1.0)."""
+    from politicamente_etl_spark.operators import dedup
+
+    df = spark.createDataFrame(
+        [
+            (1, "hello world"),          # 2 tokens: no 3-gram shingle
+            (2, "foo"),                  # 1 token
+            (3, "one two three four five six seven"),
+            (4, "one two three four five six eight"),
+        ],
+        "doc_id long, text string",
+    )
+    pairs = dedup.minhash_near_dup_pairs(df).collect()
+    ids = {(r.id_a, r.id_b) for r in pairs} if pairs and hasattr(pairs[0], "id_a") else {
+        (r[0], r[1]) for r in pairs
+    }
+    assert all(1 not in p and 2 not in p for p in ids)
+    assert len(ids) >= 1  # the two real near-dups still pair
+
+
+def test_near_dup_clusters_raises_on_nonconvergence(spark):
+    """A chain longer than max_iter must raise, not silently return a
+    split clustering."""
+    from politicamente_etl_spark.operators import dedup
+
+    docs = spark.createDataFrame(
+        [(i,) for i in range(11)], "doc_id long"
+    )
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(10)], "doc_a long, doc_b long"
+    )
+    with pytest.raises(RuntimeError, match="not converged"):
+        dedup.near_dup_clusters(docs, pairs, max_iter=2)
+    # and with enough rounds the same chain converges to one cluster
+    ok = dedup.near_dup_clusters(docs, pairs, max_iter=15).toPandas()
+    assert ok.cluster_id.nunique() == 1
