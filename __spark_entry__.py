@@ -30,10 +30,9 @@ from politicamente_etl_spark.plans.catalog import CATALOG
 
 # Names with a green driver CORRECTNESS row: CORRECTNESS_r01.json (46
 # hash-match + by-design rows-only ml_minhash_lsh_pairs) ∪
-# CORRECTNESS_r02.json (48 hash-match + by-design rows-only approx_aggs).
-# json_props_map_explode is deliberately absent: its r2 row was red
-# (DuckDB HUGEINT dtype artifact — oracle SQL fixed this round) and it
-# must re-enter the window.
+# CORRECTNESS_r02.json (48 hash-match + by-design rows-only approx_aggs) ∪
+# CORRECTNESS_r03.json (all 50 rows hash-match, incl. the re-checked
+# json_props_map_explode after the HUGEINT oracle fix).
 VERIFIED: frozenset[str] = frozenset(
     {
         # --- round 1 ---
@@ -134,27 +133,70 @@ VERIFIED: frozenset[str] = frozenset(
         "streaming_interval_join",
         "unigram_logprob_quality",
         "minhash_incremental_pairs",
+        # --- round 3 ---
+        "json_props_map_explode",
+        "hybrid_search_rrf",
+        "consistent_sample_k",
+        "oov_rate_new_sources",
+        "length_bucketed_batches",
+        "gopher_quality_report",
+        "top_bigram_repetition",
+        "dedup_rate_by_source",
+        "near_dup_edit_distance",
+        "temperature_mix_weights",
+        "discounted_revenue",
+        "promo_revenue_share",
+        "order_priority_followups",
+        "small_quantity_revenue",
+        "top_supplier_revenue",
+        "local_supplier_volume",
+        "returned_items_top_customers",
+        "customer_order_gaps",
+        "orders_yoy_growth",
+        "events_ohlc_bars",
+        "user_activity_profile",
+        "mips_topk",
+        "knn_label_vote",
+        "ann_recall_report",
+        "semdedup_keep_list",
+        "boilerplate_shingle_score",
+        "vocab_growth_curve",
+        "scd2_customer_history",
+        "equi_depth_histogram_prices",
+        "mad_outlier_events",
+        "rfm_customer_segments",
+        "click_conversion_attribution",
+        "markov_event_transitions",
+        "dense_rank_supplier_parts",
+        "epoch_sample_realized",
+        "kmeans_refined_centroids",
+        "cross_source_dup_matrix",
+        "funnel_three_step_ordered",
+        "events_hourly_seasonality",
+        "customer_ltv_curve",
+        "token_fertility_by_source",
+        "langid_confusion_matrix",
+        "incremental_agg_merge",
+        "bigram_logprob_quality",
+        "bigram_backoff_score_batch",
+        "variant_props_extract",
+        "variant_schema_profile",
     }
 )
 
 # Verified queries whose operator implementation changed THIS round —
 # parked status is 'verified AND untouched since'; these stay in the front
 # window one more round so a refactor regression gets a driver row
-# (ADVICE.md r2, last item). The window holds exactly 50; registering the
-# four late-r3 queries (bigram LM ×2, VARIANT ×2 — never driver-checked,
-# so they take priority) forced four of the seven refactored entries back
-# to the parked group. The four parked ones are the lowest-risk refactors
-# with an independent driver-side signal: flagship_revenue_rollup is also
-# the entry() smoke check AND a bench headliner; events_tumbling_window's
-# UTC pin is probed by tests/driver_sim.py under a hostile TZ;
-# cosine_topk_ivf's change was a pure helper extraction; and
-# minhash_near_dup_pairs' new hot_bucket_cap branch is opt-in (default
-# path byte-identical, covered by test_plan_quality).
+# (ADVICE.md r2, last item). Round-4 refactors: minhash_cross_pairs grew a
+# precomputed-signature entry point (corpus.py dedup of the inline band
+# join — SURVEY round-4 fix #4), pack_sequences grew mode="greedy"
+# (default closed-form path shared), and cogroup_conversion_stats'
+# oracle/pandas sides were reconciled per ADVICE r3.
 REFACTORED_THIS_ROUND: frozenset[str] = frozenset(
     {
-        "minhash_incremental_pairs",  # dedup.minhash_cross_pairs: narrow band exchange + signature re-join
-        "unigram_logprob_quality",  # text.unigram_logprob_scores: un-forced vocab join + scale-bucket mode
-        "embedding_cosine_near_dup",  # sim.cosine_near_dup_pairs: short-circuit limit() guard
+        "minhash_incremental_pairs",  # dedup.minhash_cross_pairs: signature-table entry point
+        "pack_sequences",  # sampling.pack_sequences: greedy mode alongside closed-form
+        "cogroup_conversion_stats",  # ADVICE r3: click-row counting parity by construction
     }
 )
 
