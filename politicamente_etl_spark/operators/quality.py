@@ -195,8 +195,12 @@ def observed(df: DataFrame, checks: list[Check]):
     from pyspark.sql import Observation
 
     obs = Observation()
+    # COALESCE(…, 0): SUM over zero rows is NULL, but the module contract
+    # is "an empty batch reads as clean" — same guard as row_level_report.
     aggs = [
-        F.sum(c.violation.cast("long")).cast("long").alias(c.name)
+        F.coalesce(F.sum(c.violation.cast("long")), F.lit(0))
+        .cast("long")
+        .alias(c.name)
         for c in checks
     ]
     return df.observe(obs, *aggs), obs

@@ -397,7 +397,12 @@ def _register_rel2():
                CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS n_suppliers
         FROM part JOIN lineitem ON l_partkey = p_partkey
         WHERE l_suppkey NOT IN (
-            SELECT s_suppkey FROM supplier WHERE s_acctbal < 0.0
+            -- NULL guard: a single NULL in a NOT IN list empties the
+            -- result (three-valued logic); the Spark side is a left-anti
+            -- join, which treats NULL build keys as non-matches. Same
+            -- guard as data_quality_orders.
+            SELECT s_suppkey FROM supplier
+            WHERE s_acctbal < 0.0 AND s_suppkey IS NOT NULL
         )
         GROUP BY p_brand, p_size
         """,
@@ -781,7 +786,10 @@ def _register_cogroup():
         "cogroup_conversion_stats",
         sql="""
         WITH c AS (
-            SELECT user_id, CAST(epoch_us(ts) AS BIGINT) AS tc
+            -- event_id rides along so conv groups per click ROW, not per
+            -- distinct (user, ts): two same-timestamp clicks must count
+            -- twice, matching the pandas path's row-wise walk (ADVICE r3).
+            SELECT event_id, user_id, CAST(epoch_us(ts) AS BIGINT) AS tc
             FROM events WHERE event_type = 'click'
         ), p AS (
             SELECT user_id, CAST(epoch_us(ts) AS BIGINT) AS tp
@@ -793,7 +801,7 @@ def _register_cogroup():
                        THEN p.tp - c.tc END) AS lat
             FROM c LEFT JOIN p
               ON p.user_id = c.user_id AND p.tp >= c.tc
-            GROUP BY c.user_id, c.tc
+            GROUP BY c.user_id, c.event_id, c.tc
         ), agg AS (
             SELECT user_id,
                    CAST(COUNT(*) AS BIGINT) AS n_clicks,

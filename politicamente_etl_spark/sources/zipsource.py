@@ -91,6 +91,9 @@ class ZipCsvReader(DataSourceReader):
         self.schema = schema
         self.delimiter = options.get("delimiter", ";")
         self.encoding = options.get("encoding", "latin-1")
+        self.validate_headers = (
+            str(options.get("validate_headers", "false")).lower() == "true"
+        )
         self.paths = _option_paths(options)
         self.members = _list_members(
             self.paths, options.get("prefix"), options.get("year")
@@ -104,6 +107,23 @@ class ZipCsvReader(DataSourceReader):
         import pyarrow.csv as pacsv
 
         cols = [f.name for f in self.schema.fields]
+        if self.validate_headers:
+            # Surface schema drift loudly instead of null-filling: a
+            # member whose header is missing resolved columns (or carries
+            # extras) raises with the exact delta, per-member.
+            have = set(
+                _read_header(
+                    partition.archive, partition.member,
+                    self.delimiter, self.encoding,
+                )
+            )
+            missing = [c for c in cols if c not in have]
+            extra = sorted(have - set(cols))
+            if missing or extra:
+                raise ValueError(
+                    f"zipcsv: header drift in {partition.archive}!"
+                    f"{partition.member}: missing={missing} extra={extra}"
+                )
         convert = pacsv.ConvertOptions(
             column_types={c: pa.string() for c in cols},
             include_columns=cols,
@@ -126,7 +146,16 @@ class ZipCsvDataSource(DataSource):
     """``spark.read.format("zipcsv").schema(...).option("path", ...)`` —
     member-parallel CSV-in-ZIP scan. Options: path (comma-separated
     archive paths), delimiter (default ';'), encoding (default latin-1),
-    prefix+year (enable the reference's consolidated-file pruning)."""
+    prefix+year (enable the reference's consolidated-file pruning),
+    validate_headers (default false).
+
+    Schema resolution is FIRST-MEMBER-WINS: when no explicit schema is
+    given, column names come from the first member's header only. Later
+    members with reordered headers are realigned by name; members with
+    missing columns are null-filled and extra columns dropped — silently
+    by default (TSE feeds are homogeneous per archive). Set
+    ``validate_headers=true`` to instead fail fast with the per-member
+    missing/extra column delta."""
 
     @classmethod
     def name(cls) -> str:

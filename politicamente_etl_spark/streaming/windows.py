@@ -361,7 +361,17 @@ def stream_quality_audit(
         report = row_level_report(
             batch_df, checks, rows_col="batch_rows"
         ).withColumn("batch_id", F.lit(batch_id).cast("long"))
-        report.write.mode("append").parquet(audit_path)
+        # foreachBatch is at-least-once: a retry after a partial append
+        # would duplicate this batch's audit rows. Partitioning by
+        # batch_id and overwriting ONLY that partition (dynamic mode)
+        # makes the replay idempotent — the retry replaces its own
+        # partition and touches nothing else.
+        (
+            report.write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id")
+            .parquet(audit_path)
+        )
 
     q = (
         streaming_df.writeStream.foreachBatch(apply_batch)
@@ -373,7 +383,11 @@ def stream_quality_audit(
     finally:
         q.stop()
     try:
-        return spark.read.parquet(audit_path)
+        # batch_id is now a partition column; directory-value inference
+        # types it int — pin back to long for a stable contract schema.
+        return spark.read.parquet(audit_path).withColumn(
+            "batch_id", F.col("batch_id").cast("long")
+        )
     except Exception:
         return spark.createDataFrame(
             [],
