@@ -8,30 +8,50 @@ digests and MinHash signatures accumulated over all prior batches), not
 only within the incoming batch.
 
 Managed state layout under `root_path`:
-    docs/        — admitted documents parquet (doc_id, text, source, ...)
-    signatures/  — precomputed MinHash signature table for the docs
-                   (the bucketed corpus side of minhash_cross_pairs; at
-                   100 TB this is the table a nightly job MUST NOT
-                   rebuild — it only ever appends)
+    docs/        — admitted documents parquet (batch columns + digest)
+    signatures/  — THE state table: one row per admitted doc carrying
+                   (doc_id, digest, mh_*, band_*). Digests live WITH the
+                   signatures so (a) the duplicate check never re-hashes
+                   the full docs table per batch, and (b) commit-crash
+                   healing is a digest anti-join between two stored
+                   columns. Signature columns are NULL for docs below the
+                   shingle width (MinHash is undefined on an empty
+                   shingle set); NULL band keys simply never pair. At
+                   100 TB this table only ever appends — it is never
+                   rebuilt.
+
+Commit protocol (crash-safe without a transaction manager): state is
+written FIRST, docs second. If a crash lands between the two appends,
+the next submission of the same content classifies as `healed` — its
+digest is in state but absent from docs — and the docs append is
+repaired. Re-running a fully-committed batch classifies everything
+`duplicate` and appends nothing, so ingestion is idempotent end to end.
 
 Verdict cascade per batch doc (first failing rule wins, mirroring
 corpus_admission_report's fixed rule order):
-    too_short       — token count below min_tokens
-    repetitive      — within-doc 3-gram repetition ratio above max_rep
-    low_quality_lm  — (only with lm_gate set) mean bigram-LM log-prob
-                      under the corpus-trained model below the gate
-    duplicate_batch — another batch doc with the same digest and a
-                      smaller id (keep-first within the batch)
-    duplicate       — digest already present in the corpus
-    near_duplicate  — MinHash-LSH candidate against the corpus with
-                      est_jaccard ≥ near_threshold
-    admitted        — appended to docs/ and signatures/
+    too_short            — token count below min_tokens
+    repetitive           — within-doc 3-gram repetition ratio above max_rep
+    low_quality_lm       — (only with lm_gate set) mean bigram-LM log-prob
+                           under the corpus-trained model below the gate
+    duplicate_batch      — another batch doc with the same digest and a
+                           smaller id (keep-first within the batch)
+    healed               — digest in state but missing from docs (an
+                           interrupted commit): the doc row is re-appended
+    duplicate            — digest already present in the corpus
+    near_duplicate       — MinHash-LSH candidate against the corpus with
+                           est_jaccard ≥ near_threshold
+    near_duplicate_batch — a SMALLER-id batch doc is an LSH candidate at
+                           est_jaccard ≥ near_threshold (keep-first:
+                           within one batch only the earliest of a
+                           near-dup group is admitted)
+    admitted             — appended to signatures/ then docs/
 
 Every step is the already-verified operator: digest anti-join semantics
 via a left join on md5 (16-byte keys through the shuffle), LSH banding
-via dedup.minhash_cross_pairs (batch×corpus equi-join, O(batch+corpus)
-shuffle), per-row expression features. No driver-side loops; the report
-is one lazy plan and the state update is two appends.
+via dedup.minhash_cross_pairs_from_signatures (batch×corpus AND
+batch×batch equi-joins over the same persisted signature table,
+O(batch+corpus) shuffle), per-row expression features. No driver-side
+loops; the report is one lazy plan and the state update is two appends.
 """
 
 from __future__ import annotations
@@ -44,15 +64,27 @@ from pyspark.sql import functions as F
 from politicamente_etl_spark.operators import dedup, text
 
 
+def _state_rows(docs_with_digest: DataFrame, sig: DataFrame) -> DataFrame:
+    """One state row per doc: (doc_id, digest) left-joined to its
+    signature columns — NULLs for shingle-less docs, so every admitted
+    doc has a digest in state even when MinHash is undefined for it."""
+    return docs_with_digest.select("doc_id", "digest").join(sig, "doc_id", "left")
+
+
 def init_corpus(spark: SparkSession, root_path: str, docs: DataFrame) -> None:
     """Create the managed corpus from an initial document set: write the
-    docs table and precompute its MinHash signature table (the one-time
-    backfill; afterwards signatures only ever append per batch)."""
-    docs.write.mode("overwrite").parquet(os.path.join(root_path, "docs"))
+    state (digest + signature) table and the docs table — the one-time
+    backfill; afterwards both only ever append per batch. Same write
+    order as ingest_batch (state first) so a crashed init, re-run,
+    converges the same way."""
+    with_digest = docs.withColumn("digest", F.md5("text"))
     sig = dedup._signature_table(
         docs, "text", "doc_id", dedup.N_MINHASH, dedup.BAND_SIZE
     )
-    sig.write.mode("overwrite").parquet(os.path.join(root_path, "signatures"))
+    _state_rows(with_digest, sig).write.mode("overwrite").parquet(
+        os.path.join(root_path, "signatures")
+    )
+    with_digest.write.mode("overwrite").parquet(os.path.join(root_path, "docs"))
 
 
 def _batch_features(batch: DataFrame) -> DataFrame:
@@ -99,13 +131,25 @@ def ingest_batch(
     collapse into one CASE projection."""
     docs_path = os.path.join(root_path, "docs")
     sig_path = os.path.join(root_path, "signatures")
+    state = spark.read.parquet(sig_path)
+    # dedup source of truth is the STATE table's stored digest column —
+    # the full docs table is never re-hashed per batch (round-4 fix #1).
     corpus_digests = (
-        spark.read.parquet(docs_path)
-        .select(F.md5("text").alias("digest"))
-        .distinct()
-        .withColumn("__in_corpus", F.lit(1))
+        state.select("digest").distinct().withColumn("__in_corpus", F.lit(1))
     )
-    corpus_sig = spark.read.parquet(sig_path)
+    # heal probe: digests whose state row landed but whose docs append was
+    # lost to a crash between the two commit writes. Both sides are stored
+    # 16-byte columns, so this is a cheap column-scan anti-join.
+    orphan_digests = (
+        state.select("digest")
+        .distinct()
+        .join(
+            spark.read.parquet(docs_path).select("digest").distinct(),
+            "digest",
+            "left_anti",
+        )
+        .withColumn("__orphan", F.lit(1))
+    )
 
     feat = _batch_features(batch).localCheckpoint()
 
@@ -127,49 +171,45 @@ def ingest_batch(
     else:
         feat = feat.withColumn("__lm_mean", F.lit(None).cast("double"))
 
-    # near-dup candidates: batch bands vs corpus signature bands
-    n_bands = dedup.N_MINHASH // dedup.BAND_SIZE
+    # near-dup candidates: the SHARED cross-pairs operator over the
+    # persisted corpus signature table and the batch's freshly-computed
+    # one (round-4 fix #4 — no inline band-join copy; operator fixes
+    # propagate here automatically).
     batch_sig = dedup._signature_table(
         feat.select("doc_id", "text"), "text", "doc_id",
         dedup.N_MINHASH, dedup.BAND_SIZE,
     ).localCheckpoint()
-    batch_bands = dedup._explode_bands(batch_sig, "doc_id", n_bands, carry=[])
-    corpus_bands = dedup._explode_bands(
-        corpus_sig, "doc_id", n_bands, carry=[]
-    ).select(
-        F.col("doc_id").alias("corpus_id"), "band_id", "band_key"
-    )
-    cand = (
-        batch_bands.join(corpus_bands, ["band_id", "band_key"])
-        .select("doc_id", "corpus_id")
-        .distinct()
-    )
-    # exact est_jaccard on candidates via the signature re-join; the
-    # corpus side's columns are renamed so nothing is ambiguous
-    corpus_sig_r = corpus_sig.select(
-        F.col("doc_id").alias("corpus_id"),
-        *[F.col(f"mh_{i}").alias(f"cmh_{i}") for i in range(dedup.N_MINHASH)],
-    )
-    agree = sum(
-        F.when(F.col(f"mh_{i}") == F.col(f"cmh_{i}"), F.lit(1)).otherwise(F.lit(0))
-        for i in range(dedup.N_MINHASH)
-    )
     near = (
-        cand.join(batch_sig, "doc_id")
-        .join(corpus_sig_r, "corpus_id")
-        .withColumn(
-            "est_jaccard",
-            agree.cast("double") / F.lit(float(dedup.N_MINHASH)),
-        )
+        dedup.minhash_cross_pairs_from_signatures(batch_sig, state.drop("digest"))
         .filter(F.col("est_jaccard") >= near_threshold)
-        .select("doc_id")
+        .select(F.col("batch_doc").alias("doc_id"))
         .distinct()
         .withColumn("__near_dup", F.lit(1))
+    )
+    # within-batch near-dups, keep-first (round-4 fix #2): a batch doc is
+    # rejected when a SMALLER-id batch doc is an LSH candidate over the
+    # threshold — the same banded self-join shape, batch vs batch, so two
+    # near-identical docs arriving together no longer both commit.
+    # Greedy rule: the smaller-id keeper may itself be rejected by an
+    # earlier cascade rule (then the whole near-dup group drops this
+    # batch — re-submission next batch admits cleanly, since none of the
+    # group reached the corpus).
+    near_batch = (
+        dedup.minhash_cross_pairs_from_signatures(batch_sig, batch_sig)
+        .filter(
+            (F.col("batch_doc") > F.col("corpus_doc"))
+            & (F.col("est_jaccard") >= near_threshold)
+        )
+        .select(F.col("batch_doc").alias("doc_id"))
+        .distinct()
+        .withColumn("__near_batch", F.lit(1))
     )
 
     verdicts = (
         feat.join(corpus_digests, "digest", "left")
+        .join(orphan_digests, "digest", "left")
         .join(near, "doc_id", "left")
+        .join(near_batch, "doc_id", "left")
         .withColumn(
             "verdict",
             F.when(F.col("n_tokens") < min_tokens, F.lit("too_short"))
@@ -185,8 +225,16 @@ def ingest_batch(
                 F.lit("low_quality_lm"),
             )
             .when(F.col("doc_id") != F.col("first_doc"), F.lit("duplicate_batch"))
+            .when(
+                F.col("__in_corpus").isNotNull()
+                & F.col("__orphan").isNotNull(),
+                F.lit("healed"),
+            )
             .when(F.col("__in_corpus").isNotNull(), F.lit("duplicate"))
             .when(F.col("__near_dup").isNotNull(), F.lit("near_duplicate"))
+            .when(
+                F.col("__near_batch").isNotNull(), F.lit("near_duplicate_batch")
+            )
             .otherwise(F.lit("admitted")),
         )
         .localCheckpoint()
@@ -196,11 +244,21 @@ def ingest_batch(
         admitted_ids = verdicts.filter(F.col("verdict") == "admitted").select(
             "doc_id"
         )
-        admitted = batch.join(admitted_ids, "doc_id")
-        admitted.write.mode("append").parquet(docs_path)
-        batch_sig.join(admitted_ids, "doc_id").write.mode("append").parquet(
-            sig_path
+        # STATE FIRST, docs second: a crash between the writes leaves a
+        # digest in state without its doc row, which the next submission
+        # of the same content repairs via the `healed` verdict. (The
+        # reverse order would instead re-ADMIT on retry and duplicate the
+        # doc rows — unhealable without a full diff.)
+        _state_rows(feat.join(admitted_ids, "doc_id"), batch_sig).write.mode(
+            "append"
+        ).parquet(sig_path)
+        repair_ids = verdicts.filter(F.col("verdict") == "healed").select(
+            "doc_id"
         )
+        to_land = batch.join(
+            admitted_ids.unionByName(repair_ids), "doc_id"
+        ).withColumn("digest", F.md5("text"))
+        to_land.write.mode("append").parquet(docs_path)
     return verdicts.select("doc_id", "n_tokens", "verdict")
 
 
@@ -225,7 +283,19 @@ def stream_ingest(
     present and stops — the nightly-batch shape; drop it for a live
     24/7 feed."""
     if schema is None:
-        schema = spark.read.parquet(os.path.join(root_path, "docs")).schema
+        from pyspark.sql.types import StructType
+
+        # incoming batches carry the DOC columns only; digest is derived
+        # state the pipeline stamps at commit time.
+        schema = StructType(
+            [
+                f
+                for f in spark.read.parquet(
+                    os.path.join(root_path, "docs")
+                ).schema.fields
+                if f.name != "digest"
+            ]
+        )
 
     def _one_batch(batch_df: DataFrame, batch_id: int) -> None:
         report = ingest_batch(spark, root_path, batch_df, **ingest_kwargs)

@@ -238,14 +238,36 @@ def minhash_cross_pairs(
     Output: (batch_doc, corpus_doc, est_jaccard) — downstream either drops
     batch docs with any pair over a threshold (strict) or routes them to
     the exact-Jaccard verifier (ngram_jaccard shapes)."""
-    n_bands = n_perm // band_size
-    mh_cols = [f"mh_{i}" for i in range(n_perm)]
     b_sig = _signature_table(
         batch, text_col, id_col, n_perm, band_size
     ).localCheckpoint()
     c_sig = _signature_table(
         corpus, text_col, id_col, n_perm, band_size
     ).localCheckpoint()
+    return minhash_cross_pairs_from_signatures(
+        b_sig, c_sig, id_col=id_col, n_perm=n_perm, band_size=band_size
+    )
+
+
+def minhash_cross_pairs_from_signatures(
+    b_sig: DataFrame,
+    c_sig: DataFrame,
+    id_col: str = "doc_id",
+    n_perm: int = N_MINHASH,
+    band_size: int = BAND_SIZE,
+) -> DataFrame:
+    """The back half of `minhash_cross_pairs`, taking PRECOMPUTED
+    `_signature_table`-shaped inputs (id, mh_0.., band_0..) — the entry
+    point for callers that persist signatures as managed state (the
+    corpus pipeline's nightly shape: the corpus side is an append-only
+    parquet table, never re-shingled). Signature rows with NULL minhashes
+    (docs below the shingle width) never pair: NULL band keys fail the
+    equi-join on both sides.
+
+    One definition serves both call sites, so candidate-join fixes
+    propagate to the pipeline automatically (SURVEY round-4 fix #4)."""
+    n_bands = n_perm // band_size
+    mh_cols = [f"mh_{i}" for i in range(n_perm)]
     b_ex = _explode_bands(b_sig, id_col, n_bands, carry=[])
     c_ex = _explode_bands(c_sig, id_col, n_bands, carry=[])
     cand = (

@@ -117,6 +117,7 @@ def pack_sequences(
     n_buckets: int = 64,
     id_col: str = "doc_id",
     seed: str = "pack-v1",
+    mode: str = "closed_form",
 ) -> DataFrame:
     """Greedy sequence packing: stream documents in a deterministic
     pseudo-random order and cut a new pack every time the running token
@@ -133,9 +134,62 @@ def pack_sequences(
     parallel. Pack ids are globally unique via bucket · 2^32 + local id.
     Within a bucket the order (order_hash, id) is total and
     deterministic, so the same corpus packs identically on any engine —
-    every row is oracle-checkable, not just the pack-fill statistics."""
+    every row is oracle-checkable, not just the pack-fill statistics.
+
+    Two packing rules (round-4 fix #3):
+    - ``mode="closed_form"`` (default, the oracle-exact path): pack =
+      floor((cumsum-1)/budget), a pure window expression. A pack here is
+      a BUDGET-ALIGNED SLICE of the concatenated stream, so a document
+      straddling a boundary contributes to two packs; equivalently, a
+      pack's own token total can reach 2·budget-2 when its first doc
+      carries overflow from the previous slice. Right when the loader
+      concatenates-then-splits (GPT-style pretraining packing).
+    - ``mode="greedy"`` (true bin-capped): a sequential walk per bucket
+      (applyInPandas — the per-partition imperative tier; the bucket is
+      the existing parallel unit) that CLOSES the pack before adding a
+      doc that would overflow, so every pack's token total is ≤ budget
+      (a single doc larger than the budget still gets its own pack).
+      Right when documents must not be split across sequences.
+      `cum_tokens` is then the running total WITHIN the pack."""
     from pyspark.sql import Window
 
+    out_df = (
+        df.withColumn(
+            "pack_bucket", hash_bucket(id_col, seed, n_buckets).cast("bigint")
+        )
+        .withColumn("pack_order", order_hash(id_col, seed))
+    )
+    if mode == "greedy":
+        import pandas as pd
+
+        schema_str = (
+            ", ".join(f"`{f.name}` {f.dataType.simpleString()}" for f in out_df.schema.fields)
+            + ", cum_tokens bigint, pack_id bigint"
+        )
+
+        def pack_bucket_walk(pdf: pd.DataFrame) -> pd.DataFrame:
+            pdf = pdf.sort_values(
+                ["pack_order", id_col], kind="mergesort"
+            ).reset_index(drop=True)
+            bucket = int(pdf["pack_bucket"].iloc[0]) if len(pdf) else 0
+            packs, cums = [], []
+            pid, run = 0, 0
+            for nt in pdf[n_tokens_col].astype("int64"):
+                if run > 0 and run + nt > budget:
+                    pid += 1
+                    run = 0
+                run += int(nt)
+                packs.append(bucket * (1 << 32) + pid)
+                cums.append(run)
+            pdf["cum_tokens"] = pd.Series(cums, dtype="int64")
+            pdf["pack_id"] = pd.Series(packs, dtype="int64")
+            return pdf
+
+        return out_df.groupBy("pack_bucket").applyInPandas(
+            pack_bucket_walk, schema=schema_str
+        )
+    if mode != "closed_form":
+        raise ValueError(f"pack_sequences: unknown mode {mode!r}")
     nt = F.col(n_tokens_col)
     w = (
         Window.partitionBy("pack_bucket")
@@ -147,11 +201,7 @@ def pack_sequences(
         (F.greatest(cum, F.lit(1)) - F.lit(1)) / F.lit(float(budget))
     ).cast("bigint")
     return (
-        df.withColumn(
-            "pack_bucket", hash_bucket(id_col, seed, n_buckets).cast("bigint")
-        )
-        .withColumn("pack_order", order_hash(id_col, seed))
-        .withColumn("cum_tokens", cum.cast("bigint"))
+        out_df.withColumn("cum_tokens", cum.cast("bigint"))
         .withColumn(
             "pack_id", F.col("pack_bucket") * F.lit(1 << 32) + local_pack
         )

@@ -8,6 +8,7 @@ from __future__ import annotations
 
 import pytest
 from pyspark.sql import Row
+from pyspark.sql import functions as F
 
 from politicamente_etl_spark import corpus
 from politicamente_etl_spark.sources.readers import load_table
@@ -99,6 +100,110 @@ def test_dry_run_leaves_state_untouched(spark, root):
     }
     assert report == {3001: "admitted"}
     assert spark.read.parquet(f"{root}/docs").count() == n_before
+
+
+def test_within_batch_near_dups_keep_first(spark, tmp_path):
+    """Two NEAR-identical (not byte-identical) docs in one batch: only the
+    smaller id commits; the other is rejected as near_duplicate_batch —
+    the round-4 fix for the batch-vs-corpus-only near check."""
+    root = str(tmp_path / "root")
+    seed = spark.createDataFrame(
+        [Row(doc_id=i, text=_long_text(f"seed{i}"), source="seed") for i in range(5)]
+    )
+    corpus.init_corpus(spark, root, seed)
+
+    base = _long_text("pairX")
+    toks = base.split(" ")
+    toks[-1] = "zzzaltered"
+    batch = spark.createDataFrame(
+        [
+            Row(doc_id=6001, text=base, source="batch"),
+            Row(doc_id=6002, text=" ".join(toks), source="batch"),
+        ]
+    )
+    report = {
+        r.doc_id: r.verdict
+        for r in corpus.ingest_batch(spark, root, batch).collect()
+    }
+    assert report == {6001: "admitted", 6002: "near_duplicate_batch"}
+    docs = spark.read.parquet(f"{root}/docs")
+    assert docs.filter("doc_id = 6001").count() == 1
+    assert docs.filter("doc_id = 6002").count() == 0
+
+
+def test_interrupted_commit_heals_on_retry(spark, tmp_path):
+    """Crash simulation: state (signatures) append landed, docs append did
+    not. The retry classifies the doc as `healed` and repairs the docs
+    table; a further retry is a plain duplicate. State is written first
+    precisely so this is the ONLY possible divergence shape."""
+    import os as _os
+
+    root = str(tmp_path / "root")
+    seed = spark.createDataFrame(
+        [Row(doc_id=i, text=_long_text(f"seed{i}"), source="seed") for i in range(5)]
+    )
+    corpus.init_corpus(spark, root, seed)
+
+    batch = spark.createDataFrame(
+        [Row(doc_id=6101, text=_long_text("crashy"), source="batch")]
+    )
+    # simulate the crash window: run the real commit, then roll back ONLY
+    # the docs append (keep state) by restoring the docs dir content.
+    docs_dir = _os.path.join(root, "docs")
+    before = set(_os.listdir(docs_dir))
+    corpus.ingest_batch(spark, root, batch)
+    for name in set(_os.listdir(docs_dir)) - before:
+        _os.remove(_os.path.join(docs_dir, name))
+
+    n_state = spark.read.parquet(f"{root}/signatures").count()
+    assert spark.read.parquet(docs_dir).filter("doc_id = 6101").count() == 0
+
+    report = {
+        r.doc_id: r.verdict
+        for r in corpus.ingest_batch(spark, root, batch).collect()
+    }
+    assert report == {6101: "healed"}
+    assert spark.read.parquet(docs_dir).filter("doc_id = 6101").count() == 1
+    # healing repairs docs only — no second state row
+    assert spark.read.parquet(f"{root}/signatures").count() == n_state
+
+    report = {
+        r.doc_id: r.verdict
+        for r in corpus.ingest_batch(spark, root, batch).collect()
+    }
+    assert report == {6101: "duplicate"}
+    assert spark.read.parquet(docs_dir).filter("doc_id = 6101").count() == 1
+
+
+def test_no_full_docs_rehash_per_batch(spark, tmp_path):
+    """The duplicate gate reads stored state digests, never re-hashing the
+    docs table: the ingest plan must not contain an md5 over the corpus
+    docs scan. Probed by dropping the text column from the persisted docs
+    (state carries everything the gate needs); only the optional LM gate
+    and heal-read touch docs at all."""
+    root = str(tmp_path / "root")
+    seed = spark.createDataFrame(
+        [Row(doc_id=i, text=_long_text(f"seed{i}"), source="seed") for i in range(5)]
+    )
+    corpus.init_corpus(spark, root, seed)
+    # corrupt docs' TEXT (keep digest): if ingest re-hashed docs text the
+    # duplicate verdict would break; reading only the stored digest keeps it
+    docs = spark.read.parquet(f"{root}/docs").withColumn(
+        "text", F.lit("SCRAMBLED")
+    )
+    docs.write.mode("overwrite").parquet(str(tmp_path / "docs2"))
+    spark.read.parquet(str(tmp_path / "docs2")).write.mode("overwrite").parquet(
+        f"{root}/docs"
+    )
+
+    dup = spark.createDataFrame(
+        [Row(doc_id=6201, text=_long_text("seed2"), source="batch")]
+    )
+    report = {
+        r.doc_id: r.verdict
+        for r in corpus.ingest_batch(spark, root, dup).collect()
+    }
+    assert report == {6201: "duplicate"}
 
 
 def test_stream_ingest_drains_and_audits(spark, sf_dir, tmp_path):

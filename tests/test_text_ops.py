@@ -118,6 +118,46 @@ def test_pack_sequences_cuts_at_budget(spark):
     assert len({r.doc_id for r in packed}) == 10
 
 
+def test_pack_sequences_greedy_caps_every_pack(spark):
+    """mode='greedy': no pack exceeds the budget (the closed-form mode's
+    2·budget-2 overflow is exactly what this mode removes); the walk is
+    deterministic and single-doc-oversize still lands alone."""
+    from collections import defaultdict
+
+    from politicamente_etl_spark.operators import sampling
+
+    df = spark.createDataFrame(
+        [(i, [60, 90, 30, 250][i % 4]) for i in range(1, 41)],
+        "doc_id int, n_tokens long",
+    )
+    packed = sampling.pack_sequences(
+        df, budget=200, n_buckets=4, mode="greedy"
+    ).collect()
+    assert len({r.doc_id for r in packed}) == 40
+    totals = defaultdict(int)
+    for r in packed:
+        totals[r.pack_id] += r.n_tokens
+    # 250-token docs exceed the budget alone; every other pack is capped
+    assert all(t <= 200 or t == 250 for t in totals.values())
+    # cum_tokens restarts inside each pack and ends at the pack total
+    by_pack = defaultdict(list)
+    for r in packed:
+        by_pack[r.pack_id].append(r)
+    for rows in by_pack.values():
+        rows.sort(key=lambda r: (r.pack_order, r.doc_id))
+        run = 0
+        for r in rows:
+            run += r.n_tokens
+            assert r.cum_tokens == run
+    # determinism across runs
+    again = sampling.pack_sequences(
+        df, budget=200, n_buckets=4, mode="greedy"
+    ).collect()
+    assert sorted((r.doc_id, r.pack_id) for r in again) == sorted(
+        (r.doc_id, r.pack_id) for r in packed
+    )
+
+
 def test_redact_pii_literal(spark):
     df = spark.createDataFrame(
         [
