@@ -154,3 +154,38 @@ def sample_frames(
     return df.select("doc_id", "media").mapInPandas(
         run, "doc_id long, frame_no int, frame binary"
     )
+
+
+def frame_sampling_plan(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    duration_col: str = "duration_ms",
+    every_ms: int = 40,
+    max_frames: int = 16,
+) -> DataFrame:
+    """Deterministic frame-sampling PLAN for video payloads: one row per
+    (media item, frame) with the millisecond timestamp to decode at —
+    every `every_ms` from 0, capped at `max_frames` per item. The plan is
+    pure metadata (no payload touched), so it computes as a narrow
+    sequence-explode over the catalog scan and can be joined back to the
+    binary column only inside the decode `mapInPandas` pass — at 100 TB
+    the planner runs on the (tiny) metadata table while the byte-heavy
+    decode stays embarrassingly parallel and reads each payload once.
+
+    The row blow-up is bounded by max_frames, and the (id, frame_idx)
+    grain is exactly what `extract_video_frames` emits — the plan is the
+    declarative half of that stub's imperative loop."""
+    n = F.least(
+        F.lit(max_frames),
+        (F.floor(F.col(duration_col) / F.lit(every_ms)) + F.lit(1)),
+    ).cast("int")
+    return df.select(
+        F.col(id_col),
+        F.posexplode(F.sequence(F.lit(0), n - F.lit(1))).alias(
+            "frame_idx", "__v"
+        ),
+    ).select(
+        F.col(id_col),
+        F.col("frame_idx").cast("long").alias("frame_idx"),
+        (F.col("frame_idx") * F.lit(every_ms)).cast("long").alias("ts_ms"),
+    )
