@@ -1005,3 +1005,149 @@ def _register():
 
 
 _register()
+
+
+def _register_calibration():
+    from politicamente_etl_spark.operators import dedup
+    from politicamente_etl_spark.plans.catalog import CATALOG as _CAT
+    from politicamente_etl_spark.plans.catalog import T, register
+
+    _minhash_pairs_sql = _CAT["minhash_near_dup_pairs"].sql
+
+    @register(
+        "minhash_calibration_report",
+        sql=f"""
+        WITH cand AS ({_minhash_pairs_sql}
+        ), t2 AS (
+            SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+        ), sh2 AS (
+            SELECT DISTINCT doc_id,
+                   unnest([concat_ws(' ', toks[i], toks[i+1], toks[i+2])
+                           for i in range(1, len(toks) - 1)]) AS sh
+            FROM t2
+        ), sz AS (
+            SELECT doc_id, COUNT(*) AS n_sh FROM sh2 GROUP BY doc_id
+        ), inter AS (
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+            FROM sh2 a JOIN sh2 b ON a.sh = b.sh AND a.doc_id < b.doc_id
+            GROUP BY 1, 2
+        ), exact AS (
+            SELECT doc_a, doc_b,
+                   CAST(floor(CAST(n_common AS DOUBLE)
+                        / (sa.n_sh + sb.n_sh - n_common) * 1000000)
+                        AS BIGINT) AS exact_ppm
+            FROM inter
+            JOIN sz sa ON inter.doc_a = sa.doc_id
+            JOIN sz sb ON inter.doc_b = sb.doc_id
+        )
+        SELECT c.doc_a, c.doc_b,
+               CAST(floor(c.est_jaccard * 1000000) AS BIGINT) AS est_ppm,
+               COALESCE(e.exact_ppm, 0) AS exact_ppm,
+               abs(CAST(floor(c.est_jaccard * 1000000) AS BIGINT)
+                   - COALESCE(e.exact_ppm, 0)) AS abs_err_ppm
+        FROM cand c LEFT JOIN exact e USING (doc_a, doc_b)
+        """,
+        tags=("ext-dedup", "ext-approx"),
+    )
+    def q_minhash_calibration_report(
+        spark: SparkSession, sf_dir: str
+    ) -> DataFrame:
+        """Sketch calibration: every MinHash-LSH candidate pair audited
+        against its EXACT 3-gram Jaccard — the per-pair estimation error
+        the banding parameters (4×2 here) must be tuned against before
+        trusting est_jaccard thresholds at scale ('measure, don't
+        guess' applied to the dedup operator itself). The exact side
+        reuses the inverted-index join, restricted by the left join to
+        candidate pairs; both similarity values surface as floor-ppm
+        integers so the comparison is engine-exact."""
+        docs = T(spark, sf_dir, "documents").select("doc_id", "text")
+        cand = dedup.minhash_near_dup_pairs(docs)
+        exact = dedup.ngram_jaccard_pairs(docs, threshold=0.0).select(
+            "doc_a",
+            "doc_b",
+            F.floor(F.col("jaccard") * 1000000).cast("long").alias("exact_ppm"),
+        )
+        est_ppm = F.floor(F.col("est_jaccard") * 1000000).cast("long")
+        return (
+            cand.join(exact, ["doc_a", "doc_b"], "left")
+            .select(
+                "doc_a",
+                "doc_b",
+                est_ppm.alias("est_ppm"),
+                F.coalesce("exact_ppm", F.lit(0)).alias("exact_ppm"),
+                F.abs(est_ppm - F.coalesce("exact_ppm", F.lit(0))).alias(
+                    "abs_err_ppm"
+                ),
+            )
+        )
+
+    @register(
+        "gini_spend_by_nation",
+        sql="""
+        WITH spend AS (
+            SELECT c_nationkey,
+                   o_custkey,
+                   SUM(CAST(floor(o_totalprice * 100) AS BIGINT)) AS cents
+            FROM orders JOIN customer ON o_custkey = c_custkey
+            GROUP BY 1, 2
+        ), ranked AS (
+            SELECT c_nationkey, o_custkey, cents,
+                   ROW_NUMBER() OVER (PARTITION BY c_nationkey
+                                      ORDER BY cents, o_custkey) AS i
+            FROM spend
+        )
+        SELECT c_nationkey,
+               CAST(COUNT(*) AS BIGINT) AS n_customers,
+               CAST(SUM(cents) AS BIGINT) AS total_cents,
+               CAST(2 * SUM(i * cents) - (COUNT(*) + 1) * SUM(cents)
+                    AS DOUBLE)
+                   / CAST(COUNT(*) * SUM(cents) AS DOUBLE) AS gini
+        FROM ranked GROUP BY c_nationkey
+        """,
+        tags=("ext-agg", "ext-window"),
+    )
+    def q_gini_spend_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Gini coefficient of customer spend per nation — the
+        concentration/inequality metric (is revenue driven by a few whale
+        customers?). Computed by the rank formula G = (2Σi·xᵢ −
+        (n+1)Σxᵢ)/(nΣxᵢ) over integer cents with a deterministic
+        (cents, custkey) rank order: both sums are exact integers and the
+        single final division is the only float op. One shuffle for the
+        per-customer rollup, reused by the per-nation window + agg."""
+        o = T(spark, sf_dir, "orders").select(
+            "o_custkey",
+            F.floor(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+        )
+        c = T(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+        spend = (
+            o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+            .groupBy("c_nationkey", "o_custkey")
+            .agg(F.sum("cents").alias("cents"))
+        )
+        w = Window.partitionBy("c_nationkey").orderBy("cents", "o_custkey")
+        ranked = spend.withColumn("i", F.row_number().over(w))
+        return (
+            ranked.groupBy("c_nationkey")
+            .agg(
+                F.count("*").cast("long").alias("n_customers"),
+                F.sum("cents").cast("long").alias("total_cents"),
+                F.sum(F.col("i") * F.col("cents")).alias("__six"),
+            )
+            .select(
+                "c_nationkey",
+                "n_customers",
+                "total_cents",
+                (
+                    (
+                        2 * F.col("__six")
+                        - (F.col("n_customers") + 1) * F.col("total_cents")
+                    ).cast("double")
+                    / (F.col("n_customers") * F.col("total_cents")).cast(
+                        "double"
+                    )
+                ).alias("gini"),
+            )
+        )
+
+
+_register_calibration()
