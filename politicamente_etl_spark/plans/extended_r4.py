@@ -74,6 +74,7 @@ def _register():
 
     @register(
         "chunk_dedup_report",
+        bench=True,
         sql=_CHUNK_SQL
         + """, r AS (
             SELECT doc_id,

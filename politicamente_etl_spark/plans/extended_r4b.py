@@ -680,6 +680,7 @@ def _register():
 
     @register(
         "pq_code_assignment",
+        bench=True,
         sql=_M_CTE
         + """, sub AS (
             SELECT vec_id, CAST((i - 1) // 16 AS BIGINT) AS subspace,

