@@ -51,19 +51,22 @@ _CHUNK_SQL = f"""
         )"""
 
 
-def _chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _chunks(
+    spark: SparkSession, sf_dir: str, with_source: bool = False
+) -> DataFrame:
     from politicamente_etl_spark.plans.catalog import T
 
     docs = T(spark, sf_dir, "documents").select("doc_id", "source", "text")
     ch = text.chunk_documents(docs, window=CHUNK_W, stride=CHUNK_W)
-    return (
-        ch.join(docs.select("doc_id", "source"), "doc_id")
-        .select(
-            "doc_id",
-            "source",
-            F.md5("chunk_text").alias("h"),
-            F.col("chunk_idx").cast("long").alias("ci"),
-        )
+    if with_source:
+        # chunk_documents drops non-(id, text) columns; re-attach source
+        # via a broadcast of the 2-column dim projection.
+        ch = ch.join(F.broadcast(docs.select("doc_id", "source")), "doc_id")
+    cols = ["doc_id"] + (["source"] if with_source else [])
+    return ch.select(
+        *cols,
+        F.md5("chunk_text").alias("h"),
+        F.col("chunk_idx").cast("long").alias("ci"),
     )
 
 
@@ -144,7 +147,7 @@ def _register():
 
         One shuffle on the chunk hash; distinct-counts are partial-
         aggregated; TakeOrdered top-k — no global sort."""
-        ch = _chunks(spark, sf_dir)
+        ch = _chunks(spark, sf_dir, with_source=True)
         return (
             ch.groupBy("h")
             .agg(
