@@ -272,3 +272,56 @@ def key_skew_report(
             ).alias("skew_ratio"),
         )
     )
+
+
+def ntile_buckets(
+    df: DataFrame,
+    value_col: str,
+    n: int,
+    order_cols: list[str] | None = None,
+    exact: bool = True,
+    out_col: str = "bucket",
+) -> DataFrame:
+    """Equal-population bucketing (decile/percentile assignment) with an
+    explicit scale switch:
+
+    - ``exact=True`` (the oracle mode): ``ntile(n)`` over a GLOBAL sort —
+      bit-exact equal-count bins with deterministic tie-breaks
+      (`order_cols` appended to the ordering), but the sort serializes
+      through one reducer; right when the bucketed table is already an
+      aggregate (users, not events) or when bins must be exactly equal.
+    - ``exact=False`` (the 100 TB mode): bucket boundaries from
+      ``approx_percentile`` (a mergeable sketch — one partial-agg pass,
+      no global sort), then a narrow broadcast comparison against the
+      n-1 edges. Bins are approximately equal-count; boundary rows may
+      land one bucket off the exact answer, which is the documented,
+      bounded trade (same swap unigram_logprob_scores makes for its
+      quality buckets).
+
+    Buckets are 1..n in DESCENDING value order (bucket 1 = top values)
+    in both modes, so callers can flip modes without re-mapping."""
+    if exact:
+        order = [F.col(value_col).desc()] + [
+            F.col(c) for c in (order_cols or [])
+        ]
+        return df.withColumn(out_col, F.ntile(n).over(Window.orderBy(*order)))
+    fracs = [i / n for i in range(1, n)]
+    edges = df.agg(
+        F.percentile_approx(
+            value_col, F.array(*[F.lit(f) for f in fracs]), 10_000
+        ).alias("__edges")
+    )
+    v = F.col(value_col)
+    # descending buckets: above the (n-1)/n quantile → bucket 1, ...
+    expr = F.lit(n)
+    for i, _ in enumerate(fracs):
+        # edge index i holds the (i+1)/n quantile; values above the
+        # LAST edge are bucket 1
+        expr = F.when(
+            v > F.element_at("__edges", i + 1), F.lit(n - 1 - i)
+        ).otherwise(expr)
+    return (
+        df.join(F.broadcast(edges))
+        .withColumn(out_col, expr)
+        .drop("__edges")
+    )

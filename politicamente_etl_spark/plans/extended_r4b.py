@@ -638,11 +638,12 @@ def _register():
     def q_decile_lift_table(spark: SparkSession, sf_dir: str) -> DataFrame:
         """Spend-decile lift table: users ranked into 10 equal bins by
         purchase spend, each bin reporting engagement and conversion —
-        the marketing/value-segmentation standard report. The ntile
-        ranks the (already user-aggregated) table, so the global sort is
-        over |users| rows, not |events|; at larger scale the decile
-        boundaries come from approx_percentile instead (the same swap
-        unigram_logprob_quality documents). All integer cents/ppm."""
+        the marketing/value-segmentation standard report. Bucketing is
+        `stats.ntile_buckets` in its EXACT mode (global ntile over the
+        already user-aggregated table — |users| rows, not |events|);
+        the operator's exact=False mode is the implemented 100 TB path
+        (approx_percentile edges + broadcast comparison, no global
+        sort). All integer cents/ppm."""
         ev = load_events(spark, sf_dir)
         per = ev.groupBy("user_id").agg(
             F.sum(
@@ -658,9 +659,13 @@ def _register():
                 F.when(F.col("event_type") == "purchase", 1).otherwise(0)
             ).alias("purchases"),
         )
-        w = Window.orderBy(F.col("spend_cents").desc(), "user_id")
+        from politicamente_etl_spark.operators import stats
+
         return (
-            per.withColumn("decile", F.ntile(10).over(w))
+            stats.ntile_buckets(
+                per, "spend_cents", 10, order_cols=["user_id"],
+                exact=True, out_col="decile",
+            )
             .groupBy("decile")
             .agg(
                 F.count("*").cast("long").alias("n_users"),

@@ -232,3 +232,29 @@ def test_greedy_pack_stats_matches_closed_form_totals(spark, sf_dir):
         .collect()
     )
     assert all(r.t <= 512 for r in multi)
+
+
+def test_ntile_buckets_approx_mode_no_global_sort(spark):
+    """stats.ntile_buckets: the approx mode must produce n buckets with
+    near-equal populations AND plan no global-sort window (the implemented
+    100 TB path, not a docstring claim)."""
+    from politicamente_etl_spark.operators import stats
+
+    df = spark.range(10_000).select(
+        F.col("id"), (F.col("id") * 37 % 9973).alias("v")
+    )
+    exact = stats.ntile_buckets(df, "v", 10, order_cols=["id"], exact=True)
+    approx = stats.ntile_buckets(df, "v", 10, exact=False)
+    ec = {r.bucket: r.c for r in exact.groupBy("bucket").agg(F.count("*").alias("c")).collect()}
+    ac = {r.bucket: r.c for r in approx.groupBy("bucket").agg(F.count("*").alias("c")).collect()}
+    assert set(ec) == set(range(1, 11))
+    assert set(ac) == set(range(1, 11))
+    assert all(c == 1000 for c in ec.values())
+    # sketch-accurate bins: within 5% of equal population
+    assert all(abs(c - 1000) <= 50 for c in ac.values())
+    # descending convention in both: bucket 1 holds the top values
+    top_exact = exact.filter("bucket = 1").agg(F.min("v")).collect()[0][0]
+    bot_exact = exact.filter("bucket = 10").agg(F.max("v")).collect()[0][0]
+    assert top_exact > bot_exact
+    plan_ap = plan_of(approx)
+    assert "Window" not in plan_ap
