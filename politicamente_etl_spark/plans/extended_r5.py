@@ -654,6 +654,50 @@ def _register():
         )
 
     @register(
+        "streaming_cdc_changelog",
+        sql="""
+        WITH a AS (
+            SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n
+            FROM events WHERE event_id % 2 = 0 GROUP BY 1
+        ), b AS (
+            SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n
+            FROM events WHERE event_id % 2 = 1 GROUP BY 1
+        )
+        SELECT event_type, CAST(0 AS BIGINT) AS batch_id,
+               CAST(0 AS BIGINT) AS old_n, n AS new_n,
+               'insert' AS change_type
+        FROM a
+        UNION ALL
+        SELECT b.event_type, CAST(1 AS BIGINT) AS batch_id,
+               COALESCE(a.n, 0) AS old_n,
+               COALESCE(a.n, 0) + b.n AS new_n,
+               CASE WHEN a.n IS NULL THEN 'insert' ELSE 'update' END
+                   AS change_type
+        FROM b LEFT JOIN a USING (event_type)
+        """,
+        tags=("ext-stream", "ext-cdc"),
+    )
+    def q_streaming_cdc_changelog(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Incremental view maintenance: a two-micro-batch replay of the
+        events feed maintains a per-type count view through foreachBatch,
+        and each batch's delta against the previous view state is emitted
+        as a CDC changelog via the SAME `cdc.snapshot_diff` operator the
+        batch engine uses — streaming materialized-view updates and batch
+        CDC share one verified code path. The micro-batch split (event_id
+        parity, mtime-pinned order) is deterministic, so every changelog
+        row is oracle-checked, not just counted."""
+        from politicamente_etl_spark.streaming import windows as W
+
+        out = W.stream_cdc_changelog(spark, sf_dir)
+        return out.select(
+            "event_type",
+            "batch_id",
+            F.coalesce("old_n", F.lit(0)).cast("long").alias("old_n"),
+            F.col("new_n").cast("long").alias("new_n"),
+            "change_type",
+        )
+
+    @register(
         "top_tokens_per_source",
         sql="""
         WITH tc AS (

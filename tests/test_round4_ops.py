@@ -258,3 +258,22 @@ def test_ntile_buckets_approx_mode_no_global_sort(spark):
     assert top_exact > bot_exact
     plan_ap = plan_of(approx)
     assert "Window" not in plan_ap
+
+
+def test_stream_cdc_changelog_two_batches(spark, sf_dir):
+    """The changelog must show exactly two batches (parity split, mtime
+    order pinned), batch-0 all inserts and batch-1 deltas building on
+    batch-0 state — the incremental-view-maintenance contract."""
+    from politicamente_etl_spark.streaming import windows as W
+
+    out = W.stream_cdc_changelog(spark, sf_dir).collect()
+    by_batch = {}
+    for r in out:
+        by_batch.setdefault(r.batch_id, []).append(r)
+    assert set(by_batch) == {0, 1}
+    assert all(r.change_type == "insert" for r in by_batch[0])
+    b0 = {r.event_type: r.new_n for r in by_batch[0]}
+    for r in by_batch[1]:
+        if r.change_type == "update":
+            assert r.old_n == b0[r.event_type]
+            assert r.new_n > r.old_n
