@@ -58,7 +58,15 @@ def _register():
         pair join is the inverted-index self-join on the order key
         (cost Σ_order k², k = parts per order ≈ 4), with the support
         floor applied IN the aggregate so low-support pairs never reach
-        the scoring joins. All ratios are integer ppm."""
+        the scoring joins. All ratios are integer ppm.
+
+        Measured (tools/r4_scale_probe.py, 8× sf0.1): join time ×3.0 for
+        ×8 input — the pair join scales; what does NOT is the ABSOLUTE
+        support floor (n_both ≥ 3), whose surviving-pair count exploded
+        598,000× because replicated data multiplies every count. At scale
+        the floor must be RELATIVE (support_ppm ≥ x of orders), which
+        this query exposes as a column precisely so the caller can gate
+        on it."""
         li = (
             T(spark, sf_dir, "lineitem")
             .select("l_orderkey", "l_partkey")
