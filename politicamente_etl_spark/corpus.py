@@ -132,22 +132,31 @@ def ingest_batch(
     docs_path = os.path.join(root_path, "docs")
     sig_path = os.path.join(root_path, "signatures")
     state = spark.read.parquet(sig_path)
+    if "digest" not in state.columns:
+        # a corpus initialized by the pre-digest layout can't support the
+        # crash-heal protocol; failing loudly beats silently re-admitting
+        raise ValueError(
+            "corpus state table has no digest column (legacy layout) — "
+            "re-run init_corpus to migrate"
+        )
     # dedup source of truth is the STATE table's stored digest column —
     # the full docs table is never re-hashed per batch (round-4 fix #1).
     corpus_digests = (
         state.select("digest").distinct().withColumn("__in_corpus", F.lit(1))
     )
+    docs_df = spark.read.parquet(docs_path)
+    docs_digests = (
+        docs_df.select("digest")
+        if "digest" in docs_df.columns
+        else docs_df.select(F.md5("text").alias("digest"))
+    ).distinct()
     # heal probe: digests whose state row landed but whose docs append was
     # lost to a crash between the two commit writes. Both sides are stored
     # 16-byte columns, so this is a cheap column-scan anti-join.
     orphan_digests = (
         state.select("digest")
         .distinct()
-        .join(
-            spark.read.parquet(docs_path).select("digest").distinct(),
-            "digest",
-            "left_anti",
-        )
+        .join(docs_digests, "digest", "left_anti")
         .withColumn("__orphan", F.lit(1))
     )
 

@@ -859,9 +859,11 @@ def _register():
             SELECT label, CAST(vec_id < 250 AS INT) AS is_a, i, mv
             FROM m
         ), means AS (
+            -- the group is per DIMENSION: one row per vector, so
+            -- COUNT(*) is the half's vector count directly
             SELECT label, is_a, i,
                    CAST(SUM(mv) // COUNT(*) AS BIGINT) AS mean_m,
-                   COUNT(*) // 64 AS n_vecs
+                   COUNT(*) AS n_vecs
             FROM halves GROUP BY 1, 2, 3
         )
         SELECT a.label,
@@ -892,7 +894,7 @@ def _register():
         )
         means = m.groupBy("label", "is_a", "i").agg(
             F.expr("sum(mv) DIV count(*)").cast("long").alias("mean_m"),
-            F.expr("count(*) DIV 64").alias("n_vecs"),
+            F.count("*").alias("n_vecs"),
         )
         a = means.filter(F.col("is_a") == 1).alias("a")
         b = means.filter(F.col("is_a") == 0).alias("b")
