@@ -277,3 +277,47 @@ def test_stream_cdc_changelog_two_batches(spark, sf_dir):
         if r.change_type == "update":
             assert r.old_n == b0[r.event_type]
             assert r.new_n > r.old_n
+
+
+# ---------------------------------------------------------------------------
+# streaming state introspection (Spark 4 state data source)
+# ---------------------------------------------------------------------------
+
+
+def test_statestore_reader_introspects_window_state(spark, sf_dir, tmp_path):
+    """The state-store READER: after a windowed streaming aggregation, the
+    checkpoint's operator state is queryable as a DataFrame via the
+    `statestore` data source — one state row per (window, event_type)
+    group, matching the materialized output. This is the ops surface for
+    debugging state-size blowups and skewed keys WITHOUT instrumenting the
+    job: at 100 TB/day the first question in any streaming incident is
+    'what is in the state store', and this answers it with a query."""
+    from politicamente_etl_spark.streaming import windows as W
+
+    ckpt = str(tmp_path / "ckpt")
+    agg = W.tumbling_agg(W.stream_events(spark, sf_dir))
+    name = "state_probe_tbl"
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(name)
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    out_rows = spark.table(name).count()
+
+    state = spark.read.format("statestore").load(ckpt)
+    # one state row per aggregation group
+    assert state.count() == out_rows
+    # the state KEY carries the group columns — event_type must be there
+    key_fields = [f.name for f in state.schema["key"].dataType.fields]
+    assert any("event_type" in f for f in key_fields)
+
+    # operator metadata is also queryable (state-metadata source)
+    meta = spark.read.format("state-metadata").load(ckpt)
+    ops = {r.operatorName for r in meta.collect()}
+    assert "stateStoreSave" in ops
