@@ -1,0 +1,163 @@
+"""Distributed graph operators.
+
+`near_dup_clusters` (operators/dedup.py) resolves components by per-hop
+min-label propagation — right for near-dup graphs (tiny cliques, diameter
+1-2), but O(diameter) rounds kill it on long chains. This module
+implements the alternative its docstring names: the large-star/small-star
+connected-components algorithm (Kiveris et al., "Connected Components in
+MapReduce and Beyond", SoCC'14), which converges in O(log n) rounds on
+ANY topology — the difference between 3 rounds and 2000 rounds on a
+2000-node path graph.
+
+Each round is two map-reduce steps over the edge list:
+- LARGE-STAR: every node u connects its LARGER neighbors to its current
+  minimum m(u) = min(N(u) ∪ {u}) — long tails fold onto small labels.
+- SMALL-STAR: every node u (edges oriented toward smaller ids) connects
+  its smaller neighbors AND ITSELF to m(u) — stars flatten.
+
+Both steps are one groupBy-min + one equi-join on node ids — exactly the
+shuffle primitives everything else in this repo uses; no vertex-program
+framework needed. The result is a star per component rooted at the
+component's minimum node id.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _large_star(e: DataFrame) -> DataFrame:
+    """e: undirected edges as (u, v) pairs, self-loop-free. Returns the
+    large-star transform, deduplicated, as (u, v) with u < v."""
+    sym = e.unionByName(
+        e.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    )
+    m = sym.groupBy("u").agg(F.min("v").alias("mn")).select(
+        "u", F.least("u", "mn").alias("m")
+    )
+    out = (
+        sym.filter(F.col("v") > F.col("u"))
+        .join(m, "u")
+        .select(F.col("m").alias("a"), F.col("v").alias("b"))
+    )
+    return (
+        out.filter(F.col("a") != F.col("b"))
+        .select(
+            F.least("a", "b").alias("u"), F.greatest("a", "b").alias("v")
+        )
+        .distinct()
+    )
+
+
+def _small_star(e: DataFrame) -> DataFrame:
+    """Small-star transform of (u, v) pairs; output (u, v) with u < v."""
+    # orient every edge toward the larger endpoint: (big, small)
+    oriented = e.select(
+        F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
+    )
+    m = oriented.groupBy("u").agg(F.min("v").alias("m"))
+    joined = oriented.join(m, "u")
+    # connect all small neighbors AND u itself to m
+    out = joined.select(F.col("m").alias("a"), F.col("v").alias("b")).unionByName(
+        joined.select(F.col("m").alias("a"), F.col("u").alias("b")).distinct()
+    )
+    return (
+        out.filter(F.col("a") != F.col("b"))
+        .select(
+            F.least("a", "b").alias("u"), F.greatest("a", "b").alias("v")
+        )
+        .distinct()
+    )
+
+
+def connected_components(
+    pairs: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Connected components of an undirected edge list via alternating
+    large-star/small-star — O(log n) rounds regardless of diameter.
+
+    Returns (node, component) for every node incident to an edge, with
+    component = the smallest node id in the component. The fixpoint test
+    is an edge-multiset checksum (count + id sums — cheap scalar aggs);
+    because a stale checksum could in principle collide, the labeling is
+    then POSITIVELY verified against the ORIGINAL edges (both endpoints
+    must land in one component) and the function raises rather than
+    return a split component — correctness never rests on the checksum.
+
+    Scale: every round is groupBy-min + equi-join on node ids; edges only
+    ever shrink toward the star form, and rounds are logarithmic, so a
+    2000-hop chain converges in ~5 rounds where per-hop label propagation
+    (`dedup.near_dup_clusters`) needs 2000."""
+    e = (
+        pairs.select(
+            F.least(src, dst).alias("u"), F.greatest(src, dst).alias("v")
+        )
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint()
+    )
+    nodes = (
+        e.select(F.col("u").alias("node"))
+        .unionByName(e.select(F.col("v").alias("node")))
+        .distinct()
+        .localCheckpoint()
+    )
+
+    def checksum(df: DataFrame) -> tuple:
+        row = df.agg(
+            F.count("*").alias("n"),
+            F.coalesce(F.sum("u"), F.lit(0)).alias("su"),
+            F.coalesce(F.sum("v"), F.lit(0)).alias("sv"),
+        ).collect()[0]
+        return (row.n, row.su, row.sv)
+
+    prev = checksum(e)
+    converged = False
+    for _ in range(max_iter):
+        e = _small_star(_large_star(e)).localCheckpoint()
+        cur = checksum(e)
+        if cur == prev:
+            converged = True
+            break
+        prev = cur
+    if not converged:
+        raise RuntimeError(
+            f"connected_components: no fixpoint after {max_iter} rounds"
+        )
+
+    # at the fixpoint the edges form stars rooted at component minima:
+    # every non-root node appears as v (exactly once in a clean star; the
+    # min-agg is insurance against duplicate leaf rows ever reaching the
+    # output — the verification below still guards semantics).
+    labels = (
+        e.groupBy(F.col("v").alias("node"))
+        .agg(F.min("u").alias("component"))
+    )
+    roots = nodes.join(
+        labels.select("node"), "node", "left_anti"
+    ).select("node", F.col("node").alias("component"))
+    out = labels.unionByName(roots).localCheckpoint()
+
+    # positive verification: every ORIGINAL edge must be intra-component
+    la = out.select(F.col("node").alias("u"), F.col("component").alias("ca"))
+    lb = out.select(F.col("node").alias("v"), F.col("component").alias("cb"))
+    bad = (
+        pairs.select(
+            F.least(src, dst).alias("u"), F.greatest(src, dst).alias("v")
+        )
+        .filter(F.col("u") != F.col("v"))
+        .join(la, "u")
+        .join(lb, "v")
+        .filter(F.col("ca") != F.col("cb"))
+        .count()
+    )
+    if bad:
+        raise RuntimeError(
+            f"connected_components: {bad} edges cross components — "
+            "fixpoint checksum collided; raise max_iter"
+        )
+    return out

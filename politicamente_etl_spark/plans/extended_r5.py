@@ -188,6 +188,82 @@ def _register():
             .limit(10)
         )
 
+    @register(
+        "copurchase_communities",
+        sql="""
+        WITH RECURSIVE li AS (
+            SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+        ), e0 AS (
+            SELECT a.l_partkey AS pa, b.l_partkey AS pb
+            FROM li a JOIN li b
+              ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+            GROUP BY 1, 2 HAVING COUNT(*) >= 2
+        ), e AS (
+            SELECT pa AS src, pb AS dst FROM e0
+            UNION ALL SELECT pb AS src, pa AS dst FROM e0
+        ), n AS (
+            SELECT DISTINCT src AS node FROM e
+        ), reach(node, label) AS (
+            SELECT node, node AS label FROM n
+            UNION
+            SELECT e.dst AS node, r.label FROM reach r
+            JOIN e ON e.src = r.node
+        ), cc AS (
+            SELECT node, MIN(label) AS component FROM reach GROUP BY node
+        )
+        SELECT component,
+               CAST(COUNT(*) AS BIGINT) AS n_parts,
+               CAST(SUM(node) AS BIGINT) AS part_checksum
+        FROM cc GROUP BY component
+        ORDER BY n_parts DESC, component
+        LIMIT 20
+        """,
+        tags=("ext-rel", "ext-graph"),
+    )
+    def q_copurchase_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Connected components of the co-purchase graph via
+        `graph.connected_components` — the large-star/small-star
+        algorithm (Kiveris et al.), O(log n) rounds on ANY topology. This
+        graph is exactly the case that demands it: one giant component
+        holds 1860 of 1880 parts, so per-hop label propagation
+        (`near_dup_clusters`, right for clique-shaped near-dup graphs)
+        would need diameter-many rounds. The oracle closes the SAME
+        reachability with a DuckDB RECURSIVE CTE — two entirely different
+        fixpoint engines, one answer, per-component membership checksums
+        included."""
+        from politicamente_etl_spark.operators import graph
+
+        li = (
+            T(spark, sf_dir, "lineitem")
+            .select("l_orderkey", "l_partkey")
+            .distinct()
+        )
+        a, b = li.alias("a"), li.alias("b")
+        e = (
+            a.join(
+                b,
+                (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+                & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+            )
+            .groupBy(
+                F.col("a.l_partkey").alias("src"),
+                F.col("b.l_partkey").alias("dst"),
+            )
+            .agg(F.count("*").alias("cnt"))
+            .filter(F.col("cnt") >= 2)
+            .select("src", "dst")
+        )
+        cc = graph.connected_components(e)
+        return (
+            cc.groupBy("component")
+            .agg(
+                F.count("*").cast("long").alias("n_parts"),
+                F.sum("node").cast("long").alias("part_checksum"),
+            )
+            .orderBy(F.col("n_parts").desc(), "component")
+            .limit(20)
+        )
+
     # -- skyline / sequences / sessions -------------------------------------
 
     @register(

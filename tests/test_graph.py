@@ -1,0 +1,92 @@
+"""graph.connected_components (large-star/small-star): correctness
+against brute-force components, agreement with the label-propagation
+operator, and the O(log n) property on a long chain where per-hop
+propagation's round budget is hopeless."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from politicamente_etl_spark.operators import dedup, graph
+
+
+def _brute_components(edges: list[tuple[int, int]]) -> dict[int, int]:
+    parent: dict[int, int] = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    return {n: find(n) for n in parent}
+
+
+def test_components_match_brute_force_random(spark):
+    import random
+
+    rng = random.Random(7)
+    edges = [(rng.randrange(200), rng.randrange(200)) for _ in range(150)]
+    edges = [(a, b) for a, b in edges if a != b]
+    e = spark.createDataFrame(edges, "src long, dst long")
+    got = {
+        r.node: r.component
+        for r in graph.connected_components(e).collect()
+    }
+    want = _brute_components(edges)
+    assert got == want
+
+
+def test_components_long_chain_converges_logarithmically(spark):
+    """A 500-node path graph (diameter 499): star convergence must land
+    within the default 25-round budget — the case per-hop label
+    propagation cannot touch (it would need 499 rounds)."""
+    edges = [(i, i + 1) for i in range(500)]
+    e = spark.createDataFrame(edges, "src long, dst long")
+    out = graph.connected_components(e).collect()
+    assert len(out) == 501
+    assert {r.component for r in out} == {0}
+
+    # the propagation operator with a chain-sized budget agrees
+    nodes = spark.range(501).select(F.col("id").alias("doc_id"))
+    pairs = e.select(
+        F.col("src").alias("doc_a"), F.col("dst").alias("doc_b")
+    )
+    with pytest.raises(RuntimeError, match="not converged"):
+        dedup.near_dup_clusters(nodes, pairs, max_iter=5)
+
+
+def test_components_agree_with_label_propagation(spark):
+    """On a small-diameter graph both algorithms must produce identical
+    labelings (propagation is the established, driver-verified operator)."""
+    edges = [(1, 2), (2, 3), (10, 11), (20, 21), (21, 22), (22, 20)]
+    e = spark.createDataFrame(edges, "src long, dst long")
+    star = {
+        r.node: r.component for r in graph.connected_components(e).collect()
+    }
+    nodes = (
+        e.select(F.col("src").alias("doc_id"))
+        .unionByName(e.select(F.col("dst").alias("doc_id")))
+        .distinct()
+    )
+    pairs = e.select(F.col("src").alias("doc_a"), F.col("dst").alias("doc_b"))
+    prop = {
+        r.doc_id: r.cluster_id
+        for r in dedup.near_dup_clusters(nodes, pairs).collect()
+    }
+    assert star == prop
+
+
+def test_components_handles_self_loops_and_dups(spark):
+    e = spark.createDataFrame(
+        [(5, 5), (1, 2), (2, 1), (1, 2)], "src long, dst long"
+    )
+    out = {r.node: r.component for r in graph.connected_components(e).collect()}
+    # the self-loop node never appears (no real edge); the dup pair is one
+    assert out == {1: 1, 2: 1}
