@@ -435,6 +435,7 @@ def near_dup_clusters(
     pairs: DataFrame,
     id_col: str = "doc_id",
     max_iter: int = 15,
+    algo: str = "propagation",
 ) -> DataFrame:
     """Resolve near-dup PAIRS into connected-component CLUSTERS — the step
     that turns candidate generation into an actual dedup decision: every
@@ -451,10 +452,38 @@ def near_dup_clusters(
 
     Scale notes: labels are `localCheckpoint`ed each round to cut the
     growing lineage (else round k replays rounds 1..k-1). Each round is
-    one shuffle join + one aggregate on (node, label) longs. For adversar-
-    ially long chains at 100 TB, swap the per-hop loop for the
-    large-star/small-star algorithm (Kiveris et al., "Connected Components
-    in MapReduce") — same join primitives, O(log n) rounds."""
+    one shuffle join + one aggregate on (node, label) longs. For
+    adversarially long chains / giant components, pass ``algo="star"`` to
+    route through `graph.connected_components` (large-star/small-star,
+    Kiveris et al. — same join primitives, O(log n) rounds on any
+    topology; round-4: implemented and oracle-verified, not just cited).
+    Both algorithms return identical labelings (tests/test_graph.py)."""
+    if algo == "star":
+        from politicamente_etl_spark.operators import graph
+
+        cc = graph.connected_components(
+            pairs.select(
+                F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+            ),
+            max_iter=max_iter if max_iter > 25 else 25,
+        )
+        # nodes with no pair are their own singleton cluster
+        singletons = (
+            df.select(F.col(id_col).alias("node"))
+            .distinct()
+            .join(cc.select("node"), "node", "left_anti")
+            .withColumn("component", F.col("node"))
+        )
+        labels = cc.unionByName(singletons)
+        return labels.select(
+            F.col("node").alias(id_col),
+            F.col("component").alias("cluster_id"),
+            F.when(F.col("node") == F.col("component"), 1)
+            .otherwise(0)
+            .alias("is_canonical"),
+        )
+    if algo != "propagation":
+        raise ValueError(f"near_dup_clusters: unknown algo {algo!r}")
     edges = pairs.select(
         F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
     )

@@ -90,3 +90,23 @@ def test_components_handles_self_loops_and_dups(spark):
     out = {r.node: r.component for r in graph.connected_components(e).collect()}
     # the self-loop node never appears (no real edge); the dup pair is one
     assert out == {1: 1, 2: 1}
+
+
+def test_near_dup_clusters_star_mode_matches_propagation(spark):
+    """near_dup_clusters(algo='star') routes through the star operator and
+    reproduces the propagation labeling incl. singleton and canonical
+    semantics — the dedup pipeline's scale mode is a drop-in."""
+    nodes = spark.range(30).select(F.col("id").alias("doc_id"))
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (7, 8), (25, 9)], "doc_a long, doc_b long"
+    )
+    prop = {
+        (r.doc_id, r.cluster_id, r.is_canonical)
+        for r in dedup.near_dup_clusters(nodes, pairs).collect()
+    }
+    star = {
+        (r.doc_id, r.cluster_id, r.is_canonical)
+        for r in dedup.near_dup_clusters(nodes, pairs, algo="star").collect()
+    }
+    assert star == prop
+    assert len(star) == 30  # every node labeled, singletons included
