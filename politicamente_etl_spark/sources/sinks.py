@@ -14,6 +14,8 @@ behind the same signatures later.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -141,20 +143,28 @@ def compact(spark, path: str, target_files: int = 8) -> None:
     `target_files` files. Streaming sinks and frequent incremental appends
     accrete many tiny files; at scale that turns every scan into a
     file-listing storm and starves the scheduler with sub-split tasks.
-    Uses coalesce (no shuffle — merges existing partitions) and an atomic
-    two-phase swap via a staging directory so readers never observe a
-    half-written table."""
+    Uses coalesce (no shuffle — merges existing partitions) and a
+    rename-pair swap so the data is never unrecoverable: old table →
+    `__old`, staging → live, then delete `__old`. Each rename is atomic
+    (same-filesystem directory rename); the only failure window is the
+    instant between the two renames, where the live path is briefly
+    absent but BOTH copies still exist on disk — a crash there is
+    repaired by renaming `__old` back. (Delta/Iceberg turn this dance
+    into a metastore pointer flip; this is the plain-parquet analogue.)"""
+    import shutil
     import uuid as _uuid
 
     staging = f"{path}__compact_{_uuid.uuid4().hex[:8]}"
+    old = f"{path}__old_{_uuid.uuid4().hex[:8]}"
     df = spark.read.parquet(path)
     df.coalesce(target_files).write.mode("overwrite").parquet(staging)
-    # swap: the rename pair is the non-transactional-filesystem analogue of
-    # a metastore pointer flip (Delta/Iceberg make this a metadata commit)
-    import shutil
-
-    shutil.rmtree(path)
-    shutil.move(staging, path)
+    os.rename(path, old)
+    try:
+        os.rename(staging, path)
+    except OSError:
+        os.rename(old, path)  # roll back — the table was never lost
+        raise
+    shutil.rmtree(old)
 
 
 def write_training_shards(
