@@ -550,6 +550,142 @@ def _register():
             )
         )
 
+    @register(
+        "ewma_user_value",
+        sql="""
+        WITH v AS (
+            SELECT user_id, event_id,
+                   CAST(epoch_us(ts) AS BIGINT) AS ts_us,
+                   CAST(floor(value * 1000) AS BIGINT) AS vm
+            FROM events
+        ), lagged AS (
+            SELECT user_id, event_id, vm,
+                   ROW_NUMBER() OVER w AS rn,
+                   COUNT(*) OVER (PARTITION BY user_id) AS n_events,
+                   """
+        + "\n                   + ".join(
+            f"COALESCE(lag(vm, {k}) OVER w, 0) * {1 << (15 - k)}"
+            for k in range(16)
+        )
+        + """ AS ewma_scaled
+            FROM v
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)
+        )
+        SELECT user_id, CAST(n_events AS BIGINT) AS n_events,
+               CAST(ewma_scaled AS BIGINT) AS ewma_scaled
+        FROM lagged
+        WHERE rn = n_events
+        """,
+        tags=("ext-events", "ext-window"),
+    )
+    def q_ewma_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Exponentially-weighted moving average of each user's event
+        values at their latest event — the streaming-feature-store shape
+        (recency-weighted activity level). α = 1/2 makes every weight a
+        power of two, so the EWMA is an EXACT integer (Σ v_milli·2^(15-k)
+        over the last 16 events) — no float decay products, engine-exact
+        by construction. One user-ordered window; the 16 lag() calls all
+        ride the same sort."""
+        ev = load_events(spark, sf_dir)
+        v = ev.select(
+            "user_id",
+            "event_id",
+            F.unix_micros("ts").alias("ts_us"),
+            F.floor(F.col("value") * 1000).cast("long").alias("vm"),
+        )
+        w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+        ewma = sum(
+            F.coalesce(F.lag("vm", k).over(w), F.lit(0))
+            * F.lit(1 << (15 - k))
+            for k in range(16)
+        )
+        lagged = (
+            v.withColumn("rn", F.row_number().over(w))
+            .withColumn(
+                "n_events", F.count("*").over(Window.partitionBy("user_id"))
+            )
+            .withColumn("ewma_scaled", ewma)
+        )
+        return (
+            lagged.filter(F.col("rn") == F.col("n_events"))
+            .select(
+                "user_id",
+                F.col("n_events").cast("long").alias("n_events"),
+                F.col("ewma_scaled").cast("long").alias("ewma_scaled"),
+            )
+        )
+
+    @register(
+        "theil_sen_revenue_trend",
+        sql="""
+        WITH daily AS (
+            SELECT strftime(o_orderdate, '%Y-%m') AS month,
+                   date_diff('day', DATE '1970-01-01',
+                             CAST(o_orderdate AS DATE)) AS day,
+                   SUM(CAST(floor(o_totalprice * 100) AS BIGINT)) AS cents
+            FROM orders GROUP BY 1, 2
+        ), slopes AS (
+            SELECT a.month,
+                   CAST(b.cents - a.cents AS DOUBLE)
+                       / (b.day - a.day) AS slope,
+                   a.day AS d1, b.day AS d2
+            FROM daily a JOIN daily b
+              ON a.month = b.month AND a.day < b.day
+        ), ranked AS (
+            SELECT month, slope,
+                   ROW_NUMBER() OVER (PARTITION BY month
+                                      ORDER BY slope, d1, d2) AS rn,
+                   COUNT(*) OVER (PARTITION BY month) AS n_pairs
+            FROM slopes
+        )
+        SELECT month, CAST(n_pairs AS BIGINT) AS n_pairs,
+               slope AS median_slope_cents_per_day
+        FROM ranked WHERE rn = (n_pairs + 1) // 2
+        """,
+        tags=("ext-agg", "ext-window"),
+    )
+    def q_theil_sen_revenue_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Theil–Sen robust trend of daily revenue per month: the MEDIAN
+        of all pairwise day-to-day slopes — the outlier-immune answer to
+        least-squares drift (one flash-sale day wrecks OLS; it moves
+        Theil–Sen by one rank). Slopes divide exact integer cents by
+        integer day gaps (identical IEEE doubles on both engines); the
+        median is a PICKED value via a deterministic rank. The pair join
+        is per-month (≤31 days → ≤465 pairs — the classic 'quadratic in
+        the small dimension' shape)."""
+        o = T(spark, sf_dir, "orders").select(
+            F.date_format("o_orderdate", "yyyy-MM").alias("month"),
+            F.unix_date(F.to_date("o_orderdate")).alias("day"),
+            F.floor(F.col("o_totalprice") * 100).cast("long").alias("c"),
+        )
+        daily = o.groupBy("month", "day").agg(F.sum("c").alias("cents"))
+        a, b = daily.alias("a"), daily.alias("b")
+        slopes = a.join(
+            b,
+            (F.col("a.month") == F.col("b.month"))
+            & (F.col("a.day") < F.col("b.day")),
+        ).select(
+            F.col("a.month").alias("month"),
+            (
+                (F.col("b.cents") - F.col("a.cents")).cast("double")
+                / (F.col("b.day") - F.col("a.day"))
+            ).alias("slope"),
+            F.col("a.day").alias("d1"),
+            F.col("b.day").alias("d2"),
+        )
+        wr = Window.partitionBy("month").orderBy("slope", "d1", "d2")
+        wn = Window.partitionBy("month")
+        return (
+            slopes.withColumn("rn", F.row_number().over(wr))
+            .withColumn("n_pairs", F.count("*").over(wn))
+            .filter(F.col("rn") == F.expr("(n_pairs + 1) DIV 2"))
+            .select(
+                "month",
+                F.col("n_pairs").cast("long").alias("n_pairs"),
+                F.col("slope").alias("median_slope_cents_per_day"),
+            )
+        )
+
     # -- profiles / histograms ----------------------------------------------
 
     @register(
