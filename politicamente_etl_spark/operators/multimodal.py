@@ -189,3 +189,44 @@ def frame_sampling_plan(
         F.col("frame_idx").cast("long").alias("frame_idx"),
         (F.col("frame_idx") * F.lit(every_ms)).cast("long").alias("ts_ms"),
     )
+
+
+def extract_media_features_arrow(df: DataFrame) -> DataFrame:
+    """The `mapInArrow` twin of `extract_media_features`: batches arrive
+    as raw `pyarrow.RecordBatch` instead of pandas DataFrames, so the
+    binary payload column is touched as Arrow buffers — no
+    pandas-Series-of-Python-bytes materialization per row. For byte-heavy
+    media columns this removes the dominant conversion cost of the pandas
+    tier (pandas boxes every payload into a Python bytes object; Arrow
+    keeps one contiguous buffer + offsets).
+
+    Output is identical to the pandas path (tested row-for-row) — the two
+    tiers are interchangeable, and the Arrow one is the default
+    recommendation once per-item work is C-level (hashing, codecs)."""
+    import hashlib
+
+    import pyarrow as pa
+
+    def featurize(batches):
+        for batch in batches:
+            media = batch.column(batch.schema.get_field_index("media"))
+            # one pass over the value buffer via zero-copy slices
+            digests = [
+                hashlib.md5(v.as_buffer()).hexdigest() for v in media
+            ]
+            sizes = [len(v.as_buffer()) for v in media]
+            yield pa.record_batch(
+                [
+                    batch.column(batch.schema.get_field_index("doc_id")),
+                    pa.array(sizes, type=pa.int64()),
+                    pa.array(digests, type=pa.string()),
+                    batch.column(
+                        batch.schema.get_field_index("media_type")
+                    ),
+                ],
+                names=["doc_id", "n_bytes", "content_md5", "media_type"],
+            )
+
+    return df.select("doc_id", "media", "media_type").mapInArrow(
+        featurize, MEDIA_FEATURES_SCHEMA
+    )

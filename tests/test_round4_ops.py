@@ -321,3 +321,21 @@ def test_statestore_reader_introspects_window_state(spark, sf_dir, tmp_path):
     meta = spark.read.format("state-metadata").load(ckpt)
     ops = {r.operatorName for r in meta.collect()}
     assert "stateStoreSave" in ops
+
+
+def test_media_features_arrow_matches_pandas_tier(spark, sf_dir):
+    """mapInArrow and mapInPandas feature passes must agree row-for-row —
+    the zero-copy tier is a drop-in for the pandas tier."""
+    from politicamente_etl_spark.sources.readers import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text").limit(50)
+    payloads = multimodal.with_binary_payload(docs)
+    a = {
+        r.doc_id: (r.n_bytes, r.content_md5, r.media_type)
+        for r in multimodal.extract_media_features(payloads).collect()
+    }
+    b = {
+        r.doc_id: (r.n_bytes, r.content_md5, r.media_type)
+        for r in multimodal.extract_media_features_arrow(payloads).collect()
+    }
+    assert a == b and len(a) == 50
