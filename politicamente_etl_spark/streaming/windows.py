@@ -555,8 +555,16 @@ def stream_cdc_changelog(
     stage = tempfile.mkdtemp(prefix="events_cdc_")
     atexit.register(shutil.rmtree, stage, ignore_errors=True)
     a_dir, b_dir = os.path.join(stage, "a"), os.path.join(stage, "b")
-    ev.filter(F.col("event_id") % 2 == 0).write.mode("overwrite").parquet(a_dir)
-    ev.filter(F.col("event_id") % 2 == 1).write.mode("overwrite").parquet(b_dir)
+    # coalesce(1): each half must be exactly ONE file, or
+    # maxFilesPerTrigger=1 would split a half into several micro-batches
+    # and the two-batch changelog contract (and its oracle) breaks at
+    # larger scale factors where the write would otherwise fan out.
+    ev.filter(F.col("event_id") % 2 == 0).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(a_dir)
+    ev.filter(F.col("event_id") % 2 == 1).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(b_dir)
     # pin micro-batch order explicitly: the file source orders by
     # modification time, so stamp half B strictly later.
     now = 1_700_000_000
