@@ -145,8 +145,13 @@ def ingest_batch(
         state.select("digest").distinct().withColumn("__in_corpus", F.lit(1))
     )
     docs_df = spark.read.parquet(docs_path)
+    # legacy part files inside a digest-bearing docs dir read digest as
+    # NULL — coalesce to a recomputed md5 so mixed layouts never surface
+    # committed docs as orphans (which would duplicate them via heal)
     docs_digests = (
-        docs_df.select("digest")
+        docs_df.select(
+            F.coalesce(F.col("digest"), F.md5("text")).alias("digest")
+        )
         if "digest" in docs_df.columns
         else docs_df.select(F.md5("text").alias("digest"))
     ).distinct()

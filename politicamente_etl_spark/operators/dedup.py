@@ -461,17 +461,23 @@ def near_dup_clusters(
     if algo == "star":
         from politicamente_etl_spark.operators import graph
 
-        cc = graph.connected_components(
+        # restrict the graph to df's nodes FIRST: propagation mode only
+        # ever routes labels through df nodes (its labels table is df),
+        # so a pair endpoint that df filtered out must neither be labeled
+        # nor act as a bridge — star mode must see the same induced
+        # subgraph to return the same labeling.
+        nodes = df.select(F.col(id_col).alias("node")).distinct()
+        e = (
             pairs.select(
                 F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
-            ),
-            max_iter=max_iter if max_iter > 25 else 25,
+            )
+            .join(nodes.select(F.col("node").alias("src")), "src")
+            .join(nodes.select(F.col("node").alias("dst")), "dst")
         )
+        cc = graph.connected_components(e, max_iter=max_iter)
         # nodes with no pair are their own singleton cluster
         singletons = (
-            df.select(F.col(id_col).alias("node"))
-            .distinct()
-            .join(cc.select("node"), "node", "left_anti")
+            nodes.join(cc.select("node"), "node", "left_anti")
             .withColumn("component", F.col("node"))
         )
         labels = cc.unionByName(singletons)

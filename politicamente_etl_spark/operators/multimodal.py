@@ -179,11 +179,15 @@ def frame_sampling_plan(
         F.lit(max_frames),
         (F.floor(F.col(duration_col) / F.lit(every_ms)) + F.lit(1)),
     ).cast("int")
+    # Spark's sequence(0, n-1) auto-DESCENDS when n <= 0 (phantom frames
+    # for corrupt negative durations); emit an empty array instead so a
+    # bad item yields zero plan rows — matching generate_series semantics.
+    seq = F.when(n >= 1, F.sequence(F.lit(0), n - F.lit(1))).otherwise(
+        F.array().cast("array<int>")
+    )
     return df.select(
         F.col(id_col),
-        F.posexplode(F.sequence(F.lit(0), n - F.lit(1))).alias(
-            "frame_idx", "__v"
-        ),
+        F.posexplode(seq).alias("frame_idx", "__v"),
     ).select(
         F.col(id_col),
         F.col("frame_idx").cast("long").alias("frame_idx"),
@@ -210,11 +214,10 @@ def extract_media_features_arrow(df: DataFrame) -> DataFrame:
     def featurize(batches):
         for batch in batches:
             media = batch.column(batch.schema.get_field_index("media"))
-            # one pass over the value buffer via zero-copy slices
-            digests = [
-                hashlib.md5(v.as_buffer()).hexdigest() for v in media
-            ]
-            sizes = [len(v.as_buffer()) for v in media]
+            # one buffer wrap per value, both stats derived from it
+            bufs = [v.as_buffer() for v in media]
+            digests = [hashlib.md5(b).hexdigest() for b in bufs]
+            sizes = [len(b) for b in bufs]
             yield pa.record_batch(
                 [
                     batch.column(batch.schema.get_field_index("doc_id")),

@@ -435,14 +435,12 @@ def _register():
             F.count("*").alias("cs")
         )
         vocab = tok.select("t").distinct()
+        # nt/ns come straight from the per-side count tables (the 3-way
+        # vocab join need not run twice — it appears once, in `ratio`)
         tot = (
-            vocab.join(tgt, "t", "left")
-            .join(src, "t", "left")
-            .agg(
-                F.sum(F.coalesce("ct", F.lit(0))).cast("long").alias("nt"),
-                F.sum(F.coalesce("cs", F.lit(0))).cast("long").alias("ns"),
-                F.count("*").cast("long").alias("v"),
-            )
+            tgt.agg(F.sum("ct").cast("long").alias("nt"))
+            .crossJoin(src.agg(F.sum("cs").cast("long").alias("ns")))
+            .crossJoin(vocab.agg(F.count("*").cast("long").alias("v")))
         )
         ratio = (
             vocab.join(tgt, "t", "left")

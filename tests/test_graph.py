@@ -110,3 +110,20 @@ def test_near_dup_clusters_star_mode_matches_propagation(spark):
     }
     assert star == prop
     assert len(star) == 30  # every node labeled, singletons included
+
+
+def test_star_mode_ignores_ghost_bridge_nodes(spark):
+    """Pairs may reference nodes that df filtered out (e.g. quality-cut
+    docs whose candidate pairs were generated earlier). Both modes must
+    label ONLY df nodes and must not let a ghost node bridge two
+    components (code-review regression, round 4)."""
+    nodes = spark.createDataFrame([(5,), (6,)], "doc_id long")
+    pairs = spark.createDataFrame(
+        [(0, 5), (0, 6)], "doc_a long, doc_b long"
+    )  # node 0 is NOT in df — it must neither appear nor bridge 5 and 6
+    for algo in ("propagation", "star"):
+        out = {
+            r.doc_id: (r.cluster_id, r.is_canonical)
+            for r in dedup.near_dup_clusters(nodes, pairs, algo=algo).collect()
+        }
+        assert out == {5: (5, 1), 6: (6, 1)}, algo

@@ -21,8 +21,12 @@ import duckdb
 
 from politicamente_etl_spark.plans.catalog import CATALOG
 
-SF = sys.argv[1] if sys.argv[1].startswith("/") else "/root/testdata/sf0.01"
-names = [a for a in sys.argv[1:] if not a.startswith("/")]
+args = sys.argv[1:]
+SF = next((a for a in args if a.startswith("/")), "/root/testdata/sf0.01")
+names = [a for a in args if not a.startswith("/")]
+if not names:
+    print("usage: python tools/parity_check.py [<sf_dir>] <query> [<query> ...]")
+    sys.exit(2)
 
 con = duckdb.connect()
 for t in ["region", "nation", "customer", "supplier", "part", "orders",
