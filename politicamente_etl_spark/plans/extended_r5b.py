@@ -1,0 +1,388 @@
+"""Round-5 prep batch 2: lakehouse commit-log table operations (the
+sources/txlog.py format — transactional MERGE, snapshot time travel) and
+Bloom-filter join pruning, each driver-checkable against a pure-SQL
+oracle because the storage mechanics never change the query semantics:
+a txlog MERGE resolves to the same relation plain SQL set algebra
+produces, and a Bloom prefilter admits false positives only, which the
+real join then removes.
+
+Same engine-parity rules as extended_r4*/r5: decimal-snapped money sums,
+integer counts, no produced floats, no DATE/TIMESTAMP output columns.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from politicamente_etl_spark.functions.scalar import money_sum, sql_money_sum
+
+
+def _register():
+    from politicamente_etl_spark.plans.catalog import T, register
+
+    @register(
+        "txlog_merge_report",
+        sql=f"""
+        WITH merged AS (
+            SELECT o_orderstatus, o_totalprice + 1000.0 AS p
+            FROM orders WHERE o_orderkey % 4 >= 2
+            UNION ALL
+            SELECT o_orderstatus, o_totalprice AS p
+            FROM orders WHERE o_orderkey % 4 < 2
+        )
+        SELECT o_orderstatus,
+               CAST(COUNT(*) AS BIGINT) AS n_orders,
+               {sql_money_sum('p', 'total_price')}
+        FROM merged GROUP BY 1
+        """,
+        tags=("ext-sink",),
+    )
+    def q_txlog_merge_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """End-to-end transactional MERGE through the commit-log table
+        format (sources/txlog.py): create the table from orders with
+        o_orderkey % 4 < 3, merge a batch covering % 4 >= 2 with a
+        1000.00 price bump (so % 4 == 2 are updates, % 4 == 3 inserts),
+        then aggregate the resulting snapshot. The oracle expresses the
+        merged relation directly in SQL — UPSERT semantics are exactly
+        "batch wins on key conflict, others survive" — so a green row
+        proves the storage layer's commit/prune/snapshot machinery is
+        invisible to query semantics, which is the whole contract.
+
+        100 TB: the merge rewrites only files containing matched keys
+        (semi-join file pruning, test_txlog.py::test_merge_prunes_
+        untouched_files); the commit is one atomic manifest link."""
+        from politicamente_etl_spark.sources.txlog import TxLogTable
+
+        o = T(spark, sf_dir, "orders")
+        path = os.path.join(tempfile.mkdtemp(prefix="txlog_merge_"), "t")
+        target = o.filter(F.col("o_orderkey") % 4 < 3)
+        batch = o.filter(F.col("o_orderkey") % 4 >= 2).withColumn(
+            "o_totalprice", F.col("o_totalprice") + F.lit(1000.0)
+        )
+        t = TxLogTable.create(spark, path, target)
+        t.merge(batch, ["o_orderkey"])
+        return (
+            t.snapshot()
+            .groupBy("o_orderstatus")
+            .agg(
+                F.count("*").alias("n_orders"),
+                money_sum("o_totalprice", "total_price"),
+            )
+        )
+
+    @register(
+        "txlog_time_travel_counts",
+        sql="""
+        SELECT 1 AS version,
+               CAST(COUNT(*) AS BIGINT) AS n_rows,
+               CAST(SUM(o_orderkey) AS BIGINT) AS key_sum
+        FROM orders WHERE o_orderkey % 3 = 0
+        UNION ALL
+        SELECT 2, CAST(COUNT(*) AS BIGINT), CAST(SUM(o_orderkey) AS BIGINT)
+        FROM orders WHERE o_orderkey % 3 <= 1
+        UNION ALL
+        SELECT 3, CAST(COUNT(*) AS BIGINT), CAST(SUM(o_orderkey) AS BIGINT)
+        FROM orders
+        """,
+        tags=("ext-sink",),
+    )
+    def q_txlog_time_travel_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Snapshot-isolation time travel: create (keys % 3 == 0), append
+        (% 3 == 1), merge (% 3 != 0 — updates the appended rows, inserts
+        % 3 == 2), then read ALL THREE versions of the same table and
+        fingerprint each (row count + key checksum). The oracle derives
+        each version's contents from the commit definitions — possible
+        only because historical versions are immutable: each commit's
+        files are never rewritten, and a version reads as the manifest
+        fold at that point in the log."""
+        from politicamente_etl_spark.sources.txlog import TxLogTable
+
+        o = T(spark, sf_dir, "orders")
+        path = os.path.join(tempfile.mkdtemp(prefix="txlog_tt_"), "t")
+        t = TxLogTable.create(spark, path, o.filter(F.col("o_orderkey") % 3 == 0))
+        t.append(o.filter(F.col("o_orderkey") % 3 == 1))
+        t.merge(o.filter(F.col("o_orderkey") % 3 != 0), ["o_orderkey"])
+        parts = [
+            t.snapshot(version=v).agg(
+                F.lit(v).cast("int").alias("version"),
+                F.count("*").cast("long").alias("n_rows"),
+                F.sum("o_orderkey").cast("long").alias("key_sum"),
+            )
+            for v in (1, 2, 3)
+        ]
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out.select("version", "n_rows", "key_sum")
+
+    @register(
+        "bloom_prefiltered_join",
+        sql=f"""
+        SELECT l.l_returnflag,
+               CAST(COUNT(*) AS BIGINT) AS n_items,
+               {sql_money_sum('l.l_extendedprice * (1 - l.l_discount)', 'revenue')}
+        FROM lineitem l
+        JOIN orders o ON l.l_orderkey = o.o_orderkey
+        WHERE o.o_orderpriority = '1-URGENT'
+        GROUP BY 1
+        """,
+        bench=True,
+        tags=("ext-join",),
+    )
+    def q_bloom_prefiltered_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Selective dim join with Bloom-filter pruning (joins.bloom_
+        prefilter): the urgent-order keys are summarized into a fixed
+        128 KB bit array, broadcast, and lineitem rows failing the
+        membership test are dropped AT THE SCAN — before the join
+        exchange moves them. The oracle is the plain join: Bloom admits
+        false positives only, and the real join removes those, so the
+        operator is result-invisible by construction. The green row plus
+        the equivalence test (test_round5_ops.py) certify the rewrite;
+        the payoff at 100 TB is a shuffle shrunk by the true-negative
+        rate (~81% of lineitem here) without needing the build side to
+        be broadcastable."""
+        from politicamente_etl_spark.operators.joins import bloom_prefilter
+
+        li = T(spark, sf_dir, "lineitem")
+        build = T(spark, sf_dir, "orders").filter(
+            F.col("o_orderpriority") == "1-URGENT"
+        )
+        pruned = bloom_prefilter(
+            li, build, "l_orderkey", "o_orderkey", num_bits=1 << 20, num_hashes=5
+        )
+        return (
+            pruned.join(build, pruned.l_orderkey == build.o_orderkey)
+            .groupBy("l_returnflag")
+            .agg(
+                F.count("*").alias("n_items"),
+                money_sum(
+                    F.col("l_extendedprice") * (1 - F.col("l_discount")), "revenue"
+                ),
+            )
+        )
+
+
+_register()
+
+
+def _register2():
+    from politicamente_etl_spark.plans.catalog import T, register
+
+    @register(
+        "copurchase_pagerank",
+        sql="""
+        WITH li AS (
+            SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+        ), e0 AS (
+            SELECT a.l_partkey AS pa, b.l_partkey AS pb
+            FROM li a JOIN li b
+              ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+            GROUP BY 1, 2 HAVING COUNT(*) >= 2
+        ), e AS (
+            SELECT pa AS s, pb AS d FROM e0
+            UNION
+            SELECT pb AS s, pa AS d FROM e0
+        ), deg AS (
+            SELECT s, COUNT(*) AS dg FROM e GROUP BY 1
+        ), r0 AS (
+            SELECT s AS node, CAST(1000000000000 AS BIGINT) AS r FROM deg
+        ), r1 AS (
+            SELECT e.d AS node,
+                   150000000000 + (85 * SUM(r0.r // deg.dg)) // 100 AS r
+            FROM e JOIN r0 ON e.s = r0.node JOIN deg ON e.s = deg.s
+            GROUP BY 1
+        ), r2 AS (
+            SELECT e.d AS node,
+                   150000000000 + (85 * SUM(r1.r // deg.dg)) // 100 AS r
+            FROM e JOIN r1 ON e.s = r1.node JOIN deg ON e.s = deg.s
+            GROUP BY 1
+        )
+        SELECT node AS part, CAST(r AS BIGINT) AS rank_micromass
+        FROM r2
+        ORDER BY rank_micromass DESC, part
+        LIMIT 20
+        """,
+        tags=("ext-rel", "ext-graph"),
+    )
+    def q_copurchase_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Two damped PageRank sweeps over the co-purchase graph (same
+        support-2 edge set as copurchase_triangles), top-20 influential
+        parts. Runs graph.pagerank_integer — exact integer arithmetic
+        (rank div degree contributions, 85/100 damping in integer space),
+        so the oracle can unroll the SAME two sweeps as plain CTEs and
+        match bit-for-bit; no float summation order anywhere. The scale
+        shape is one edge-list equi-join + one partial-aggregated
+        groupBy(dst) per sweep with lineage cut per round — PageRank's
+        canonical BSP form."""
+        from politicamente_etl_spark.operators.graph import pagerank_integer
+
+        li = (
+            T(spark, sf_dir, "lineitem")
+            .select("l_orderkey", "l_partkey")
+            .distinct()
+        )
+        a, b = li.alias("a"), li.alias("b")
+        e = (
+            a.join(
+                b,
+                (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+                & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+            )
+            .groupBy(
+                F.col("a.l_partkey").alias("pa"),
+                F.col("b.l_partkey").alias("pb"),
+            )
+            .agg(F.count("*").alias("cnt"))
+            .filter(F.col("cnt") >= 2)
+            .select("pa", "pb")
+        )
+        ranks = pagerank_integer(e, src="pa", dst="pb", iterations=2)
+        return (
+            ranks.orderBy(F.desc("rank"), F.asc("node"))
+            .limit(20)
+            .select(
+                F.col("node").alias("part"),
+                F.col("rank").cast("long").alias("rank_micromass"),
+            )
+        )
+
+
+_register2()
+
+
+def _register3():
+    from politicamente_etl_spark.plans.catalog import register
+
+    @register(
+        "streaming_txlog_exactly_once",
+        sql="""
+        SELECT event_type,
+               CAST(COUNT(*) AS BIGINT) AS n_events,
+               CAST(SUM(event_id) AS BIGINT) AS id_sum,
+               CAST(3 AS INTEGER) AS n_commits
+        FROM events GROUP BY 1
+        """,
+        tags=("ext-stream", "ext-sink"),
+    )
+    def q_streaming_txlog_exactly_once(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Streaming micro-batches into the commit-log table with a
+        DOUBLE append per batch (simulated at-least-once redelivery);
+        the txn_id gate must reduce table contents to exactly-once. The
+        oracle is the raw events rollup — any duplicated or dropped
+        micro-batch changes n_events/id_sum — and the pinned commit
+        count (create + txn-marker + batch-1 = 3) would expose a
+        duplicate commit even if the rollup collided."""
+        from politicamente_etl_spark.streaming.windows import (
+            stream_txlog_exactly_once,
+        )
+
+        return stream_txlog_exactly_once(spark, sf_dir)
+
+
+_register3()
+
+
+def _register4():
+    from politicamente_etl_spark.plans.catalog import T, register
+
+    @register(
+        "per_source_doc_cap",
+        sql="""
+        WITH ranked AS (
+            SELECT source, md5(CAST(doc_id AS VARCHAR)) AS h,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY source
+                       ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+                   ) AS rk
+            FROM documents
+        )
+        SELECT source, CAST(COUNT(*) AS BIGINT) AS n_kept,
+               CAST(SUM(CAST('0x' || substr(h, 1, 14) AS BIGINT)) AS BIGINT)
+                   AS keep_digest
+        FROM ranked WHERE rk <= 10 GROUP BY 1
+        """,
+        tags=("ext-docs", "ext-sampling"),
+    )
+    def q_per_source_doc_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Per-domain document cap — the curation step that stops one
+        crawled domain from dominating a training mix: keep at most k
+        docs per source, chosen by md5 hash order so the keep-set is
+        deterministic, uniform over the domain's docs, and APPEND-STABLE
+        (a doc's hash never changes, so re-runs over a grown corpus keep
+        a superset-consistent sample — same property as
+        consistent_sample_k, applied per group). The 56-bit hash-sum
+        digest pins the exact keep-set, not just its size.
+
+        Scale: one window partitioned by source — and the same
+        hash-order trick drops to a per-partition TopK (no global sort);
+        skew in docs-per-domain is exactly what the cap removes."""
+        docs = T(spark, sf_dir, "documents")
+        h = F.md5(F.col("doc_id").cast("string"))
+        w = Window.partitionBy("source").orderBy(h.asc(), F.col("doc_id").asc())
+        return (
+            docs.select("source", "doc_id", h.alias("h"))
+            .withColumn("rk", F.row_number().over(w))
+            .filter(F.col("rk") <= 10)
+            .groupBy("source")
+            .agg(
+                F.count("*").alias("n_kept"),
+                F.sum(F.conv(F.substring("h", 1, 14), 16, 10).cast("long"))
+                .cast("long")
+                .alias("keep_digest"),
+            )
+        )
+
+
+_register4()
+
+
+def _register5():
+    from politicamente_etl_spark.plans.catalog import T, register
+    from politicamente_etl_spark.functions.scalar import money_sum as _msum
+    from politicamente_etl_spark.functions.scalar import sql_money_sum as _sqlmsum
+
+    @register(
+        "txlog_zonemap_scan",
+        sql=f"""
+        SELECT o_orderstatus,
+               CAST(COUNT(*) AS BIGINT) AS n_orders,
+               CAST(SUM(o_orderkey) AS BIGINT) AS key_sum,
+               {_sqlmsum('o_totalprice', 'total_price')}
+        FROM orders
+        WHERE o_orderkey BETWEEN 3000 AND 9000
+        GROUP BY 1
+        """,
+        tags=("ext-sink", "ext-scan"),
+    )
+    def q_txlog_zonemap_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Data-skipping scan on the commit-log table: orders land
+        range-partitioned into 8 files, the manifest embeds per-file
+        min/max zonemaps lifted from the parquet footers at commit time,
+        and the range read opens ONLY the files whose zonemap overlaps
+        [3000, 9000] — metadata pruning instead of data I/O, the same
+        skipping Delta/Iceberg drive from per-file stats. The oracle is
+        the plain filtered aggregate over the raw table, so a green row
+        proves pruning is invisible to semantics (the residual filter
+        still applies to survivors); test_txlog.py asserts files really
+        were skipped."""
+        from politicamente_etl_spark.sources.txlog import TxLogTable
+
+        o = T(spark, sf_dir, "orders").repartitionByRange(8, "o_orderkey")
+        path = os.path.join(tempfile.mkdtemp(prefix="txlog_zm_"), "t")
+        t = TxLogTable.create(spark, path, o)
+        return (
+            t.scan({"o_orderkey": (3000, 9000)})
+            .groupBy("o_orderstatus")
+            .agg(
+                F.count("*").alias("n_orders"),
+                F.sum("o_orderkey").cast("long").alias("key_sum"),
+                _msum("o_totalprice", "total_price"),
+            )
+        )
+
+
+_register5()
