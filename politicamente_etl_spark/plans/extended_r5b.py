@@ -386,3 +386,229 @@ def _register5():
 
 
 _register5()
+
+
+def _register6():
+    from politicamente_etl_spark.plans.catalog import T, register
+    from politicamente_etl_spark.functions.scalar import money_sum as _msum
+    from politicamente_etl_spark.functions.scalar import sql_money_sum as _sqlmsum
+
+    @register(
+        "txlog_cdf_changes",
+        sql=f"""
+        SELECT 'update' AS change_type,
+               CAST(COUNT(*) AS BIGINT) AS n_changes,
+               CAST(SUM(o_orderkey) AS BIGINT) AS key_sum,
+               {_sqlmsum('o_totalprice + 1000.0', 'new_price_sum')}
+        FROM orders WHERE o_orderkey % 6 = 0
+        UNION ALL
+        SELECT 'insert',
+               CAST(COUNT(*) AS BIGINT),
+               CAST(SUM(o_orderkey) AS BIGINT),
+               {_sqlmsum('o_totalprice + 1000.0', 'x')}
+        FROM orders WHERE o_orderkey % 6 = 3
+        """,
+        tags=("ext-sink", "ext-cdc"),
+    )
+    def q_txlog_cdf_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Change data feed off the commit log: create v1 (even keys),
+        MERGE a +1000.00-price batch (keys % 3 == 0 — evens update, odds
+        insert), then read table_changes(v1, v2) — the row-level diff
+        computed through the same cdc.snapshot_diff operator as batch
+        CDC, replayable at any time because versions are immutable. The
+        oracle derives the exact changeset (update = keys % 6 == 0,
+        insert = keys % 6 == 3, both at bumped prices) from the commit
+        definitions."""
+        from politicamente_etl_spark.sources.txlog import TxLogTable
+
+        o = T(spark, sf_dir, "orders")
+        path = os.path.join(tempfile.mkdtemp(prefix="txlog_cdf_"), "t")
+        t = TxLogTable.create(spark, path, o.filter(F.col("o_orderkey") % 2 == 0))
+        batch = o.filter(F.col("o_orderkey") % 3 == 0).withColumn(
+            "o_totalprice", F.col("o_totalprice") + F.lit(1000.0)
+        )
+        t.merge(batch, ["o_orderkey"])
+        ch = t.table_changes(1, 2, ["o_orderkey"], ["o_totalprice"])
+        return ch.groupBy("change_type").agg(
+            F.count("*").alias("n_changes"),
+            F.sum("o_orderkey").cast("long").alias("key_sum"),
+            _msum("new_o_totalprice", "new_price_sum"),
+        )
+
+
+_register6()
+
+
+def _register7():
+    from politicamente_etl_spark.plans.catalog import register
+    from politicamente_etl_spark.plans.extended_r4b import _M_CTE, _emb_milli
+
+    @register(
+        "ivf_pq_topk",
+        sql=_M_CTE
+        + """, sub AS (
+            SELECT vec_id, CAST((i - 1) // 16 AS BIGINT) AS subspace, i, mv
+            FROM m
+        ), ccb AS (
+            SELECT vec_id AS cid, i, mv AS cm
+            FROM m WHERE vec_id BETWEEN 8 AND 15
+        ), cd AS (
+            SELECT s.vec_id, c.cid,
+                   SUM((s.mv - c.cm) * (s.mv - c.cm)) AS d2
+            FROM m s JOIN ccb c ON s.i = c.i GROUP BY 1, 2
+        ), cell AS (
+            SELECT vec_id, cid AS cell FROM cd
+            QUALIFY row_number() OVER (PARTITION BY vec_id
+                    ORDER BY d2, cid) = 1
+        ), pcb AS (
+            SELECT vec_id AS code, CAST((i - 1) // 16 AS BIGINT) AS subspace,
+                   i, mv AS pm
+            FROM m WHERE vec_id < 8
+        ), pd AS (
+            SELECT s.vec_id, s.subspace, p.code,
+                   SUM((s.mv - p.pm) * (s.mv - p.pm)) AS d2
+            FROM sub s JOIN pcb p
+              ON s.i = p.i AND s.subspace = p.subspace
+            GROUP BY 1, 2, 3
+        ), codes AS (
+            SELECT vec_id, subspace, code FROM pd
+            QUALIFY row_number() OVER (PARTITION BY vec_id, subspace
+                    ORDER BY d2, code) = 1
+        ), qd AS (
+            SELECT s.vec_id AS qid, c.cid,
+                   SUM((s.mv - c.cm) * (s.mv - c.cm)) AS d2
+            FROM m s JOIN ccb c ON s.i = c.i
+            WHERE s.vec_id % 100 = 0 GROUP BY 1, 2
+        ), qcell AS (
+            SELECT qid, cid AS cell FROM qd
+            QUALIFY row_number() OVER (PARTITION BY qid
+                    ORDER BY d2, cid) <= 2
+        ), lut AS (
+            SELECT s.vec_id AS qid, s.subspace, p.code,
+                   SUM((s.mv - p.pm) * (s.mv - p.pm)) AS d2
+            FROM sub s JOIN pcb p
+              ON s.i = p.i AND s.subspace = p.subspace
+            WHERE s.vec_id % 100 = 0 GROUP BY 1, 2, 3
+        ), cand AS (
+            SELECT qc.qid, ce.vec_id
+            FROM qcell qc JOIN cell ce ON ce.cell = qc.cell
+            WHERE ce.vec_id != qc.qid
+        ), adc AS (
+            SELECT c.qid, c.vec_id, SUM(l.d2) AS approx_d2
+            FROM cand c
+            JOIN codes k ON k.vec_id = c.vec_id
+            JOIN lut l ON l.qid = c.qid AND l.subspace = k.subspace
+                      AND l.code = k.code
+            GROUP BY 1, 2
+        )
+        SELECT qid, vec_id AS neighbor,
+               CAST(approx_d2 AS BIGINT) AS approx_d2,
+               CAST(rk AS INTEGER) AS rk
+        FROM (
+            SELECT *, row_number() OVER (PARTITION BY qid
+                      ORDER BY approx_d2, vec_id) AS rk
+            FROM adc
+        ) WHERE rk <= 5
+        """,
+        tags=("ext-sim",),
+    )
+    def q_ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """IVF-PQ approximate nearest neighbors (Jégou et al.), the
+        memory-resident ANN composition the billion-vector engines run:
+        an IVF coarse quantizer (8 sampled centroids, nprobe=2) shrinks
+        each query's candidate set to its probed cells, and asymmetric
+        distance computation scores candidates from a per-query PQ
+        lookup table — 4 subspaces × 8 codes, so each scored candidate
+        costs 4 table lookups instead of a 64-d scan. No residual
+        encoding (by_residual=false in faiss terms) so the oracle can
+        replay every argmin in SQL; everything is integer (milli-snapped
+        components, exact squared sums, deterministic tie-breaks).
+
+        Scale: corpus→cell and corpus→code assignments are broadcast
+        joins against codebooks whose size is a design CONSTANT; ADC is
+        an equi-join of cell-pruned candidates against a q×4×8 LUT; the
+        only per-query work is over probed cells, never the corpus."""
+        sub = _emb_milli(spark, sf_dir).select(
+            "vec_id",
+            ((F.col("i") - 1) / 16).cast("long").alias("subspace"),
+            "i",
+            "mv",
+        )
+        full = sub.select("vec_id", "i", "mv")
+        ccb = full.filter(F.col("vec_id").between(8, 15)).select(
+            F.col("vec_id").alias("cid"), F.col("i").alias("ci"), F.col("mv").alias("cm")
+        )
+
+        def argmin_assign(points, cbook, probe: int, out: str):
+            d = (
+                points.join(F.broadcast(cbook), points.i == cbook.ci)
+                .groupBy("vec_id", "cid")
+                .agg(F.sum((F.col("mv") - F.col("cm")) * (F.col("mv") - F.col("cm"))).alias("d2"))
+            )
+            w = Window.partitionBy("vec_id").orderBy("d2", "cid")
+            return (
+                d.withColumn("__rn", F.row_number().over(w))
+                .filter(F.col("__rn") <= probe)
+                .select("vec_id", F.col("cid").alias(out))
+            )
+
+        cell = argmin_assign(full, ccb, 1, "cell")
+        pcb = sub.filter(F.col("vec_id") < 8).select(
+            F.col("vec_id").alias("code"),
+            F.col("subspace").alias("psub"),
+            F.col("i").alias("pi"),
+            F.col("mv").alias("pm"),
+        )
+        pq_d = (
+            sub.join(
+                F.broadcast(pcb),
+                (sub.i == pcb.pi) & (sub.subspace == pcb.psub),
+            )
+            .groupBy("vec_id", "subspace", "code")
+            .agg(F.sum((F.col("mv") - F.col("pm")) * (F.col("mv") - F.col("pm"))).alias("d2"))
+        )
+        wc = Window.partitionBy("vec_id", "subspace").orderBy("d2", "code")
+        codes = (
+            pq_d.withColumn("__rn", F.row_number().over(wc))
+            .filter(F.col("__rn") == 1)
+            .select("vec_id", "subspace", "code")
+        )
+        q_full = full.filter(F.col("vec_id") % 100 == 0)
+        qcell = argmin_assign(q_full, ccb, 2, "cell").select(
+            F.col("vec_id").alias("qid"), "cell"
+        )
+        lut = (
+            pq_d.filter(F.col("vec_id") % 100 == 0)
+            .select(F.col("vec_id").alias("lqid"), F.col("subspace").alias("lsub"),
+                    F.col("code").alias("lcode"), F.col("d2").alias("ld2"))
+        )
+        cand = (
+            qcell.join(cell, "cell")
+            .filter(F.col("vec_id") != F.col("qid"))
+            .select("qid", "vec_id")
+        )
+        adc = (
+            cand.join(codes, "vec_id")
+            .join(
+                F.broadcast(lut),
+                (F.col("qid") == F.col("lqid"))
+                & (F.col("subspace") == F.col("lsub"))
+                & (F.col("code") == F.col("lcode")),
+            )
+            .groupBy("qid", "vec_id")
+            .agg(F.sum("ld2").alias("approx_d2"))
+        )
+        wk = Window.partitionBy("qid").orderBy("approx_d2", "vec_id")
+        return (
+            adc.withColumn("rk", F.row_number().over(wk))
+            .filter(F.col("rk") <= 5)
+            .select(
+                "qid",
+                F.col("vec_id").alias("neighbor"),
+                F.col("approx_d2").cast("long").alias("approx_d2"),
+                F.col("rk").cast("int").alias("rk"),
+            )
+        )
+
+
+_register7()

@@ -507,3 +507,71 @@ class TxLogTable:
             if not drop:
                 kept.append(rel)
         return kept, len(live)
+
+    def optimize(self, target_file_bytes: int = 128 * 1024 * 1024) -> dict:
+        """Small-file compaction (Delta OPTIMIZE): bin-pack live files
+        smaller than `target_file_bytes` into coalesced rewrites, commit
+        the swap as one manifest. Data is bit-unchanged — only the file
+        layout moves — so time travel to pre-optimize versions still
+        resolves (their manifests still reference the old files, which
+        vacuum retains while any retained version needs them).
+
+        Streaming sinks and frequent small appends accrete files whose
+        per-file overhead (footer reads, task scheduling) eventually
+        dominates scans; compaction cost here is proportional to the
+        small-file bytes, never the table. Files already at target size
+        are left alone. Conflicts surface like overwrite (OCC)."""
+        base = self.latest_version()
+        live = self._live_files()
+        small = [
+            f
+            for f in live
+            if os.path.getsize(os.path.join(self.path, f)) < target_file_bytes
+        ]
+        if len(small) <= 1:
+            return {"files_compacted": 0, "version": base}
+        total_bytes = sum(
+            os.path.getsize(os.path.join(self.path, f)) for f in small
+        )
+        n_out = max(1, -(-total_bytes // target_file_bytes))  # ceil div
+        df = self.spark.read.parquet(
+            *[os.path.join(self.path, f) for f in small]
+        )
+        _, rels = self._stage_write(df.coalesce(n_out))
+        manifest = {
+            "version": base + 1,
+            "op": "optimize",
+            "added": rels,
+            "removed": small,
+            "stats": self._file_stats(rels),
+            "optimize_stats": {
+                "files_compacted": len(small),
+                "files_written": len(rels),
+            },
+        }
+        if not self._try_commit(base + 1, manifest):
+            raise CommitConflict("concurrent commit during optimize; retry")
+        return {
+            "files_compacted": len(small),
+            "files_written": len(rels),
+            "version": base + 1,
+        }
+
+    def table_changes(
+        self, from_version: int, to_version: int, keys: list[str], compare_cols: list[str]
+    ) -> DataFrame:
+        """Change data feed between two committed versions: row-level
+        insert/update/delete records computed by diffing the two
+        snapshots through the SAME cdc.snapshot_diff operator the batch
+        CDC surface uses. Because versions are immutable, the feed for a
+        (from, to) pair is a pure function of the log — replayable at
+        any time, which is what makes downstream incremental consumers
+        (sync jobs, materialized views) restartable."""
+        from politicamente_etl_spark.operators import cdc
+
+        return cdc.snapshot_diff(
+            self.snapshot(from_version),
+            self.snapshot(to_version),
+            keys,
+            compare_cols,
+        )

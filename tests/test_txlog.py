@@ -260,3 +260,38 @@ def test_scan_after_checkpoint_and_vacuum_keeps_stats(spark, tmp_path):
     t.vacuum(retain_versions=1)
     kept, total = t.scan_files({"o_orderkey": (200, 400)})
     assert 0 < len(kept) < total  # stats survived the log rewrite
+
+
+def test_optimize_compacts_without_changing_data(spark, tmp_path):
+    o = orders(spark)
+    t = TxLogTable.create(spark, str(tmp_path / "opt"), o.limit(0))
+    for i in range(6):  # six tiny single-file commits
+        t.append(o.filter(F.col("o_orderkey") % 6 == i).coalesce(1))
+    pre_files = len(t._live_files())
+    pre_keys = nkeys(t.snapshot())
+    pre_version = t.latest_version()
+    res = t.optimize(target_file_bytes=1024 * 1024 * 1024)
+    assert res["files_compacted"] == pre_files
+    assert len(t._live_files()) < pre_files
+    assert nkeys(t.snapshot()) == pre_keys  # data bit-unchanged
+    # time travel to a pre-optimize version still resolves
+    assert t.snapshot(version=pre_version).count() == len(pre_keys)
+    # zonemap stats were recomputed for the compacted files
+    assert all(t._live_stats().values())
+
+
+def test_table_changes_classifies_merge_delta(spark, tmp_path):
+    o = orders(spark)
+    t = TxLogTable.create(spark, str(tmp_path / "cdf"), o.filter(F.col("o_orderkey") % 2 == 0))
+    batch = o.filter(F.col("o_orderkey") % 3 == 0).withColumn(
+        "o_totalprice", F.col("o_totalprice") + 1000.0
+    )
+    t.merge(batch, ["o_orderkey"])
+    ch = t.table_changes(1, 2, ["o_orderkey"], ["o_totalprice"])
+    got = {
+        r["change_type"]: r["n"]
+        for r in ch.groupBy("change_type").agg(F.count("*").alias("n")).collect()
+    }
+    n_upd = o.filter(F.col("o_orderkey") % 6 == 0).count()
+    n_ins = o.filter(F.col("o_orderkey") % 6 == 3).count()
+    assert got == {"update": n_upd, "insert": n_ins}
