@@ -496,3 +496,30 @@ def test_cross_source_matrix_no_cartesian(spark, sf_dir):
     plan = plan_of(q("cross_source_dup_matrix", spark, sf_dir))
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_pagerank_no_cartesian_bounded_shape(spark, sf_dir):
+    """Each PageRank sweep is equi-join + partial agg — no cartesian
+    product, no global (unpartitioned) sort anywhere in the plan."""
+    plan = plan_of(q("copurchase_pagerank", spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_ivf_pq_codebook_joins_broadcast(spark, sf_dir):
+    """IVF-PQ: every codebook-sized side (coarse centroids, PQ codebook,
+    per-query LUT) joins as a broadcast — the corpus never shuffles
+    against a codebook."""
+    plan = plan_of(q("ivf_pq_topk", spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert plan.count("BroadcastHashJoin") >= 3
+
+
+def test_per_source_cap_window_is_partitioned(spark, sf_dir):
+    """The cap window partitions by source — no single-reducer global
+    sort of the corpus."""
+    plan = plan_of(q("per_source_doc_cap", spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    # a partitioned window shows hashpartitioning on the partition key,
+    # never a SinglePartition exchange ahead of the Window
+    assert "SinglePartition" not in plan.split("Window")[0]
