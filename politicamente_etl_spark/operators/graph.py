@@ -171,6 +171,7 @@ def pagerank_integer(
     init: int = 10**12,
     damping_num: int = 85,
     damping_den: int = 100,
+    personalize: DataFrame | None = None,
 ) -> DataFrame:
     """Fixed-iteration PageRank over an undirected edge list, in exact
     integer arithmetic so the result is bit-identical on any engine and
@@ -190,7 +191,14 @@ def pagerank_integer(
     with localCheckpoint exactly like connected_components, so plans stay
     flat at any iteration count. The iteration count is fixed (the
     analytics contract is "K damped sweeps", not convergence detection),
-    which also keeps the oracle expressible as K unrolled CTEs."""
+    which also keeps the oracle expressible as K unrolled CTEs.
+
+    `personalize`: an optional one-column DataFrame of seed node ids.
+    When given, both the initial mass and the per-sweep teleport term
+    are restricted to the seeds (random walk with restart) — rank then
+    measures proximity to the seed set rather than global centrality.
+    Seed sets are small by construction (they are the query), hence the
+    broadcast."""
     und = (
         edges.select(F.col(src).alias("s"), F.col(dst).alias("d"))
         .unionByName(
@@ -202,7 +210,29 @@ def pagerank_integer(
     )
     deg = und.groupBy("s").agg(F.count("*").alias("deg"))
     base = (damping_den - damping_num) * init // damping_den
-    ranks = deg.select(F.col("s").alias("node"), F.lit(init).cast("long").alias("rank"))
+    if personalize is not None:
+        # Personalized PageRank: start mass AND teleport mass live only
+        # on the seed set, so rank measures proximity to the seeds
+        # (random walk with restart) instead of global centrality.
+        seeds = personalize.select(
+            F.col(personalize.columns[0]).alias("node")
+        ).distinct().withColumn("__seed", F.lit(1))
+        ranks = (
+            deg.select(F.col("s").alias("node"))
+            .join(F.broadcast(seeds), "node", "left")
+            .select(
+                "node",
+                F.when(F.col("__seed").isNotNull(), F.lit(init))
+                .otherwise(F.lit(0))
+                .cast("long")
+                .alias("rank"),
+            )
+        )
+    else:
+        seeds = None
+        ranks = deg.select(
+            F.col("s").alias("node"), F.lit(init).cast("long").alias("rank")
+        )
     for _ in range(iterations):
         contrib = (
             und.join(
@@ -214,11 +244,20 @@ def pagerank_integer(
             .groupBy("d")
             .agg(F.sum("c").alias("sc"))
         )
-        ranks = contrib.select(
-            F.col("d").alias("node"),
-            (
-                F.lit(base).cast("long")
-                + F.expr(f"({damping_num} * sc) div {damping_den}")
-            ).alias("rank"),
-        ).localCheckpoint(eager=False)
+        damped = F.expr(f"({damping_num} * sc) div {damping_den}")
+        if seeds is None:
+            rank_col = F.lit(base).cast("long") + damped
+        else:
+            rank_col = (
+                F.when(F.col("__seed").isNotNull(), F.lit(base))
+                .otherwise(F.lit(0))
+                .cast("long")
+                + damped
+            )
+        out = contrib.select(F.col("d").alias("node"), F.col("sc"))
+        if seeds is not None:
+            out = out.join(F.broadcast(seeds), "node", "left")
+        ranks = out.select("node", rank_col.alias("rank")).localCheckpoint(
+            eager=False
+        )
     return ranks

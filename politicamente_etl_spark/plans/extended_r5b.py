@@ -612,3 +612,277 @@ def _register7():
 
 
 _register7()
+
+
+def _register8():
+    from politicamente_etl_spark.plans.catalog import T, register
+    from politicamente_etl_spark.plans.extended_r4b import _M_CTE, _emb_milli
+
+    @register(
+        "blocklist_filter_report",
+        sql="""
+        WITH toks AS (
+            SELECT doc_id, source, unnest(str_split(text, ' ')) AS tok
+            FROM documents
+        ), hits AS (
+            SELECT doc_id, source,
+                   COUNT(*) FILTER (WHERE tok IN ('slow', 'big', 'crash')) AS n_hits
+            FROM toks GROUP BY 1, 2
+        )
+        SELECT source,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(COUNT(*) FILTER (n_hits >= 3) AS BIGINT) AS n_flagged,
+               CAST(SUM(n_hits) AS BIGINT) AS hits_total,
+               CAST(COUNT(*) FILTER (WHERE n_hits >= 3) * 1000000 // COUNT(*)
+                    AS BIGINT) AS flag_ppm
+        FROM hits GROUP BY 1
+        """,
+        tags=("ext-docs", "ext-quality"),
+    )
+    def q_blocklist_filter_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Blocklist-based document filtering (the C4 badwords gate):
+        tokenize, count blocklist hits per doc, flag docs at >= 3 hits,
+        and report per-source flag rates — the artifact a curation run
+        reviews before dropping a domain. Pure narrow ops (split +
+        explode + two partial aggregations); no shuffle carries text,
+        only (doc_id, source, counts). The per-source rate is integer
+        ppm so the report is engine-exact."""
+        docs = T(spark, sf_dir, "documents")
+        blocked = ("slow", "big", "crash")
+        hits = (
+            docs.select(
+                "doc_id",
+                "source",
+                F.explode(F.split("text", " ")).alias("tok"),
+            )
+            .groupBy("doc_id", "source")
+            .agg(
+                F.count(F.when(F.col("tok").isin(*blocked), 1)).alias("n_hits")
+            )
+        )
+        return hits.groupBy("source").agg(
+            F.count("*").alias("n_docs"),
+            F.count(F.when(F.col("n_hits") >= 3, 1)).alias("n_flagged"),
+            F.sum("n_hits").cast("long").alias("hits_total"),
+            F.expr(
+                "CAST(count(CASE WHEN n_hits >= 3 THEN 1 END) * 1000000"
+                " div count(*) AS BIGINT)"
+            ).alias("flag_ppm"),
+        )
+
+    @register(
+        "hard_negative_mining",
+        sql=_M_CTE
+        + """, d AS (
+            SELECT q.vec_id AS qid, q.label AS qlab,
+                   c.vec_id AS neighbor, c.label AS neg_label,
+                   SUM((q.mv - c.mv) * (q.mv - c.mv)) AS d2
+            FROM m q JOIN m c ON q.i = c.i
+            WHERE q.vec_id % 100 = 0 AND c.label != q.label
+            GROUP BY 1, 2, 3, 4
+        )
+        SELECT qid, neighbor, CAST(neg_label AS BIGINT) AS neg_label,
+               CAST(d2 AS BIGINT) AS d2, CAST(rk AS INTEGER) AS rk
+        FROM (
+            SELECT *, row_number() OVER (PARTITION BY qid
+                      ORDER BY d2, neighbor) AS rk
+            FROM d
+        ) WHERE rk <= 3
+        """,
+        tags=("ext-sim",),
+    )
+    def q_hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Hard-negative mining for contrastive training: per query
+        vector, the 3 NEAREST candidates carrying a DIFFERENT label —
+        close in embedding space but semantically wrong, exactly the
+        negatives that sharpen a retriever. Integer-milli exact L2 with
+        deterministic tie-breaks. This is the exact audit twin; at
+        corpus scale the candidate set comes from the ANN shortlist ops
+        (cosine_topk_lsh / ivf_pq_topk) instead of the full cross
+        distance, same downstream shape."""
+        m = _emb_milli(spark, sf_dir)
+        qm = m.filter(F.col("vec_id") % 100 == 0).select(
+            F.col("vec_id").alias("qid"),
+            F.col("label").alias("qlab"),
+            F.col("i").alias("qi"),
+            F.col("mv").alias("qmv"),
+        )
+        d = (
+            qm.join(m, (qm.qi == m.i) & (qm.qlab != m.label))
+            .groupBy(
+                "qid",
+                F.col("vec_id").alias("neighbor"),
+                F.col("label").alias("neg_label"),
+            )
+            .agg(
+                F.sum((F.col("qmv") - F.col("mv")) * (F.col("qmv") - F.col("mv"))).alias("d2")
+            )
+        )
+        w = Window.partitionBy("qid").orderBy("d2", "neighbor")
+        return (
+            d.withColumn("rk", F.row_number().over(w))
+            .filter(F.col("rk") <= 3)
+            .select(
+                "qid",
+                "neighbor",
+                F.col("neg_label").cast("long").alias("neg_label"),
+                F.col("d2").cast("long").alias("d2"),
+                F.col("rk").cast("int").alias("rk"),
+            )
+        )
+
+
+_register8()
+
+
+def _register9():
+    from politicamente_etl_spark.plans.catalog import T, register
+
+    @register(
+        "personalized_pagerank_parts",
+        sql="""
+        WITH li AS (
+            SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+        ), e0 AS (
+            SELECT a.l_partkey AS pa, b.l_partkey AS pb
+            FROM li a JOIN li b
+              ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+            GROUP BY 1, 2 HAVING COUNT(*) >= 2
+        ), e AS (
+            SELECT pa AS s, pb AS d FROM e0
+            UNION
+            SELECT pb AS s, pa AS d FROM e0
+        ), deg AS (
+            SELECT s, COUNT(*) AS dg FROM e GROUP BY 1
+        ), r0 AS (
+            SELECT s AS node,
+                   CAST(CASE WHEN s % 100 = 0 THEN 1000000000000 ELSE 0 END
+                        AS BIGINT) AS r
+            FROM deg
+        ), r1 AS (
+            SELECT e.d AS node,
+                   CASE WHEN e.d % 100 = 0 THEN 150000000000 ELSE 0 END
+                   + (85 * SUM(r0.r // deg.dg)) // 100 AS r
+            FROM e JOIN r0 ON e.s = r0.node JOIN deg ON e.s = deg.s
+            GROUP BY 1
+        ), r2 AS (
+            SELECT e.d AS node,
+                   CASE WHEN e.d % 100 = 0 THEN 150000000000 ELSE 0 END
+                   + (85 * SUM(r1.r // deg.dg)) // 100 AS r
+            FROM e JOIN r1 ON e.s = r1.node JOIN deg ON e.s = deg.s
+            GROUP BY 1
+        )
+        SELECT node AS part, CAST(r AS BIGINT) AS rank_micromass
+        FROM r2 WHERE r > 0
+        ORDER BY rank_micromass DESC, part
+        LIMIT 20
+        """,
+        tags=("ext-rel", "ext-graph"),
+    )
+    def q_personalized_pagerank_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Personalized PageRank (random walk with restart) on the
+        co-purchase graph, seeded at parts with key % 100 == 0: "which
+        parts does the walk starting from THESE parts keep reaching" —
+        the related-items primitive, where plain PageRank gives global
+        popularity. Same integer sweeps as copurchase_pagerank with mass
+        and teleport confined to the seed set; zero-mass nodes are
+        dropped so the top-20 is proximity-ranked."""
+        from politicamente_etl_spark.operators.graph import pagerank_integer
+
+        li = (
+            T(spark, sf_dir, "lineitem")
+            .select("l_orderkey", "l_partkey")
+            .distinct()
+        )
+        a, b = li.alias("a"), li.alias("b")
+        e = (
+            a.join(
+                b,
+                (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+                & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+            )
+            .groupBy(
+                F.col("a.l_partkey").alias("pa"),
+                F.col("b.l_partkey").alias("pb"),
+            )
+            .agg(F.count("*").alias("cnt"))
+            .filter(F.col("cnt") >= 2)
+            .select("pa", "pb")
+        )
+        nodes = e.select(F.col("pa").alias("n")).unionByName(
+            e.select(F.col("pb").alias("n"))
+        )
+        seeds = nodes.filter(F.col("n") % 100 == 0).distinct()
+        ranks = pagerank_integer(
+            e, src="pa", dst="pb", iterations=2, personalize=seeds
+        )
+        return (
+            ranks.filter(F.col("rank") > 0)
+            .orderBy(F.desc("rank"), F.asc("node"))
+            .limit(20)
+            .select(
+                F.col("node").alias("part"),
+                F.col("rank").cast("long").alias("rank_micromass"),
+            )
+        )
+
+
+_register9()
+
+
+def _register10():
+    from politicamente_etl_spark.plans.catalog import T, register
+
+    @register(
+        "zipf_octave_profile",
+        sql="""
+        WITH toks AS (
+            SELECT unnest(str_split(text, ' ')) AS tok FROM documents
+        ), freq AS (
+            SELECT tok, COUNT(*) AS f FROM toks
+            WHERE tok != '' GROUP BY 1
+        ), ranked AS (
+            SELECT tok, f,
+                   ROW_NUMBER() OVER (ORDER BY f DESC, tok) AS rk
+            FROM freq
+        )
+        SELECT CAST(LENGTH(bin(rk)) - 1 AS INTEGER) AS octave,
+               CAST(COUNT(*) AS BIGINT) AS n_tokens,
+               CAST(SUM(f) AS BIGINT) AS freq_sum,
+               CAST(MAX(f) AS BIGINT) AS top_freq
+        FROM ranked GROUP BY 1
+        """,
+        tags=("ext-text",),
+    )
+    def q_zipf_octave_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Zipf rank-frequency profile by octave (floor(log2(rank)),
+        computed as binary-string length — exact integer on both
+        engines, no float log): how token mass decays across rank
+        doublings. The canonical corpus-health fingerprint — a natural
+        corpus shows near-constant mass per octave; template/boilerplate
+        contamination piles mass into the first octaves, OCR noise
+        fattens the tail. The vocab-sized global rank window is the
+        oracle-exact form; at web scale rank thresholds come from the
+        same approx-percentile bucketing stats.ntile_buckets implements."""
+        toks = (
+            T(spark, sf_dir, "documents")
+            .select(F.explode(F.split("text", " ")).alias("tok"))
+            .filter(F.col("tok") != "")
+        )
+        freq = toks.groupBy("tok").agg(F.count("*").alias("f"))
+        w = Window.orderBy(F.desc("f"), F.asc("tok"))
+        return (
+            freq.withColumn("rk", F.row_number().over(w))
+            .withColumn(
+                "octave", (F.length(F.expr("bin(rk)")) - 1).cast("int")
+            )
+            .groupBy("octave")
+            .agg(
+                F.count("*").alias("n_tokens"),
+                F.sum("f").cast("long").alias("freq_sum"),
+                F.max("f").cast("long").alias("top_freq"),
+            )
+        )
+
+
+_register10()

@@ -100,3 +100,33 @@ def test_pagerank_integer_matches_reference_sweeps(spark):
     # hub outranks leaves; the isolated pair keeps its symmetric mass
     assert got[1] > got[2] == got[3] == got[4]
     assert got[5] == got[6]
+
+
+def test_personalized_pagerank_confines_mass_to_seed_neighborhood(spark):
+    # path graph 1-2-3-4-5, seed at node 1
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5)], ["src", "dst"]
+    )
+    from politicamente_etl_spark.operators.graph import pagerank_integer
+
+    seeds = spark.createDataFrame([(1,)], ["node"])
+    got = {
+        r.node: r.rank
+        for r in pagerank_integer(
+            edges, iterations=2, init=10**12, personalize=seeds
+        ).collect()
+    }
+    # python reference with identical integer ops
+    deg = {1: 1, 2: 2, 3: 2, 4: 2, 5: 1}
+    nbrs = {1: [2], 2: [1, 3], 3: [2, 4], 4: [3, 5], 5: [4]}
+    r = {n: (10**12 if n == 1 else 0) for n in deg}
+    for _ in range(2):
+        r = {
+            v: (15 * 10**12 // 100 if v == 1 else 0)
+            + 85 * sum(r[u] // deg[u] for u in nbrs[v]) // 100
+            for v in deg
+        }
+    assert got == r
+    # mass near the seed; nodes beyond 2 hops still untouched
+    assert got[1] > 0 and got[2] > 0 and got[3] > 0
+    assert got[4] == 0 and got[5] == 0
