@@ -143,3 +143,34 @@ def kmv_distinct(
             ),
         )
     )
+
+
+def weighted_median_gagg():
+    """Grouped-aggregate pandas UDAF twin of the exact weighted-median
+    window query (§2.8 UDF surface, the aggregate-shaped counterpart of
+    text.quality_score_pandas_udf): per group, Arrow ships the (value,
+    weight) columns to one Python worker which returns the first value
+    whose cumulative weight crosses half the total — the same crossing
+    rule as the cumulative-weight window, so the two paths agree exactly
+    (tests/test_round5_ops.py pins it).
+
+    The window form is preferred at scale: it streams per-partition and
+    never concentrates a group in one process, while a grouped-agg UDAF
+    materializes each group's columns in a single worker (fine for
+    bounded groups, the template for aggregations that genuinely need
+    Python — a percentile sketch merge, a scipy fit)."""
+    import numpy as np
+    from pyspark.sql.functions import PandasUDFType, pandas_udf
+
+    # explicit GROUPED_AGG: the module's `from __future__ import
+    # annotations` stringifies type hints, so eval-type inference from
+    # hints is unavailable (same constraint as text.quality_score_pandas_udf)
+    @pandas_udf("double", PandasUDFType.GROUPED_AGG)
+    def wmedian(value, weight):
+        order = np.argsort(value.to_numpy(), kind="stable")
+        v = value.to_numpy()[order]
+        w = weight.to_numpy()[order]
+        cw = np.cumsum(w)
+        return float(v[np.searchsorted(2 * cw, cw[-1], side="left")])
+
+    return wmedian

@@ -886,3 +886,191 @@ def _register10():
 
 
 _register10()
+
+
+def _register11():
+    from politicamente_etl_spark.plans.catalog import load_events, register
+
+    @register(
+        "pit_training_features",
+        sql="""
+        WITH ev AS (
+            SELECT user_id, event_id, event_type, value,
+                   epoch_us(ts) AS ts_us
+            FROM events
+        ), labels AS (
+            SELECT user_id, event_id, ts_us,
+                   COUNT(*) OVER (PARTITION BY user_id
+                       ORDER BY ts_us, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                       AS prior_purchases
+            FROM ev WHERE event_type = 'purchase'
+        ), clicks AS (
+            SELECT user_id, ts_us AS cts, value AS click_value FROM ev
+            WHERE event_type = 'click'
+        ), signups AS (
+            SELECT user_id, ts_us AS sts FROM ev
+            WHERE event_type = 'signup'
+        )
+        SELECT l.user_id, l.event_id, l.ts_us,
+               CAST(l.prior_purchases AS BIGINT) AS prior_purchases,
+               c.click_value AS last_click_value,
+               s.sts AS last_signup_us
+        FROM labels l
+        ASOF LEFT JOIN clicks c
+          ON l.user_id = c.user_id AND c.cts <= l.ts_us
+        ASOF LEFT JOIN signups s
+          ON l.user_id = s.user_id AND s.sts <= l.ts_us
+        """,
+        tags=("ext-temporal", "ext-sampling"),
+    )
+    def q_pit_training_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Point-in-time training-row assembly (the feature-store join):
+        every purchase event becomes a label row carrying ONLY features
+        knowable at that instant — the user's most recent prior click
+        value, most recent signup time (two as-of joins), and the count
+        of strictly-earlier purchases (a 1-preceding-bounded window) —
+        the construction that makes offline training match online
+        serving with zero leakage. Feature values are PICKED (carried
+        through the as-of), never computed, so float parity is exact;
+        DuckDB's native chained ASOF JOIN is the oracle for the
+        union+window implementation.
+
+        Scale: each as-of is one shuffle on user_id + a per-user ordered
+        window (operators/temporal.py); features tables and labels
+        co-partition, so adding features adds windows, not table scans
+        of the fact."""
+        from politicamente_etl_spark.operators.temporal import asof_join
+
+        ev = load_events(spark, sf_dir).select(
+            "user_id",
+            "event_id",
+            "event_type",
+            "value",
+            F.expr("unix_micros(ts)").alias("ts_us"),
+        )
+        w = (
+            Window.partitionBy("user_id")
+            .orderBy("ts_us", "event_id")
+            .rowsBetween(Window.unboundedPreceding, -1)
+        )
+        labels = (
+            ev.filter(F.col("event_type") == "purchase")
+            .withColumn("prior_purchases", F.count("*").over(w).cast("long"))
+            .select("user_id", "event_id", "ts_us", "prior_purchases")
+        )
+        clicks = ev.filter(F.col("event_type") == "click").select(
+            "user_id", F.col("ts_us").alias("cts"), F.col("value").alias("click_value")
+        )
+        signups = ev.filter(F.col("event_type") == "signup").select(
+            "user_id", F.col("ts_us").alias("sts")
+        )
+        step1 = asof_join(
+            labels, clicks, on="user_id", left_ts="ts_us", right_ts="cts",
+            right_cols=["click_value"],
+        ).select(
+            "user_id", "event_id", "ts_us", "prior_purchases",
+            F.col("asof_click_value").alias("last_click_value"),
+        )
+        step2 = asof_join(
+            step1, signups, on="user_id", left_ts="ts_us", right_ts="sts",
+            right_cols=[],
+        ).select(
+            "user_id", "event_id", "ts_us", "prior_purchases",
+            "last_click_value",
+            F.col("asof_ts").alias("last_signup_us"),
+        )
+        return step2
+
+
+_register11()
+
+
+def _register12():
+    from politicamente_etl_spark.plans.catalog import T, register
+
+    @register(
+        "except_all_net_shipments",
+        sql="""
+        WITH net AS (
+            SELECT l_partkey FROM lineitem
+            EXCEPT ALL
+            SELECT l_partkey FROM lineitem WHERE l_returnflag = 'R'
+        )
+        SELECT l_partkey, CAST(COUNT(*) AS BIGINT) AS net_shipments
+        FROM net GROUP BY 1 HAVING COUNT(*) >= 4
+        """,
+        tags=("ext-rel",),
+    )
+    def q_except_all_net_shipments(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Multiset EXCEPT ALL (§2.5 set-op surface beyond the DISTINCT
+        forms already covered): per-part net shipments = shipped copies
+        minus returned copies under BAG semantics — each returned line
+        cancels exactly ONE shipped line, which plain EXCEPT (set) gets
+        wrong the moment a part ships twice. Spark's exceptAll compiles
+        to a count-difference generate (no join explosion); parts with
+        ≥4 net copies survive."""
+        li = T(spark, sf_dir, "lineitem").select("l_partkey")
+        returned = (
+            T(spark, sf_dir, "lineitem")
+            .filter(F.col("l_returnflag") == "R")
+            .select("l_partkey")
+        )
+        return (
+            li.exceptAll(returned)
+            .groupBy("l_partkey")
+            .agg(F.count("*").alias("net_shipments"))
+            .filter(F.col("net_shipments") >= 4)
+        )
+
+
+_register12()
+
+
+def _register13():
+    from politicamente_etl_spark.plans.catalog import T, register
+
+    @register(
+        "weighted_median_udaf",
+        sql="""
+        WITH w AS (
+            SELECT l_returnflag, l_extendedprice,
+                   CAST(l_quantity AS BIGINT) AS wq,
+                   SUM(CAST(l_quantity AS BIGINT)) OVER (
+                       PARTITION BY l_returnflag
+                       ORDER BY l_extendedprice, l_orderkey, l_linenumber
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                   ) AS cw,
+                   SUM(CAST(l_quantity AS BIGINT)) OVER (
+                       PARTITION BY l_returnflag
+                   ) AS tw
+            FROM lineitem
+        )
+        SELECT l_returnflag,
+               MIN(l_extendedprice) AS weighted_median_price
+        FROM w WHERE cw * 2 >= tw
+        GROUP BY 1
+        """,
+        tags=("ext-rel", "ext-udf"),
+    )
+    def q_weighted_median_udaf(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """The §2.8 GROUPED_AGG pandas-UDAF path under the driver's
+        oracle: the Arrow grouped aggregate (agg.weighted_median_gagg)
+        must reproduce the exact cumulative-weight-window median the
+        pure-SQL oracle computes — proving the Python aggregate surface
+        agrees with the expression surface on real data, not just in the
+        unit test. The window form stays the scale path (streams
+        per-partition); the UDAF is the template for aggregations that
+        genuinely need Python."""
+        from politicamente_etl_spark.operators.agg import weighted_median_gagg
+
+        li = T(spark, sf_dir, "lineitem")
+        wm = weighted_median_gagg()
+        return li.groupBy("l_returnflag").agg(
+            wm(
+                F.col("l_extendedprice"), F.col("l_quantity").cast("long")
+            ).alias("weighted_median_price")
+        )
+
+
+_register13()

@@ -130,3 +130,22 @@ def test_personalized_pagerank_confines_mass_to_seed_neighborhood(spark):
     # mass near the seed; nodes beyond 2 hops still untouched
     assert got[1] > 0 and got[2] > 0 and got[3] > 0
     assert got[4] == 0 and got[5] == 0
+
+
+def test_weighted_median_gagg_matches_window_form(spark):
+    from politicamente_etl_spark.operators.agg import weighted_median_gagg
+    from politicamente_etl_spark.plans.catalog import CATALOG
+
+    exact = {
+        r.l_returnflag: r.weighted_median_price
+        for r in CATALOG["weighted_median_freight"].fn(spark, SF_DIR).collect()
+    }
+    li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+    wm = weighted_median_gagg()
+    got = {
+        r.l_returnflag: r.m
+        for r in li.groupBy("l_returnflag")
+        .agg(wm(F.col("l_extendedprice"), F.col("l_quantity").cast("long")).alias("m"))
+        .collect()
+    }
+    assert got == exact
