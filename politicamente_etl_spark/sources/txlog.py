@@ -307,28 +307,57 @@ class TxLogTable:
         live = self._live_files()
         if not live:
             raise ValueError("merge into empty table; use create/append")
-        abs_live = [os.path.join(self.path, f) for f in live]
-        snap = self.spark.read.parquet(*abs_live).withColumn(
-            "__file", F.input_file_name()
-        )
-        # One semi-join on the key column finds the files that must be
-        # rewritten; everything else is provably untouched by the merge.
-        touched_abs = {
-            r["__file"]
-            for r in snap.join(
-                new.select(*keys).distinct(), on=keys, how="semi"
-            )
-            .select("__file")
-            .distinct()
-            .collect()
-        }
+        # Zonemap pre-prune (single-column key): a live file whose key
+        # min/max range misses the batch's [min, max] provably contains
+        # no match, so it never even enters the semi-join scan — the
+        # candidate-discovery cost drops from "read the key column of
+        # the whole table" to "read the key column of range-overlapping
+        # files". On a key-clustered 100 TB table with a narrow nightly
+        # batch, that is most of the merge's read work gone.
+        candidates = live
+        skipped_by_stats = 0
+        if len(keys) == 1:
+            k = keys[0]
+            bounds = new.agg(
+                F.min(k).alias("lo"), F.max(k).alias("hi")
+            ).first()
+            if bounds["lo"] is not None:
+                stats = self._live_stats()
+                candidates = []
+                for rel in live:
+                    st = stats.get(rel, {}).get(k)
+                    if st is not None and (
+                        st[0] > bounds["hi"] or st[1] < bounds["lo"]
+                    ):
+                        skipped_by_stats += 1
+                    else:
+                        candidates.append(rel)
+        if candidates:
+            snap = self.spark.read.parquet(
+                *[os.path.join(self.path, f) for f in candidates]
+            ).withColumn("__file", F.input_file_name())
+            # One semi-join on the key column finds the files that must
+            # be rewritten; everything else is provably untouched.
+            touched_abs = {
+                r["__file"]
+                for r in snap.join(
+                    new.select(*keys).distinct(), on=keys, how="semi"
+                )
+                .select("__file")
+                .distinct()
+                .collect()
+            }
+        else:
+            touched_abs = set()
 
         def _is_touched(rel: str) -> bool:
             a = os.path.abspath(os.path.join(self.path, rel))
             return any(os.path.abspath(t.removeprefix("file:")) == a for t in touched_abs)
 
         touched = [f for f in live if _is_touched(f)]
-        cols = self.spark.read.parquet(*abs_live).columns
+        cols = self.spark.read.parquet(
+            os.path.join(self.path, live[0])
+        ).columns
         if touched:
             old_rows = self.spark.read.parquet(
                 *[os.path.join(self.path, f) for f in touched]
@@ -347,6 +376,7 @@ class TxLogTable:
             "merge_stats": {
                 "files_rewritten": len(touched),
                 "files_preserved": len(live) - len(touched),
+                "files_skipped_by_stats": skipped_by_stats,
             },
         }
         if not self._try_commit(base + 1, manifest):

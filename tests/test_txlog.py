@@ -295,3 +295,25 @@ def test_table_changes_classifies_merge_delta(spark, tmp_path):
     n_upd = o.filter(F.col("o_orderkey") % 6 == 0).count()
     n_ins = o.filter(F.col("o_orderkey") % 6 == 3).count()
     assert got == {"update": n_upd, "insert": n_ins}
+
+
+def test_merge_zonemap_preprune_skips_disjoint_files(spark, tmp_path):
+    o = orders(spark).repartitionByRange(8, "o_orderkey")
+    t = TxLogTable.create(spark, str(tmp_path / "zp"), o)
+    # narrow-key batch: only range-overlapping files enter the semi-join
+    batch = orders(spark).filter(
+        F.col("o_orderkey").between(100, 200)
+    ).withColumn("o_orderpriority", F.lit("0-ZP"))
+    m = t.merge(batch, ["o_orderkey"])
+    st = m["merge_stats"]
+    assert st["files_skipped_by_stats"] > 0
+    assert (
+        st["files_skipped_by_stats"] + st["files_rewritten"]
+        <= st["files_rewritten"] + st["files_preserved"]
+    )
+    # semantics unchanged
+    assert t.snapshot().count() == orders(spark).count()
+    assert (
+        t.snapshot().filter(F.col("o_orderpriority") == "0-ZP").count()
+        == batch.count()
+    )
