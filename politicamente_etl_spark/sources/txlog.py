@@ -83,8 +83,14 @@ class TxLogTable:
         log = os.path.join(self.path, _LOG_DIR)
         if not os.path.isdir(log):
             return []
+        # strict name filter: a concurrent writer's in-flight .tmp-*.json
+        # staging file must never parse as a version (found by the real-
+        # thread race test; the link into the canonical name is the only
+        # thing that makes a manifest exist)
         return sorted(
-            int(f[:-5]) for f in os.listdir(log) if f.endswith(".json")
+            int(f[:-5])
+            for f in os.listdir(log)
+            if f.endswith(".json") and f[:-5].isdigit()
         )
 
     def latest_version(self) -> int:
@@ -220,13 +226,22 @@ class TxLogTable:
             raise CommitConflict(f"concurrent create at {path}")
         return t
 
+    def _latest_schema(self) -> dict | None:
+        for m in reversed(self.history()):
+            if "schema" in m:
+                return m["schema"]
+        return None
+
     def _check_schema(self, df: DataFrame, merge_schema: bool) -> None:
-        known = {
-            f["name"] for f in self._read_manifest(1)["schema"]["fields"]
-        }
+        # fold the known column set from every RETAINED manifest — after
+        # vacuum(retain_versions) the create manifest may be gone, but
+        # any data-carrying manifest records its schema
+        known: set[str] = set()
         for m in self.history():
             for f in m.get("schema", {}).get("fields", []):
                 known.add(f["name"])
+        if not known:
+            return  # checkpoint-only log (no schema records): cannot gate
         cols = set(df.columns)
         if cols != known and not merge_schema:
             raise ValueError(
@@ -326,9 +341,13 @@ class TxLogTable:
                 candidates = []
                 for rel in live:
                     st = stats.get(rel, {}).get(k)
-                    if st is not None and (
-                        st[0] > bounds["hi"] or st[1] < bounds["lo"]
-                    ):
+                    try:
+                        disjoint = st is not None and (
+                            st[0] > bounds["hi"] or st[1] < bounds["lo"]
+                        )
+                    except TypeError:
+                        disjoint = False  # type mismatch → keep candidate
+                    if disjoint:
                         skipped_by_stats += 1
                     else:
                         candidates.append(rel)
@@ -398,6 +417,9 @@ class TxLogTable:
             "removed": [],
             "stats": self._live_stats(),
         }
+        sch = self._latest_schema()
+        if sch is not None:
+            manifest["schema"] = sch
         if not self._try_commit(base + 1, manifest):
             raise CommitConflict("concurrent commit during checkpoint; retry")
         return base + 1
@@ -429,6 +451,9 @@ class TxLogTable:
                 "removed": [],
                 "stats": self._live_stats(keep_from),
             }
+            sch = self._latest_schema()
+            if sch is not None:
+                ck["schema"] = sch
             p = _manifest_path(self.path, keep_from)
             tmp = p + ".ck"
             with open(tmp, "w") as fh:
@@ -529,11 +554,14 @@ class TxLogTable:
                 if col not in st:
                     continue  # no stats → cannot prune, must read
                 fmin, fmax = st[col]
-                if (hi is not None and fmin > hi) or (
-                    lo is not None and fmax < lo
-                ):
-                    drop = True
-                    break
+                try:
+                    if (hi is not None and fmin > hi) or (
+                        lo is not None and fmax < lo
+                    ):
+                        drop = True
+                        break
+                except TypeError:
+                    continue  # stats/bound type mismatch → read the file
             if not drop:
                 kept.append(rel)
         return kept, len(live)

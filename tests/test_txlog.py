@@ -317,3 +317,50 @@ def test_merge_zonemap_preprune_skips_disjoint_files(spark, tmp_path):
         t.snapshot().filter(F.col("o_orderpriority") == "0-ZP").count()
         == batch.count()
     )
+
+
+def test_concurrent_appends_all_commit_exactly_once(spark, tmp_path):
+    # REAL concurrency (threads, no monkeypatching): 4 writers x 5
+    # appends race on the same log; the link-based put-if-absent must
+    # serialize them with zero lost or duplicated commits.
+    import threading
+
+    o = orders(spark)
+    t = TxLogTable.create(spark, str(tmp_path / "cc"), o.limit(0))
+    batches = {
+        w: [o.filter(F.col("o_orderkey") % 20 == w * 5 + i) for i in range(5)]
+        for w in range(4)
+    }
+    errors = []
+
+    def writer(w):
+        try:
+            handle = TxLogTable(spark, t.path)  # own handle, shared log
+            for df in batches[w]:
+                handle.append(df)
+        except Exception as exc:  # noqa: BLE001
+            errors.append(exc)
+
+    threads = [threading.Thread(target=writer, args=(w,)) for w in range(4)]
+    for th in threads:
+        th.start()
+    for th in threads:
+        th.join()
+    assert errors == []
+    hist = t.history()
+    assert len(hist) == 21  # create + 20 appends
+    assert [m["version"] for m in hist] == list(range(1, 22))
+    assert t.snapshot().count() == o.count()
+    assert nkeys(t.snapshot()) == nkeys(o)
+
+
+def test_append_after_vacuum_of_version_one(spark, tmp_path, table):
+    # vacuum(retain_versions) deletes manifest 1; schema checks and
+    # appends must keep working off the retained log
+    o = orders(spark)
+    table.append(o.limit(5))
+    table.append(o.limit(6))
+    table.vacuum(retain_versions=1)
+    n = table.snapshot().count()
+    table.append(o.limit(7))
+    assert table.snapshot().count() == n + 7
