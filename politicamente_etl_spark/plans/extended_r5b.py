@@ -1074,3 +1074,65 @@ def _register13():
 
 
 _register13()
+
+
+def _register14():
+    from politicamente_etl_spark.plans.catalog import load_events, register
+
+    @register(
+        "streaming_txlog_source_tail",
+        sql="""
+        SELECT event_type,
+               CAST(COUNT(*) AS BIGINT) AS n_events,
+               CAST(SUM(event_id) AS BIGINT) AS id_sum
+        FROM events GROUP BY 1
+        """,
+        tags=("ext-stream", "ext-sink"),
+    )
+    def q_streaming_txlog_source_tail(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """The commit log as a STREAMING SOURCE (sources/txlogstream.py):
+        two batch commits land in a txlog table, a streaming query tails
+        the log with versions as offsets and emits each commit's added
+        files as one micro-batch (partition = file, Arrow batches
+        straight off pyarrow). The memory-sink rollup must equal the raw
+        events rollup — rows crossed batch-write → log → streaming-read
+        exactly once. Round-trips the whole storage layer through BOTH
+        of Spark's execution surfaces."""
+        from politicamente_etl_spark.sources.txlog import TxLogTable
+        from politicamente_etl_spark.sources.txlogstream import (
+            TxLogStreamDataSource,
+        )
+
+        try:
+            spark.dataSource.register(TxLogStreamDataSource)
+        except Exception:
+            pass  # already registered in this session
+        ev = load_events(spark, sf_dir).select("event_id", "event_type")
+        path = os.path.join(tempfile.mkdtemp(prefix="txlog_src_"), "t")
+        t = TxLogTable.create(spark, path, ev.filter(F.col("event_id") % 2 == 0))
+        t.append(ev.filter(F.col("event_id") % 2 == 1))
+        name = "txlog_src_tail_" + os.path.basename(os.path.dirname(path))
+        q = (
+            spark.readStream.format("txlogstream")
+            .option("path", path)
+            .load()
+            .writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        return (
+            spark.table(name)
+            .groupBy("event_type")
+            .agg(
+                F.count("*").cast("long").alias("n_events"),
+                F.sum("event_id").cast("long").alias("id_sum"),
+            )
+        )
+
+
+_register14()

@@ -1,0 +1,140 @@
+"""Structured Streaming SOURCE over the commit-log table — the Delta
+"streaming source" analogue: a running query tails the transaction log,
+and each micro-batch reads exactly the files added by the commits in its
+offset range (versions are the offsets).
+
+Why this is the right streaming contract:
+- **Exactly-once without a broker.** Offsets are committed log versions;
+  versions are immutable and totally ordered, so a restarted query
+  resumes from its checkpointed version and can neither lose nor repeat
+  rows. The batch writer side is already idempotent (append txn_ids), so
+  writer-retry + reader-offset together give end-to-end exactly-once
+  from ingest to stream consumer with plain files.
+- **Append-only discipline, surfaced not fudged.** merge/overwrite
+  commits rewrite rows; replaying their added files would re-emit old
+  rows as if new. Like Delta, the reader REFUSES such commits unless
+  `ignore_changes=true` is set (then they are skipped, with the same
+  caveat Delta documents: downstream must tolerate missing updates).
+  optimize/checkpoint commits are data-invisible and always skipped.
+- **Partition = file.** Each added parquet file becomes one input
+  partition; executors read their file straight through pyarrow and
+  ship Arrow record batches (zero-copy into Spark), so micro-batch
+  parallelism equals the commit's file count at any scale.
+
+Usage:
+    spark.dataSource.register(TxLogStreamDataSource)
+    (spark.readStream.format("txlogstream")
+        .option("path", table_path)
+        .load()
+        .writeStream...)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from collections.abc import Iterator, Sequence
+
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceStreamReader,
+    InputPartition,
+)
+from pyspark.sql.types import StructType
+
+_LOG_DIR = "_txlog"
+
+# ops whose `added` files carry genuinely NEW rows
+_APPEND_OPS = ("create", "append")
+# ops that move/rewrite data without changing table contents
+_INVISIBLE_OPS = ("optimize", "checkpoint")
+
+
+class _FilePartition(InputPartition):
+    def __init__(self, abs_path: str):
+        self.abs_path = abs_path
+
+
+def _versions(path: str) -> list[int]:
+    log = os.path.join(path, _LOG_DIR)
+    if not os.path.isdir(log):
+        return []
+    return sorted(
+        int(f[:-5])
+        for f in os.listdir(log)
+        if f.endswith(".json") and f[:-5].isdigit()
+    )
+
+
+def _manifest(path: str, version: int) -> dict:
+    with open(os.path.join(path, _LOG_DIR, f"{version:020d}.json")) as fh:
+        return json.load(fh)
+
+
+class TxLogStreamReader(DataSourceStreamReader):
+    def __init__(self, path: str, ignore_changes: bool):
+        self.path = path
+        self.ignore_changes = ignore_changes
+
+    def initialOffset(self) -> dict:
+        return {"version": 0}
+
+    def latestOffset(self) -> dict:
+        vs = _versions(self.path)
+        return {"version": vs[-1] if vs else 0}
+
+    def partitions(self, start: dict, end: dict) -> Sequence[InputPartition]:
+        parts: list[InputPartition] = []
+        for v in range(start["version"] + 1, end["version"] + 1):
+            m = _manifest(self.path, v)
+            op = m.get("op", "")
+            if op in _INVISIBLE_OPS or m.get("checkpoint"):
+                continue
+            if op not in _APPEND_OPS:
+                if not self.ignore_changes:
+                    raise RuntimeError(
+                        f"txlogstream: version {v} is op={op!r}, which "
+                        "rewrites rows; a streaming read would re-emit "
+                        "old rows. Set ignore_changes=true to skip such "
+                        "commits (downstream then misses updates, the "
+                        "same contract as Delta's ignoreChanges)."
+                    )
+                continue
+            for rel in m.get("added", []):
+                parts.append(
+                    _FilePartition(os.path.join(self.path, rel))
+                )
+        return parts
+
+    def read(self, partition: _FilePartition) -> Iterator:
+        import pyarrow.parquet as pq
+
+        for batch in pq.ParquetFile(partition.abs_path).iter_batches():
+            yield batch
+
+    def commit(self, end: dict) -> None:
+        pass  # offsets live in the query checkpoint; nothing to clean
+
+
+class TxLogStreamDataSource(DataSource):
+    """format("txlogstream"): options `path` (required) and
+    `ignore_changes` ("true"/"false", default false)."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "txlogstream"
+
+    def schema(self) -> StructType:
+        path = self.options["path"]
+        vs = _versions(path)
+        for v in reversed(vs):
+            m = _manifest(path, v)
+            if "schema" in m:
+                return StructType.fromJson(m["schema"])
+        raise RuntimeError(f"no schema-bearing manifest in {path}")
+
+    def streamReader(self, schema: StructType) -> TxLogStreamReader:
+        return TxLogStreamReader(
+            self.options["path"],
+            str(self.options.get("ignore_changes", "false")).lower() == "true",
+        )
