@@ -1136,3 +1136,137 @@ def _register14():
 
 
 _register14()
+
+
+def _register15():
+    from politicamente_etl_spark.plans.catalog import T, register
+
+    @register(
+        "cms_heavy_hitters",
+        sql="""
+        WITH toks AS (
+            SELECT unnest(str_split(text, ' ')) AS tok FROM documents
+        ), freq AS (
+            SELECT tok, COUNT(*) AS f FROM toks WHERE tok != '' GROUP BY 1
+        ), hashed AS (
+            SELECT tok, f, i,
+                   CAST('0x' || substr(md5(tok || '|' || CAST(i AS VARCHAR)), 1, 15)
+                        AS BIGINT) % 16 AS b
+            FROM freq, unnest([1, 2, 3, 4]) AS t(i)
+        ), counters AS (
+            SELECT i, b, SUM(f) AS c FROM hashed GROUP BY 1, 2
+        ), est AS (
+            SELECT h.tok, h.f, MIN(c.c) AS cms_est
+            FROM hashed h JOIN counters c ON h.i = c.i AND h.b = c.b
+            GROUP BY 1, 2
+        )
+        SELECT tok, CAST(f AS BIGINT) AS exact_count,
+               CAST(cms_est AS BIGINT) AS cms_estimate
+        FROM est
+        ORDER BY exact_count DESC, tok LIMIT 10
+        """,
+        tags=("ext-text", "ext-approx"),
+    )
+    def q_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Count-min sketch heavy hitters, engine-exact: a d=4 × w=16
+        sketch of the token stream (deliberately undersized so
+        collisions are visible: estimate ≥ exact, equality only for
+        collision-free rows). The hash family is md5-derived 60-bit
+        integers, so BOTH engines build the IDENTICAL sketch and the
+        estimates — normally "approximate" — are deterministic and
+        oracle-checkable. The operational shape is what matters at
+        100 TB: the sketch is a d×w integer grid built by one partial
+        aggregation, mergeable across partitions/days by cell-wise sum,
+        and the per-token probe is d lookups — the streaming-friendly
+        top-k the exact groupBy can't give under bounded memory."""
+        toks = (
+            T(spark, sf_dir, "documents")
+            .select(F.explode(F.split("text", " ")).alias("tok"))
+            .filter(F.col("tok") != "")
+        )
+        freq = toks.groupBy("tok").agg(F.count("*").alias("f"))
+        hashed = freq.select(
+            "tok",
+            "f",
+            F.explode(F.array(*[F.lit(i) for i in (1, 2, 3, 4)])).alias("i"),
+        ).withColumn(
+            "b",
+            F.conv(
+                F.substring(
+                    F.md5(F.concat_ws("|", F.col("tok"), F.col("i"))), 1, 15
+                ),
+                16,
+                10,
+            ).cast("long")
+            % 16,
+        )
+        counters = hashed.groupBy("i", "b").agg(F.sum("f").alias("c"))
+        est = (
+            hashed.join(counters, ["i", "b"])
+            .groupBy("tok", "f")
+            .agg(F.min("c").alias("cms_est"))
+        )
+        return (
+            est.orderBy(F.desc("f"), F.asc("tok"))
+            .limit(10)
+            .select(
+                "tok",
+                F.col("f").cast("long").alias("exact_count"),
+                F.col("cms_est").cast("long").alias("cms_estimate"),
+            )
+        )
+
+
+_register15()
+
+
+def _register16():
+    from politicamente_etl_spark.plans.catalog import T, register
+    from politicamente_etl_spark.functions.scalar import money_sum as _msum
+    from politicamente_etl_spark.functions.scalar import sql_money_sum as _sqlmsum
+
+    @register(
+        "txlog_restore_report",
+        sql=f"""
+        SELECT o_orderstatus,
+               CAST(COUNT(*) AS BIGINT) AS n_orders,
+               {_sqlmsum('o_totalprice', 'total_price')},
+               CAST(4 AS INTEGER) AS n_commits
+        FROM orders WHERE o_orderkey % 2 = 0
+        GROUP BY 1
+        """,
+        tags=("ext-sink",),
+    )
+    def q_txlog_restore_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """RESTORE after a bad load: create from even keys, apply a
+        corrupting merge (+9999.0 on every price) AND an unrelated
+        append, then restore(1). The snapshot must equal the ORIGINAL
+        create exactly — prices unbumped, appended rows gone — while
+        history keeps all four commits (create, merge, append, restore;
+        count pinned in the output). The oracle is simply the original
+        relation, which is the whole point of restore."""
+        from politicamente_etl_spark.sources.txlog import TxLogTable
+
+        o = T(spark, sf_dir, "orders")
+        path = os.path.join(tempfile.mkdtemp(prefix="txlog_rs_"), "t")
+        t = TxLogTable.create(spark, path, o.filter(F.col("o_orderkey") % 2 == 0))
+        t.merge(
+            o.filter(F.col("o_orderkey") % 2 == 0).withColumn(
+                "o_totalprice", F.col("o_totalprice") + F.lit(9999.0)
+            ),
+            ["o_orderkey"],
+        )
+        t.append(o.filter(F.col("o_orderkey") % 2 == 1).limit(100))
+        t.restore(1)
+        return (
+            t.snapshot()
+            .groupBy("o_orderstatus")
+            .agg(
+                F.count("*").alias("n_orders"),
+                _msum("o_totalprice", "total_price"),
+            )
+            .withColumn("n_commits", F.lit(len(t.history())).cast("int"))
+        )
+
+
+_register16()

@@ -479,20 +479,42 @@ class TxLogTable:
 
     # -- read operations ----------------------------------------------------
 
-    def snapshot(self, version: int | None = None) -> DataFrame:
+    def snapshot(
+        self, version: int | None = None, provenance: bool = False
+    ) -> DataFrame:
         """The table as of `version` (default: latest). Groups alive files
         by their originating commit so schema-evolved commits union by
-        name with null-fill instead of failing the shared-schema read."""
+        name with null-fill instead of failing the shared-schema read.
+
+        `provenance=True` appends a `_commit_version` column — the log
+        version whose commit first added each row's file (rewritten rows
+        carry the rewriting commit). Plain metadata lineage for audits
+        ("which load produced this row") at the cost of one literal per
+        commit group; no join, no shuffle."""
         files = self._live_files(version)
         if not files:
             raise ValueError(f"no committed data at {self.path}")
-        by_commit: dict[str, list[str]] = {}
+        file_version: dict[str, int] = {}
+        if provenance:
+            for m in self.history():
+                if m.get("checkpoint"):
+                    continue
+                for rel in m.get("added", []):
+                    file_version.setdefault(rel, m["version"])
+        by_commit: dict[tuple, list[str]] = {}
         for f in files:
-            by_commit.setdefault(os.path.dirname(f), []).append(f)
-        parts = [
-            self.spark.read.parquet(*[os.path.join(self.path, f) for f in grp])
-            for grp in by_commit.values()
-        ]
+            key = (os.path.dirname(f), file_version.get(f))
+            by_commit.setdefault(key, []).append(f)
+        parts = []
+        for (_, ver), grp in by_commit.items():
+            df = self.spark.read.parquet(
+                *[os.path.join(self.path, f) for f in grp]
+            )
+            if provenance:
+                df = df.withColumn(
+                    "_commit_version", F.lit(ver).cast("long")
+                )
+            parts.append(df)
         out = parts[0]
         for p in parts[1:]:
             out = out.unionByName(p, allowMissingColumns=True)
@@ -633,3 +655,40 @@ class TxLogTable:
             keys,
             compare_cols,
         )
+
+    def restore(self, version: int) -> int:
+        """Roll the table BACK to `version` as a NEW commit (Delta
+        RESTORE): the manifest removes the current live set and re-adds
+        the target version's files — no data movement (files are
+        immutable, so the old files are simply re-referenced), full
+        history preserved (the bad commits stay inspectable), and the
+        restore itself is one more atomic, OCC-guarded commit."""
+        base = self.latest_version()
+        target = self._live_files(version)
+        current = self._live_files()
+        manifest = {
+            "version": base + 1,
+            "op": "restore",
+            "restored_from": version,
+            "added": target,
+            "removed": current,
+            "stats": {
+                rel: st
+                for rel, st in self._live_stats(version).items()
+                if rel in set(target)
+            },
+        }
+        sch = None
+        for v in range(version, 0, -1):
+            try:
+                m = self._read_manifest(v)
+            except FileNotFoundError:
+                break
+            if "schema" in m:
+                sch = m["schema"]
+                break
+        if sch is not None:
+            manifest["schema"] = sch
+        if not self._try_commit(base + 1, manifest):
+            raise CommitConflict("concurrent commit during restore; retry")
+        return base + 1

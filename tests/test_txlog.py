@@ -364,3 +364,35 @@ def test_append_after_vacuum_of_version_one(spark, tmp_path, table):
     n = table.snapshot().count()
     table.append(o.limit(7))
     assert table.snapshot().count() == n + 7
+
+
+def test_snapshot_provenance_column(spark, tmp_path, table):
+    o = orders(spark)
+    table.append(o.filter(F.col("o_orderkey") % 3 == 1))
+    snap = table.snapshot(provenance=True)
+    assert "_commit_version" in snap.columns
+    by_ver = {
+        r._commit_version: r.n
+        for r in snap.groupBy("_commit_version").agg(F.count("*").alias("n")).collect()
+    }
+    assert by_ver[1] == o.filter(F.col("o_orderkey") % 3 == 0).count()
+    assert by_ver[2] == o.filter(F.col("o_orderkey") % 3 == 1).count()
+    # plain snapshot is unchanged
+    assert "_commit_version" not in table.snapshot().columns
+
+
+def test_restore_rolls_back_as_new_commit(spark, tmp_path, table):
+    o = orders(spark)
+    v1_keys = nkeys(table.snapshot())
+    table.merge(
+        o.withColumn("o_orderpriority", F.lit("BAD-LOAD")), ["o_orderkey"]
+    )
+    assert table.snapshot().count() == o.count()
+    v = table.restore(1)
+    assert v == 3
+    assert nkeys(table.snapshot()) == v1_keys
+    assert table.snapshot().filter(F.col("o_orderpriority") == "BAD-LOAD").count() == 0
+    # history preserved: the bad merge is still inspectable
+    assert [m["op"] for m in table.history()] == ["create", "merge", "restore"]
+    # and the restore commit still prunes/scans via carried-forward stats
+    assert table._live_stats()
