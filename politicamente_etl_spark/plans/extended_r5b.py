@@ -906,8 +906,11 @@ def _register11():
                        AS prior_purchases
             FROM ev WHERE event_type = 'purchase'
         ), clicks AS (
-            SELECT user_id, ts_us AS cts, value AS click_value FROM ev
-            WHERE event_type = 'click'
+            -- collapse same-instant clicks per user (MAX value) so the
+            -- as-of pick is engine-independent even if the data ever
+            -- carries duplicate timestamps (ADVICE r3 row-grain class)
+            SELECT user_id, ts_us AS cts, MAX(value) AS click_value FROM ev
+            WHERE event_type = 'click' GROUP BY 1, 2
         ), signups AS (
             SELECT user_id, ts_us AS sts FROM ev
             WHERE event_type = 'signup'
@@ -959,8 +962,10 @@ def _register11():
             .withColumn("prior_purchases", F.count("*").over(w).cast("long"))
             .select("user_id", "event_id", "ts_us", "prior_purchases")
         )
-        clicks = ev.filter(F.col("event_type") == "click").select(
-            "user_id", F.col("ts_us").alias("cts"), F.col("value").alias("click_value")
+        clicks = (
+            ev.filter(F.col("event_type") == "click")
+            .groupBy("user_id", F.col("ts_us").alias("cts"))
+            .agg(F.max("value").alias("click_value"))
         )
         signups = ev.filter(F.col("event_type") == "signup").select(
             "user_id", F.col("ts_us").alias("sts")
