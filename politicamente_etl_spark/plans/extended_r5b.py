@@ -1275,3 +1275,209 @@ def _register16():
 
 
 _register16()
+
+
+def _register17():
+    from politicamente_etl_spark.plans.catalog import T, load_events, register
+
+    @register(
+        "streaming_lakehouse_roundtrip",
+        sql="""
+        SELECT event_type,
+               CAST(COUNT(*) AS BIGINT) AS n_events,
+               CAST(SUM(event_id) AS BIGINT) AS id_sum
+        FROM events GROUP BY 1
+        """,
+        tags=("ext-stream", "ext-sink"),
+    )
+    def q_streaming_lakehouse_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """The full streaming lakehouse pipeline, both ends on the
+        commit log: a txlog SOURCE table (two batch commits) is tailed
+        by a streaming query whose foreachBatch appends per-batch
+        partial aggregates to a txlog SINK table with txn-id-idempotent
+        writes (each batch deliberately appended twice — the retry must
+        no-op). The final snapshot's rollup of partials must equal the
+        raw events rollup REGARDLESS of how the engine split the offset
+        range into micro-batches — partial-sum associativity plus
+        exactly-once at both ends is precisely what makes the answer
+        batching-invariant, and the oracle checks it."""
+        from politicamente_etl_spark.sources.txlog import TxLogTable
+        from politicamente_etl_spark.sources.txlogstream import (
+            TxLogStreamDataSource,
+        )
+
+        try:
+            spark.dataSource.register(TxLogStreamDataSource)
+        except Exception:
+            pass
+        ev = load_events(spark, sf_dir).select("event_id", "event_type")
+        stage = tempfile.mkdtemp(prefix="txlog_rt_")
+        src = TxLogTable.create(
+            spark, os.path.join(stage, "src"), ev.filter(F.col("event_id") % 2 == 0)
+        )
+        src.append(ev.filter(F.col("event_id") % 2 == 1))
+        out_path = os.path.join(stage, "out")
+        state: dict[str, TxLogTable] = {}
+
+        def apply(batch_df: DataFrame, batch_id: int) -> None:
+            part = batch_df.groupBy("event_type").agg(
+                F.count("*").cast("long").alias("n"),
+                F.sum("event_id").cast("long").alias("ids"),
+            )
+            if "t" not in state:
+                state["t"] = TxLogTable.create(spark, out_path, part)
+                state["t"].append(part.limit(0), txn_id=f"b{batch_id}")
+            else:
+                state["t"].append(part, txn_id=f"b{batch_id}")
+            # simulated redelivery: the txn gate must reject it
+            state["t"].append(part, txn_id=f"b{batch_id}")
+
+        q = (
+            spark.readStream.format("txlogstream")
+            .option("path", src.path)
+            .load()
+            .writeStream.foreachBatch(apply)
+            .trigger(availableNow=True)
+            .option("checkpointLocation", os.path.join(stage, "_ckpt"))
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        return (
+            state["t"]
+            .snapshot()
+            .groupBy("event_type")
+            .agg(
+                F.sum("n").cast("long").alias("n_events"),
+                F.sum("ids").cast("long").alias("id_sum"),
+            )
+        )
+
+    @register(
+        "dedup_savings_report",
+        sql="""
+        WITH d AS (
+            SELECT source, md5(text) AS h, n_chars,
+                   ROW_NUMBER() OVER (PARTITION BY md5(text)
+                       ORDER BY doc_id) AS rk
+            FROM documents
+        )
+        SELECT source,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(n_chars) AS BIGINT) AS bytes_before,
+               CAST(SUM(CASE WHEN rk = 1 THEN n_chars ELSE 0 END)
+                    AS BIGINT) AS bytes_after,
+               CAST(SUM(CASE WHEN rk > 1 THEN n_chars ELSE 0 END) * 1000000
+                    // SUM(n_chars) AS BIGINT) AS savings_ppm
+        FROM d GROUP BY 1
+        """,
+        tags=("ext-dedup", "ext-docs"),
+    )
+    def q_dedup_savings_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """What exact dedup is WORTH, per source: bytes before/after
+        keep-first on the content digest and the savings rate in ppm —
+        the number a curation run reports before committing to a dedup
+        pass (and the per-source attribution that catches a mirror
+        domain). Shuffles only (digest, source, n_chars), never text;
+        keep-first is the same md5+row_number shape as exact_dedup_docs
+        with doc_id as the deterministic survivor rule."""
+        docs = T(spark, sf_dir, "documents")
+        w = Window.partitionBy(F.md5("text")).orderBy("doc_id")
+        d = docs.select(
+            "source", "n_chars", F.row_number().over(w).alias("rk")
+        )
+        return d.groupBy("source").agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("bytes_before"),
+            F.sum(F.when(F.col("rk") == 1, F.col("n_chars")).otherwise(0))
+            .cast("long")
+            .alias("bytes_after"),
+            F.expr(
+                "CAST(sum(CASE WHEN rk > 1 THEN n_chars ELSE 0 END) * 1000000"
+                " div sum(n_chars) AS BIGINT)"
+            ).alias("savings_ppm"),
+        )
+
+
+_register17()
+
+
+def _register18():
+    from politicamente_etl_spark.plans.catalog import T, register
+
+    @register(
+        "provenance_commit_rollup",
+        sql="""
+        SELECT 1 AS commit_version,
+               CAST(COUNT(*) AS BIGINT) AS n_rows,
+               CAST(SUM(o_orderkey) AS BIGINT) AS key_sum
+        FROM orders WHERE o_orderkey % 3 = 0
+        UNION ALL
+        SELECT 2, CAST(COUNT(*) AS BIGINT), CAST(SUM(o_orderkey) AS BIGINT)
+        FROM orders WHERE o_orderkey % 3 = 1
+        UNION ALL
+        SELECT 3, CAST(COUNT(*) AS BIGINT), CAST(SUM(o_orderkey) AS BIGINT)
+        FROM orders WHERE o_orderkey % 3 = 2
+        """,
+        tags=("ext-sink",),
+    )
+    def q_provenance_commit_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Row-level lineage audit: three commits load disjoint key
+        classes, and the provenance snapshot's per-_commit_version
+        rollup must attribute every row to exactly the commit that
+        loaded it — the "which load produced this row" answer with no
+        audit columns in the data itself (the storage layer carries the
+        lineage)."""
+        from politicamente_etl_spark.sources.txlog import TxLogTable
+
+        o = T(spark, sf_dir, "orders")
+        path = os.path.join(tempfile.mkdtemp(prefix="txlog_pv_"), "t")
+        t = TxLogTable.create(spark, path, o.filter(F.col("o_orderkey") % 3 == 0))
+        t.append(o.filter(F.col("o_orderkey") % 3 == 1))
+        t.append(o.filter(F.col("o_orderkey") % 3 == 2))
+        return (
+            t.snapshot(provenance=True)
+            .groupBy(F.col("_commit_version").cast("int").alias("commit_version"))
+            .agg(
+                F.count("*").cast("long").alias("n_rows"),
+                F.sum("o_orderkey").cast("long").alias("key_sum"),
+            )
+        )
+
+    @register(
+        "txlog_optimize_invariance",
+        sql="""
+        SELECT o_orderstatus,
+               CAST(COUNT(*) AS BIGINT) AS n_orders,
+               CAST(SUM(o_orderkey) AS BIGINT) AS key_sum
+        FROM orders GROUP BY 1
+        """,
+        tags=("ext-sink",),
+    )
+    def q_txlog_optimize_invariance(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """OPTIMIZE is data-invisible, checked end-to-end: six small
+        commits, compact them all, aggregate the post-optimize snapshot
+        — it must equal the plain relation (the oracle) although every
+        byte now lives in different files. Layout is the engine's
+        concern; contents are the contract."""
+        from politicamente_etl_spark.sources.txlog import TxLogTable
+
+        o = T(spark, sf_dir, "orders")
+        path = os.path.join(tempfile.mkdtemp(prefix="txlog_oi_"), "t")
+        t = TxLogTable.create(spark, path, o.filter(F.col("o_orderkey") % 6 == 0))
+        for i in range(1, 6):
+            t.append(o.filter(F.col("o_orderkey") % 6 == i))
+        t.optimize(target_file_bytes=1 << 30)
+        return (
+            t.snapshot()
+            .groupBy("o_orderstatus")
+            .agg(
+                F.count("*").alias("n_orders"),
+                F.sum("o_orderkey").cast("long").alias("key_sum"),
+            )
+        )
+
+
+_register18()
