@@ -800,3 +800,53 @@ def jaccard_pairs_prefix_filter(
         .filter(F.col("jaccard") >= threshold)
         .select("doc_a", "doc_b", "n_common", "jaccard")
     )
+
+
+def duplicated_ngram_costing(
+    df: DataFrame,
+    n: int = 5,
+    group_col: str = "source",
+    col: str = "text",
+) -> DataFrame:
+    """Exact-substring-dedup costing pre-pass (the measurement half of
+    Lee et al., "Deduplicating Training Data Makes Language Models
+    Better"): for every token n-gram in the corpus, count its total
+    occurrences; any occurrence of a gram seen more than once anywhere
+    is a candidate byte the suffix-array dedup pass would reclaim.
+    Reported per source as an upper bound (dup_bytes counts ALL
+    occurrences of duplicated grams, including the canonical copy a
+    real pass would keep), which is the number you need BEFORE paying
+    for the expensive pass: sources with dup_ppm near zero can skip it.
+
+    Plan/scale: one shuffle to groupBy (gram, source) — map-side
+    partial aggregation collapses within-partition repeats so the
+    exchange carries distinct (gram, source) pairs, not occurrences —
+    then a window over gram for the corpus-wide total, then a final
+    per-source rollup. The gram string (~6 tokens) is the shuffle
+    payload; a digest-first variant (xxhash64(gram) + a carried length)
+    halves the width at 100 TB, at the cost of attributing collided
+    grams together — acceptable at 64 bits, but the exact form is the
+    contract here. Integer-only outputs; the rate is ppm via integer
+    division (`div`), never a float."""
+    grams = df.select(
+        F.col(group_col), F.explode(shingles_regex(col, n)).alias("g")
+    )
+    per_src = grams.groupBy("g", group_col).agg(F.count("*").alias("c"))
+    w = Window.partitionBy("g")
+    with_tot = per_src.withColumn("ct", F.sum("c").over(w))
+    dup = F.when(F.col("ct") > 1, F.col("c")).otherwise(F.lit(0))
+    dup_bytes = F.when(
+        F.col("ct") > 1, F.col("c") * (F.length("g") + F.lit(1))
+    ).otherwise(F.lit(0))
+    return (
+        with_tot.groupBy(group_col)
+        .agg(
+            F.sum("c").cast("long").alias("n_occ"),
+            F.sum(dup).cast("long").alias("dup_occ"),
+            F.sum(dup_bytes).cast("long").alias("dup_bytes"),
+        )
+        .withColumn(
+            "dup_ppm",
+            F.expr("(dup_occ * 1000000) div n_occ").cast("long"),
+        )
+    )

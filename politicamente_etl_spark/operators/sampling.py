@@ -426,3 +426,55 @@ def realize_epoch_mix(
         hash_bucket(key_col, seed).cast("double")
         < F.col("accept_rate") * float(N_BUCKETS)
     )
+
+
+def epoch_shuffle_shards(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    n_epochs: int = 3,
+    n_shards: int = 8,
+    seed: str = "epoch-v1",
+) -> DataFrame:
+    """Deterministic per-epoch training shards: every epoch e assigns
+    each row to shard md5(seed:e:id) % n_shards, so (a) reruns of the
+    same epoch produce byte-identical shards (resumable training, no
+    RNG state to checkpoint), (b) each epoch is an independent
+    reshuffle of the SAME corpus (the per-epoch n_docs/id_sum totals
+    are invariant — the built-in permutation proof), and (c) a loader
+    can seek straight to (epoch, shard) without materializing E copies.
+    min_ord is the shard's deterministic stream head (the 60-bit hash
+    is also the intra-shard read order).
+
+    Plan/scale: the epoch fan-out is a narrow explode of a literal
+    sequence (no data copy until the single groupBy(epoch, shard)
+    shuffle, which map-side-combines to E*S rows per partition). A real
+    writer swaps the rollup for repartition(epoch, shard) + write —
+    same single shuffle, deterministic file contents across retries."""
+    e = F.explode(F.sequence(F.lit(0), F.lit(n_epochs - 1))).alias("epoch")
+    rows = df.select(F.col(id_col), e)
+    h = F.conv(
+        F.substring(
+            F.md5(
+                F.concat_ws(
+                    ":",
+                    F.lit(seed),
+                    F.col("epoch").cast("string"),
+                    F.col(id_col).cast("string"),
+                )
+            ),
+            1,
+            15,
+        ),
+        16,
+        10,
+    ).cast("long")
+    return (
+        rows.withColumn("ord", h)
+        .withColumn("shard", (F.col("ord") % n_shards).cast("int"))
+        .groupBy(F.col("epoch").cast("int").alias("epoch"), "shard")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum(id_col).cast("long").alias("id_sum"),
+            F.min("ord").alias("min_ord"),
+        )
+    )

@@ -871,3 +871,166 @@ def score_with_bigram_lm(
             / F.col("n_bigrams").cast("double"),
         )
     )
+
+
+def bm25_topk(
+    df: DataFrame,
+    query_terms: list[str],
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+    id_col: str = "doc_id",
+    col: str = "text",
+) -> DataFrame:
+    """BM25 lexical retrieval for one query (Robertson/Sparck Jones):
+    score(d) = sum over query terms of
+    idf(t) * tf*(k1+1) / (tf + k1*(1-b+b*dl/avgdl)), with the plus-one
+    idf form idf = ln(1 + (N-df+0.5)/(df+0.5)) (never negative, the
+    Lucene variant). Complements `tfidf_query_similarity`
+    (doc-as-query retrieval) with the free-text-query half of lexical
+    search; covers the reference's ranked-retrieval surface.
+
+    Determinism: each per-(doc,term) contribution is snapped to integer
+    micro-units immediately after the one float expression, so the
+    cross-term sum is exact integer arithmetic — engine-identical
+    regardless of addition order (same contract as
+    `tfidf_query_similarity`).
+
+    Plan/scale: the exploded token stream is filtered to the |Q| query
+    terms BEFORE the tf aggregation, so only matching postings shuffle
+    (document-at-a-time retrieval's posting bound). dl rides along from
+    the pre-explode projection — no corpus self-join. df and the
+    (n_docs, avgdl) corpus stats are one-row/|Q|-row broadcasts. The
+    final top-k is orderBy+limit (TakeOrdered: k rows per partition
+    move, no global sort), with row_number assigned on the k survivors.
+    """
+    q = [t for t in query_terms]
+    toks = df.select(
+        F.col(id_col),
+        F.size(tokens(col)).cast("long").alias("dl"),
+        F.explode(tokens(col)).alias("t"),
+    ).filter(F.col("t").isin(q))
+    tf = toks.groupBy(id_col, "dl", "t").agg(F.count("*").alias("tf"))
+    stats = df.select(
+        F.count("*").cast("double").alias("n_docs"),
+        (
+            F.sum(F.size(tokens(col))).cast("double")
+            / F.count("*").cast("double")
+        ).alias("avgdl"),
+    )
+    idf = (
+        tf.groupBy("t")
+        .agg(F.count("*").alias("df"))
+        .join(F.broadcast(stats))
+        .select(
+            "t",
+            F.log(
+                F.lit(1.0)
+                + (F.col("n_docs") - F.col("df") + F.lit(0.5))
+                / (F.col("df").cast("double") + F.lit(0.5))
+            ).alias("idf"),
+        )
+    )
+    contrib = (
+        tf.join(F.broadcast(idf), "t")
+        .join(F.broadcast(stats))
+        .select(
+            F.col(id_col),
+            F.round(
+                F.col("idf")
+                * (F.col("tf").cast("double") * (F.lit(k1) + F.lit(1.0)))
+                / (
+                    F.col("tf").cast("double")
+                    + F.lit(k1)
+                    * (
+                        F.lit(1.0)
+                        - F.lit(b)
+                        + F.lit(b) * (F.col("dl").cast("double") / F.col("avgdl"))
+                    )
+                )
+                * F.lit(1000000.0),
+                0,
+            )
+            .cast("long")
+            .alias("c"),
+        )
+    )
+    agg = contrib.groupBy(id_col).agg(
+        F.count("*").cast("long").alias("n_hit"),
+        F.sum("c").cast("long").alias("score_micro"),
+    )
+    top = agg.orderBy(F.col("score_micro").desc(), F.col(id_col)).limit(k)
+    from pyspark.sql import Window
+
+    rw = Window.orderBy(F.col("score_micro").desc(), F.col(id_col))
+    return top.withColumn("rnk", F.row_number().over(rw).cast("int")).select(
+        id_col, "n_hit", "score_micro", "rnk"
+    )
+
+
+def hashed_linear_score(
+    df: DataFrame,
+    weights: DataFrame,
+    n_buckets: int = 4096,
+    seed: str = "qc-v1",
+    bias_micro: int = 0,
+    id_col: str = "doc_id",
+    col: str = "text",
+) -> DataFrame:
+    """fastText-shaped quality classifier inference: hash unigram +
+    bigram features into n_buckets (feature hashing, Weinberger et al.),
+    look each bucket's weight up in a broadcast weights table, sum per
+    document, threshold at zero. This is how a trained quality/toxicity
+    gate actually runs over a pretraining corpus — the model is a
+    (bucket, weight) TABLE, scoring is a broadcast join plus one
+    per-document aggregation, and nothing about the plan changes when
+    the weights come from a real training run instead of a fixture.
+
+    `weights` must have columns (bucket int, w_micro long) — integer
+    micro-units, so per-doc logits are exact integer sums (engine-
+    identical, addition-order-proof).
+
+    Plan/scale: two narrow explodes unioned (no self-join for bigrams —
+    the shingler is a per-row expression), a 32-bit md5 bucket per
+    feature, one BroadcastHashJoin against the ≤n_buckets-row weights
+    table, one groupBy(id) shuffle with map-side partial sums. At 2^20
+    buckets the broadcast is ~8 MB — still a broadcast."""
+    from politicamente_etl_spark.operators.sampling import hash_bucket
+
+    uni = df.select(F.col(id_col), F.explode(tokens(col)).alias("t")).select(
+        F.col(id_col), F.concat(F.lit("u:"), F.col("t")).alias("f")
+    )
+    big = df.select(
+        F.col(id_col), F.explode(shingles_regex(col, 2)).alias("t")
+    ).select(F.col(id_col), F.concat(F.lit("b:"), F.col("t")).alias("f"))
+    feats = uni.unionAll(big).select(
+        F.col(id_col),
+        hash_bucket(F.col("f"), seed=seed, n_buckets=n_buckets)
+        .cast("int")
+        .alias("bucket"),
+    )
+    scored = feats.join(F.broadcast(weights), "bucket").groupBy(id_col).agg(
+        F.count("*").cast("long").alias("n_feats"),
+        (F.sum("w_micro") + F.lit(bias_micro)).cast("long").alias("logit_micro"),
+    )
+    return scored.withColumn(
+        "label", (F.col("logit_micro") > 0).cast("int")
+    )
+
+
+def fixture_hash_weights(
+    spark, n_buckets: int = 4096, seed: str = "qc-w"
+) -> DataFrame:
+    """Deterministic stand-in for a trained weight vector: each bucket's
+    weight is a hash-derived integer in [-1000, 1000] micro-units —
+    reproducible on any engine (the DuckDB oracle rebuilds it from the
+    same md5 arithmetic), so classifier-inference queries are exactly
+    checkable without shipping a model artifact."""
+    from politicamente_etl_spark.operators.sampling import hash_bucket
+
+    return spark.range(n_buckets).select(
+        F.col("id").cast("int").alias("bucket"),
+        (hash_bucket(F.col("id"), seed=seed, n_buckets=2001) - F.lit(1000))
+        .cast("long")
+        .alias("w_micro"),
+    )

@@ -533,3 +533,4 @@ from politicamente_etl_spark.plans import extended_r4 as _extended_r4  # noqa: E
 from politicamente_etl_spark.plans import extended_r4b as _extended_r4b  # noqa: E402,F401
 from politicamente_etl_spark.plans import extended_r5 as _extended_r5  # noqa: E402,F401
 from politicamente_etl_spark.plans import extended_r5b as _extended_r5b  # noqa: E402,F401
+from politicamente_etl_spark.plans import extended_r6 as _extended_r6  # noqa: E402,F401

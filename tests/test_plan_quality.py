@@ -523,3 +523,43 @@ def test_per_source_cap_window_is_partitioned(spark, sf_dir):
     # a partitioned window shows hashpartitioning on the partition key,
     # never a SinglePartition exchange ahead of the Window
     assert "SinglePartition" not in plan.split("Window")[0]
+
+
+def test_bm25_takeordered_no_global_sort_window(spark, sf_dir):
+    """bm25_topk's top-k must be TakeOrdered (k rows per partition move),
+    never a global-sort row_number over the full candidate set; corpus
+    stats and idf join as broadcasts; no cartesian blowup from the
+    two one-row cross joins."""
+    plan = plan_of(q("bm25_topk_docs", spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan
+    assert "BroadcastNestedLoopJoin" in plan  # the one-row stats joins only
+
+
+def test_dup_ngram_costing_two_exchanges(spark, sf_dir):
+    """gram costing = groupBy(g, source) + window(g) + final rollup:
+    exactly three exchanges (per-gram partial agg map-side-combines
+    occurrences before the first one), no join anywhere."""
+    plan = plan_of(q("dup_ngram_costing", spark, sf_dir))
+    assert plan.count(") Exchange") == 3, plan  # detail headers = node count
+    assert "Join" not in plan
+    assert "partial_sum" in plan or "partial_count" in plan
+
+
+def test_epoch_shards_single_shuffle(spark, sf_dir):
+    """The epoch fan-out is a narrow explode; the only exchange is the
+    final groupBy(epoch, shard) with map-side partial aggregation."""
+    plan = plan_of(q("epoch_shuffle_shards", spark, sf_dir))
+    assert plan.count(") Exchange") == 1, plan
+    assert "Generate" in plan  # the explode, not a join against a seq table
+    assert "Join" not in plan
+
+
+def test_hashed_classifier_broadcast_weights_one_shuffle(spark, sf_dir):
+    """Classifier inference = broadcast weight lookup + one groupBy(doc)
+    exchange; the weights table must never shuffle-join."""
+    plan = plan_of(q("hashed_classifier_gate", spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert plan.count(") Exchange") == 1, plan
