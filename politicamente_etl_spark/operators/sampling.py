@@ -478,3 +478,56 @@ def epoch_shuffle_shards(
             F.min("ord").alias("min_ord"),
         )
     )
+
+
+def select_by_token_budget(
+    df: DataFrame,
+    budget_tokens: int,
+    group_col: str = "source",
+    token_col: str = "n_tokens",
+    quality_col: str = "q_milli",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Corpus curation under a token budget: within each group (source/
+    domain/language), rank documents best-quality-first and keep them
+    until the group's cumulative token count reaches the budget — the
+    selection step that turns "we can afford B tokens from this domain"
+    into an exact, reproducible document list (the greedy solution to
+    the budgeted-selection problem, optimal when quality is the value
+    and tokens the cost ratio is already folded into the rank).
+
+    Emits the kept rows with their rank and running total, so the
+    selection is auditable (the last kept doc shows how much budget
+    remained). A doc is kept iff its whole token count fits: cum <=
+    budget with cum including itself — no partial documents.
+
+    Determinism: the order is (quality desc, id) — a total order — and
+    the running sum is pinned to ROWS BETWEEN UNBOUNDED PRECEDING AND
+    CURRENT ROW on both engines (with a total order, RANGE would equal
+    ROWS, but pinning removes the tie hazard by construction).
+
+    Plan/scale: one window partitioned by group — per-group sort, the
+    right shape when groups are domains (thousands of them, each a
+    shard of the corpus). For a corpus where ONE group dominates, the
+    two-pass alternative is an approx-quantile quality threshold
+    (`stats.ntile_buckets`'s approx mode) to pre-drop the bulk below
+    the cut, then this exact pass on the survivors."""
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy(group_col)
+        .orderBy(F.col(quality_col).desc(), F.col(id_col))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    rw = Window.partitionBy(group_col).orderBy(
+        F.col(quality_col).desc(), F.col(id_col)
+    )
+    out = df.select(
+        group_col,
+        id_col,
+        quality_col,
+        token_col,
+        F.sum(token_col).over(w).cast("long").alias("cum_tokens"),
+        F.row_number().over(rw).cast("int").alias("q_rank"),
+    )
+    return out.filter(F.col("cum_tokens") <= budget_tokens)

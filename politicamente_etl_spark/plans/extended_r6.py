@@ -30,6 +30,7 @@ def _register():
 
     @register(
         "bm25_topk_docs",
+        bench=True,
         sql=f"""
         WITH toks AS (
             SELECT doc_id,
@@ -167,6 +168,7 @@ def _register():
 
     @register(
         "hashed_classifier_gate",
+        bench=True,
         sql=f"""
         WITH uni AS (
             SELECT doc_id, 'u:' || unnest(string_split(text, ' ')) AS f
@@ -207,6 +209,50 @@ def _register():
         w = text.fixture_hash_weights(spark, n_buckets=4096, seed="qc-w")
         return text.hashed_linear_score(
             docs, w, n_buckets=4096, seed="qc-v1"
+        )
+
+    @register(
+        "token_budget_selection",
+        sql="""
+        WITH d AS (
+            SELECT source, doc_id,
+                   CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+                   CAST((len(list_distinct(string_split(text, ' '))) * 1000)
+                        // len(string_split(text, ' ')) AS BIGINT) AS q_milli
+            FROM documents
+        )
+        SELECT source, doc_id, q_milli, n_tokens,
+               CAST(SUM(n_tokens) OVER (PARTITION BY source
+                    ORDER BY q_milli DESC, doc_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    AS BIGINT) AS cum_tokens,
+               CAST(ROW_NUMBER() OVER (PARTITION BY source
+                    ORDER BY q_milli DESC, doc_id) AS INT) AS q_rank
+        FROM d
+        QUALIFY cum_tokens <= 600
+        """,
+        tags=("ext-sample", "ext-docs"),
+    )
+    def q_token_budget_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Per-source curation under a 600-token budget (~45% of each
+        source's corpus at sf0.01, so the cut is real): quality =
+        lexical diversity in milli-units (distinct/total tokens — an
+        integer, so ranking is engine-exact), greedy keep-best until
+        the budget is spent, whole documents only. The
+        budget-to-document-list step of data mixing."""
+        docs = T(spark, sf_dir, "documents").select("source", "doc_id", "text")
+        toks = F.split(F.col("text"), " ")
+        d = docs.select(
+            "source",
+            "doc_id",
+            F.size(toks).cast("long").alias("n_tokens"),
+            F.expr(
+                "CAST((size(array_distinct(split(text, ' '))) * 1000)"
+                " div size(split(text, ' ')) AS BIGINT)"
+            ).alias("q_milli"),
+        )
+        return sampling.select_by_token_budget(
+            d, budget_tokens=600, group_col="source"
         )
 
 

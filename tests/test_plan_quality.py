@@ -563,3 +563,11 @@ def test_hashed_classifier_broadcast_weights_one_shuffle(spark, sf_dir):
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
     assert plan.count(") Exchange") == 1, plan
+
+
+def test_token_budget_window_is_partitioned(spark, sf_dir):
+    """The budget cumsum must be a per-group window (hashpartitioning on
+    source), never a single-reducer global sort."""
+    plan = plan_of(q("token_budget_selection", spark, sf_dir))
+    assert "SinglePartition" not in plan
+    assert "hashpartitioning(source" in plan

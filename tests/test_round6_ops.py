@@ -140,3 +140,35 @@ def test_hashed_classifier_tf_scales_logit(spark):
     # doubled text: unigrams 2x, bigrams 2n-1 vs n-1 (the join bigram)
     assert big["n_feats"] == 2 * 4 + (2 * 4 - 1)
     assert small["n_feats"] == 4 + 3
+
+
+def test_token_budget_selection_greedy_whole_docs(spark):
+    from politicamente_etl_spark.operators.sampling import select_by_token_budget
+
+    rows = [
+        # source, doc, q, tokens
+        ("s", 1, 900, 40),
+        ("s", 2, 800, 50),
+        ("s", 3, 700, 20),
+        ("s", 4, 600, 5),
+        ("t", 9, 100, 200),
+    ]
+    df = spark.createDataFrame(rows, ["source", "doc_id", "q_milli", "n_tokens"])
+    out = sorted(
+        (r["source"], r["doc_id"], r["cum_tokens"], r["q_rank"])
+        for r in select_by_token_budget(df, budget_tokens=100).collect()
+    )
+    # s: 40, 90 fit; doc 3 would hit 110 > 100 and is dropped WHOLE,
+    # and doc 4 (cum 115 in rank order) is dropped too — the running
+    # total includes skipped-over docs: rank order is the contract.
+    assert out == [("s", 1, 40, 1), ("s", 2, 90, 2)]
+    # t: the single doc exceeds the budget alone -> source yields nothing
+
+
+def test_token_budget_selection_tie_break_deterministic(spark):
+    from politicamente_etl_spark.operators.sampling import select_by_token_budget
+
+    rows = [("s", i, 500, 60) for i in (5, 3, 4, 1, 2)]
+    df = spark.createDataFrame(rows, ["source", "doc_id", "q_milli", "n_tokens"])
+    out = select_by_token_budget(df, budget_tokens=120).collect()
+    assert sorted(r["doc_id"] for r in out) == [1, 2]  # id ascending on ties
