@@ -174,3 +174,62 @@ def weighted_median_gagg():
         return float(v[np.searchsorted(2 * cw, cw[-1], side="left")])
 
     return wmedian
+
+
+def hll_registers(
+    df: DataFrame,
+    value_col: str,
+    b: int = 6,
+    seed: str = "hll-v1",
+) -> DataFrame:
+    """HyperLogLog REGISTERS (Flajolet et al. 2007) from pure DataFrame
+    algebra — the engine-exact counterpart of `approx_aggs`'s opaque
+    `approx_count_distinct` sketch. The register table (2^b rows of
+    (bucket, max leading-zero rank)) IS the sketch: it is what a pipeline
+    stores per partition/day and what makes HLL mergeable (union two
+    register tables, take MAX per bucket). Building it from deterministic
+    md5 arithmetic makes the sketch itself oracle-checkable, not just the
+    final estimate: Spark and DuckDB produce bit-identical registers.
+
+    Hash layout: 60-bit md5 int; top ``b`` bits select the bucket, the
+    remaining ``60-b`` bits w give the rank rho = (leading zeros of w in
+    its field) + 1 = (60-b) + 1 - bit_length(w), via the cross-engine
+    identity bit_length(w) = length(bin(w)) for w > 0.
+
+    Scale shape: one hash aggregate keyed by bucket (2^b groups,
+    map-side combined — each executor reduces its partitions to <= 2^b
+    rows before the exchange), exactly how a sketch build should run on
+    100 TB: the shuffle carries registers, never values. Estimation from
+    the registers (alpha_m * m^2 / sum 2^-rho) is a read-time concern and
+    needs 128-bit or decimal arithmetic to stay exact — the engine-exact
+    ESTIMATOR in this repo is kmv_distinct; this operator is the
+    mergeable-state surface."""
+    width = 60 - b
+    field = 1 << width
+    h = F.conv(
+        F.substring(
+            F.md5(
+                F.concat_ws(
+                    ":", F.lit(seed), F.col(value_col).cast("string")
+                )
+            ),
+            1,
+            15,
+        ),
+        16,
+        10,
+    ).cast("long")
+    # Integer div/mod only: h < 2^60 exceeds the double-exact range, so a
+    # float division here could mis-bucket values near field boundaries.
+    hashed = df.select(h.alias("__h")).select(
+        F.expr(f"__h % CAST({field} AS BIGINT)").alias("__w"),
+        F.expr(f"__h div CAST({field} AS BIGINT)").alias("bucket"),
+    )
+    rho = F.when(F.col("__w") == 0, F.lit(width + 1)).otherwise(
+        F.lit(width + 1) - F.length(F.expr("bin(__w)"))
+    )
+    return (
+        hashed.select("bucket", rho.cast("int").alias("__rho"))
+        .groupBy("bucket")
+        .agg(F.max("__rho").alias("max_rho"))
+    )

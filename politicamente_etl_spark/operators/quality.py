@@ -204,3 +204,29 @@ def observed(df: DataFrame, checks: list[Check]):
         for c in checks
     ]
     return df.observe(obs, *aggs), obs
+
+
+def k_anonymity_classes(
+    df: DataFrame,
+    qi_cols: list[str],
+    subject_col: str,
+    k: int = 5,
+) -> DataFrame:
+    """k-anonymity audit (Sweeney 2002): group rows by their
+    quasi-identifier tuple and measure how many distinct SUBJECTS share
+    each equivalence class. A class with fewer than ``k`` subjects
+    re-identifies its members by linkage — those rows must be suppressed
+    or generalized before release. Returns one row per QI class:
+    (qi..., n_rows, n_subjects, at_risk).
+
+    Shape: one hash aggregate on the QI tuple with a distinct-subject
+    count inside (Spark plans count(distinct) as a two-phase partial
+    expand — both phases map-side combined, keyed by the QI tuple; no
+    global sort). The QI class count is bounded by the generalization
+    grid (type x dow x hour ~ 10^3-10^4 classes), so the final rollup is
+    tiny no matter the row count."""
+    cls = df.groupBy(*qi_cols).agg(
+        F.count("*").cast("long").alias("n_rows"),
+        F.countDistinct(subject_col).cast("long").alias("n_subjects"),
+    )
+    return cls.withColumn("at_risk", F.col("n_subjects") < F.lit(int(k)))

@@ -522,3 +522,154 @@ def semdedup(
             F.col("dup_of").isNull().alias("is_kept"),
         )
     )
+
+
+# Milli-snapped integer dot product: floor(x*1000) per component BEFORE the
+# multiply, so every pairwise score is an exact BIGINT sum — order-proof
+# and engine-exact (DuckDB twin in plans/extended_r6b.py). Magnitude:
+# 64 dims x (10^3)^2 ~ 6.4e7 per pair, far inside BIGINT.
+DOT_MILLI = (
+    "aggregate(zip_with({a}, {b}, (x, y) ->"
+    " CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT)"
+    " * CAST(floor(CAST(y AS DOUBLE) * 1000) AS BIGINT)),"
+    " CAST(0 AS BIGINT), (acc, v) -> acc + v)"
+)
+
+
+def mmr_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_candidates: int = 12,
+    lam_tenths: int = 7,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Maximal-Marginal-Relevance diversified top-k (Carbonell &
+    Goldstein 1998): greedily pick argmax of
+    ``lam*rel(q, c) - (1-lam)*max_{s in selected} sim(c, s)`` — the
+    re-ranking step that stops a retrieval page collapsing onto k
+    near-duplicates of the best hit.
+
+    Architecture (the standard two-stage re-rank, Spark-first):
+
+    1. CANDIDATE PRUNE — corpus-safe top-``n_candidates`` by relevance per
+       query (same broadcast + WindowGroupLimit shape as cosine_topk).
+       This stage touches the full corpus; everything after is
+       O(queries x n_candidates^2).
+    2. GREEDY WALK — per query, candidates and their pairwise-sim matrix
+       are packed into arrays and the k-step greedy selection runs as ONE
+       ``aggregate(sequence(1, k), ...)`` higher-order fold, entirely
+       JVM-side: no driver loop, no per-step join, no lineage growth, and
+       every query row folds independently — embarrassingly parallel
+       across the query set, which is exactly where MMR parallelism lives
+       (the per-query walk is inherently sequential).
+
+    Scoring is all-integer (DOT_MILLI relevance and similarity,
+    ``lam_tenths``/10 as the trade-off), so selection order is
+    deterministic and oracle-checkable; ties break on ascending id.
+    Returns (query_id, step, vec_id, rel_mm) with step = 1..k in
+    selection order.
+    """
+    lam = int(lam_tenths)
+    mu = 10 - lam
+    mvec = (
+        f"transform({vec_col},"
+        " x -> CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT))"
+    )
+    q = queries.select(
+        F.col(id_col).alias(query_id_col), F.expr(mvec).alias("q_mvec")
+    )
+    c = corpus.select(id_col, F.expr(mvec).alias("c_mvec"))
+    # Vectors are milli-snapped ONCE above; relevance and pairwise sims
+    # are then plain integer dots so both live in the same milli^2 units
+    # (DOT_MILLI here would re-floor-and-scale and inflate rel by 1e6,
+    # silently degenerating the lambda trade-off to pure relevance).
+    int_dot = (
+        "aggregate(zip_with({a}, {b}, (x, y) -> x * y),"
+        " CAST(0 AS BIGINT), (acc, v) -> acc + v)"
+    )
+    scored = c.crossJoin(F.broadcast(q)).withColumn(
+        "rel_mm", F.expr(int_dot.format(a="c_mvec", b="q_mvec"))
+    )
+    wq = Window.partitionBy(query_id_col).orderBy(
+        F.col("rel_mm").desc(), F.col(id_col)
+    )
+    cand = (
+        scored.withColumn("pos", F.row_number().over(wq))
+        .filter(F.col("pos") <= n_candidates)
+        .select(query_id_col, "pos", id_col, "rel_mm", "c_mvec")
+    )
+    # Pack each query's candidates into arrays (position = (rel desc, id)
+    # order) and compute the pairwise sim matrix INSIDE the packed row as
+    # a nested transform over the already-milli'd vectors — no candidate
+    # self-join, so the corpus-scoring subplan above is evaluated exactly
+    # once (a cand x cand join would re-run the corpus cross three times:
+    # Catalyst does not CSE repeated subplans).
+    idot = lambda a, b: F.aggregate(  # noqa: E731 — integer dot, exact
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+    packed = (
+        cand.groupBy(query_id_col)
+        .agg(
+            F.sort_array(
+                F.collect_list(F.struct("pos", id_col, "rel_mm", "c_mvec"))
+            ).alias("cs")
+        )
+        .select(
+            query_id_col,
+            F.transform("cs", lambda s: s[id_col]).alias("ids"),
+            F.transform("cs", lambda s: s["rel_mm"]).alias("rels"),
+            F.transform(
+                "cs",
+                lambda a: F.transform(
+                    F.col("cs"), lambda b: idot(a["c_mvec"], b["c_mvec"])
+                ),
+            ).alias("simmat"),
+        )
+    )
+    # The greedy fold. State: array of selected positions (1-based).
+    # Each step scores every unselected candidate p as
+    #   lam*rels[p] - mu*max(simmat[p][s] for s in state)   (x10 units)
+    # and appends the argmax; struct(negscore, id, p) + array_min gives
+    # max-score-then-min-id in one comparison.
+    walk = f"""
+    aggregate(
+      sequence(1, {k}),
+      CAST(array() AS array<int>),
+      (sel, step) -> array_append(sel,
+        array_min(
+          filter(
+            transform(sequence(1, size(ids)), p ->
+              IF(array_contains(sel, p), NULL,
+                 named_struct(
+                   'negscore',
+                   IF(size(sel) = 0,
+                      -{lam} * element_at(rels, p),
+                      -{lam} * element_at(rels, p)
+                        + {mu} * array_max(transform(sel,
+                            s -> element_at(element_at(simmat, p), s)))),
+                   'id', element_at(ids, p),
+                   'p', p))),
+            x -> x IS NOT NULL)
+        ).p)
+    )
+    """
+    sel = packed.select(
+        query_id_col,
+        "ids",
+        "rels",
+        F.expr(walk).alias("sel_pos"),
+    )
+    out = sel.select(
+        query_id_col, "ids", "rels", F.posexplode("sel_pos").alias("step0", "p")
+    )
+    return out.select(
+        query_id_col,
+        (F.col("step0") + 1).cast("int").alias("step"),
+        F.element_at("ids", F.col("p")).alias(id_col),
+        F.element_at("rels", F.col("p")).alias("rel_mm"),
+    )

@@ -325,3 +325,69 @@ def ntile_buckets(
         .withColumn(out_col, expr)
         .drop("__edges")
     )
+
+
+def autocorr_terms(
+    series: DataFrame,
+    t_col: str,
+    value_col: str,
+    max_lag: int = 7,
+) -> DataFrame:
+    """Sample-autocorrelation terms of an integer-valued, integer-indexed
+    series at lags 1..max_lag, emitted as EXACT integer numerator /
+    denominator pairs instead of a float ratio (acf_k = num_k / den — the
+    division is a presentation concern; emitting the terms keeps the
+    result order-independent and engine-exact, the same discipline as
+    embedding_dim_variance_rank's variance numerator).
+
+    With S = sum(x), n = count, dev_t = n*x_t - S (mean-centering scaled
+    through by n so everything stays integral):
+
+        num_k = sum over observed pairs (t, t-k) of dev_t * dev_{t-k}
+        den   = sum over all t of dev_t^2        (n^2-scaled, cancels)
+
+    Missing index values (days with no data) simply produce no pair at
+    the lags they'd participate in — n_pairs per lag reports exactly how
+    many survived, so the estimate's support is part of the answer.
+
+    Shape: the series is already aggregated (one row per t); the lag
+    structure is ONE equi-join of the series against its explode over
+    lags 1..max_lag (t matches t-k), then an (max_lag)-group aggregate —
+    no window over a global sort, no per-lag rescan. For a 100 TB events
+    source the expensive part is building `series` (a partial-agg'd
+    groupBy upstream of this operator); the ACF itself touches n rows.
+
+    Caller owns the value scaling: dev products grow as (n * x)^2 * n, so
+    x should be pre-scaled (e.g. kilodollars) to keep num/den inside
+    BIGINT at the target n."""
+    stats = series.agg(
+        F.count("*").cast("long").alias("__n"),
+        F.sum(F.col(value_col)).cast("long").alias("__s"),
+    )
+    dev = (
+        series.crossJoin(F.broadcast(stats))
+        .select(
+            F.col(t_col).alias("__t"),
+            (F.col("__n") * F.col(value_col) - F.col("__s")).alias("__dev"),
+        )
+    )
+    den = dev.agg(
+        F.sum(F.col("__dev") * F.col("__dev")).cast("long").alias("den")
+    )
+    lagged = dev.select(
+        "__t",
+        F.col("__dev").alias("__dev_b"),
+        F.explode(
+            F.sequence(F.lit(1), F.lit(int(max_lag)))
+        ).alias("lag"),
+    ).select((F.col("__t") + F.col("lag")).alias("__t"), "lag", "__dev_b")
+    return (
+        dev.join(lagged, "__t")
+        .groupBy("lag")
+        .agg(
+            F.count("*").cast("long").alias("n_pairs"),
+            F.sum(F.col("__dev") * F.col("__dev_b")).cast("long").alias("num"),
+        )
+        .crossJoin(F.broadcast(den))
+        .select(F.col("lag").cast("int").alias("lag"), "n_pairs", "num", "den")
+    )

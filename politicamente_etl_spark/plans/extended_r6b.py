@@ -1,0 +1,444 @@
+"""Round-6 prep batch 2: MMR diversified retrieval, graded retrieval
+evaluation (NDCG), an engine-exact HyperLogLog register sketch with a
+merge proof, integer-exact autocorrelation of the revenue series, and a
+k-anonymity privacy audit — the re-ranking / evaluation / sketch-state /
+time-series-diagnostic / governance shapes the catalog lacked.
+
+Oracle-parity rules carried from the earlier extended modules: every
+float is snapped to integers at birth (milli-snapped embedding
+components, micro-snapped DCG weights precomputed in Python and embedded
+as identical literals on both sides, decimal-snapped money), integer
+division is `div` (Spark) / `//` (DuckDB) on non-negative operands only,
+and sequential-fold list arithmetic matches DuckDB's list_reduce
+left-fold. The MMR oracle reproduces the greedy walk with a DuckDB
+RECURSIVE CTE carrying the selected set as a LIST — same technique as
+greedy_pack_stats, extended with a correlated argmax subquery.
+"""
+
+from __future__ import annotations
+
+import math
+import random as _random
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+# Plain integer dot over ALREADY milli-snapped BIGINT lists (the m CTE
+# snaps once; snapping again inside the dot would inflate one term by
+# 1e6 and break the lambda trade-off — see mmr_topk's int_dot note).
+_IDOT_DD = (
+    "list_reduce(list_transform(list_zip({a}, {b}),"
+    " s -> s[1] * s[2]), (acc, v) -> acc + v)"
+)
+
+_DOT_DD = (
+    "list_reduce(list_transform(list_zip({a}, {b}),"
+    " s -> CAST(s[1] AS DOUBLE) * CAST(s[2] AS DOUBLE)), (acc, v) -> acc + v)"
+)
+_NORM_DD = (
+    "sqrt(list_reduce(list_transform({a},"
+    " x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (acc, v) -> acc + v))"
+)
+
+# Same seeded hyperplanes as plans/extended.py's _TOPK_PLANES (seed 42):
+# regenerated here because they are module-local there; str(float) literal
+# embedding keeps both engines bit-identical (see extended.py's note).
+_rnd = _random.Random(42)
+_TOPK_PLANES = [[_rnd.gauss(0, 1) for _ in range(64)] for _ in range(4)]
+
+# NDCG@10 discount weights, micro-snapped: w_i = round(1e6 / log2(i+1)).
+# Precomputed in Python and embedded as the SAME literals in the Spark
+# plan and the oracle SQL, so the graded sum is exact integer arithmetic.
+_NDCG_K = 10
+_NDCG_W = [round(1e6 / math.log2(i + 1)) for i in range(1, _NDCG_K + 1)]
+# Ideal DCG: gains are (11-rank) for the exact top-10, best-first.
+_NDCG_IDCG = sum((_NDCG_K + 1 - i) * _NDCG_W[i - 1] for i in range(1, _NDCG_K + 1))
+
+
+def _sql_plane_lit(plane):
+    return "[" + ", ".join(str(float(x)) for x in plane) + "]"
+
+
+def _sql_bucket(vec, planes):
+    bits = " || ".join(
+        f"(CASE WHEN {_DOT_DD.format(a=vec, b=_sql_plane_lit(p))} >= 0"
+        " THEN '1' ELSE '0' END)"
+        for p in planes
+    )
+    return f"({bits})"
+
+
+def _register():
+    from politicamente_etl_spark.operators import agg as agg_ops
+    from politicamente_etl_spark.operators import quality, sim, stats
+    from politicamente_etl_spark.plans.catalog import T, load_events, register
+
+    # -- MMR diversified retrieval ------------------------------------------
+
+    @register(
+        "mmr_diverse_topk",
+        sql=f"""
+        WITH RECURSIVE m AS (
+            SELECT vec_id,
+                   list_transform(embedding,
+                       x -> CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT))
+                       AS mv
+            FROM embeddings
+        ), q AS (
+            SELECT vec_id AS query_id, mv AS qv FROM m WHERE vec_id < 3
+        ), rel0 AS (
+            SELECT q.query_id, c.vec_id,
+                   {_IDOT_DD.format(a='c.mv', b='q.qv')} AS rel_mm
+            FROM m c CROSS JOIN q
+        ), cand AS (
+            SELECT query_id, vec_id, rel_mm FROM rel0
+            QUALIFY row_number() OVER (PARTITION BY query_id
+                    ORDER BY rel_mm DESC, vec_id) <= 12
+        ), pair AS (
+            SELECT a.query_id, a.vec_id AS a, b.vec_id AS b,
+                   {_IDOT_DD.format(a='ma.mv', b='mb.mv')} AS sim_mm
+            FROM cand a
+            JOIN cand b ON a.query_id = b.query_id
+            JOIN m ma ON ma.vec_id = a.vec_id
+            JOIN m mb ON mb.vec_id = b.vec_id
+        ), walk AS (
+            SELECT query_id, 1 AS step, [(
+                SELECT c.vec_id FROM cand c
+                WHERE c.query_id = x.query_id
+                ORDER BY c.rel_mm DESC, c.vec_id LIMIT 1)] AS sel
+            FROM (SELECT DISTINCT query_id FROM cand) x
+          UNION ALL
+            SELECT w.query_id, w.step + 1,
+                list_append(w.sel, (
+                    SELECT c.vec_id FROM cand c
+                    WHERE c.query_id = w.query_id
+                      AND NOT list_contains(w.sel, c.vec_id)
+                    ORDER BY 7 * c.rel_mm - 3 * (
+                        SELECT MAX(p.sim_mm) FROM pair p
+                        WHERE p.query_id = w.query_id AND p.a = c.vec_id
+                          AND list_contains(w.sel, p.b)) DESC,
+                        c.vec_id
+                    LIMIT 1))
+            FROM walk w WHERE w.step < 5
+        ), fin AS (
+            SELECT query_id, sel FROM walk WHERE step = 5
+        ), picks AS (
+            SELECT query_id,
+                   CAST(unnest(generate_series(1, len(sel))) AS INT) AS step,
+                   unnest(sel) AS vec_id
+            FROM fin
+        )
+        SELECT p.query_id, p.step, p.vec_id, c.rel_mm
+        FROM picks p JOIN cand c
+          ON p.query_id = c.query_id AND p.vec_id = c.vec_id
+        """,
+        tags=("ext-sim",),
+    )
+    def q_mmr_diverse_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Diversified top-5 per query via Maximal Marginal Relevance
+        (lambda=0.7) over the top-12 relevance candidates — the re-rank
+        that keeps a retrieval page from collapsing onto near-duplicates
+        of the best hit. The greedy walk runs as one JVM-side
+        `aggregate(sequence(1, k), ...)` fold per query row (no driver
+        loop, no per-step join); the oracle replays it with a recursive
+        CTE carrying the selected list. All-integer milli-dot scoring
+        makes the selection order engine-exact."""
+        emb = T(spark, sf_dir, "embeddings")
+        queries = emb.filter(F.col("vec_id") < 3)
+        return sim.mmr_topk(emb, queries, k=5, n_candidates=12, lam_tenths=7)
+
+    # -- graded retrieval eval ----------------------------------------------
+
+    _w_sql = ", ".join(
+        f"({i + 1}, {w})" for i, w in enumerate(_NDCG_W)
+    )
+
+    @register(
+        "ndcg_ann_eval",
+        sql=f"""
+        WITH q AS (
+            SELECT vec_id AS query_id, embedding AS q_vec
+            FROM embeddings WHERE vec_id < 8
+        ), ex_scored AS (
+            SELECT q.query_id, e.vec_id,
+                   {_DOT_DD.format(a='e.embedding', b='q.q_vec')}
+                   / ({_NORM_DD.format(a='e.embedding')}
+                      * {_NORM_DD.format(a='q.q_vec')}) AS cos_sim
+            FROM embeddings e CROSS JOIN q
+        ), exact AS (
+            SELECT query_id, vec_id,
+                   CAST({_NDCG_K} + 1 - row_number() OVER (
+                       PARTITION BY query_id
+                       ORDER BY cos_sim DESC, vec_id) AS BIGINT) AS gain
+            FROM ex_scored
+            QUALIFY row_number() OVER (PARTITION BY query_id
+                    ORDER BY cos_sim DESC, vec_id) <= {_NDCG_K}
+        ), sigc AS (
+            SELECT vec_id, embedding,
+                   {_sql_bucket('embedding', _TOPK_PLANES)} AS bucket,
+                   {_NORM_DD.format(a='embedding')} AS nrm
+            FROM embeddings
+        ), sigq AS (
+            SELECT vec_id AS query_id, embedding AS q_vec, bucket,
+                   nrm AS q_nrm
+            FROM sigc WHERE vec_id < 8
+        ), l_scored AS (
+            SELECT q.query_id, c.vec_id,
+                   {_DOT_DD.format(a='c.embedding', b='q.q_vec')}
+                       / (c.nrm * q.q_nrm) AS cos_sim
+            FROM sigc c JOIN sigq q USING (bucket)
+        ), approx AS (
+            SELECT query_id, vec_id,
+                   CAST(row_number() OVER (PARTITION BY query_id
+                       ORDER BY cos_sim DESC, vec_id) AS INT) AS rank
+            FROM l_scored
+            QUALIFY row_number() OVER (PARTITION BY query_id
+                    ORDER BY cos_sim DESC, vec_id) <= {_NDCG_K}
+        ), wt AS (
+            SELECT * FROM (VALUES {_w_sql}) w(rank, wt)
+        )
+        SELECT a.query_id,
+               CAST(COUNT(e.vec_id) AS BIGINT) AS n_overlap,
+               CAST(COALESCE(SUM(e.gain * wt.wt), 0) AS BIGINT) AS dcg_micro,
+               CAST((1000 * COALESCE(SUM(e.gain * wt.wt), 0))
+                    // {_NDCG_IDCG} AS BIGINT) AS ndcg_milli
+        FROM approx a
+        JOIN wt ON wt.rank = a.rank
+        LEFT JOIN exact e
+          ON e.query_id = a.query_id AND e.vec_id = a.vec_id
+        GROUP BY a.query_id
+        """,
+        tags=("ext-sim", "ext-quality"),
+    )
+    def q_ndcg_ann_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """NDCG@10 of the hyperplane-LSH index against the exact cosine
+        ranking — the position-aware upgrade of ann_recall_report: a
+        miss at approx-rank 1 now costs more than a miss at rank 10.
+        Graded relevance = (11 - exact_rank); discount weights are
+        micro-snapped 1/log2(i+1) literals shared by both engines, so
+        DCG is an exact integer sum and NDCG an exact integer milli
+        ratio (IDCG is the same constant for every query because the
+        exact ranking always yields 10 graded hits)."""
+        emb = T(spark, sf_dir, "embeddings")
+        queries = emb.filter(F.col("vec_id") < 8)
+        exact = sim.cosine_topk(emb, queries, k=_NDCG_K).select(
+            "query_id",
+            "vec_id",
+            (F.lit(_NDCG_K + 1) - F.col("rank")).cast("long").alias("gain"),
+        )
+        approx = sim.cosine_topk_lsh(
+            emb, queries, _TOPK_PLANES, k=_NDCG_K
+        ).select("query_id", "vec_id", "rank")
+        wts = F.array(*[F.lit(w) for w in _NDCG_W])
+        scored = (
+            approx.join(exact, ["query_id", "vec_id"], "left")
+            .withColumn("wt", F.element_at(wts, F.col("rank")))
+            .groupBy("query_id")
+            .agg(
+                F.count("gain").cast("long").alias("n_overlap"),
+                F.coalesce(
+                    F.sum(F.col("gain") * F.col("wt")), F.lit(0)
+                )
+                .cast("long")
+                .alias("dcg_micro"),
+            )
+        )
+        return scored.withColumn(
+            "ndcg_milli",
+            F.expr(f"(1000 * dcg_micro) div {_NDCG_IDCG}").cast("long"),
+        )
+
+    # -- HLL register sketch + merge proof ----------------------------------
+
+    _HLL_FIELD = 1 << 54  # b=6 -> 64 buckets, 54-bit rank field
+
+    _hll_cls = f"""
+            SELECT CAST(h // {_HLL_FIELD} AS BIGINT) AS bucket,
+                   CAST(CASE WHEN h % {_HLL_FIELD} = 0 THEN 55
+                        ELSE 55 - length(bin(h % {_HLL_FIELD}))
+                        END AS INT) AS rho,
+                   event_id
+            FROM (SELECT event_id,
+                         CAST(('0x' || substring(md5('hll-v1:'
+                              || CAST(user_id AS VARCHAR)), 1, 15))
+                              AS BIGINT) AS h
+                  FROM events)
+    """
+
+    @register(
+        "hll_register_merge",
+        sql=f"""
+        WITH hashed AS (
+            {_hll_cls}
+        ), whole AS (
+            SELECT bucket, MAX(rho) AS rho FROM hashed GROUP BY bucket
+        ), halves AS (
+            SELECT bucket, MAX(rho) AS rho, event_id % 2 AS half
+            FROM hashed GROUP BY bucket, event_id % 2
+        ), merged AS (
+            SELECT bucket, MAX(rho) AS rho FROM halves GROUP BY bucket
+        )
+        SELECT w.bucket, CAST(w.rho AS INT) AS rho,
+               CAST(m.rho AS INT) AS rho_merged,
+               w.rho = m.rho AS merge_ok
+        FROM whole w JOIN merged m ON w.bucket = m.bucket
+        """,
+        tags=("ext-sketch",),
+    )
+    def q_hll_register_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Engine-exact HyperLogLog registers over events.user_id (b=6,
+        64 buckets) plus the merge proof: registers built per
+        event_id-parity half and MAX-merged must equal registers built
+        over the whole table — the associativity that lets 100 TB of
+        per-partition sketches roll up to one cardinality estimate
+        without re-reading data. Register build is one map-side-combined
+        hash aggregate (the shuffle carries <= 64 rows per partition)."""
+        ev = load_events(spark, sf_dir).select("event_id", "user_id")
+        whole = agg_ops.hll_registers(ev, "user_id")
+        ha = agg_ops.hll_registers(
+            ev.filter(F.col("event_id") % 2 == 0), "user_id"
+        )
+        hb = agg_ops.hll_registers(
+            ev.filter(F.col("event_id") % 2 == 1), "user_id"
+        )
+        merged = (
+            ha.union(hb)
+            .groupBy("bucket")
+            .agg(F.max("max_rho").alias("rho_merged"))
+        )
+        return (
+            whole.withColumnRenamed("max_rho", "rho")
+            .join(merged, "bucket")
+            .select(
+                "bucket",
+                F.col("rho").cast("int").alias("rho"),
+                F.col("rho_merged").cast("int").alias("rho_merged"),
+                (F.col("rho") == F.col("rho_merged")).alias("merge_ok"),
+            )
+        )
+
+    # -- revenue autocorrelation --------------------------------------------
+
+    @register(
+        "daily_revenue_autocorr",
+        sql="""
+        WITH daily AS (
+            SELECT CAST(CAST(o_orderdate AS DATE) - DATE '1970-01-01'
+                        AS BIGINT) AS day,
+                   CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)) * 100)
+                        AS BIGINT) // 100000 AS x
+            FROM orders GROUP BY 1
+        ), st AS (
+            SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(SUM(x) AS BIGINT) AS s
+            FROM daily
+        ), dev AS (
+            SELECT day, n * x - s AS dev FROM daily CROSS JOIN st
+        ), den AS (
+            SELECT CAST(SUM(dev * dev) AS BIGINT) AS den FROM dev
+        ), lags AS (
+            SELECT unnest(generate_series(1, 7)) AS lag
+        )
+        SELECT CAST(l.lag AS INT) AS lag,
+               CAST(COUNT(*) AS BIGINT) AS n_pairs,
+               CAST(SUM(a.dev * b.dev) AS BIGINT) AS num,
+               den.den AS den
+        FROM lags l
+        JOIN dev a ON TRUE
+        JOIN dev b ON a.day = b.day + l.lag
+        CROSS JOIN den
+        GROUP BY 1, den.den
+        """,
+        tags=("ext-stats", "ext-temporal"),
+    )
+    def q_daily_revenue_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Lag-1..7 autocorrelation terms of daily order revenue — the
+        weekly-seasonality diagnostic, emitted as exact integer
+        numerator/denominator pairs (acf_k = num/den) over
+        kilodollar-snapped daily totals: decimal-sum to cents first
+        (order-proof), then integer division, then n-scaled
+        mean-centering so no float ever appears. Kilodollar units keep
+        den ~ n^3 * x^2 inside BIGINT through sf >= 1 (rescale the unit,
+        not the algorithm, beyond that)."""
+        o = T(spark, sf_dir, "orders").select(
+            F.unix_date(F.to_date("o_orderdate")).alias("day"),
+            "o_totalprice",
+        )
+        daily = o.groupBy("day").agg(
+            F.expr(
+                "CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)) * 100)"
+                " AS BIGINT) div 100000"
+            ).alias("x")
+        )
+        return stats.autocorr_terms(daily, "day", "x", max_lag=7)
+
+    # -- k-anonymity audit --------------------------------------------------
+
+    @register(
+        "k_anonymity_report",
+        sql="""
+        WITH qi AS (
+            SELECT event_type,
+                   CAST(CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT)
+                        % 7 AS INT) AS dow,
+                   CAST(date_part('hour', ts) AS INT) AS hour,
+                   user_id
+            FROM events
+        ), cls AS (
+            SELECT event_type, dow, hour,
+                   CAST(COUNT(*) AS BIGINT) AS n_rows,
+                   CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_subjects
+            FROM qi GROUP BY 1, 2, 3
+        )
+        SELECT event_type,
+               CAST(COUNT(*) AS BIGINT) AS n_classes,
+               CAST(SUM(CASE WHEN n_subjects < 5 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_unsafe_classes,
+               CAST(SUM(CASE WHEN n_subjects < 5 THEN n_rows ELSE 0 END)
+                    AS BIGINT) AS rows_at_risk,
+               CAST(SUM(n_rows) AS BIGINT) AS n_rows_total,
+               CAST((1000000 * SUM(CASE WHEN n_subjects < 5
+                                   THEN n_rows ELSE 0 END))
+                    // SUM(n_rows) AS BIGINT) AS suppress_ppm
+        FROM cls GROUP BY 1
+        """,
+        tags=("ext-quality", "ext-privacy"),
+    )
+    def q_k_anonymity_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """k-anonymity audit of the event stream under the
+        quasi-identifier (event_type, day-of-week, hour): equivalence
+        classes with < 5 distinct users re-identify their members by
+        linkage; the per-type report counts unsafe classes and the ppm
+        of rows that would need suppression before release. dow is
+        epoch-day mod 7 (engine-neutral integer, no locale-dependent
+        weekday numbering). One distinct-count aggregate keyed by the QI
+        grid + a tiny rollup."""
+        ev = load_events(spark, sf_dir)
+        qi = ev.select(
+            "event_type",
+            F.pmod(F.unix_date(F.to_date("ts")), F.lit(7))
+            .cast("int")
+            .alias("dow"),
+            F.hour("ts").cast("int").alias("hour"),
+            "user_id",
+        )
+        cls = quality.k_anonymity_classes(
+            qi, ["event_type", "dow", "hour"], "user_id", k=5
+        )
+        rep = cls.groupBy("event_type").agg(
+            F.count("*").cast("long").alias("n_classes"),
+            F.sum(F.col("at_risk").cast("long"))
+            .cast("long")
+            .alias("n_unsafe_classes"),
+            F.sum(F.when(F.col("at_risk"), F.col("n_rows")).otherwise(0))
+            .cast("long")
+            .alias("rows_at_risk"),
+            F.sum("n_rows").cast("long").alias("n_rows_total"),
+        )
+        return rep.withColumn(
+            "suppress_ppm",
+            F.expr("(1000000 * rows_at_risk) div n_rows_total").cast("long"),
+        )
+
+
+_register()

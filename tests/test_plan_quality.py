@@ -571,3 +571,28 @@ def test_token_budget_window_is_partitioned(spark, sf_dir):
     plan = plan_of(q("token_budget_selection", spark, sf_dir))
     assert "SinglePartition" not in plan
     assert "hashpartitioning(source" in plan
+
+
+def test_mmr_walk_is_single_fold_no_cartesian(spark, sf_dir):
+    """The greedy MMR walk must be ONE higher-order fold over per-query
+    arrays — no per-step join tower, no cartesian product; the only
+    corpus-sized stage is the broadcast candidate prune."""
+    plan = plan_of(q("mmr_diverse_topk", spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    # Exactly ONE broadcast cross — the corpus x tiny-query-set scoring
+    # fan-out (same designed shape as cosine_topk); the pairwise-sim and
+    # pack joins must all be equi-joins, and the walk itself adds none.
+    assert plan.count("BroadcastNestedLoopJoin Cross BuildRight") == 1
+    assert plan.count("WindowGroupLimit") >= 1  # candidate top-k prune
+
+
+def test_hll_registers_partial_agg(spark, sf_dir):
+    """Register build must map-side combine: partial_max before the
+    exchange, so the shuffle carries registers, not hashed values."""
+    plan = plan_of(q("hll_register_merge", spark, sf_dir))
+    assert "partial_max" in plan
+
+
+def test_k_anonymity_no_global_sort(spark, sf_dir):
+    plan = plan_of(q("k_anonymity_report", spark, sf_dir))
+    assert "SinglePartition" not in plan.split("AdaptiveSparkPlan")[0]
