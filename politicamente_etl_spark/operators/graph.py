@@ -261,3 +261,73 @@ def pagerank_integer(
             eager=False
         )
     return ranks
+
+
+def kcore_peel(
+    pairs: DataFrame,
+    k: int = 3,
+    rounds: int = 4,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Bounded k-core peeling (Matula & Beck 1983, distributed form): for
+    ``rounds`` iterations, drop every node with degree < k and every edge
+    touching one, and report the surviving graph size per round — the
+    density-stratification probe that separates a graph's cohesive core
+    from its tree-like fringe (round counts converging means the k-core
+    has been reached; a fixed round budget keeps the operator a finite
+    DAG, same contract as pagerank_integer's fixed sweeps).
+
+    Returns (round, n_nodes, n_edges) for round = 0..rounds, where round
+    0 is the input graph after dedup/orientation. Deterministic —
+    peeling is simultaneous (all sub-k nodes drop together), so there is
+    no tie-break ambiguity.
+
+    Scale shape per round: one degree aggregate (groupBy node, map-side
+    combined) + two semi-joins (src-keep, dst-keep) — the same shuffle
+    primitives as connected_components; edges only shrink. The stats
+    rows are lazy one-row aggregates unioned at the end. Each round's
+    edge list is localCheckpointed: round r's plan references round r-1
+    THREE times (degree agg twice via the endpoint union, then the
+    semi-join left side), so an unmaterialized lineage re-runs the
+    input-edge build 3^rounds times — the same truncate-the-DAG
+    discipline as near_dup_clusters and cosine_topk_ivf, and at scale
+    the per-round materialization is exactly the persisted frontier a
+    production peeler keeps anyway (edges only shrink)."""
+    e = (
+        pairs.select(
+            F.least(src, dst).alias("u"), F.greatest(src, dst).alias("v")
+        )
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint()
+    )
+
+    def stats(edges: DataFrame, rnd: int) -> DataFrame:
+        nodes = edges.select(F.col("u").alias("n")).union(
+            edges.select(F.col("v").alias("n"))
+        )
+        return edges.agg(
+            F.lit(rnd).cast("int").alias("round"),
+            F.count("*").cast("long").alias("n_edges"),
+        ).crossJoin(
+            nodes.agg(F.countDistinct("n").cast("long").alias("n_nodes"))
+        ).select("round", "n_nodes", "n_edges")
+
+    out = stats(e, 0)
+    cur = e
+    for r in range(1, rounds + 1):
+        deg = (
+            cur.select(F.col("u").alias("n"))
+            .union(cur.select(F.col("v").alias("n")))
+            .groupBy("n")
+            .agg(F.count("*").alias("deg"))
+        )
+        keep = deg.filter(F.col("deg") >= k).select("n")
+        cur = (
+            cur.join(keep.withColumnRenamed("n", "u"), "u", "left_semi")
+            .join(keep.withColumnRenamed("n", "v"), "v", "left_semi")
+            .localCheckpoint()
+        )
+        out = out.union(stats(cur, r))
+    return out

@@ -1034,3 +1034,104 @@ def fixture_hash_weights(
         .cast("long")
         .alias("w_micro"),
     )
+
+
+def bpe_pair_stats(
+    df: DataFrame,
+    col: str = "text",
+    top_k: int = 10,
+) -> DataFrame:
+    """First-iteration BPE merge statistics (Sennrich et al. 2016): count
+    adjacent character pairs inside words, weighted by corpus word
+    frequency, and rank the top merge candidates — the counting pass a
+    tokenizer-training pipeline runs before each merge (iterating the
+    merges mutates a global symbol table and belongs to a driver loop
+    over THIS operator; the per-iteration cost is what must scale).
+
+    Overlapping occurrences all count ('aaa' contributes (a,a) twice per
+    occurrence), matching the reference BPE counting step.
+
+    Scale shape: word frequencies first (one groupBy over the token
+    explode — the only corpus-sized shuffle), then pairs explode off the
+    DISTINCT-WORD table (vocabulary-sized, orders of magnitude smaller
+    than the corpus: pair counting is |vocab| * avg_word_len work, not
+    |corpus|), one pair aggregate, TakeOrdered top-k."""
+    words = (
+        df.select(F.explode(tokens(col)).alias("w"))
+        .filter(F.length("w") >= 2)
+        .groupBy("w")
+        .agg(F.count("*").alias("wf"))
+    )
+    pairs = words.select(
+        "wf",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, length(w) - 1),"
+                " i -> substring(w, i, 2))"
+            )
+        ).alias("pair"),
+    ).filter(F.length("pair") == 2)
+    return (
+        pairs.groupBy("pair")
+        .agg(
+            F.sum("wf").cast("long").alias("n_occurrences"),
+            F.count("*").cast("long").alias("n_vocab_positions"),
+        )
+        .orderBy(F.col("n_occurrences").desc(), "pair")
+        .limit(top_k)
+    )
+
+
+def source_unigram_kl(
+    df: DataFrame,
+    group_col: str = "source",
+    col: str = "text",
+) -> DataFrame:
+    """Distribution drift per group: the KL divergence numerator of each
+    group's unigram distribution against the whole-corpus distribution,
+    KL(p_g || p) = sum_w p_g(w) * ln(p_g(w) / p(w)) — the standard
+    domain-shift score (a source whose language diverges from the mix
+    gets a large KL; the signal behind DSIR-style importance weighting
+    and mixture rebalancing).
+
+    Emitted as exact integers: kl_micro_tokens = sum_w c_gw *
+    (ln_micro(c_gw/N_g) - ln_micro(c_w/N)) — micro-nat-snapped logs
+    (round(ln(p)*1e6), the idiom unigram_logprob_scores proved
+    engine-exact) times integer counts, so the cross-term sum is
+    order-independent; divide by n_tokens at read time for the per-token
+    rate. Rounding makes tiny negative totals possible for a group whose
+    distribution ~equals the corpus; exact zero is not guaranteed, ~0
+    is the 'no drift' reading.
+
+    Scale shape: two token-explode aggregates (group-term counts — THE
+    corpus shuffle — and term totals), one vocabulary-sized equi-join on
+    term, tiny broadcast of per-group totals; no global sort."""
+    toks = df.select(F.col(group_col).alias("g"), F.explode(tokens(col)).alias("term"))
+    cgw = toks.groupBy("g", "term").agg(F.count("*").alias("c_gw"))
+    ng = toks.groupBy("g").agg(F.count("*").alias("n_g"))
+    cw = cgw.groupBy("term").agg(F.sum("c_gw").alias("c_w"))
+    n = toks.agg(F.count("*").alias("n_tot"))
+
+    def ln_micro(num, den):
+        return F.round(
+            F.log(num.cast("double") / den.cast("double")) * F.lit(1e6), 0
+        ).cast("long")
+
+    terms = (
+        cgw.join(cw, "term")
+        .join(F.broadcast(ng), "g")
+        .crossJoin(F.broadcast(n))
+        .withColumn(
+            "contrib",
+            F.col("c_gw")
+            * (
+                ln_micro(F.col("c_gw"), F.col("n_g"))
+                - ln_micro(F.col("c_w"), F.col("n_tot"))
+            ),
+        )
+    )
+    return terms.groupBy(F.col("g").alias(group_col)).agg(
+        F.sum("c_gw").cast("long").alias("n_tokens"),
+        F.countDistinct("term").cast("long").alias("n_terms"),
+        F.sum("contrib").cast("long").alias("kl_micro_tokens"),
+    )

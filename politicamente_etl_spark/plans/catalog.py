@@ -535,3 +535,4 @@ from politicamente_etl_spark.plans import extended_r5 as _extended_r5  # noqa: E
 from politicamente_etl_spark.plans import extended_r5b as _extended_r5b  # noqa: E402,F401
 from politicamente_etl_spark.plans import extended_r6 as _extended_r6  # noqa: E402,F401
 from politicamente_etl_spark.plans import extended_r6b as _extended_r6b  # noqa: E402,F401
+from politicamente_etl_spark.plans import extended_r6c as _extended_r6c  # noqa: E402,F401

@@ -596,3 +596,11 @@ def test_hll_registers_partial_agg(spark, sf_dir):
 def test_k_anonymity_no_global_sort(spark, sf_dir):
     plan = plan_of(q("k_anonymity_report", spark, sf_dir))
     assert "SinglePartition" not in plan.split("AdaptiveSparkPlan")[0]
+
+
+def test_bpe_pair_counts_vocab_sized_topk(spark, sf_dir):
+    """Pair counting must ride the vocabulary table: one corpus-sized
+    token aggregate, then a TakeOrdered top-k — never a global sort of
+    the pair table."""
+    plan = plan_of(q("bpe_pair_counts", spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan
