@@ -531,3 +531,56 @@ def select_by_token_budget(
         F.row_number().over(rw).cast("int").alias("q_rank"),
     )
     return out.filter(F.col("cum_tokens") <= budget_tokens)
+
+
+def weighted_priority_sample(
+    df: DataFrame,
+    weight_col: str,
+    k: int = 50,
+    id_col: str = "doc_id",
+    seed: str = "aes-v1",
+) -> DataFrame:
+    """Weighted sampling WITHOUT replacement via the Efraimidis-Spirakis
+    A-ES priority (2006): each row draws u ~ Uniform(0,1] and the top-k
+    by u^(1/w) is an exact weighted sample — the one-pass, mergeable
+    formulation (union two candidate sets, re-rank, cut at k), which is
+    what makes it the distributed/streaming standard for
+    quality-weighted corpus subsampling.
+
+    Determinism: u = (h+1)/2^60 from the 60-bit md5 of (seed, id) — no
+    RNG state, append-stable like consistent_sample_k, reproducible
+    across engines. Ranking uses the log-space key ln(u)/w (monotone in
+    u^(1/w)), snapped to integer nano-units so the order is
+    engine-exact; ties (astronomically unlikely) break on id.
+
+    Scale shape: narrow scan -> per-row key -> global top-k, which Spark
+    plans as TakeOrdered (per-partition heaps of k rows; only k rows per
+    partition ever move). Zero-weight/null rows are excluded (their
+    sampling probability is 0)."""
+    h = F.conv(
+        F.substring(
+            F.md5(
+                F.concat_ws(
+                    ":", F.lit(seed), F.col(id_col).cast("string")
+                )
+            ),
+            1,
+            15,
+        ),
+        16,
+        10,
+    ).cast("long")
+    u = (h + F.lit(1)).cast("double") / F.lit(float(1 << 60))
+    key = F.round(
+        F.log(u) / F.col(weight_col).cast("double") * F.lit(1e9), 0
+    ).cast("long")
+    return (
+        df.filter(F.col(weight_col) > 0)
+        .select(
+            id_col,
+            F.col(weight_col).cast("long").alias("weight"),
+            key.alias("key_nano"),
+        )
+        .orderBy(F.col("key_nano").desc(), F.col(id_col))
+        .limit(k)
+    )

@@ -673,3 +673,75 @@ def mmr_topk(
         F.element_at("ids", F.col("p")).alias(id_col),
         F.element_at("rels", F.col("p")).alias("rel_mm"),
     )
+
+
+def cosine_topk_lsh_multiprobe(
+    corpus: DataFrame,
+    queries: DataFrame,
+    planes: list[list[float]],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Multi-probe LSH top-k (Lv et al., VLDB'07): each query probes its
+    own hyperplane bucket PLUS every one-bit-flip neighbor — the buckets
+    a near-boundary neighbor most likely fell into — trading |planes|
+    extra candidate lookups for recall that single-probe LSH loses at
+    bucket boundaries. The standard way to buy ANN recall without
+    growing the index: same corpus bucketing, more probes per query.
+
+    Plan shape: corpus is signature-bucketed ONCE (identical to
+    cosine_topk_lsh); the probe fan-out multiplies only the tiny
+    broadcast query side (queries x (1+|planes|) rows). A candidate
+    reached through several probes is deduped by (query, id) BEFORE
+    scoring via a min aggregate, so each pair is scored exactly once."""
+    sig = hyperplane_signature(vec_col, planes)
+    c = corpus.select(id_col, vec_col).withColumn("bucket", sig)
+    nb = len(planes)
+    probes = F.array(
+        F.col("q_sig"),
+        *[
+            F.concat(
+                F.substring("q_sig", 1, i - 1),
+                F.when(
+                    F.substring("q_sig", i, 1) == "1", F.lit("0")
+                ).otherwise(F.lit("1")),
+                F.substring("q_sig", i + 1, nb - i),
+            )
+            for i in range(1, nb + 1)
+        ],
+    )
+    q = (
+        queries.select(
+            F.col(id_col).alias(query_id_col),
+            F.col(vec_col).alias("q_vec"),
+        )
+        .withColumn("q_sig", hyperplane_signature("q_vec", planes))
+        .withColumn("bucket", F.explode(probes))
+        .drop("q_sig")
+    )
+    cand = (
+        c.join(F.broadcast(q), "bucket")
+        .groupBy(query_id_col, id_col)
+        .agg(
+            F.first(vec_col).alias(vec_col),
+            F.first("q_vec").alias("q_vec"),
+        )
+    )
+    scored = cand.withColumn(
+        "cos_sim",
+        F.expr(DOT_DOUBLE.format(a=vec_col, b="q_vec"))
+        / (
+            F.sqrt(F.expr(NORM2_DOUBLE.format(a=vec_col)))
+            * F.sqrt(F.expr(NORM2_DOUBLE.format(a="q_vec")))
+        ),
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("cos_sim").desc(), F.col(id_col)
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(query_id_col, id_col, "cos_sim", "rank")
+    )

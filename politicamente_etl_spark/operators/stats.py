@@ -391,3 +391,115 @@ def autocorr_terms(
         .crossJoin(F.broadcast(den))
         .select(F.col("lag").cast("int").alias("lag"), "n_pairs", "num", "den")
     )
+
+
+def grouped_ols_terms(
+    df: DataFrame,
+    group_col: str,
+    x_col: str,
+    y_col: str,
+) -> DataFrame:
+    """Per-group ordinary-least-squares line fit, emitted as EXACT
+    integer terms (the same emit-the-ratio-parts discipline as
+    autocorr_terms): with integer x (e.g. a month index) and integer y
+    (snapped revenue),
+
+        slope     = slope_num / den
+        intercept = intercept_num / den
+        slope_num     = n*sum(xy) - sum(x)*sum(y)
+        den           = n*sum(x^2) - sum(x)^2
+        intercept_num = sum(y)*sum(x^2) - sum(x)*sum(xy)
+
+    One partial-agg'd groupBy over (group) carrying five integer sums —
+    the single-pass sufficient-statistics form, trivially mergeable
+    across partitions/days (sum the sums), which is why it scales where
+    a per-group sort-and-regress cannot. Complements
+    theil_sen_revenue_trend (robust, pair-based) with the classical
+    estimator."""
+    g = df.groupBy(group_col).agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum(F.col(x_col)).cast("long").alias("sx"),
+        F.sum(F.col(y_col)).cast("long").alias("sy"),
+        F.sum(F.col(x_col) * F.col(y_col)).cast("long").alias("sxy"),
+        F.sum(F.col(x_col) * F.col(x_col)).cast("long").alias("sxx"),
+    )
+    return g.select(
+        group_col,
+        F.col("n").alias("n_points"),
+        (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy"))
+        .cast("long")
+        .alias("slope_num"),
+        (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))
+        .cast("long")
+        .alias("den"),
+        (F.col("sy") * F.col("sxx") - F.col("sx") * F.col("sxy"))
+        .cast("long")
+        .alias("intercept_num"),
+    )
+
+
+def dim_label_mutual_info(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    top_k: int = 16,
+) -> DataFrame:
+    """Per-dimension feature relevance: mutual information between each
+    embedding dimension's SIGN and the class label,
+    I(S_i; L) = sum_{s,l} p(s,l) * ln(p(s,l) / (p(s) p(l))) — the
+    filter-method feature selector (which dimensions carry label signal;
+    near-zero MI marks dims PQ/pruning can drop without hurting a
+    downstream probe). Complements embedding_dim_variance_rank: variance
+    measures spread, MI measures class alignment.
+
+    Exact integers end to end: with joint counts n_sl, margins n_s (per
+    dim), n_l, total N, the n-scaled numerator is
+      mi_micro_n = sum n_sl * (L(n_sl) + L(N) - L(n_s) - L(n_l)),
+    each L() an independently micro-nat-snapped ln of an integer count
+    (the proven idiom) — divide by N at read time for nats/row.
+
+    Shape: one posexplode aggregate to (dim, sign, label) joint counts
+    (the only corpus-sized shuffle, 2·|labels|·dims groups, map-side
+    combined), margins derived FROM the joint table (no rescan), tiny
+    equi-joins, TakeOrdered top-k."""
+    m = emb.select(
+        label_col, F.posexplode(vec_col).alias("i0", "e")
+    ).select(
+        (F.col("i0") + 1).alias("dim"),
+        (F.col("e").cast("double") >= 0).cast("int").alias("s"),
+        F.col(label_col).alias("l"),
+    )
+    joint = m.groupBy("dim", "s", "l").agg(F.count("*").alias("n_sl"))
+    ns = joint.groupBy("dim", "s").agg(F.sum("n_sl").alias("n_s"))
+    nl = joint.groupBy("l").agg(F.sum("n_sl").alias("n_l"))
+    ntot = joint.agg(F.sum("n_sl").alias("n_tot"))
+
+    def L(c):
+        return F.round(F.log(c.cast("double")) * F.lit(1e6), 0).cast("long")
+
+    terms = (
+        joint.join(ns, ["dim", "s"])
+        .join(F.broadcast(nl), "l")
+        .crossJoin(F.broadcast(ntot))
+        .withColumn(
+            "contrib",
+            F.col("n_sl")
+            * (
+                L(F.col("n_sl"))
+                + L(F.col("n_tot"))
+                - L(F.col("n_s"))
+                - L(F.col("n_l"))
+            ),
+        )
+    )
+    return (
+        terms.groupBy("dim")
+        .agg(
+            F.sum("n_sl").cast("long").alias("n_rows"),
+            F.sum("contrib").cast("long").alias("mi_micro_n"),
+        )
+        .select(F.col("dim").cast("long").alias("dim"), "n_rows", "mi_micro_n")
+        .orderBy(F.col("mi_micro_n").desc(), "dim")
+        .limit(top_k)
+    )

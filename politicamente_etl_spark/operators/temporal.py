@@ -315,3 +315,62 @@ def cogrouped_conversion_stats(
             ),
         )
     )
+
+
+def kaplan_meier_terms(
+    durations: DataFrame,
+    t_col: str = "t",
+    event_col: str = "d",
+    censor_col: str = "c",
+) -> DataFrame:
+    """Kaplan-Meier survival curve (1958) from a pre-aggregated duration
+    table (one row per time step t with d = events and c = censorings at
+    t): emits, per step,
+
+        n_risk      — subjects still at risk entering t
+                      (reverse-cumulative d + c, exact integers)
+        surv_lp_micro — cumulative log survival in micro-nats:
+                      sum over t' <= t of round(ln(1 - d/n_risk) * 1e6)
+
+    i.e. the product-limit estimator carried in LOG space so the
+    cumulative op is an integer SUM (exact, mergeable) instead of a
+    float product; S(t) = exp(surv_lp_micro / 1e6) at read time. The
+    churn/retention estimator that handles censoring correctly — naive
+    retention curves silently treat still-active subjects as churned.
+
+    Shape note: the cumulative windows here are over the AGGREGATED time
+    axis (one row per duration step — dozens to thousands of rows
+    whatever the subject count), so the unpartitioned window ranges over
+    a table that a single reducer holds trivially; the subject-sized
+    work is the upstream duration aggregate, not this operator."""
+    w_ge = (
+        Window.orderBy(F.col(t_col))
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    w_le = (
+        Window.orderBy(F.col(t_col))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    at_risk = durations.withColumn(
+        "n_risk",
+        F.sum(F.col(event_col) + F.col(censor_col)).over(w_ge).cast("long"),
+    )
+    step_lp = F.round(
+        F.log(
+            (F.col("n_risk") - F.col(event_col)).cast("double")
+            / F.col("n_risk").cast("double")
+        )
+        * F.lit(1e6),
+        0,
+    ).cast("long")
+    return (
+        at_risk.withColumn("__lp", step_lp)
+        .withColumn("surv_lp_micro", F.sum("__lp").over(w_le).cast("long"))
+        .select(
+            F.col(t_col),
+            F.col(event_col).cast("long").alias(event_col),
+            F.col(censor_col).cast("long").alias(censor_col),
+            "n_risk",
+            "surv_lp_micro",
+        )
+    )

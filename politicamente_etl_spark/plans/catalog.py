@@ -536,3 +536,5 @@ from politicamente_etl_spark.plans import extended_r5b as _extended_r5b  # noqa:
 from politicamente_etl_spark.plans import extended_r6 as _extended_r6  # noqa: E402,F401
 from politicamente_etl_spark.plans import extended_r6b as _extended_r6b  # noqa: E402,F401
 from politicamente_etl_spark.plans import extended_r6c as _extended_r6c  # noqa: E402,F401
+from politicamente_etl_spark.plans import extended_r6d as _extended_r6d  # noqa: E402,F401
+from politicamente_etl_spark.plans import extended_r6e as _extended_r6e  # noqa: E402,F401

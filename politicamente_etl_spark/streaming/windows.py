@@ -719,3 +719,85 @@ def stream_txlog_exactly_once(spark, sf_dir: str) -> DataFrame:
         )
         .withColumn("n_commits", F.lit(n_commits).cast("int"))
     )
+
+
+def stream_hll_register_merge(
+    spark: SparkSession,
+    sf_dir: str,
+    value_col: str = "user_id",
+    b: int = 6,
+) -> DataFrame:
+    """Incremental sketch maintenance through the streaming engine: the
+    events feed arrives in two deterministic micro-batches (same
+    parity-split, mtime-pinned staging as stream_cdc_changelog) and each
+    batch MAX-merges its HyperLogLog registers (operators/agg.py:
+    hll_registers — engine-exact md5 arithmetic) into a running register
+    table. Because register merge is max() — idempotent AND commutative —
+    a replayed or reordered batch cannot corrupt the sketch: this sink
+    is exactly-once WITHOUT txn ids or idempotent writes, the property
+    that makes sketch state the cheapest kind of streaming state to
+    operate at 100 TB (contrast stream_upsert_sink's keyed rewrite).
+
+    State is 2^b rows, constant in the stream length. Returns the final
+    register table (bucket, max_rho): provably equal to the batch
+    registers over the whole feed — which is exactly what the driver
+    oracle checks."""
+    import atexit
+    import os
+    import shutil
+    import tempfile
+
+    from politicamente_etl_spark.operators.agg import hll_registers
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "event_id", value_col
+    )
+    stage = tempfile.mkdtemp(prefix="events_hll_")
+    atexit.register(shutil.rmtree, stage, ignore_errors=True)
+    a_dir, b_dir = os.path.join(stage, "a"), os.path.join(stage, "b")
+    ev.filter(F.col("event_id") % 2 == 0).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(a_dir)
+    ev.filter(F.col("event_id") % 2 == 1).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(b_dir)
+    now = 1_700_000_000
+    for d, t in ((a_dir, now), (b_dir, now + 1000)):
+        for name in os.listdir(d):
+            os.utime(os.path.join(d, name), (t, t))
+
+    raw = (
+        spark.readStream.schema(ev.schema)
+        .format("parquet")
+        .option("maxFilesPerTrigger", "1")
+        .option("recursiveFileLookup", "true")
+        .load(stage)
+    )
+
+    state: dict[str, DataFrame] = {
+        "regs": spark.createDataFrame([], "bucket long, max_rho int")
+    }
+
+    def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        regs = hll_registers(batch_df, value_col, b=b)
+        state["regs"] = (
+            state["regs"]
+            .unionByName(regs)
+            .groupBy("bucket")
+            .agg(F.max("max_rho").cast("int").alias("max_rho"))
+            .localCheckpoint()
+        )
+
+    ckpt = tempfile.mkdtemp(prefix="events_hll_ckpt_")
+    atexit.register(shutil.rmtree, ckpt, ignore_errors=True)
+    q = (
+        raw.writeStream.foreachBatch(apply_batch)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.awaitTermination()
+    finally:
+        q.stop()
+    return state["regs"]

@@ -604,3 +604,62 @@ def test_bpe_pair_counts_vocab_sized_topk(spark, sf_dir):
     the pair table."""
     plan = plan_of(q("bpe_pair_counts", spark, sf_dir))
     assert "TakeOrderedAndProject" in plan
+
+
+def test_weighted_sample_is_takeordered(spark, sf_dir):
+    """A-ES sampling must plan TakeOrdered — per-partition k-row heaps,
+    never a global sort of the corpus."""
+    plan = plan_of(q("weighted_sample_topk", spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan
+    assert "Exchange rangepartitioning" not in plan
+
+
+def test_aqe_splits_skewed_join_partitions(spark, sf_dir, tmp_path):
+    """AQE's skew-join handling must actually fire on a pathological key:
+    with a 90%-one-key build side and the skew thresholds scaled to the
+    fixture, the executed adaptive plan rewrites the sort-merge join with
+    skew=true (runtime partition splitting) — the knob SCALING.md relies
+    on for hot keys that salting doesn't pre-treat. Asserted on the FINAL
+    adaptive plan (AQE decisions are invisible pre-execution)."""
+    skewed = spark.range(0, 100_000).select(
+        F.when(F.col("id") % 10 != 0, F.lit(0)).otherwise(F.col("id"))
+        .alias("k"),
+        F.concat(F.lit("v" * 32), F.col("id").cast("string")).alias("pad"),
+    )
+    dim = spark.range(0, 1000).select(F.col("id").alias("k"),
+                                      F.col("id").alias("dval"))
+    confs = {
+        "spark.sql.adaptive.enabled": "true",
+        "spark.sql.adaptive.skewJoin.enabled": "true",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "256KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "64KB",
+        "spark.sql.adaptive.coalescePartitions.enabled": "false",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    prev = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        joined = skewed.join(dim, "k")
+        # must execute THIS DataFrame object: write()/count() build their
+        # own QueryExecution and the inspected plan would stay pre-AQE
+        assert len(joined.collect()) > 0
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "skew=true" in plan, plan[:2000]
+    finally:
+        for k, v in prev.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+
+
+def test_multiprobe_lsh_stays_equi_join(spark, sf_dir):
+    """Probe fan-out must multiply only the broadcast query side: the
+    corpus meets candidates through the bucket equi-join, never a
+    cartesian/nested-loop expansion."""
+    plan = plan_of(q("cosine_topk_lsh_multiprobe", spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "WindowGroupLimit" in plan
