@@ -745,3 +745,55 @@ def cosine_topk_lsh_multiprobe(
         .filter(F.col("rank") <= k)
         .select(query_id_col, id_col, "cos_sim", "rank")
     )
+
+
+def rbo_suffix_weights(k: int = 10, p: float = 0.9) -> list[int]:
+    """Micro-snapped suffix weights for truncated Rank-Biased Overlap
+    (Webber et al. 2010): RBO@k = (1-p) * sum_{d=1..k} p^(d-1)/d * ov_d
+    with ov_d = |exact@d intersect approx@d|. Because ov_d counts a
+    common doc at every depth d >= max(exact_rank, approx_rank), the sum
+    regroups per COMMON DOC as one weight CW(m) = sum_{d=m..k} w_d at
+    m = max of its two ranks — so the whole metric is one join + one
+    weighted sum, no per-depth pass. Weights are precomputed in Python
+    and embedded as identical integer literals on both engines."""
+    w = [(1 - p) * p ** (d - 1) / d for d in range(1, k + 1)]
+    return [round(1e6 * sum(w[m - 1:])) for m in range(1, k + 1)]
+
+
+def rbo_compare(
+    exact: DataFrame,
+    approx: DataFrame,
+    k: int = 10,
+    p: float = 0.9,
+    query_id_col: str = "query_id",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Truncated RBO@k between two (query_id, id, rank) rankings, as an
+    exact integer micro score per query — the top-weighted agreement
+    metric for comparing an ANN index against ground truth (recall@k
+    treats rank 1 and rank k alike; RBO does not). Both inputs must
+    carry ranks 1..k. One equi-join on (query, id) + a literal-array
+    weight lookup + one aggregate; queries with zero overlap keep a row
+    (left join from the exact side's query list would lose the metric's
+    zero — aggregate over the exact side instead)."""
+    wts = F.array(*[F.lit(w) for w in rbo_suffix_weights(k, p)])
+    e = exact.select(
+        query_id_col, id_col, F.col("rank").alias("__re")
+    )
+    a = approx.select(
+        query_id_col, id_col, F.col("rank").alias("__ra")
+    )
+    joined = e.join(a, [query_id_col, id_col], "left").withColumn(
+        "__w",
+        F.when(
+            F.col("__ra").isNull(), F.lit(0)
+        ).otherwise(
+            F.element_at(
+                wts, F.greatest(F.col("__re"), F.col("__ra")).cast("int")
+            )
+        ),
+    )
+    return joined.groupBy(query_id_col).agg(
+        F.count("__ra").cast("long").alias("n_overlap"),
+        F.sum("__w").cast("long").alias("rbo_micro"),
+    )

@@ -503,3 +503,58 @@ def dim_label_mutual_info(
         .orderBy(F.col("mi_micro_n").desc(), "dim")
         .limit(top_k)
     )
+
+
+def cusum_changepoint(
+    series: DataFrame,
+    t_col: str,
+    value_col: str,
+) -> DataFrame:
+    """Single change-point location via the CUSUM statistic: with
+    dev_t = n*x_t - S (n-scaled mean centering, exact integers), the
+    cumulative sum C_t = sum_{t'<=t} dev_t' peaks in magnitude at the
+    most likely mean-shift point (Page 1954 / Pettitt's unpivoted
+    form). Emits ONE row: the argmax |C_t| with the exact integer
+    evidence on both sides of the cut (sums and counts, so the two
+    means are num/den at read time).
+
+    Shape: same contract as autocorr_terms — the input is an already
+    aggregated series (one row per t), so the cumulative window and the
+    argmax run over an aggregate-sized table; the corpus-sized work is
+    upstream. Ties on |C_t| break on earlier t."""
+    stats = series.agg(
+        F.count("*").cast("long").alias("__n"),
+        F.sum(F.col(value_col)).cast("long").alias("__s"),
+    )
+    dev = series.crossJoin(F.broadcast(stats)).select(
+        F.col(t_col).alias("t"),
+        F.col(value_col).cast("long").alias("x"),
+        (F.col("__n") * F.col(value_col) - F.col("__s")).alias("__dev"),
+        "__n",
+        "__s",
+    )
+    w = Window.orderBy("t").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = dev.select(
+        "t",
+        "x",
+        "__n",
+        "__s",
+        F.sum("__dev").over(w).cast("long").alias("cusum"),
+        F.sum("x").over(w).cast("long").alias("sum_le"),
+        F.count("*").over(w).cast("long").alias("n_le"),
+    )
+    pick = Window.orderBy(F.abs(F.col("cusum")).desc(), F.col("t"))
+    return (
+        cum.withColumn("__r", F.row_number().over(pick))
+        .filter(F.col("__r") == 1)
+        .select(
+            F.col("t").alias("change_t"),
+            "cusum",
+            F.col("n_le").alias("n_before"),
+            F.col("sum_le").alias("sum_before"),
+            (F.col("__n") - F.col("n_le")).cast("long").alias("n_after"),
+            (F.col("__s") - F.col("sum_le")).cast("long").alias("sum_after"),
+        )
+    )

@@ -1135,3 +1135,71 @@ def source_unigram_kl(
         F.countDistinct("term").cast("long").alias("n_terms"),
         F.sum("contrib").cast("long").alias("kl_micro_tokens"),
     )
+
+
+def apply_bpe_merge_and_recount(
+    df: DataFrame,
+    merge_a: str,
+    merge_b: str,
+    col: str = "text",
+    top_k: int = 10,
+) -> DataFrame:
+    """One full BPE training iteration step: APPLY a given merge
+    (merge_a, merge_b) -> merge_a||merge_b to the vocabulary with
+    leftmost-greedy semantics, then recount adjacent SYMBOL pairs over
+    the merged segmentations — the operator a tokenizer-training driver
+    loop calls once per merge (the pair to merge comes from the
+    previous round's bpe_pair_stats / this function's output).
+
+    The apply step is ONE sequential `aggregate` fold per word over its
+    characters, with the segmentation carried as a space-joined symbol
+    string: append the char to the last symbol when (last==a AND
+    char==b), else start a new symbol. Leftmost-greedy falls out of the
+    left fold ('aaa' under (a,a) -> ['aa','a']), and DuckDB's
+    list_reduce implements the identical fold for the oracle, so the
+    segmentation itself is engine-exact. Pairs are emitted as
+    'left+right' over merged symbols.
+
+    Scale shape: identical to bpe_pair_stats — corpus-sized work is the
+    word-frequency aggregate; fold + pair explode ride the vocabulary.
+    (Symbols are assumed space-free: BPE operates on words produced by
+    whitespace tokenization, so ' ' is a safe segment separator.)"""
+    words = (
+        df.select(F.explode(tokens(col)).alias("w"))
+        .filter(F.length("w") >= 2)
+        .groupBy("w")
+        .agg(F.count("*").alias("wf"))
+    )
+    a, b = merge_a, merge_b
+    seg = (
+        "aggregate(transform(sequence(1, length(w)), i -> substring(w, i, 1)),"
+        " CAST('' AS STRING),"
+        " (acc, x) -> CASE WHEN acc = '' THEN x"
+        f" WHEN (acc = '{a}' OR endswith(acc, ' {a}')) AND x = '{b}'"
+        " THEN concat(acc, x)"
+        " ELSE concat(acc, ' ', x) END)"
+    )
+    merged = words.select("wf", F.split(F.expr(seg), " ").alias("syms"))
+    # IF-guard: sequence(1, 0) is DESCENDING in Spark, so an unguarded
+    # transform would emit bogus 0-index pairs for single-symbol words;
+    # an empty array explodes to no rows instead.
+    pairs = merged.select(
+        "wf",
+        F.explode(
+            F.expr(
+                "IF(size(syms) < 2, CAST(array() AS array<string>),"
+                " transform(sequence(1, size(syms) - 1),"
+                " i -> concat(element_at(syms, i), '+',"
+                " element_at(syms, i + 1))))"
+            )
+        ).alias("pair"),
+    )
+    return (
+        pairs.groupBy("pair")
+        .agg(
+            F.sum("wf").cast("long").alias("n_occurrences"),
+            F.count("*").cast("long").alias("n_vocab_positions"),
+        )
+        .orderBy(F.col("n_occurrences").desc(), "pair")
+        .limit(top_k)
+    )

@@ -538,3 +538,5 @@ from politicamente_etl_spark.plans import extended_r6b as _extended_r6b  # noqa:
 from politicamente_etl_spark.plans import extended_r6c as _extended_r6c  # noqa: E402,F401
 from politicamente_etl_spark.plans import extended_r6d as _extended_r6d  # noqa: E402,F401
 from politicamente_etl_spark.plans import extended_r6e as _extended_r6e  # noqa: E402,F401
+from politicamente_etl_spark.plans import extended_r6f as _extended_r6f  # noqa: E402,F401
+from politicamente_etl_spark.plans import extended_r6g as _extended_r6g  # noqa: E402,F401

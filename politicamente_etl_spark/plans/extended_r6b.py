@@ -77,6 +77,7 @@ def _register():
 
     @register(
         "mmr_diverse_topk",
+        bench=True,
         sql=f"""
         WITH RECURSIVE m AS (
             SELECT vec_id,
