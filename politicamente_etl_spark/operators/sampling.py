@@ -482,11 +482,12 @@ def epoch_shuffle_shards(
 
 def select_by_token_budget(
     df: DataFrame,
-    budget_tokens: int,
+    budget_tokens: int | None = None,
     group_col: str = "source",
     token_col: str = "n_tokens",
     quality_col: str = "q_milli",
     id_col: str = "doc_id",
+    budget_col: str | None = None,
 ) -> DataFrame:
     """Corpus curation under a token budget: within each group (source/
     domain/language), rank documents best-quality-first and keep them
@@ -522,14 +523,18 @@ def select_by_token_budget(
     rw = Window.partitionBy(group_col).orderBy(
         F.col(quality_col).desc(), F.col(id_col)
     )
+    cols = [group_col, id_col, quality_col, token_col]
+    if budget_col is not None:
+        cols.append(budget_col)
     out = df.select(
-        group_col,
-        id_col,
-        quality_col,
-        token_col,
+        *cols,
         F.sum(token_col).over(w).cast("long").alias("cum_tokens"),
         F.row_number().over(rw).cast("int").alias("q_rank"),
     )
+    # budget_col: per-group budgets (e.g. a temperature-mix allocation)
+    # joined onto the rows upstream; scalar budget_tokens otherwise.
+    if budget_col is not None:
+        return out.filter(F.col("cum_tokens") <= F.col(budget_col))
     return out.filter(F.col("cum_tokens") <= budget_tokens)
 
 

@@ -540,3 +540,4 @@ from politicamente_etl_spark.plans import extended_r6d as _extended_r6d  # noqa:
 from politicamente_etl_spark.plans import extended_r6e as _extended_r6e  # noqa: E402,F401
 from politicamente_etl_spark.plans import extended_r6f as _extended_r6f  # noqa: E402,F401
 from politicamente_etl_spark.plans import extended_r6g as _extended_r6g  # noqa: E402,F401
+from politicamente_etl_spark.plans import extended_r6h as _extended_r6h  # noqa: E402,F401

@@ -42,3 +42,37 @@ def test_bpe_merge_fully_merged_words_drop_out(spark):
 def test_bpe_merge_untouched_words_count_plain_pairs(spark):
     out = _counts(spark, ["dog dog"], "e", "r")
     assert out["d+o"] == (2, 1) and out["o+g"] == (2, 1)
+
+
+def test_token_budget_per_group_budget_col(spark):
+    from pyspark.sql import functions as F
+
+    from politicamente_etl_spark.operators.sampling import (
+        select_by_token_budget,
+    )
+
+    rows = [
+        ("s", 1, 900, 40, 100),
+        ("s", 2, 800, 50, 100),
+        ("s", 3, 700, 20, 100),
+        ("t", 9, 100, 60, 70),
+        ("t", 8, 200, 30, 70),
+    ]
+    df = spark.createDataFrame(
+        rows, ["source", "doc_id", "q_milli", "n_tokens", "budget"]
+    )
+    out = sorted(
+        (r["source"], r["doc_id"])
+        for r in select_by_token_budget(df, budget_col="budget").collect()
+    )
+    # s: 40+50=90 fit in 100, doc3 would hit 110; t: best-quality doc 8
+    # (30) fits, doc 9 would hit 90 > 70.
+    assert out == [("s", 1), ("s", 2), ("t", 8)]
+    # scalar mode still works
+    out2 = sorted(
+        (r["source"], r["doc_id"])
+        for r in select_by_token_budget(
+            df.drop("budget"), budget_tokens=45
+        ).collect()
+    )
+    assert out2 == [("s", 1), ("t", 8)]
