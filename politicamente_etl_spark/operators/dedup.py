@@ -850,3 +850,151 @@ def duplicated_ngram_costing(
             F.expr("(dup_occ * 1000000) div n_occ").cast("long"),
         )
     )
+
+
+def duplicated_spans(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 5,
+    min_count: int = 2,
+) -> DataFrame:
+    """Maximal corpus-duplicated token spans per document (the shared
+    core of `duplicated_span_report` and `remove_duplicated_spans`):
+    start positions of n-grams occurring >= min_count times corpus-wide,
+    merged into one span while consecutive starts are <= n apart — the
+    exact condition for their n-token coverages to overlap or touch, so
+    span_tokens = end - start + 1 is the covered-position union with no
+    double counting. Returns (id, n_tokens, start_p, end_p,
+    span_tokens) with 1-based inclusive token positions.
+
+    Scale shape: one corpus-sized gram aggregate (partial-agg'd), a
+    semi-join back to positions, per-DOC windows (embarrassingly
+    parallel, no global sort)."""
+    toks = F.split(F.col(text_col), " ")
+    t = df.select(id_col, toks.alias("toks")).filter(
+        F.size("toks") >= n
+    )
+    grams = t.select(
+        id_col,
+        F.size("toks").alias("n_tokens"),
+        F.explode(
+            F.expr(
+                f"transform(sequence(1, size(toks) - {n - 1}),"
+                f" i -> struct(i AS p,"
+                f" array_join(slice(toks, i, {n}), ' ') AS gram))"
+            )
+        ).alias("g"),
+    ).select(
+        id_col,
+        "n_tokens",
+        F.col("g.p").alias("p"),
+        F.col("g.gram").alias("gram"),
+    )
+    dup = (
+        grams.groupBy("gram")
+        .agg(F.count("*").alias("cnt"))
+        .filter(F.col("cnt") >= min_count)
+        .select("gram")
+    )
+    dp = grams.join(dup, "gram", "left_semi")
+    w = Window.partitionBy(id_col).orderBy("p")
+    isl = dp.withColumn(
+        "brk",
+        F.when(F.col("p") - F.lag("p").over(w) <= n, F.lit(0)).otherwise(
+            F.lit(1)
+        ),
+    ).withColumn(
+        "island",
+        F.sum("brk").over(
+            Window.partitionBy(id_col)
+            .orderBy("p")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    return isl.groupBy(id_col, "n_tokens", "island").agg(
+        F.min("p").alias("start_p"),
+        (F.max("p") + n - 1).alias("end_p"),
+        (F.max("p") - F.min("p") + n).alias("span_tokens"),
+    )
+
+
+def duplicated_span_report(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 5,
+    min_count: int = 2,
+) -> DataFrame:
+    """Exact-substring dedup realized at n-gram granularity (the
+    extraction pass that `duplicated_ngram_costing` prices): per-doc
+    rollup of `duplicated_spans` — the regions Lee et al. 2022's
+    suffix-array dedup would cut, located with the shuffle primitives
+    this engine already scales. One row per affected doc:
+    (id, n_tokens, n_spans, dup_tokens, dup_ppm)."""
+    spans = duplicated_spans(df, text_col, id_col, n, min_count)
+    return (
+        spans.groupBy(id_col, "n_tokens")
+        .agg(
+            F.count("*").cast("long").alias("n_spans"),
+            F.sum("span_tokens").cast("long").alias("dup_tokens"),
+        )
+        .withColumn(
+            "dup_ppm",
+            F.expr("(1000000 * dup_tokens) div n_tokens").cast("long"),
+        )
+        .select(id_col, F.col("n_tokens").cast("long").alias("n_tokens"),
+                "n_spans", "dup_tokens", "dup_ppm")
+    )
+
+
+def remove_duplicated_spans(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 5,
+    min_count: int = 2,
+) -> DataFrame:
+    """Apply the substring dedup: cut every `duplicated_spans` region
+    out of each document and fingerprint the survivor — the mutation
+    pass downstream of the report (keep-first policy is the caller's
+    concern: this removes EVERY duplicated region, the Lee-et-al
+    "dedup both copies" default that guarantees no n-gram occurs twice
+    afterwards).
+
+    The cut is a per-row expression: positions filtered against the
+    doc's (collected) span list, tokens re-joined, md5 fingerprint —
+    no Python, no second corpus shuffle beyond the span build; docs
+    without spans pass through whole (span list empty via left join).
+    Returns (id, n_tokens, kept_tokens, clean_digest)."""
+    spans = duplicated_spans(df, text_col, id_col, n, min_count)
+    per_doc = spans.groupBy(id_col).agg(
+        F.collect_list(F.struct("start_p", "end_p")).alias("__spans")
+    )
+    toks = F.split(F.col(text_col), " ")
+    base = df.select(id_col, toks.alias("toks"))
+    joined = base.join(per_doc, id_col, "left").withColumn(
+        "__spans",
+        F.coalesce(
+            F.col("__spans"),
+            F.expr(
+                "CAST(array() AS array<struct<start_p:int,end_p:int>>)"
+            ),
+        ),
+    )
+    kept = joined.withColumn(
+        "__kept",
+        F.expr(
+            "filter(sequence(1, size(toks)),"
+            " p -> NOT exists(__spans,"
+            " s -> p >= s.start_p AND p <= s.end_p))"
+        ),
+    )
+    return kept.select(
+        id_col,
+        F.size("toks").cast("long").alias("n_tokens"),
+        F.size("__kept").cast("long").alias("kept_tokens"),
+        F.md5(
+            F.expr("array_join(transform(__kept, p -> element_at(toks, p)), ' ')")
+        ).alias("clean_digest"),
+    )

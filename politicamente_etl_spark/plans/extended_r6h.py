@@ -361,3 +361,127 @@ def _register_more():
 
 
 _register_more()
+
+
+def _register_spans():
+    from politicamente_etl_spark.operators import dedup
+    from politicamente_etl_spark.plans.catalog import T, register
+
+    @register(
+        "dup_span_extraction",
+        sql="""
+        WITH t AS (
+            SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+        ), g AS (
+            SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens, i AS p,
+                   concat_ws(' ', toks[i], toks[i+1], toks[i+2], toks[i+3],
+                             toks[i+4]) AS gram
+            FROM t, unnest(generate_series(1, len(toks) - 4)) AS u(i)
+            WHERE len(toks) >= 5
+        ), d AS (
+            SELECT gram FROM g GROUP BY gram HAVING COUNT(*) >= 2
+        ), dp AS (
+            SELECT doc_id, n_tokens, p FROM g JOIN d USING (gram)
+        ), isl AS (
+            SELECT doc_id, n_tokens, p,
+                   CASE WHEN p - lag(p) OVER (PARTITION BY doc_id
+                        ORDER BY p) <= 5 THEN 0 ELSE 1 END AS brk
+            FROM dp
+        ), isl2 AS (
+            SELECT doc_id, n_tokens, p,
+                   SUM(brk) OVER (PARTITION BY doc_id ORDER BY p
+                       ROWS UNBOUNDED PRECEDING) AS island
+            FROM isl
+        ), spans AS (
+            SELECT doc_id, n_tokens, island,
+                   MAX(p) - MIN(p) + 5 AS span_tokens
+            FROM isl2 GROUP BY 1, 2, 3
+        )
+        SELECT doc_id, n_tokens,
+               CAST(COUNT(*) AS BIGINT) AS n_spans,
+               CAST(SUM(span_tokens) AS BIGINT) AS dup_tokens,
+               CAST((1000000 * SUM(span_tokens)) // n_tokens AS BIGINT)
+                   AS dup_ppm
+        FROM spans GROUP BY doc_id, n_tokens
+        """,
+        tags=("ext-dedup", "ext-text"),
+    )
+    def q_dup_span_extraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Exact-substring dedup realized: per-document maximal token
+        spans covered by corpus-duplicated 5-grams (start positions <= 5
+        apart merge, so span sizes are the exact covered-position union)
+        — the extraction pass that dup_ngram_costing prices and a
+        removal job would cut. Per-doc windows only; the corpus-sized
+        work is the same gram aggregate as the costing pass."""
+        docs = T(spark, sf_dir, "documents").select("doc_id", "text")
+        return dedup.duplicated_span_report(docs)
+
+
+_register_spans()
+
+
+def _register_span_apply():
+    from politicamente_etl_spark.operators import dedup
+    from politicamente_etl_spark.plans.catalog import T, register
+
+    @register(
+        "dedup_spans_applied",
+        sql="""
+        WITH t AS (
+            SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+        ), g AS (
+            SELECT doc_id, i AS p,
+                   concat_ws(' ', toks[i], toks[i+1], toks[i+2], toks[i+3],
+                             toks[i+4]) AS gram
+            FROM t, unnest(generate_series(1, len(toks) - 4)) AS u(i)
+            WHERE len(toks) >= 5
+        ), d AS (
+            SELECT gram FROM g GROUP BY gram HAVING COUNT(*) >= 2
+        ), dp AS (
+            SELECT doc_id, p FROM g JOIN d USING (gram)
+        ), isl AS (
+            SELECT doc_id, p,
+                   CASE WHEN p - lag(p) OVER (PARTITION BY doc_id
+                        ORDER BY p) <= 5 THEN 0 ELSE 1 END AS brk
+            FROM dp
+        ), isl2 AS (
+            SELECT doc_id, p,
+                   SUM(brk) OVER (PARTITION BY doc_id ORDER BY p
+                       ROWS UNBOUNDED PRECEDING) AS island
+            FROM isl
+        ), spans AS (
+            SELECT doc_id, MIN(p) AS s_p, MAX(p) + 4 AS e_p
+            FROM isl2 GROUP BY doc_id, island
+        ), per_doc AS (
+            SELECT doc_id, list({'s_p': s_p, 'e_p': e_p}) AS sp
+            FROM spans GROUP BY doc_id
+        )
+        SELECT t.doc_id,
+               CAST(len(toks) AS BIGINT) AS n_tokens,
+               CAST(len(list_filter(range(1, len(toks) + 1),
+                    p -> len(list_filter(COALESCE(sp, []),
+                         s -> p >= s.s_p AND p <= s.e_p)) = 0))
+                    AS BIGINT) AS kept_tokens,
+               md5(COALESCE(list_aggregate(
+                   list_transform(
+                       list_filter(range(1, len(toks) + 1),
+                           p -> len(list_filter(COALESCE(sp, []),
+                                s -> p >= s.s_p AND p <= s.e_p)) = 0),
+                       p -> toks[p]),
+                   'string_agg', ' '), '')) AS clean_digest
+        FROM t LEFT JOIN per_doc ON t.doc_id = per_doc.doc_id
+        """,
+        tags=("ext-dedup", "ext-text"),
+    )
+    def q_dedup_spans_applied(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Substring dedup APPLIED: every corpus-duplicated 5-gram span
+        cut from every document (the Lee-et-al both-copies default),
+        survivors re-joined and md5-fingerprinted — detect -> cut ->
+        verify in one engine-exact query; docs without spans pass
+        through whole. The cut is a per-row expression over the
+        collected span list: no Python, no extra corpus shuffle."""
+        docs = T(spark, sf_dir, "documents").select("doc_id", "text")
+        return dedup.remove_duplicated_spans(docs)
+
+
+_register_span_apply()

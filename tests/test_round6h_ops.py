@@ -48,3 +48,59 @@ def test_loo_identity_matches_explicit_exclusion(spark):
         held_out_total = sum(cc for (gg, _), cc in c_gw.items() if gg != g)
         assert c_w[t] - c == held_out_count
         assert n_tot - n_g[g] == held_out_total
+
+
+def test_dup_span_merges_overlapping_grams(spark):
+    from politicamente_etl_spark.operators.dedup import duplicated_span_report
+
+    # two docs share a 7-token run -> duplicated 5-gram starts at p, p+1,
+    # p+2 in each; the three overlapping grams must merge to ONE span of
+    # exactly 7 tokens, not 15.
+    shared = "q w e r t y u"
+    rows = [
+        (1, f"a b {shared} c d"),
+        (2, f"x {shared} z z2 z3"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r["doc_id"]: r for r in duplicated_span_report(df).collect()}
+    assert out[1]["n_spans"] == 1 and out[1]["dup_tokens"] == 7
+    assert out[2]["n_spans"] == 1 and out[2]["dup_tokens"] == 7
+    assert out[1]["n_tokens"] == 11
+
+
+def test_dup_span_distant_repeats_two_spans(spark):
+    from politicamente_etl_spark.operators.dedup import duplicated_span_report
+
+    run = "a b c d e"
+    filler = " ".join(f"f{i}" for i in range(8))
+    rows = [(1, f"{run} {filler} {run}"), (2, run)]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r["doc_id"]: r for r in duplicated_span_report(df).collect()}
+    # doc 1 carries the run twice, separated by unique filler -> 2 spans
+    assert out[1]["n_spans"] == 2 and out[1]["dup_tokens"] == 10
+    assert out[2]["n_spans"] == 1 and out[2]["dup_tokens"] == 5
+
+
+def test_remove_spans_guarantees_no_repeated_gram(spark):
+    from politicamente_etl_spark.operators.dedup import (
+        remove_duplicated_spans,
+    )
+
+    shared = "q w e r t y u"
+    rows = [
+        (1, f"a b {shared} c d"),
+        (2, f"x {shared} z z2 z3"),
+        (3, "totally unique words only here"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r["doc_id"]: r for r in remove_duplicated_spans(df).collect()}
+    assert out[1]["kept_tokens"] == 4  # a b c d survive
+    assert out[2]["kept_tokens"] == 4  # x z z2 z3 survive
+    assert out[3]["kept_tokens"] == 5  # untouched
+    # untouched doc keeps its original fingerprint
+    import hashlib
+
+    assert out[3]["clean_digest"] == hashlib.md5(
+        b"totally unique words only here"
+    ).hexdigest()
+    assert out[1]["clean_digest"] == hashlib.md5(b"a b c d").hexdigest()
