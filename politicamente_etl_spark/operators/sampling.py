@@ -589,3 +589,162 @@ def weighted_priority_sample(
         .orderBy(F.col("key_nano").desc(), F.col(id_col))
         .limit(k)
     )
+
+
+def ipw_telemetry_estimates(
+    events: DataFrame,
+    rates_buckets: dict[str, int],
+    value_col: str = "value",
+    type_col: str = "event_type",
+    key_col: str = "event_id",
+    seed: str = "ipw-v1",
+    default_buckets: int = N_BUCKETS,
+) -> DataFrame:
+    """Inverse-propensity-weighted totals over deterministically sampled
+    telemetry: each event type is kept at its own rate (rate_buckets out
+    of N_BUCKETS, via the stable md5 bucket of `hash_bucket` — the same
+    predicate an edge collector would apply BEFORE shipping, which is
+    the point: at 100 TB/day you sample at the source and correct at
+    query time), and the estimator re-inflates each stratum by
+    N_BUCKETS/rate. Horvitz-Thompson with deterministic, re-run-stable
+    membership — no RNG, so the estimate is engine-exact.
+
+    One conditional-aggregation pass emits truth and estimate side by
+    side (the sf-scale audit a pipeline runs to validate its rates):
+    (event_type, rate_buckets, n_true, n_sampled, true_sum_milli,
+    est_sum_milli) where est_sum_milli = sampled_sum * N_BUCKETS div
+    rate — integer arithmetic throughout; the read-time error ratio is
+    (est - true) / true over two emitted integers.
+
+    Scale shape: scan → per-row hash predicate → one partial-agg'd
+    groupBy(type). Nothing else moves.
+    """
+    rate = F.lit(default_buckets)
+    for t, r in sorted(rates_buckets.items()):
+        rate = F.when(F.col(type_col) == t, F.lit(r)).otherwise(rate)
+    b = hash_bucket(key_col, seed)
+    kept = b < rate
+    vm = F.floor(F.col(value_col) * 1000).cast("long")
+    return (
+        events.select(
+            F.col(type_col).alias("event_type"),
+            rate.cast("long").alias("rate_buckets"),
+            vm.alias("vm"),
+            kept.cast("long").alias("k"),
+        )
+        .groupBy("event_type", "rate_buckets")
+        .agg(
+            F.count("*").cast("long").alias("n_true"),
+            F.sum("k").cast("long").alias("n_sampled"),
+            F.sum("vm").cast("long").alias("true_sum_milli"),
+            F.expr(f"(sum(k * vm) * {N_BUCKETS}) div rate_buckets")
+            .cast("long")
+            .alias("est_sum_milli"),
+        )
+    )
+
+
+def consistent_hash_rebalance(
+    df: DataFrame,
+    key_col: str,
+    n_shards_before: int,
+    n_shards_after: int,
+    vnodes: int = 16,
+    seed: str = "ring-v1",
+) -> DataFrame:
+    """Consistent-hashing shard assignment audit: place `vnodes` virtual
+    nodes per shard on a 2^60 md5 ring, assign every key to the first
+    vnode clockwise from its own ring point, and report — per
+    before-shard — how many keys MOVE when the ring grows from
+    `n_shards_before` to `n_shards_after` shards. Classic Karger ring:
+    the moved fraction concentrates around 1 - before/after (≈1/9 for
+    8→9) versus ~1 - 1/after under naive modulo resharding; this audit
+    is the number a storage migration plan is costed from.
+
+    Engine-exact: ring points are 60-bit integers from md5 hex (the
+    repo's conv/CAST idiom), assignment is an integer argmin with
+    wraparound handled by +2^61 on vnodes behind the key.
+
+    Scale shape: both vnode tables are bounded by construction
+    (shards × vnodes rows) and broadcast; each key scans its candidate
+    list map-side (no shuffle), then one groupBy(shard) rollup. The
+    keys table never moves.
+    """
+    spark = df.sparkSession
+
+    def ring(n: int) -> DataFrame:
+        rows = [(s, v) for s in range(n) for v in range(vnodes)]
+        vn = spark.createDataFrame(rows, ["shard", "vnode"])
+        return vn.select(
+            "shard",
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat_ws(
+                            ":",
+                            F.lit(seed),
+                            F.col("shard").cast("string"),
+                            F.col("vnode").cast("string"),
+                        )
+                    ),
+                    1,
+                    15,
+                ),
+                16,
+                10,
+            )
+            .cast("bigint")
+            .alias("pt"),
+        )
+
+    keys = df.select(
+        F.col(key_col).alias("key"),
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat_ws(
+                        ":", F.lit(seed + ":key"), F.col(key_col).cast("string")
+                    )
+                ),
+                1,
+                15,
+            ),
+            16,
+            10,
+        )
+        .cast("bigint")
+        .alias("kpt"),
+    )
+
+    def assign(keys_df: DataFrame, vn: DataFrame, out: str) -> DataFrame:
+        c = keys_df.join(F.broadcast(vn))
+        eff = F.when(F.col("pt") >= F.col("kpt"), F.col("pt")).otherwise(
+            F.col("pt") + F.lit(2**61)
+        )
+        # min over (eff, shard) structs: deterministic under ring-point
+        # ties on both engines (the oracle uses the same lexicographic
+        # order via row_number), unlike min_by/arg_min tie behavior.
+        return (
+            c.withColumn("eff", eff)
+            .groupBy("key", "kpt")
+            .agg(
+                F.min(F.struct("eff", "shard"))["shard"]
+                .cast("long")
+                .alias(out)
+            )
+        )
+
+    before = assign(keys, ring(n_shards_before), "shard_before")
+    after = assign(keys, ring(n_shards_after), "shard_after")
+    return (
+        before.join(after, ["key", "kpt"])
+        .groupBy("shard_before")
+        .agg(
+            F.count("*").cast("long").alias("n_keys"),
+            F.sum(
+                (F.col("shard_after") != F.col("shard_before")).cast("long")
+            )
+            .cast("long")
+            .alias("n_moved"),
+        )
+    )

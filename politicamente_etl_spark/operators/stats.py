@@ -558,3 +558,71 @@ def cusum_changepoint(
             (F.col("__s") - F.col("sum_le")).cast("long").alias("sum_after"),
         )
     )
+
+
+def seasonal_decomposition_hourly(
+    events: DataFrame,
+    ts_col: str = "ts",
+    value_col: str = "value",
+    half_window: int = 12,
+) -> DataFrame:
+    """STL-lite additive decomposition of the hourly event-value series:
+    trend = centered (2*half_window+1)-hour moving average, seasonal =
+    per-hour-of-day mean of the detrended series, residual = value -
+    trend - seasonal (classical decomposition, Cleveland et al. 1990's
+    non-iterated core). Emitted as exact integer sufficient statistics
+    in the num/den discipline: v_milli (hour's value sum, milli), the
+    25-hour trend SUM (NULL at the series edges where the window is
+    incomplete), and the seasonal numerator/denominator for the row's
+    hour-of-day — seas_num = sum over complete rows of
+    (25*v_milli - trend_sum), seas_den = their count. Read time:
+    trend = trend_sum/25, seasonal = seas_num/(25*seas_den),
+    residual = v - trend - seasonal; every emitted column is an exact
+    integer, so the decomposition hashes identically across engines.
+
+    Scale shape: the corpus-sized work is the per-hour partial
+    aggregate (one shuffle). The windows then run on the CALENDAR
+    series — one row per hour, 8,760/year, bounded by wall-clock time
+    not data volume — so the unpartitioned RANGE window over hour
+    number is driver-scale by construction, not a scale hazard (a
+    century of hours is <1M rows).
+    """
+    hourly = (
+        events.select(
+            F.expr(f"unix_micros({ts_col}) div 3600000000")
+            .cast("long")
+            .alias("h"),
+            F.floor(F.col(value_col) * 1000).cast("long").alias("vm"),
+        )
+        .groupBy("h")
+        .agg(F.sum("vm").cast("long").alias("v_milli"))
+    )
+    span = 2 * half_window + 1
+    wr = (
+        Window.orderBy("h").rangeBetween(-half_window, half_window)
+    )
+    t = hourly.withColumn("w_sum", F.sum("v_milli").over(wr)).withColumn(
+        "w_cnt", F.count("*").over(wr)
+    )
+    t = t.withColumn(
+        "trend_sum",
+        F.when(F.col("w_cnt") == span, F.col("w_sum")).cast("long"),
+    ).withColumn("hod", (F.col("h") % 24).cast("long"))
+    seas = (
+        t.filter(F.col("trend_sum").isNotNull())
+        .groupBy("hod")
+        .agg(
+            F.sum(F.lit(span) * F.col("v_milli") - F.col("trend_sum"))
+            .cast("long")
+            .alias("seas_num"),
+            F.count("*").cast("long").alias("seas_den"),
+        )
+    )
+    return t.join(F.broadcast(seas), "hod", "left").select(
+        "h",
+        "hod",
+        "v_milli",
+        "trend_sum",
+        "seas_num",
+        "seas_den",
+    )

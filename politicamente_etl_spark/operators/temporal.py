@@ -374,3 +374,75 @@ def kaplan_meier_terms(
             "surv_lp_micro",
         )
     )
+
+
+def u_shaped_attribution(
+    events: DataFrame,
+    touch_type: str = "click",
+    conv_type: str = "purchase",
+    lookback_us: int = 259_200_000_000,
+    first_last_ppm: int = 400_000,
+) -> DataFrame:
+    """Position-based (U-shaped) multi-touch attribution: every
+    conversion distributes its value over the user's touch events inside
+    the lookback window (72h default) — first and last touch get
+    `first_last_ppm` each (40% by default), the remaining 200k ppm split
+    evenly across middle touches (integer div; a 1-touch path gets 1e6,
+    a 2-touch path 500k/500k). The multi-touch complement of
+    `click_conversion_attribution`'s last-touch as-of join.
+
+    Credits are exact integers: credit_ppm per touch, and
+    credited_value_milli_ppm = credit_ppm * floor(value*1000) — read
+    time divides by 1e9 for currency. Conversions attribute
+    independently (a touch may earn credit from several conversions),
+    the standard multi-touch semantics.
+
+    Scale shape: one shuffle on user_id for the touch×conversion
+    pairing (attribution is within-user by definition, so user_id is
+    the natural co-location key; per-user fan-out is bounded by session
+    activity, and a hot user is an AQE skew-join case, not a plan
+    change), then per-conversion windows — embarrassingly parallel, no
+    global sort.
+    """
+    touches = events.filter(F.col("event_type") == touch_type).select(
+        "user_id",
+        F.expr("unix_micros(ts)").alias("t_us"),
+        F.col("event_id").alias("touch_id"),
+    )
+    convs = events.filter(F.col("event_type") == conv_type).select(
+        "user_id",
+        F.expr("unix_micros(ts)").alias("c_us"),
+        F.col("event_id").alias("conv_id"),
+        F.floor(F.col("value") * 1000).cast("long").alias("v_milli"),
+    )
+    paired = touches.join(convs, "user_id").filter(
+        (F.col("t_us") <= F.col("c_us"))
+        & (F.col("t_us") >= F.col("c_us") - F.lit(lookback_us))
+    )
+    w = Window.partitionBy("conv_id").orderBy("t_us", "touch_id")
+    ranked = (
+        paired.withColumn("pos", F.row_number().over(w))
+        .withColumn("n", F.count("*").over(Window.partitionBy("conv_id")))
+    )
+    mid_ppm = F.expr(
+        f"CAST((1000000 - 2 * {first_last_ppm}) div (n - 2) AS BIGINT)"
+    )
+    credit = (
+        F.when(F.col("n") == 1, F.lit(1_000_000))
+        .when(F.col("n") == 2, F.lit(500_000))
+        .when(
+            (F.col("pos") == 1) | (F.col("pos") == F.col("n")),
+            F.lit(first_last_ppm),
+        )
+        .otherwise(mid_ppm)
+        .cast("long")
+    )
+    return ranked.select(
+        "conv_id",
+        "touch_id",
+        "user_id",
+        F.col("pos").cast("long").alias("pos"),
+        F.col("n").cast("long").alias("n_touches"),
+        credit.alias("credit_ppm"),
+        (credit * F.col("v_milli")).cast("long").alias("credited_value_milli_ppm"),
+    )

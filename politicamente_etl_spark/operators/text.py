@@ -1203,3 +1203,113 @@ def apply_bpe_merge_and_recount(
         .orderBy(F.col("n_occurrences").desc(), "pair")
         .limit(top_k)
     )
+
+
+def unigram_viterbi_segmentation(
+    df: DataFrame,
+    col: str = "text",
+    max_piece_len: int = 4,
+    vocab_top: int = 200,
+) -> DataFrame:
+    """Unigram-LM tokenizer segmentation (Kudo 2018, the SentencePiece
+    model family — the other half of the tokenizer world next to BPE's
+    `bpe_pair_stats`/`apply_bpe_merge_and_recount`): score every
+    character n-gram piece (length 1..max_piece_len) by its corpus
+    log-probability, then Viterbi-segment each vocabulary word into the
+    maximum-likelihood piece sequence via exact dynamic programming.
+    This is the E-step of SentencePiece's EM loop; iterating it with
+    vocab pruning is a driver loop over THIS operator, and the
+    per-iteration cost is what must scale.
+
+    Per word: dp[i] = best (score, n_pieces) over all pieces ending at
+    character i, dp[0] = (0, 0) — a sequential fold over positions with
+    an inner argmax over candidate edges (Spark `aggregate` with a
+    nested `aggregate`; outer lambda variables captured in the inner).
+    Piece scores are micro-nat-snapped integer log-probs
+    (round(ln(cnt/total)*1e6), the engine-exact idiom of
+    `unigram_logprob_scores`), so dp sums are exact integer arithmetic
+    and the max-likelihood VALUE is engine-deterministic: ties between
+    segmentations with equal (score, n_pieces) yield the same emitted
+    tuple whichever path an engine prefers.
+
+    Vocabulary: top `vocab_top` pieces by (count desc, piece) plus ALL
+    single characters (so every word has a feasible segmentation).
+
+    Scale shape: the corpus-sized work is one token explode + groupBy
+    (word frequencies); everything after runs on the DISTINCT-WORD
+    table (|vocab| rows, orders of magnitude smaller than the corpus).
+    The piece table is bounded by construction (vocab_top + alphabet),
+    so its join onto word substrings broadcasts. The DP is a per-row
+    expression — no shuffle, no Python.
+
+    Returns (w, wf, n_chars, n_pieces, total_cost_micro) where
+    total_cost_micro = -sum of piece log-probs in micro-nats (lower is
+    a more probable segmentation).
+    """
+    words = (
+        df.select(F.explode(tokens(col)).alias("w"))
+        .filter(F.length("w") >= 1)
+        .groupBy("w")
+        .agg(F.count("*").cast("long").alias("wf"))
+    )
+    # all substrings (start i, len k) of every word, weighted by word freq
+    subs = words.select(
+        "w",
+        "wf",
+        F.explode(
+            F.expr(
+                f"flatten(transform(sequence(1, least({max_piece_len}, length(w))),"
+                " k -> transform(sequence(1, length(w) - k + 1),"
+                " i -> struct(i AS i, k AS k, substring(w, i, k) AS p))))"
+            )
+        ).alias("s"),
+    ).select("w", "wf", "s.i", "s.k", "s.p")
+    pc = subs.groupBy("p").agg(F.sum("wf").cast("long").alias("cnt"))
+    top = pc.orderBy(F.col("cnt").desc(), "p").limit(vocab_top)
+    vocab = top.unionByName(pc.filter(F.length("p") == 1)).distinct()
+    tot = vocab.agg(F.sum("cnt").alias("t"))
+    pieces = vocab.crossJoin(F.broadcast(tot)).select(
+        "p",
+        F.round(
+            F.log(F.col("cnt").cast("double") / F.col("t").cast("double"))
+            * F.lit(1e6),
+            0,
+        )
+        .cast("long")
+        .alias("sc"),
+    )
+    # candidate edges: (end position, piece length, score) per word —
+    # bounded piece table broadcasts onto the distinct-word substring list
+    edges = (
+        subs.join(F.broadcast(pieces), "p")
+        .select("w", "wf", (F.col("i") + F.col("k") - 1).alias("e"), "k", "sc")
+        .groupBy("w", "wf")
+        .agg(F.collect_list(F.struct("e", "k", "sc")).alias("edges"))
+    )
+    dp = edges.withColumn(
+        "dp",
+        F.expr(
+            "aggregate(sequence(1, length(w)),"
+            " array(struct(CAST(0 AS BIGINT) AS sc, CAST(0 AS BIGINT) AS np)),"
+            " (acc, pos) -> concat(acc, array("
+            "   aggregate(filter(edges, e -> e.e = pos),"
+            "     struct(CAST(-922337203685477580 AS BIGINT) AS sc,"
+            "            CAST(922337203685477580 AS BIGINT) AS np),"
+            "     (b, e) -> IF("
+            "       element_at(acc, pos - e.k + 1).sc + e.sc > b.sc"
+            "       OR (element_at(acc, pos - e.k + 1).sc + e.sc = b.sc"
+            "           AND element_at(acc, pos - e.k + 1).np + 1 < b.np),"
+            "       struct(element_at(acc, pos - e.k + 1).sc + e.sc AS sc,"
+            "              element_at(acc, pos - e.k + 1).np + 1 AS np),"
+            "       b)))))"
+        ),
+    )
+    return dp.select(
+        "w",
+        "wf",
+        F.length("w").cast("long").alias("n_chars"),
+        F.expr("element_at(dp, length(w) + 1).np").cast("long").alias("n_pieces"),
+        (-F.expr("element_at(dp, length(w) + 1).sc")).cast("long").alias(
+            "total_cost_micro"
+        ),
+    )

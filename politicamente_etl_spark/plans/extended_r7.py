@@ -1,0 +1,397 @@
+"""Round-7 prep batch 1: the unigram-LM tokenizer segmentation step
+(SentencePiece's E-step, completing the tokenizer-training family next
+to the BPE pair-count and merge-apply passes), U-shaped multi-touch
+attribution (the position-based complement of the last-touch as-of
+join), and an STL-lite seasonal decomposition of the hourly event
+series (trend / seasonal / residual as exact integer sufficient
+statistics).
+
+New oracle technique: the Viterbi DP is a Spark sequential `aggregate`
+fold with a NESTED argmax `aggregate` over candidate edges (outer
+lambda variables captured inside the inner lambda), mirrored in DuckDB
+by a recursive CTE whose step does a correlated argmax subquery against
+a materialized edge table — the max-likelihood VALUE (score, piece
+count) is engine-deterministic because scores are micro-nat-snapped
+integers and ties on the full (score, pieces) tuple emit the same
+tuple whichever path wins.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def _register():
+    from politicamente_etl_spark.operators import stats, temporal, text
+    from politicamente_etl_spark.plans.catalog import T, load_events, register
+
+    # -- unigram-LM Viterbi segmentation ------------------------------------
+
+    @register(
+        "unigram_viterbi_segmentation",
+        sql="""
+        WITH RECURSIVE w AS MATERIALIZED (
+            SELECT w, CAST(COUNT(*) AS BIGINT) AS wf
+            FROM (SELECT unnest(string_split(text, ' ')) AS w
+                  FROM documents)
+            WHERE length(w) >= 1
+            GROUP BY w
+        ), subs AS MATERIALIZED (
+            SELECT w.w, w.wf, ii.i AS i, kk.k AS k,
+                   substr(w.w, ii.i, kk.k) AS p
+            FROM w,
+                 unnest(generate_series(1, least(4, length(w.w)))) AS kk(k),
+                 unnest(generate_series(1, length(w.w) - kk.k + 1)) AS ii(i)
+        ), pc AS MATERIALIZED (
+            SELECT p, CAST(SUM(wf) AS BIGINT) AS cnt FROM subs GROUP BY p
+        ), vocab AS (
+            -- UNION ALL + GROUP BY dedup, NOT plain UNION: under WITH
+            -- RECURSIVE, DuckDB 1.0 parses a UNION inside ANY listed CTE
+            -- as the recursive-union form, which does NOT dedupe.
+            SELECT p, MAX(cnt) AS cnt FROM (
+                SELECT p, cnt FROM
+                    (SELECT p, cnt FROM pc ORDER BY cnt DESC, p LIMIT 200)
+                UNION ALL
+                SELECT p, cnt FROM pc WHERE length(p) = 1
+            ) GROUP BY p
+        ), tot AS (SELECT CAST(SUM(cnt) AS BIGINT) AS t FROM vocab),
+        pieces AS (
+            SELECT p, CAST(round(ln(CAST(cnt AS DOUBLE)
+                                    / CAST(t AS DOUBLE)) * 1e6)
+                           AS BIGINT) AS sc
+            FROM vocab, tot
+        ), epos AS MATERIALIZED (
+            -- candidate edges grouped per (word, end position): the DP
+            -- step below is a pure lambda fold over this list, mirroring
+            -- the Spark nested-aggregate argmax (correlated subqueries
+            -- inside a recursive step are flaky in DuckDB 1.0).
+            SELECT s.w, s.i + s.k - 1 AS pos,
+                   list({'st': s.i, 'sc': pieces.sc} ORDER BY s.k) AS el
+            FROM subs s JOIN pieces USING (p)
+            GROUP BY s.w, s.i + s.k - 1
+        ), rec AS (
+            SELECT w.w, w.wf, length(w.w) AS L, 0 AS i,
+                   [CAST(0 AS BIGINT)] AS scs, [CAST(0 AS BIGINT)] AS nps
+            FROM w
+            UNION ALL
+            SELECT r.w, r.wf, r.L, r.i + 1,
+                   list_append(r.scs,
+                       list_reduce(
+                           list_transform(e.el,
+                               x -> {'s': r.scs[x.st] + x.sc,
+                                     'n': r.nps[x.st] + 1}),
+                           (a, c) -> CASE WHEN c.s > a.s
+                                          OR (c.s = a.s AND c.n < a.n)
+                                     THEN c ELSE a END).s),
+                   list_append(r.nps,
+                       list_reduce(
+                           list_transform(e.el,
+                               x -> {'s': r.scs[x.st] + x.sc,
+                                     'n': r.nps[x.st] + 1}),
+                           (a, c) -> CASE WHEN c.s > a.s
+                                          OR (c.s = a.s AND c.n < a.n)
+                                     THEN c ELSE a END).n)
+            FROM rec r JOIN epos e ON e.w = r.w AND e.pos = r.i + 1
+            WHERE r.i < r.L
+        )
+        SELECT w, wf, CAST(L AS BIGINT) AS n_chars,
+               CAST(nps[L + 1] AS BIGINT) AS n_pieces,
+               CAST(-scs[L + 1] AS BIGINT) AS total_cost_micro
+        FROM rec WHERE i = L
+        """,
+        tags=("ext-text", "ext-tokenizer"),
+    )
+    def q_unigram_viterbi_segmentation(
+        spark: SparkSession, sf_dir: str
+    ) -> DataFrame:
+        """SentencePiece-style unigram-LM segmentation (Kudo 2018): score
+        char n-gram pieces by corpus log-probability (micro-nat integer
+        snap), Viterbi-segment every vocabulary word via exact DP — a
+        per-row sequential fold with a nested argmax, no shuffle past
+        the word-frequency aggregate. The DuckDB oracle replays the
+        identical recurrence as a recursive CTE with a correlated
+        argmax subquery per position."""
+        docs = T(spark, sf_dir, "documents").select("text")
+        return text.unigram_viterbi_segmentation(docs)
+
+    # -- U-shaped multi-touch attribution -----------------------------------
+
+    @register(
+        "u_shaped_attribution",
+        sql="""
+        WITH t AS (
+            SELECT user_id, epoch_us(ts) AS t_us, event_id AS touch_id
+            FROM events WHERE event_type = 'click'
+        ), c AS (
+            SELECT user_id, epoch_us(ts) AS c_us, event_id AS conv_id,
+                   CAST(floor(value * 1000) AS BIGINT) AS v_milli
+            FROM events WHERE event_type = 'purchase'
+        ), p AS (
+            SELECT c.conv_id, t.touch_id, c.user_id, c.v_milli,
+                   row_number() OVER (PARTITION BY c.conv_id
+                       ORDER BY t.t_us, t.touch_id) AS pos,
+                   COUNT(*) OVER (PARTITION BY c.conv_id) AS n
+            FROM t JOIN c ON t.user_id = c.user_id
+                AND t.t_us <= c.c_us
+                AND t.t_us >= c.c_us - 259200000000
+        ), cr AS (
+            SELECT conv_id, touch_id, user_id, v_milli,
+                   CAST(pos AS BIGINT) AS pos,
+                   CAST(n AS BIGINT) AS n_touches,
+                   CAST(CASE WHEN n = 1 THEN 1000000
+                             WHEN n = 2 THEN 500000
+                             WHEN pos = 1 OR pos = n THEN 400000
+                             ELSE 200000 // (n - 2) END AS BIGINT)
+                       AS credit_ppm
+            FROM p
+        )
+        SELECT conv_id, touch_id, user_id, pos, n_touches, credit_ppm,
+               CAST(credit_ppm * v_milli AS BIGINT)
+                   AS credited_value_milli_ppm
+        FROM cr
+        """,
+        tags=("ext-temporal", "ext-events"),
+    )
+    def q_u_shaped_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Position-based multi-touch attribution: each purchase's value
+        credited 40/20/40 (ppm-exact) across the clicks in its 72-hour
+        lookback — one user_id co-located join, per-conversion windows,
+        integer credits."""
+        ev = load_events(spark, sf_dir)
+        return temporal.u_shaped_attribution(ev)
+
+    # -- STL-lite hourly seasonal decomposition -----------------------------
+
+    @register(
+        "seasonal_decomposition_hourly",
+        sql="""
+        WITH hourly AS (
+            SELECT CAST(epoch_us(ts) // 3600000000 AS BIGINT) AS h,
+                   CAST(SUM(CAST(floor(value * 1000) AS BIGINT))
+                        AS BIGINT) AS v_milli
+            FROM events GROUP BY 1
+        ), w AS (
+            SELECT h, v_milli,
+                   SUM(v_milli) OVER (ORDER BY h RANGE BETWEEN 12 PRECEDING
+                       AND 12 FOLLOWING) AS w_sum,
+                   COUNT(*) OVER (ORDER BY h RANGE BETWEEN 12 PRECEDING
+                       AND 12 FOLLOWING) AS w_cnt
+            FROM hourly
+        ), tt AS (
+            SELECT h, CAST(h % 24 AS BIGINT) AS hod, v_milli,
+                   CAST(CASE WHEN w_cnt = 25 THEN w_sum END AS BIGINT)
+                       AS trend_sum
+            FROM w
+        ), seas AS (
+            SELECT hod,
+                   CAST(SUM(25 * v_milli - trend_sum) AS BIGINT) AS seas_num,
+                   CAST(COUNT(*) AS BIGINT) AS seas_den
+            FROM tt WHERE trend_sum IS NOT NULL GROUP BY hod
+        )
+        SELECT tt.h, tt.hod, tt.v_milli, tt.trend_sum,
+               seas.seas_num, seas.seas_den
+        FROM tt LEFT JOIN seas USING (hod)
+        """,
+        tags=("ext-stats", "ext-events", "ext-temporal"),
+    )
+    def q_seasonal_decomposition_hourly(
+        spark: SparkSession, sf_dir: str
+    ) -> DataFrame:
+        """Classical additive decomposition of the hourly event series:
+        centered 25-hour moving-average trend, per-hour-of-day seasonal
+        means over the detrended rows, residual at read time — all as
+        exact integer num/den statistics. The unpartitioned RANGE
+        window runs on the calendar series (rows bounded by wall-clock
+        hours, not data volume), after one corpus-sized partial agg."""
+        ev = load_events(spark, sf_dir)
+        return stats.seasonal_decomposition_hourly(ev)
+
+
+_register()
+
+
+def _register_batch2():
+    from politicamente_etl_spark.operators import sampling
+    from politicamente_etl_spark.plans.catalog import T, load_events, register
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    _IPW_RATES = {"click": 1000, "error": 2500, "view": 500}
+    _rate_sql = (
+        "CASE WHEN event_type = 'click' THEN 1000"
+        " WHEN event_type = 'error' THEN 2500"
+        " WHEN event_type = 'view' THEN 500 ELSE 10000 END"
+    )
+
+    @register(
+        "ipw_telemetry_estimates",
+        sql=f"""
+        WITH v AS (
+            SELECT event_type,
+                   {_rate_sql} AS rate_buckets,
+                   CAST(floor(value * 1000) AS BIGINT) AS vm,
+                   {sampling.sql_hash_bucket("event_id", "ipw-v1")} AS b
+            FROM events
+        ), k AS (
+            SELECT event_type, rate_buckets, vm,
+                   CASE WHEN b < rate_buckets THEN 1 ELSE 0 END AS k
+            FROM v
+        )
+        SELECT event_type,
+               CAST(rate_buckets AS BIGINT) AS rate_buckets,
+               CAST(COUNT(*) AS BIGINT) AS n_true,
+               CAST(SUM(k) AS BIGINT) AS n_sampled,
+               CAST(SUM(vm) AS BIGINT) AS true_sum_milli,
+               CAST((SUM(k * vm) * 10000) // rate_buckets AS BIGINT)
+                   AS est_sum_milli
+        FROM k GROUP BY event_type, rate_buckets
+        """,
+        tags=("ext-sampling", "ext-events", "ext-stats"),
+    )
+    def q_ipw_telemetry_estimates(
+        spark: SparkSession, sf_dir: str
+    ) -> DataFrame:
+        """Horvitz-Thompson corrected telemetry totals under per-type
+        deterministic sampling (click 10%, view 5%, error 25%, rest
+        unsampled): truth and IPW estimate side by side from one
+        conditional-aggregation pass — the audit that validates a
+        sample-at-the-source collection design. md5-bucket membership
+        makes the 'sample' engine-exact."""
+        ev = load_events(spark, sf_dir)
+        return sampling.ipw_telemetry_estimates(ev, _IPW_RATES)
+
+    @register(
+        "consistent_hash_rebalance",
+        sql="""
+        WITH vb AS MATERIALIZED (
+            SELECT s.range AS shard,
+                   CAST(('0x' || substring(md5(concat_ws(':', 'ring-v1',
+                        CAST(s.range AS VARCHAR), CAST(v.range AS VARCHAR))),
+                        1, 15)) AS BIGINT) AS pt
+            FROM range(0, 8) s, range(0, 16) v
+        ), va AS MATERIALIZED (
+            SELECT s.range AS shard,
+                   CAST(('0x' || substring(md5(concat_ws(':', 'ring-v1',
+                        CAST(s.range AS VARCHAR), CAST(v.range AS VARCHAR))),
+                        1, 15)) AS BIGINT) AS pt
+            FROM range(0, 9) s, range(0, 16) v
+        ), keys AS (
+            SELECT doc_id AS key,
+                   CAST(('0x' || substring(md5(concat_ws(':', 'ring-v1:key',
+                        CAST(doc_id AS VARCHAR))), 1, 15)) AS BIGINT) AS kpt
+            FROM documents
+        ), ab AS (
+            SELECT k.key, k.kpt,
+                   (SELECT v.shard FROM vb v
+                    ORDER BY CASE WHEN v.pt >= k.kpt THEN v.pt
+                             ELSE v.pt + 2305843009213693952 END, v.shard
+                    LIMIT 1) AS shard_before
+            FROM keys k
+        ), aa AS (
+            SELECT k.key, k.kpt,
+                   (SELECT v.shard FROM va v
+                    ORDER BY CASE WHEN v.pt >= k.kpt THEN v.pt
+                             ELSE v.pt + 2305843009213693952 END, v.shard
+                    LIMIT 1) AS shard_after
+            FROM keys k
+        )
+        SELECT CAST(ab.shard_before AS BIGINT) AS shard_before,
+               CAST(COUNT(*) AS BIGINT) AS n_keys,
+               CAST(SUM(CASE WHEN aa.shard_after <> ab.shard_before
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_moved
+        FROM ab JOIN aa ON ab.key = aa.key
+        GROUP BY 1
+        """,
+        tags=("ext-sampling", "ext-docs"),
+    )
+    def q_consistent_hash_rebalance(
+        spark: SparkSession, sf_dir: str
+    ) -> DataFrame:
+        """Karger-ring resharding audit on the documents table: per
+        before-shard key counts and how many keys move growing the ring
+        8 -> 9 shards (16 vnodes each; moved fraction concentrates near
+        1/9, vs ~8/9 under modulo resharding) — the migration-costing
+        number. Bounded vnode tables broadcast; keys never shuffle
+        before the final rollup."""
+        docs = T(spark, sf_dir, "documents").select("doc_id")
+        return sampling.consistent_hash_rebalance(docs, "doc_id", 8, 9)
+
+    @register(
+        "corpus_datasheet",
+        sql="""
+        WITH base AS (
+            SELECT source, lang, md5(text) AS digest,
+                   CAST(len(string_split(text, ' ')) AS BIGINT) AS toks,
+                   CAST(n_chars AS BIGINT) AS n_chars
+            FROM documents
+        ), per_source AS (
+            SELECT source,
+                   CAST(COUNT(*) AS BIGINT) AS n_docs,
+                   CAST(COUNT(DISTINCT digest) AS BIGINT) AS n_unique,
+                   CAST(SUM(toks) AS BIGINT) AS tokens_total,
+                   CAST(SUM(n_chars) AS BIGINT) AS chars_total,
+                   CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs
+            FROM base GROUP BY source
+        ), lc AS (
+            SELECT source, lang, COUNT(*) AS cnt,
+                   row_number() OVER (PARTITION BY source
+                       ORDER BY COUNT(*) DESC, lang) AS rn
+            FROM base GROUP BY source, lang
+        )
+        SELECT p.source, p.n_docs, p.n_unique,
+               CAST(((p.n_docs - p.n_unique) * 1000000) // p.n_docs
+                    AS BIGINT) AS dup_ppm,
+               p.tokens_total, p.chars_total, p.n_langs,
+               lc.lang AS top_lang
+        FROM per_source p JOIN lc ON p.source = lc.source AND lc.rn = 1
+        """,
+        tags=("ext-docs", "ext-text", "ext-quality"),
+    )
+    def q_corpus_datasheet(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Dataset-card rollup per source (Gebru et al. 2021's datasheet
+        numbers a corpus release ships): docs, exact-dup rate (md5
+        digests), token/char volume, language spread and modal language
+        — one partial-agg pass plus a vocabulary-sized mode window.
+        The per-source mode is deterministic (count desc, lang asc)."""
+        docs = T(spark, sf_dir, "documents").select(
+            "source", "lang", "text", "n_chars"
+        )
+        base = docs.select(
+            "source",
+            "lang",
+            F.md5("text").alias("digest"),
+            F.size(F.split(F.col("text"), " ")).cast("long").alias("toks"),
+            F.col("n_chars").cast("long").alias("n_chars"),
+        )
+        per_source = base.groupBy("source").agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.countDistinct("digest").cast("long").alias("n_unique"),
+            F.sum("toks").cast("long").alias("tokens_total"),
+            F.sum("n_chars").cast("long").alias("chars_total"),
+            F.countDistinct("lang").cast("long").alias("n_langs"),
+        )
+        w = Window.partitionBy("source").orderBy(
+            F.col("cnt").desc(), F.col("lang").asc()
+        )
+        top = (
+            base.groupBy("source", "lang")
+            .agg(F.count("*").alias("cnt"))
+            .withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("source", F.col("lang").alias("top_lang"))
+        )
+        return per_source.join(F.broadcast(top), "source").select(
+            "source",
+            "n_docs",
+            "n_unique",
+            F.expr("((n_docs - n_unique) * 1000000) div n_docs")
+            .cast("long")
+            .alias("dup_ppm"),
+            "tokens_total",
+            "chars_total",
+            "n_langs",
+            "top_lang",
+        )
+
+
+_register_batch2()

@@ -1,0 +1,276 @@
+"""Round-7 batch 1 tests: unigram-LM Viterbi segmentation vs a Python
+DP model, U-shaped attribution credit schedules, and the seasonal
+decomposition identities."""
+
+from __future__ import annotations
+
+import datetime as dt
+import math
+
+from pyspark.sql import functions as F
+
+
+def _viterbi_model(corpus_words, max_len=4, vocab_top=200):
+    """Pure-Python replica of unigram_viterbi_segmentation's contract."""
+    from collections import Counter
+
+    wf = Counter(corpus_words)
+    pc: Counter = Counter()
+    for w, f in wf.items():
+        for k in range(1, min(max_len, len(w)) + 1):
+            for i in range(len(w) - k + 1):
+                pc[w[i : i + k]] += f
+    top = sorted(pc.items(), key=lambda kv: (-kv[1], kv[0]))[:vocab_top]
+    vocab = dict(top)
+    for p, c in pc.items():
+        if len(p) == 1:
+            vocab[p] = c
+    tot = sum(vocab.values())
+    sc = {p: round(math.log(c / tot) * 1e6) for p, c in vocab.items()}
+    out = {}
+    for w, f in wf.items():
+        L = len(w)
+        dp = [(0, 0)] + [None] * L  # (score, n_pieces), maximize score then min pieces
+        for i in range(1, L + 1):
+            best = None
+            for k in range(1, min(max_len, i) + 1):
+                p = w[i - k : i]
+                if p not in sc:
+                    continue
+                cand = (dp[i - k][0] + sc[p], dp[i - k][1] + 1)
+                if best is None or cand[0] > best[0] or (
+                    cand[0] == best[0] and cand[1] < best[1]
+                ):
+                    best = cand
+            dp[i] = best
+        out[w] = (f, L, dp[L][1], -dp[L][0])
+    return out
+
+
+def test_unigram_viterbi_matches_python_dp(spark):
+    from politicamente_etl_spark.operators.text import (
+        unigram_viterbi_segmentation,
+    )
+
+    # 'abab' repeats a lot -> 'ab' (and 'abab') become high-probability
+    # pieces; rare words must fall back to single chars.
+    rows = [
+        (1, "abab abab abab cd"),
+        (2, "abab ababx q cd cd"),
+        (3, "zzzz abab cd q"),
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {
+        r["w"]: (r["wf"], r["n_chars"], r["n_pieces"], r["total_cost_micro"])
+        for r in unigram_viterbi_segmentation(docs.select("text")).collect()
+    }
+    corpus = " ".join(t for _, t in rows).split(" ")
+    want = _viterbi_model(corpus)
+    assert got == want
+    # sanity on the model itself: 'abab' segments into fewer pieces than
+    # characters (multi-char pieces won) and cost decreases vs all-chars.
+    assert want["abab"][2] < 4
+
+
+def test_u_shaped_attribution_credit_schedules(spark):
+    from politicamente_etl_spark.operators.temporal import (
+        u_shaped_attribution,
+    )
+
+    t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+
+    def ev(eid, uid, typ, minutes, value=10.0):
+        return (eid, t0 + dt.timedelta(minutes=minutes), uid, typ, value, "{}")
+
+    rows = [
+        # user 1: four clicks then purchase -> 400k/100k/100k/400k
+        ev(1, 1, "click", 0),
+        ev(2, 1, "click", 10),
+        ev(3, 1, "click", 20),
+        ev(4, 1, "click", 30),
+        ev(5, 1, "purchase", 40, 2.5),
+        # user 2: single click -> 1_000_000
+        ev(6, 2, "click", 0),
+        ev(7, 2, "purchase", 30, 1.0),
+        # user 3: two clicks -> 500k each; plus one click OUTSIDE the
+        # 2h lookback that must earn nothing
+        ev(8, 3, "click", -150),
+        ev(9, 3, "click", 5),
+        ev(10, 3, "click", 25),
+        ev(11, 3, "purchase", 60, 4.0),
+    ]
+    events = spark.createDataFrame(
+        rows, ["event_id", "ts", "user_id", "event_type", "value", "props"]
+    )
+    out = u_shaped_attribution(events, lookback_us=7_200_000_000)
+    got = {
+        (r["conv_id"], r["touch_id"]): (
+            r["pos"],
+            r["n_touches"],
+            r["credit_ppm"],
+            r["credited_value_milli_ppm"],
+        )
+        for r in out.collect()
+    }
+    assert got[(5, 1)] == (1, 4, 400_000, 400_000 * 2500)
+    assert got[(5, 2)] == (2, 4, 100_000, 100_000 * 2500)
+    assert got[(5, 3)] == (3, 4, 100_000, 100_000 * 2500)
+    assert got[(5, 4)] == (4, 4, 400_000, 400_000 * 2500)
+    assert got[(7, 6)] == (1, 1, 1_000_000, 1_000_000 * 1000)
+    assert (11, 8) not in got  # outside lookback
+    assert got[(11, 9)] == (1, 2, 500_000, 500_000 * 4000)
+    assert got[(11, 10)] == (2, 2, 500_000, 500_000 * 4000)
+    # every conversion's ppm budget is fully assigned for n <= 2 and
+    # exactly 1e6 for the 4-touch path (200k middle pool splits evenly)
+    assert sum(v[2] for k, v in got.items() if k[0] == 5) == 1_000_000
+
+
+def test_seasonal_decomposition_identities(spark):
+    from politicamente_etl_spark.operators.stats import (
+        seasonal_decomposition_hourly,
+    )
+
+    t0 = dt.datetime(2024, 3, 1, 0, 0, 0)
+    # 72 hourly events with a daily sine-ish pattern + linear trend
+    rows = []
+    for h in range(72):
+        v = 100 + h + 50 * ((h % 24) >= 12)
+        rows.append((h, t0 + dt.timedelta(hours=h), 1, "click", float(v), "{}"))
+    events = spark.createDataFrame(
+        rows, ["event_id", "ts", "user_id", "event_type", "value", "props"]
+    )
+    out = seasonal_decomposition_hourly(events).collect()
+    by_h = {r["h"]: r for r in out}
+    hs = sorted(by_h)
+    assert len(hs) == 72
+    vm = {h: by_h[h]["v_milli"] for h in hs}
+    # edges: first/last 12 rows have NULL trend; interior trend is the
+    # exact 25-hour sum
+    for idx, h in enumerate(hs):
+        r = by_h[h]
+        if 12 <= idx < 60:
+            assert r["trend_sum"] == sum(vm[hs[j]] for j in range(idx - 12, idx + 13))
+        else:
+            assert r["trend_sum"] is None
+    # seasonal identity per hour-of-day over complete rows
+    import collections
+
+    num = collections.Counter()
+    den = collections.Counter()
+    for idx, h in enumerate(hs):
+        if 12 <= idx < 60:
+            num[h % 24] += 25 * vm[h] - by_h[h]["trend_sum"]
+            den[h % 24] += 1
+    for h in hs:
+        r = by_h[h]
+        assert r["seas_num"] == num[r["hod"]]
+        assert r["seas_den"] == den[r["hod"]]
+
+
+def test_ipw_unsampled_strata_are_exact_and_membership_is_stable(spark):
+    from politicamente_etl_spark.operators.sampling import (
+        ipw_telemetry_estimates,
+    )
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [
+        (i, t0 + dt.timedelta(minutes=i), i % 7, "click" if i % 2 else "view",
+         float(i), "{}")
+        for i in range(200)
+    ]
+    events = spark.createDataFrame(
+        rows, ["event_id", "ts", "user_id", "event_type", "value", "props"]
+    )
+    out1 = {
+        r["event_type"]: r
+        for r in ipw_telemetry_estimates(
+            events, {"click": 2000}
+        ).collect()
+    }
+    # view: unsampled stratum (rate = N_BUCKETS) -> estimate IS the truth
+    assert out1["view"]["est_sum_milli"] == out1["view"]["true_sum_milli"]
+    assert out1["view"]["n_sampled"] == out1["view"]["n_true"]
+    # click: sampled at 20%; estimator identity holds exactly
+    c = out1["click"]
+    assert c["n_sampled"] < c["n_true"]
+    # determinism: same frame, same answer
+    out2 = {
+        r["event_type"]: r
+        for r in ipw_telemetry_estimates(events, {"click": 2000}).collect()
+    }
+    assert out1 == out2
+
+
+def _ring_model(n_shards, keys, vnodes=16, seed="ring-v1"):
+    import hashlib
+
+    def h60(s):
+        return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+    pts = sorted(
+        (h60(f"{seed}:{s}:{v}"), s)
+        for s in range(n_shards)
+        for v in range(vnodes)
+    )
+    out = {}
+    for k in keys:
+        kpt = h60(f"{seed}:key:{k}")
+        nxt = [p for p in pts if p[0] >= kpt]
+        out[k] = (nxt[0] if nxt else pts[0])[1]
+    return out
+
+
+def test_consistent_hash_rebalance_matches_model_and_only_steals(spark):
+    from politicamente_etl_spark.operators.sampling import (
+        consistent_hash_rebalance,
+    )
+
+    keys = list(range(1, 301))
+    df = spark.createDataFrame([(k,) for k in keys], ["doc_id"])
+    got = {
+        r["shard_before"]: (r["n_keys"], r["n_moved"])
+        for r in consistent_hash_rebalance(df, "doc_id", 5, 6).collect()
+    }
+    before = _ring_model(5, keys)
+    after = _ring_model(6, keys)
+    # growth only STEALS: every moved key lands on the new shard
+    for k in keys:
+        if before[k] != after[k]:
+            assert after[k] == 5  # the added shard id
+    import collections
+
+    want_keys = collections.Counter(before.values())
+    want_moved = collections.Counter(
+        before[k] for k in keys if before[k] != after[k]
+    )
+    want = {s: (want_keys[s], want_moved.get(s, 0)) for s in want_keys}
+    assert got == want
+
+
+def test_corpus_datasheet_counts_and_mode(spark):
+    from politicamente_etl_spark.plans.catalog import CATALOG
+
+    rows = [
+        (1, "dup dup dup", "en", "a", 11),
+        (2, "dup dup dup", "en", "a", 11),
+        (3, "unique text here", "pt", "a", 16),
+        (4, "other words", "pt", "b", 11),
+    ]
+    df = spark.createDataFrame(
+        rows, ["doc_id", "text", "lang", "source", "n_chars"]
+    )
+    import tempfile, os
+
+    with tempfile.TemporaryDirectory() as d:
+        df.write.mode("overwrite").parquet(os.path.join(d, "documents.parquet"))
+        out = {
+            r["source"]: r
+            for r in CATALOG["corpus_datasheet"].fn(spark, d).collect()
+        }
+    a = out["a"]
+    assert (a["n_docs"], a["n_unique"], a["dup_ppm"]) == (3, 2, 333333)
+    assert a["tokens_total"] == 9 and a["n_langs"] == 2
+    # tie 2-vs-1 broken by count; 'en' is modal in a
+    assert a["top_lang"] == "en"
+    b = out["b"]
+    assert (b["n_docs"], b["dup_ppm"], b["top_lang"]) == (1, 0, "pt")
