@@ -626,3 +626,99 @@ def seasonal_decomposition_hourly(
         "seas_num",
         "seas_den",
     )
+
+
+def seq_pattern_support(
+    events: DataFrame,
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    max_len: int = 3,
+    session_days: bool = True,
+) -> DataFrame:
+    """Sequential-pattern support (the counting core of GSP/PrefixSpan,
+    Srikant & Agrawal 1996): for every ordered pattern of event types up
+    to `max_len` long, how many sequences contain it as a SUBSEQUENCE
+    (order preserved, gaps allowed). The market-basket sibling of the
+    funnel queries — funnels pin one hand-written path, this scores
+    every candidate path. The sequence unit is the (user, UTC day)
+    session by default (`session_days`) — whole-history sequences
+    saturate every short pattern for any active user, while day
+    sessions make support a discriminating signal.
+
+    Matching is a greedy left fold over the user's ordered type
+    sequence with the remaining-pattern STRING as accumulator (the
+    same-type-accumulator idiom that makes Spark `aggregate` and
+    DuckDB `list_reduce` agree): consume the head token on match,
+    matched when the remainder is empty. Greedy earliest-match is
+    exactly subsequence containment.
+
+    Scale shape: one shuffle builds per-user sequences (groupBy user;
+    per-user arrays bounded by activity). The pattern table is
+    |types|^2 + |types|^3 rows — bounded by construction — so it
+    BROADCASTS onto the user rows; matching is map-side and the final
+    rollup shuffles |patterns| partial counts. n_sequences_total rides
+    along for read-time support ratios.
+
+    Returns (pattern, plen, n_support, n_sequences_total).
+    """
+    keys = [F.col(user_col).alias("u")]
+    if session_days:
+        keys.append(
+            F.expr(f"unix_micros({ts_col}) div 86400000000").alias("d")
+        )
+    seqs = (
+        events.select(
+            *keys,
+            F.struct(
+                F.expr(f"unix_micros({ts_col})").alias("t"),
+                F.col(id_col).alias("eid"),
+                F.col(type_col).alias("et"),
+            ).alias("s"),
+        )
+        .groupBy(["u", "d"] if session_days else ["u"])
+        .agg(
+            F.array_join(
+                F.expr("transform(array_sort(collect_list(s)), x -> x.et)"),
+                " ",
+            ).alias("seq")
+        )
+    )
+    types = events.select(F.col(type_col).alias("t1")).distinct()
+    pats = types.select(F.col("t1").alias("pattern"))
+    if max_len >= 2:
+        p2 = (
+            types.crossJoin(types.select(F.col("t1").alias("t2")))
+            .select(F.concat_ws(" ", "t1", "t2").alias("pattern"))
+        )
+        pats = pats.unionByName(p2)
+    if max_len >= 3:
+        p3 = (
+            types.crossJoin(types.select(F.col("t1").alias("t2")))
+            .crossJoin(types.select(F.col("t1").alias("t3")))
+            .select(F.concat_ws(" ", "t1", "t2", "t3").alias("pattern"))
+        )
+        pats = pats.unionByName(p3)
+    n_total = seqs.agg(F.count("*").cast("long").alias("n_sequences_total"))
+    matched = seqs.crossJoin(F.broadcast(pats)).withColumn(
+        "hit",
+        (
+            F.expr(
+                "aggregate(split(seq, ' '), pattern, (acc, x) ->"
+                " IF(acc != '' AND (acc = x OR startswith(acc, concat(x, ' '))),"
+                " IF(acc = x, '', substring(acc, length(x) + 2)), acc))"
+            )
+            == ""
+        ).cast("long"),
+    )
+    return (
+        matched.groupBy("pattern")
+        .agg(F.sum("hit").cast("long").alias("n_support"))
+        .withColumn(
+            "plen",
+            (F.size(F.split(F.col("pattern"), " "))).cast("long"),
+        )
+        .crossJoin(F.broadcast(n_total))
+        .select("pattern", "plen", "n_support", "n_sequences_total")
+    )

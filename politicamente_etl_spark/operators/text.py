@@ -1251,6 +1251,10 @@ def unigram_viterbi_segmentation(
         .filter(F.length("w") >= 1)
         .groupBy("w")
         .agg(F.count("*").cast("long").alias("wf"))
+        # words feeds BOTH the piece-count path and the edge path, and
+        # Catalyst does not CSE repeated subplans — checkpoint the
+        # vocabulary-sized table so the corpus explode+groupBy runs once.
+        .localCheckpoint(eager=False)
     )
     # all substrings (start i, len k) of every word, weighted by word freq
     subs = words.select(

@@ -9,11 +9,11 @@ statistics).
 New oracle technique: the Viterbi DP is a Spark sequential `aggregate`
 fold with a NESTED argmax `aggregate` over candidate edges (outer
 lambda variables captured inside the inner lambda), mirrored in DuckDB
-by a recursive CTE whose step does a correlated argmax subquery against
-a materialized edge table — the max-likelihood VALUE (score, piece
-count) is engine-deterministic because scores are micro-nat-snapped
-integers and ties on the full (score, pieces) tuple emit the same
-tuple whichever path wins.
+by a recursive CTE whose step JOINs pre-grouped per-position edge lists
+and folds them with list_transform + list_reduce — the max-likelihood
+VALUE (score, piece count) is engine-deterministic because scores are
+micro-nat-snapped integers and ties on the full (score, pieces) tuple
+emit the same tuple whichever path wins.
 """
 
 from __future__ import annotations
@@ -109,8 +109,8 @@ def _register():
         snap), Viterbi-segment every vocabulary word via exact DP — a
         per-row sequential fold with a nested argmax, no shuffle past
         the word-frequency aggregate. The DuckDB oracle replays the
-        identical recurrence as a recursive CTE with a correlated
-        argmax subquery per position."""
+        identical recurrence as a recursive CTE joining pre-grouped
+        edge lists, folded per position with list_reduce."""
         docs = T(spark, sf_dir, "documents").select("text")
         return text.unigram_viterbi_segmentation(docs)
 
@@ -395,3 +395,103 @@ def _register_batch2():
 
 
 _register_batch2()
+
+
+def _register_batch3():
+    from politicamente_etl_spark.operators import geo, stats
+    from politicamente_etl_spark.plans.catalog import T, load_events, register
+    from pyspark.sql import functions as F
+
+    lat_sql, lon_sql = geo.sql_synth_coords("c_custkey")
+
+    @register(
+        "geo_neighbor_pairs",
+        sql=f"""
+        WITH pts AS (
+            SELECT c_custkey AS pid,
+                   {lat_sql} AS plat,
+                   {lon_sql} AS plon
+            FROM customer
+        )
+        SELECT a.pid AS a, b.pid AS b,
+               CAST((a.plat - b.plat) * (a.plat - b.plat)
+                    + (a.plon - b.plon) * (a.plon - b.plon) AS BIGINT)
+                   AS dist_sq_milli
+        FROM pts a JOIN pts b ON a.pid < b.pid
+        WHERE (a.plat - b.plat) * (a.plat - b.plat)
+              + (a.plon - b.plon) * (a.plon - b.plon) <= 490000
+        """,
+        tags=("ext-geo", "ext-rel"),
+    )
+    def q_geo_neighbor_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Spatial proximity self-join: customer points (deterministic
+        synthetic milli-degree coords) within 700 milli-degrees, via the
+        3x3 grid-cell equi-join of geo.neighbor_pairs_within — never an
+        all-pairs product. The oracle deliberately runs the OPPOSITE
+        algorithm (brute-force O(n^2) inequality join, fine at sf) so
+        the grid blocking is verified against an independent method,
+        not a mirror of itself."""
+        cust = T(spark, sf_dir, "customer").select("c_custkey")
+        lat, lon = geo.synth_coords(F.col("c_custkey"))
+        pts = cust.select(
+            "c_custkey",
+            lat.alias("lat_milli"),
+            lon.alias("lon_milli"),
+        )
+        return geo.neighbor_pairs_within(pts, "c_custkey", radius_milli=700)
+
+    @register(
+        "seq_pattern_support",
+        sql="""
+        WITH seqs AS (
+            -- sequence carried as a space-joined string: subsequence
+            -- containment is then LIKE '%tok1%tok2%...%' — valid because
+            -- no event type is a substring of another (greedy leftmost
+            -- LIKE consumption == subsequence semantics). The fold-based
+            -- containment (the Spark side) is NOT mirrored here: DuckDB
+            -- 1.0's vectorized list_reduce returns context-dependent
+            -- results over grouped list columns (verified: same row,
+            -- same lambda, different answer with/without a WHERE) — the
+            -- LIKE oracle is also a stronger check by being a different
+            -- algorithm.
+            SELECT user_id AS u, epoch_us(ts) // 86400000000 AS d,
+                   string_agg(event_type, ' '
+                       ORDER BY epoch_us(ts), event_id) AS seq
+            FROM events GROUP BY user_id, epoch_us(ts) // 86400000000
+        ), types AS (SELECT DISTINCT event_type AS t FROM events),
+        pats AS (
+            SELECT t AS pattern FROM types
+            UNION ALL
+            SELECT t1.t || ' ' || t2.t FROM types t1, types t2
+            UNION ALL
+            SELECT t1.t || ' ' || t2.t || ' ' || t3.t
+            FROM types t1, types t2, types t3
+        ), m AS (
+            SELECT p.pattern, s.u,
+                   CASE WHEN s.seq LIKE
+                        '%' || replace(p.pattern, ' ', '%') || '%'
+                   THEN 1 ELSE 0 END AS hit
+            FROM seqs s, pats p
+        ), tot AS (
+            SELECT CAST(COUNT(*) AS BIGINT) AS n_sequences_total FROM seqs
+        )
+        SELECT pattern,
+               CAST(len(string_split(pattern, ' ')) AS BIGINT) AS plen,
+               CAST(SUM(hit) AS BIGINT) AS n_support,
+               tot.n_sequences_total
+        FROM m, tot GROUP BY pattern, tot.n_sequences_total
+        """,
+        tags=("ext-events", "ext-stats", "ext-temporal"),
+    )
+    def q_seq_pattern_support(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """GSP-style sequential-pattern support: subsequence containment
+        of every 1-3-long event-type pattern across per-user ordered
+        (user, day) session sequences — greedy remaining-pattern string
+        fold (Spark aggregate == DuckDB list_reduce with the
+        list_prepend init trick), bounded pattern table broadcast
+        onto sessions."""
+        ev = load_events(spark, sf_dir)
+        return stats.seq_pattern_support(ev)
+
+
+_register_batch3()

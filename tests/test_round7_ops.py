@@ -274,3 +274,87 @@ def test_corpus_datasheet_counts_and_mode(spark):
     assert a["top_lang"] == "en"
     b = out["b"]
     assert (b["n_docs"], b["dup_ppm"], b["top_lang"]) == (1, 0, "pt")
+
+
+def test_geo_neighbor_pairs_match_bruteforce(spark):
+    from politicamente_etl_spark.operators.geo import (
+        neighbor_pairs_within,
+        synth_coords,
+    )
+
+    df = spark.createDataFrame([(k,) for k in range(1, 401)], ["id"])
+    lat, lon = synth_coords(F.col("id"))
+    pts = df.select("id", lat.alias("lat_milli"), lon.alias("lon_milli"))
+    r = 5000
+    got = {
+        (x["a"], x["b"]): x["dist_sq_milli"]
+        for x in neighbor_pairs_within(
+            pts, "id", radius_milli=r
+        ).collect()
+    }
+    # brute force over the same deterministic coords
+    import hashlib
+
+    def h60(s):
+        return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+    coords = {
+        k: (h60(f"geo-v1:lat:{k}") % 180_000 - 90_000,
+            h60(f"geo-v1:lon:{k}") % 360_000 - 180_000)
+        for k in range(1, 401)
+    }
+    want = {}
+    ks = sorted(coords)
+    for i, a in enumerate(ks):
+        for b in ks[i + 1 :]:
+            d2 = (coords[a][0] - coords[b][0]) ** 2 + (
+                coords[a][1] - coords[b][1]
+            ) ** 2
+            if d2 <= r * r:
+                want[(a, b)] = d2
+    assert want, "radius too small for the fixture"
+    assert got == want
+
+
+def test_seq_pattern_greedy_fold_is_subsequence_containment(spark):
+    from politicamente_etl_spark.operators.stats import seq_pattern_support
+
+    t0 = dt.datetime(2024, 5, 1)
+    # one user, one day, sequence: a b a c  (types named with full words)
+    seq = ["click", "view", "click", "purchase"]
+    rows = [
+        (i, t0 + dt.timedelta(minutes=i), 1, et, 1.0, "{}")
+        for i, et in enumerate(seq)
+    ]
+    # second user-day: purchase only
+    rows.append((99, t0 + dt.timedelta(days=1), 1, "purchase", 1.0, "{}"))
+    events = spark.createDataFrame(
+        rows, ["event_id", "ts", "user_id", "event_type", "value", "props"]
+    )
+    out = {
+        r["pattern"]: (r["n_support"], r["n_sequences_total"])
+        for r in seq_pattern_support(events).collect()
+    }
+
+    def is_subseq(pat, s):
+        it = iter(s)
+        return all(tok in it for tok in pat)
+
+    seqs = [seq, ["purchase"]]
+    types = sorted(set(seq))
+    import itertools
+
+    pats = [
+        list(p)
+        for L in (1, 2, 3)
+        for p in itertools.product(types, repeat=L)
+    ]
+    for p in pats:
+        key = " ".join(p)
+        want = sum(1 for s in seqs if is_subseq(p, s))
+        assert out[key] == (want, 2), key
+    # spot checks: order matters, duplicates consume
+    assert out["view click purchase"] == (1, 2)
+    assert out["purchase click"] == (0, 2)
+    assert out["click click purchase"] == (1, 2)
+    assert out["click click click"] == (0, 2)
