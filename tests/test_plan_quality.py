@@ -663,3 +663,57 @@ def test_multiprobe_lsh_stays_equi_join(spark, sf_dir):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "WindowGroupLimit" in plan
+
+
+def test_geo_neighbor_join_is_equi_join_no_cartesian(spark, sf_dir):
+    """The spatial proximity join must meet on (cy, cx) cell keys —
+    an equi-join (broadcast or shuffled), never a cartesian/BNLJ over
+    points. The 9x neighborhood is a narrow explode on the build side."""
+    plan = plan_of(q("geo_neighbor_pairs", spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert ("SortMergeJoin" in plan) or ("ShuffledHashJoin" in plan) or (
+        "BroadcastHashJoin" in plan
+    )
+
+
+def test_seq_pattern_table_broadcasts_onto_sessions(spark, sf_dir):
+    """The bounded pattern table (|types|^<=3 rows) must broadcast; the
+    only shuffles are the session build and the |patterns|-sized rollup
+    — session rows never shuffle for the match itself."""
+    plan = plan_of(q("seq_pattern_support", spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_viterbi_piece_table_broadcasts(spark, sf_dir):
+    """The piece table is bounded by construction (vocab_top + alphabet)
+    and must broadcast onto the distinct-word substring list; the DP is
+    expression work — no sort, no cartesian."""
+    plan = plan_of(q("unigram_viterbi_segmentation", spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_rebalance_vnode_tables_broadcast(spark, sf_dir):
+    """Both vnode rings are bounded (shards x vnodes) and BROADCAST onto
+    the keys (BNLJ over a 128-row broadcast side is the intended shape);
+    the only non-broadcast join is the before/after reconciliation,
+    co-partitioned on the key. Never a shuffled product of keys."""
+    plan = plan_of(q("consistent_hash_rebalance", spark, sf_dir))
+    # formatted explain prints each op twice (tree + detail block):
+    # 2 mentions x one ring per epoch
+    assert plan.count("BroadcastExchange") == 4
+    assert "CartesianProduct" not in plan
+    assert plan.count("BroadcastNestedLoopJoin") == 4
+
+
+def test_ipw_single_pass_partial_agg(spark, sf_dir):
+    """Truth and estimate come from ONE conditional-aggregation pass:
+    exactly one shuffle (the groupBy(type)), partial aggregation on."""
+    plan = plan_of(q("ipw_telemetry_estimates", spark, sf_dir))
+    # formatted mode prints the op as "(n) Exchange"; BroadcastExchange
+    # would not match the leading ") " form
+    assert plan.count(") Exchange") == 1
+    assert "partial_" in plan  # map-side combine present
