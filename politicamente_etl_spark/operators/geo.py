@@ -114,3 +114,76 @@ def neighbor_pairs_within(
         .filter((F.col("a") < F.col("b")) & (d2 <= F.lit(r2)))
         .select("a", "b", d2.cast("long").alias("dist_sq_milli"))
     )
+
+
+def density_clusters(
+    df: DataFrame,
+    id_col: str,
+    lat_col: str = "lat_milli",
+    lon_col: str = "lon_milli",
+    radius_milli: int = 2500,
+    min_neighbors: int = 2,
+) -> DataFrame:
+    """DBSCAN-shaped density clustering (Ester et al. 1996) from the
+    grid-blocked proximity join: a point with >= min_neighbors others
+    within the radius is CORE; clusters are connected components of the
+    core-core neighbor graph (via the large/small-star CC operator, so
+    cluster diameter costs log rounds, not hops); non-core points with
+    a core neighbor attach as BORDER to the smallest adjacent cluster
+    id (DBSCAN leaves border assignment arbitrary — pinning min makes
+    it engine-deterministic). Unpaired points are noise and are not
+    emitted.
+
+    Scale shape: neighbor_pairs_within's cell equi-join + one degree
+    aggregate + CC's groupBy-min/equi-join rounds — every stage is a
+    key-partitioned shuffle on point or cell ids; nothing global.
+
+    Returns (pid, cluster_id, role) with role in ('core', 'border').
+    """
+    from politicamente_etl_spark.operators.graph import connected_components
+
+    # pairs feeds the degree count, the core-edge build, and the border
+    # attach — checkpoint the (small) pair list so the grid join runs
+    # once, not once per consumer (no Catalyst CSE across subplans).
+    pairs = (
+        neighbor_pairs_within(df, id_col, lat_col, lon_col, radius_milli)
+        .select("a", "b")
+        .localCheckpoint(eager=False)
+    )
+    und = pairs.unionByName(
+        pairs.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    )
+    deg = und.groupBy("a").agg(F.count("*").alias("dg"))
+    core = deg.filter(F.col("dg") >= min_neighbors).select(
+        F.col("a").alias("pid")
+    )
+    core_edges = (
+        pairs.join(core.select(F.col("pid").alias("a")), "a", "left_semi")
+        .join(core.select(F.col("pid").alias("b")), "b", "left_semi")
+    )
+    cc = connected_components(core_edges, "a", "b")  # (node, component)
+    iso_core = core.join(
+        cc.select(F.col("node").alias("pid")), "pid", "left_anti"
+    ).select("pid", F.col("pid").alias("cluster_id"))
+    core_rows = (
+        cc.select(F.col("node").alias("pid"), F.col("component").alias("cluster_id"))
+        .unionByName(iso_core)
+        .withColumn("role", F.lit("core"))
+    )
+    border_rows = (
+        und.join(core.select(F.col("pid").alias("a")), "a", "left_anti")
+        .join(
+            core_rows.select(
+                F.col("pid").alias("b"), F.col("cluster_id").alias("cid")
+            ),
+            "b",
+        )
+        .groupBy(F.col("a").alias("pid"))
+        .agg(F.min("cid").alias("cluster_id"))
+        .withColumn("role", F.lit("border"))
+    )
+    return core_rows.unionByName(border_rows).select(
+        F.col("pid").cast("long").alias("pid"),
+        F.col("cluster_id").cast("long").alias("cluster_id"),
+        "role",
+    )

@@ -1205,46 +1205,16 @@ def apply_bpe_merge_and_recount(
     )
 
 
-def unigram_viterbi_segmentation(
+def _viterbi_dp_frame(
     df: DataFrame,
     col: str = "text",
     max_piece_len: int = 4,
     vocab_top: int = 200,
 ) -> DataFrame:
-    """Unigram-LM tokenizer segmentation (Kudo 2018, the SentencePiece
-    model family — the other half of the tokenizer world next to BPE's
-    `bpe_pair_stats`/`apply_bpe_merge_and_recount`): score every
-    character n-gram piece (length 1..max_piece_len) by its corpus
-    log-probability, then Viterbi-segment each vocabulary word into the
-    maximum-likelihood piece sequence via exact dynamic programming.
-    This is the E-step of SentencePiece's EM loop; iterating it with
-    vocab pruning is a driver loop over THIS operator, and the
-    per-iteration cost is what must scale.
-
-    Per word: dp[i] = best (score, n_pieces) over all pieces ending at
-    character i, dp[0] = (0, 0) — a sequential fold over positions with
-    an inner argmax over candidate edges (Spark `aggregate` with a
-    nested `aggregate`; outer lambda variables captured in the inner).
-    Piece scores are micro-nat-snapped integer log-probs
-    (round(ln(cnt/total)*1e6), the engine-exact idiom of
-    `unigram_logprob_scores`), so dp sums are exact integer arithmetic
-    and the max-likelihood VALUE is engine-deterministic: ties between
-    segmentations with equal (score, n_pieces) yield the same emitted
-    tuple whichever path an engine prefers.
-
-    Vocabulary: top `vocab_top` pieces by (count desc, piece) plus ALL
-    single characters (so every word has a feasible segmentation).
-
-    Scale shape: the corpus-sized work is one token explode + groupBy
-    (word frequencies); everything after runs on the DISTINCT-WORD
-    table (|vocab| rows, orders of magnitude smaller than the corpus).
-    The piece table is bounded by construction (vocab_top + alphabet),
-    so its join onto word substrings broadcasts. The DP is a per-row
-    expression — no shuffle, no Python.
-
-    Returns (w, wf, n_chars, n_pieces, total_cost_micro) where
-    total_cost_micro = -sum of piece log-probs in micro-nats (lower is
-    a more probable segmentation).
+    """Shared forward pass of the unigram-LM Viterbi family: returns one
+    row per vocabulary word with (w, wf, edges, dp) where edges is the
+    scored candidate list and dp the exact DP table (see
+    `unigram_viterbi_segmentation` for the model and scale notes).
     """
     words = (
         df.select(F.explode(tokens(col)).alias("w"))
@@ -1308,6 +1278,55 @@ def unigram_viterbi_segmentation(
             "       b)))))"
         ),
     )
+    return dp
+
+
+def unigram_viterbi_segmentation(
+    df: DataFrame,
+    col: str = "text",
+    max_piece_len: int = 4,
+    vocab_top: int = 200,
+) -> DataFrame:
+    """Unigram-LM tokenizer segmentation (Kudo 2018, the SentencePiece
+    model family — the other half of the tokenizer world next to BPE's
+    `bpe_pair_stats`/`apply_bpe_merge_and_recount`): score every
+    character n-gram piece (length 1..max_piece_len) by its corpus
+    log-probability, then Viterbi-segment each vocabulary word into the
+    maximum-likelihood piece sequence via exact dynamic programming.
+    This is the E-step of SentencePiece's EM loop; iterating it with
+    vocab pruning is a driver loop over THIS operator, and the
+    per-iteration cost is what must scale.
+
+    Per word: dp[i] = best (score, n_pieces) over all pieces ending at
+    character i, dp[0] = (0, 0) — a sequential fold over positions with
+    an inner argmax over candidate edges (Spark `aggregate` with a
+    nested `aggregate`; outer lambda variables captured in the inner).
+    Piece scores are micro-nat-snapped integer log-probs
+    (round(ln(cnt/total)*1e6), the engine-exact idiom of
+    `unigram_logprob_scores`), so dp sums are exact integer arithmetic
+    and the max-likelihood VALUE is engine-deterministic: ties between
+    segmentations with equal (score, n_pieces) yield the same emitted
+    tuple whichever path an engine prefers.
+
+    Vocabulary: top `vocab_top` pieces by (count desc, piece) plus ALL
+    single characters (so every word has a feasible segmentation).
+
+    Scale shape: the corpus-sized work is one token explode + groupBy
+    (word frequencies); everything after runs on the DISTINCT-WORD
+    table (|vocab| rows, orders of magnitude smaller than the corpus).
+    The piece table is bounded by construction (vocab_top + alphabet),
+    so its join onto word substrings broadcasts. The DP is a per-row
+    expression — no shuffle, no Python.
+
+    Returns (w, wf, n_chars, n_pieces, total_cost_micro) where
+    total_cost_micro = -sum of piece log-probs in micro-nats (lower is
+    a more probable segmentation).
+
+    Returns (w, wf, n_chars, n_pieces, total_cost_micro) where
+    total_cost_micro = -sum of piece log-probs in micro-nats (lower is
+    a more probable segmentation).
+    """
+    dp = _viterbi_dp_frame(df, col, max_piece_len, vocab_top)
     return dp.select(
         "w",
         "wf",
@@ -1316,4 +1335,69 @@ def unigram_viterbi_segmentation(
         (-F.expr("element_at(dp, length(w) + 1).sc")).cast("long").alias(
             "total_cost_micro"
         ),
+    )
+
+
+def unigram_viterbi_mstep_counts(
+    df: DataFrame,
+    col: str = "text",
+    max_piece_len: int = 4,
+    vocab_top: int = 200,
+) -> DataFrame:
+    """Viterbi-EM M-step piece statistics (Kudo 2018 §3.2, hard-EM
+    variant): reconstruct each word's max-likelihood segmentation from
+    the DP table and count piece usage corpus-wide — the table the next
+    EM iteration renormalizes piece probabilities from, and the loss
+    signal vocab pruning keys off (a piece with near-zero expected
+    count is pruned).
+
+    Path reconstruction is deterministic: among edges achieving the
+    optimal (score, n_pieces) at a position, the LONGEST piece is taken
+    (max k). Two per-row folds, both pure expressions: `bestk[pos]`
+    materializes that choice for every position from the static DP
+    table, then a backtrack walk jumps pos -> pos - bestk[pos]
+    accumulating pieces into a space-joined string (the same string-
+    accumulator idiom as the BPE merge fold).
+
+    Scale shape: identical to the forward pass — everything after the
+    word-frequency aggregate runs on the distinct-word table; the final
+    rollup shuffles |pieces in use| partial counts.
+
+    Returns (piece, n_words, n_uses_weighted): distinct words whose
+    segmentation uses the piece, and corpus occurrences (weighted by
+    word frequency, counting multiplicity within a word).
+    """
+    dp = _viterbi_dp_frame(df, col, max_piece_len, vocab_top)
+    bk = dp.withColumn(
+        "bestk",
+        F.expr(
+            "transform(sequence(1, length(w)), pos ->"
+            " aggregate(filter(edges, e -> e.e = pos"
+            "   AND element_at(dp, pos - e.k + 1).sc + e.sc"
+            "       = element_at(dp, pos + 1).sc"
+            "   AND element_at(dp, pos - e.k + 1).np + 1"
+            "       = element_at(dp, pos + 1).np),"
+            "  0, (b, e) -> IF(e.k > b, CAST(e.k AS INT), b)))"
+        ),
+    )
+    walked = bk.withColumn(
+        "pieces",
+        F.expr(
+            "aggregate(sequence(1, length(w)),"
+            " struct(length(w) AS pos, CAST('' AS STRING) AS pcs),"
+            " (st, x) -> IF(st.pos <= 0, st,"
+            "   struct(st.pos - element_at(bestk, st.pos) AS pos,"
+            "          concat(st.pcs, ' ',"
+            "            substring(w, st.pos - element_at(bestk, st.pos) + 1,"
+            "                      element_at(bestk, st.pos))) AS pcs)),"
+            " st -> split(trim(st.pcs), ' '))"
+        ),
+    )
+    return (
+        walked.select("w", "wf", F.explode("pieces").alias("piece"))
+        .groupBy("piece")
+        .agg(
+            F.countDistinct("w").cast("long").alias("n_words"),
+            F.sum("wf").cast("long").alias("n_uses_weighted"),
+        )
     )

@@ -495,3 +495,174 @@ def _register_batch3():
 
 
 _register_batch3()
+
+
+def _register_batch4():
+    from politicamente_etl_spark.operators import geo, text
+    from politicamente_etl_spark.plans.catalog import T, register
+    from pyspark.sql import functions as F
+
+    lat_sql, lon_sql = geo.sql_synth_coords("c_custkey")
+
+    @register(
+        "unigram_mstep_piece_counts",
+        sql="""
+        WITH RECURSIVE w AS MATERIALIZED (
+            SELECT w, CAST(COUNT(*) AS BIGINT) AS wf
+            FROM (SELECT unnest(string_split(text, ' ')) AS w
+                  FROM documents)
+            WHERE length(w) >= 1
+            GROUP BY w
+        ), subs AS MATERIALIZED (
+            SELECT w.w, w.wf, ii.i AS i, kk.k AS k,
+                   substr(w.w, ii.i, kk.k) AS p
+            FROM w,
+                 unnest(generate_series(1, least(4, length(w.w)))) AS kk(k),
+                 unnest(generate_series(1, length(w.w) - kk.k + 1)) AS ii(i)
+        ), pc AS MATERIALIZED (
+            SELECT p, CAST(SUM(wf) AS BIGINT) AS cnt FROM subs GROUP BY p
+        ), vocab AS (
+            SELECT p, MAX(cnt) AS cnt FROM (
+                SELECT p, cnt FROM
+                    (SELECT p, cnt FROM pc ORDER BY cnt DESC, p LIMIT 200)
+                UNION ALL
+                SELECT p, cnt FROM pc WHERE length(p) = 1
+            ) GROUP BY p
+        ), tot AS (SELECT CAST(SUM(cnt) AS BIGINT) AS t FROM vocab),
+        pieces AS (
+            SELECT p, CAST(round(ln(CAST(cnt AS DOUBLE)
+                                    / CAST(t AS DOUBLE)) * 1e6)
+                           AS BIGINT) AS sc
+            FROM vocab, tot
+        ), ed AS MATERIALIZED (
+            SELECT s.w, s.i + s.k - 1 AS pos, s.k, pieces.sc
+            FROM subs s JOIN pieces USING (p)
+        ), epos AS MATERIALIZED (
+            SELECT e.w, e.pos,
+                   list({'st': e.pos - e.k + 1, 'sc': e.sc}
+                        ORDER BY e.k) AS el
+            FROM ed e GROUP BY e.w, e.pos
+        ), rec AS (
+            SELECT w.w, w.wf, length(w.w) AS L, 0 AS i,
+                   [CAST(0 AS BIGINT)] AS scs, [CAST(0 AS BIGINT)] AS nps
+            FROM w
+            UNION ALL
+            SELECT r.w, r.wf, r.L, r.i + 1,
+                   list_append(r.scs,
+                       list_reduce(
+                           list_transform(e.el,
+                               x -> {'s': r.scs[x.st] + x.sc,
+                                     'n': r.nps[x.st] + 1}),
+                           (a, c) -> CASE WHEN c.s > a.s
+                                          OR (c.s = a.s AND c.n < a.n)
+                                     THEN c ELSE a END).s),
+                   list_append(r.nps,
+                       list_reduce(
+                           list_transform(e.el,
+                               x -> {'s': r.scs[x.st] + x.sc,
+                                     'n': r.nps[x.st] + 1}),
+                           (a, c) -> CASE WHEN c.s > a.s
+                                          OR (c.s = a.s AND c.n < a.n)
+                                     THEN c ELSE a END).n)
+            FROM rec r JOIN epos e ON e.w = r.w AND e.pos = r.i + 1
+            WHERE r.i < r.L
+        ), fin AS MATERIALIZED (
+            SELECT w, wf, L, scs, nps FROM rec WHERE i = L
+        ), bk AS MATERIALIZED (
+            -- deterministic path choice: longest piece among edges
+            -- achieving the optimal (score, n_pieces) at each position
+            SELECT f.w, e.pos, MAX(e.k) AS bk
+            FROM fin f JOIN ed e ON e.w = f.w
+            WHERE f.scs[e.pos - e.k + 1] + e.sc = f.scs[e.pos + 1]
+              AND f.nps[e.pos - e.k + 1] + 1 = f.nps[e.pos + 1]
+            GROUP BY f.w, e.pos
+        ), walk AS (
+            SELECT f.w, f.wf, f.L AS pos, CAST('' AS VARCHAR) AS pcs
+            FROM fin f
+            UNION ALL
+            SELECT wk.w, wk.wf, wk.pos - b.bk,
+                   wk.pcs || ' ' || substr(wk.w, wk.pos - b.bk + 1, b.bk)
+            FROM walk wk JOIN bk b ON b.w = wk.w AND b.pos = wk.pos
+            WHERE wk.pos > 0
+        ), px AS (
+            SELECT w, wf, unnest(string_split(trim(pcs), ' ')) AS piece
+            FROM walk WHERE pos = 0
+        )
+        SELECT piece,
+               CAST(COUNT(DISTINCT w) AS BIGINT) AS n_words,
+               CAST(SUM(wf) AS BIGINT) AS n_uses_weighted
+        FROM px GROUP BY piece
+        """,
+        tags=("ext-text", "ext-tokenizer"),
+    )
+    def q_unigram_mstep_piece_counts(
+        spark: SparkSession, sf_dir: str
+    ) -> DataFrame:
+        """Viterbi-EM M-step: reconstruct every word's max-likelihood
+        segmentation (deterministic longest-piece tie-break) and count
+        corpus-wide piece usage — the renormalization/pruning table of
+        the next EM round. Oracle: the forward recursive DP plus a
+        second recursive backtrack walking a precomputed best-k table
+        (plain joins, no lambdas in the recursion)."""
+        docs = T(spark, sf_dir, "documents").select("text")
+        return text.unigram_viterbi_mstep_counts(docs)
+
+    @register(
+        "geo_density_clusters",
+        sql=f"""
+        WITH RECURSIVE pts AS MATERIALIZED (
+            SELECT c_custkey AS pid,
+                   {lat_sql} AS plat,
+                   {lon_sql} AS plon
+            FROM customer
+        ), pr AS MATERIALIZED (
+            SELECT a.pid AS a, b.pid AS b
+            FROM pts a JOIN pts b ON a.pid < b.pid
+            WHERE (a.plat - b.plat) * (a.plat - b.plat)
+                  + (a.plon - b.plon) * (a.plon - b.plon) <= 6250000
+        ), und AS MATERIALIZED (
+            SELECT a, b FROM pr UNION ALL SELECT b, a FROM pr
+        ), core AS MATERIALIZED (
+            SELECT a AS n FROM und GROUP BY a HAVING COUNT(*) >= 2
+        ), ce2 AS MATERIALIZED (
+            SELECT u.a, u.b FROM und u
+            JOIN core ca ON u.a = ca.n JOIN core cb ON u.b = cb.n
+        ), reach(node, label) AS (
+            SELECT n, n FROM core
+            UNION
+            SELECT e.a, r.label FROM ce2 e JOIN reach r ON r.node = e.b
+        ), comp AS MATERIALIZED (
+            SELECT node, MIN(label) AS cluster_id FROM reach GROUP BY node
+        ), border AS (
+            SELECT u.a AS pid, MIN(c.cluster_id) AS cluster_id
+            FROM und u JOIN comp c ON c.node = u.b
+            WHERE NOT EXISTS (SELECT 1 FROM core k WHERE k.n = u.a)
+            GROUP BY u.a
+        )
+        SELECT CAST(node AS BIGINT) AS pid,
+               CAST(cluster_id AS BIGINT) AS cluster_id,
+               'core' AS role
+        FROM comp
+        UNION ALL
+        SELECT CAST(pid AS BIGINT), CAST(cluster_id AS BIGINT), 'border'
+        FROM border
+        """,
+        tags=("ext-geo", "ext-graph"),
+    )
+    def q_geo_density_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """DBSCAN-lite over customer points (radius 2500 milli-deg,
+        core = >=2 neighbors): grid-blocked pair join -> degree gate ->
+        log-round CC over core edges -> min-cluster border attach. The
+        oracle again runs the independent brute-force pair algorithm
+        plus a transitive-closure recursion."""
+        cust = T(spark, sf_dir, "customer").select("c_custkey")
+        lat, lon = geo.synth_coords(F.col("c_custkey"))
+        pts = cust.select(
+            "c_custkey", lat.alias("lat_milli"), lon.alias("lon_milli")
+        )
+        return geo.density_clusters(
+            pts, "c_custkey", radius_milli=2500, min_neighbors=2
+        )
+
+
+_register_batch4()

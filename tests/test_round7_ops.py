@@ -358,3 +358,63 @@ def test_seq_pattern_greedy_fold_is_subsequence_containment(spark):
     assert out["purchase click"] == (0, 2)
     assert out["click click purchase"] == (1, 2)
     assert out["click click click"] == (0, 2)
+
+
+def test_mstep_counts_cover_every_char_and_match_model(spark):
+    from politicamente_etl_spark.operators.text import (
+        unigram_viterbi_mstep_counts,
+    )
+
+    rows = [
+        (1, "abab abab abab cd"),
+        (2, "abab ababx q cd cd"),
+        (3, "zzzz abab cd q"),
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {
+        r["piece"]: (r["n_words"], r["n_uses_weighted"])
+        for r in unigram_viterbi_mstep_counts(docs.select("text")).collect()
+    }
+    corpus = " ".join(t for _, t in rows).split(" ")
+    # chars-covered invariant: every word's characters are covered exactly
+    # once across its pieces, so weighted piece-length mass == weighted
+    # word-length mass
+    from collections import Counter
+
+    wf = Counter(corpus)
+    want_mass = sum(f * len(w) for w, f in wf.items())
+    got_mass = sum(len(p) * uses for p, (_, uses) in out.items())
+    assert got_mass == want_mass
+    # the dominant piece of this corpus must be in use
+    assert "abab" in out or "ab" in out
+
+
+def test_density_clusters_hand_built_topology(spark):
+    from politicamente_etl_spark.operators.geo import density_clusters
+
+    # cluster A: 1,2,3 mutually within r (triangle) -> all core
+    # bridge/border: 4 near 3 only (degree 1) -> border into A's cluster
+    # pair: 5,6 within r of each other only (degree 1 each) -> noise-ish:
+    #   neither is core (needs >= 2 neighbors) -> not emitted
+    # isolated: 7 far away -> not emitted
+    pts = [
+        (1, 0, 0),
+        (2, 0, 80),
+        (3, 60, 40),       # within 100 of both 1 and 2
+        (4, 150, 40),      # within 100 of 3 only
+        (5, 5000, 5000),
+        (6, 5000, 5080),
+        (7, 20000, 20000),
+    ]
+    df = spark.createDataFrame(pts, ["pid", "lat_milli", "lon_milli"])
+    out = {
+        r["pid"]: (r["cluster_id"], r["role"])
+        for r in density_clusters(
+            df, "pid", radius_milli=100, min_neighbors=2
+        ).collect()
+    }
+    assert out[1] == (1, "core")
+    assert out[2] == (1, "core")
+    assert out[3] == (1, "core")
+    assert out[4] == (1, "border")
+    assert 5 not in out and 6 not in out and 7 not in out
