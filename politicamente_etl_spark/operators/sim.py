@@ -797,3 +797,173 @@ def rbo_compare(
         F.count("__ra").cast("long").alias("n_overlap"),
         F.sum("__w").cast("long").alias("rbo_micro"),
     )
+
+
+def jl_sign_matrix(m: int = 16, d: int = 64, seed: str = "jl-v1") -> list[list[int]]:
+    """Deterministic ±1 sign-projection matrix (Achlioptas 2003's
+    database-friendly Johnson-Lindenstrauss variant): entry (j, i) is
+    the parity of md5(seed:j:i). Generated driver-side once (m*d
+    entries, a literal) so Spark and the DuckDB oracle share the exact
+    matrix — the projection itself is then pure integer arithmetic."""
+    import hashlib
+
+    return [
+        [
+            1
+            if int(
+                hashlib.md5(f"{seed}:{j}:{i}".encode()).hexdigest()[:15], 16
+            )
+            % 2
+            == 0
+            else -1
+            for i in range(d)
+        ]
+        for j in range(m)
+    ]
+
+
+def _matrix_expr(matrix: list[list[int]]) -> str:
+    rows = ", ".join(
+        "array(" + ", ".join(str(v) for v in row) + ")" for row in matrix
+    )
+    return f"array({rows})"
+
+
+def sql_matrix_literal(matrix: list[list[int]]) -> str:
+    """DuckDB list-of-lists literal of the same matrix."""
+    return (
+        "["
+        + ", ".join("[" + ", ".join(str(v) for v in row) + "]" for row in matrix)
+        + "]"
+    )
+
+
+def jl_project(
+    df: DataFrame,
+    matrix: list[list[int]],
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Project milli-snapped embeddings through the ±1 JL matrix:
+    proj[j] = sum_i sign(j,i) * floor(x_i * 1000) — exact BIGINT sums
+    (64 dims x 10^3-scaled values stay far inside the range), one
+    narrow codegen'd expression per row, no shuffle, no Python.
+    Adds `proj: array<bigint>` of length m."""
+    return df.withColumn(
+        "proj",
+        F.expr(
+            f"transform({_matrix_expr(matrix)}, row ->"
+            f" aggregate(zip_with(row, transform({vec_col},"
+            "  x -> CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT)),"
+            "  (s, v) -> s * v), CAST(0 AS BIGINT), (a, x) -> a + x))"
+        ),
+    )
+
+
+def jl_distance_pairs(
+    df: DataFrame,
+    matrix: list[list[int]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    sample_buckets: int = 500,
+) -> DataFrame:
+    """Distance-preservation audit for the JL sign projection: on a
+    deterministic ~5% hash sample of vectors, emit every pair's exact
+    squared distance in the ORIGINAL milli space and in the PROJECTED
+    space — the two integers whose read-time ratio distribution is the
+    JL distortion report (concentrated around m within the
+    Johnson-Lindenstrauss bound for sign projections).
+
+    The sample is bounded by construction (sample_buckets of the 10^4
+    md5 buckets), so the pair join broadcasts one side; at any corpus
+    scale the audit cost is |sample|², a dial independent of |corpus|.
+
+    Returns (a, b, d2_orig, d2_proj).
+    """
+    from politicamente_etl_spark.operators.sampling import hash_bucket
+
+    sampled = df.filter(
+        hash_bucket(id_col, "jl-v1") < F.lit(sample_buckets)
+    )
+    pr = jl_project(sampled, matrix, vec_col).select(
+        F.col(id_col).alias("pid"),
+        F.expr(
+            f"transform({vec_col},"
+            " x -> CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT))"
+        ).alias("vm"),
+        "proj",
+    )
+    a = pr.select(
+        F.col("pid").alias("a"), F.col("vm").alias("va"), F.col("proj").alias("pa")
+    )
+    b = pr.select(
+        F.col("pid").alias("b"), F.col("vm").alias("vb"), F.col("proj").alias("pb")
+    )
+    d2 = (
+        "aggregate(zip_with({x}, {y}, (p, q) -> (p - q) * (p - q)),"
+        " CAST(0 AS BIGINT), (acc, v) -> acc + v)"
+    )
+    return (
+        a.join(F.broadcast(b), F.col("a") < F.col("b"))
+        .select(
+            "a",
+            "b",
+            F.expr(d2.format(x="va", y="vb")).alias("d2_orig"),
+            F.expr(d2.format(x="pa", y="pb")).alias("d2_proj"),
+        )
+    )
+
+
+def item_cooccurrence_similarity(
+    df: DataFrame,
+    basket_col: str,
+    item_col: str,
+    min_co: int = 2,
+    top_k: int = 50,
+) -> DataFrame:
+    """Item-item collaborative-filtering similarity (the classic
+    Sarwar et al. 2001 co-occurrence form): cosine over binary basket
+    incidence vectors, sim(i,j) = c_ij / sqrt(c_i * c_j), emitted as
+    exact integers — (c_ab, c_a, c_b) plus
+    sim_sq_ppm = c_ab^2 * 1e6 div (c_a * c_b) so no float sqrt exists
+    anywhere. Top-k pairs by (sim_sq_ppm desc, a, b).
+
+    Scale shape: per-basket pair explode (bounded by basket size — the
+    same hot-order skew envelope as the co-purchase graph), one pair
+    aggregate, item-count broadcasts back, TakeOrdered for top-k. The
+    min_co floor keeps the pair table sparse at corpus scale.
+    """
+    bi = df.select(
+        F.col(basket_col).alias("bk"), F.col(item_col).alias("it")
+    ).distinct()
+    a, b = bi.alias("a"), bi.alias("b")
+    co = (
+        a.join(
+            b,
+            (F.col("a.bk") == F.col("b.bk"))
+            & (F.col("a.it") < F.col("b.it")),
+        )
+        .groupBy(
+            F.col("a.it").alias("ia"), F.col("b.it").alias("ib")
+        )
+        .agg(F.count("*").cast("long").alias("c_ab"))
+        .filter(F.col("c_ab") >= min_co)
+    )
+    cnt = bi.groupBy(F.col("it")).agg(F.count("*").cast("long").alias("c"))
+    return (
+        co.join(F.broadcast(cnt.select(F.col("it").alias("ia"), F.col("c").alias("c_a"))), "ia")
+        .join(F.broadcast(cnt.select(F.col("it").alias("ib"), F.col("c").alias("c_b"))), "ib")
+        .withColumn(
+            "sim_sq_ppm",
+            F.expr("(c_ab * c_ab * 1000000) div (c_a * c_b)").cast("long"),
+        )
+        .select(
+            F.col("ia").alias("item_a"),
+            F.col("ib").alias("item_b"),
+            "c_ab",
+            "c_a",
+            "c_b",
+            "sim_sq_ppm",
+        )
+        .orderBy(F.desc("sim_sq_ppm"), "item_a", "item_b")
+        .limit(top_k)
+    )

@@ -666,3 +666,91 @@ def _register_batch4():
 
 
 _register_batch4()
+
+
+def _register_batch5():
+    from politicamente_etl_spark.operators import sampling, sim
+    from politicamente_etl_spark.plans.catalog import T, register
+    from pyspark.sql import functions as F
+
+    _M = sim.jl_sign_matrix(16, 64)
+    _M_SQL = sim.sql_matrix_literal(_M)
+    _VM = (
+        "list_transform({e},"
+        " x -> CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT))"
+    )
+    _D2I = (
+        "list_reduce(list_transform(list_zip({a}, {b}),"
+        " s -> (s[1] - s[2]) * (s[1] - s[2])), (x, y) -> x + y)"
+    )
+
+    @register(
+        "jl_projection_distance_pairs",
+        sql=f"""
+        WITH s AS (
+            SELECT vec_id, {_VM.format(e="embedding")} AS vm
+            FROM embeddings
+            WHERE {sampling.sql_hash_bucket("vec_id", "jl-v1")} < 500
+        ), pm AS (
+            SELECT vec_id, vm,
+                   list_transform({_M_SQL}, row ->
+                       list_reduce(list_transform(list_zip(row, vm),
+                           s -> s[1] * s[2]), (x, y) -> x + y)) AS proj
+            FROM s
+        )
+        SELECT a.vec_id AS a, b.vec_id AS b,
+               CAST({_D2I.format(a="a.vm", b="b.vm")} AS BIGINT) AS d2_orig,
+               CAST({_D2I.format(a="a.proj", b="b.proj")} AS BIGINT)
+                   AS d2_proj
+        FROM pm a JOIN pm b ON a.vec_id < b.vec_id
+        """,
+        tags=("ext-sim", "ext-embeddings", "ext-sampling"),
+    )
+    def q_jl_projection_distance_pairs(
+        spark: SparkSession, sf_dir: str
+    ) -> DataFrame:
+        """Johnson-Lindenstrauss sign projection (64 -> 16 dims, shared
+        deterministic ±1 matrix) with its distance-preservation audit:
+        exact integer squared distances in original-milli and projected
+        space for every pair of a bounded 5% hash sample — the
+        distortion report that justifies running downstream ANN in the
+        cheap space. Projection is one codegen'd fold per row; the
+        audit join broadcasts the bounded sample."""
+        emb = T(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+        return sim.jl_distance_pairs(emb, sim.jl_sign_matrix(16, 64))
+
+    @register(
+        "item_item_cooccurrence_sim",
+        sql="""
+        WITH bi AS (
+            SELECT DISTINCT l_orderkey AS bk, l_partkey AS it FROM lineitem
+        ), co AS (
+            SELECT a.it AS ia, b.it AS ib, CAST(COUNT(*) AS BIGINT) AS c_ab
+            FROM bi a JOIN bi b ON a.bk = b.bk AND a.it < b.it
+            GROUP BY 1, 2 HAVING COUNT(*) >= 2
+        ), cnt AS (
+            SELECT it, CAST(COUNT(*) AS BIGINT) AS c FROM bi GROUP BY it
+        )
+        SELECT co.ia AS item_a, co.ib AS item_b, co.c_ab,
+               ca.c AS c_a, cb.c AS c_b,
+               CAST((co.c_ab * co.c_ab * 1000000) // (ca.c * cb.c)
+                    AS BIGINT) AS sim_sq_ppm
+        FROM co JOIN cnt ca ON co.ia = ca.it JOIN cnt cb ON co.ib = cb.it
+        ORDER BY sim_sq_ppm DESC, item_a, item_b LIMIT 50
+        """,
+        tags=("ext-rel", "ext-sim", "ext-graph"),
+    )
+    def q_item_item_cooccurrence_sim(
+        spark: SparkSession, sf_dir: str
+    ) -> DataFrame:
+        """Item-item collaborative filtering over order baskets: binary
+        cosine c_ab/sqrt(c_a*c_b) as exact integers (sim_sq_ppm — no
+        float sqrt anywhere), per-basket pair explode + broadcast item
+        counts + TakeOrdered top-50."""
+        li = T(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+        return sim.item_cooccurrence_similarity(
+            li, "l_orderkey", "l_partkey"
+        )
+
+
+_register_batch5()

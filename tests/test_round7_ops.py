@@ -418,3 +418,64 @@ def test_density_clusters_hand_built_topology(spark):
     assert out[3] == (1, "core")
     assert out[4] == (1, "border")
     assert 5 not in out and 6 not in out and 7 not in out
+
+
+def test_jl_projection_exact_and_distance_ratio_concentrates(spark):
+    from politicamente_etl_spark.operators.sim import (
+        jl_distance_pairs,
+        jl_sign_matrix,
+    )
+
+    import random
+
+    rng = random.Random(7)
+    rows = [
+        (i, [rng.uniform(-1, 1) for _ in range(64)]) for i in range(1, 120)
+    ]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    M = jl_sign_matrix(16, 64)
+    out = jl_distance_pairs(df, M, sample_buckets=10_000).collect()
+    assert len(out) == 119 * 118 // 2
+    # exactness vs a Python model on a few pairs
+    vm = {i: [int(__import__("math").floor(x * 1000)) for x in v] for i, v in rows}
+
+    def proj(v):
+        return [sum(s * x for s, x in zip(row, v)) for row in M]
+
+    for r in out[:5]:
+        a, b = r["a"], r["b"]
+        want_orig = sum((p - q) ** 2 for p, q in zip(vm[a], vm[b]))
+        want_proj = sum((p - q) ** 2 for p, q in zip(proj(vm[a]), proj(vm[b])))
+        assert (r["d2_orig"], r["d2_proj"]) == (want_orig, want_proj)
+    # JL: E[d2_proj] = m * d2_orig; the mean ratio concentrates near 16
+    ratios = [r["d2_proj"] / r["d2_orig"] for r in out if r["d2_orig"] > 0]
+    mean = sum(ratios) / len(ratios)
+    assert 13.0 < mean < 19.0
+
+
+def test_item_cooccurrence_sim_hand_values(spark):
+    from politicamente_etl_spark.operators.sim import (
+        item_cooccurrence_similarity,
+    )
+
+    baskets = [
+        (1, "x"), (1, "y"), (1, "z"),
+        (2, "x"), (2, "y"),
+        (3, "x"), (3, "y"),
+        (4, "z"), (4, "x"),
+        (5, "q"),
+    ]
+    df = spark.createDataFrame(baskets, ["bk", "it"])
+    out = {
+        (r["item_a"], r["item_b"]): (
+            r["c_ab"], r["c_a"], r["c_b"], r["sim_sq_ppm"]
+        )
+        for r in item_cooccurrence_similarity(
+            df, "bk", "it", min_co=2, top_k=10
+        ).collect()
+    }
+    # x,y co-occur 3x; c_x = 4, c_y = 3 -> sim² = 9/12 = 750000 ppm
+    assert out[("x", "y")] == (3, 4, 3, 750_000)
+    # x,z co-occur 2x; c_z = 2 -> sim² = 4/8 = 500000 ppm
+    assert out[("x", "z")] == (2, 4, 2, 500_000)
+    assert ("y", "z") not in out  # co-occurs once < min_co
