@@ -446,3 +446,86 @@ def u_shaped_attribution(
         credit.alias("credit_ppm"),
         (credit * F.col("v_milli")).cast("long").alias("credited_value_milli_ppm"),
     )
+
+
+def window_funnel_levels(
+    events: DataFrame,
+    steps: list[str],
+    window_us: int = 7_200_000_000,
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """ClickHouse-style windowFunnel: per user, the deepest funnel level
+    reachable by a chain t1 <= t2 <= ... <= tk of step events with the
+    WHOLE chain inside `window_us` of its first step. Single ordered
+    pass per user: the accumulator keeps, per level, the MAXIMUM
+    first-step timestamp among valid chains reaching it — a later
+    first step strictly dominates (more window room left), and because
+    events fold in time order, any chain recorded at level s-1 has its
+    step-(s-1) event no later than the current event, so the greedy
+    max is exact: on an event matching step s at time t,
+    f[s] := max(f[s], f[s-1]) when t - f[s-1] <= window
+    (f[1] := max(f[1], t)) — one JVM `aggregate` fold over the user's
+    time-sorted (ts, type) array.
+
+    Scale shape: one shuffle builds per-user sorted arrays (bounded by
+    per-user activity — the sessionization envelope); the fold is
+    per-row expression work; the rollup shuffles |levels| partial
+    counts. Returns (level, n_users) for level 0..len(steps), where a
+    user counts at their MAX level.
+    """
+    sentinel = -4_611_686_018_427_387_904  # -2^62: "unreached"
+    seqs = (
+        events.select(
+            F.col(user_col).alias("u"),
+            F.struct(
+                F.expr(f"unix_micros({ts_col})").alias("t"),
+                F.col(id_col).alias("eid"),
+                F.col(type_col).alias("et"),
+            ).alias("s"),
+        )
+        .groupBy("u")
+        .agg(F.expr("array_sort(collect_list(s))").alias("seq"))
+    )
+    n = len(steps)
+    init = ", ".join(f"CAST({sentinel} AS BIGINT)" for _ in range(n))
+    upd = f"array({init})"
+    # build the per-event update expression level by level (descending so
+    # one event can't advance two levels off its own update)
+    step_cases = []
+    for s in range(n, 0, -1):
+        cond = f"x.s.et = '{steps[s - 1]}'"
+        if s == 1:
+            new = "greatest(element_at(acc, 1), x.s.t)"
+        else:
+            new = (
+                f"IF(element_at(acc, {s - 1}) > {sentinel}"
+                f" AND x.s.t - element_at(acc, {s - 1}) <= {window_us},"
+                f" greatest(element_at(acc, {s}), element_at(acc, {s - 1})),"
+                f" element_at(acc, {s}))"
+            )
+        step_cases.append((s, cond, new))
+    # transform positions 1..n of acc in one shot
+    parts = []
+    for pos in range(1, n + 1):
+        s, cond, new = next(c for c in step_cases if c[0] == pos)
+        parts.append(f"IF({cond}, {new}, element_at(acc, {pos}))")
+    body = "array(" + ", ".join(parts) + ")"
+    levels = seqs.withColumn(
+        "f",
+        F.expr(
+            f"aggregate(transform(seq, e -> struct(e AS s)), {upd},"
+            f" (acc, x) -> {body})"
+        ),
+    ).withColumn(
+        "level",
+        F.expr(
+            f"size(filter(f, v -> v > {sentinel}))"
+        ).cast("long"),
+    )
+    return (
+        levels.groupBy("level")
+        .agg(F.count("*").cast("long").alias("n_users"))
+    )

@@ -754,3 +754,123 @@ def _register_batch5():
 
 
 _register_batch5()
+
+
+def _register_batch6():
+    import os
+    import tempfile
+
+    from politicamente_etl_spark.plans.catalog import T, register
+    from pyspark.sql import functions as F
+
+    @register(
+        "txlog_right_to_erasure",
+        sql="""
+        SELECT CAST(c_nationkey AS BIGINT) AS nation,
+               CAST(COUNT(*) AS BIGINT) AS n_customers,
+               CAST(SUM(CAST(floor(c_acctbal * 100) AS BIGINT)) AS BIGINT)
+                   AS acctbal_cents
+        FROM customer WHERE c_custkey % 97 <> 0
+        GROUP BY c_nationkey
+        """,
+        tags=("ext-sink", "ext-privacy"),
+    )
+    def q_txlog_right_to_erasure(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """GDPR right-to-erasure on the commit-log table: load customers
+        as FOUR key-range-clustered files (disjoint zonemaps), delete
+        the subject set (c_custkey % 97 == 0) via `delete_keys` — the
+        file-pruned transactional DELETE — and read back the surviving
+        table, aggregated per nation. The oracle derives the post-
+        delete state independently from the source table, so the whole
+        create→delete→scan path must round-trip exactly. File-prune
+        accounting (rewritten vs preserved vs skipped-by-stats) is
+        asserted in tests/test_txlog.py; erasure is logical-now,
+        physical-on-vacuum (documented two-step)."""
+        from politicamente_etl_spark.sources.txlog import TxLogTable
+
+        c = T(spark, sf_dir, "customer").select(
+            "c_custkey", "c_nationkey", "c_acctbal"
+        )
+        path = os.path.join(tempfile.mkdtemp(prefix="txlog_gdpr_"), "t")
+        qsize = 500
+        t = TxLogTable.create(
+            spark, path, c.filter(F.col("c_custkey") <= qsize)
+        )
+        lo = qsize
+        while True:
+            chunk = c.filter(
+                (F.col("c_custkey") > lo) & (F.col("c_custkey") <= lo + qsize)
+            )
+            if chunk.limit(1).count() == 0:
+                break
+            t.append(chunk)
+            lo += qsize
+        subjects = c.filter(F.col("c_custkey") % 97 == 0).select("c_custkey")
+        t.delete_keys(subjects, ["c_custkey"])
+        return (
+            t.snapshot()
+            .groupBy(F.col("c_nationkey").cast("long").alias("nation"))
+            .agg(
+                F.count("*").cast("long").alias("n_customers"),
+                F.sum(F.floor(F.col("c_acctbal") * 100).cast("long"))
+                .cast("long")
+                .alias("acctbal_cents"),
+            )
+        )
+
+
+_register_batch6()
+
+
+def _register_batch7():
+    from politicamente_etl_spark.operators import temporal
+    from politicamente_etl_spark.plans.catalog import load_events, register
+
+    @register(
+        "window_funnel_levels",
+        sql="""
+        WITH u AS (SELECT DISTINCT user_id FROM events),
+        s AS (SELECT user_id, epoch_us(ts) AS t FROM events
+              WHERE event_type = 'signup'),
+        c AS (SELECT user_id, epoch_us(ts) AS t FROM events
+              WHERE event_type = 'click'),
+        p AS (SELECT user_id, epoch_us(ts) AS t FROM events
+              WHERE event_type = 'purchase'),
+        lv AS (
+            SELECT u.user_id,
+                CASE WHEN EXISTS (SELECT 1 FROM s, c, p
+                        WHERE s.user_id = u.user_id
+                          AND c.user_id = u.user_id
+                          AND p.user_id = u.user_id
+                          AND s.t <= c.t AND c.t <= p.t
+                          AND p.t - s.t <= 86400000000) THEN 3
+                     WHEN EXISTS (SELECT 1 FROM s, c
+                        WHERE s.user_id = u.user_id
+                          AND c.user_id = u.user_id
+                          AND s.t <= c.t
+                          AND c.t - s.t <= 86400000000) THEN 2
+                     WHEN EXISTS (SELECT 1 FROM s
+                        WHERE s.user_id = u.user_id) THEN 1
+                     ELSE 0 END AS level
+            FROM u
+        )
+        SELECT CAST(level AS BIGINT) AS level,
+               CAST(COUNT(*) AS BIGINT) AS n_users
+        FROM lv GROUP BY level
+        """,
+        tags=("ext-temporal", "ext-events"),
+    )
+    def q_window_funnel_levels(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """ClickHouse-style windowFunnel over signup→click→purchase with
+        a 24 h chain deadline anchored at the first step: one ordered
+        fold per user carrying the minimal first-step timestamp per
+        level (the windowFunnel recurrence) — single user shuffle, no
+        joins. The oracle takes the opposite route again: per-level
+        EXISTS chains over inequality joins."""
+        ev = load_events(spark, sf_dir)
+        return temporal.window_funnel_levels(
+            ev, ["signup", "click", "purchase"], window_us=86_400_000_000
+        )
+
+
+_register_batch7()

@@ -404,6 +404,107 @@ class TxLogTable:
             )
         return manifest
 
+    def delete_keys(self, keys_df: DataFrame, keys: list[str]) -> dict:
+        """Transactional DELETE of every row matching the key set — the
+        right-to-erasure primitive (GDPR Art. 17): at 100 TB a
+        compliance delete must rewrite ONLY the files that provably
+        contain a subject's rows, never the table. Same candidate
+        discovery as `merge`: zonemap pre-prune on a single-column key
+        (range-disjoint files never enter the scan), then one semi-join
+        finds the files to rewrite; each is rewritten via anti-join and
+        every other file survives the commit untouched. Readers at the
+        prior version still see the old rows (time travel) until
+        `vacuum` physically drops the rewritten files — the documented
+        two-step erasure (logical delete now, physical on retention
+        expiry), matching the lakehouse-format semantics.
+
+        Returns the commit manifest with a `delete_stats` block:
+        files rewritten / preserved / skipped-by-stats and rows
+        removed."""
+        base = self.latest_version()
+        live = self._live_files()
+        if not live:
+            raise ValueError("delete from empty table")
+        candidates = live
+        skipped_by_stats = 0
+        if len(keys) == 1:
+            k = keys[0]
+            bounds = keys_df.agg(
+                F.min(k).alias("lo"), F.max(k).alias("hi")
+            ).first()
+            if bounds["lo"] is not None:
+                stats = self._live_stats()
+                candidates = []
+                for rel in live:
+                    st = stats.get(rel, {}).get(k)
+                    try:
+                        disjoint = st is not None and (
+                            st[0] > bounds["hi"] or st[1] < bounds["lo"]
+                        )
+                    except TypeError:
+                        disjoint = False
+                    if disjoint:
+                        skipped_by_stats += 1
+                    else:
+                        candidates.append(rel)
+        if candidates:
+            snap = self.spark.read.parquet(
+                *[os.path.join(self.path, f) for f in candidates]
+            ).withColumn("__file", F.input_file_name())
+            touched_abs = {
+                r["__file"]
+                for r in snap.join(
+                    keys_df.select(*keys).distinct(), on=keys, how="semi"
+                )
+                .select("__file")
+                .distinct()
+                .collect()
+            }
+        else:
+            touched_abs = set()
+
+        def _is_touched(rel: str) -> bool:
+            a = os.path.abspath(os.path.join(self.path, rel))
+            return any(
+                os.path.abspath(t.removeprefix("file:")) == a
+                for t in touched_abs
+            )
+
+        touched = [f for f in live if _is_touched(f)]
+        rels: list[str] = []
+        rows_removed = 0
+        if touched:
+            old_rows = self.spark.read.parquet(
+                *[os.path.join(self.path, f) for f in touched]
+            )
+            survivors = old_rows.join(
+                keys_df.select(*keys).distinct(), on=keys, how="anti"
+            )
+            rows_removed = old_rows.count() - survivors.count()
+            if survivors.limit(1).count() > 0:
+                _, rels = self._stage_write(survivors)
+        manifest = {
+            "version": base + 1,
+            "op": "delete",
+            "added": rels,
+            "removed": touched,
+            "stats": self._file_stats(rels) if rels else {},
+            "delete_stats": {
+                "files_rewritten": len(touched),
+                "files_preserved": len(live) - len(touched),
+                "files_skipped_by_stats": skipped_by_stats,
+                "rows_removed": rows_removed,
+            },
+        }
+        sch = self._latest_schema()
+        if sch is not None:
+            manifest["schema"] = sch
+        if not self._try_commit(base + 1, manifest):
+            raise CommitConflict(
+                f"version {base + 1} was committed concurrently; retry delete"
+            )
+        return manifest
+
     def checkpoint(self) -> int:
         """Fold the current live set into one self-contained manifest so
         readers stop replaying the full history (the Delta `_checkpoint`

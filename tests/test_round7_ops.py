@@ -479,3 +479,46 @@ def test_item_cooccurrence_sim_hand_values(spark):
     # x,z co-occur 2x; c_z = 2 -> sim² = 4/8 = 500000 ppm
     assert out[("x", "z")] == (2, 4, 2, 500_000)
     assert ("y", "z") not in out  # co-occurs once < min_co
+
+
+def test_window_funnel_uses_latest_feasible_first_step(spark):
+    from politicamente_etl_spark.operators.temporal import (
+        window_funnel_levels,
+    )
+
+    t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+
+    def ev(eid, uid, typ, minutes):
+        return (eid, t0 + dt.timedelta(minutes=minutes), uid, typ, 1.0, "{}")
+
+    rows = [
+        # user 1: the FIRST signup is too old for the click, but a later
+        # signup opens a full chain — a min-carry fold (the bug this test
+        # pins) would stop at level 1; correct windowFunnel reaches 3.
+        ev(1, 1, "signup", 0),
+        ev(2, 1, "signup", 40),
+        ev(3, 1, "click", 50),
+        ev(4, 1, "purchase", 60),
+        # user 2: signup then click inside the window, purchase outside
+        # the 30-min deadline anchored at the signup -> level 2
+        ev(5, 2, "signup", 0),
+        ev(6, 2, "click", 10),
+        ev(7, 2, "purchase", 45),
+        # user 3: signup only -> level 1
+        ev(8, 3, "signup", 0),
+        # user 4: no signup at all -> level 0 (clicks don't start a chain)
+        ev(9, 4, "click", 0),
+        ev(10, 4, "purchase", 5),
+    ]
+    events = spark.createDataFrame(
+        rows, ["event_id", "ts", "user_id", "event_type", "value", "props"]
+    )
+    out = {
+        r["level"]: r["n_users"]
+        for r in window_funnel_levels(
+            events,
+            ["signup", "click", "purchase"],
+            window_us=30 * 60 * 1_000_000,
+        ).collect()
+    }
+    assert out == {3: 1, 2: 1, 1: 1, 0: 1}

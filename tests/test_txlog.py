@@ -396,3 +396,54 @@ def test_restore_rolls_back_as_new_commit(spark, tmp_path, table):
     assert [m["op"] for m in table.history()] == ["create", "merge", "restore"]
     # and the restore commit still prunes/scans via carried-forward stats
     assert table._live_stats()
+
+
+def test_delete_keys_prunes_and_round_trips(spark, tmp_path):
+    o = orders(spark)
+    # key-range-clustered commits -> disjoint zonemaps per file set
+    t = TxLogTable.create(
+        spark, str(tmp_path / "d"), o.filter(F.col("o_orderkey") <= 1000)
+    )
+    t.append(o.filter((F.col("o_orderkey") > 1000) & (F.col("o_orderkey") <= 2000)))
+    t.append(o.filter(F.col("o_orderkey") > 2000))
+    before = set(t._live_files())
+    # subjects live only in the low key range -> high-range files must be
+    # skipped by zonemap stats, untouched files survive verbatim
+    subjects = o.filter(F.col("o_orderkey") <= 50).select("o_orderkey")
+    n_subj_rows = o.filter(F.col("o_orderkey") <= 50).count()
+    m = t.delete_keys(subjects, ["o_orderkey"])
+    st = m["delete_stats"]
+    assert st["files_rewritten"] + st["files_preserved"] == len(before)
+    assert st["files_skipped_by_stats"] >= 1
+    assert st["rows_removed"] == n_subj_rows
+    preserved = set(t._live_files()) & before
+    assert len(preserved) == st["files_preserved"]
+    # post-delete state == source minus subjects, exactly
+    got = {r["o_orderkey"] for r in t.snapshot().select("o_orderkey").collect()}
+    want = {
+        r["o_orderkey"]
+        for r in o.filter(F.col("o_orderkey") > 50).select("o_orderkey").collect()
+    }
+    assert got == want
+    # prior version still shows the deleted rows (logical-now erasure);
+    # vacuum is the physical step
+    prev = t.snapshot(version=m["version"] - 1)
+    assert prev.count() == len(want) + n_subj_rows
+
+
+def test_delete_keys_everything_in_a_file(spark, tmp_path):
+    o = orders(spark)
+    t = TxLogTable.create(
+        spark, str(tmp_path / "e"), o.filter(F.col("o_orderkey") <= 100)
+    )
+    t.append(o.filter(F.col("o_orderkey") > 100))
+    # delete EVERY row of the first commit's range: the rewrite of that
+    # file set yields zero survivors -> no staged files, removal only
+    m = t.delete_keys(
+        o.filter(F.col("o_orderkey") <= 100).select("o_orderkey"),
+        ["o_orderkey"],
+    )
+    assert m["delete_stats"]["rows_removed"] == o.filter(
+        F.col("o_orderkey") <= 100
+    ).count()
+    assert t.snapshot().count() == o.filter(F.col("o_orderkey") > 100).count()
