@@ -331,3 +331,142 @@ def kcore_peel(
         )
         out = out.union(stats(cur, r))
     return out
+
+
+def adamic_adar(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_degree: int = 256,
+    top_k: int = 50,
+) -> DataFrame:
+    """Adamic-Adar link prediction (Adamic & Adar 2003): score every
+    NON-adjacent pair (u, v) by Σ_{w ∈ N(u)∩N(v)} 1/ln(deg(w)) — the
+    classic common-neighbor predictor where rare shared neighbors count
+    more than hubs. Weights are micro-snapped integers
+    round(1e6/ln(deg)) so the ranking is engine-exact; a common
+    neighbor always has deg ≥ 2 (it touches two distinct nodes), so
+    ln(deg) > 0 by construction.
+
+    Scale shape: wedge enumeration is the self-join of the adjacency
+    list on the CENTER node — exactly the shape whose cost is
+    Σ_w deg(w)², so hubs are the scale risk, not edge volume. Two
+    controls: (1) `max_degree` drops hub centers BEFORE the self-join
+    (their per-wedge weight 1/ln(deg) is the smallest in the graph, so
+    truncation biases scores down by a bounded, documented amount —
+    the standard AA-at-scale tradeoff); (2) the weight table rides the
+    center-node join, so the wedge rows carry only (u, v, w_micro) —
+    constant width through the shuffle. The candidate→score step is
+    one partial-aggregated groupBy; known edges leave via a left-anti
+    join on the canonical (min, max) pair; the top-k is TakeOrdered
+    (no global sort).
+
+    Returns (node_a, node_b, n_common, aa_micro), node_a < node_b,
+    the top_k highest-scored absent links.
+    """
+    und = (
+        edges.select(F.col(src).alias("s"), F.col(dst).alias("d"))
+        .unionByName(edges.select(F.col(dst).alias("s"), F.col(src).alias("d")))
+        .filter(F.col("s") != F.col("d"))
+        .distinct()
+    )
+    ctr = (
+        und.groupBy(F.col("s").alias("w"))
+        .agg(F.count("*").alias("deg"))
+        .filter((F.col("deg") >= 2) & (F.col("deg") <= max_degree))
+        .select(
+            "w",
+            F.expr("CAST(round(1e6 / ln(CAST(deg AS DOUBLE))) AS BIGINT)").alias(
+                "w_micro"
+            ),
+        )
+    )
+    adj = und.select(F.col("s").alias("w"), F.col("d").alias("n"))
+    wedges = (
+        adj.alias("x")
+        .join(adj.alias("y"), (F.col("x.w") == F.col("y.w")) & (F.col("x.n") < F.col("y.n")))
+        .join(ctr, F.col("x.w") == ctr.w)
+        .select(
+            F.col("x.n").alias("node_a"),
+            F.col("y.n").alias("node_b"),
+            F.col("w_micro"),
+        )
+    )
+    scored = wedges.groupBy("node_a", "node_b").agg(
+        F.count("*").cast("long").alias("n_common"),
+        F.sum("w_micro").cast("long").alias("aa_micro"),
+    )
+    known = und.filter(F.col("s") < F.col("d")).select(
+        F.col("s").alias("node_a"), F.col("d").alias("node_b")
+    )
+    return (
+        scored.join(known, ["node_a", "node_b"], "left_anti")
+        .orderBy(F.col("aa_micro").desc(), "node_a", "node_b")
+        .limit(top_k)
+    )
+
+
+def label_propagation(
+    edges: DataFrame,
+    seeds: DataFrame,
+    rounds: int = 2,
+    src: str = "src",
+    dst: str = "dst",
+    node_col: str = "node",
+    label_col: str = "label",
+) -> DataFrame:
+    """Semi-supervised label propagation (Zhu & Ghahramani 2002's hard
+    variant): seed nodes carry fixed labels; each round, every still-
+    unlabeled node adopts the MAJORITY label of its labeled neighbors,
+    ties broken by the lexicographically smallest label — a
+    deterministic integer-vote rule, so engines agree bit-for-bit. A
+    node with no labeled neighbor stays unlabeled and may be reached in
+    a later round. Labels never change once assigned (seeds included),
+    which is what makes K rounds expressible as K unrolled SQL stages
+    in the oracle.
+
+    Scale shape per round: ONE equi-join of the current label table
+    onto the symmetrized edge list + one partial-aggregated
+    groupBy(node, label) vote count + one argmax-by-struct-min (no
+    window: min(struct(-votes, label)) is an ordinary aggregate) + one
+    anti-join to restrict to still-unlabeled nodes. Lineage is cut per
+    round with localCheckpoint like pagerank_integer/
+    connected_components, so plans stay flat at any round count.
+
+    Returns (node, label, rnd) — rnd 0 for seeds, else the round that
+    assigned the label. Unreached nodes are absent.
+    """
+    und = (
+        edges.select(F.col(src).alias("s"), F.col(dst).alias("d"))
+        .unionByName(edges.select(F.col(dst).alias("s"), F.col(src).alias("d")))
+        .filter(F.col("s") != F.col("d"))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    labels = seeds.select(
+        F.col(node_col).alias("node"),
+        F.col(label_col).alias("label"),
+        F.lit(0).cast("long").alias("rnd"),
+    )
+    for r in range(1, rounds + 1):
+        votes = (
+            und.join(labels, und.s == labels.node)
+            .groupBy(F.col("d"), F.col("label"))
+            .agg(F.count("*").cast("long").alias("votes"))
+        )
+        newly = (
+            votes.groupBy("d")
+            .agg(
+                F.min(F.struct((-F.col("votes")).alias("nv"), "label")).alias(
+                    "m"
+                )
+            )
+            .select(
+                F.col("d").alias("node"),
+                F.col("m.label").alias("label"),
+                F.lit(r).cast("long").alias("rnd"),
+            )
+            .join(labels.select("node"), "node", "left_anti")
+        )
+        labels = labels.unionByName(newly).localCheckpoint(eager=False)
+    return labels

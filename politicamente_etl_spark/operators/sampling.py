@@ -748,3 +748,91 @@ def consistent_hash_rebalance(
             .alias("n_moved"),
         )
     )
+
+
+def consistent_sample_k_grouped(
+    df: DataFrame,
+    k: int,
+    group_col: str,
+    id_col: str = "doc_id",
+    seed: str = "v1",
+) -> DataFrame:
+    """Per-group exact-k deterministic sample: within every group, the k
+    rows whose salted md5 ranks lowest — `consistent_sample_k`'s
+    stratified sibling (same bottom-k-sketch stability: run/engine/
+    partitioning/append-stable per group, a new row only enters by
+    displacing its group's current max).
+
+    Shape: one window partitioned by the group over the md5 key, cut at
+    row_number ≤ k — Spark plans it as WindowGroupLimit, i.e. a
+    map-side partial bottom-k per (partition, group) before the single
+    group shuffle; no global sort, no per-group TakeOrdered fan-out.
+
+    Returns the sampled rows plus their 1-based `sample_rank`.
+    """
+    from pyspark.sql import Window
+
+    key = F.md5(
+        F.concat_ws(":", F.lit(seed), F.col(id_col).cast("string"))
+    )
+    w = Window.partitionBy(group_col).orderBy(key.alias("__sk"))
+    return (
+        df.withColumn("sample_rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("sample_rank") <= k)
+    )
+
+
+def domain_mw_weights(
+    losses: DataFrame,
+    source_col: str = "source",
+    loss_col: str = "loss_micro",
+    eta_micro: int = 1_000_000,
+) -> DataFrame:
+    """One multiplicative-weights (hedge / DoReMi-flavored) update of
+    per-domain mixture weights from per-domain losses: domains with
+    EXCESS loss over the best domain gain weight proportional to
+    exp(η · excess) — the reweighting step of distributionally-robust
+    data mixing (Xie et al. 2023), where the next training mixture
+    upweights domains the proxy model handles worst.
+
+    Determinism: losses arrive as micro-nat integers; the excess is an
+    exact integer; exp() is evaluated once per DOMAIN (a handful of
+    rows) on the identical double in both engines and immediately
+    snapped to micro units — the same accepted-risk profile as the
+    ln() snaps throughout the repo, applied to a bounded row count.
+    The normalization is integer ppm division.
+
+    Shape: |domains| rows end-to-end after one broadcast of the 1-row
+    min-loss aggregate; nothing corpus-sized happens here (the LOSSES
+    are the corpus-sized pass, produced upstream).
+
+    Returns (source, loss_micro, excess_micro, raw_micro, weight_ppm).
+    """
+    lo = losses.agg(F.min(loss_col).alias("__lo"))
+    raw = (
+        losses.crossJoin(F.broadcast(lo))
+        .select(
+            F.col(source_col),
+            F.col(loss_col),
+            (F.col(loss_col) - F.col("__lo")).cast("long").alias("excess_micro"),
+        )
+        .withColumn(
+            "raw_micro",
+            # η·excess is clamped at 12 nats so the ppm normalization
+            # (raw_micro·1e6) stays inside BIGINT with wide headroom
+            # (e^12·1e6 ≈ 1.6e11); a domain 12 nats worse than the best
+            # already takes ~all the weight
+            F.expr(
+                "CAST(round(exp(least(CAST(excess_micro AS DOUBLE)"
+                f" * {eta_micro} / 1e12, 1.2e1)) * 1e6) AS BIGINT)"
+            ),
+        )
+    )
+    tot = raw.agg(F.sum("raw_micro").alias("__tot"))
+    return raw.crossJoin(F.broadcast(tot)).select(
+        source_col,
+        loss_col,
+        "excess_micro",
+        "raw_micro",
+        F.expr("raw_micro * 1000000 DIV __tot").cast("long").alias("weight_ppm"),
+    )

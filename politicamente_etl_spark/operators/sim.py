@@ -967,3 +967,61 @@ def item_cooccurrence_similarity(
         .orderBy(F.desc("sim_sq_ppm"), "item_a", "item_b")
         .limit(top_k)
     )
+
+
+def mutual_knn_pairs(
+    dots: DataFrame,
+    a_col: str = "va",
+    b_col: str = "vb",
+    dot_col: str = "dot",
+    k: int = 5,
+) -> DataFrame:
+    """Mutual-kNN filter over a candidate-pair table: keep (a, b) only
+    when b is among a's k most-similar candidates AND a is among b's —
+    the reciprocal-neighbor criterion that semantic dedup and
+    hubness-robust retrieval use to kill asymmetric hub matches (a hub
+    vector is in everyone's top-k, but almost nobody is in its).
+
+    `dots` holds canonical candidate pairs (a < b) with an exact
+    integer similarity (`dot_col`). Candidate generation stays the
+    caller's choice — the exact all-pairs form is the small-corpus
+    audit twin, the LSH/IVF bucket joins are the 100 TB path, and the
+    mutual filter is IDENTICAL over either (it only re-ranks what the
+    generator admits, so rank-k is "rank among candidates": the
+    production contract, exact when the generator recalls the true
+    top-k).
+
+    Shape: symmetrize (2× candidate rows), one per-node window keeps
+    rank ≤ k (WindowGroupLimit — partial top-k on the map side, no
+    global sort), then the reciprocal check is a self-join of that
+    bounded (≤ n·k rows) relation on the swapped key pair.
+
+    Returns (node_a, node_b, dot, rank_ab, rank_ba), node_a < node_b.
+    """
+    sym = dots.select(
+        F.col(a_col).alias("v"), F.col(b_col).alias("u"), F.col(dot_col).alias("dt")
+    ).unionByName(
+        dots.select(
+            F.col(b_col).alias("v"), F.col(a_col).alias("u"), F.col(dot_col).alias("dt")
+        )
+    )
+    w = Window.partitionBy("v").orderBy(F.col("dt").desc(), F.col("u"))
+    topk = (
+        sym.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select("v", "u", "dt", "rnk")
+    )
+    fwd = topk.filter(F.col("v") < F.col("u"))
+    rev = topk.filter(F.col("v") > F.col("u")).select(
+        F.col("u").alias("v"), F.col("v").alias("u"), F.col("rnk").alias("rnk_ba")
+    )
+    return (
+        fwd.join(rev, ["v", "u"])
+        .select(
+            F.col("v").alias("node_a"),
+            F.col("u").alias("node_b"),
+            F.col("dt").alias("dot"),
+            F.col("rnk").cast("long").alias("rank_ab"),
+            F.col("rnk_ba").cast("long").alias("rank_ba"),
+        )
+    )

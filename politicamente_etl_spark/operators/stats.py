@@ -722,3 +722,306 @@ def seq_pattern_support(
         .crossJoin(F.broadcast(n_total))
         .select("pattern", "plen", "n_support", "n_sequences_total")
     )
+
+
+def loo_target_encoding(
+    df: DataFrame,
+    group_col: str,
+    target_col: str,
+    keep_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """Leave-one-out target encoding (the categorical-feature encoder of
+    gradient-boosting pipelines, Micci-Barreca 2001 without the prior
+    term): each row's encoding is the mean target of its OWN category
+    computed over every OTHER row — the standard trick that keeps the
+    feature informative while blocking single-row target leakage.
+
+    Exactness: `target_col` must already be an integer (cents/milli);
+    the encoding is carried as the (numerator, denominator) pair
+    (sum-minus-self, n-minus-one) plus the floored integer mean, so the
+    driver hash never sees a float. Singleton categories yield NULL
+    (no other row to borrow a mean from) — the caller imputes.
+
+    Scale shape: ONE partial-aggregated groupBy over the category column
+    produces a |categories|-row summary that the planner broadcasts back
+    onto the fact table; the per-row arithmetic is codegen'd expression
+    work. No window, no sort, no second shuffle — the same
+    aggregate-then-broadcast shape as the robust-stats operators above.
+
+    Returns keep_cols + (group_col, target, loo_num, loo_den, loo_mean).
+    """
+    g = df.groupBy(group_col).agg(
+        F.sum(target_col).cast("long").alias("__g_sum"),
+        F.count("*").cast("long").alias("__g_n"),
+    )
+    out = df.join(F.broadcast(g), group_col)
+    loo_num = (F.col("__g_sum") - F.col(target_col)).cast("long")
+    loo_den = (F.col("__g_n") - F.lit(1)).cast("long")
+    return out.select(
+        *keep_cols,
+        F.col(group_col),
+        F.col(target_col).cast("long").alias("target"),
+        F.when(loo_den > 0, loo_num).alias("loo_num"),
+        F.when(loo_den > 0, loo_den).alias("loo_den"),
+        # targets are non-negative integers, so truncating DIV == floor
+        F.when(
+            loo_den > 0,
+            F.expr(f"(__g_sum - {target_col}) DIV (__g_n - 1)"),
+        )
+        .cast("long")
+        .alias("loo_mean"),
+    )
+
+
+# Sign-safe exact floor division by a positive literal: subtracting the
+# (always non-negative) pmod makes the numerator an exact multiple, so
+# truncating DIV returns the floor quotient for negative values too.
+# DuckDB twin: (x - ((x % d) + d) % d) // d — same argument.
+def _floordiv_sql(x: str, d: int) -> str:
+    return f"(({x}) - pmod({x}, {d})) DIV {d}"
+
+
+def holt_winters_level_trend(
+    daily: DataFrame,
+    group_col: str,
+    day_col: str = "day",
+    value_col: str = "v",
+    alpha_tenths: int = 2,
+    beta_tenths: int = 1,
+    horizon: int = 7,
+) -> DataFrame:
+    """Holt's double exponential smoothing (level + trend, no seasonal
+    term) over each group's ordered daily series, as an exact integer
+    recurrence so both engines replay the identical fold:
+
+        l_t = floor((a·x_t     + (10-a)·(l+b)) / 10)
+        b_t = floor((c·(l_t-l) + (10-c)·b)     / 10)
+
+    with a = alpha_tenths, c = beta_tenths (smoothing factors in
+    tenths), seeded l_1 = x_1, b_1 = 0. Floor division is sign-safe via
+    the pmod trick (`_floordiv_sql`) because the trend can go negative.
+
+    Scale shape: one partial-aggregated groupBy builds each group's
+    (day, value) array — bounded by the CALENDAR (≤ a few thousand
+    entries regardless of row volume), the same justification as
+    seasonal_decomposition_hourly — then the recurrence is a map-side
+    `aggregate` fold per group. No window, no per-row state exchange.
+    The DuckDB oracle replays the fold as a recursive CTE stepping on
+    row_number.
+
+    Returns (group, n_days, level, trend, forecast) where forecast is
+    the `horizon`-step-ahead linear extrapolation level + horizon·trend.
+    """
+    a, c = alpha_tenths, beta_tenths
+    lnew = _floordiv_sql(f"{a} * x.v + {10 - a} * (acc.l + acc.b)", 10)
+    bnew = _floordiv_sql(f"{c} * (({lnew}) - acc.l) + {10 - c} * acc.b", 10)
+    fold = F.expr(
+        "aggregate(xs,"
+        " named_struct('i', CAST(0 AS BIGINT), 'l', CAST(0 AS BIGINT),"
+        "              'b', CAST(0 AS BIGINT)),"
+        " (acc, x) -> named_struct("
+        "   'i', acc.i + 1L,"
+        "   'l', CASE WHEN acc.i = 0 THEN x.v ELSE " + lnew + " END,"
+        "   'b', CASE WHEN acc.i = 0 THEN CAST(0 AS BIGINT)"
+        "        ELSE " + bnew + " END))"
+    )
+    series = (
+        daily.select(
+            F.col(group_col).alias("g"),
+            F.struct(
+                F.col(day_col).alias("d"), F.col(value_col).cast("long").alias("v")
+            ).alias("s"),
+        )
+        .groupBy("g")
+        .agg(F.array_sort(F.collect_list("s")).alias("xs"))
+    )
+    return series.select(
+        F.col("g").alias(group_col),
+        F.size("xs").cast("long").alias("n_days"),
+        fold.alias("__hw"),
+    ).select(
+        group_col,
+        "n_days",
+        F.col("__hw.l").alias("level"),
+        F.col("__hw.b").alias("trend"),
+        (F.col("__hw.l") + F.lit(horizon) * F.col("__hw.b"))
+        .cast("long")
+        .alias("forecast"),
+    )
+
+
+def hbos_scores(
+    events: DataFrame,
+    id_col: str = "event_id",
+    value_col: str = "value",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    n_value_bins: int = 16,
+    top_k: int = 50,
+) -> DataFrame:
+    """Histogram-based outlier score (HBOS, Goldstein & Dengel 2012):
+    per-feature equi-width histograms, a row's score is the summed
+    negative log density of its bins — the cheap multivariate anomaly
+    detector that needs no pairwise distances. Features here: the
+    16-bin equi-width value histogram, hour-of-day, and event type.
+
+    Integer exactness: score contribution per feature is
+    ln_micro(n_total) − ln_micro(n_bin) with ln_micro(x) =
+    round(ln(x)·1e6) — the micro-nat snap shared with the LM-quality
+    operators, so rank order is engine-identical. The value bin index
+    is pure integer arithmetic: ((v−min)·B) DIV (max−min+1), which
+    lands in [0, B−1] with no cap needed.
+
+    Scale shape: the min/max and each histogram are one partial
+    aggregate each (16 + 24 + |types| rows total) that broadcast back
+    onto the fact table; scoring is codegen'd expressions and the
+    result is a TakeOrdered top-k — no global sort, no window.
+    """
+    ln_micro = "CAST(round(ln(CAST({n} AS DOUBLE)) * 1e6) AS BIGINT)"
+    v_milli = F.floor(F.col(value_col).cast("double") * 1000).cast("long")
+    base = events.select(
+        F.col(id_col),
+        v_milli.alias("vm"),
+        F.expr(f"pmod(unix_micros({ts_col}) div 3600000000, 24)")
+        .cast("long")
+        .alias("hod"),
+        F.col(type_col).alias("et"),
+    )
+    rng = base.agg(
+        F.min("vm").alias("vmin"),
+        F.max("vm").alias("vmax"),
+        F.count("*").alias("n_total"),
+    )
+    binned = base.join(F.broadcast(rng)).select(
+        id_col,
+        "hod",
+        "et",
+        "n_total",
+        F.expr(f"((vm - vmin) * {n_value_bins}) DIV (vmax - vmin + 1)")
+        .cast("long")
+        .alias("vbin"),
+    )
+    h_v = binned.groupBy("vbin").agg(F.count("*").alias("n_v"))
+    h_h = binned.groupBy("hod").agg(F.count("*").alias("n_h"))
+    h_t = binned.groupBy("et").agg(F.count("*").alias("n_t"))
+    scored = (
+        binned.join(F.broadcast(h_v), "vbin")
+        .join(F.broadcast(h_h), "hod")
+        .join(F.broadcast(h_t), "et")
+        .select(
+            F.col(id_col),
+            F.col("vbin"),
+            F.col("hod"),
+            F.col("et").alias("event_type"),
+            (
+                3 * F.expr(ln_micro.format(n="n_total"))
+                - F.expr(ln_micro.format(n="n_v"))
+                - F.expr(ln_micro.format(n="n_h"))
+                - F.expr(ln_micro.format(n="n_t"))
+            )
+            .cast("long")
+            .alias("hbos_micro"),
+        )
+    )
+    return scored.orderBy(
+        F.col("hbos_micro").desc(), F.col(id_col)
+    ).limit(top_k)
+
+
+def auc_exact_report(
+    scored: DataFrame,
+    score_col: str = "score",
+    label_col: str = "label",
+) -> DataFrame:
+    """Exact ROC-AUC via the tie-corrected Mann-Whitney rank sum — the
+    classifier-gate evaluation number, computed without floats: with
+    average ranks doubled to stay integral,
+
+        2·R_pos = Σ_s n_pos(s) · (2·cum_below(s) + n_tot(s) + 1)
+        AUC     = (2·R_pos − n_pos·(n_pos+1)) / (2·n_pos·n_neg)
+
+    emitted as the (auc_num, auc_den) integer pair plus a floored ppm.
+
+    Scale shape: one groupBy collapses the corpus to |distinct scores|
+    rows; the running `cum_below` is a window over THAT summary, not
+    the data. Callers must therefore pass a BUCKETED score (micro-nat
+    logits DIV'd into milli-nat buckets or coarser) so the summary is
+    bounded — rank-sum AUC over bucketed scores is exactly the
+    tie-corrected AUC of the bucketed classifier. `label_col` is 0/1.
+    """
+    per_score = scored.groupBy(F.col(score_col).alias("s")).agg(
+        F.count("*").cast("long").alias("n_tot"),
+        F.sum(F.col(label_col).cast("long")).cast("long").alias("n_pos"),
+    )
+    w = Window.orderBy("s").rowsBetween(Window.unboundedPreceding, -1)
+    ranked = per_score.withColumn(
+        "cum_below", F.coalesce(F.sum("n_tot").over(w), F.lit(0))
+    )
+    return ranked.agg(
+        F.sum("n_pos").cast("long").alias("n_pos"),
+        (F.sum("n_tot") - F.sum("n_pos")).cast("long").alias("n_neg"),
+        F.sum(
+            F.col("n_pos") * (2 * F.col("cum_below") + F.col("n_tot") + 1)
+        )
+        .cast("long")
+        .alias("rank_sum_x2"),
+    ).select(
+        "n_pos",
+        "n_neg",
+        (F.col("rank_sum_x2") - F.col("n_pos") * (F.col("n_pos") + 1))
+        .cast("long")
+        .alias("auc_num"),
+        (2 * F.col("n_pos") * F.col("n_neg")).cast("long").alias("auc_den"),
+        F.expr(
+            "(rank_sum_x2 - n_pos * (n_pos + 1)) * 1000000"
+            " DIV (2 * n_pos * n_neg)"
+        )
+        .cast("long")
+        .alias("auc_ppm"),
+    )
+
+
+def calibration_bins(
+    scored: DataFrame,
+    score_col: str = "score",
+    label_col: str = "label",
+    n_bins: int = 10,
+) -> DataFrame:
+    """Reliability-diagram bins for a scored/labelled table: equal-width
+    bins over the observed score range, per bin the row count, positive
+    count, positive rate (ppm, floored) and the mean score as an exact
+    (sum, count) pair — the calibration audit next to `auc_exact_report`.
+
+    Scale shape: one 1-row min/max aggregate broadcast back, then one
+    partial-aggregated groupBy on the bin index (≤ n_bins rows out).
+    Bin index arithmetic is the same capless DIV as hbos_scores.
+    """
+    rng = scored.agg(
+        F.min(score_col).alias("smin"), F.max(score_col).alias("smax")
+    )
+    return (
+        scored.join(F.broadcast(rng))
+        .select(
+            F.expr(
+                f"(({score_col} - smin) * {n_bins})"
+                " DIV (smax - smin + 1)"
+            )
+            .cast("long")
+            .alias("bin"),
+            F.col(score_col).cast("long").alias("s"),
+            F.col(label_col).cast("long").alias("y"),
+        )
+        .groupBy("bin")
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.sum("y").cast("long").alias("n_pos"),
+            F.sum("s").cast("long").alias("score_sum"),
+        )
+        .select(
+            "bin",
+            "n",
+            "n_pos",
+            F.expr("n_pos * 1000000 DIV n").cast("long").alias("pos_rate_ppm"),
+            "score_sum",
+        )
+    )

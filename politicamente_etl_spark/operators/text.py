@@ -1321,10 +1321,6 @@ def unigram_viterbi_segmentation(
     Returns (w, wf, n_chars, n_pieces, total_cost_micro) where
     total_cost_micro = -sum of piece log-probs in micro-nats (lower is
     a more probable segmentation).
-
-    Returns (w, wf, n_chars, n_pieces, total_cost_micro) where
-    total_cost_micro = -sum of piece log-probs in micro-nats (lower is
-    a more probable segmentation).
     """
     dp = _viterbi_dp_frame(df, col, max_piece_len, vocab_top)
     return dp.select(
@@ -1400,4 +1396,61 @@ def unigram_viterbi_mstep_counts(
             F.countDistinct("w").cast("long").alias("n_words"),
             F.sum("wf").cast("long").alias("n_uses_weighted"),
         )
+    )
+
+
+def wordpiece_greedy_segmentation(
+    df: DataFrame,
+    col: str = "text",
+    max_piece_len: int = 4,
+    vocab_top: int = 200,
+) -> DataFrame:
+    """WordPiece-style greedy longest-match-first segmentation — the
+    third tokenizer family next to BPE (`bpe_pair_stats`) and the
+    unigram-LM Viterbi (`unigram_viterbi_segmentation`), sharing the
+    SAME substring vocabulary and scored-edge frame
+    (`_viterbi_dp_frame`): at each cursor position consume the LONGEST
+    vocabulary piece that starts there (BERT's tokenizer matching rule,
+    Wu et al. 2016, minus the ## continuation marker — our pieces are
+    position-independent n-grams). Always feasible because every single
+    character is in the vocabulary, so the cursor advances ≥1 per step.
+
+    The greedy walk is one sequential `aggregate` fold per word over
+    character positions; the inner argmax-by-length runs as a nested
+    `aggregate` whose FINISH lambda captures the outer accumulator to
+    emit the advanced cursor — no shuffle, no Python, same scale shape
+    as the Viterbi frame (corpus work = one token explode + groupBy;
+    everything else on the distinct-word table with a broadcast piece
+    join).
+
+    total_cost_micro uses the same micro-nat piece scores as the
+    Viterbi DP, so greedy-vs-optimal excess cost is directly
+    comparable (greedy ≥ optimal; asserted in tests).
+
+    Returns (w, wf, n_chars, n_pieces, total_cost_micro).
+    """
+    dp = _viterbi_dp_frame(df, col, max_piece_len, vocab_top)
+    greedy = F.expr(
+        "aggregate(sequence(1, length(w)),"
+        " named_struct('cur', CAST(1 AS BIGINT), 'np', CAST(0 AS BIGINT),"
+        "              'cost', CAST(0 AS BIGINT)),"
+        " (acc, pos) -> IF(CAST(pos AS BIGINT) != acc.cur, acc,"
+        "   aggregate(filter(edges, e -> e.e - e.k + 1 = pos),"
+        "     named_struct('k', CAST(0 AS BIGINT), 'sc', CAST(0 AS BIGINT)),"
+        "     (b, e) -> IF(CAST(e.k AS BIGINT) > b.k,"
+        "       named_struct('k', CAST(e.k AS BIGINT), 'sc', e.sc), b),"
+        "     best -> named_struct('cur', acc.cur + best.k,"
+        "       'np', acc.np + 1L, 'cost', acc.cost - best.sc))))"
+    )
+    return dp.select(
+        "w",
+        "wf",
+        F.length("w").cast("long").alias("n_chars"),
+        greedy.alias("__g"),
+    ).select(
+        "w",
+        "wf",
+        "n_chars",
+        F.col("__g.np").alias("n_pieces"),
+        F.col("__g.cost").alias("total_cost_micro"),
     )

@@ -1,0 +1,853 @@
+"""Round-8 prep batch 1: graph link prediction (Adamic-Adar over the
+co-purchase graph), reciprocal-kNN pair filtering, leave-one-out target
+encoding, Holt double-exponential smoothing, HBOS multivariate anomaly
+scores, and the classifier-evaluation pair (exact tie-corrected ROC-AUC
++ reliability-diagram bins) for the hashed quality gate — plus the
+physical-erasure completion of the GDPR story: delete → vacuum → prove
+the subject rows are gone from DISK, not just from the snapshot.
+
+Engine-parity rules as extended_r4*..r7: integer micro/milli snaps at
+expression birth, ppm ratios by integer division, sign-safe floor
+division via the pmod trick wherever a quantity can go negative
+(`stats._floordiv_sql` and its DuckDB twin in the oracle strings).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+# micro-nat log snap shared with the LM-quality operators
+_LNM = "CAST(round(ln(CAST({n} AS DOUBLE)) * 1e6) AS BIGINT)"
+
+
+def _fd_sql(x: str, d: int) -> str:
+    """DuckDB sign-safe exact floor division (twin of
+    stats._floordiv_sql): subtracting the non-negative mod makes the
+    numerator an exact multiple of d, so `//` is exact for negatives."""
+    return f"((({x}) - ((({x}) % {d}) + {d}) % {d}) // {d})"
+
+
+def _register():
+    from politicamente_etl_spark.operators import graph, sim, stats
+    from politicamente_etl_spark.plans.catalog import T, load_events, register
+
+    # -- Adamic-Adar link prediction -----------------------------------------
+
+    @register(
+        "adamic_adar_link_pred",
+        sql="""
+        WITH li AS (
+            SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+        ), e AS (
+            SELECT a.l_partkey AS pa, b.l_partkey AS pb
+            FROM li a JOIN li b
+              ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+            GROUP BY 1, 2 HAVING COUNT(*) >= 2
+        ), und AS (
+            SELECT pa AS s, pb AS d FROM e
+            UNION ALL SELECT pb AS s, pa AS d FROM e
+        ), wt AS (
+            SELECT s AS w,
+                   CAST(round(1e6 / ln(CAST(COUNT(*) AS DOUBLE)))
+                        AS BIGINT) AS w_micro
+            FROM und GROUP BY s
+            HAVING COUNT(*) BETWEEN 2 AND 256
+        ), wedge AS (
+            SELECT x.d AS a, y.d AS b, wt.w_micro
+            FROM und x
+            JOIN und y ON x.s = y.s AND x.d < y.d
+            JOIN wt ON wt.w = x.s
+        ), sc AS (
+            SELECT a, b, CAST(COUNT(*) AS BIGINT) AS n_common,
+                   CAST(SUM(w_micro) AS BIGINT) AS aa_micro
+            FROM wedge GROUP BY 1, 2
+        )
+        SELECT sc.a AS node_a, sc.b AS node_b, sc.n_common, sc.aa_micro
+        FROM sc
+        WHERE NOT EXISTS (SELECT 1 FROM e
+                          WHERE e.pa = sc.a AND e.pb = sc.b)
+        ORDER BY aa_micro DESC, node_a, node_b LIMIT 50
+        """,
+        tags=("ext-graph", "ext-rel", "ext-sim"),
+    )
+    def q_adamic_adar_link_pred(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Top-50 predicted (absent) co-purchase links by Adamic-Adar
+        score over the support-≥2 co-purchase graph — rare shared
+        neighbors count more than hubs (micro-snapped 1/ln(deg)
+        weights). Wedge self-join on the center node with the hub cap
+        applied BEFORE the join; known edges leave via a left-anti
+        join; TakeOrdered top-k."""
+        li = (
+            T(spark, sf_dir, "lineitem")
+            .select("l_orderkey", "l_partkey")
+            .distinct()
+        )
+        a, b = li.alias("a"), li.alias("b")
+        e = (
+            a.join(
+                b,
+                (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+                & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+            )
+            .groupBy(
+                F.col("a.l_partkey").alias("pa"),
+                F.col("b.l_partkey").alias("pb"),
+            )
+            .agg(F.count("*").alias("n"))
+            .filter(F.col("n") >= 2)
+            .select("pa", "pb")
+        )
+        return graph.adamic_adar(e, src="pa", dst="pb", max_degree=256, top_k=50)
+
+    # -- reciprocal (mutual) kNN pairs ---------------------------------------
+
+    from politicamente_etl_spark.plans.extended_r4b import _M_CTE, _emb_milli
+
+    @register(
+        "mutual_knn_pairs",
+        sql=_M_CTE
+        + """, dots AS (
+            SELECT a.vec_id AS va, b.vec_id AS vb,
+                   CAST(SUM(a.mv * b.mv) AS BIGINT) AS dot
+            FROM m a JOIN m b ON a.i = b.i AND a.vec_id < b.vec_id
+            GROUP BY 1, 2
+            HAVING SUM(a.mv * b.mv) >= 100000
+        ), sym AS (
+            SELECT va AS v, vb AS u, dot AS dt FROM dots
+            UNION ALL SELECT vb AS v, va AS u, dot AS dt FROM dots
+        ), tk AS (
+            SELECT v, u, dt,
+                   row_number() OVER (PARTITION BY v
+                       ORDER BY dt DESC, u) AS rnk
+            FROM sym QUALIFY rnk <= 5
+        )
+        SELECT f.v AS node_a, f.u AS node_b, f.dt AS dot,
+               CAST(f.rnk AS BIGINT) AS rank_ab,
+               CAST(r.rnk AS BIGINT) AS rank_ba
+        FROM tk f JOIN tk r ON f.v = r.u AND f.u = r.v AND f.v < f.u
+        """,
+        tags=("ext-sim", "ext-embeddings", "ext-dedup"),
+    )
+    def q_mutual_knn_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Reciprocal-kNN pairs (k=5) over the ε-candidate graph
+        (integer milli dot ≥ 100000): keeps only pairs in each other's
+        top-k — the hubness-robust mutual-neighbor criterion. The
+        exact all-pairs candidate generator here is the small-corpus
+        audit twin (same gate as knn_graph_degree_hist); the LSH/IVF
+        bucket joins are the 100 TB candidate path, and the mutual
+        filter is identical over either."""
+        m = _emb_milli(spark, sf_dir)
+        a, b = m.alias("a"), m.alias("b")
+        dots = (
+            a.join(
+                b,
+                (F.col("a.i") == F.col("b.i"))
+                & (F.col("a.vec_id") < F.col("b.vec_id")),
+            )
+            .groupBy(
+                F.col("a.vec_id").alias("va"), F.col("b.vec_id").alias("vb")
+            )
+            .agg(F.sum(F.col("a.mv") * F.col("b.mv")).alias("dot"))
+            .filter(F.col("dot") >= 100000)
+        )
+        return sim.mutual_knn_pairs(dots, k=5)
+
+    # -- leave-one-out target encoding ---------------------------------------
+
+    @register(
+        "loo_target_encoding_segment",
+        sql="""
+        WITH j AS (
+            SELECT o_orderkey, c_mktsegment AS segment,
+                   CAST(floor(o_totalprice * 100) AS BIGINT) AS cents
+            FROM orders JOIN customer ON o_custkey = c_custkey
+        ), g AS (
+            SELECT segment, CAST(SUM(cents) AS BIGINT) AS s,
+                   CAST(COUNT(*) AS BIGINT) AS n
+            FROM j GROUP BY 1
+        )
+        SELECT o_orderkey, segment, cents AS target,
+               CASE WHEN n > 1 THEN CAST(s - cents AS BIGINT) END AS loo_num,
+               CASE WHEN n > 1 THEN CAST(n - 1 AS BIGINT) END AS loo_den,
+               CASE WHEN n > 1 THEN CAST((s - cents) // (n - 1) AS BIGINT)
+                    END AS loo_mean
+        FROM j JOIN g USING (segment)
+        WHERE o_orderkey % 8 = 0
+        """,
+        tags=("ext-sample", "ext-rel"),
+    )
+    def q_loo_target_encoding_segment(
+        spark: SparkSession, sf_dir: str
+    ) -> DataFrame:
+        """Leave-one-out target encoding of the market segment against
+        the order total (cents): per-row mean of every OTHER order in
+        the segment, carried as exact (num, den) integers plus the
+        floored mean — the leakage-safe categorical encoder. Stats are
+        computed over ALL orders; the emitted slice (o_orderkey % 8)
+        only bounds the driver compare."""
+        o = T(spark, sf_dir, "orders").select(
+            "o_orderkey",
+            "o_custkey",
+            F.floor(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+        )
+        c = T(spark, sf_dir, "customer").select(
+            "c_custkey", F.col("c_mktsegment").alias("segment")
+        )
+        j = o.join(c, o.o_custkey == c.c_custkey).select(
+            "o_orderkey", "segment", "cents"
+        )
+        enc = stats.loo_target_encoding(
+            j, "segment", "cents", keep_cols=("o_orderkey",)
+        )
+        return enc.filter(F.col("o_orderkey") % 8 == 0).select(
+            "o_orderkey", "segment", "target", "loo_num", "loo_den", "loo_mean"
+        )
+
+    # -- Holt double exponential smoothing -----------------------------------
+
+    _lnew = _fd_sql("2 * s.v + 8 * (r.l + r.b)", 10)
+    _bnew = _fd_sql(f"(({_lnew}) - r.l) + 9 * r.b", 10)
+
+    @register(
+        "holt_winters_daily_revenue",
+        sql=f"""
+        WITH RECURSIVE d AS (
+            SELECT n_name AS nation, o_orderdate AS day,
+                   CAST(SUM(CAST(floor(o_totalprice * 100) AS BIGINT))
+                        AS BIGINT) AS v
+            FROM orders
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation ON c_nationkey = n_nationkey
+            GROUP BY 1, 2
+        ), s AS (
+            SELECT nation, v,
+                   row_number() OVER (PARTITION BY nation
+                       ORDER BY day) AS rn,
+                   COUNT(*) OVER (PARTITION BY nation) AS nd
+            FROM d
+        ), rec AS (
+            SELECT nation, nd, 1 AS i, v AS l, CAST(0 AS BIGINT) AS b
+            FROM s WHERE rn = 1
+            UNION ALL
+            SELECT r.nation, r.nd, r.i + 1,
+                   CAST({_lnew} AS BIGINT),
+                   CAST({_bnew} AS BIGINT)
+            FROM rec r JOIN s ON s.nation = r.nation AND s.rn = r.i + 1
+        )
+        SELECT nation, CAST(nd AS BIGINT) AS n_days,
+               CAST(l AS BIGINT) AS level, CAST(b AS BIGINT) AS trend,
+               CAST(l + 7 * b AS BIGINT) AS forecast
+        FROM rec WHERE i = nd
+        """,
+        tags=("ext-stats", "ext-temporal", "ext-rel"),
+    )
+    def q_holt_winters_daily_revenue(
+        spark: SparkSession, sf_dir: str
+    ) -> DataFrame:
+        """Holt's level+trend smoothing (α=0.2, β=0.1 in exact integer
+        tenths) of each nation's daily revenue series, plus the 7-step
+        linear forecast. The per-nation series is calendar-bounded, so
+        the fold is one collect_list + map-side `aggregate`; the
+        DuckDB oracle replays the identical recurrence as a recursive
+        CTE. Floor division is sign-safe (trend goes negative) via the
+        pmod trick on both engines."""
+        o = T(spark, sf_dir, "orders").select(
+            "o_custkey",
+            "o_orderdate",
+            F.floor(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+        )
+        c = T(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+        n = T(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+        daily = (
+            o.join(c, o.o_custkey == c.c_custkey)
+            .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+            .groupBy(F.col("n_name").alias("nation"), F.col("o_orderdate"))
+            .agg(F.sum("cents").cast("long").alias("v"))
+        )
+        return stats.holt_winters_level_trend(
+            daily, "nation", day_col="o_orderdate", value_col="v"
+        )
+
+    # -- HBOS anomaly scores -------------------------------------------------
+
+    @register(
+        "hbos_event_outliers",
+        sql=f"""
+        WITH base AS (
+            SELECT event_id,
+                   CAST(floor(value * 1000) AS BIGINT) AS vm,
+                   CAST((epoch_us(ts) // 3600000000) % 24 AS BIGINT) AS hod,
+                   event_type AS et
+            FROM events
+        ), rng AS (
+            SELECT MIN(vm) AS vmin, MAX(vm) AS vmax,
+                   COUNT(*) AS n_total
+            FROM base
+        ), b2 AS (
+            SELECT event_id, hod, et, n_total,
+                   CAST(((vm - vmin) * 16) // (vmax - vmin + 1)
+                        AS BIGINT) AS vbin
+            FROM base, rng
+        ), hv AS (SELECT vbin, COUNT(*) AS n_v FROM b2 GROUP BY 1),
+           hh AS (SELECT hod, COUNT(*) AS n_h FROM b2 GROUP BY 1),
+           ht AS (SELECT et, COUNT(*) AS n_t FROM b2 GROUP BY 1)
+        SELECT b2.event_id, b2.vbin, b2.hod, b2.et AS event_type,
+               CAST(3 * {_LNM.format(n="n_total")}
+                    - {_LNM.format(n="n_v")}
+                    - {_LNM.format(n="n_h")}
+                    - {_LNM.format(n="n_t")} AS BIGINT) AS hbos_micro
+        FROM b2 JOIN hv USING (vbin) JOIN hh USING (hod)
+                JOIN ht USING (et)
+        ORDER BY hbos_micro DESC, event_id LIMIT 50
+        """,
+        tags=("ext-stats", "ext-events"),
+    )
+    def q_hbos_event_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Histogram-based outlier scores over events (value bin ×
+        hour-of-day × type): summed micro-nat negative log densities,
+        top-50 — the distance-free multivariate anomaly detector. All
+        histograms are tiny broadcast aggregates; scoring is codegen'd
+        expressions; top-k is TakeOrdered."""
+        ev = load_events(spark, sf_dir)
+        return stats.hbos_scores(ev).select(
+            "event_id", "vbin", "hod", "event_type", "hbos_micro"
+        )
+
+
+_register()
+
+
+def _register_batch2():
+    from politicamente_etl_spark.operators import stats, text
+    from politicamente_etl_spark.operators.sampling import sql_hash_bucket
+    from politicamente_etl_spark.plans.catalog import T, register
+
+    # the SAME deterministic fixture model as hashed_classifier_gate
+    # (extended_r6), so the two evaluation queries audit that gate
+    w_sql = (
+        f"CAST({sql_hash_bucket('i', seed='qc-w', n_buckets=2001)} - 1000"
+        " AS BIGINT)"
+    )
+    f_bucket = sql_hash_bucket("f", seed="qc-v1", n_buckets=4096)
+    _scored_cte = f"""
+        WITH uni AS (
+            SELECT doc_id, 'u:' || unnest(string_split(text, ' ')) AS f
+            FROM documents
+        ), arr AS (
+            SELECT doc_id, string_split(text, ' ') AS a FROM documents
+        ), big AS (
+            SELECT doc_id, 'b:' || array_to_string(a[i:i+1], ' ') AS f
+            FROM arr, UNNEST(generate_series(1, len(a) - 1)) AS u(i)
+        ), feats AS (
+            SELECT doc_id, f FROM uni UNION ALL SELECT doc_id, f FROM big
+        ), fb AS (
+            SELECT doc_id, {f_bucket} AS bucket FROM feats
+        ), w AS (
+            SELECT CAST(i AS INT) AS bucket, {w_sql} AS w_micro
+            FROM generate_series(0, 4095) AS t(i)
+        ), logits AS (
+            SELECT fb.doc_id,
+                   CAST(SUM(w.w_micro) AS BIGINT) AS logit
+            FROM fb JOIN w USING (bucket) GROUP BY 1
+        ), truth AS (
+            SELECT doc_id,
+                   CAST((len(list_distinct(string_split(text, ' '))) * 1000)
+                        // len(string_split(text, ' ')) >= 800 AS INT)
+                       AS label
+            FROM documents
+        )"""
+
+    @register(
+        "classifier_auc_report",
+        sql=_scored_cte
+        + f""", j AS (
+            SELECT {_fd_sql('logits.logit', 1000)} AS s, truth.label
+            FROM logits JOIN truth USING (doc_id)
+        ), ps AS (
+            SELECT s, CAST(COUNT(*) AS BIGINT) AS n_tot,
+                   CAST(SUM(label) AS BIGINT) AS n_pos
+            FROM j GROUP BY 1
+        ), r AS (
+            SELECT s, n_tot, n_pos,
+                   COALESCE(SUM(n_tot) OVER (ORDER BY s
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                       0) AS cum_below
+            FROM ps
+        ), agg AS (
+            SELECT CAST(SUM(n_pos) AS BIGINT) AS n_pos,
+                   CAST(SUM(n_tot) - SUM(n_pos) AS BIGINT) AS n_neg,
+                   CAST(SUM(n_pos * (2 * cum_below + n_tot + 1))
+                        AS BIGINT) AS rank_sum_x2
+            FROM r
+        )
+        SELECT n_pos, n_neg,
+               CAST(rank_sum_x2 - n_pos * (n_pos + 1) AS BIGINT) AS auc_num,
+               CAST(2 * n_pos * n_neg AS BIGINT) AS auc_den,
+               CAST((rank_sum_x2 - n_pos * (n_pos + 1)) * 1000000
+                    // (2 * n_pos * n_neg) AS BIGINT) AS auc_ppm
+        FROM agg
+        """,
+        tags=("ext-text", "ext-stats", "ext-docs"),
+    )
+    def q_classifier_auc_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Exact tie-corrected ROC-AUC of the hashed quality gate's
+        logit against the lexical-diversity ground truth (q_milli ≥
+        800) — integer Mann-Whitney rank sum over milli-nat-BUCKETED
+        scores, so the per-score summary the running rank walks is
+        bounded at any corpus size. One number the gate ships with."""
+        docs = T(spark, sf_dir, "documents").select("doc_id", "text")
+        w = text.fixture_hash_weights(spark, n_buckets=4096, seed="qc-w")
+        logit = text.hashed_linear_score(
+            docs, w, n_buckets=4096, seed="qc-v1"
+        ).select("doc_id", "logit_micro")
+        truth = docs.select(
+            "doc_id",
+            (
+                F.expr(
+                    "(size(array_distinct(split(text, ' '))) * 1000)"
+                    " div size(split(text, ' '))"
+                )
+                >= 800
+            )
+            .cast("int")
+            .alias("label"),
+        )
+        j = logit.join(truth, "doc_id").select(
+            F.expr("(logit_micro - pmod(logit_micro, 1000)) DIV 1000").alias(
+                "s"
+            ),
+            "label",
+        )
+        return stats.auc_exact_report(j, score_col="s", label_col="label")
+
+    @register(
+        "classifier_calibration_bins",
+        sql=_scored_cte
+        + """, j AS (
+            SELECT logits.logit AS s, truth.label AS y
+            FROM logits JOIN truth USING (doc_id)
+        ), rng AS (
+            SELECT MIN(s) AS smin, MAX(s) AS smax FROM j
+        ), binned AS (
+            SELECT CAST(((s - smin) * 10) // (smax - smin + 1)
+                        AS BIGINT) AS bin,
+                   s, y
+            FROM j, rng
+        )
+        SELECT bin, CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(y) AS BIGINT) AS n_pos,
+               CAST(SUM(y) * 1000000 // COUNT(*) AS BIGINT)
+                   AS pos_rate_ppm,
+               CAST(SUM(s) AS BIGINT) AS score_sum
+        FROM binned GROUP BY 1
+        """,
+        tags=("ext-text", "ext-stats", "ext-docs"),
+    )
+    def q_classifier_calibration_bins(
+        spark: SparkSession, sf_dir: str
+    ) -> DataFrame:
+        """Reliability-diagram bins for the hashed quality gate: ten
+        equal-width logit bins, per bin the row/positive counts, the
+        floored positive rate (ppm) and the exact score sum — the
+        calibration audit that pairs with classifier_auc_report."""
+        docs = T(spark, sf_dir, "documents").select("doc_id", "text")
+        w = text.fixture_hash_weights(spark, n_buckets=4096, seed="qc-w")
+        logit = text.hashed_linear_score(
+            docs, w, n_buckets=4096, seed="qc-v1"
+        ).select("doc_id", F.col("logit_micro").alias("s"))
+        truth = docs.select(
+            "doc_id",
+            (
+                F.expr(
+                    "(size(array_distinct(split(text, ' '))) * 1000)"
+                    " div size(split(text, ' '))"
+                )
+                >= 800
+            )
+            .cast("int")
+            .alias("y"),
+        )
+        j = logit.join(truth, "doc_id")
+        return stats.calibration_bins(j, score_col="s", label_col="y")
+
+
+_register_batch2()
+
+
+def _register_batch3():
+    import os
+    import tempfile
+
+    from politicamente_etl_spark.plans.catalog import T, register
+
+    @register(
+        "txlog_vacuum_erasure_proof",
+        sql="""
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+               CAST(SUM(CAST(floor(c_acctbal * 100) AS BIGINT)) AS BIGINT)
+                   AS acctbal_cents,
+               CAST(0 AS BIGINT) AS n_subject_rows_on_disk,
+               CAST(0 AS BIGINT) AS orphan_data_files
+        FROM customer WHERE c_custkey % 89 <> 0
+        """,
+        tags=("ext-sink", "ext-privacy"),
+    )
+    def q_txlog_vacuum_erasure_proof(
+        spark: SparkSession, sf_dir: str
+    ) -> DataFrame:
+        """Physical erasure, proven: load customers into a commit-log
+        table (key-range-clustered files), DELETE the subject set
+        (c_custkey % 89 == 0), then VACUUM(retain_versions=1) and scan
+        the RAW parquet files left on disk — bypassing every manifest —
+        to show zero subject rows survive anywhere, and that the disk
+        holds exactly the live file set (no orphans). This is the
+        second half of txlog_right_to_erasure's documented two-step
+        (logical-now, physical-on-retention): Art. 17 is satisfied at
+        vacuum time, and this query is the audit that says so."""
+        from politicamente_etl_spark.sources.txlog import TxLogTable
+
+        c = T(spark, sf_dir, "customer").select("c_custkey", "c_acctbal")
+        path = os.path.join(tempfile.mkdtemp(prefix="txlog_vac_"), "t")
+        qsize = 500
+        t = TxLogTable.create(
+            spark, path, c.filter(F.col("c_custkey") <= qsize)
+        )
+        lo = qsize
+        while True:
+            chunk = c.filter(
+                (F.col("c_custkey") > lo) & (F.col("c_custkey") <= lo + qsize)
+            )
+            if chunk.limit(1).count() == 0:
+                break
+            t.append(chunk)
+            lo += qsize
+        subjects = c.filter(F.col("c_custkey") % 89 == 0).select("c_custkey")
+        t.delete_keys(subjects, ["c_custkey"])
+        # retain_versions=1: expire every pre-delete version (0 retains
+        # ALL history — time travel intact, nothing physically erased)
+        t.vacuum(retain_versions=1)
+
+        disk_files = []
+        for root, _dirs, files in os.walk(path):
+            disk_files.extend(
+                os.path.join(root, f) for f in files if f.endswith(".parquet")
+            )
+        live = set(t._live_files())
+        orphans = len(disk_files) - len(live)
+        raw = spark.read.parquet(*disk_files)
+        report = (
+            t.snapshot()
+            .agg(
+                F.count("*").cast("long").alias("n_rows"),
+                F.sum(F.floor(F.col("c_acctbal") * 100).cast("long"))
+                .cast("long")
+                .alias("acctbal_cents"),
+            )
+            .crossJoin(
+                raw.filter(F.col("c_custkey") % 89 == 0).agg(
+                    F.count("*").cast("long").alias("n_subject_rows_on_disk")
+                )
+            )
+            .withColumn(
+                "orphan_data_files", F.lit(orphans).cast("long")
+            )
+        )
+        return report
+
+
+_register_batch3()
+
+
+def _register_batch4():
+    from politicamente_etl_spark.operators import graph, sampling, text
+    from politicamente_etl_spark.operators.sampling import sql_hash_bucket
+    from politicamente_etl_spark.plans.catalog import T, register
+
+    # -- WordPiece greedy segmentation ---------------------------------------
+    # shares the vocabulary CTEs with unigram_viterbi_segmentation
+    # (extended_r7) — same pieces, different matcher (greedy vs optimal)
+
+    @register(
+        "wordpiece_greedy_segmentation",
+        sql="""
+        WITH RECURSIVE w AS MATERIALIZED (
+            SELECT w, CAST(COUNT(*) AS BIGINT) AS wf
+            FROM (SELECT unnest(string_split(text, ' ')) AS w
+                  FROM documents)
+            WHERE length(w) >= 1
+            GROUP BY w
+        ), subs AS MATERIALIZED (
+            SELECT w.w, w.wf, ii.i AS i, kk.k AS k,
+                   substr(w.w, ii.i, kk.k) AS p
+            FROM w,
+                 unnest(generate_series(1, least(4, length(w.w)))) AS kk(k),
+                 unnest(generate_series(1, length(w.w) - kk.k + 1)) AS ii(i)
+        ), pc AS MATERIALIZED (
+            SELECT p, CAST(SUM(wf) AS BIGINT) AS cnt FROM subs GROUP BY p
+        ), vocab AS (
+            -- UNION ALL + GROUP BY dedup (recursive-CTE UNION trap,
+            -- see unigram_viterbi_segmentation)
+            SELECT p, MAX(cnt) AS cnt FROM (
+                SELECT p, cnt FROM
+                    (SELECT p, cnt FROM pc ORDER BY cnt DESC, p LIMIT 200)
+                UNION ALL
+                SELECT p, cnt FROM pc WHERE length(p) = 1
+            ) GROUP BY p
+        ), tot AS (SELECT CAST(SUM(cnt) AS BIGINT) AS t FROM vocab),
+        pieces AS (
+            SELECT p, CAST(round(ln(CAST(cnt AS DOUBLE)
+                                    / CAST(t AS DOUBLE)) * 1e6)
+                           AS BIGINT) AS sc
+            FROM vocab, tot
+        ), spos AS MATERIALIZED (
+            -- candidate pieces per (word, START position), ordered by
+            -- length: the greedy step always takes el[len(el)]
+            SELECT s.w, s.i AS i,
+                   list({'k': s.k, 'sc': pieces.sc} ORDER BY s.k) AS el
+            FROM subs s JOIN pieces USING (p)
+            GROUP BY s.w, s.i
+        ), rec AS (
+            SELECT w.w, w.wf, length(w.w) AS L,
+                   CAST(1 AS BIGINT) AS cur, CAST(0 AS BIGINT) AS np,
+                   CAST(0 AS BIGINT) AS cost
+            FROM w
+            UNION ALL
+            SELECT r.w, r.wf, r.L,
+                   r.cur + e.el[len(e.el)].k,
+                   r.np + 1,
+                   r.cost - e.el[len(e.el)].sc
+            FROM rec r JOIN spos e ON e.w = r.w AND e.i = r.cur
+            WHERE r.cur <= r.L
+        )
+        SELECT w, wf, CAST(L AS BIGINT) AS n_chars,
+               CAST(np AS BIGINT) AS n_pieces,
+               CAST(cost AS BIGINT) AS total_cost_micro
+        FROM rec WHERE cur = L + 1
+        """,
+        tags=("ext-text", "ext-tokenizer"),
+    )
+    def q_wordpiece_greedy_segmentation(
+        spark: SparkSession, sf_dir: str
+    ) -> DataFrame:
+        """WordPiece-style greedy longest-match-first segmentation of
+        every vocabulary word against the shared substring vocabulary —
+        the third tokenizer matcher next to BPE merges and the
+        unigram-LM Viterbi optimum (same pieces, same micro-nat costs,
+        so greedy excess cost is directly comparable). One sequential
+        fold per word whose inner argmax-by-length FINISH lambda
+        advances the cursor; the oracle replays the walk as a
+        recursive CTE stepping on the cursor over per-start edge
+        lists."""
+        docs = T(spark, sf_dir, "documents").select("text")
+        return text.wordpiece_greedy_segmentation(docs)
+
+    # -- label propagation over the co-purchase graph ------------------------
+
+    _seed_bucket = sql_hash_bucket("p_partkey", seed="lp-v1", n_buckets=10)
+
+    @register(
+        "label_propagation_parts",
+        sql=f"""
+        WITH li AS (
+            SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+        ), e AS (
+            SELECT a.l_partkey AS pa, b.l_partkey AS pb
+            FROM li a JOIN li b
+              ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+            GROUP BY 1, 2 HAVING COUNT(*) >= 2
+        ), und AS (
+            SELECT pa AS s, pb AS d FROM e
+            UNION ALL SELECT pb AS s, pa AS d FROM e
+        ), l0 AS (
+            SELECT p_partkey AS node, p_brand AS label,
+                   CAST(0 AS BIGINT) AS rnd
+            FROM part WHERE {_seed_bucket} = 0
+        ), v1 AS (
+            SELECT und.d, l0.label, COUNT(*) AS c
+            FROM und JOIN l0 ON und.s = l0.node
+            GROUP BY 1, 2
+        ), n1 AS (
+            SELECT d AS node, label, CAST(1 AS BIGINT) AS rnd
+            FROM (SELECT d, label,
+                         row_number() OVER (PARTITION BY d
+                             ORDER BY c DESC, label) AS rk
+                  FROM v1) WHERE rk = 1
+        ), l1 AS (
+            SELECT * FROM l0
+            UNION ALL
+            SELECT n1.* FROM n1
+            WHERE NOT EXISTS (SELECT 1 FROM l0 WHERE l0.node = n1.node)
+        ), v2 AS (
+            SELECT und.d, l1.label, COUNT(*) AS c
+            FROM und JOIN l1 ON und.s = l1.node
+            GROUP BY 1, 2
+        ), n2 AS (
+            SELECT d AS node, label, CAST(2 AS BIGINT) AS rnd
+            FROM (SELECT d, label,
+                         row_number() OVER (PARTITION BY d
+                             ORDER BY c DESC, label) AS rk
+                  FROM v2) WHERE rk = 1
+        ), l2 AS (
+            SELECT * FROM l1
+            UNION ALL
+            SELECT n2.* FROM n2
+            WHERE NOT EXISTS (SELECT 1 FROM l1 WHERE l1.node = n2.node)
+        )
+        SELECT node, label, rnd FROM l2
+        """,
+        tags=("ext-graph", "ext-rel"),
+    )
+    def q_label_propagation_parts(
+        spark: SparkSession, sf_dir: str
+    ) -> DataFrame:
+        """Two rounds of hard label propagation on the support-≥2
+        co-purchase graph: ~10% of parts are seeded with their brand
+        (deterministic md5 bucket), unlabeled parts adopt their labeled
+        neighbors' majority brand (min-label tie-break) — the
+        semi-supervised classifier that needs no model. Votes are an
+        ordinary aggregate + struct-min argmax, no window; the oracle
+        unrolls both rounds as SQL stages."""
+        from politicamente_etl_spark.operators.sampling import hash_bucket
+
+        li = (
+            T(spark, sf_dir, "lineitem")
+            .select("l_orderkey", "l_partkey")
+            .distinct()
+        )
+        a, b = li.alias("a"), li.alias("b")
+        e = (
+            a.join(
+                b,
+                (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+                & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+            )
+            .groupBy(
+                F.col("a.l_partkey").alias("pa"),
+                F.col("b.l_partkey").alias("pb"),
+            )
+            .agg(F.count("*").alias("n"))
+            .filter(F.col("n") >= 2)
+            .select("pa", "pb")
+        )
+        seeds = (
+            T(spark, sf_dir, "part")
+            .filter(hash_bucket("p_partkey", seed="lp-v1", n_buckets=10) == 0)
+            .select(
+                F.col("p_partkey").alias("node"),
+                F.col("p_brand").alias("label"),
+            )
+        )
+        return graph.label_propagation(e, seeds, rounds=2, src="pa", dst="pb")
+
+    # -- DoReMi-flavored domain reweighting ----------------------------------
+
+    @register(
+        "domain_weights_mw_update",
+        sql="""
+        WITH toks AS (
+            SELECT source, unnest(string_split(text, ' ')) AS t
+            FROM documents
+        ), lm AS (
+            SELECT t, CAST(COUNT(*) AS BIGINT) AS cnt FROM toks GROUP BY 1
+        ), tot AS (
+            SELECT CAST(SUM(cnt) AS BIGINT) AS tt FROM lm
+        ), lp AS (
+            SELECT t, CAST(round(ln(CAST(cnt AS DOUBLE)
+                                    / CAST(tt AS DOUBLE)) * 1e6)
+                           AS BIGINT) AS lp
+            FROM lm, tot
+        ), ps AS (
+            SELECT source, CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(SUM(lp) AS BIGINT) AS s
+            FROM toks JOIN lp USING (t) GROUP BY 1
+        ), losses AS (
+            SELECT source, CAST((-s) // n AS BIGINT) AS loss_micro FROM ps
+        ), lo AS (SELECT MIN(loss_micro) AS m FROM losses),
+        raw AS (
+            SELECT source, loss_micro,
+                   CAST(loss_micro - m AS BIGINT) AS excess_micro,
+                   CAST(round(exp(least(CAST(loss_micro - m AS DOUBLE)
+                            * 1000000 / 1e12, 1.2e1)) * 1e6)
+                        AS BIGINT) AS raw_micro
+            FROM losses, lo
+        ), rt AS (SELECT CAST(SUM(raw_micro) AS BIGINT) AS rt FROM raw)
+        SELECT source, loss_micro, excess_micro, raw_micro,
+               CAST(raw_micro * 1000000 // rt AS BIGINT) AS weight_ppm
+        FROM raw, rt
+        """,
+        tags=("ext-sample", "ext-text", "ext-docs"),
+    )
+    def q_domain_weights_mw_update(
+        spark: SparkSession, sf_dir: str
+    ) -> DataFrame:
+        """One DoReMi-flavored multiplicative-weights step over the
+        per-source corpus mixture: per-source mean unigram surprisal
+        (micro-nats, the corpus-sized pass) feeds
+        `sampling.domain_mw_weights`, which upweights the
+        worst-modeled domains by exp(η·excess) and renormalizes to
+        ppm — the next-epoch mixture the data loader consumes
+        (temperature_mix_weights' robust-optimization sibling)."""
+        docs = T(spark, sf_dir, "documents").select("source", "text")
+        toks = docs.select(
+            "source", F.explode(F.split("text", " ")).alias("t")
+        )
+        lm = toks.groupBy("t").agg(F.count("*").cast("long").alias("cnt"))
+        tot = lm.agg(F.sum("cnt").alias("tt"))
+        lp = lm.crossJoin(F.broadcast(tot)).select(
+            "t",
+            F.round(
+                F.log(F.col("cnt").cast("double") / F.col("tt").cast("double"))
+                * F.lit(1e6),
+                0,
+            )
+            .cast("long")
+            .alias("lp"),
+        )
+        # no broadcast hint on the vocab join (mandatory-hint OOM trap;
+        # the planner/AQE picks broadcast while the vocab is small)
+        ps = (
+            toks.join(lp, "t")
+            .groupBy("source")
+            .agg(
+                F.count("*").cast("long").alias("n"),
+                F.sum("lp").cast("long").alias("s"),
+            )
+        )
+        losses = ps.select(
+            "source", F.expr("(-s) DIV n").cast("long").alias("loss_micro")
+        )
+        return sampling.domain_mw_weights(losses)
+
+    # -- per-group consistent exact-k sample ----------------------------------
+
+    @register(
+        "consistent_sample_k_per_source",
+        sql="""
+        SELECT doc_id, source, n_chars,
+               CAST(row_number() OVER (PARTITION BY source
+                    ORDER BY md5(concat_ws(':', 'v1',
+                                           CAST(doc_id AS VARCHAR))))
+                    AS BIGINT) AS sample_rank
+        FROM documents
+        QUALIFY sample_rank <= 10
+        """,
+        tags=("ext-sampling",),
+    )
+    def q_consistent_sample_k_per_source(
+        spark: SparkSession, sf_dir: str
+    ) -> DataFrame:
+        """Stratified exact-k sample: per source, the 10 docs whose
+        salted md5 ranks lowest (`consistent_sample_k_grouped`) —
+        bottom-k-sketch stability per group, planned as
+        WindowGroupLimit (map-side partial bottom-k), never a global
+        sort."""
+        docs = T(spark, sf_dir, "documents").select(
+            "doc_id", "source", "n_chars"
+        )
+        return sampling.consistent_sample_k_grouped(
+            docs, k=10, group_col="source"
+        )
+
+
+_register_batch4()

