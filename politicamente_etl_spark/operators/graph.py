@@ -470,3 +470,54 @@ def label_propagation(
         )
         labels = labels.unionByName(newly).localCheckpoint(eager=False)
     return labels
+
+
+def bfs_hop_distances(
+    edges: DataFrame,
+    seeds: DataFrame,
+    max_hops: int = 4,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Multi-source breadth-first hop distances: every node's minimum
+    hop count to the seed set, out to `max_hops` sweeps — the
+    reachability/radius primitive under the PageRank and
+    label-propagation loops (hop counts ARE the unweighted
+    single-source shortest paths). Fixed sweep count keeps the oracle
+    expressible as K unrolled SQL stages, same contract as
+    pagerank_integer's fixed iterations.
+
+    Per sweep: ONE equi-join of the frontier onto the symmetrized edge
+    list + a groupBy-min merge with the settled set — both partial-
+    aggregated and keyed by node id; lineage cut per sweep with
+    localCheckpoint, so plans stay flat at any hop count. Settled
+    nodes re-derived through a neighbor can only produce a LARGER
+    candidate distance, so min() keeps BFS's invariant without a
+    visited-set anti-join.
+
+    Returns (node, dist) for every node within max_hops of a seed
+    (seeds at dist 0); unreachable nodes are absent.
+    """
+    und = (
+        edges.select(F.col(src).alias("s"), F.col(dst).alias("d"))
+        .unionByName(edges.select(F.col(dst).alias("s"), F.col(src).alias("d")))
+        .filter(F.col("s") != F.col("d"))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    dist = seeds.select(
+        F.col(seeds.columns[0]).alias("node"),
+        F.lit(0).cast("long").alias("dist"),
+    ).distinct()
+    for _ in range(max_hops):
+        reach = (
+            und.join(dist, und.s == dist.node)
+            .select(F.col("d").alias("node"), (F.col("dist") + 1).alias("dist"))
+        )
+        dist = (
+            dist.unionByName(reach)
+            .groupBy("node")
+            .agg(F.min("dist").cast("long").alias("dist"))
+            .localCheckpoint(eager=False)
+        )
+    return dist

@@ -230,3 +230,79 @@ def k_anonymity_classes(
         F.countDistinct(subject_col).cast("long").alias("n_subjects"),
     )
     return cls.withColumn("at_risk", F.col("n_subjects") < F.lit(int(k)))
+
+
+def t_closeness_classes(
+    df: DataFrame,
+    qi_cols: list[str],
+    sensitive_col: str,
+) -> DataFrame:
+    """t-closeness audit (Li, Li & Venkatasubramanian 2007) with total
+    variation distance — the third rung of the release-privacy ladder
+    after `k_anonymity_classes` and the l-diversity report: a QI class
+    leaks its members' sensitive attribute when the class's sensitive
+    DISTRIBUTION sits far from the table-wide one, even if the class is
+    large and diverse. TVD = ½ Σ_b |p_b − q_b| over sensitive buckets.
+
+    Exactness: with class size n_c, table size N, class bucket counts
+    cnt_b and global bucket counts g_b, the common-denominator identity
+
+        2·n_c·N·TVD = Σ_{b∈class} (|cnt_b·N − g_b·n_c| − g_b·n_c) + n_c·N
+
+    (absent buckets contribute g_b·n_c, and Σ_b g_b = N folds the
+    zero-fill into one closed term) lets the whole audit run on the
+    OBSERVED (class, bucket) cells — no dense bucket-fill join — in
+    pure integer arithmetic, emitted as tvd_ppm by integer division.
+    The cross products run in DECIMAL(38,0) (DuckDB: HUGEINT) because
+    cnt·N outgrows BIGINT once N reaches trillions of rows.
+
+    Shape: one partial-aggregated groupBy on (QI, bucket) for the
+    cells, one on the QI for class sizes, the bounded global bucket
+    table and the class-size table broadcast back, one per-class
+    rollup. Class and bucket grids are bounded by the generalization
+    design, not by rows.
+
+    Returns one row per QI class: (qi..., n_rows, tvd_ppm).
+    """
+    cell = df.groupBy(*qi_cols, sensitive_col).agg(
+        F.count("*").cast("long").alias("cnt")
+    )
+    g = df.groupBy(sensitive_col).agg(F.count("*").cast("long").alias("g"))
+    n_tot = df.agg(F.count("*").cast("long").alias("N"))
+    sizes = df.groupBy(*qi_cols).agg(
+        F.count("*").cast("long").alias("n_rows")
+    )
+    d38 = "decimal(38,0)"
+    terms = (
+        cell.join(F.broadcast(g), sensitive_col)
+        .join(F.broadcast(sizes), qi_cols)
+        .crossJoin(F.broadcast(n_tot))
+        .select(
+            *qi_cols,
+            "n_rows",
+            "N",
+            (
+                F.abs(
+                    F.col("cnt").cast(d38) * F.col("N").cast(d38)
+                    - F.col("g").cast(d38) * F.col("n_rows").cast(d38)
+                )
+                - F.col("g").cast(d38) * F.col("n_rows").cast(d38)
+            ).alias("term"),
+        )
+        .groupBy(*qi_cols)
+        .agg(
+            F.first("n_rows").alias("n_rows"),
+            F.first("N").alias("N"),
+            F.sum("term").alias("s"),
+        )
+    )
+    return terms.select(
+        *qi_cols,
+        "n_rows",
+        F.expr(
+            "CAST((CAST(1000000 AS decimal(38,0))"
+            " * (s + CAST(n_rows AS decimal(38,0)) * CAST(N AS decimal(38,0))))"
+            " DIV (CAST(2 AS decimal(38,0)) * CAST(n_rows AS decimal(38,0))"
+            " * CAST(N AS decimal(38,0))) AS BIGINT)"
+        ).alias("tvd_ppm"),
+    )

@@ -318,19 +318,19 @@ def _register():
 _register()
 
 
-def _register_batch2():
-    from politicamente_etl_spark.operators import stats, text
+def _classifier_scored_cte() -> str:
+    """Oracle CTE chain scoring every document with the SAME
+    deterministic fixture model as hashed_classifier_gate (extended_r6)
+    plus the lexical-diversity ground-truth label — shared front of the
+    classifier-evaluation queries (AUC, calibration, P/R)."""
     from politicamente_etl_spark.operators.sampling import sql_hash_bucket
-    from politicamente_etl_spark.plans.catalog import T, register
 
-    # the SAME deterministic fixture model as hashed_classifier_gate
-    # (extended_r6), so the two evaluation queries audit that gate
     w_sql = (
         f"CAST({sql_hash_bucket('i', seed='qc-w', n_buckets=2001)} - 1000"
         " AS BIGINT)"
     )
     f_bucket = sql_hash_bucket("f", seed="qc-v1", n_buckets=4096)
-    _scored_cte = f"""
+    return f"""
         WITH uni AS (
             SELECT doc_id, 'u:' || unnest(string_split(text, ' ')) AS f
             FROM documents
@@ -357,6 +357,13 @@ def _register_batch2():
                        AS label
             FROM documents
         )"""
+
+
+def _register_batch2():
+    from politicamente_etl_spark.operators import stats, text
+    from politicamente_etl_spark.plans.catalog import T, register
+
+    _scored_cte = _classifier_scored_cte()
 
     @register(
         "classifier_auc_report",
@@ -851,3 +858,348 @@ def _register_batch4():
 
 
 _register_batch4()
+
+
+def _register_batch5():
+    from politicamente_etl_spark.operators import graph, quality
+    from politicamente_etl_spark.operators.sampling import (
+        hash_bucket,
+        sql_hash_bucket,
+    )
+    from politicamente_etl_spark.plans.catalog import T, load_events, register
+    from politicamente_etl_spark.plans.extended_r4b import _M_CTE, _emb_milli
+
+    # -- BFS hop distances ----------------------------------------------------
+
+    _seed_sql = sql_hash_bucket("p_partkey", seed="bfs-v1", n_buckets=50)
+
+    @register(
+        "bfs_hop_histogram",
+        sql=f"""
+        WITH li AS (
+            SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+        ), e AS (
+            SELECT a.l_partkey AS pa, b.l_partkey AS pb
+            FROM li a JOIN li b
+              ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+            GROUP BY 1, 2 HAVING COUNT(*) >= 2
+        ), und AS (
+            SELECT pa AS s, pb AS d FROM e
+            UNION ALL SELECT pb AS s, pa AS d FROM e
+        ), d0 AS (
+            SELECT p_partkey AS node, CAST(0 AS BIGINT) AS dist
+            FROM part WHERE {_seed_sql} = 0
+        ), d1 AS (
+            SELECT node, MIN(dist) AS dist FROM (
+                SELECT node, dist FROM d0
+                UNION ALL
+                SELECT und.d AS node, d0.dist + 1 FROM und
+                JOIN d0 ON und.s = d0.node
+            ) GROUP BY node
+        ), d2 AS (
+            SELECT node, MIN(dist) AS dist FROM (
+                SELECT node, dist FROM d1
+                UNION ALL
+                SELECT und.d AS node, d1.dist + 1 FROM und
+                JOIN d1 ON und.s = d1.node
+            ) GROUP BY node
+        ), d3 AS (
+            SELECT node, MIN(dist) AS dist FROM (
+                SELECT node, dist FROM d2
+                UNION ALL
+                SELECT und.d AS node, d2.dist + 1 FROM und
+                JOIN d2 ON und.s = d2.node
+            ) GROUP BY node
+        ), d4 AS (
+            SELECT node, MIN(dist) AS dist FROM (
+                SELECT node, dist FROM d3
+                UNION ALL
+                SELECT und.d AS node, d3.dist + 1 FROM und
+                JOIN d3 ON und.s = d3.node
+            ) GROUP BY node
+        )
+        SELECT CAST(dist AS BIGINT) AS dist,
+               CAST(COUNT(*) AS BIGINT) AS n_nodes,
+               CAST(SUM(node) AS BIGINT) AS sum_nodes
+        FROM d4 GROUP BY dist
+        """,
+        tags=("ext-graph", "ext-rel"),
+    )
+    def q_bfs_hop_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Multi-source BFS over the support-≥2 co-purchase graph: hop
+        distance from a deterministic ~2% seed set of parts, swept 4
+        rounds (`graph.bfs_hop_distances`), reported as a distance
+        histogram with a sum-of-node-ids witness so a wrong frontier
+        can't hide in equal counts. One frontier equi-join + min-merge
+        per sweep; the oracle unrolls the sweeps as SQL stages."""
+        li = (
+            T(spark, sf_dir, "lineitem")
+            .select("l_orderkey", "l_partkey")
+            .distinct()
+        )
+        a, b = li.alias("a"), li.alias("b")
+        e = (
+            a.join(
+                b,
+                (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+                & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+            )
+            .groupBy(
+                F.col("a.l_partkey").alias("pa"),
+                F.col("b.l_partkey").alias("pb"),
+            )
+            .agg(F.count("*").alias("n"))
+            .filter(F.col("n") >= 2)
+            .select("pa", "pb")
+        )
+        seeds = (
+            T(spark, sf_dir, "part")
+            .filter(hash_bucket("p_partkey", seed="bfs-v1", n_buckets=50) == 0)
+            .select("p_partkey")
+        )
+        dist = graph.bfs_hop_distances(e, seeds, max_hops=4, src="pa", dst="pb")
+        return dist.groupBy("dist").agg(
+            F.count("*").cast("long").alias("n_nodes"),
+            F.sum("node").cast("long").alias("sum_nodes"),
+        )
+
+    # -- t-closeness audit ----------------------------------------------------
+
+    @register(
+        "t_closeness_report",
+        sql="""
+        WITH v AS (
+            SELECT event_type,
+                   CAST(CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT)
+                        % 7 AS INT) AS dow,
+                   CAST(date_part('hour', ts) AS INT) AS hour,
+                   CAST(floor(value * 1000) AS BIGINT) AS vm
+            FROM events
+        ), rng AS (
+            SELECT MIN(vm) AS vmin, MAX(vm) AS vmax FROM v
+        ), base AS (
+            SELECT event_type, dow, hour,
+                   CAST(((vm - vmin) * 8) // (vmax - vmin + 1) AS BIGINT)
+                       AS vbin
+            FROM v, rng
+        ), cell AS (
+            SELECT event_type, dow, hour, vbin,
+                   CAST(COUNT(*) AS BIGINT) AS cnt
+            FROM base GROUP BY 1, 2, 3, 4
+        ), g AS (
+            SELECT vbin, CAST(COUNT(*) AS BIGINT) AS g FROM base GROUP BY 1
+        ), sz AS (
+            SELECT event_type, dow, hour, CAST(COUNT(*) AS BIGINT) AS n_rows
+            FROM base GROUP BY 1, 2, 3
+        ), nt AS (SELECT CAST(COUNT(*) AS BIGINT) AS N FROM base),
+        terms AS (
+            SELECT cell.event_type, cell.dow, cell.hour, sz.n_rows, nt.N,
+                   CAST(SUM(ABS(cell.cnt * nt.N - g.g * sz.n_rows)
+                            - g.g * sz.n_rows) AS BIGINT) AS s
+            FROM cell
+            JOIN g USING (vbin)
+            JOIN sz USING (event_type, dow, hour)
+            CROSS JOIN nt
+            GROUP BY 1, 2, 3, 4, 5
+        )
+        SELECT event_type, dow, hour, n_rows,
+               CAST((1000000 * (s + n_rows * N)) // (2 * n_rows * N)
+                    AS BIGINT) AS tvd_ppm
+        FROM terms
+        """,
+        tags=("ext-quality", "ext-privacy"),
+    )
+    def q_t_closeness_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """t-closeness audit of the event stream: for every
+        quasi-identifier class (event_type, day-of-week, hour), the
+        total-variation distance (ppm) between the class's sensitive
+        value-octile distribution and the table-wide one
+        (`quality.t_closeness_classes`) — the release gate that catches
+        skew leaks k-anonymity and l-diversity both miss. Sensitive
+        buckets are the 8-bin equi-width value histogram (same capless
+        integer bin arithmetic as hbos_event_outliers)."""
+        ev = load_events(spark, sf_dir)
+        v = ev.select(
+            "event_type",
+            F.pmod(F.unix_date(F.to_date("ts")), F.lit(7))
+            .cast("int")
+            .alias("dow"),
+            F.hour("ts").cast("int").alias("hour"),
+            F.floor(F.col("value").cast("double") * 1000)
+            .cast("long")
+            .alias("vm"),
+        )
+        rng = v.agg(F.min("vm").alias("vmin"), F.max("vm").alias("vmax"))
+        base = v.join(F.broadcast(rng)).select(
+            "event_type",
+            "dow",
+            "hour",
+            F.expr("((vm - vmin) * 8) DIV (vmax - vmin + 1)")
+            .cast("long")
+            .alias("vbin"),
+        )
+        return quality.t_closeness_classes(
+            base, ["event_type", "dow", "hour"], "vbin"
+        )
+
+    # -- classifier precision/recall -------------------------------------------
+
+    @register(
+        "classifier_pr_report",
+        sql=_classifier_scored_cte()
+        + """, j AS (
+            SELECT CAST(logits.logit > 0 AS INT) AS pred, truth.label
+            FROM logits JOIN truth USING (doc_id)
+        ), cm AS (
+            SELECT
+                CAST(SUM(CASE WHEN pred = 1 AND label = 1 THEN 1 ELSE 0 END)
+                     AS BIGINT) AS tp,
+                CAST(SUM(CASE WHEN pred = 1 AND label = 0 THEN 1 ELSE 0 END)
+                     AS BIGINT) AS fp,
+                CAST(SUM(CASE WHEN pred = 0 AND label = 1 THEN 1 ELSE 0 END)
+                     AS BIGINT) AS fn,
+                CAST(SUM(CASE WHEN pred = 0 AND label = 0 THEN 1 ELSE 0 END)
+                     AS BIGINT) AS tn
+            FROM j
+        )
+        SELECT tp, fp, fn, tn,
+               CAST(tp * 1000000 // (tp + fp) AS BIGINT) AS precision_ppm,
+               CAST(tp * 1000000 // (tp + fn) AS BIGINT) AS recall_ppm,
+               CAST(2 * tp * 1000000 // (2 * tp + fp + fn) AS BIGINT)
+                   AS f1_ppm
+        FROM cm
+        """,
+        tags=("ext-text", "ext-stats", "ext-docs"),
+    )
+    def q_classifier_pr_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Threshold-at-zero confusion matrix of the hashed quality gate
+        against the lexical-diversity truth, with integer-ppm precision,
+        recall and F1 — the operating-point numbers that accompany the
+        threshold-free AUC. One scan each for logits and truth, one
+        4-counter aggregate."""
+        from politicamente_etl_spark.operators import text
+
+        docs = T(spark, sf_dir, "documents").select("doc_id", "text")
+        w = text.fixture_hash_weights(spark, n_buckets=4096, seed="qc-w")
+        logit = text.hashed_linear_score(
+            docs, w, n_buckets=4096, seed="qc-v1"
+        ).select("doc_id", (F.col("logit_micro") > 0).cast("int").alias("pred"))
+        truth = docs.select(
+            "doc_id",
+            (
+                F.expr(
+                    "(size(array_distinct(split(text, ' '))) * 1000)"
+                    " div size(split(text, ' '))"
+                )
+                >= 800
+            )
+            .cast("int")
+            .alias("label"),
+        )
+        j = logit.join(truth, "doc_id")
+        cm = j.agg(
+            F.sum(((F.col("pred") == 1) & (F.col("label") == 1)).cast("long"))
+            .cast("long")
+            .alias("tp"),
+            F.sum(((F.col("pred") == 1) & (F.col("label") == 0)).cast("long"))
+            .cast("long")
+            .alias("fp"),
+            F.sum(((F.col("pred") == 0) & (F.col("label") == 1)).cast("long"))
+            .cast("long")
+            .alias("fn"),
+            F.sum(((F.col("pred") == 0) & (F.col("label") == 0)).cast("long"))
+            .cast("long")
+            .alias("tn"),
+        )
+        return cm.select(
+            "tp",
+            "fp",
+            "fn",
+            "tn",
+            F.expr("tp * 1000000 DIV (tp + fp)").cast("long").alias(
+                "precision_ppm"
+            ),
+            F.expr("tp * 1000000 DIV (tp + fn)").cast("long").alias(
+                "recall_ppm"
+            ),
+            F.expr("2 * tp * 1000000 DIV (2 * tp + fp + fn)")
+            .cast("long")
+            .alias("f1_ppm"),
+        )
+
+    # -- embedding dimension covariance -----------------------------------------
+
+    @register(
+        "embedding_dim_covariance_top",
+        sql=_M_CTE
+        + """, dsum AS (
+            SELECT i, CAST(SUM(mv) AS BIGINT) AS sx,
+                   CAST(COUNT(*) AS BIGINT) AS n
+            FROM m GROUP BY i
+        ), pxy AS (
+            SELECT a.i AS di, b.i AS dj,
+                   CAST(SUM(a.mv * b.mv) AS BIGINT) AS sxy,
+                   CAST(COUNT(*) AS BIGINT) AS n
+            FROM m a JOIN m b ON a.vec_id = b.vec_id AND a.i < b.i
+            GROUP BY 1, 2
+        )
+        SELECT CAST(di AS BIGINT) AS dim_i, CAST(dj AS BIGINT) AS dim_j,
+               pxy.n, pxy.sxy, sa.sx AS sx_i, sb.sx AS sx_j,
+               CAST(pxy.n * pxy.sxy - sa.sx * sb.sx AS BIGINT) AS cov_num
+        FROM pxy JOIN dsum sa ON di = sa.i JOIN dsum sb ON dj = sb.i
+        ORDER BY ABS(pxy.n * pxy.sxy - sa.sx * sb.sx) DESC, dim_i, dim_j
+        LIMIT 20
+        """,
+        tags=("ext-sim", "ext-embeddings", "ext-stats"),
+    )
+    def q_embedding_dim_covariance_top(
+        spark: SparkSession, sf_dir: str
+    ) -> DataFrame:
+        """Top-20 most-covarying embedding dimension pairs by
+        |n·Σxy − Σx·Σy| over integer-milli components — exact
+        covariance sufficient statistics, the redundancy signal that
+        motivates whitening/JL before ANN. The pair expansion is d² per
+        VECTOR (bounded by dimensionality, linear in corpus size) and
+        partial-aggregates to d²/2 groups before the exchange; top-k is
+        TakeOrdered."""
+        m = _emb_milli(spark, sf_dir)
+        dsum = m.groupBy("i").agg(
+            F.sum("mv").cast("long").alias("sx"),
+            F.count("*").cast("long").alias("n"),
+        )
+        a, b = m.alias("a"), m.alias("b")
+        pxy = (
+            a.join(
+                b,
+                (F.col("a.vec_id") == F.col("b.vec_id"))
+                & (F.col("a.i") < F.col("b.i")),
+            )
+            .groupBy(F.col("a.i").alias("di"), F.col("b.i").alias("dj"))
+            .agg(
+                F.sum(F.col("a.mv") * F.col("b.mv")).cast("long").alias("sxy"),
+                F.count("*").cast("long").alias("n"),
+            )
+        )
+        sa = dsum.select(F.col("i").alias("di"), F.col("sx").alias("sx_i"))
+        sb = dsum.select(F.col("i").alias("dj"), F.col("sx").alias("sx_j"))
+        out = (
+            pxy.join(F.broadcast(sa), "di")
+            .join(F.broadcast(sb), "dj")
+            .select(
+                F.col("di").cast("long").alias("dim_i"),
+                F.col("dj").cast("long").alias("dim_j"),
+                "n",
+                "sxy",
+                "sx_i",
+                "sx_j",
+                (F.col("n") * F.col("sxy") - F.col("sx_i") * F.col("sx_j"))
+                .cast("long")
+                .alias("cov_num"),
+            )
+        )
+        return out.orderBy(
+            F.abs(F.col("cov_num")).desc(), "dim_i", "dim_j"
+        ).limit(20)
+
+
+_register_batch5()

@@ -810,3 +810,30 @@ def test_grouped_sample_is_windowgrouplimit(spark, sf_dir):
     plan = plan_of(q("consistent_sample_k_per_source", spark, sf_dir))
     assert "WindowGroupLimit" in plan
     assert "TakeOrderedAndProject" not in plan or True  # limit is per-group
+
+
+def test_bfs_sweeps_stay_equi_join(spark, sf_dir):
+    """Each BFS sweep is a frontier equi-join + min-merge; never a
+    cartesian, never a window."""
+    plan = plan_of(q("bfs_hop_histogram", spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "Window" not in plan
+
+
+def test_t_closeness_bounded_broadcasts(spark, sf_dir):
+    """The global bucket table, class-size table and 1-row total all
+    broadcast back onto the observed cells; no sort, no cartesian over
+    rows (the scalar cross joins are 1-row broadcasts)."""
+    plan = plan_of(q("t_closeness_report", spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_dim_covariance_partial_agg_takeordered(spark, sf_dir):
+    """The d²-per-vector pair explode must partial-aggregate to d²/2
+    groups before the exchange, and the top-k must be TakeOrdered."""
+    plan = plan_of(q("embedding_dim_covariance_top", spark, sf_dir))
+    assert "partial" in plan.lower()
+    assert "TakeOrderedAndProject" in plan
+    assert "CartesianProduct" not in plan

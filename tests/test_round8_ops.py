@@ -354,3 +354,87 @@ def test_consistent_sample_k_grouped_stability_and_exact_k(spark):
         by_g2.setdefault(r.g, set()).add(r.doc_id)
     for g in by_g:
         assert by_g2[g] == by_g[g]
+
+
+def test_bfs_hop_distances_match_python_bfs(spark):
+    from collections import deque
+
+    from politicamente_etl_spark.operators.graph import bfs_hop_distances
+
+    edges = [(1, 2), (2, 3), (3, 4), (4, 5), (5, 6), (7, 8), (2, 9)]
+    seeds = [1, 7]
+    e = spark.createDataFrame(edges, "src long, dst long")
+    s = spark.createDataFrame([(x,) for x in seeds], "node long")
+
+    adj: dict = {}
+    for a, b in edges:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    want, dq = {x: 0 for x in seeds}, deque(seeds)
+    while dq:
+        u = dq.popleft()
+        if want[u] >= 3:
+            continue
+        for v in adj.get(u, ()):
+            if v not in want:
+                want[v] = want[u] + 1
+                dq.append(v)
+    got = {
+        r.node: r.dist for r in bfs_hop_distances(e, s, max_hops=3).collect()
+    }
+    assert got == want
+    assert got[4] == 3 and got[9] == 2 and got[8] == 1  # spot checks
+    assert 5 not in got and 6 not in got  # beyond the 3-hop horizon
+
+
+def test_t_closeness_tvd_matches_hand_distribution(spark):
+    from politicamente_etl_spark.operators.quality import t_closeness_classes
+
+    # global sensitive dist: bucket1 2/6, bucket2 4/6
+    rows = [("a", 1), ("a", 1), ("a", 2), ("b", 2), ("b", 2), ("b", 2)]
+    df = spark.createDataFrame(rows, "q string, s int")
+    out = {
+        r.q: (r.n_rows, r.tvd_ppm)
+        for r in t_closeness_classes(df, ["q"], "s").collect()
+    }
+    # class a = (2/3, 1/3) vs (1/3, 2/3): TVD = 1/3; class b = (0, 1): 1/3
+    assert out == {"a": (3, 333333), "b": (3, 333333)}
+    # a class that mirrors the global distribution has TVD 0
+    rows2 = rows + [("c", 1), ("c", 2), ("c", 2)]
+    # new global: b1 3/9, b2 6/9 -> class c (1/3, 2/3) == global
+    out2 = {
+        r.q: r.tvd_ppm
+        for r in t_closeness_classes(
+            spark.createDataFrame(rows2, "q string, s int"), ["q"], "s"
+        ).collect()
+    }
+    assert out2["c"] == 0
+
+
+def test_dim_covariance_matches_numpy(spark):
+    import numpy as np
+
+    from politicamente_etl_spark.plans.catalog import CATALOG
+
+    df = CATALOG["embedding_dim_covariance_top"].fn(
+        spark, "/root/testdata/sf0.001"
+    )
+    rows = df.collect()
+    assert len(rows) == 20
+    emb = np.array(
+        [
+            r.embedding
+            for r in spark.read.parquet(
+                "/root/testdata/sf0.001/embeddings.parquet"
+            ).collect()
+        ],
+        dtype=np.float64,
+    )
+    m = np.floor(emb * 1000).astype(np.int64)
+    n = m.shape[0]
+    for r in rows[:5]:
+        i, j = int(r.dim_i) - 1, int(r.dim_j) - 1
+        want = n * int(np.dot(m[:, i], m[:, j])) - int(m[:, i].sum()) * int(
+            m[:, j].sum()
+        )
+        assert r.cov_num == want
