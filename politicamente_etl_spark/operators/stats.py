@@ -1025,3 +1025,76 @@ def calibration_bins(
             "score_sum",
         )
     )
+
+
+def _rank2x(df: DataFrame, col: str, out: str) -> DataFrame:
+    """Doubled average ranks of `col` as integers: 2·avg_rank =
+    2·cnt_below + cnt_equal + 1, computed on the per-distinct-value
+    SUMMARY (the same bounded-window trick as auc_exact_report).
+    Returns (value, rank2x) to join back on the value."""
+    per = df.groupBy(F.col(col).alias("__v")).agg(
+        F.count("*").cast("long").alias("__n")
+    )
+    w = Window.orderBy("__v").rowsBetween(Window.unboundedPreceding, -1)
+    return per.select(
+        F.col("__v").alias(col),
+        (
+            2 * F.coalesce(F.sum("__n").over(w), F.lit(0))
+            + F.col("__n")
+            + 1
+        )
+        .cast("long")
+        .alias(out),
+    )
+
+
+def spearman_report(
+    df: DataFrame,
+    x_col: str,
+    y_col: str,
+) -> DataFrame:
+    """Spearman rank correlation with exact tie handling: Pearson over
+    AVERAGE ranks, carried as doubled-integer ranks so every sufficient
+    statistic (n, Σx, Σy, Σxy, Σx², Σy²) is an exact integer — the
+    monotonic-association audit between two scores (e.g. does the cheap
+    quality heuristic rank documents like the trained gate?).
+
+    Emits the six sufficient statistics (composable: sum them across
+    shards and finish anywhere) plus the signed squared correlation
+    sign(ρ)·ρ² in ppm, finished in DECIMAL(38,0). The in-engine finish
+    is exact while (n·Σxy)² fits 38 digits (n ≲ 3·10⁴ rows); beyond
+    that, consume the exact statistics and finish in arbitrary
+    precision driver-side — the stats, not the ppm, are the contract.
+
+    Shape: two per-distinct-value rank summaries (bounded windows over
+    summaries, not data — callers bucket continuous scores first), two
+    joins back on the value, one 1-row aggregate.
+    """
+    rx = _rank2x(df, x_col, "__rx")
+    ry = _rank2x(df, y_col, "__ry")
+    ranked = df.join(rx, x_col).join(ry, y_col)
+    stats = ranked.agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("__rx").cast("long").alias("sx"),
+        F.sum("__ry").cast("long").alias("sy"),
+        F.sum(F.col("__rx") * F.col("__ry")).cast("long").alias("sxy"),
+        F.sum(F.col("__rx") * F.col("__rx")).cast("long").alias("sxx"),
+        F.sum(F.col("__ry") * F.col("__ry")).cast("long").alias("syy"),
+    )
+    d38 = "CAST({} AS decimal(38,0))"
+    num = f"({d38.format('n')} * {d38.format('sxy')} - {d38.format('sx')} * {d38.format('sy')})"
+    dxx = f"({d38.format('n')} * {d38.format('sxx')} - {d38.format('sx')} * {d38.format('sx')})"
+    dyy = f"({d38.format('n')} * {d38.format('syy')} - {d38.format('sy')} * {d38.format('sy')})"
+    return stats.select(
+        "n",
+        "sx",
+        "sy",
+        "sxy",
+        "sxx",
+        "syy",
+        F.expr(
+            f"CAST((CASE WHEN {num} < 0 THEN -1 ELSE 1 END"
+            f" * (({num} * {num}) * 1000000)"
+            f" DIV ({dxx} * {dyy})) AS BIGINT)"
+        ).alias("rho_sq_signed_ppm"),
+    )

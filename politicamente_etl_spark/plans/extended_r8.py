@@ -1203,3 +1203,150 @@ def _register_batch5():
 
 
 _register_batch5()
+
+
+def _register_batch6():
+    from pyspark.sql import Window
+
+    from politicamente_etl_spark.operators import stats, text
+    from politicamente_etl_spark.plans.catalog import T, register
+
+    # -- streaming Holt (order-sensitive stateful operator) --------------------
+
+    _hl = _fd_sql("2 * s.v + 8 * (r.l + r.b)", 10)
+    _hb = _fd_sql(f"(({_hl}) - r.l) + 9 * r.b", 10)
+
+    @register(
+        "streaming_holt_user_value",
+        sql=f"""
+        WITH RECURSIVE s AS (
+            SELECT user_id, CAST(floor(value * 1000) AS BIGINT) AS v,
+                   row_number() OVER (PARTITION BY user_id
+                       ORDER BY epoch_us(ts), event_id) AS rn,
+                   COUNT(*) OVER (PARTITION BY user_id) AS n_obs
+            FROM events
+        ), rec AS (
+            SELECT user_id, n_obs, 1 AS i, v AS l, CAST(0 AS BIGINT) AS b
+            FROM s WHERE rn = 1
+            UNION ALL
+            SELECT r.user_id, r.n_obs, r.i + 1,
+                   CAST({_hl} AS BIGINT), CAST({_hb} AS BIGINT)
+            FROM rec r JOIN s ON s.user_id = r.user_id AND s.rn = r.i + 1
+        )
+        SELECT user_id, CAST(n_obs AS BIGINT) AS n_obs,
+               CAST(l AS BIGINT) AS level, CAST(b AS BIGINT) AS trend
+        FROM rec WHERE i = n_obs
+        """,
+        tags=("ext-stream", "ext-stats", "ext-temporal"),
+    )
+    def q_streaming_holt_user_value(
+        spark: SparkSession, sf_dir: str
+    ) -> DataFrame:
+        """Per-user Holt level+trend maintained INSIDE the stream: the
+        order-sensitive recurrence runs in explicit GroupState across
+        two time-ordered micro-batches
+        (`streaming.windows.stateful_holt_user_value` over the
+        time-half staging), so the state hand-off across batch
+        boundaries is exercised, not assumed. The final state per user
+        (max n_obs over update-mode emissions) must equal the batch
+        recursive fold — which is exactly what the oracle replays."""
+        from politicamente_etl_spark.streaming import windows as W
+
+        out = W.run_stream_to_table(
+            W.stateful_holt_user_value(
+                W.stream_events_time_halves(spark, sf_dir)
+            ),
+            mode="update",
+        )
+        return (
+            out.groupBy("user_id")
+            .agg(F.max(F.struct("n_obs", "level", "trend")).alias("m"))
+            .select(
+                "user_id",
+                F.col("m.n_obs").alias("n_obs"),
+                F.col("m.level").alias("level"),
+                F.col("m.trend").alias("trend"),
+            )
+        )
+
+    # -- Spearman rank correlation ---------------------------------------------
+
+    @register(
+        "spearman_quality_vs_logit",
+        sql=_classifier_scored_cte()
+        + """, j AS (
+            SELECT q.q AS x, logits.logit AS y
+            FROM logits
+            JOIN (SELECT doc_id,
+                         CAST((len(list_distinct(string_split(text, ' ')))
+                               * 1000)
+                              // len(string_split(text, ' ')) AS BIGINT)
+                             AS q
+                  FROM documents) q USING (doc_id)
+        ), rx AS (
+            SELECT x, 2 * COALESCE(SUM(cn) OVER (ORDER BY x
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                       0) + cn + 1 AS rnk
+            FROM (SELECT x, CAST(COUNT(*) AS BIGINT) AS cn
+                  FROM j GROUP BY x)
+        ), ry AS (
+            SELECT y, 2 * COALESCE(SUM(cn) OVER (ORDER BY y
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                       0) + cn + 1 AS rnk
+            FROM (SELECT y, CAST(COUNT(*) AS BIGINT) AS cn
+                  FROM j GROUP BY y)
+        ), rr AS (
+            SELECT rx.rnk AS a, ry.rnk AS b
+            FROM j JOIN rx USING (x) JOIN ry USING (y)
+        ), st AS (
+            SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(SUM(a) AS BIGINT) AS sx,
+                   CAST(SUM(b) AS BIGINT) AS sy,
+                   CAST(SUM(a * b) AS BIGINT) AS sxy,
+                   CAST(SUM(a * a) AS BIGINT) AS sxx,
+                   CAST(SUM(b * b) AS BIGINT) AS syy
+            FROM rr
+        )
+        , h AS (
+            SELECT n, sx, sy, sxy, sxx, syy,
+                   CAST(n AS HUGEINT) * sxy
+                       - CAST(sx AS HUGEINT) * sy AS num,
+                   CAST(n AS HUGEINT) * sxx
+                       - CAST(sx AS HUGEINT) * sx AS dxx,
+                   CAST(n AS HUGEINT) * syy
+                       - CAST(sy AS HUGEINT) * sy AS dyy
+            FROM st
+        )
+        SELECT n, sx, sy, sxy, sxx, syy,
+               CAST((CASE WHEN num < 0 THEN -1 ELSE 1 END
+                     * (num * num * 1000000)) // (dxx * dyy)
+                    AS BIGINT) AS rho_sq_signed_ppm
+        FROM h
+        """,
+        tags=("ext-stats", "ext-text", "ext-docs"),
+    )
+    def q_spearman_quality_vs_logit(
+        spark: SparkSession, sf_dir: str
+    ) -> DataFrame:
+        """Spearman rank correlation (exact tie handling via doubled
+        average ranks) between the cheap lexical-diversity heuristic and
+        the hashed gate's logit — does the free filter rank documents
+        like the trained one? Emits the composable integer sufficient
+        statistics plus sign(ρ)·ρ² ppm."""
+        docs = T(spark, sf_dir, "documents").select("doc_id", "text")
+        w = text.fixture_hash_weights(spark, n_buckets=4096, seed="qc-w")
+        logit = text.hashed_linear_score(
+            docs, w, n_buckets=4096, seed="qc-v1"
+        ).select("doc_id", F.col("logit_micro").alias("y"))
+        qd = docs.select(
+            "doc_id",
+            F.expr(
+                "CAST((size(array_distinct(split(text, ' '))) * 1000)"
+                " div size(split(text, ' ')) AS BIGINT)"
+            ).alias("x"),
+        )
+        j = logit.join(qd, "doc_id").select("x", "y")
+        return stats.spearman_report(j, "x", "y")
+
+
+_register_batch6()

@@ -801,3 +801,99 @@ def stream_hll_register_merge(
     finally:
         q.stop()
     return state["regs"]
+
+
+def stream_events_time_halves(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Events as TWO time-ordered micro-batches (first/second half by the
+    median event ts, one file per half, mtime-pinned order — the same
+    deterministic staging as stream_cdc_changelog but split on TIME, for
+    stateful operators whose recurrence is order-sensitive: the ingest
+    contract 'files arrive in event-time order' made literal."""
+    import atexit
+    import os
+    import shutil
+    import tempfile
+
+    ev = normalize_ts(
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+    ).select("event_id", "user_id", "ts", "value")
+    mid = ev.agg(
+        F.expr("percentile(unix_micros(ts), 0.5)").cast("long").alias("m")
+    ).collect()[0]["m"]
+    stage = tempfile.mkdtemp(prefix="events_halves_")
+    atexit.register(shutil.rmtree, stage, ignore_errors=True)
+    a_dir, b_dir = os.path.join(stage, "a"), os.path.join(stage, "b")
+    ev.filter(F.expr(f"unix_micros(ts) <= {mid}")).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(a_dir)
+    ev.filter(F.expr(f"unix_micros(ts) > {mid}")).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(b_dir)
+    now = 1_700_000_000
+    for d, t in ((a_dir, now), (b_dir, now + 1000)):
+        for name in os.listdir(d):
+            os.utime(os.path.join(d, name), (t, t))
+    return (
+        spark.readStream.schema(ev.schema)
+        .format("parquet")
+        .option("maxFilesPerTrigger", "1")
+        .option("recursiveFileLookup", "true")
+        .load(stage)
+    )
+
+
+def stateful_holt_user_value(events: DataFrame) -> DataFrame:
+    """Streaming Holt level+trend per user over the event value series —
+    the order-sensitive stateful operator: explicit GroupState carries
+    (n, level, trend), each micro-batch folds its rows in (ts, event_id)
+    order with the SAME integer recurrence as the batch
+    `stats.holt_winters_level_trend` (α=0.2, β=0.1 in tenths, python //
+    floor division == the engines' pmod trick), and emits the running
+    state. n is monotone, so max-by-n per user reduces the update-mode
+    emissions to the final state — which must equal the batch fold over
+    the whole ordered series, PROVING the state hand-off across
+    micro-batch boundaries (the staging guarantees batches arrive in
+    event-time order; that ingest contract is what makes any streaming
+    recurrence well-defined).
+
+    State is one 3-tuple per user; at 100 TB/day the knob is the state
+    store's shuffle partitioning, same as stateful_user_counts."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def holt_fn(key, pdfs, state: GroupState):
+        n, l, b = state.get if state.exists else (0, 0, 0)
+        rows = pd.concat(list(pdfs), ignore_index=True)
+        rows = rows.sort_values(["ts", "event_id"], kind="mergesort")
+        for v in rows["vm"]:
+            v = int(v)
+            if n == 0:
+                l, b = v, 0
+            else:
+                lnew = (2 * v + 8 * (l + b)) // 10
+                b = ((lnew - l) + 9 * b) // 10
+                l = lnew
+            n += 1
+        state.update((n, l, b))
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "n_obs": [n],
+                "level": [l],
+                "trend": [b],
+            }
+        )
+
+    prepped = events.select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.floor(F.col("value").cast("double") * 1000).cast("long").alias("vm"),
+    )
+    return prepped.groupBy("user_id").applyInPandasWithState(
+        holt_fn,
+        outputStructType="user_id long, n_obs long, level long, trend long",
+        stateStructType="n long, l long, b long",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -837,3 +837,13 @@ def test_dim_covariance_partial_agg_takeordered(spark, sf_dir):
     assert "partial" in plan.lower()
     assert "TakeOrderedAndProject" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_spearman_windows_run_on_value_summaries(spark, sf_dir):
+    """Both rank windows must consume per-distinct-value summaries:
+    a HashAggregate sits below the first Window in the plan text, and
+    no cartesian appears (scalar 1-row cross joins aside)."""
+    plan = plan_of(q("spearman_quality_vs_logit", spark, sf_dir))
+    assert "Window" in plan
+    assert "HashAggregate" in plan[: plan.index("Window")]
+    assert "CartesianProduct" not in plan

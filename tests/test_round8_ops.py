@@ -438,3 +438,87 @@ def test_dim_covariance_matches_numpy(spark):
             m[:, j].sum()
         )
         assert r.cov_num == want
+
+
+def test_streaming_holt_crosses_batch_boundary_and_matches_fold(spark):
+    from politicamente_etl_spark.streaming import windows as W
+
+    sf = "/root/testdata/sf0.001"
+    out = W.run_stream_to_table(
+        W.stateful_holt_user_value(W.stream_events_time_halves(spark, sf)),
+        mode="update",
+    ).collect()
+    # update mode emits once per (user, micro-batch): users active in
+    # both halves must appear twice with strictly growing n_obs — the
+    # proof the state actually crossed a batch boundary
+    from collections import defaultdict
+
+    per_user = defaultdict(list)
+    for r in out:
+        per_user[r.user_id].append((r.n_obs, r.level, r.trend))
+    assert any(len(v) == 2 for v in per_user.values())
+    # final state equals the batch fold over the ordered series
+    rows = sorted(
+        spark.read.parquet(f"{sf}/events.parquet")
+        .selectExpr(
+            "user_id",
+            "unix_micros(cast(ts as timestamp)) AS t",
+            "event_id",
+            "cast(floor(value * 1000) as long) AS vm",
+        )
+        .collect(),
+        key=lambda r: (r.t, r.event_id),
+    )
+    want: dict = {}
+    for r in rows:
+        n, l, b = want.get(r.user_id, (0, 0, 0))
+        if n == 0:
+            l, b = r.vm, 0
+        else:
+            lnew = (2 * r.vm + 8 * (l + b)) // 10
+            b = ((lnew - l) + 9 * b) // 10
+            l = lnew
+        want[r.user_id] = (n + 1, l, b)
+    got = {u: max(v) for u, v in per_user.items()}
+    assert got == want
+
+
+def test_spearman_matches_fraction_model(spark):
+    from fractions import Fraction
+
+    from politicamente_etl_spark.operators.stats import spearman_report
+
+    rows = [(1, 10), (2, 20), (2, 15), (4, 40), (5, 30), (6, 60), (6, 60)]
+    df = spark.createDataFrame(rows, "x long, y long")
+
+    def avg_ranks(vals):
+        out = []
+        for v in vals:
+            below = sum(1 for w in vals if w < v)
+            eq = sum(1 for w in vals if w == v)
+            out.append(Fraction(2 * below + eq + 1, 2))
+        return out
+
+    xs, ys = [r[0] for r in rows], [r[1] for r in rows]
+    ra, rb = avg_ranks(xs), avg_ranks(ys)
+    n = len(rows)
+    num = n * sum(a * b for a, b in zip(ra, rb)) - sum(ra) * sum(rb)
+    dxx = n * sum(a * a for a in ra) - sum(ra) ** 2
+    dyy = n * sum(b * b for b in rb) - sum(rb) ** 2
+    want_ppm = int(
+        (1 if num >= 0 else -1) * (num * num * 1_000_000) / (dxx * dyy)
+    )
+    r = spearman_report(df, "x", "y").collect()[0]
+    assert r.n == n
+    # doubled ranks: engine stats are 2x the fraction ranks
+    assert r.sx == sum(2 * a for a in ra) and r.sy == sum(2 * b for b in rb)
+    # the 2x scaling cancels in the ratio
+    assert abs(r.rho_sq_signed_ppm - want_ppm) <= 1  # floor vs trunc at sign
+    # perfectly monotone -> +1.0
+    mono = spark.createDataFrame(
+        [(1, 5), (2, 8), (3, 9)], "x long, y long"
+    )
+    assert (
+        spearman_report(mono, "x", "y").collect()[0].rho_sq_signed_ppm
+        == 1_000_000
+    )
