@@ -1350,3 +1350,232 @@ def _register_batch6():
 
 
 _register_batch6()
+
+
+def _register_batch7():
+    from pyspark.sql import Window
+
+    from politicamente_etl_spark.operators import graph
+    from politicamente_etl_spark.plans.catalog import T, register
+
+    # -- local clustering coefficients ------------------------------------------
+
+    @register(
+        "clustering_coefficient_top",
+        sql="""
+        WITH li AS (
+            SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+        ), e AS (
+            SELECT a.l_partkey AS pa, b.l_partkey AS pb
+            FROM li a JOIN li b
+              ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+            GROUP BY 1, 2 HAVING COUNT(*) >= 2
+        ), und AS (
+            SELECT pa AS s, pb AS d FROM e
+            UNION ALL SELECT pb AS s, pa AS d FROM e
+        ), deg AS (
+            SELECT s AS node, CAST(COUNT(*) AS BIGINT) AS degree
+            FROM und GROUP BY s
+            HAVING COUNT(*) BETWEEN 2 AND 256
+        ), wedge AS (
+            SELECT x.s AS w, x.d AS a, y.d AS b
+            FROM und x
+            JOIN und y ON x.s = y.s AND x.d < y.d
+            JOIN deg ON deg.node = x.s
+        ), tri AS (
+            SELECT w, CAST(COUNT(*) AS BIGINT) AS n_triangles
+            FROM wedge
+            WHERE EXISTS (SELECT 1 FROM e
+                          WHERE e.pa = wedge.a AND e.pb = wedge.b)
+            GROUP BY w
+        )
+        SELECT deg.node, deg.degree,
+               CAST(COALESCE(tri.n_triangles, 0) AS BIGINT) AS n_triangles,
+               CAST(2 * COALESCE(tri.n_triangles, 0) * 1000000
+                    // (deg.degree * (deg.degree - 1)) AS BIGINT) AS cc_ppm
+        FROM deg LEFT JOIN tri ON deg.node = tri.w
+        ORDER BY cc_ppm DESC, node LIMIT 20
+        """,
+        tags=("ext-graph", "ext-rel"),
+    )
+    def q_clustering_coefficient_top(
+        spark: SparkSession, sf_dir: str
+    ) -> DataFrame:
+        """Top-20 local clustering coefficients on the support-≥2
+        co-purchase graph: closed-wedge counts per center over the same
+        hub-capped wedge join as Adamic-Adar, one semi-join against the
+        canonical edge list, integer-ppm coefficients."""
+        li = (
+            T(spark, sf_dir, "lineitem")
+            .select("l_orderkey", "l_partkey")
+            .distinct()
+        )
+        a, b = li.alias("a"), li.alias("b")
+        e = (
+            a.join(
+                b,
+                (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+                & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+            )
+            .groupBy(
+                F.col("a.l_partkey").alias("pa"),
+                F.col("b.l_partkey").alias("pb"),
+            )
+            .agg(F.count("*").alias("n"))
+            .filter(F.col("n") >= 2)
+            .select("pa", "pb")
+        )
+        return graph.clustering_coefficients(
+            e, src="pa", dst="pb", max_degree=256, top_k=20
+        )
+
+    # -- mergeable-histogram quantile with error bound --------------------------
+
+    @register(
+        "histogram_quantile_merge_proof",
+        sql="""
+        WITH c AS (
+            SELECT o_orderkey,
+                   CAST(floor(o_totalprice * 100) AS BIGINT) AS cents,
+                   CAST(o_orderkey % 8 AS BIGINT) AS shard
+            FROM orders
+        ), rng AS (
+            SELECT MIN(cents) AS lo, MAX(cents) AS hi,
+                   CAST(COUNT(*) AS BIGINT) AS n
+            FROM c
+        ), binned AS (
+            SELECT shard,
+                   CAST(((cents - lo) * 32) // (hi - lo + 1) AS BIGINT)
+                       AS bin
+            FROM c, rng
+        ), shard_hist AS (
+            SELECT shard, bin, CAST(COUNT(*) AS BIGINT) AS cnt
+            FROM binned GROUP BY 1, 2
+        ), merged AS (
+            SELECT bin, CAST(SUM(cnt) AS BIGINT) AS cnt
+            FROM shard_hist GROUP BY bin
+        ), direct AS (
+            SELECT bin, CAST(COUNT(*) AS BIGINT) AS cnt
+            FROM binned GROUP BY bin
+        ), mism AS (
+            SELECT CAST(COUNT(*) AS BIGINT) AS n_mismatched_bins
+            FROM merged FULL JOIN direct USING (bin)
+            WHERE merged.cnt IS DISTINCT FROM direct.cnt
+        ), cum AS (
+            SELECT bin, cnt,
+                   SUM(cnt) OVER (ORDER BY bin) AS cum
+            FROM merged
+        ), est AS (
+            SELECT MIN(bin) AS k FROM cum, rng
+            WHERE cum >= (rng.n + 1) // 2
+        ), exact AS (
+            SELECT MIN(cents) AS exact_median_cents FROM (
+                SELECT cents,
+                       SUM(cnt) OVER (ORDER BY cents) AS cum
+                FROM (SELECT cents, CAST(COUNT(*) AS BIGINT) AS cnt
+                      FROM c GROUP BY cents)
+            ), rng
+            WHERE cum >= (rng.n + 1) // 2
+        )
+        SELECT rng.n AS n_rows, mism.n_mismatched_bins,
+               exact.exact_median_cents,
+               CAST(rng.lo + (est.k * (rng.hi - rng.lo + 1) + 31) // 32
+                    AS BIGINT) AS est_lo_cents,
+               CAST(rng.lo + ((est.k + 1) * (rng.hi - rng.lo + 1) + 31)
+                        // 32 - 1 AS BIGINT) AS est_hi_cents,
+               CAST(exact.exact_median_cents BETWEEN
+                        rng.lo + (est.k * (rng.hi - rng.lo + 1) + 31) // 32
+                    AND rng.lo + ((est.k + 1) * (rng.hi - rng.lo + 1) + 31)
+                        // 32 - 1 AS INT) AS within_bin
+        FROM rng, mism, est, exact
+        """,
+        tags=("ext-stats", "ext-approx", "ext-rel"),
+    )
+    def q_histogram_quantile_merge_proof(
+        spark: SparkSession, sf_dir: str
+    ) -> DataFrame:
+        """The mergeable-quantile path, proven end to end: 8 shard-local
+        equi-width histograms merge by bin-wise SUM into exactly the
+        directly-computed global histogram (n_mismatched_bins must be
+        0 — mergeability is what makes histogram quantiles work across
+        partitions/days at 100 TB), the histogram median estimate is the
+        rank-target bin, and the EXACT lower-median order statistic must
+        land inside that bin (within_bin must be 1 — the bin width IS
+        the error bound). The exact side walks a per-distinct-value
+        summary and exists as the audit; the histogram side is the
+        scale path (32-row summaries, one window over 32 rows)."""
+        c = T(spark, sf_dir, "orders").select(
+            F.floor(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+            (F.col("o_orderkey") % 8).cast("long").alias("shard"),
+        )
+        rng = c.agg(
+            F.min("cents").alias("lo"),
+            F.max("cents").alias("hi"),
+            F.count("*").cast("long").alias("n"),
+        )
+        binned = c.join(F.broadcast(rng)).select(
+            "shard",
+            F.expr("((cents - lo) * 32) DIV (hi - lo + 1)")
+            .cast("long")
+            .alias("bin"),
+        )
+        shard_hist = binned.groupBy("shard", "bin").agg(
+            F.count("*").cast("long").alias("cnt")
+        )
+        merged = shard_hist.groupBy("bin").agg(
+            F.sum("cnt").cast("long").alias("cnt")
+        )
+        direct = binned.groupBy("bin").agg(
+            F.count("*").cast("long").alias("cnt")
+        )
+        mism = (
+            merged.withColumnRenamed("cnt", "cm")
+            .join(direct.withColumnRenamed("cnt", "cd"), "bin", "full")
+            .filter(~F.col("cm").eqNullSafe(F.col("cd")))
+            .agg(F.count("*").cast("long").alias("n_mismatched_bins"))
+        )
+        wcum = Window.orderBy("bin").rowsBetween(
+            Window.unboundedPreceding, 0
+        )
+        est = (
+            merged.withColumn("cum", F.sum("cnt").over(wcum))
+            .crossJoin(F.broadcast(rng))
+            .filter(F.expr("cum >= (n + 1) DIV 2"))
+            .agg(F.min("bin").alias("k"))
+        )
+        wval = Window.orderBy("cents").rowsBetween(
+            Window.unboundedPreceding, 0
+        )
+        exact = (
+            c.groupBy("cents")
+            .agg(F.count("*").cast("long").alias("cnt"))
+            .withColumn("cum", F.sum("cnt").over(wval))
+            .crossJoin(F.broadcast(rng))
+            .filter(F.expr("cum >= (n + 1) DIV 2"))
+            .agg(F.min("cents").alias("exact_median_cents"))
+        )
+        return (
+            rng.crossJoin(mism)
+            .crossJoin(est)
+            .crossJoin(exact)
+            .select(
+                F.col("n").alias("n_rows"),
+                "n_mismatched_bins",
+                "exact_median_cents",
+                F.expr("lo + (k * (hi - lo + 1) + 31) DIV 32")
+                .cast("long")
+                .alias("est_lo_cents"),
+                F.expr("lo + ((k + 1) * (hi - lo + 1) + 31) DIV 32 - 1")
+                .cast("long")
+                .alias("est_hi_cents"),
+                F.expr(
+                    "CAST(exact_median_cents BETWEEN"
+                    " lo + (k * (hi - lo + 1) + 31) DIV 32"
+                    " AND lo + ((k + 1) * (hi - lo + 1) + 31) DIV 32 - 1"
+                    " AS INT)"
+                ).alias("within_bin"),
+            )
+        )
+
+
+_register_batch7()

@@ -847,3 +847,20 @@ def test_spearman_windows_run_on_value_summaries(spark, sf_dir):
     assert "Window" in plan
     assert "HashAggregate" in plan[: plan.index("Window")]
     assert "CartesianProduct" not in plan
+
+
+def test_clustering_coefficient_semi_join_takeordered(spark, sf_dir):
+    """Wedge closure is a left-semi equi-join against the canonical edge
+    list; top-k is TakeOrdered; no cartesian anywhere."""
+    plan = plan_of(q("clustering_coefficient_top", spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_histogram_quantile_windows_on_summaries(spark, sf_dir):
+    """Both cumulative windows run on summaries (32 bins / distinct
+    values), after partial-aggregated groupBys — never on raw rows."""
+    plan = plan_of(q("histogram_quantile_merge_proof", spark, sf_dir))
+    assert "Window" in plan
+    assert "HashAggregate" in plan[: plan.index("Window")]
+    assert "CartesianProduct" not in plan

@@ -522,3 +522,44 @@ def test_spearman_matches_fraction_model(spark):
         spearman_report(mono, "x", "y").collect()[0].rho_sq_signed_ppm
         == 1_000_000
     )
+
+
+def test_clustering_coefficients_match_python_model(spark):
+    from itertools import combinations
+
+    from politicamente_etl_spark.operators.graph import clustering_coefficients
+
+    # K4 on {1,2,3,4} (all cc=1) + pendant 5-1 + path 6-7-8 (cc(7)=0)
+    edges = list(combinations([1, 2, 3, 4], 2)) + [(5, 1), (6, 7), (7, 8)]
+    e = spark.createDataFrame(edges, "src long, dst long")
+    got = {
+        r.node: (r.degree, r.n_triangles, r.cc_ppm)
+        for r in clustering_coefficients(e, top_k=100).collect()
+    }
+    adj: dict = {}
+    for a, b in edges:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    want = {}
+    for v, ns in adj.items():
+        d = len(ns)
+        if d < 2:
+            continue
+        t = sum(
+            1 for a, b in combinations(sorted(ns), 2) if b in adj[a]
+        )
+        want[v] = (d, t, 2 * t * 1_000_000 // (d * (d - 1)))
+    assert got == want
+    assert got[2] == (3, 3, 1_000_000)  # K4 interior stays fully clustered
+    assert got[7][2] == 0  # path center has an open neighborhood
+
+
+def test_histogram_quantile_proof_invariants(spark):
+    from politicamente_etl_spark.plans.catalog import CATALOG
+
+    r = CATALOG["histogram_quantile_merge_proof"].fn(
+        spark, "/root/testdata/sf0.001"
+    ).collect()[0]
+    assert r.n_mismatched_bins == 0  # shard hists merge exactly
+    assert r.within_bin == 1  # exact order statistic inside the est bin
+    assert r.est_lo_cents <= r.exact_median_cents <= r.est_hi_cents
