@@ -598,3 +598,77 @@ def clustering_coefficients(
         .orderBy(F.col("cc_ppm").desc(), "node")
         .limit(top_k)
     )
+
+
+def degree_assortativity(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Degree assortativity (Newman 2002): the Pearson correlation of
+    endpoint degrees over every DIRECTED edge of the symmetrized graph —
+    positive when hubs attach to hubs (social nets), negative when hubs
+    attach to leaves (dependency/infrastructure graphs). The one-number
+    topology summary next to the degree histogram.
+
+    Exactness: the correlation is emitted as the six integer sufficient
+    statistics over (deg(u), deg(v)) pairs plus the signed squared
+    correlation in ppm, finished in DECIMAL(38,0) — the same contract
+    as stats.spearman_report (the stats compose across shards; the ppm
+    finish is exact while (n·Σxy)² fits 38 digits).
+
+    Shape: one degree aggregate, two equi-joins of the (node, degree)
+    table onto the edge list (broadcastable while nodes ≪ edges), one
+    1-row aggregate. Both directions of each edge are counted — the
+    standard symmetrization that makes the statistic orientation-free.
+
+    Returns one row: (n_edges_directed, sx, sy, sxy, sxx, syy,
+    assortativity_sq_signed_ppm).
+    """
+    und = (
+        edges.select(F.col(src).alias("s"), F.col(dst).alias("d"))
+        .unionByName(edges.select(F.col(dst).alias("s"), F.col(src).alias("d")))
+        .filter(F.col("s") != F.col("d"))
+        .distinct()
+    )
+    deg = und.groupBy(F.col("s").alias("node")).agg(
+        F.count("*").cast("long").alias("deg")
+    )
+    both = (
+        und.join(deg.select(F.col("node").alias("s"), F.col("deg").alias("dx")), "s")
+        .join(deg.select(F.col("node").alias("d"), F.col("deg").alias("dy")), "d")
+    )
+    stats = both.agg(
+        F.count("*").cast("long").alias("n_edges_directed"),
+        F.sum("dx").cast("long").alias("sx"),
+        F.sum("dy").cast("long").alias("sy"),
+        F.sum(F.col("dx") * F.col("dy")).cast("long").alias("sxy"),
+        F.sum(F.col("dx") * F.col("dx")).cast("long").alias("sxx"),
+        F.sum(F.col("dy") * F.col("dy")).cast("long").alias("syy"),
+    )
+    d38 = "CAST({} AS decimal(38,0))"
+    num = (
+        f"({d38.format('n_edges_directed')} * {d38.format('sxy')}"
+        f" - {d38.format('sx')} * {d38.format('sy')})"
+    )
+    dxx = (
+        f"({d38.format('n_edges_directed')} * {d38.format('sxx')}"
+        f" - {d38.format('sx')} * {d38.format('sx')})"
+    )
+    dyy = (
+        f"({d38.format('n_edges_directed')} * {d38.format('syy')}"
+        f" - {d38.format('sy')} * {d38.format('sy')})"
+    )
+    return stats.select(
+        "n_edges_directed",
+        "sx",
+        "sy",
+        "sxy",
+        "sxx",
+        "syy",
+        F.expr(
+            f"CAST((CASE WHEN {num} < 0 THEN -1 ELSE 1 END"
+            f" * (({num} * {num}) * 1000000)"
+            f" DIV ({dxx} * {dyy})) AS BIGINT)"
+        ).alias("assortativity_sq_signed_ppm"),
+    )

@@ -134,9 +134,18 @@ def _register():
         (integer milli dot ≥ 100000): keeps only pairs in each other's
         top-k — the hubness-robust mutual-neighbor criterion. The
         exact all-pairs candidate generator here is the small-corpus
-        audit twin (same gate as knn_graph_degree_hist); the LSH/IVF
-        bucket joins are the 100 TB candidate path, and the mutual
-        filter is identical over either."""
+        AUDIT twin and refuses large inputs (the component-level pair
+        join is quadratic ×64 dims — the r8 scale probe measured ×8.5
+        wall time for ×4 vectors); mutual_knn_pairs_lsh is the 100 TB
+        candidate path, and the mutual filter is identical over
+        either."""
+        emb = T(spark, sf_dir, "embeddings").select("vec_id")
+        n = emb.limit(20_001).count()
+        if n > 20_000:
+            raise ValueError(
+                "mutual_knn_pairs is the quadratic exact audit; input "
+                "exceeds 20000 vectors — use mutual_knn_pairs_lsh."
+            )
         m = _emb_milli(spark, sf_dir)
         a, b = m.alias("a"), m.alias("b")
         dots = (
@@ -1579,3 +1588,275 @@ def _register_batch7():
 
 
 _register_batch7()
+
+
+def _register_batch8():
+    from politicamente_etl_spark.operators import graph
+    from politicamente_etl_spark.operators.sampling import (
+        hash_bucket,
+        sql_hash_bucket,
+    )
+    from politicamente_etl_spark.plans.catalog import T, register
+
+    # -- degree assortativity ----------------------------------------------------
+
+    @register(
+        "degree_assortativity",
+        sql="""
+        WITH li AS (
+            SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+        ), e AS (
+            SELECT a.l_partkey AS pa, b.l_partkey AS pb
+            FROM li a JOIN li b
+              ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+            GROUP BY 1, 2 HAVING COUNT(*) >= 2
+        ), und AS (
+            SELECT pa AS s, pb AS d FROM e
+            UNION ALL SELECT pb AS s, pa AS d FROM e
+        ), deg AS (
+            SELECT s AS node, CAST(COUNT(*) AS BIGINT) AS deg
+            FROM und GROUP BY s
+        ), both_ AS (
+            SELECT dx.deg AS dx, dy.deg AS dy
+            FROM und
+            JOIN deg dx ON und.s = dx.node
+            JOIN deg dy ON und.d = dy.node
+        ), st AS (
+            SELECT CAST(COUNT(*) AS BIGINT) AS n_edges_directed,
+                   CAST(SUM(dx) AS BIGINT) AS sx,
+                   CAST(SUM(dy) AS BIGINT) AS sy,
+                   CAST(SUM(dx * dy) AS BIGINT) AS sxy,
+                   CAST(SUM(dx * dx) AS BIGINT) AS sxx,
+                   CAST(SUM(dy * dy) AS BIGINT) AS syy
+            FROM both_
+        ), h AS (
+            SELECT n_edges_directed, sx, sy, sxy, sxx, syy,
+                   CAST(n_edges_directed AS HUGEINT) * sxy
+                       - CAST(sx AS HUGEINT) * sy AS num,
+                   CAST(n_edges_directed AS HUGEINT) * sxx
+                       - CAST(sx AS HUGEINT) * sx AS dxx,
+                   CAST(n_edges_directed AS HUGEINT) * syy
+                       - CAST(sy AS HUGEINT) * sy AS dyy
+            FROM st
+        )
+        SELECT n_edges_directed, sx, sy, sxy, sxx, syy,
+               CAST((CASE WHEN num < 0 THEN -1 ELSE 1 END
+                     * (num * num * 1000000)) // (dxx * dyy)
+                    AS BIGINT) AS assortativity_sq_signed_ppm
+        FROM h
+        """,
+        tags=("ext-graph", "ext-stats", "ext-rel"),
+    )
+    def q_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Newman degree assortativity of the support-≥2 co-purchase
+        graph: Pearson over endpoint degrees of every directed edge,
+        emitted as composable integer sufficient statistics plus the
+        signed squared coefficient in ppm — do popular parts co-sell
+        with popular parts, or with the tail?"""
+        li = (
+            T(spark, sf_dir, "lineitem")
+            .select("l_orderkey", "l_partkey")
+            .distinct()
+        )
+        a, b = li.alias("a"), li.alias("b")
+        e = (
+            a.join(
+                b,
+                (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+                & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+            )
+            .groupBy(
+                F.col("a.l_partkey").alias("pa"),
+                F.col("b.l_partkey").alias("pb"),
+            )
+            .agg(F.count("*").alias("n"))
+            .filter(F.col("n") >= 2)
+            .select("pa", "pb")
+        )
+        return graph.degree_assortativity(e, src="pa", dst="pb")
+
+    # -- feature-hashing collision profile ----------------------------------------
+
+    _fb = sql_hash_bucket("f", seed="qc-v1", n_buckets=4096)
+
+    @register(
+        "hash_bucket_collision_profile",
+        sql=f"""
+        WITH uni AS (
+            SELECT 'u:' || unnest(string_split(text, ' ')) AS f
+            FROM documents
+        ), arr AS (
+            SELECT string_split(text, ' ') AS a FROM documents
+        ), big AS (
+            SELECT 'b:' || array_to_string(a[i:i+1], ' ') AS f
+            FROM arr, UNNEST(generate_series(1, len(a) - 1)) AS u(i)
+        ), feats AS (
+            SELECT DISTINCT f FROM (
+                SELECT f FROM uni UNION ALL SELECT f FROM big
+            )
+        ), loads AS (
+            SELECT {_fb} AS bucket, CAST(COUNT(*) AS BIGINT) AS load
+            FROM feats GROUP BY 1
+        ), hist AS (
+            SELECT load, CAST(COUNT(*) AS BIGINT) AS n_buckets
+            FROM loads GROUP BY load
+        )
+        SELECT CAST(load AS BIGINT) AS load, n_buckets FROM hist
+        UNION ALL
+        SELECT CAST(0 AS BIGINT),
+               CAST(4096 - (SELECT COUNT(*) FROM loads) AS BIGINT)
+        """,
+        tags=("ext-text", "ext-stats", "ext-docs"),
+    )
+    def q_hash_bucket_collision_profile(
+        spark: SparkSession, sf_dir: str
+    ) -> DataFrame:
+        """Collision profile of the quality gate's 4096-bucket feature
+        hashing: how many DISTINCT unigram/bigram features share each
+        bucket (including the empty-bucket row) — the load histogram
+        that says whether the hashed classifier's capacity is sized to
+        its feature space (Weinberger et al.: collisions are benign
+        until loads skew). One distinct-feature aggregate + one
+        4096-row rollup."""
+        from politicamente_etl_spark.operators.text import tokens
+
+        docs = T(spark, sf_dir, "documents").select("text")
+        uni = docs.select(
+            F.explode(tokens("text")).alias("t")
+        ).select(F.concat(F.lit("u:"), F.col("t")).alias("f"))
+        toks = tokens("text")
+        big = docs.select(
+            F.explode(
+                F.expr(
+                    "CASE WHEN size(split(text, ' ')) >= 2 THEN"
+                    " transform(sequence(1, size(split(text, ' ')) - 1),"
+                    " i -> concat('b:', element_at(split(text, ' '), i),"
+                    " ' ', element_at(split(text, ' '), i + 1)))"
+                    " ELSE array() END"
+                )
+            ).alias("f")
+        )
+        feats = uni.unionByName(big).distinct()
+        loads = feats.groupBy(
+            hash_bucket("f", seed="qc-v1", n_buckets=4096).alias("bucket")
+        ).agg(F.count("*").cast("long").alias("load"))
+        hist = loads.groupBy("load").agg(
+            F.count("*").cast("long").alias("n_buckets")
+        )
+        n_used = loads.agg(F.count("*").cast("long").alias("u"))
+        empty = n_used.select(
+            F.lit(0).cast("long").alias("load"),
+            (F.lit(4096) - F.col("u")).cast("long").alias("n_buckets"),
+        )
+        return hist.select(
+            F.col("load").cast("long").alias("load"), "n_buckets"
+        ).unionByName(empty)
+
+
+_register_batch8()
+
+
+def _register_batch9():
+    import random as _random
+
+    from politicamente_etl_spark.operators import sim
+    from politicamente_etl_spark.plans.catalog import T, register
+    from politicamente_etl_spark.plans.extended_r4b import _M_CTE, _emb_milli
+
+    # seeded literal hyperplanes, round-trip repr'd into both engines
+    # (the technique that makes the LSH family fully oracle-checkable)
+    _rnd = _random.Random(13)
+    _MKNN_PLANES = [[_rnd.gauss(0, 1) for _ in range(64)] for _ in range(3)]
+
+    _dot_dd = (
+        "list_reduce(list_transform(list_zip({a}, {b}),"
+        " s -> CAST(s[1] AS DOUBLE) * CAST(s[2] AS DOUBLE)),"
+        " (acc, v) -> acc + v)"
+    )
+
+    def _plane_lit(plane):
+        return "[" + ", ".join(str(float(x)) for x in plane) + "]"
+
+    _bucket_sql = "(" + " || ".join(
+        f"(CASE WHEN {_dot_dd.format(a='embedding', b=_plane_lit(p))} >= 0"
+        " THEN '1' ELSE '0' END)"
+        for p in _MKNN_PLANES
+    ) + ")"
+
+    @register(
+        "mutual_knn_pairs_lsh",
+        sql=_M_CTE
+        + f""", sig AS (
+            SELECT vec_id, {_bucket_sql} AS bucket FROM embeddings
+        ), cand AS (
+            SELECT a.vec_id AS va, b.vec_id AS vb
+            FROM sig a JOIN sig b
+              ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+        ), dots AS (
+            SELECT cand.va, cand.vb,
+                   CAST(SUM(m1.mv * m2.mv) AS BIGINT) AS dot
+            FROM cand
+            JOIN m m1 ON m1.vec_id = cand.va
+            JOIN m m2 ON m2.vec_id = cand.vb AND m2.i = m1.i
+            GROUP BY 1, 2
+            HAVING SUM(m1.mv * m2.mv) >= 100000
+        ), sym AS (
+            SELECT va AS v, vb AS u, dot AS dt FROM dots
+            UNION ALL SELECT vb AS v, va AS u, dot AS dt FROM dots
+        ), tk AS (
+            SELECT v, u, dt,
+                   row_number() OVER (PARTITION BY v
+                       ORDER BY dt DESC, u) AS rnk
+            FROM sym QUALIFY rnk <= 5
+        )
+        SELECT f.v AS node_a, f.u AS node_b, f.dt AS dot,
+               CAST(f.rnk AS BIGINT) AS rank_ab,
+               CAST(r.rnk AS BIGINT) AS rank_ba
+        FROM tk f JOIN tk r ON f.v = r.u AND f.u = r.v AND f.v < f.u
+        """,
+        tags=("ext-sim", "ext-embeddings", "ext-dedup"),
+    )
+    def q_mutual_knn_pairs_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """The 100 TB twin of mutual_knn_pairs: candidates meet only
+        inside a random-hyperplane bucket (equi-join, never |corpus|² —
+        the r8 scale probe measured the exact twin at ×8.5 for ×4
+        vectors, which is precisely why this shape exists), then the
+        SAME integer-milli dot threshold and reciprocal-rank filter.
+        Ranks are 'among candidates': recall < 1 vs the exact twin, but
+        seeded literal planes keep it fully oracle-checkable."""
+        emb = T(spark, sf_dir, "embeddings")
+        sig = emb.select(
+            "vec_id",
+            sim.hyperplane_signature("embedding", _MKNN_PLANES).alias(
+                "bucket"
+            ),
+        )
+        cand = (
+            sig.alias("a")
+            .join(
+                sig.alias("b"),
+                (F.col("a.bucket") == F.col("b.bucket"))
+                & (F.col("a.vec_id") < F.col("b.vec_id")),
+            )
+            .select(
+                F.col("a.vec_id").alias("va"), F.col("b.vec_id").alias("vb")
+            )
+        )
+        m = _emb_milli(spark, sf_dir)
+        m1 = m.select(
+            F.col("vec_id").alias("va"), "i", F.col("mv").alias("mva")
+        )
+        m2 = m.select(
+            F.col("vec_id").alias("vb"), "i", F.col("mv").alias("mvb")
+        )
+        dots = (
+            cand.join(m1, "va")
+            .join(m2, ["vb", "i"])
+            .groupBy("va", "vb")
+            .agg(F.sum(F.col("mva") * F.col("mvb")).alias("dot"))
+            .filter(F.col("dot") >= 100000)
+        )
+        return sim.mutual_knn_pairs(dots, k=5)
+
+
+_register_batch9()

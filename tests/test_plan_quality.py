@@ -864,3 +864,20 @@ def test_histogram_quantile_windows_on_summaries(spark, sf_dir):
     assert "Window" in plan
     assert "HashAggregate" in plan[: plan.index("Window")]
     assert "CartesianProduct" not in plan
+
+
+def test_assortativity_degree_joins_hash(spark, sf_dir):
+    """Both degree lookups are equi-joins; the finish is a 1-row
+    aggregate — no window, no cartesian over edges."""
+    plan = plan_of(q("degree_assortativity", spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "Window" not in plan
+
+
+def test_collision_profile_two_aggregates(spark, sf_dir):
+    """Distinct features -> bucket loads -> load histogram: pure
+    aggregate pipeline, partial-combined, no join wider than the 1-row
+    empty-bucket union."""
+    plan = plan_of(q("hash_bucket_collision_profile", spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan

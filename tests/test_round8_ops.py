@@ -563,3 +563,39 @@ def test_histogram_quantile_proof_invariants(spark):
     assert r.n_mismatched_bins == 0  # shard hists merge exactly
     assert r.within_bin == 1  # exact order statistic inside the est bin
     assert r.est_lo_cents <= r.exact_median_cents <= r.est_hi_cents
+
+
+def test_degree_assortativity_signs(spark):
+    from itertools import combinations
+
+    from politicamente_etl_spark.operators.graph import degree_assortativity
+
+    # star: hub degree n-1 pairs with leaves degree 1 -> negative
+    star = spark.createDataFrame(
+        [(0, i) for i in range(1, 6)] + [(1, 2)], "src long, dst long"
+    )
+    r = degree_assortativity(star).collect()[0]
+    assert r.assortativity_sq_signed_ppm < 0
+    # two disjoint cliques of different sizes: within each edge both
+    # endpoints share a degree -> perfectly assortative (+1)
+    k3 = list(combinations([1, 2, 3], 2))
+    k4 = list(combinations([11, 12, 13, 14], 2))
+    cliq = spark.createDataFrame(k3 + k4, "src long, dst long")
+    r2 = degree_assortativity(cliq).collect()[0]
+    assert r2.assortativity_sq_signed_ppm == 1_000_000
+    # symmetrization: sx == sy, sxx == syy always
+    assert r.sx == r.sy and r.sxx == r.syy
+
+
+def test_collision_profile_accounts_for_every_bucket(spark):
+    from politicamente_etl_spark.plans.catalog import CATALOG
+
+    rows = CATALOG["hash_bucket_collision_profile"].fn(
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    # the load histogram plus the empty row partitions all 4096 buckets
+    assert sum(r.n_buckets for r in rows) == 4096
+    assert all(r.load >= 0 for r in rows)
+    # and Σ load·n_buckets = number of distinct features
+    n_feats = sum(r.load * r.n_buckets for r in rows)
+    assert n_feats > 0
