@@ -1098,3 +1098,72 @@ def spearman_report(
             f" DIV ({dxx} * {dyy})) AS BIGINT)"
         ).alias("rho_sq_signed_ppm"),
     )
+
+
+def isotonic_calibration(
+    bins: DataFrame,
+    bin_col: str = "bin",
+    n_col: str = "n",
+    pos_col: str = "n_pos",
+) -> DataFrame:
+    """Isotonic regression over calibration bins via the CLOSED-FORM
+    pool-adjacent-violators solution: the monotone fit at bin i is
+    max_{j≤i} min_{k≥j} mean(pos_rate over bins j..k) (Ayer et al.
+    1955) — the calibrated, monotone probability the raw reliability
+    diagram violates. Stack-based PAV is a sequential while-loop; the
+    max-min form is pure joins over the BIN GRID, which is bounded by
+    design (10-32 bins), so the triple expansion is O(B³) rows of a
+    tiny table — declarative, engine-exact, and cheap at any corpus
+    size because the corpus collapsed to B rows upstream.
+
+    Exactness: interval means are (pos, n) integer pairs compared by
+    cross-multiplication (a/b vs c/d as a·d vs c·b — no floats); the
+    selected extremum is emitted as floored ppm, where equal fractions
+    give equal ppm whatever (num, den) pair represents them.
+
+    Returns one row per bin: (bin, n, n_pos, raw_rate_ppm,
+    iso_rate_ppm), iso monotone non-decreasing in bin.
+    """
+    b = bins.select(
+        F.col(bin_col).alias("bin"),
+        F.col(n_col).cast("long").alias("n"),
+        F.col(pos_col).cast("long").alias("n_pos"),
+    )
+    j = b.select(F.col("bin").alias("j"))
+    k = b.select(F.col("bin").alias("k"))
+    # interval sums j..k via one grid join onto the bin table — the bin
+    # relations are bounded by design (≤ n_bins rows), so the mandatory
+    # broadcast is the house-sanctioned kind and the inequality joins
+    # plan as BNLJ over tiny builds, never a shuffled cartesian
+    iv = (
+        j.join(F.broadcast(k), F.col("j") <= F.col("k"))
+        .join(
+            F.broadcast(b),
+            (F.col("bin") >= F.col("j")) & (F.col("bin") <= F.col("k")),
+        )
+        .groupBy("j", "k")
+        .agg(
+            F.sum("n_pos").cast("long").alias("p"),
+            F.sum("n").cast("long").alias("q"),
+        )
+    )
+    # floor-to-ppm commutes with both extrema (floor is non-decreasing:
+    # min floor == floor min, max floor == floor max), so the max-min
+    # runs directly on floored ppm values — the output IS
+    # floor(isotonic fraction · 1e6), no fraction compare needed
+    inner = iv.groupBy("j").agg(
+        F.min(F.expr("p * 1000000 DIV q")).alias("lo")
+    )
+    out = (
+        b.select("bin", "n", "n_pos")
+        .join(F.broadcast(inner), F.col("j") <= F.col("bin"))
+        .groupBy("bin", "n", "n_pos")
+        .agg(F.max("lo").cast("long").alias("iso_rate_ppm"))
+    )
+    return out.select(
+        "bin",
+        "n",
+        "n_pos",
+        F.expr("n_pos * 1000000 DIV n").cast("long").alias("raw_rate_ppm"),
+        "iso_rate_ppm",
+    )

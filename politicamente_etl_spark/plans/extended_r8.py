@@ -1860,3 +1860,169 @@ def _register_batch9():
 
 
 _register_batch9()
+
+
+def _register_batch10():
+    from politicamente_etl_spark.operators import stats, text
+    from politicamente_etl_spark.plans.catalog import T, register
+
+    # -- isotonic calibration of the quality gate -------------------------------
+
+    @register(
+        "isotonic_calibration_gate",
+        sql=_classifier_scored_cte()
+        + """, j AS (
+            SELECT logits.logit AS s, truth.label AS y
+            FROM logits JOIN truth USING (doc_id)
+        ), rng AS (
+            SELECT MIN(s) AS smin, MAX(s) AS smax FROM j
+        ), bins AS (
+            SELECT CAST(((s - smin) * 10) // (smax - smin + 1) AS BIGINT)
+                       AS bin,
+                   CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(SUM(y) AS BIGINT) AS n_pos
+            FROM j, rng GROUP BY 1
+        ), iv AS (
+            SELECT jj.bin AS j, kk.bin AS k,
+                   CAST(SUM(b.n_pos) AS BIGINT) AS p,
+                   CAST(SUM(b.n) AS BIGINT) AS q
+            FROM bins jj
+            JOIN bins kk ON jj.bin <= kk.bin
+            JOIN bins b ON b.bin BETWEEN jj.bin AND kk.bin
+            GROUP BY 1, 2
+        ), inner_ AS (
+            SELECT j, MIN(p * 1000000 // q) AS lo FROM iv GROUP BY j
+        )
+        SELECT bins.bin, bins.n, bins.n_pos,
+               CAST(bins.n_pos * 1000000 // bins.n AS BIGINT)
+                   AS raw_rate_ppm,
+               CAST(MAX(inner_.lo) AS BIGINT) AS iso_rate_ppm
+        FROM bins JOIN inner_ ON inner_.j <= bins.bin
+        GROUP BY 1, 2, 3, 4
+        """,
+        tags=("ext-stats", "ext-text", "ext-docs"),
+    )
+    def q_isotonic_calibration_gate(
+        spark: SparkSession, sf_dir: str
+    ) -> DataFrame:
+        """Isotonic (PAV) calibration of the hashed quality gate's
+        reliability bins via the closed-form max-min solution
+        (`stats.isotonic_calibration`): the monotone probability fit the
+        raw diagram violates, computed as bounded grid joins over the
+        10-bin summary — the corpus never re-enters. Floor-to-ppm
+        commutes with both extrema, so the output is exactly
+        floor(isotonic fraction · 1e6)."""
+        docs = T(spark, sf_dir, "documents").select("doc_id", "text")
+        w = text.fixture_hash_weights(spark, n_buckets=4096, seed="qc-w")
+        logit = text.hashed_linear_score(
+            docs, w, n_buckets=4096, seed="qc-v1"
+        ).select("doc_id", F.col("logit_micro").alias("s"))
+        truth = docs.select(
+            "doc_id",
+            (
+                F.expr(
+                    "(size(array_distinct(split(text, ' '))) * 1000)"
+                    " div size(split(text, ' '))"
+                )
+                >= 800
+            )
+            .cast("int")
+            .alias("y"),
+        )
+        bins = stats.calibration_bins(
+            logit.join(truth, "doc_id"), score_col="s", label_col="y"
+        )
+        return stats.isotonic_calibration(bins)
+
+    # -- incremental view maintenance: delta join --------------------------------
+
+    @register(
+        "ivm_join_delta_proof",
+        sql="""
+        WITH v AS (
+            SELECT n_name AS nation,
+                   CAST(COUNT(*) AS BIGINT) AS n_orders,
+                   CAST(SUM(CAST(floor(o_totalprice * 100) AS BIGINT))
+                        AS BIGINT) AS cents
+            FROM orders
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation ON c_nationkey = n_nationkey
+            GROUP BY 1
+        )
+        SELECT nation, n_orders, cents,
+               CAST(0 AS BIGINT) AS n_mismatched_groups
+        FROM v
+        """,
+        tags=("ext-rel", "ext-stream", "ext-sink"),
+    )
+    def q_ivm_join_delta_proof(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Incremental view maintenance of a JOIN view, proven: the
+        per-nation order rollup view V = orders ⋈ customer ⋈ nation is
+        maintained under a simultaneous insert batch on BOTH join sides
+        by the delta rule  ΔV = ΔO⋈C₁ ∪ O₁⋈ΔC ∪ ΔO⋈ΔC  (each term
+        aggregated, then merged into V₁ by key) — the algebra every
+        materialized-view engine runs instead of recomputing the join.
+        Batches are deterministic parity splits; the emitted view is
+        the MAINTAINED one, the oracle recomputes the full join
+        directly, and n_mismatched_groups (maintained vs direct,
+        computed in-plan) must be 0. At scale each delta term joins a
+        batch against the other side (partition-pruned / broadcast),
+        never the full fact×fact."""
+        o = T(spark, sf_dir, "orders").select(
+            "o_orderkey",
+            "o_custkey",
+            F.floor(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+        )
+        c = T(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+        n = T(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+
+        o1 = o.filter(F.col("o_orderkey") % 2 == 0)
+        do = o.filter(F.col("o_orderkey") % 2 == 1)
+        c1 = c.filter(F.col("c_custkey") % 2 == 0)
+        dc = c.filter(F.col("c_custkey") % 2 == 1)
+
+        def agg_view(orders, custs):
+            return (
+                orders.join(custs, orders.o_custkey == custs.c_custkey)
+                .join(F.broadcast(n), custs.c_nationkey == n.n_nationkey)
+                .groupBy(F.col("n_name").alias("nation"))
+                .agg(
+                    F.count("*").cast("long").alias("n_orders"),
+                    F.sum("cents").cast("long").alias("cents"),
+                )
+            )
+
+        v1 = agg_view(o1, c1)
+        deltas = (
+            agg_view(do, c1)
+            .unionByName(agg_view(o1, dc))
+            .unionByName(agg_view(do, dc))
+        )
+        maintained = (
+            v1.unionByName(deltas)
+            .groupBy("nation")
+            .agg(
+                F.sum("n_orders").cast("long").alias("n_orders"),
+                F.sum("cents").cast("long").alias("cents"),
+            )
+        )
+        direct = agg_view(o, c)
+        mism = (
+            maintained.select(
+                "nation",
+                F.col("n_orders").alias("mo"),
+                F.col("cents").alias("mc"),
+            )
+            .join(direct, "nation", "full")
+            .filter(
+                ~F.col("mo").eqNullSafe(F.col("n_orders"))
+                | ~F.col("mc").eqNullSafe(F.col("cents"))
+            )
+            .agg(F.count("*").cast("long").alias("n_mismatched_groups"))
+        )
+        return maintained.crossJoin(F.broadcast(mism)).select(
+            "nation", "n_orders", "cents", "n_mismatched_groups"
+        )
+
+
+_register_batch10()

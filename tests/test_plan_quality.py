@@ -881,3 +881,22 @@ def test_collision_profile_two_aggregates(spark, sf_dir):
     plan = plan_of(q("hash_bucket_collision_profile", spark, sf_dir))
     assert "CartesianProduct" not in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_isotonic_grid_runs_on_bin_summary(spark, sf_dir):
+    """The O(B³) PAV grid joins touch only the 10-row bin summary — the
+    corpus collapses in ONE aggregate before any grid join; no window,
+    no cartesian over raw rows (grid inequality joins over ≤10-row
+    broadcasts are BNLJ by design)."""
+    plan = plan_of(q("isotonic_calibration_gate", spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "Window" not in plan
+
+
+def test_ivm_delta_terms_broadcast_nation(spark, sf_dir):
+    """Every delta term joins a parity batch against the other side on
+    the customer key and broadcasts the nation dim; the merge is one
+    partial-aggregated groupBy over view-sized rows."""
+    plan = plan_of(q("ivm_join_delta_proof", spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan

@@ -599,3 +599,52 @@ def test_collision_profile_accounts_for_every_bucket(spark):
     # and Σ load·n_buckets = number of distinct features
     n_feats = sum(r.load * r.n_buckets for r in rows)
     assert n_feats > 0
+
+
+def test_isotonic_calibration_matches_sklearn_free_pav(spark):
+    from fractions import Fraction
+
+    from politicamente_etl_spark.operators.stats import isotonic_calibration
+
+    # raw rates: 0.5, 0.2, 0.8, 0.6, 1.0 -> PAV pools (0.5,0.2) and (0.8,0.6)
+    bins = [(0, 10, 5), (1, 10, 2), (2, 10, 8), (3, 10, 6), (4, 10, 10)]
+    df = spark.createDataFrame(bins, "bin long, n long, n_pos long")
+    got = {
+        r.bin: (r.raw_rate_ppm, r.iso_rate_ppm)
+        for r in isotonic_calibration(df).collect()
+    }
+
+    def pav(vals):  # classic stack PAV over (pos, n) with Fraction means
+        stack: list = []
+        for p, q in vals:
+            stack.append((p, q))
+            while len(stack) > 1 and Fraction(
+                stack[-2][0], stack[-2][1]
+            ) > Fraction(stack[-1][0], stack[-1][1]):
+                p2, q2 = stack.pop()
+                p1, q1 = stack.pop()
+                stack.append((p1 + p2, q1 + q2))
+        fit = []
+        for p, q in stack:
+            # each pooled block covers q/10 original bins here (n=10 each)
+            fit.extend([Fraction(p, q)] * (q // 10))
+        return fit
+
+    want = pav([(p, n) for _, n, p in bins])
+    for i, f in enumerate(want):
+        assert got[i][1] == (f.numerator * 1_000_000) // f.denominator
+    # monotone non-decreasing
+    iso = [got[i][1] for i in range(5)]
+    assert iso == sorted(iso)
+
+
+def test_ivm_delta_rule_zero_mismatch(spark):
+    from politicamente_etl_spark.plans.catalog import CATALOG
+
+    rows = CATALOG["ivm_join_delta_proof"].fn(
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    assert all(r.n_mismatched_groups == 0 for r in rows)
+    assert sum(r.n_orders for r in rows) == spark.read.parquet(
+        "/root/testdata/sf0.001/orders.parquet"
+    ).count()
