@@ -2026,3 +2026,304 @@ def _register_batch10():
 
 
 _register_batch10()
+
+
+def _register_batch11():
+    from pyspark.sql import Window
+
+    from politicamente_etl_spark.operators import text
+    from politicamente_etl_spark.operators.sampling import (
+        hash_bucket,
+        sql_hash_bucket,
+    )
+    from politicamente_etl_spark.plans.catalog import T, load_events, register
+
+    # -- split-conformal coverage -------------------------------------------------
+
+    _split = sql_hash_bucket("doc_id", seed="conf-v1", n_buckets=2)
+
+    @register(
+        "conformal_coverage_report",
+        sql=_classifier_scored_cte()
+        + f""", nc AS (
+            SELECT logits.doc_id, -logits.logit AS s,
+                   {_split} AS grp
+            FROM logits
+        ), calib AS (SELECT s FROM nc WHERE grp = 0),
+        test AS (SELECT s FROM nc WHERE grp = 1),
+        nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_calib FROM calib),
+        tgt AS (
+            SELECT n_calib,
+                   CAST((9 * (n_calib + 1) + 9) // 10 AS BIGINT) AS r
+            FROM nn
+        ), qh AS (
+            SELECT MIN(s) AS qhat FROM (
+                SELECT s, SUM(cnt) OVER (ORDER BY s) AS cum
+                FROM (SELECT s, CAST(COUNT(*) AS BIGINT) AS cnt
+                      FROM calib GROUP BY s)
+            ), tgt WHERE cum >= LEAST(tgt.r, (SELECT n_calib FROM nn))
+        )
+        SELECT tgt.n_calib, tgt.r AS r_target,
+               CAST(qh.qhat AS BIGINT) AS qhat_neg_logit_micro,
+               (SELECT CAST(COUNT(*) AS BIGINT) FROM test) AS n_test,
+               (SELECT CAST(SUM(CASE WHEN s <= qh.qhat THEN 1 ELSE 0 END)
+                        AS BIGINT) FROM test) AS n_covered,
+               CAST((SELECT SUM(CASE WHEN s <= qh.qhat THEN 1 ELSE 0 END)
+                     FROM test) * 1000000
+                    // (SELECT COUNT(*) FROM test) AS BIGINT)
+                   AS coverage_ppm
+        FROM tgt, qh
+        """,
+        tags=("ext-stats", "ext-docs", "ext-sample"),
+    )
+    def q_conformal_coverage_report(
+        spark: SparkSession, sf_dir: str
+    ) -> DataFrame:
+        """Split-conformal prediction, end to end: the calibration half
+        (deterministic md5 split) yields the ceil((n+1)(1−α))-th order
+        statistic of the nonconformity score (−logit, α=0.1) as the
+        conformal threshold q̂, and the held-out half reports realized
+        coverage — the distribution-free guarantee every deployed gate
+        should ship with. Order statistic via a cumulative window over
+        the per-distinct-score summary (the same bounded-summary trick
+        as the AUC); everything integer-exact."""
+        docs = T(spark, sf_dir, "documents").select("doc_id", "text")
+        w = text.fixture_hash_weights(spark, n_buckets=4096, seed="qc-w")
+        nc = (
+            text.hashed_linear_score(docs, w, n_buckets=4096, seed="qc-v1")
+            .select(
+                "doc_id",
+                (-F.col("logit_micro")).cast("long").alias("s"),
+                hash_bucket("doc_id", seed="conf-v1", n_buckets=2).alias(
+                    "grp"
+                ),
+            )
+        )
+        calib = nc.filter(F.col("grp") == 0).select("s")
+        test = nc.filter(F.col("grp") == 1).select("s")
+        nn = calib.agg(F.count("*").cast("long").alias("n_calib"))
+        tgt = nn.select(
+            "n_calib",
+            F.expr("(9 * (n_calib + 1) + 9) DIV 10")
+            .cast("long")
+            .alias("r_target"),
+        )
+        wcum = Window.orderBy("s").rowsBetween(Window.unboundedPreceding, 0)
+        qh = (
+            calib.groupBy("s")
+            .agg(F.count("*").cast("long").alias("cnt"))
+            .withColumn("cum", F.sum("cnt").over(wcum))
+            .crossJoin(F.broadcast(tgt))
+            .filter(F.expr("cum >= least(r_target, n_calib)"))
+            .agg(F.min("s").alias("qhat_neg_logit_micro"))
+        )
+        cov = (
+            test.crossJoin(F.broadcast(qh))
+            .agg(
+                F.count("*").cast("long").alias("n_test"),
+                F.sum(
+                    (F.col("s") <= F.col("qhat_neg_logit_micro")).cast("long")
+                )
+                .cast("long")
+                .alias("n_covered"),
+            )
+        )
+        return (
+            tgt.crossJoin(F.broadcast(qh))
+            .crossJoin(F.broadcast(cov))
+            .select(
+                "n_calib",
+                "r_target",
+                "qhat_neg_logit_micro",
+                "n_test",
+                "n_covered",
+                F.expr("n_covered * 1000000 DIV n_test")
+                .cast("long")
+                .alias("coverage_ppm"),
+            )
+        )
+
+    # -- Hill tail-index estimate ---------------------------------------------------
+
+    @register(
+        "hill_tail_index",
+        sql="""
+        WITH tf AS (
+            SELECT unnest(string_split(text, ' ')) AS t FROM documents
+        ), cnts AS (
+            SELECT t, CAST(COUNT(*) AS BIGINT) AS c FROM tf GROUP BY t
+        ), topk AS (
+            SELECT c, row_number() OVER (ORDER BY c DESC, t) AS rk
+            FROM cnts QUALIFY rk <= 20
+        ), xmin AS (
+            SELECT c AS x_min FROM topk WHERE rk = 20
+        ), lr AS (
+            SELECT CAST(SUM(CAST(round(ln(CAST(topk.c AS DOUBLE)
+                                / CAST(xmin.x_min AS DOUBLE)) * 1e6)
+                            AS BIGINT)) AS BIGINT) AS sum_log_micro,
+                   CAST(COUNT(*) AS BIGINT) AS k_used
+            FROM topk, xmin WHERE topk.rk < 20
+        )
+        SELECT xmin.x_min, lr.k_used, lr.sum_log_micro,
+               CAST(lr.sum_log_micro // lr.k_used AS BIGINT)
+                   AS hill_inv_alpha_micro,
+               CAST(CASE WHEN lr.sum_log_micro > 0 THEN
+                        lr.k_used * 1000000000000 // lr.sum_log_micro
+                    END AS BIGINT) AS alpha_micro
+        FROM xmin, lr
+        """,
+        tags=("ext-text", "ext-stats", "ext-docs"),
+    )
+    def q_hill_tail_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Hill estimator of the token-frequency tail index (the
+        quantitative companion to zipf_octave_profile): mean micro-nat
+        log ratio of the top-19 frequencies to the 20th (k sized to the
+        synthetic corpus's 31-token vocabulary; raise k with a real
+        one), and
+        α = 1/mean — the number that says how heavy the vocabulary tail
+        is (α≈1 is Zipf). One vocabulary-sized aggregate; the top-k cut
+        is a rank over the count summary with a deterministic (count,
+        term) tie-break."""
+        docs = T(spark, sf_dir, "documents").select("text")
+        cnts = (
+            docs.select(F.explode(F.split("text", " ")).alias("t"))
+            .groupBy("t")
+            .agg(F.count("*").cast("long").alias("c"))
+        )
+        wr = Window.orderBy(F.col("c").desc(), F.col("t"))
+        topk = (
+            cnts.withColumn("rk", F.row_number().over(wr))
+            .filter(F.col("rk") <= 20)
+            .select("c", "rk")
+        )
+        xmin = topk.filter(F.col("rk") == 20).select(
+            F.col("c").alias("x_min")
+        )
+        lr = (
+            topk.filter(F.col("rk") < 20)
+            .crossJoin(F.broadcast(xmin))
+            .agg(
+                F.sum(
+                    F.expr(
+                        "CAST(round(ln(CAST(c AS DOUBLE)"
+                        " / CAST(x_min AS DOUBLE)) * 1e6) AS BIGINT)"
+                    )
+                )
+                .cast("long")
+                .alias("sum_log_micro"),
+                F.count("*").cast("long").alias("k_used"),
+            )
+        )
+        return (
+            xmin.crossJoin(F.broadcast(lr))
+            .select(
+                "x_min",
+                "k_used",
+                "sum_log_micro",
+                F.expr("sum_log_micro DIV k_used")
+                .cast("long")
+                .alias("hill_inv_alpha_micro"),
+                F.expr(
+                    "CASE WHEN sum_log_micro > 0 THEN"
+                    " k_used * 1000000000000 DIV sum_log_micro END"
+                )
+                .cast("long")
+                .alias("alpha_micro"),
+            )
+        )
+
+    # -- Markov next-event held-out accuracy -------------------------------------------
+
+    @register(
+        "markov_heldout_accuracy",
+        sql="""
+        WITH ev AS (
+            SELECT user_id, event_type,
+                   CAST(user_id % 2 AS INT) AS grp,
+                   lead(event_type) OVER (PARTITION BY user_id
+                       ORDER BY epoch_us(ts), event_id) AS nxt
+            FROM events
+        ), pairs AS (
+            SELECT grp, event_type AS prev, nxt FROM ev
+            WHERE nxt IS NOT NULL
+        ), train AS (
+            SELECT prev, nxt, CAST(COUNT(*) AS BIGINT) AS c
+            FROM pairs WHERE grp = 0 GROUP BY 1, 2
+        ), pred AS (
+            SELECT prev, nxt AS predicted FROM (
+                SELECT prev, nxt,
+                       row_number() OVER (PARTITION BY prev
+                           ORDER BY c DESC, nxt) AS rk
+                FROM train
+            ) WHERE rk = 1
+        )
+        SELECT p.prev,
+               CAST(COUNT(*) AS BIGINT) AS n_pairs,
+               CAST(SUM(CASE WHEN p.nxt = pred.predicted
+                        THEN 1 ELSE 0 END) AS BIGINT) AS n_correct,
+               CAST(SUM(CASE WHEN p.nxt = pred.predicted
+                        THEN 1 ELSE 0 END) * 1000000 // COUNT(*)
+                    AS BIGINT) AS acc_ppm
+        FROM pairs p JOIN pred USING (prev)
+        WHERE p.grp = 1
+        GROUP BY p.prev
+        """,
+        tags=("ext-events", "ext-stats", "ext-temporal"),
+    )
+    def q_markov_heldout_accuracy(
+        spark: SparkSession, sf_dir: str
+    ) -> DataFrame:
+        """Held-out evaluation of the first-order Markov model
+        (markov_event_transitions' missing eval half): transition
+        argmax trained on even users, top-1 next-event accuracy scored
+        on odd users — the number that says whether the transition
+        matrix is signal or noise. The bounded prediction table
+        broadcasts onto the test pairs; per-user lead() windows carry
+        the scale key."""
+        ev = load_events(spark, sf_dir)
+        wl = Window.partitionBy("user_id").orderBy(
+            F.expr("unix_micros(ts)"), "event_id"
+        )
+        pairs = (
+            ev.select(
+                (F.col("user_id") % 2).cast("int").alias("grp"),
+                F.col("event_type").alias("prev"),
+                F.lead("event_type").over(wl).alias("nxt"),
+            )
+            .filter(F.col("nxt").isNotNull())
+        )
+        train = (
+            pairs.filter(F.col("grp") == 0)
+            .groupBy("prev", "nxt")
+            .agg(F.count("*").cast("long").alias("c"))
+        )
+        wp = Window.partitionBy("prev").orderBy(
+            F.col("c").desc(), F.col("nxt")
+        )
+        pred = (
+            train.withColumn("rk", F.row_number().over(wp))
+            .filter(F.col("rk") == 1)
+            .select("prev", F.col("nxt").alias("predicted"))
+        )
+        test = pairs.filter(F.col("grp") == 1)
+        return (
+            test.join(F.broadcast(pred), "prev")
+            .groupBy("prev")
+            .agg(
+                F.count("*").cast("long").alias("n_pairs"),
+                F.sum((F.col("nxt") == F.col("predicted")).cast("long"))
+                .cast("long")
+                .alias("n_correct"),
+            )
+            .select(
+                "prev",
+                "n_pairs",
+                "n_correct",
+                F.expr("n_correct * 1000000 DIV n_pairs")
+                .cast("long")
+                .alias("acc_ppm"),
+            )
+        )
+
+
+_register_batch11()

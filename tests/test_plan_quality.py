@@ -900,3 +900,21 @@ def test_ivm_delta_terms_broadcast_nation(spark, sf_dir):
     plan = plan_of(q("ivm_join_delta_proof", spark, sf_dir))
     assert "CartesianProduct" not in plan
     assert "BroadcastHashJoin" in plan
+
+
+def test_conformal_order_statistic_on_summary(spark, sf_dir):
+    """The q̂ cut walks the per-distinct-score summary (HashAggregate
+    below the Window); the scalar threshold broadcasts onto the test
+    half."""
+    plan = plan_of(q("conformal_coverage_report", spark, sf_dir))
+    assert "Window" in plan
+    assert "HashAggregate" in plan[: plan.index("Window")]
+    assert "CartesianProduct" not in plan
+
+
+def test_markov_eval_prediction_table_broadcasts(spark, sf_dir):
+    """The |types|-row prediction table must broadcast onto the test
+    pairs; per-user lead windows carry the user partition key."""
+    plan = plan_of(q("markov_heldout_accuracy", spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan

@@ -648,3 +648,76 @@ def test_ivm_delta_rule_zero_mismatch(spark):
     assert sum(r.n_orders for r in rows) == spark.read.parquet(
         "/root/testdata/sf0.001/orders.parquet"
     ).count()
+
+
+def test_conformal_coverage_near_target(spark):
+    from politicamente_etl_spark.plans.catalog import CATALOG
+
+    r = CATALOG["conformal_coverage_report"].fn(
+        spark, "/root/testdata/sf0.01"
+    ).collect()[0]
+    assert r.n_calib > 0 and r.n_test > 0
+    assert r.r_target == (9 * (r.n_calib + 1) + 9) // 10
+    # exchangeable splits: realized coverage within a loose CLT band of
+    # the 90% target (binomial sd ~ sqrt(.09/n))
+    assert 800_000 <= r.coverage_ppm <= 1_000_000
+    assert r.n_covered * 1_000_000 // r.n_test == r.coverage_ppm
+
+
+def test_hill_estimator_exact_on_known_tail(spark):
+    import math
+
+    from politicamente_etl_spark.operators import text  # noqa: F401
+    from politicamente_etl_spark.plans.catalog import CATALOG
+
+    r = CATALOG["hill_tail_index"].fn(
+        spark, "/root/testdata/sf0.01"
+    ).collect()[0]
+    assert r.k_used == 19 and r.x_min > 0
+    assert r.hill_inv_alpha_micro == r.sum_log_micro // 19
+    if r.sum_log_micro > 0:
+        assert r.alpha_micro == 19 * 10**12 // r.sum_log_micro
+
+
+def test_markov_heldout_accuracy_bounds_and_baseline(spark):
+    from politicamente_etl_spark.plans.catalog import CATALOG
+
+    sf = "/root/testdata/sf0.001"
+    rows = CATALOG["markov_heldout_accuracy"].fn(spark, sf).collect()
+    assert rows and all(0 <= r.acc_ppm <= 1_000_000 for r in rows)
+    assert all(r.n_correct <= r.n_pairs for r in rows)
+    # exact replica: rebuild train argmax + test scoring in Python
+    from collections import Counter, defaultdict
+
+    ev = sorted(
+        spark.read.parquet(f"{sf}/events.parquet")
+        .selectExpr(
+            "user_id",
+            "event_type",
+            "unix_micros(cast(ts as timestamp)) AS t",
+            "event_id",
+        )
+        .collect(),
+        key=lambda r: (r.user_id, r.t, r.event_id),
+    )
+    pairs = []
+    for i in range(len(ev) - 1):
+        if ev[i].user_id == ev[i + 1].user_id:
+            pairs.append(
+                (ev[i].user_id % 2, ev[i].event_type, ev[i + 1].event_type)
+            )
+    train: dict = defaultdict(Counter)
+    for g, p, nx in pairs:
+        if g == 0:
+            train[p][nx] += 1
+    pred = {
+        p: min(c.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+        for p, c in train.items()
+    }
+    want: dict = defaultdict(lambda: [0, 0])
+    for g, p, nx in pairs:
+        if g == 1 and p in pred:
+            want[p][0] += 1
+            want[p][1] += int(nx == pred[p])
+    got = {r.prev: (r.n_pairs, r.n_correct) for r in rows}
+    assert got == {p: (n, c) for p, (n, c) in want.items()}
