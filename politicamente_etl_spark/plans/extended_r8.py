@@ -2327,3 +2327,193 @@ def _register_batch11():
 
 
 _register_batch11()
+
+
+def _register_batch12():
+    from pyspark.sql import Window
+
+    from politicamente_etl_spark.operators import stats
+    from politicamente_etl_spark.plans.catalog import T, register
+
+    # -- Holt forecast backtest ----------------------------------------------------
+
+    _bl = _fd_sql("2 * s.v + 8 * (r.l + r.b)", 10)
+    _bb = _fd_sql(f"(({_bl}) - r.l) + 9 * r.b", 10)
+
+    @register(
+        "holt_backtest_report",
+        sql=f"""
+        WITH RECURSIVE d AS (
+            SELECT n_name AS nation, o_orderdate AS day,
+                   CAST(SUM(CAST(floor(o_totalprice * 100) AS BIGINT))
+                        AS BIGINT) AS v
+            FROM orders
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation ON c_nationkey = n_nationkey
+            GROUP BY 1, 2
+        ), cut AS (
+            SELECT MAX(day) - INTERVAL 7 DAY AS split_day FROM d
+        ), s AS (
+            SELECT nation, v,
+                   row_number() OVER (PARTITION BY nation
+                       ORDER BY day) AS rn,
+                   COUNT(*) OVER (PARTITION BY nation) AS nd
+            FROM d, cut WHERE day <= cut.split_day
+        ), rec AS (
+            SELECT nation, nd, 1 AS i, v AS l, CAST(0 AS BIGINT) AS b
+            FROM s WHERE rn = 1
+            UNION ALL
+            SELECT r.nation, r.nd, r.i + 1,
+                   CAST({_bl} AS BIGINT), CAST({_bb} AS BIGINT)
+            FROM rec r JOIN s ON s.nation = r.nation AND s.rn = r.i + 1
+        ), fit AS (
+            SELECT nation, CAST(nd AS BIGINT) AS n_train_days,
+                   CAST(7 * l + 28 * b AS BIGINT) AS forecast_cents
+            FROM rec WHERE i = nd
+        ), act AS (
+            SELECT nation, CAST(SUM(v) AS BIGINT) AS actual_cents
+            FROM d, cut WHERE day > cut.split_day GROUP BY nation
+        )
+        SELECT fit.nation, fit.n_train_days,
+               COALESCE(act.actual_cents, 0) AS actual_cents,
+               fit.forecast_cents,
+               ABS(COALESCE(act.actual_cents, 0) - fit.forecast_cents)
+                   AS abs_err_cents
+        FROM fit LEFT JOIN act USING (nation)
+        """,
+        tags=("ext-stats", "ext-temporal", "ext-rel"),
+    )
+    def q_holt_backtest_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Backtest of the Holt forecaster (holt_winters_daily_revenue's
+        missing eval half): fit on every day up to max_day−7, forecast
+        the held-out week's total (Σ_{h=1..7} l+h·b = 7l+28b), and
+        report absolute error per nation in cents — forecast operators
+        ship with their error measurement or they're decoration. Same
+        exact integer fold; the train/test cut is one broadcast scalar."""
+        o = T(spark, sf_dir, "orders").select(
+            "o_custkey",
+            "o_orderdate",
+            F.floor(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+        )
+        c = T(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+        n = T(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+        d = (
+            o.join(c, o.o_custkey == c.c_custkey)
+            .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+            .groupBy(F.col("n_name").alias("nation"), F.col("o_orderdate"))
+            .agg(F.sum("cents").cast("long").alias("v"))
+        )
+        cut = d.agg(
+            F.date_sub(F.max("o_orderdate"), 7).alias("split_day")
+        )
+        train = d.join(F.broadcast(cut)).filter(
+            F.col("o_orderdate") <= F.col("split_day")
+        )
+        fit = stats.holt_winters_level_trend(
+            train.select("nation", "o_orderdate", "v"),
+            "nation",
+            day_col="o_orderdate",
+            value_col="v",
+        ).select(
+            "nation",
+            F.col("n_days").alias("n_train_days"),
+            (7 * F.col("level") + 28 * F.col("trend"))
+            .cast("long")
+            .alias("forecast_cents"),
+        )
+        act = (
+            d.join(F.broadcast(cut))
+            .filter(F.col("o_orderdate") > F.col("split_day"))
+            .groupBy("nation")
+            .agg(F.sum("v").cast("long").alias("actual_cents"))
+        )
+        return (
+            fit.join(act, "nation", "left")
+            .select(
+                "nation",
+                "n_train_days",
+                F.coalesce("actual_cents", F.lit(0))
+                .cast("long")
+                .alias("actual_cents"),
+                "forecast_cents",
+                F.abs(
+                    F.coalesce("actual_cents", F.lit(0))
+                    - F.col("forecast_cents")
+                )
+                .cast("long")
+                .alias("abs_err_cents"),
+            )
+        )
+
+    # -- quantile normalization ------------------------------------------------------
+
+    @register(
+        "quantile_normalization_scores",
+        sql=_classifier_scored_cte()
+        + """, src AS (
+            SELECT logits.doc_id, logits.logit AS s FROM logits
+        ), tgtv AS (
+            SELECT doc_id,
+                   CAST((len(list_distinct(string_split(text, ' ')))
+                         * 1000)
+                        // len(string_split(text, ' ')) AS BIGINT) AS q
+            FROM documents
+        ), n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM src),
+        sr AS (
+            SELECT doc_id, s,
+                   row_number() OVER (ORDER BY s, doc_id) AS rk
+            FROM src
+        ), tr AS (
+            SELECT q, row_number() OVER (ORDER BY q, doc_id) AS rk
+            FROM tgtv
+        )
+        SELECT sr.doc_id, sr.s AS logit_micro,
+               CAST(sr.rk AS BIGINT) AS src_rank,
+               tr.q AS mapped_q_milli
+        FROM sr JOIN tr USING (rk)
+        """,
+        tags=("ext-stats", "ext-text", "ext-docs"),
+    )
+    def q_quantile_normalization_scores(
+        spark: SparkSession, sf_dir: str
+    ) -> DataFrame:
+        """Quantile normalization (the rank-matching transform of
+        bioinformatics and feature scaling): each document's gate logit
+        is replaced by the lexical-diversity value of EQUAL RANK, so
+        the mapped scores carry the target distribution exactly while
+        preserving the source ordering. Rank windows are unpartitioned
+        HERE because both relations are corpus-sized summaries at test
+        scale — at 100 TB the same map is built from merged-histogram
+        quantiles (histogram_quantile_merge_proof) instead of exact
+        ranks, trading bin-width error for the global sort; this exact
+        form is the audit twin. Ties break on doc_id so both engines
+        emit the identical bijection."""
+        docs = T(spark, sf_dir, "documents").select("doc_id", "text")
+        from politicamente_etl_spark.operators import text
+
+        w = text.fixture_hash_weights(spark, n_buckets=4096, seed="qc-w")
+        src = text.hashed_linear_score(
+            docs, w, n_buckets=4096, seed="qc-v1"
+        ).select("doc_id", F.col("logit_micro").alias("s"))
+        tgt = docs.select(
+            "doc_id",
+            F.expr(
+                "CAST((size(array_distinct(split(text, ' '))) * 1000)"
+                " div size(split(text, ' ')) AS BIGINT)"
+            ).alias("q"),
+        )
+        wsr = Window.orderBy("s", "doc_id")
+        wtr = Window.orderBy("q", "doc_id")
+        sr = src.withColumn("rk", F.row_number().over(wsr))
+        tr = tgt.select(
+            "q", F.row_number().over(wtr).alias("rk")
+        )
+        return sr.join(tr, "rk").select(
+            "doc_id",
+            F.col("s").alias("logit_micro"),
+            F.col("rk").cast("long").alias("src_rank"),
+            F.col("q").alias("mapped_q_milli"),
+        )
+
+
+_register_batch12()

@@ -918,3 +918,19 @@ def test_markov_eval_prediction_table_broadcasts(spark, sf_dir):
     plan = plan_of(q("markov_heldout_accuracy", spark, sf_dir))
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_holt_backtest_single_scalar_cut(spark, sf_dir):
+    """The train/test split is ONE broadcast scalar; the fold stays a
+    map-side aggregate — no window, no cartesian beyond 1-row scalars."""
+    plan = plan_of(q("holt_backtest_report", spark, sf_dir))
+    assert "Window" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_quantile_normalization_rank_join(spark, sf_dir):
+    """The exact audit form joins two rank relations on rk — equi-join,
+    never a cartesian; the 100 TB path swaps exact ranks for merged
+    histograms (documented in the query)."""
+    plan = plan_of(q("quantile_normalization_scores", spark, sf_dir))
+    assert "CartesianProduct" not in plan

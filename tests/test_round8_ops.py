@@ -721,3 +721,41 @@ def test_markov_heldout_accuracy_bounds_and_baseline(spark):
             want[p][1] += int(nx == pred[p])
     got = {r.prev: (r.n_pairs, r.n_correct) for r in rows}
     assert got == {p: (n, c) for p, (n, c) in want.items()}
+
+
+def test_holt_backtest_consistency(spark):
+    from politicamente_etl_spark.plans.catalog import CATALOG
+
+    rows = CATALOG["holt_backtest_report"].fn(
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    assert rows
+    for r in rows:
+        assert r.abs_err_cents == abs(r.actual_cents - r.forecast_cents)
+        assert r.n_train_days >= 1
+
+
+def test_quantile_normalization_is_a_distribution_bijection(spark):
+    from politicamente_etl_spark.plans.catalog import CATALOG
+
+    sf = "/root/testdata/sf0.001"
+    rows = CATALOG["quantile_normalization_scores"].fn(spark, sf).collect()
+    n_docs = spark.read.parquet(f"{sf}/documents.parquet").count()
+    assert len(rows) == n_docs
+    # mapped values carry the target distribution EXACTLY (multiset equal)
+    from collections import Counter
+
+    target = Counter(
+        r.q
+        for r in spark.read.parquet(f"{sf}/documents.parquet")
+        .selectExpr(
+            "CAST((size(array_distinct(split(text, ' '))) * 1000)"
+            " div size(split(text, ' ')) AS LONG) AS q"
+        )
+        .collect()
+    )
+    assert Counter(r.mapped_q_milli for r in rows) == target
+    # and the map is monotone: higher logit rank -> >= mapped value
+    by_rank = sorted(rows, key=lambda r: r.src_rank)
+    mapped = [r.mapped_q_milli for r in by_rank]
+    assert mapped == sorted(mapped)
