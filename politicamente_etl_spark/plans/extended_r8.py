@@ -2517,3 +2517,109 @@ def _register_batch12():
 
 
 _register_batch12()
+
+
+def _register_batch13():
+    import random as _random
+
+    from politicamente_etl_spark.operators import sim
+    from politicamente_etl_spark.plans.catalog import T, register
+
+    # the SAME seeded planes as embedding_cosine_near_dup_lsh
+    # (plans/extended.py uses Random(7)); regenerated here because that
+    # module builds them inside its register closure
+    _rnd = _random.Random(7)
+    _DUP_PLANES = [[_rnd.gauss(0, 1) for _ in range(64)] for _ in range(3)]
+
+    _dot_dd = (
+        "list_reduce(list_transform(list_zip({a}, {b}),"
+        " s -> CAST(s[1] AS DOUBLE) * CAST(s[2] AS DOUBLE)),"
+        " (acc, v) -> acc + v)"
+    )
+    _norm_dd = (
+        "sqrt(list_reduce(list_transform({a},"
+        " x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (acc, v) -> acc + v))"
+    )
+
+    def _plane_lit(plane):
+        return "[" + ", ".join(str(float(x)) for x in plane) + "]"
+
+    _bucket_sql = "(" + " || ".join(
+        f"(CASE WHEN {_dot_dd.format(a='embedding', b=_plane_lit(p))} >= 0"
+        " THEN '1' ELSE '0' END)"
+        for p in _DUP_PLANES
+    ) + ")"
+
+    @register(
+        "lsh_near_dup_recall_report",
+        sql=f"""
+        WITH v AS (
+            SELECT vec_id, embedding,
+                   {_bucket_sql} AS bucket,
+                   {_norm_dd.format(a='embedding')} AS nrm
+            FROM embeddings
+        ), exact AS (
+            SELECT a.vec_id AS va, b.vec_id AS vb
+            FROM v a JOIN v b ON a.vec_id < b.vec_id
+            WHERE {_dot_dd.format(a='a.embedding', b='b.embedding')}
+                      / (a.nrm * b.nrm) >= 0.45
+        ), lsh AS (
+            SELECT a.vec_id AS va, b.vec_id AS vb
+            FROM v a JOIN v b
+              ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+            WHERE {_dot_dd.format(a='a.embedding', b='b.embedding')}
+                      / (a.nrm * b.nrm) >= 0.45
+        )
+        SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM exact) AS n_exact,
+               (SELECT CAST(COUNT(*) AS BIGINT) FROM lsh) AS n_lsh,
+               (SELECT CAST(COUNT(*) AS BIGINT) FROM lsh
+                WHERE NOT EXISTS (SELECT 1 FROM exact
+                                  WHERE exact.va = lsh.va
+                                    AND exact.vb = lsh.vb))
+                   AS n_lsh_only,
+               CAST((SELECT COUNT(*) FROM lsh) * 1000000
+                    // (SELECT COUNT(*) FROM exact) AS BIGINT)
+                   AS recall_ppm
+        """,
+        tags=("ext-dedup", "ext-sim", "ext-stats"),
+    )
+    def q_lsh_near_dup_recall_report(
+        spark: SparkSession, sf_dir: str
+    ) -> DataFrame:
+        """Measured recall of the LSH near-dup path against the exact
+        verifier at the same cosine threshold — the number that says
+        what the hyperplane bucketing actually costs in missed
+        duplicates (and proves in-plan that it costs nothing in
+        precision: n_lsh_only, LSH pairs absent from the exact set,
+        must be 0 because bucketing only restricts candidates). This is
+        the eval loop every approximate-dedup deployment needs: exact
+        twin on a bounded audit sample, LSH recall measured, THEN the
+        LSH path promoted to the full corpus."""
+        emb = T(spark, sf_dir, "embeddings")
+        exact = sim.cosine_near_dup_pairs(emb, threshold=0.45).select(
+            "vec_a", "vec_b"
+        )
+        lsh = sim.cosine_near_dup_pairs_lsh(
+            emb, _DUP_PLANES, threshold=0.45
+        ).select("vec_a", "vec_b")
+        n_exact = exact.agg(F.count("*").cast("long").alias("n_exact"))
+        n_lsh = lsh.agg(F.count("*").cast("long").alias("n_lsh"))
+        lsh_only = (
+            lsh.join(exact, ["vec_a", "vec_b"], "left_anti")
+            .agg(F.count("*").cast("long").alias("n_lsh_only"))
+        )
+        return (
+            n_exact.crossJoin(F.broadcast(n_lsh))
+            .crossJoin(F.broadcast(lsh_only))
+            .select(
+                "n_exact",
+                "n_lsh",
+                "n_lsh_only",
+                F.expr("n_lsh * 1000000 DIV n_exact")
+                .cast("long")
+                .alias("recall_ppm"),
+            )
+        )
+
+
+_register_batch13()

@@ -759,3 +759,15 @@ def test_quantile_normalization_is_a_distribution_bijection(spark):
     by_rank = sorted(rows, key=lambda r: r.src_rank)
     mapped = [r.mapped_q_milli for r in by_rank]
     assert mapped == sorted(mapped)
+
+
+def test_lsh_recall_report_invariants(spark):
+    from politicamente_etl_spark.plans.catalog import CATALOG
+
+    r = CATALOG["lsh_near_dup_recall_report"].fn(
+        spark, "/root/testdata/sf0.01"
+    ).collect()[0]
+    assert r.n_lsh_only == 0  # bucketing only restricts candidates
+    assert 0 < r.n_lsh <= r.n_exact
+    assert r.recall_ppm == r.n_lsh * 1_000_000 // r.n_exact
+    assert r.recall_ppm <= 1_000_000
