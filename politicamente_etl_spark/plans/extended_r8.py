@@ -2623,3 +2623,169 @@ def _register_batch13():
 
 
 _register_batch13()
+
+
+def _register_batch14():
+    from pyspark.sql import Window
+
+    from politicamente_etl_spark.operators import text
+    from politicamente_etl_spark.plans.catalog import T, register
+    from politicamente_etl_spark.plans.extended_r4b import _POIS_T
+
+    N_REP = 16
+    _wt_sql = f"""CASE
+                     WHEN uh < {_POIS_T[0]} THEN 0
+                     WHEN uh < {_POIS_T[1]} THEN 1
+                     WHEN uh < {_POIS_T[2]} THEN 2
+                     WHEN uh < {_POIS_T[3]} THEN 3
+                     ELSE 4 END"""
+
+    @register(
+        "bootstrap_auc_replicates",
+        sql=_classifier_scored_cte()
+        + f""", j AS (
+            SELECT logits.doc_id,
+                   ((logits.logit - ((logits.logit % 1000) + 1000) % 1000)
+                    // 1000) AS s,
+                   truth.label
+            FROM logits JOIN truth USING (doc_id)
+        ), reps AS (
+            SELECT unnest(generate_series(0, {N_REP - 1})) AS rep
+        ), wj AS (
+            SELECT reps.rep, j.s, j.label,
+                   CAST(('0x' || substring(md5(concat_ws(':', 'bauc-v1',
+                            CAST(j.doc_id AS VARCHAR),
+                            CAST(reps.rep AS VARCHAR))), 1, 15))
+                        AS BIGINT) AS uh
+            FROM j CROSS JOIN reps
+        ), wts AS (
+            SELECT rep, s, label, {_wt_sql} AS wt FROM wj
+        ), ps AS (
+            SELECT rep, s, CAST(SUM(wt) AS BIGINT) AS n_tot,
+                   CAST(SUM(wt * label) AS BIGINT) AS n_pos
+            FROM wts GROUP BY 1, 2
+        ), r AS (
+            SELECT rep, s, n_tot, n_pos,
+                   COALESCE(SUM(n_tot) OVER (PARTITION BY rep ORDER BY s
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                       0) AS cum_below
+            FROM ps
+        ), agg AS (
+            SELECT rep, CAST(SUM(n_pos) AS BIGINT) AS n_pos,
+                   CAST(SUM(n_tot) - SUM(n_pos) AS BIGINT) AS n_neg,
+                   CAST(SUM(n_pos * (2 * cum_below + n_tot + 1))
+                        AS BIGINT) AS rs2
+            FROM r GROUP BY rep
+        )
+        SELECT CAST(rep AS BIGINT) AS rep, n_pos, n_neg,
+               CAST(CASE WHEN n_pos > 0 AND n_neg > 0 THEN
+                        (rs2 - n_pos * (n_pos + 1)) * 1000000
+                        // (2 * n_pos * n_neg)
+                    END AS BIGINT) AS auc_ppm
+        FROM agg
+        """,
+        tags=("ext-stats", "ext-sample", "ext-docs"),
+    )
+    def q_bootstrap_auc_replicates(
+        spark: SparkSession, sf_dir: str
+    ) -> DataFrame:
+        """Uncertainty on the headline gate metric: 16 deterministic
+        Poisson-bootstrap replicates of the tie-corrected AUC — each
+        doc's per-replicate weight is Poisson(1) by md5 CDF inversion
+        (no RNG, reproducible across engines/partitionings, the
+        Chamandy online-bootstrap shape), the weighted rank sums reuse
+        the bucketed-score summary walk, and the replicate spread IS
+        the confidence interval. One narrow 16× fan-out, 16 bounded
+        summaries, no resampled copies of the corpus."""
+        from politicamente_etl_spark.plans.extended_r4b import _POIS_T as PT
+
+        docs = T(spark, sf_dir, "documents").select("doc_id", "text")
+        w = text.fixture_hash_weights(spark, n_buckets=4096, seed="qc-w")
+        logit = text.hashed_linear_score(
+            docs, w, n_buckets=4096, seed="qc-v1"
+        ).select(
+            "doc_id",
+            F.expr("(logit_micro - pmod(logit_micro, 1000)) DIV 1000").alias(
+                "s"
+            ),
+        )
+        truth = docs.select(
+            "doc_id",
+            (
+                F.expr(
+                    "(size(array_distinct(split(text, ' '))) * 1000)"
+                    " div size(split(text, ' '))"
+                )
+                >= 800
+            )
+            .cast("int")
+            .alias("label"),
+        )
+        j = logit.join(truth, "doc_id")
+        reps = spark.range(N_REP).select(F.col("id").alias("rep"))
+        uh = F.conv(
+            F.substring(
+                F.md5(
+                    F.concat_ws(
+                        ":",
+                        F.lit("bauc-v1"),
+                        F.col("doc_id").cast("string"),
+                        F.col("rep").cast("string"),
+                    )
+                ),
+                1,
+                15,
+            ),
+            16,
+            10,
+        ).cast("long")
+        wj = j.crossJoin(reps).withColumn("uh", uh)
+        wt = (
+            F.when(F.col("uh") < PT[0], 0)
+            .when(F.col("uh") < PT[1], 1)
+            .when(F.col("uh") < PT[2], 2)
+            .when(F.col("uh") < PT[3], 3)
+            .otherwise(4)
+        )
+        ps = (
+            wj.withColumn("wt", wt)
+            .groupBy("rep", "s")
+            .agg(
+                F.sum("wt").cast("long").alias("n_tot"),
+                F.sum(F.col("wt") * F.col("label")).cast("long").alias(
+                    "n_pos"
+                ),
+            )
+        )
+        wcum = Window.partitionBy("rep").orderBy("s").rowsBetween(
+            Window.unboundedPreceding, -1
+        )
+        r = ps.withColumn(
+            "cum_below", F.coalesce(F.sum("n_tot").over(wcum), F.lit(0))
+        )
+        return (
+            r.groupBy("rep")
+            .agg(
+                F.sum("n_pos").cast("long").alias("n_pos"),
+                (F.sum("n_tot") - F.sum("n_pos")).cast("long").alias("n_neg"),
+                F.sum(
+                    F.col("n_pos")
+                    * (2 * F.col("cum_below") + F.col("n_tot") + 1)
+                )
+                .cast("long")
+                .alias("rs2"),
+            )
+            .select(
+                F.col("rep").cast("long").alias("rep"),
+                "n_pos",
+                "n_neg",
+                F.expr(
+                    "CAST(CASE WHEN n_pos > 0 AND n_neg > 0 THEN"
+                    " (rs2 - n_pos * (n_pos + 1)) * 1000000"
+                    " DIV (2 * n_pos * n_neg) END AS BIGINT)"
+                ).alias("auc_ppm"),
+            )
+        )
+
+
+_register_batch14()

@@ -934,3 +934,14 @@ def test_quantile_normalization_rank_join(spark, sf_dir):
     histograms (documented in the query)."""
     plan = plan_of(q("quantile_normalization_scores", spark, sf_dir))
     assert "CartesianProduct" not in plan
+
+
+def test_bootstrap_auc_windows_partitioned_by_replicate(spark, sf_dir):
+    """The 16 rank walks run per replicate over bucketed-score
+    summaries: the Window is PARTITIONED (by rep), never a single
+    global sort; the fan-out is a narrow 16x cross of a 16-row
+    broadcast."""
+    plan = plan_of(q("bootstrap_auc_replicates", spark, sf_dir))
+    assert "Window" in plan
+    assert "partial" in plan.lower()
+    assert "CartesianProduct" not in plan

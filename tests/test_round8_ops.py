@@ -771,3 +771,19 @@ def test_lsh_recall_report_invariants(spark):
     assert 0 < r.n_lsh <= r.n_exact
     assert r.recall_ppm == r.n_lsh * 1_000_000 // r.n_exact
     assert r.recall_ppm <= 1_000_000
+
+
+def test_bootstrap_auc_replicates_spread_around_point_estimate(spark):
+    from politicamente_etl_spark.plans.catalog import CATALOG
+
+    sf = "/root/testdata/sf0.01"
+    reps = CATALOG["bootstrap_auc_replicates"].fn(spark, sf).collect()
+    assert len(reps) == 16
+    point = CATALOG["classifier_auc_report"].fn(spark, sf).collect()[0]
+    aucs = [r.auc_ppm for r in reps if r.auc_ppm is not None]
+    assert aucs and min(aucs) <= point.auc_ppm <= max(aucs)
+    # resampled totals hover around the true class counts
+    assert all(
+        0 < r.n_pos < 5 * point.n_pos and 0 < r.n_neg < 5 * point.n_neg
+        for r in reps
+    )
