@@ -2789,3 +2789,154 @@ def _register_batch14():
 
 
 _register_batch14()
+
+
+def _register_batch15():
+    from pyspark.sql import Window
+
+    from politicamente_etl_spark.operators import graph
+    from politicamente_etl_spark.plans.catalog import T, register
+
+    @register(
+        "hub_removal_robustness",
+        sql="""
+        WITH RECURSIVE li AS (
+            SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+        ), e0 AS (
+            SELECT a.l_partkey AS pa, b.l_partkey AS pb
+            FROM li a JOIN li b
+              ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+            GROUP BY 1, 2 HAVING COUNT(*) >= 2
+        ), und AS (
+            SELECT pa AS src, pb AS dst FROM e0
+            UNION ALL SELECT pb AS src, pa AS dst FROM e0
+        ), hubs AS (
+            SELECT src AS node FROM (
+                SELECT src, COUNT(*) AS deg,
+                       row_number() OVER (ORDER BY COUNT(*) DESC, src)
+                           AS rk
+                FROM und GROUP BY src
+            ) WHERE rk <= 20
+        ), r0 AS (
+            SELECT pa, pb FROM e0
+            WHERE NOT EXISTS (SELECT 1 FROM hubs WHERE hubs.node = e0.pa)
+              AND NOT EXISTS (SELECT 1 FROM hubs WHERE hubs.node = e0.pb)
+        ), eu AS (
+            SELECT pa AS src, pb AS dst FROM e0
+            UNION ALL SELECT pb, pa FROM e0
+        ), reach_full(node, label) AS (
+            SELECT DISTINCT src AS node, src AS label FROM eu
+            UNION
+            SELECT eu.dst, r.label FROM reach_full r
+            JOIN eu ON eu.src = r.node
+        ), cc_full AS (
+            SELECT node, MIN(label) AS component
+            FROM reach_full GROUP BY node
+        ), ru AS (
+            SELECT pa AS src, pb AS dst FROM r0
+            UNION ALL SELECT pb, pa FROM r0
+        ), reach_res(node, label) AS (
+            SELECT DISTINCT src AS node, src AS label FROM ru
+            UNION
+            SELECT ru.dst, r.label FROM reach_res r
+            JOIN ru ON ru.src = r.node
+        ), cc_res AS (
+            SELECT node, MIN(label) AS component
+            FROM reach_res GROUP BY node
+        ), s_full AS (
+            SELECT 'full' AS scenario,
+                   CAST(COUNT(*) AS BIGINT) AS n_nodes,
+                   CAST(COUNT(DISTINCT component) AS BIGINT)
+                       AS n_components,
+                   CAST(MAX(cs) AS BIGINT) AS largest_component
+            FROM (SELECT node, component,
+                         COUNT(*) OVER (PARTITION BY component) AS cs
+                  FROM cc_full)
+        ), s_res AS (
+            SELECT 'hubs_removed' AS scenario,
+                   CAST(COUNT(*) AS BIGINT) AS n_nodes,
+                   CAST(COUNT(DISTINCT component) AS BIGINT)
+                       AS n_components,
+                   CAST(MAX(cs) AS BIGINT) AS largest_component
+            FROM (SELECT node, component,
+                         COUNT(*) OVER (PARTITION BY component) AS cs
+                  FROM cc_res)
+        )
+        SELECT * FROM s_full UNION ALL SELECT * FROM s_res
+        """,
+        tags=("ext-graph", "ext-rel", "ext-stats"),
+    )
+    def q_hub_removal_robustness(
+        spark: SparkSession, sf_dir: str
+    ) -> DataFrame:
+        """Attack-tolerance profile of the co-purchase graph (Albert,
+        Jeong & Barabási 2000): connected components before and after
+        deleting the 20 highest-degree hubs — how much of the giant
+        component survives a targeted attack. Hub selection is one
+        degree rank; removal is two anti-joins; each scenario is one
+        O(log n) large-star/small-star CC run. The oracle closes both
+        reachabilities with recursive CTEs — different fixpoint
+        engines, same two rows."""
+        li = (
+            T(spark, sf_dir, "lineitem")
+            .select("l_orderkey", "l_partkey")
+            .distinct()
+        )
+        a, b = li.alias("a"), li.alias("b")
+        e = (
+            a.join(
+                b,
+                (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+                & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+            )
+            .groupBy(
+                F.col("a.l_partkey").alias("pa"),
+                F.col("b.l_partkey").alias("pb"),
+            )
+            .agg(F.count("*").alias("n"))
+            .filter(F.col("n") >= 2)
+            .select("pa", "pb")
+            .localCheckpoint(eager=False)
+        )
+        und = e.select(F.col("pa").alias("s")).unionByName(
+            e.select(F.col("pb").alias("s"))
+        )
+        wr = Window.orderBy(F.col("deg").desc(), F.col("s"))
+        hubs = (
+            und.groupBy("s")
+            .agg(F.count("*").alias("deg"))
+            .withColumn("rk", F.row_number().over(wr))
+            .filter(F.col("rk") <= 20)
+            .select(F.col("s").alias("node"))
+        )
+        residual = e.join(
+            hubs.withColumnRenamed("node", "pa"), "pa", "left_anti"
+        ).join(hubs.withColumnRenamed("node", "pb"), "pb", "left_anti")
+
+        def profile(edges, scenario):
+            cc = graph.connected_components(edges, src="pa", dst="pb")
+            sizes = cc.groupBy("component").agg(
+                F.count("*").cast("long").alias("cs")
+            )
+            return (
+                cc.agg(F.count("*").cast("long").alias("n_nodes"))
+                .crossJoin(
+                    sizes.agg(
+                        F.count("*").cast("long").alias("n_components"),
+                        F.max("cs").cast("long").alias("largest_component"),
+                    )
+                )
+                .select(
+                    F.lit(scenario).alias("scenario"),
+                    "n_nodes",
+                    "n_components",
+                    "largest_component",
+                )
+            )
+
+        return profile(e, "full").unionByName(
+            profile(residual, "hubs_removed")
+        )
+
+
+_register_batch15()

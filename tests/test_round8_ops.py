@@ -787,3 +787,24 @@ def test_bootstrap_auc_replicates_spread_around_point_estimate(spark):
         0 < r.n_pos < 5 * point.n_pos and 0 < r.n_neg < 5 * point.n_neg
         for r in reps
     )
+
+
+def test_hub_removal_fragments_the_giant_component(spark):
+    from politicamente_etl_spark.plans.catalog import CATALOG
+
+    rows = {
+        r.scenario: r
+        for r in CATALOG["hub_removal_robustness"].fn(
+            spark, "/root/testdata/sf0.001"
+        ).collect()
+    }
+    full, res = rows["full"], rows["hubs_removed"]
+    assert res.n_nodes < full.n_nodes  # hubs (and isolated leaves) leave
+    assert res.largest_component <= full.largest_component
+    assert full.largest_component <= full.n_nodes
+    # a scale-free-ish co-purchase graph loses coverage under attack:
+    # the surviving giant is a strictly smaller FRACTION of its graph
+    assert (
+        res.largest_component * full.n_nodes
+        <= full.largest_component * res.n_nodes
+    )
