@@ -2940,3 +2940,101 @@ def _register_batch15():
 
 
 _register_batch15()
+
+
+def _register_batch16():
+    from politicamente_etl_spark.plans.catalog import load_events, register
+
+    @register(
+        "events_hourly_uniformity_chi2",
+        sql="""
+        WITH b AS (
+            SELECT event_type,
+                   CAST((epoch_us(ts) // 3600000000) % 24 AS BIGINT) AS hod
+            FROM events
+        ), o AS (
+            SELECT event_type, hod, CAST(COUNT(*) AS BIGINT) AS obs
+            FROM b GROUP BY 1, 2
+        ), n AS (
+            SELECT event_type, CAST(SUM(obs) AS BIGINT) AS n,
+                   CAST(COUNT(*) AS BIGINT) AS n_bins_hit
+            FROM o GROUP BY 1
+        ), terms AS (
+            -- absent hours contribute (0 - n/24)² = n²/576; folding the
+            -- zero-fill: Σ_hit (24·obs − n)² + (24 − hit)·n²
+            SELECT o.event_type,
+                   CAST(SUM((24 * o.obs - n.n) * (24 * o.obs - n.n))
+                        AS BIGINT) AS s_hit
+            FROM o JOIN n USING (event_type) GROUP BY 1, n.n
+        )
+        SELECT n.event_type, n.n, n.n_bins_hit,
+               CAST(terms.s_hit + (24 - n.n_bins_hit) * n.n * n.n
+                    AS BIGINT) AS chi2_num,
+               CAST(24 * n.n AS BIGINT) AS chi2_den,
+               CAST((terms.s_hit + (24 - n.n_bins_hit) * n.n * n.n) * 1000
+                    // (24 * n.n) AS BIGINT) AS chi2_milli
+        FROM n JOIN terms USING (event_type)
+        """,
+        tags=("ext-events", "ext-stats"),
+    )
+    def q_events_hourly_uniformity_chi2(
+        spark: SparkSession, sf_dir: str
+    ) -> DataFrame:
+        """One-sample χ² goodness-of-fit of each event type's
+        hour-of-day histogram against uniformity (23 df) — the
+        seasonality detector as a test statistic, not a plot. Exact
+        integers throughout: χ² = Σ(24·obs − n)²/(24·n) with absent
+        hours folded into one closed term (same zero-fill identity
+        family as t_closeness). One (type, hod) aggregate, bounded by
+        the grid; chi2_milli ≳ 41,600 rejects uniformity at p<0.01."""
+        ev = load_events(spark, sf_dir)
+        b = ev.select(
+            "event_type",
+            F.expr("pmod(unix_micros(ts) div 3600000000, 24)")
+            .cast("long")
+            .alias("hod"),
+        )
+        o = b.groupBy("event_type", "hod").agg(
+            F.count("*").cast("long").alias("obs")
+        )
+        n = o.groupBy("event_type").agg(
+            F.sum("obs").cast("long").alias("n"),
+            F.count("*").cast("long").alias("n_bins_hit"),
+        )
+        terms = (
+            o.join(n, "event_type")
+            .groupBy("event_type", "n")
+            .agg(
+                F.sum(
+                    (24 * F.col("obs") - F.col("n"))
+                    * (24 * F.col("obs") - F.col("n"))
+                )
+                .cast("long")
+                .alias("s_hit")
+            )
+            .drop("n")
+        )
+        return (
+            n.join(terms, "event_type")
+            .select(
+                "event_type",
+                "n",
+                "n_bins_hit",
+                (
+                    F.col("s_hit")
+                    + (24 - F.col("n_bins_hit")) * F.col("n") * F.col("n")
+                )
+                .cast("long")
+                .alias("chi2_num"),
+                (24 * F.col("n")).cast("long").alias("chi2_den"),
+                F.expr(
+                    "(s_hit + (24 - n_bins_hit) * n * n) * 1000"
+                    " DIV (24 * n)"
+                )
+                .cast("long")
+                .alias("chi2_milli"),
+            )
+        )
+
+
+_register_batch16()

@@ -808,3 +808,31 @@ def test_hub_removal_fragments_the_giant_component(spark):
         res.largest_component * full.n_nodes
         <= full.largest_component * res.n_nodes
     )
+
+
+def test_chi2_uniformity_matches_textbook_statistic(spark):
+    from politicamente_etl_spark.plans.catalog import CATALOG
+
+    sf = "/root/testdata/sf0.001"
+    rows = CATALOG["events_hourly_uniformity_chi2"].fn(spark, sf).collect()
+    ev = (
+        spark.read.parquet(f"{sf}/events.parquet")
+        .selectExpr(
+            "event_type",
+            "pmod(unix_micros(cast(ts as timestamp)) div 3600000000, 24)"
+            " AS hod",
+        )
+        .collect()
+    )
+    from collections import Counter, defaultdict
+
+    per: dict = defaultdict(Counter)
+    for r in ev:
+        per[r.event_type][r.hod] += 1
+    for r in rows:
+        c = per[r.event_type]
+        n = sum(c.values())
+        # textbook chi2 vs uniform over 24 cells, as an exact fraction
+        num = sum((24 * c.get(h, 0) - n) ** 2 for h in range(24))
+        assert (r.chi2_num, r.chi2_den) == (num, 24 * n)
+        assert r.chi2_milli == num * 1000 // (24 * n)
