@@ -267,15 +267,27 @@ def t_closeness_classes(
     cell = df.groupBy(*qi_cols, sensitive_col).agg(
         F.count("*").cast("long").alias("cnt")
     )
-    g = df.groupBy(sensitive_col).agg(F.count("*").cast("long").alias("g"))
-    n_tot = df.agg(F.count("*").cast("long").alias("N"))
-    sizes = df.groupBy(*qi_cols).agg(
-        F.count("*").cast("long").alias("n_rows")
+    g = df.groupBy(F.col(sensitive_col).alias("__sv")).agg(
+        F.count("*").cast("long").alias("g")
     )
+    n_tot = df.agg(F.count("*").cast("long").alias("N"))
+    sizes = df.groupBy(
+        *[F.col(c).alias(f"__q_{c}") for c in qi_cols]
+    ).agg(F.count("*").cast("long").alias("n_rows"))
     d38 = "decimal(38,0)"
+    # NULL-SAFE joins: groupBy keeps NULL groups, so a NULL sensitive
+    # value is a legitimate bucket and a NULL QI component a legitimate
+    # class — plain equi-joins would silently drop both, breaking the
+    # Σ g_b = N identity the closed form relies on (code-review finding)
+    qi_cond = None
+    for c in qi_cols:
+        this = F.col(c).eqNullSafe(F.col(f"__q_{c}"))
+        qi_cond = this if qi_cond is None else (qi_cond & this)
     terms = (
-        cell.join(F.broadcast(g), sensitive_col)
-        .join(F.broadcast(sizes), qi_cols)
+        cell.join(
+            F.broadcast(g), F.col(sensitive_col).eqNullSafe(F.col("__sv"))
+        )
+        .join(F.broadcast(sizes), qi_cond)
         .crossJoin(F.broadcast(n_tot))
         .select(
             *qi_cols,

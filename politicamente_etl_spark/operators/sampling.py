@@ -449,7 +449,13 @@ def epoch_shuffle_shards(
     sequence (no data copy until the single groupBy(epoch, shard)
     shuffle, which map-side-combines to E*S rows per partition). A real
     writer swaps the rollup for repartition(epoch, shard) + write —
-    same single shuffle, deterministic file contents across retries."""
+    same single shuffle, deterministic file contents across retries.
+
+    `id_col` must be NUMERIC for the id_sum permutation proof —
+    a string id silently casts to NULL inside SUM and the
+    invariant stops proving anything (code-review finding); hash
+    string ids to a long first.
+    """
     e = F.explode(F.sequence(F.lit(0), F.lit(n_epochs - 1))).alias("epoch")
     rows = df.select(F.col(id_col), e)
     h = F.conv(

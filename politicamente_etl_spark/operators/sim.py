@@ -667,7 +667,9 @@ def mmr_topk(
     out = sel.select(
         query_id_col, "ids", "rels", F.posexplode("sel_pos").alias("step0", "p")
     )
-    return out.select(
+    return out.filter(F.col("p").isNotNull()).select(
+        # p is NULL past the candidate count (k > candidates: the greedy
+        # fold's argmin over an empty remainder) — stop, don't emit NULLs
         query_id_col,
         (F.col("step0") + 1).cast("int").alias("step"),
         F.element_at("ids", F.col("p")).alias(id_col),
@@ -954,7 +956,13 @@ def item_cooccurrence_similarity(
         .join(F.broadcast(cnt.select(F.col("it").alias("ib"), F.col("c").alias("c_b"))), "ib")
         .withColumn(
             "sim_sq_ppm",
-            F.expr("(c_ab * c_ab * 1000000) div (c_a * c_b)").cast("long"),
+            # DECIMAL(38,0) intermediates: c_ab^2*1e6 outgrows BIGINT once
+            # a pair co-occurs in ~3e6 baskets (code-review finding) —
+            # values are unchanged wherever the old BIGINT form was exact
+            F.expr(
+                "CAST((CAST(c_ab AS decimal(38,0)) * c_ab * 1000000)"
+                " DIV (CAST(c_a AS decimal(38,0)) * c_b) AS BIGINT)"
+            ),
         )
         .select(
             F.col("ia").alias("item_a"),

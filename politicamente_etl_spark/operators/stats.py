@@ -59,6 +59,13 @@ def mad_outliers(
     both medians for the bounded-memory percentile sketch — the mode to
     run when a single group's value multiset outgrows an executor (the
     fences move by the sketch's rank error; the flagging stays robust).
+
+    Caveat (classic MAD degeneracy): when ≥50% of a group's values tie
+    at the median, mad = 0 — the fence collapses, every off-median row
+    flags, and deviation_mads is ±Infinity. Callers on heavily-tied
+    integer data should pre-aggregate or fall back to the IQR fence;
+    this operator preserves the textbook definition rather than
+    silently clamping.
     """
     med = df.groupBy(group_col).agg(
         _pct(value_col, "0.5", approx).alias("med")
@@ -900,7 +907,10 @@ def hbos_scores(
         F.expr(f"((vm - vmin) * {n_value_bins}) DIV (vmax - vmin + 1)")
         .cast("long")
         .alias("vbin"),
-    )
+        # binned feeds three histograms AND the scoring join; Catalyst
+        # does not CSE repeated subplans, so cut the lineage once here
+        # instead of re-scanning the fact table per consumer
+    ).localCheckpoint(eager=False)
     h_v = binned.groupBy("vbin").agg(F.count("*").alias("n_v"))
     h_h = binned.groupBy("hod").agg(F.count("*").alias("n_h"))
     h_t = binned.groupBy("et").agg(F.count("*").alias("n_t"))

@@ -28,6 +28,46 @@ def _fd_sql(x: str, d: int) -> str:
     return f"((({x}) - ((({x}) % {d}) + {d}) % {d}) // {d})"
 
 
+# shared support-≥2 co-purchase edge list (the graph every graph-family
+# query here runs on) — one definition for both engines, like
+# extended_r4b's _emb_milli/_M_CTE pair for embeddings
+_CO_EDGE_SQL = """li AS (
+            SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+        ), e AS (
+            SELECT a.l_partkey AS pa, b.l_partkey AS pb
+            FROM li a JOIN li b
+              ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+            GROUP BY 1, 2 HAVING COUNT(*) >= 2
+        )"""
+
+
+def _co_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(pa, pb) co-purchase pairs sharing ≥2 orders — the Spark twin of
+    _CO_EDGE_SQL."""
+    from politicamente_etl_spark.plans.catalog import T
+
+    li = (
+        T(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    a, b = li.alias("a"), li.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("pa"),
+            F.col("b.l_partkey").alias("pb"),
+        )
+        .agg(F.count("*").alias("n"))
+        .filter(F.col("n") >= 2)
+        .select("pa", "pb")
+    )
+
+
 def _register():
     from politicamente_etl_spark.operators import graph, sim, stats
     from politicamente_etl_spark.plans.catalog import T, load_events, register
@@ -36,15 +76,8 @@ def _register():
 
     @register(
         "adamic_adar_link_pred",
-        sql="""
-        WITH li AS (
-            SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
-        ), e AS (
-            SELECT a.l_partkey AS pa, b.l_partkey AS pb
-            FROM li a JOIN li b
-              ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
-            GROUP BY 1, 2 HAVING COUNT(*) >= 2
-        ), und AS (
+        sql=f"""
+        WITH {_CO_EDGE_SQL}, und AS (
             SELECT pa AS s, pb AS d FROM e
             UNION ALL SELECT pb AS s, pa AS d FROM e
         ), wt AS (
@@ -78,26 +111,7 @@ def _register():
         weights). Wedge self-join on the center node with the hub cap
         applied BEFORE the join; known edges leave via a left-anti
         join; TakeOrdered top-k."""
-        li = (
-            T(spark, sf_dir, "lineitem")
-            .select("l_orderkey", "l_partkey")
-            .distinct()
-        )
-        a, b = li.alias("a"), li.alias("b")
-        e = (
-            a.join(
-                b,
-                (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-                & (F.col("a.l_partkey") < F.col("b.l_partkey")),
-            )
-            .groupBy(
-                F.col("a.l_partkey").alias("pa"),
-                F.col("b.l_partkey").alias("pb"),
-            )
-            .agg(F.count("*").alias("n"))
-            .filter(F.col("n") >= 2)
-            .select("pa", "pb")
-        )
+        e = _co_edges(spark, sf_dir)
         return graph.adamic_adar(e, src="pa", dst="pb", max_degree=256, top_k=50)
 
     # -- reciprocal (mutual) kNN pairs ---------------------------------------
@@ -665,14 +679,7 @@ def _register_batch4():
     @register(
         "label_propagation_parts",
         sql=f"""
-        WITH li AS (
-            SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
-        ), e AS (
-            SELECT a.l_partkey AS pa, b.l_partkey AS pb
-            FROM li a JOIN li b
-              ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
-            GROUP BY 1, 2 HAVING COUNT(*) >= 2
-        ), und AS (
+        WITH {_CO_EDGE_SQL}, und AS (
             SELECT pa AS s, pb AS d FROM e
             UNION ALL SELECT pb AS s, pa AS d FROM e
         ), l0 AS (
@@ -726,26 +733,7 @@ def _register_batch4():
         unrolls both rounds as SQL stages."""
         from politicamente_etl_spark.operators.sampling import hash_bucket
 
-        li = (
-            T(spark, sf_dir, "lineitem")
-            .select("l_orderkey", "l_partkey")
-            .distinct()
-        )
-        a, b = li.alias("a"), li.alias("b")
-        e = (
-            a.join(
-                b,
-                (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-                & (F.col("a.l_partkey") < F.col("b.l_partkey")),
-            )
-            .groupBy(
-                F.col("a.l_partkey").alias("pa"),
-                F.col("b.l_partkey").alias("pb"),
-            )
-            .agg(F.count("*").alias("n"))
-            .filter(F.col("n") >= 2)
-            .select("pa", "pb")
-        )
+        e = _co_edges(spark, sf_dir)
         seeds = (
             T(spark, sf_dir, "part")
             .filter(hash_bucket("p_partkey", seed="lp-v1", n_buckets=10) == 0)
@@ -885,14 +873,7 @@ def _register_batch5():
     @register(
         "bfs_hop_histogram",
         sql=f"""
-        WITH li AS (
-            SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
-        ), e AS (
-            SELECT a.l_partkey AS pa, b.l_partkey AS pb
-            FROM li a JOIN li b
-              ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
-            GROUP BY 1, 2 HAVING COUNT(*) >= 2
-        ), und AS (
+        WITH {_CO_EDGE_SQL}, und AS (
             SELECT pa AS s, pb AS d FROM e
             UNION ALL SELECT pb AS s, pa AS d FROM e
         ), d0 AS (
@@ -941,26 +922,7 @@ def _register_batch5():
         histogram with a sum-of-node-ids witness so a wrong frontier
         can't hide in equal counts. One frontier equi-join + min-merge
         per sweep; the oracle unrolls the sweeps as SQL stages."""
-        li = (
-            T(spark, sf_dir, "lineitem")
-            .select("l_orderkey", "l_partkey")
-            .distinct()
-        )
-        a, b = li.alias("a"), li.alias("b")
-        e = (
-            a.join(
-                b,
-                (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-                & (F.col("a.l_partkey") < F.col("b.l_partkey")),
-            )
-            .groupBy(
-                F.col("a.l_partkey").alias("pa"),
-                F.col("b.l_partkey").alias("pb"),
-            )
-            .agg(F.count("*").alias("n"))
-            .filter(F.col("n") >= 2)
-            .select("pa", "pb")
-        )
+        e = _co_edges(spark, sf_dir)
         seeds = (
             T(spark, sf_dir, "part")
             .filter(hash_bucket("p_partkey", seed="bfs-v1", n_buckets=50) == 0)
@@ -1371,15 +1333,8 @@ def _register_batch7():
 
     @register(
         "clustering_coefficient_top",
-        sql="""
-        WITH li AS (
-            SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
-        ), e AS (
-            SELECT a.l_partkey AS pa, b.l_partkey AS pb
-            FROM li a JOIN li b
-              ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
-            GROUP BY 1, 2 HAVING COUNT(*) >= 2
-        ), und AS (
+        sql=f"""
+        WITH {_CO_EDGE_SQL}, und AS (
             SELECT pa AS s, pb AS d FROM e
             UNION ALL SELECT pb AS s, pa AS d FROM e
         ), deg AS (
@@ -1414,26 +1369,7 @@ def _register_batch7():
         co-purchase graph: closed-wedge counts per center over the same
         hub-capped wedge join as Adamic-Adar, one semi-join against the
         canonical edge list, integer-ppm coefficients."""
-        li = (
-            T(spark, sf_dir, "lineitem")
-            .select("l_orderkey", "l_partkey")
-            .distinct()
-        )
-        a, b = li.alias("a"), li.alias("b")
-        e = (
-            a.join(
-                b,
-                (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-                & (F.col("a.l_partkey") < F.col("b.l_partkey")),
-            )
-            .groupBy(
-                F.col("a.l_partkey").alias("pa"),
-                F.col("b.l_partkey").alias("pb"),
-            )
-            .agg(F.count("*").alias("n"))
-            .filter(F.col("n") >= 2)
-            .select("pa", "pb")
-        )
+        e = _co_edges(spark, sf_dir)
         return graph.clustering_coefficients(
             e, src="pa", dst="pb", max_degree=256, top_k=20
         )
@@ -1602,15 +1538,8 @@ def _register_batch8():
 
     @register(
         "degree_assortativity",
-        sql="""
-        WITH li AS (
-            SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
-        ), e AS (
-            SELECT a.l_partkey AS pa, b.l_partkey AS pb
-            FROM li a JOIN li b
-              ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
-            GROUP BY 1, 2 HAVING COUNT(*) >= 2
-        ), und AS (
+        sql=f"""
+        WITH {_CO_EDGE_SQL}, und AS (
             SELECT pa AS s, pb AS d FROM e
             UNION ALL SELECT pb AS s, pa AS d FROM e
         ), deg AS (
@@ -1653,26 +1582,7 @@ def _register_batch8():
         emitted as composable integer sufficient statistics plus the
         signed squared coefficient in ppm — do popular parts co-sell
         with popular parts, or with the tail?"""
-        li = (
-            T(spark, sf_dir, "lineitem")
-            .select("l_orderkey", "l_partkey")
-            .distinct()
-        )
-        a, b = li.alias("a"), li.alias("b")
-        e = (
-            a.join(
-                b,
-                (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-                & (F.col("a.l_partkey") < F.col("b.l_partkey")),
-            )
-            .groupBy(
-                F.col("a.l_partkey").alias("pa"),
-                F.col("b.l_partkey").alias("pb"),
-            )
-            .agg(F.count("*").alias("n"))
-            .filter(F.col("n") >= 2)
-            .select("pa", "pb")
-        )
+        e = _co_edges(spark, sf_dir)
         return graph.degree_assortativity(e, src="pa", dst="pb")
 
     # -- feature-hashing collision profile ----------------------------------------
@@ -1724,7 +1634,6 @@ def _register_batch8():
         uni = docs.select(
             F.explode(tokens("text")).alias("t")
         ).select(F.concat(F.lit("u:"), F.col("t")).alias("f"))
-        toks = tokens("text")
         big = docs.select(
             F.explode(
                 F.expr(
@@ -2799,17 +2708,10 @@ def _register_batch15():
 
     @register(
         "hub_removal_robustness",
-        sql="""
-        WITH RECURSIVE li AS (
-            SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
-        ), e0 AS (
-            SELECT a.l_partkey AS pa, b.l_partkey AS pb
-            FROM li a JOIN li b
-              ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
-            GROUP BY 1, 2 HAVING COUNT(*) >= 2
-        ), und AS (
-            SELECT pa AS src, pb AS dst FROM e0
-            UNION ALL SELECT pb AS src, pa AS dst FROM e0
+        sql=f"""
+        WITH RECURSIVE {_CO_EDGE_SQL}, und AS (
+            SELECT pa AS src, pb AS dst FROM e
+            UNION ALL SELECT pb AS src, pa AS dst FROM e
         ), hubs AS (
             SELECT src AS node FROM (
                 SELECT src, COUNT(*) AS deg,
@@ -2818,12 +2720,12 @@ def _register_batch15():
                 FROM und GROUP BY src
             ) WHERE rk <= 20
         ), r0 AS (
-            SELECT pa, pb FROM e0
-            WHERE NOT EXISTS (SELECT 1 FROM hubs WHERE hubs.node = e0.pa)
-              AND NOT EXISTS (SELECT 1 FROM hubs WHERE hubs.node = e0.pb)
+            SELECT pa, pb FROM e
+            WHERE NOT EXISTS (SELECT 1 FROM hubs WHERE hubs.node = e.pa)
+              AND NOT EXISTS (SELECT 1 FROM hubs WHERE hubs.node = e.pb)
         ), eu AS (
-            SELECT pa AS src, pb AS dst FROM e0
-            UNION ALL SELECT pb, pa FROM e0
+            SELECT pa AS src, pb AS dst FROM e
+            UNION ALL SELECT pb, pa FROM e
         ), reach_full(node, label) AS (
             SELECT DISTINCT src AS node, src AS label FROM eu
             UNION
@@ -2877,27 +2779,7 @@ def _register_batch15():
         O(log n) large-star/small-star CC run. The oracle closes both
         reachabilities with recursive CTEs — different fixpoint
         engines, same two rows."""
-        li = (
-            T(spark, sf_dir, "lineitem")
-            .select("l_orderkey", "l_partkey")
-            .distinct()
-        )
-        a, b = li.alias("a"), li.alias("b")
-        e = (
-            a.join(
-                b,
-                (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-                & (F.col("a.l_partkey") < F.col("b.l_partkey")),
-            )
-            .groupBy(
-                F.col("a.l_partkey").alias("pa"),
-                F.col("b.l_partkey").alias("pb"),
-            )
-            .agg(F.count("*").alias("n"))
-            .filter(F.col("n") >= 2)
-            .select("pa", "pb")
-            .localCheckpoint(eager=False)
-        )
+        e = _co_edges(spark, sf_dir).localCheckpoint(eager=False)
         und = e.select(F.col("pa").alias("s")).unionByName(
             e.select(F.col("pb").alias("s"))
         )
@@ -2968,11 +2850,14 @@ def _register_batch16():
             FROM o JOIN n USING (event_type) GROUP BY 1, n.n
         )
         SELECT n.event_type, n.n, n.n_bins_hit,
-               CAST(terms.s_hit + (24 - n.n_bins_hit) * n.n * n.n
+               CAST(CAST(terms.s_hit AS HUGEINT)
+                    + (24 - n.n_bins_hit) * CAST(n.n AS HUGEINT) * n.n
                     AS BIGINT) AS chi2_num,
                CAST(24 * n.n AS BIGINT) AS chi2_den,
-               CAST((terms.s_hit + (24 - n.n_bins_hit) * n.n * n.n) * 1000
-                    // (24 * n.n) AS BIGINT) AS chi2_milli
+               CAST((CAST(terms.s_hit AS HUGEINT)
+                     + (24 - n.n_bins_hit) * CAST(n.n AS HUGEINT) * n.n)
+                    * 1000 // (24 * CAST(n.n AS HUGEINT)) AS BIGINT)
+                   AS chi2_milli
         FROM n JOIN terms USING (event_type)
         """,
         tags=("ext-events", "ext-stats"),
@@ -3020,19 +2905,20 @@ def _register_batch16():
                 "event_type",
                 "n",
                 "n_bins_hit",
-                (
-                    F.col("s_hit")
-                    + (24 - F.col("n_bins_hit")) * F.col("n") * F.col("n")
-                )
-                .cast("long")
-                .alias("chi2_num"),
+                # DECIMAL(38,0): the n²-scaled numerator outgrows BIGINT
+                # around n ≈ 4e6 events per type (code-review finding)
+                F.expr(
+                    "CAST(CAST(s_hit AS decimal(38,0))"
+                    " + (24 - n_bins_hit) * CAST(n AS decimal(38,0)) * n"
+                    " AS BIGINT)"
+                ).alias("chi2_num"),
                 (24 * F.col("n")).cast("long").alias("chi2_den"),
                 F.expr(
-                    "(s_hit + (24 - n_bins_hit) * n * n) * 1000"
-                    " DIV (24 * n)"
-                )
-                .cast("long")
-                .alias("chi2_milli"),
+                    "CAST((CAST(s_hit AS decimal(38,0))"
+                    " + (24 - n_bins_hit) * CAST(n AS decimal(38,0)) * n)"
+                    " * 1000 DIV (24 * CAST(n AS decimal(38,0)))"
+                    " AS BIGINT)"
+                ).alias("chi2_milli"),
             )
         )
 

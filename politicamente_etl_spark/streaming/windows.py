@@ -353,8 +353,10 @@ def stream_quality_audit(
     from politicamente_etl_spark.operators.quality import row_level_report
 
     spark = streaming_df.sparkSession
+    seen_batches: list[int] = []
 
     def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        seen_batches.append(int(batch_id))
         # rows_col rides the same aggregate as the violation counters —
         # one pass per batch, honoring the quality module's single-scan
         # contract (a separate count() would double the audit cost).
@@ -385,8 +387,14 @@ def stream_quality_audit(
     try:
         # batch_id is now a partition column; directory-value inference
         # types it int — pin back to long for a stable contract schema.
-        return spark.read.parquet(audit_path).withColumn(
-            "batch_id", F.col("batch_id").cast("long")
+        # Restrict to THIS run's batches: dynamic overwrite only replaces
+        # partitions this run produced, so a reused audit_path would
+        # otherwise leak a previous stream's trailing batches into the
+        # returned table (code-review finding).
+        return (
+            spark.read.parquet(audit_path)
+            .withColumn("batch_id", F.col("batch_id").cast("long"))
+            .filter(F.col("batch_id").isin(seen_batches or [-1]))
         )
     except Exception:
         return spark.createDataFrame(

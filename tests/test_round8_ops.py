@@ -836,3 +836,24 @@ def test_chi2_uniformity_matches_textbook_statistic(spark):
         num = sum((24 * c.get(h, 0) - n) ** 2 for h in range(24))
         assert (r.chi2_num, r.chi2_den) == (num, 24 * n)
         assert r.chi2_milli == num * 1000 // (24 * n)
+
+
+def test_t_closeness_null_buckets_and_null_qi_survive(spark):
+    from politicamente_etl_spark.operators.quality import t_closeness_classes
+
+    rows = [
+        ("a", 1),
+        ("a", None),  # NULL sensitive value is a legitimate bucket
+        ("b", 1),
+        ("b", None),
+        (None, 1),  # NULL QI component is a legitimate class
+        (None, None),
+    ]
+    df = spark.createDataFrame(rows, "q string, s int")
+    out = {r.q: r for r in t_closeness_classes(df, ["q"], "s").collect()}
+    # all three classes present, including the NULL-keyed one
+    assert set(out) == {"a", "b", None}
+    assert all(r.n_rows == 2 for r in out.values())
+    # every class mirrors the global (1/2, 1/2) distribution -> TVD 0,
+    # which only holds if NULL buckets joined null-safely
+    assert all(r.tvd_ppm == 0 for r in out.values())
