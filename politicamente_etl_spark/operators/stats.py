@@ -750,10 +750,13 @@ def loo_target_encoding(
     (no other row to borrow a mean from) — the caller imputes.
 
     Scale shape: ONE partial-aggregated groupBy over the category column
-    produces a |categories|-row summary that the planner broadcasts back
-    onto the fact table; the per-row arithmetic is codegen'd expression
-    work. No window, no sort, no second shuffle — the same
-    aggregate-then-broadcast shape as the robust-stats operators above.
+    produces a |categories|-row summary joined back onto the fact table;
+    the per-row arithmetic is codegen'd expression work. No window, no
+    sort. The join carries NO mandatory broadcast hint: categorical
+    encoders get applied to high-cardinality keys too (user ids), where
+    a forced broadcast is the OOM trap — the planner/AQE broadcasts the
+    summary while it is small and degrades to a shuffle join past the
+    threshold.
 
     Returns keep_cols + (group_col, target, loo_num, loo_den, loo_mean).
     """
@@ -761,7 +764,7 @@ def loo_target_encoding(
         F.sum(target_col).cast("long").alias("__g_sum"),
         F.count("*").cast("long").alias("__g_n"),
     )
-    out = df.join(F.broadcast(g), group_col)
+    out = df.join(g, group_col)
     loo_num = (F.col("__g_sum") - F.col(target_col)).cast("long")
     loo_den = (F.col("__g_n") - F.lit(1)).cast("long")
     return out.select(
