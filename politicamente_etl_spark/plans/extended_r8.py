@@ -2924,3 +2924,127 @@ def _register_batch16():
 
 
 _register_batch16()
+
+
+def _register_batch17():
+    from politicamente_etl_spark.plans.catalog import T, register
+
+    # -- business-day latency -------------------------------------------------
+
+    # closed form: H(d) = #weekdays among epoch days [0, d] — align to
+    # the Monday 3 days before epoch day 0 (a Thursday), count 5 per
+    # whole week + the ≤5 weekday remainder, subtract the 3 pre-epoch
+    # weekdays (Mon-Wed) the alignment added
+    _H = "(5 * (({d} + 4) DIV 7) + least(pmod({d} + 4, 7), 5) - 3)"
+    _H_SQL = "(5 * (({d} + 4) // 7) + least(({d} + 4) % 7, 5) - 3)"
+
+    @register(
+        "business_day_latency_profile",
+        sql=f"""
+        WITH li AS (
+            SELECT o_orderpriority,
+                   CAST(epoch_us(o_orderdate) // 86400000000 AS BIGINT)
+                       AS d1,
+                   CAST(epoch_us(l_shipdate) // 86400000000 AS BIGINT)
+                       AS d2
+            FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        ), bd AS (
+            -- INDEPENDENT method: enumerate the days and count weekdays
+            -- (the Spark side uses the closed-form prefix function);
+            -- signed: a ship date before the order date counts weekdays
+            -- backwards
+            SELECT o_orderpriority,
+                   CASE WHEN d2 >= d1 THEN
+                       (SELECT COUNT(*)
+                        FROM unnest(generate_series(d1 + 1, d2)) AS g(d)
+                        WHERE (d + 3) % 7 < 5)
+                   ELSE
+                       -(SELECT COUNT(*)
+                         FROM unnest(generate_series(d2 + 1, d1)) AS g(d)
+                         WHERE (d + 3) % 7 < 5)
+                   END AS bdays
+            FROM li
+        )
+        SELECT o_orderpriority, CAST(bdays AS BIGINT) AS bdays,
+               CAST(COUNT(*) AS BIGINT) AS n_items
+        FROM bd GROUP BY 1, 2
+        """,
+        tags=("ext-temporal", "ext-rel"),
+    )
+    def q_business_day_latency_profile(
+        spark: SparkSession, sf_dir: str
+    ) -> DataFrame:
+        """SIGNED business-day offset (weekends excluded) between each
+        order date and its items' ship dates, profiled per priority —
+        the SLA metric calendars make awkward and closed-form integer
+        arithmetic makes free: weekdays in (d1, d2] = H(d2) − H(d1)
+        with H the Monday-aligned weekday prefix count, one codegen'd
+        expression per row, no calendar table, no explode. The prefix
+        form is automatically sign-correct (the synthetic ship dates
+        land on BOTH sides of the order date, which exercises exactly
+        that); the oracle deliberately runs the OPPOSITE algorithm —
+        enumerate the days, count weekdays, negate on reversal — so
+        the closed form is verified against brute force."""
+        li = T(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+        o = T(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority"
+        )
+        j = li.join(o, li.l_orderkey == o.o_orderkey).select(
+            "o_orderpriority",
+            F.expr("unix_micros(cast(o_orderdate as timestamp))"
+                   " div 86400000000").alias("d1"),
+            F.expr("unix_micros(cast(l_shipdate as timestamp))"
+                   " div 86400000000").alias("d2"),
+        )
+        h2 = _H.format(d="d2")
+        h1 = _H.format(d="d1")
+        return (
+            j.select(
+                "o_orderpriority",
+                F.expr(f"({h2}) - ({h1})").cast("long").alias("bdays"),
+            )
+            .groupBy("o_orderpriority", "bdays")
+            .agg(F.count("*").cast("long").alias("n_items"))
+        )
+
+    # -- INTERSECT ALL (multiset) ----------------------------------------------
+
+    @register(
+        "intersect_all_quantities",
+        sql="""
+        WITH ret AS (
+            SELECT CAST(l_quantity AS BIGINT) AS qty FROM lineitem
+            WHERE l_returnflag = 'R'
+        ), kept AS (
+            SELECT CAST(l_quantity AS BIGINT) AS qty FROM lineitem
+            WHERE l_returnflag <> 'R'
+        ), both_ AS (
+            SELECT qty FROM ret INTERSECT ALL SELECT qty FROM kept
+        )
+        SELECT qty, CAST(COUNT(*) AS BIGINT) AS n
+        FROM both_ GROUP BY qty
+        """,
+        tags=("ext-rel", "ext-setop"),
+    )
+    def q_intersect_all_quantities(
+        spark: SparkSession, sf_dir: str
+    ) -> DataFrame:
+        """INTERSECT ALL — the multiset set-op the catalog's INTERSECT/
+        EXCEPT [ALL] family still lacked: quantity values shared between
+        returned and kept line items, each kept min(count_left,
+        count_right) times (verified through the rolled-up
+        multiplicities). Spark plans intersectAll as one partial-
+        aggregated count-compare, no join explosion."""
+        li = T(spark, sf_dir, "lineitem").select(
+            F.col("l_quantity").cast("long").alias("qty"), "l_returnflag"
+        )
+        ret = li.filter(F.col("l_returnflag") == "R").select("qty")
+        kept = li.filter(F.col("l_returnflag") != "R").select("qty")
+        return (
+            ret.intersectAll(kept)
+            .groupBy("qty")
+            .agg(F.count("*").cast("long").alias("n"))
+        )
+
+
+_register_batch17()

@@ -857,3 +857,58 @@ def test_t_closeness_null_buckets_and_null_qi_survive(spark):
     # every class mirrors the global (1/2, 1/2) distribution -> TVD 0,
     # which only holds if NULL buckets joined null-safely
     assert all(r.tvd_ppm == 0 for r in out.values())
+
+
+def test_business_day_closed_form_matches_python_calendar(spark):
+    import datetime as dt
+
+    from politicamente_etl_spark.plans.catalog import CATALOG
+
+    # python model over the actual sf0.001 join, weekday() < 5
+    sf = "/root/testdata/sf0.001"
+    li = spark.read.parquet(f"{sf}/lineitem.parquet").selectExpr(
+        "l_orderkey", "cast(l_shipdate as date) AS ship"
+    )
+    o = spark.read.parquet(f"{sf}/orders.parquet").selectExpr(
+        "o_orderkey", "o_orderpriority", "cast(o_orderdate as date) AS odate"
+    )
+    rows = li.join(o, li.l_orderkey == o.o_orderkey).collect()
+
+    def bdays(a: dt.date, b: dt.date) -> int:
+        sign = 1
+        if b < a:
+            a, b, sign = b, a, -1
+        n, d = 0, a
+        while d < b:
+            d += dt.timedelta(days=1)
+            if d.weekday() < 5:
+                n += 1
+        return sign * n
+
+    from collections import Counter
+
+    want = Counter(
+        (r.o_orderpriority, bdays(r.odate, r.ship)) for r in rows
+    )
+    got = Counter()
+    for r in CATALOG["business_day_latency_profile"].fn(spark, sf).collect():
+        got[(r.o_orderpriority, r.bdays)] = r.n_items
+    assert got == want
+
+
+def test_intersect_all_multiplicities(spark):
+    from politicamente_etl_spark.plans.catalog import CATALOG
+    from collections import Counter
+
+    sf = "/root/testdata/sf0.001"
+    li = spark.read.parquet(f"{sf}/lineitem.parquet").selectExpr(
+        "cast(l_quantity as long) AS qty", "l_returnflag"
+    ).collect()
+    ret = Counter(r.qty for r in li if r.l_returnflag == "R")
+    kept = Counter(r.qty for r in li if r.l_returnflag != "R")
+    want = {q: min(ret[q], kept[q]) for q in ret if q in kept}
+    got = {
+        r.qty: r.n
+        for r in CATALOG["intersect_all_quantities"].fn(spark, sf).collect()
+    }
+    assert got == want  # multiset semantics: min of the two multiplicities
