@@ -945,3 +945,21 @@ def test_bootstrap_auc_windows_partitioned_by_replicate(spark, sf_dir):
     assert "Window" in plan
     assert "partial" in plan.lower()
     assert "CartesianProduct" not in plan
+
+
+def test_business_day_offsets_pure_aggregate(spark, sf_dir):
+    """The closed-form weekday arithmetic is per-row expression work:
+    one join, one partial-aggregated groupBy — no window, no explode
+    of a calendar, no cartesian."""
+    plan = plan_of(q("business_day_latency_profile", spark, sf_dir))
+    assert "Window" not in plan
+    assert "Generate" not in plan  # no day enumeration on the Spark side
+    assert "CartesianProduct" not in plan
+
+
+def test_intersect_all_is_aggregated_not_joined(spark, sf_dir):
+    """Spark plans intersectAll as a count-compare aggregate (generate
+    over min counts), never a row-level join explosion."""
+    plan = plan_of(q("intersect_all_quantities", spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan
