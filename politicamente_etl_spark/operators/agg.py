@@ -233,3 +233,92 @@ def hll_registers(
         .groupBy("bucket")
         .agg(F.max("__rho").alias("max_rho"))
     )
+
+
+def kmv_set_ops(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    k: int = 64,
+) -> DataFrame:
+    """Pairwise set-operation estimates between groups' distinct-value
+    sets from K-Minimum-Values sketches (Beyer et al., SIGMOD 2007) —
+    the union/intersection companion of `kmv_distinct`, still pure
+    deterministic md5 algebra so the APPROXIMATE answers hash-match the
+    oracle. For each group pair (a < b):
+
+        union sketch  = k smallest hashes of S_a ∪ S_b (merge, re-rank, cut)
+        est_union     = (k−1)·2⁴⁸ / kth_min          (n_kept < k ⇒ exact)
+        k_inter       = |union sketch ∩ S_a ∩ S_b|
+        est_inter     = k_inter · est_union / n_kept
+
+    (one formula covers the exhaustive case: n_kept < k makes est_union
+    = n_kept and est_inter = k_inter exactly). The KMV merge is the
+    whole point at scale: per-group sketches are k-row tables, so every
+    pairwise estimate is arithmetic over k·|groups| rows — no re-scan,
+    no |A|×|B| join of the raw sets. The corpus-sized work is the one
+    distinct on (group, hash).
+
+    Returns (g_a, g_b, n_kept, kth_hash, k_inter, est_union, est_inter).
+    """
+    h = F.conv(
+        F.substring(F.md5(F.col(value_col).cast("string")), 1, 12), 16, 10
+    ).cast("long")
+    hashes = df.select(F.col(group_col).alias("g"), h.alias("hv")).distinct()
+    w = Window.partitionBy("g").orderBy("hv")
+    sk = (
+        hashes.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select("g", "hv")
+    )
+    types = sk.select("g").distinct()
+    pairs = (
+        types.select(F.col("g").alias("g_a"))
+        .join(types.select(F.col("g").alias("g_b")))
+        .filter(F.col("g_a") < F.col("g_b"))
+    )
+    ua = pairs.join(sk, sk.g == pairs.g_a).select(
+        "g_a", "g_b", "hv", F.lit(1).alias("in_a"), F.lit(0).alias("in_b")
+    )
+    ub = pairs.join(sk, sk.g == pairs.g_b).select(
+        "g_a", "g_b", "hv", F.lit(0).alias("in_a"), F.lit(1).alias("in_b")
+    )
+    u = (
+        ua.unionAll(ub)
+        .groupBy("g_a", "g_b", "hv")
+        .agg(F.max("in_a").alias("in_a"), F.max("in_b").alias("in_b"))
+    )
+    w2 = Window.partitionBy("g_a", "g_b").orderBy("hv")
+    kept = u.withColumn("rn", F.row_number().over(w2)).filter(
+        F.col("rn") <= k
+    )
+    return (
+        kept.groupBy("g_a", "g_b")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_kept"),
+            F.max("hv").alias("kth_hash"),
+            F.sum(F.col("in_a") * F.col("in_b")).cast("long").alias("k_inter"),
+        )
+        .select(
+            "g_a",
+            "g_b",
+            "n_kept",
+            "kth_hash",
+            "k_inter",
+            F.when(
+                F.col("n_kept") < k, F.col("n_kept").cast("double")
+            )
+            .otherwise(
+                F.lit(float(k - 1))
+                * F.lit(KMV_SPACE)
+                / F.col("kth_hash").cast("double")
+            )
+            .alias("est_union"),
+        )
+        .withColumn(
+            "est_inter",
+            F.col("k_inter").cast("double")
+            * F.col("est_union")
+            / F.col("n_kept").cast("double"),
+        )
+    )

@@ -672,3 +672,127 @@ def degree_assortativity(
             f" DIV ({dxx} * {dyy})) AS BIGINT)"
         ).alias("assortativity_sq_signed_ppm"),
     )
+
+
+def bellman_ford_distances(
+    wedges: DataFrame,
+    seeds: DataFrame,
+    max_sweeps: int = 4,
+    src: str = "src",
+    dst: str = "dst",
+    weight: str = "w",
+) -> DataFrame:
+    """Weighted multi-source shortest paths by Bellman-Ford relaxation
+    sweeps — the weighted upgrade of `bfs_hop_distances` and the
+    standard distributed SSSP shape (min-plus join instead of hop+1).
+    Non-negative integer weights; a fixed sweep count keeps the oracle
+    expressible as K unrolled SQL stages and bounds the path length
+    exactly like the BFS contract (distances are exact for every node
+    whose shortest path uses ≤ max_sweeps edges).
+
+    Per sweep: ONE equi-join of the tentative-distance table onto the
+    symmetrized weighted edge list + a groupBy-min merge — both
+    partial-aggregated, keyed by node id, lineage cut per sweep. A
+    settled node re-relaxed through a neighbor can only offer a larger
+    distance, so min() preserves the invariant without a visited set.
+
+    Returns (node, dist) for nodes within max_sweeps relaxations of a
+    seed (seeds at 0); unreachable nodes are absent.
+    """
+    und = (
+        wedges.select(
+            F.col(src).alias("s"), F.col(dst).alias("d"),
+            F.col(weight).cast("long").alias("w"),
+        )
+        .unionByName(
+            wedges.select(
+                F.col(dst).alias("s"), F.col(src).alias("d"),
+                F.col(weight).cast("long").alias("w"),
+            )
+        )
+        .filter(F.col("s") != F.col("d"))
+        .groupBy("s", "d")
+        .agg(F.min("w").alias("w"))
+        .localCheckpoint(eager=False)
+    )
+    dist = seeds.select(
+        F.col(seeds.columns[0]).alias("node"),
+        F.lit(0).cast("long").alias("dist"),
+    ).distinct()
+    for _ in range(max_sweeps):
+        reach = und.join(dist, und.s == dist.node).select(
+            F.col("d").alias("node"),
+            (F.col("dist") + F.col("w")).alias("dist"),
+        )
+        dist = (
+            dist.unionByName(reach)
+            .groupBy("node")
+            .agg(F.min("dist").cast("long").alias("dist"))
+            .localCheckpoint(eager=False)
+        )
+    return dist
+
+
+def hits_scores(
+    edges: DataFrame,
+    iters: int = 2,
+    src: str = "src",
+    dst: str = "dst",
+    scale: int = 1000,
+) -> DataFrame:
+    """HITS hubs & authorities (Kleinberg 1999) on a directed bipartite
+    edge list, fixed iteration count, INTEGER max-normalization: each
+    half-step is one equi-join + partial-aggregated sum, then a 1-row
+    max broadcast rescales scores to [0, scale] by integer DIV — the
+    deterministic stand-in for the L2 normalization (same fixed-point
+    direction, engine-exact arithmetic). Fixed iters keeps the oracle
+    expressible as unrolled SQL stages, the pagerank_integer contract.
+
+        a(p) = Σ_{u→p} h(u)   then rescale;   h(u) = Σ_{u→p} a(p)   rescale
+
+    Returns (side, node, score) — side 'hub' (src nodes) / 'auth' (dst
+    nodes) — after `iters` full rounds. Start state h ≡ scale.
+
+    Scale shape: score tables are keyed by node id and only ever meet
+    the edge list in equi-joins; the normalizing max is a 1-row
+    broadcast. Lineage cut per round.
+    """
+    e = edges.select(
+        F.col(src).alias("u"), F.col(dst).alias("p")
+    ).distinct().localCheckpoint(eager=False)
+    h = e.select("u").distinct().withColumn(
+        "h", F.lit(scale).cast("long")
+    )
+    a = None
+    for _ in range(iters):
+        a_raw = (
+            e.join(h, "u")
+            .groupBy("p")
+            .agg(F.sum("h").cast("long").alias("a"))
+        )
+        a_max = a_raw.agg(F.max("a").alias("mx"))
+        a = (
+            a_raw.join(F.broadcast(a_max))
+            .select("p", F.expr(f"a * {scale} DIV mx").cast("long").alias("a"))
+            .localCheckpoint(eager=False)
+        )
+        h_raw = (
+            e.join(a, "p")
+            .groupBy("u")
+            .agg(F.sum("a").cast("long").alias("h"))
+        )
+        h_max = h_raw.agg(F.max("h").alias("mx"))
+        h = (
+            h_raw.join(F.broadcast(h_max))
+            .select("u", F.expr(f"h * {scale} DIV mx").cast("long").alias("h"))
+            .localCheckpoint(eager=False)
+        )
+    hubs = h.select(
+        F.lit("hub").alias("side"), F.col("u").alias("node"),
+        F.col("h").alias("score"),
+    )
+    auths = a.select(
+        F.lit("auth").alias("side"), F.col("p").alias("node"),
+        F.col("a").alias("score"),
+    )
+    return hubs.unionByName(auths)

@@ -1180,3 +1180,429 @@ def isotonic_calibration(
         F.expr("n_pos * 1000000 DIV n").cast("long").alias("raw_rate_ppm"),
         "iso_rate_ppm",
     )
+
+
+# Sign-safe exact floor division by a positive COLUMN denominator (the
+# literal-divisor twin is _floordiv_sql above): subtracting pmod(x, d)
+# (non-negative for d > 0) makes x an exact multiple, so truncating DIV
+# is the floor quotient for negative numerators too.
+# DuckDB twin: (x - ((x % d) + d) % d) // d.
+def _floordiv_col(x: str, d: str) -> str:
+    return f"((({x}) - pmod({x}, {d})) DIV ({d}))"
+
+
+def cohens_kappa(
+    df: DataFrame,
+    rater_a: str,
+    rater_b: str,
+) -> DataFrame:
+    """Cohen's κ — chance-corrected agreement between two categorical
+    labelings (classifier vs truth, or two independent heuristics).
+    With a_ii the agreement diagonal, r_i / c_i the marginal totals:
+
+        κ = (n·Σa_ii − Σ r_i·c_i) / (n² − Σ r_i·c_i)
+
+    — every term an exact integer, so the statistic is emitted as the
+    (kappa_num, kappa_den) pair plus a SIGN-SAFE floored ppm (κ can be
+    negative for worse-than-chance raters; pmod floor division keeps
+    the floor exact either side of zero). Squared-scale products (n·a,
+    r·c, n²) finish in DECIMAL(38,0) per the house overflow rule —
+    BIGINT wraps silently near n ≈ 3e9.
+
+    Scale shape: one groupBy collapses the corpus to the contingency
+    matrix (bounded by the label vocabulary), marginals and the finish
+    are aggregates of THAT — nothing downstream of the first shuffle
+    depends on corpus size.
+    """
+    cells = df.groupBy(
+        F.col(rater_a).alias("a"), F.col(rater_b).alias("b")
+    ).agg(F.count("*").cast("long").alias("n_ab"))
+    # marginals via one pass over the bounded cell table (grouping sets
+    # would also work; two tiny aggregates keep the plan obvious)
+    ra = cells.groupBy("a").agg(F.sum("n_ab").alias("r"))
+    cb = cells.groupBy("b").agg(F.sum("n_ab").alias("c"))
+    pe = (
+        ra.join(cb, ra.a == cb.b)
+        .agg(
+            # COALESCE: raters with DISJOINT label sets share no label,
+            # the marginal join is empty, and chance agreement is 0 —
+            # not NULL (found by the hypothesis draw ('b','a')×2)
+            F.coalesce(
+                F.sum(F.col("r").cast("decimal(38,0)") * F.col("c")),
+                F.lit(0).cast("decimal(38,0)"),
+            ).alias("pe_x_n")
+        )
+    )
+    po = cells.agg(
+        F.sum("n_ab").cast("long").alias("n"),
+        F.sum(F.when(F.col("a") == F.col("b"), F.col("n_ab")).otherwise(0))
+        .cast("long")
+        .alias("n_agree"),
+    )
+    return (
+        po.join(F.broadcast(pe))
+        .select(
+            "n",
+            "n_agree",
+            F.col("pe_x_n").cast("decimal(38,0)").alias("pe_x_n"),
+            F.expr("CAST(n AS decimal(38,0)) * n_agree - pe_x_n").alias(
+                "kappa_num"
+            ),
+            F.expr("CAST(n AS decimal(38,0)) * n - pe_x_n").alias(
+                "kappa_den"
+            ),
+        )
+        .select(
+            "n",
+            "n_agree",
+            F.col("pe_x_n").cast("long").alias("pe_x_n"),
+            F.col("kappa_num").cast("long").alias("kappa_num"),
+            F.col("kappa_den").cast("long").alias("kappa_den"),
+            F.expr(
+                _floordiv_col("kappa_num * 1000000", "kappa_den")
+            )
+            .cast("long")
+            .alias("kappa_ppm"),
+        )
+    )
+
+
+def cramers_v(
+    df: DataFrame,
+    col_a: str,
+    col_b: str,
+) -> DataFrame:
+    """Cramér's V — the [0,1]-normalized χ² association between two
+    categorical columns (bias-uncorrected). Using χ² = n·Σ o²/(r·c) − n,
+    each cell contributes an independently micro-snapped term
+
+        term_micro(i,j) = ⌊ n · o_ij² · 10⁶ / (r_i · c_j) ⌋
+
+    so chi2_micro = Σ term_micro − 10⁶·n and V² = χ²/(n·(min(r,c)−1))
+    as floored ppm. The per-cell floor (≤1 micro each, bounded by the
+    grid size) is the deterministic snap-at-birth the house applies to
+    every rational — both engines floor identically. Products run in
+    DECIMAL(38,0) (n·o² outgrows BIGINT around n ≈ 2e6 on a skewed
+    grid). Degenerate contract: a single-level column admits no
+    association, so min(r,c) = 1 emits v2_ppm = 0 (χ² is exactly 0
+    there too) instead of dividing by zero.
+
+    Scale shape: identical to cohens_kappa — corpus → bounded
+    contingency cells, everything after is grid-sized.
+    """
+    cells = df.groupBy(
+        F.col(col_a).alias("a"), F.col(col_b).alias("b")
+    ).agg(F.count("*").cast("long").alias("o"))
+    ra = cells.groupBy("a").agg(F.sum("o").alias("r"))
+    cb = cells.groupBy("b").agg(F.sum("o").alias("c"))
+    tot = cells.agg(
+        F.sum("o").cast("long").alias("n"),
+        F.countDistinct("a").cast("long").alias("n_rows"),
+        F.countDistinct("b").cast("long").alias("n_cols"),
+    )
+    terms = (
+        cells.join(F.broadcast(ra), "a")
+        .join(F.broadcast(cb), "b")
+        .join(F.broadcast(tot))
+        .select(
+            F.expr(
+                "CAST(n AS decimal(38,0)) * o * o * 1000000"
+                " DIV (CAST(r AS decimal(38,0)) * c)"
+            ).alias("term_micro")
+        )
+        .agg(F.sum("term_micro").alias("s_micro"))
+    )
+    return (
+        tot.join(F.broadcast(terms))
+        .select(
+            "n",
+            "n_rows",
+            "n_cols",
+            F.expr(
+                "CAST(s_micro - CAST(n AS decimal(38,0)) * 1000000"
+                " AS BIGINT)"
+            ).alias("chi2_micro"),
+            F.expr(
+                "CAST(CASE WHEN least(n_rows, n_cols) = 1 THEN 0"
+                " ELSE (s_micro - CAST(n AS decimal(38,0)) * 1000000)"
+                " DIV (CAST(n AS decimal(38,0))"
+                "      * (least(n_rows, n_cols) - 1)) END AS BIGINT)"
+            ).alias("v2_ppm"),
+        )
+    )
+
+
+def concentration_report(
+    df: DataFrame,
+    group_col: str,
+    entity_col: str,
+    value_col: str,
+) -> DataFrame:
+    """Herfindahl-Hirschman concentration per group: with per-entity
+    integer totals x_i inside a group, HHI = Σ shareᵢ² emitted as
+
+        hhi_ppm = Σ_i ⌊ x_i² · 10⁶ / (Σx)² ⌋
+
+    (per-entity floor snap; ≤ n_entities micro of total downward bias,
+    deterministic on both engines) plus the top single-entity share.
+    1e6/n_entities ppm = perfectly even; 1e6 = monopoly. Squares and
+    the (Σx)² denominator run in DECIMAL(38,0)/HUGEINT — cents² wraps
+    BIGINT at Σx ≈ $30M.
+
+    Scale shape: one (group, entity) partial-agg shuffle, then a
+    group-level agg of the entity rollup joined to its 1-row-per-group
+    totals — no window, no corpus-sized rejoin.
+    """
+    per = df.groupBy(
+        F.col(group_col).alias("g"), F.col(entity_col).alias("e")
+    ).agg(F.sum(F.col(value_col)).cast("long").alias("x"))
+    tot = per.groupBy("g").agg(
+        F.sum("x").cast("long").alias("total"),
+        F.count("*").cast("long").alias("n_entities"),
+        F.max("x").cast("long").alias("x_top"),
+    )
+    return (
+        per.join(tot, "g")
+        .select(
+            "g",
+            "total",
+            "n_entities",
+            "x_top",
+            F.expr(
+                "CAST(x AS decimal(38,0)) * x * 1000000"
+                " DIV (CAST(total AS decimal(38,0)) * total)"
+            ).alias("t_ppm"),
+        )
+        .groupBy("g", "total", "n_entities", "x_top")
+        .agg(F.sum("t_ppm").cast("long").alias("hhi_ppm"))
+        .select(
+            F.col("g"),
+            F.col("n_entities"),
+            F.col("total"),
+            "hhi_ppm",
+            F.expr("x_top * 1000000 DIV total")
+            .cast("long")
+            .alias("top_share_ppm"),
+        )
+    )
+
+
+def psi_report(
+    binned: DataFrame,
+    bin_col: str = "bin",
+    ref_col: str = "c_ref",
+    cur_col: str = "c_cur",
+) -> DataFrame:
+    """Population Stability Index per bin — the model-monitoring drift
+    score between a reference and a current distribution over the SAME
+    bins: PSI = Σ (p−q)·ln(p/q). Input is the already-binned count
+    table (bin, c_ref, c_cur); add-one smoothing keeps empty bins
+    finite (callers provide the zero-filled grid or accept hit-bins
+    only). With N'_r = Σ(c_ref+1), N'_c = Σ(c_cur+1):
+
+        p_ppm  = ⌊(c_ref+1)·10⁶ / N'_r⌋         (floored shares)
+        ln Δ   = ln_micro((c_ref+1)·N'_c) − ln_micro((c_cur+1)·N'_r)
+        contrib_micro = floor₊((p_ppm − q_ppm)·lnΔ / 10⁶)
+
+    — micro-nat-snapped logs of integer PRODUCTS (the exact-ratio trick
+    shared with dim_label_mutual_info), sign-safe pmod floor for the
+    product of two possibly-negative snapped factors (exact math makes
+    each contribution ≥ 0; snapping can graze below zero and both
+    engines floor identically). PSI > 0.2 ≈ actionable drift.
+
+    Scale shape: corpus is already collapsed to the bin grid upstream;
+    this is grid-sized arithmetic with two 1-row broadcast totals.
+    """
+    b = binned.select(
+        F.col(bin_col).alias("bin"),
+        (F.col(ref_col).cast("long") + 1).alias("cr"),
+        (F.col(cur_col).cast("long") + 1).alias("cc"),
+    )
+    tot = b.agg(
+        F.sum("cr").cast("long").alias("nr"),
+        F.sum("cc").cast("long").alias("nc"),
+    )
+    # each product factor casts to DOUBLE BEFORE the multiply — a
+    # BIGINT·BIGINT product wraps at N ≈ 3e9; the double product of two
+    # exact integers is one correctly-rounded IEEE op on both engines
+    ln = "CAST(round(ln(CAST({a} AS DOUBLE) * CAST({b} AS DOUBLE)) * 1e6) AS BIGINT)"
+    j = b.join(F.broadcast(tot)).select(
+        "bin",
+        (F.col("cr") - 1).cast("long").alias("c_ref"),
+        (F.col("cc") - 1).cast("long").alias("c_cur"),
+        F.expr("cr * 1000000 DIV nr").cast("long").alias("p_ppm"),
+        F.expr("cc * 1000000 DIV nc").cast("long").alias("q_ppm"),
+        (
+            F.expr(ln.format(a="cr", b="nc")) - F.expr(ln.format(a="cc", b="nr"))
+        )
+        .cast("long")
+        .alias("ln_diff_micro"),
+    )
+    return j.select(
+        "bin",
+        "c_ref",
+        "c_cur",
+        "p_ppm",
+        "q_ppm",
+        F.expr(
+            _floordiv_sql("(p_ppm - q_ppm) * ln_diff_micro", 1_000_000)
+        )
+        .cast("long")
+        .alias("contrib_micro"),
+    )
+
+
+def ks_one_vs_rest(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+) -> DataFrame:
+    """Two-sample Kolmogorov-Smirnov drift test, each group against the
+    REST of the corpus: D_g = max_v |F_g(v) − F_rest(v)| computed
+    exactly by cross-multiplied cumulative counts —
+
+        d_num = max_v |c1(v)·n2 − c2(v)·n1|,   D = d_num / (n1·n2)
+
+    and the α = 0.05 decision by the asymptotic two-sample bound
+    D > c(α)·√((n1+n2)/(n1·n2)) squared into the pure-integer compare
+    d_num²·10⁶ > c²·(n1+n2)·n1·n2 with c²(0.05) = −ln(0.025)/2 scaled to
+    1_844_440/10⁶ (Smirnov), evaluated in DECIMAL(38,0) — d_num⁴-free,
+    but d_num² ≈ n⁴ bounds the exact in-engine verdict at n ≲ 10⁹ rows
+    per pair; beyond that consume (d_num, n1, n2) and decide driver-side.
+
+    Scale shape: the corpus collapses to the (group, value) grid in one
+    partial-agg shuffle; ECDFs are windows over the VALUE SUMMARY
+    (bounded by distinct values — callers bucket unbounded domains
+    first), zero-filled by a groups×values grid of two bounded
+    summaries. The step maximum is taken at every distinct value of the
+    merged sample, which is exactly where |F1−F2| can change.
+    """
+    base = df.select(
+        F.col(group_col).alias("g"), F.col(value_col).alias("v")
+    )
+    gv = base.groupBy("g", "v").agg(F.count("*").cast("long").alias("c"))
+    # bounded summaries: per-value totals with a global running cum, and
+    # per-group sizes
+    vals = gv.groupBy("v").agg(F.sum("c").alias("cv"))
+    w_all = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
+    vals = vals.withColumn("ct", F.sum("cv").over(w_all).cast("long")).drop(
+        "cv"
+    )
+    grps = gv.groupBy("g").agg(F.sum("c").cast("long").alias("n1"))
+    tot = grps.agg(F.sum("n1").cast("long").alias("n"))
+    grid = grps.join(F.broadcast(vals)).join(F.broadcast(tot))
+    w_g = (
+        Window.partitionBy("g")
+        .orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = (
+        grid.join(gv, ["g", "v"], "left")
+        .withColumn("c1", F.sum(F.coalesce(F.col("c"), F.lit(0))).over(w_g))
+        .select(
+            "g",
+            "n1",
+            (F.col("n") - F.col("n1")).alias("n2"),
+            F.expr(
+                "abs(CAST(c1 AS decimal(38,0)) * (n - n1)"
+                "    - CAST(ct - c1 AS decimal(38,0)) * n1)"
+            ).alias("diff"),
+        )
+    )
+    return (
+        cum.groupBy("g", "n1", "n2")
+        .agg(F.max("diff").alias("d_num"))
+        .select(
+            "g",
+            "n1",
+            "n2",
+            F.col("d_num").cast("long").alias("d_num"),
+            F.expr(
+                "CAST(d_num * 1000000"
+                " DIV (CAST(n1 AS decimal(38,0)) * n2) AS BIGINT)"
+            ).alias("d_ppm"),
+            F.expr(
+                "CAST(d_num * d_num * 1000000 >"
+                " 1844440 * (CAST(n1 AS decimal(38,0)) + n2) * n1 * n2"
+                " AS INT)"
+            ).alias("reject_05"),
+        )
+    )
+
+
+def brier_decomposition(
+    iso_bins: DataFrame,
+    n_col: str = "n",
+    pos_col: str = "n_pos",
+    p_col: str = "iso_rate_ppm",
+) -> DataFrame:
+    """Murphy (1973) decomposition of the Brier score over calibration
+    bins whose forecast is constant within a bin (here: the isotonic
+    fit, so this audits the CALIBRATED gate):
+
+        Brier = REL − RES + UNC
+        REL = Σ n_k(p_k − ȳ_k)²/n   RES = Σ n_k(ȳ_k − ȳ)²/n
+        UNC = ȳ(1 − ȳ)
+
+    All four emitted in pp2 (ppm², i.e. Brier·10¹²) from integer
+    sufficient statistics with the house per-term floor snap; the
+    DIRECT Brier Σ(p−y)²/n is computed independently via the exact
+    identity Σ_k (n_k·p_k² − 2·10⁶·p_k·pos_k + 10¹²·pos_k) (y² = y),
+    and `identity_gap_pp2` = direct − (rel − res + unc) ships as the
+    audit column — exact rationals make it 0; snapping leaves a few
+    pp2. Squared products run in DECIMAL(38,0) (p²·n is 10¹²·n).
+
+    Scale shape: input is the bounded bin summary — everything here is
+    grid-sized arithmetic after the upstream one-pass binning.
+    """
+    b = iso_bins.select(
+        F.col(n_col).cast("long").alias("nk"),
+        F.col(pos_col).cast("long").alias("pk"),
+        F.col(p_col).cast("long").alias("fp"),
+    )
+    tot = b.agg(
+        F.sum("nk").cast("long").alias("n"),
+        F.sum("pk").cast("long").alias("p"),
+    )
+    terms = b.join(F.broadcast(tot)).agg(
+        F.first("n").alias("n"),
+        F.first("p").alias("p"),
+        F.sum(
+            F.expr(
+                "(CAST(fp AS decimal(38,0)) * nk - 1000000 * CAST(pk AS decimal(38,0)))"
+                " * (CAST(fp AS decimal(38,0)) * nk - 1000000 * CAST(pk AS decimal(38,0)))"
+                " DIV nk"
+            )
+        ).alias("rel_sum"),
+        F.sum(
+            F.expr(
+                "(CAST(pk AS decimal(38,0)) * n - CAST(p AS decimal(38,0)) * nk)"
+                " * (CAST(pk AS decimal(38,0)) * n - CAST(p AS decimal(38,0)) * nk)"
+                " * 1000000000000 DIV (CAST(nk AS decimal(38,0)) * n * n)"
+            )
+        ).alias("res_sum"),
+        F.sum(
+            F.expr(
+                "CAST(nk AS decimal(38,0)) * fp * fp"
+                " - 2000000 * CAST(fp AS decimal(38,0)) * pk"
+                " + 1000000000000 * CAST(pk AS decimal(38,0))"
+            )
+        ).alias("direct_sum"),
+    )
+    return terms.select(
+        "n",
+        F.col("p").alias("n_pos"),
+        F.expr("CAST(rel_sum DIV n AS BIGINT)").alias("rel_pp2"),
+        F.expr("CAST(res_sum DIV n AS BIGINT)").alias("res_pp2"),
+        F.expr(
+            "CAST(CAST(p AS decimal(38,0)) * (n - p) * 1000000000000"
+            " DIV (CAST(n AS decimal(38,0)) * n) AS BIGINT)"
+        ).alias("unc_pp2"),
+        F.expr("CAST(direct_sum DIV n AS BIGINT)").alias("brier_pp2"),
+        F.expr(
+            "CAST(direct_sum DIV n"
+            " - (rel_sum DIV n - res_sum DIV n"
+            "    + CAST(p AS decimal(38,0)) * (n - p) * 1000000000000"
+            "      DIV (CAST(n AS decimal(38,0)) * n)) AS BIGINT)"
+        ).alias("identity_gap_pp2"),
+    )

@@ -529,3 +529,136 @@ def window_funnel_levels(
         levels.groupBy("level")
         .agg(F.count("*").cast("long").alias("n_users"))
     )
+
+
+def logrank_test(
+    steps: DataFrame,
+    t_col: str = "t",
+    d1_col: str = "d1",
+    c1_col: str = "c1",
+    d2_col: str = "d2",
+    c2_col: str = "c2",
+) -> DataFrame:
+    """Log-rank (Mantel-Cox) test between two survival groups, from the
+    same pre-aggregated step table family as `kaplan_meier_terms` (one
+    row per time step with per-group event/censor counts). Under H₀
+    (equal hazards), at each step with d_j total events, n1_j / n_j at
+    risk:
+
+        O₁ = Σ d1_j          E₁ = Σ d_j·n1_j/n_j
+        V  = Σ d_j·(n1_j/n_j)·(n2_j/n_j)·(n_j−d_j)/(n_j−1)
+        χ²₁ = (O₁−E₁)²/V
+
+    Every E/V term is micro-snapped at birth (the house floor — both
+    engines floor identically; single-at-risk steps where n_j = 1
+    contribute zero variance by the standard convention), O₁ is exact,
+    and the statistic finishes as chi2_milli in DECIMAL(38,0) —
+    (O₁·10⁶ − E₁_micro)² outgrows BIGINT around O₁ ≈ 3000.
+
+    Shape note: like the KM estimator, the windows (reverse-cumulative
+    at-risk counts) run over the AGGREGATED time axis, bounded by the
+    duration grid, not the subject count; the subject-sized work is the
+    upstream duration aggregate.
+    """
+    w_ge = (
+        Window.orderBy(F.col(t_col))
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    risk = steps.select(
+        F.col(t_col).alias("t"),
+        F.col(d1_col).cast("long").alias("d1"),
+        F.col(d2_col).cast("long").alias("d2"),
+        F.sum(F.col(d1_col) + F.col(c1_col)).over(w_ge).cast("long").alias("n1"),
+        F.sum(F.col(d2_col) + F.col(c2_col)).over(w_ge).cast("long").alias("n2"),
+    ).select(
+        "t",
+        "d1",
+        (F.col("d1") + F.col("d2")).alias("d"),
+        "n1",
+        (F.col("n1") + F.col("n2")).alias("n"),
+    )
+    terms = risk.select(
+        "d1",
+        F.expr(
+            "CAST(d AS decimal(38,0)) * n1 * 1000000 DIV n"
+        ).alias("e1_micro"),
+        F.expr(
+            "CASE WHEN n <= 1 THEN CAST(0 AS decimal(38,0))"
+            " ELSE CAST(d AS decimal(38,0)) * n1 * (n - n1) * (n - d)"
+            "      * 1000000 DIV (CAST(n AS decimal(38,0)) * n * (n - 1))"
+            " END"
+        ).alias("v_micro"),
+    )
+    return (
+        terms.agg(
+            F.sum("d1").cast("long").alias("o1"),
+            F.sum("e1_micro").alias("e1_micro"),
+            F.sum("v_micro").alias("v_micro"),
+        )
+        .select(
+            "o1",
+            F.col("e1_micro").cast("long").alias("e1_micro"),
+            F.col("v_micro").cast("long").alias("v_micro"),
+            F.expr(
+                "CAST(CASE WHEN v_micro = 0 THEN 0 ELSE"
+                " (CAST(o1 AS decimal(38,0)) * 1000000 - e1_micro)"
+                " * (CAST(o1 AS decimal(38,0)) * 1000000 - e1_micro)"
+                " * 1000 DIV (v_micro * CAST(1000000 AS decimal(38,0)))"
+                " END AS BIGINT)"
+            ).alias("chi2_milli"),
+        )
+    )
+
+
+def interval_union_length(
+    intervals: DataFrame,
+    group_col: str = "user_id",
+    start_col: str = "s",
+    end_col: str = "e",
+) -> DataFrame:
+    """Total length covered by a union of (possibly overlapping)
+    half-open intervals per group — the classic sweep: order intervals
+    by start within the group, carry the running maximum end seen
+    BEFORE each row, and count only the part extending past it:
+
+        covered = Σ max(0, e_i − max(s_i, run_max_before_i))
+
+    plus the merged-island count (rows whose start clears every prior
+    end start a new island). Exact integers throughout; the session
+    coverage / machine-uptime / SLA-window primitive.
+
+    Scale shape: one shuffle partitioned by group; the window walks
+    each group's intervals in start order (per-user interval counts
+    are activity-bounded; a hot group is an AQE skew case, not a plan
+    change). No self-join — the O(n²) overlap-pair formulation is
+    exactly what the running max avoids.
+    """
+    w = (
+        Window.partitionBy(group_col)
+        .orderBy(F.col(start_col), F.col(end_col))
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    marked = intervals.select(
+        F.col(group_col).alias("g"),
+        F.col(start_col).cast("long").alias("s"),
+        F.col(end_col).cast("long").alias("e"),
+        F.coalesce(
+            F.max(F.col(end_col)).over(w), F.lit(None).cast("long")
+        ).alias("run_max"),
+    ).select(
+        "g",
+        F.greatest(
+            F.lit(0),
+            F.col("e")
+            - F.greatest(F.col("s"), F.coalesce(F.col("run_max"), F.col("s"))),
+        ).alias("add_len"),
+        F.when(
+            F.col("run_max").isNull() | (F.col("s") > F.col("run_max")), 1
+        )
+        .otherwise(0)
+        .alias("new_island"),
+    )
+    return marked.groupBy(F.col("g").alias(group_col)).agg(
+        F.sum("add_len").cast("long").alias("covered"),
+        F.sum("new_island").cast("long").alias("n_islands"),
+    )

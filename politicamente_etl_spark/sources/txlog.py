@@ -310,16 +310,29 @@ class TxLogTable:
             )
         return base + 1
 
-    def merge(self, new: DataFrame, keys: list[str]) -> dict:
+    def merge(
+        self, new: DataFrame, keys: list[str], read_version: int | None = None
+    ) -> dict:
         """Transactional UPSERT (`INSERT … ON CONFLICT DO UPDATE`,
         `load.py:17-22`) with file-level pruning: only live files that
         contain a matching key are rewritten; every other file survives
         the commit untouched. Returns the commit manifest (with a
-        `merge_stats` block: files touched / preserved)."""
+        `merge_stats` block: files touched / preserved).
+
+        `read_version` pins the snapshot the read-modify-write runs
+        against (Delta's transaction read version): the merge plans its
+        rewrite from THAT snapshot and claims read_version + 1, so if
+        any writer committed after it, the claim fails with
+        CommitConflict instead of silently clobbering the interleaved
+        commit — the lost-update guard of optimistic concurrency.
+        Default (None) reads the current head, which is the same
+        protocol with the read made as late as possible."""
         from politicamente_etl_spark.sources.sinks import upsert
 
-        base = self.latest_version()
-        live = self._live_files()
+        base = (
+            self.latest_version() if read_version is None else read_version
+        )
+        live = self._live_files(version=base)
         if not live:
             raise ValueError("merge into empty table; use create/append")
         # Zonemap pre-prune (single-column key): a live file whose key
@@ -337,7 +350,7 @@ class TxLogTable:
                 F.min(k).alias("lo"), F.max(k).alias("hi")
             ).first()
             if bounds["lo"] is not None:
-                stats = self._live_stats()
+                stats = self._live_stats(version=base)
                 candidates = []
                 for rel in live:
                     st = stats.get(rel, {}).get(k)
@@ -793,3 +806,44 @@ class TxLogTable:
         if not self._try_commit(base + 1, manifest):
             raise CommitConflict("concurrent commit during restore; retry")
         return base + 1
+
+
+    def clone_shallow(self, dest: str) -> "TxLogTable":
+        """Zero-copy shallow clone (Delta SHALLOW CLONE): the clone's
+        create manifest REFERENCES the source's live data files by
+        relative path — no byte of data moves. Writes to the clone are
+        copy-on-write: a merge stages its rewrites under the CLONE's
+        root (the source files it replaces are merely de-referenced
+        from the clone's manifests), so source and clone diverge
+        independently from the moment of cloning. The clone's vacuum
+        only ever scans its OWN data root, so it can never delete
+        source files; dropping source files out from under a live
+        clone is the caller's lifecycle contract, exactly as in Delta.
+
+        The cheap-fork primitive: dev/test tables against production
+        data, experiment branches, migration dry-runs."""
+        t = TxLogTable(self.spark, dest)
+        if t.latest_version():
+            raise FileExistsError(f"txlog table already exists at {dest}")
+        os.makedirs(dest, exist_ok=True)
+        live = self._live_files()
+        stats = self._live_stats()
+        rels = {
+            r: os.path.relpath(os.path.join(self.path, r), dest)
+            for r in live
+        }
+        manifest = {
+            "version": 1,
+            "op": "clone",
+            "source": os.path.abspath(self.path),
+            "source_version": self.latest_version(),
+            "added": sorted(rels.values()),
+            "removed": [],
+            "stats": {rels[r]: st for r, st in stats.items() if r in rels},
+        }
+        sch = self._latest_schema()
+        if sch is not None:
+            manifest["schema"] = sch
+        if not t._try_commit(1, manifest):
+            raise CommitConflict(f"concurrent create at {dest}")
+        return t

@@ -905,3 +905,79 @@ def stateful_holt_user_value(events: DataFrame) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def stateful_cusum_user_value(
+    events: DataFrame,
+    slack: int = 50_000,
+    threshold: int = 400_000,
+) -> DataFrame:
+    """Streaming two-sided CUSUM detector per user (Page 1954) — the
+    ONLINE sibling of the batch `stats.cusum_changepoint` (which needs
+    the whole series for its argmax; the online form needs only O(1)
+    state). Per user, with the FIRST observation as the reference
+    baseline and integer milli values:
+
+        s_hi ← max(0, s_hi + v − (base + slack))    upward drift
+        s_lo ← max(0, s_lo + (base − slack) − v)    downward drift
+
+    crossing `threshold` raises an alarm and resets that accumulator
+    (the standard restart-after-signal convention). State is one
+    5-tuple per user in explicit GroupState; each micro-batch folds its
+    rows in (ts, event_id) order, so across the time-ordered staging
+    the final state must equal the batch fold — the same
+    state-hand-off proof contract as stateful_holt_user_value.
+
+    At scale the state store shards by user hash like every stateful
+    op here; alarms-so-far is monotone in n, so max-by-n per user
+    collapses update-mode emissions to the final state."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def cusum_fn(key, pdfs, state: GroupState):
+        n, base, s_hi, s_lo, alarms = (
+            state.get if state.exists else (0, 0, 0, 0, 0)
+        )
+        rows = pd.concat(list(pdfs), ignore_index=True)
+        rows = rows.sort_values(["ts", "event_id"], kind="mergesort")
+        for v in rows["vm"]:
+            v = int(v)
+            if n == 0:
+                base = v
+            else:
+                nh = max(0, s_hi + v - base - slack)
+                nl = max(0, s_lo + base - slack - v)
+                alarms += (1 if nh > threshold else 0) + (
+                    1 if nl > threshold else 0
+                )
+                s_hi = 0 if nh > threshold else nh
+                s_lo = 0 if nl > threshold else nl
+            n += 1
+        state.update((n, base, s_hi, s_lo, alarms))
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "n_obs": [n],
+                "base": [base],
+                "s_hi": [s_hi],
+                "s_lo": [s_lo],
+                "n_alarms": [alarms],
+            }
+        )
+
+    prepped = events.select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.floor(F.col("value").cast("double") * 1000).cast("long").alias("vm"),
+    )
+    return prepped.groupBy("user_id").applyInPandasWithState(
+        cusum_fn,
+        outputStructType=(
+            "user_id long, n_obs long, base long, s_hi long,"
+            " s_lo long, n_alarms long"
+        ),
+        stateStructType="n long, base long, s_hi long, s_lo long, a long",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

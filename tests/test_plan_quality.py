@@ -963,3 +963,118 @@ def test_intersect_all_is_aggregated_not_joined(spark, sf_dir):
     plan = plan_of(q("intersect_all_quantities", spark, sf_dir))
     assert "CartesianProduct" not in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_kappa_and_cramers_collapse_to_contingency_cells(spark, sf_dir):
+    """The agreement/association statistics do corpus-sized work only in
+    the first contingency aggregate (partial-agg shuffle); the marginal
+    and finish joins run on the bounded cell table — broadcast, never a
+    sort-merge of the corpus."""
+    for name in ("langid_kappa_agreement", "segment_nation_association"):
+        plan = plan_of(q(name, spark, sf_dir))
+        assert "partial" in plan.lower(), name
+        assert "CartesianProduct" not in plan, name
+
+
+def test_hhi_single_rollup_then_group_arithmetic(spark, sf_dir):
+    """HHI: dims broadcast onto the fact scan, one (region, supplier)
+    partial-aggregated rollup, no window."""
+    plan = plan_of(q("supplier_hhi_by_region", spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "Window" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_ks_windows_run_on_grid_not_corpus(spark, sf_dir):
+    """KS: the ECDF windows walk the (source, length) grid built from
+    two bounded summaries; the corpus appears only in the first
+    partial-aggregated (g, v) shuffle."""
+    plan = plan_of(q("doc_length_ks_by_source", spark, sf_dir))
+    assert "Window" in plan
+    assert "partial" in plan.lower()
+    assert "CartesianProduct" not in plan
+
+
+def test_logrank_windows_on_duration_grid(spark, sf_dir):
+    """Log-rank: reverse-cumulative at-risk windows run over the
+    bounded duration-step table; customer dim broadcasts."""
+    plan = plan_of(q("logrank_building_vs_rest", spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "Window" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_kmv_set_ops_rank_cuts_before_pair_work(spark, sf_dir):
+    """KMV set ops: per-group sketches are rank-cut to k rows (window
+    group limit) BEFORE any pairwise work, so pair joins touch k-row
+    relations only."""
+    plan = plan_of(q("kmv_set_ops_users", spark, sf_dir))
+    assert "WindowGroupLimit" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_sssp_sweeps_are_equi_joins(spark, sf_dir):
+    """Bellman-Ford: every relaxation sweep is an equi-join + min-merge
+    (hash aggregate), never a cartesian; lineage cuts keep the plan flat."""
+    plan = plan_of(q("sssp_weighted_histogram", spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "partial" in plan.lower()
+
+
+def test_brier_runs_on_bin_summary(spark, sf_dir):
+    """Brier decomposition: after the one-pass binning, everything is
+    grid arithmetic — the corpus-sized exchange count stays small and
+    no corpus-sized window exists."""
+    plan = plan_of(q("brier_decomposition_gate", spark, sf_dir))
+    assert "CartesianProduct" not in plan
+
+
+def test_dau_mau_two_distinct_aggregates_no_window(spark, sf_dir):
+    """Stickiness is two distinct-aggregates over the (month, day,
+    user) grid — no window, no self-join of months."""
+    plan = plan_of(q("dau_mau_stickiness", spark, sf_dir))
+    assert "Window" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_neyman_one_stats_pass(spark, sf_dir):
+    """Allocation plan: one partial-aggregated stats pass over the
+    corpus, then |sources|-row arithmetic with a 1-row broadcast total."""
+    plan = plan_of(q("neyman_allocation_plan", spark, sf_dir))
+    assert "partial" in plan.lower()
+    assert "Window" not in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_js_divergence_grid_joins_broadcast(spark, sf_dir):
+    """JS: the per-pair expansion joins bounded summaries (vocab grid ×
+    language pairs) — broadcast side present, no cartesian of the corpus."""
+    plan = plan_of(q("lang_char_js_divergence", spark, sf_dir))
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_hits_half_steps_hash_aggregate(spark, sf_dir):
+    """HITS: each half-step is an equi-join + partial agg; normalizing
+    maxima are 1-row broadcasts; top-k per side is a rank window."""
+    plan = plan_of(q("hits_order_part_scores", spark, sf_dir))
+    assert "partial" in plan.lower()
+    assert "CartesianProduct" not in plan
+
+
+def test_interval_union_no_self_join(spark, sf_dir):
+    """Coverage sweep: one user-partitioned window — no overlap
+    self-join, no cartesian."""
+    plan = plan_of(q("interval_union_coverage", spark, sf_dir))
+    assert "Window" in plan
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_ivm_deletes_merge_by_group_key(spark, sf_dir):
+    """Delete-IVM: delta terms aggregate before meeting V1; nation dim
+    broadcasts; no corpus-sized recompute join."""
+    plan = plan_of(q("ivm_agg_under_deletes", spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "partial" in plan.lower()
+    assert "CartesianProduct" not in plan
