@@ -187,3 +187,103 @@ def density_clusters(
         F.col("cluster_id").cast("long").alias("cluster_id"),
         "role",
     )
+
+
+# exact integer square root: float sqrt + ±1 fixup (exact while the
+# float lands within ±1, i.e. x ≲ 2^52 — z²·1e6 here is ≤ ~1e9)
+_ISQRT = (
+    "(CAST(floor(sqrt(CAST({x} AS DOUBLE))) AS BIGINT)"
+    " - CASE WHEN CAST(floor(sqrt(CAST({x} AS DOUBLE))) AS BIGINT)"
+    "          * CAST(floor(sqrt(CAST({x} AS DOUBLE))) AS BIGINT)"
+    "          > ({x}) THEN 1 ELSE 0 END"
+    " + CASE WHEN (CAST(floor(sqrt(CAST({x} AS DOUBLE))) AS BIGINT) + 1)"
+    "          * (CAST(floor(sqrt(CAST({x} AS DOUBLE))) AS BIGINT) + 1)"
+    "          <= ({x}) THEN 1 ELSE 0 END)"
+)
+
+
+def getis_ord_hotspots(
+    cells: DataFrame,
+    x_col: str = "x",
+    cx_col: str = "cx",
+    cy_col: str = "cy",
+    top_k: int = 20,
+) -> DataFrame:
+    """Getis-Ord Gi* hot-spot z-scores over grid-cell values (binary
+    3×3 neighborhood weights, the cell itself included — the * form).
+    With n occupied cells, S = Σx, Q = Σx², W_i = |N(i)| and
+    S_N(i) = Σ_{j∈N(i)} x_j:
+
+        z_i = (n·S_N − W·S) / √( (n·Q − S²)·(n·W − W²) / (n−1) )
+
+    — every factor an exact integer, so z ships as sign(A)·isqrt of
+    A²·(n−1)·10⁶ / B in milli (exact isqrt via the float-sqrt ±1
+    fixup; products in DECIMAL(38,0)). |z| ≳ 1.96 marks a hot/cold
+    spot at p < 0.05. The study universe is the OCCUPIED cell set
+    (empty cells carry no row — the usual sparse-grid convention;
+    document density inferences accordingly).
+
+    Scale shape: the corpus collapsed to cells upstream; the 3×3
+    neighborhood is one 9-offset equi-join on cell coordinates over
+    the cell table (never a radius cross-join), then 1-row totals
+    broadcast back. Returns top_k by |z| desc, ties on (cx, cy).
+    """
+    base = cells.select(
+        F.col(cx_col).alias("cx"),
+        F.col(cy_col).alias("cy"),
+        F.col(x_col).cast("long").alias("x"),
+    )
+    tot = base.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x").cast("long").alias("s"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("q"),
+    )
+    offs = [(dx, dy) for dx in (-1, 0, 1) for dy in (-1, 0, 1)]
+    shifted = None
+    for dx, dy in offs:
+        part = base.select(
+            (F.col("cx") + dx).alias("cx"),
+            (F.col("cy") + dy).alias("cy"),
+            F.col("x").alias("xn"),
+        )
+        shifted = part if shifted is None else shifted.unionAll(part)
+    neigh = (
+        base.join(shifted, ["cx", "cy"])
+        .groupBy("cx", "cy", "x")
+        .agg(
+            F.sum("xn").cast("long").alias("s_n"),
+            F.count(F.lit(1)).cast("long").alias("w"),
+        )
+    )
+    scored = neigh.join(F.broadcast(tot)).select(
+        "cx",
+        "cy",
+        "x",
+        "s_n",
+        "w",
+        F.expr(
+            "CAST(n AS decimal(38,0)) * s_n - CAST(w AS decimal(38,0)) * s"
+        ).alias("a"),
+        F.expr(
+            "(CAST(n AS decimal(38,0)) * q - CAST(s AS decimal(38,0)) * s)"
+            " * (CAST(n AS decimal(38,0)) * w - CAST(w AS decimal(38,0)) * w)"
+        ).alias("b"),
+        F.col("n"),
+    )
+    z2 = "CAST(a * a * (n - 1) * 1000000 DIV b AS BIGINT)"
+    return (
+        scored.filter(F.col("b") > 0)
+        .select(
+            "cx",
+            "cy",
+            "x",
+            "s_n",
+            "w",
+            F.expr(
+                f"CAST(CASE WHEN a < 0 THEN -{_ISQRT.format(x=z2)}"
+                f" ELSE {_ISQRT.format(x=z2)} END AS BIGINT)"
+            ).alias("z_milli"),
+        )
+        .orderBy(F.abs(F.col("z_milli")).desc(), "cx", "cy")
+        .limit(top_k)
+    )

@@ -1258,8 +1258,13 @@ def cohens_kappa(
             F.col("pe_x_n").cast("long").alias("pe_x_n"),
             F.col("kappa_num").cast("long").alias("kappa_num"),
             F.col("kappa_den").cast("long").alias("kappa_den"),
+            # degenerate contract: both raters constant on the SAME
+            # label makes pe = n² and the denominator 0 (κ undefined);
+            # emit 0 — observed agreement equals chance agreement there
             F.expr(
-                _floordiv_col("kappa_num * 1000000", "kappa_den")
+                "CASE WHEN kappa_den = 0 THEN 0 ELSE "
+                + _floordiv_col("kappa_num * 1000000", "kappa_den")
+                + " END"
             )
             .cast("long")
             .alias("kappa_ppm"),

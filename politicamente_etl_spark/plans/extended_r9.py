@@ -74,9 +74,10 @@ def _register_batch1():
                CAST(CAST(n AS HUGEINT) * n_agree - pe_x_n AS BIGINT)
                    AS kappa_num,
                CAST(CAST(n AS HUGEINT) * n - pe_x_n AS BIGINT) AS kappa_den,
-               CAST({_fd_col_sql(
+               CAST(CASE WHEN CAST(n AS HUGEINT) * n - pe_x_n = 0 THEN 0
+                    ELSE {_fd_col_sql(
                    "(CAST(n AS HUGEINT) * n_agree - pe_x_n) * 1000000",
-                   "CAST(n AS HUGEINT) * n - pe_x_n")} AS BIGINT)
+                   "CAST(n AS HUGEINT) * n - pe_x_n")} END AS BIGINT)
                    AS kappa_ppm
         FROM po, pe
         """,

@@ -981,3 +981,66 @@ def stateful_cusum_user_value(
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def stateful_custom_sessions(
+    events: DataFrame,
+    gap_us: int = 21_600_000_000,
+) -> DataFrame:
+    """Custom stateful sessionizer: per user, consecutive events closer
+    than `gap_us` belong to one session; a larger gap CLOSES the
+    running session and emits it (start, end, n_events). The running
+    session rides explicit GroupState across micro-batches — the proof
+    obligation is that a session spanning the batch boundary must NOT
+    split, which the built-in `session_window` (streaming_session_window)
+    gets from engine state and this operator gets from ours. Each
+    user's final session stays open in state and is never emitted, so
+    the output is exactly the set of GAP-CLOSED sessions — a
+    deterministic relation whatever the trigger cadence.
+
+    State per user is one (start, last, n) triple; the state store
+    shards by user hash like every stateful op here.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def session_fn(key, pdfs, state: GroupState):
+        start, last, n = state.get if state.exists else (0, 0, 0)
+        rows = pd.concat(list(pdfs), ignore_index=True)
+        rows = rows.sort_values(["t_us", "event_id"], kind="mergesort")
+        out_start, out_end, out_n = [], [], []
+        for t in rows["t_us"]:
+            t = int(t)
+            if n == 0:
+                start, last, n = t, t, 1
+            elif t - last > gap_us:
+                out_start.append(start)
+                out_end.append(last)
+                out_n.append(n)
+                start, last, n = t, t, 1
+            else:
+                last, n = t, n + 1
+        state.update((start, last, n))
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]] * len(out_start),
+                "start_us": out_start,
+                "end_us": out_end,
+                "n_events": out_n,
+            }
+        )
+
+    prepped = events.select(
+        "user_id",
+        "event_id",
+        F.expr("unix_micros(ts)").cast("long").alias("t_us"),
+    )
+    return prepped.groupBy("user_id").applyInPandasWithState(
+        session_fn,
+        outputStructType=(
+            "user_id long, start_us long, end_us long, n_events long"
+        ),
+        stateStructType="s long, l long, n long",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -1078,3 +1078,28 @@ def test_ivm_deletes_merge_by_group_key(spark, sf_dir):
     assert "BroadcastHashJoin" in plan
     assert "partial" in plan.lower()
     assert "CartesianProduct" not in plan
+
+
+def test_getis_ord_offset_equi_join(spark, sf_dir):
+    """Gi*: the 3×3 neighborhood is a cell-coordinate equi-join over
+    the bounded cell table — never a radius cross-join; totals are
+    1-row broadcasts."""
+    plan = plan_of(q("getis_ord_hotspots", spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "partial" in plan.lower()
+
+
+def test_int8_recall_broadcast_query_side(spark, sf_dir):
+    """Quantized retrieval: the 8-query side broadcasts against the
+    corpus; top-k via rank windows with group limits."""
+    plan = plan_of(q("int8_quantization_recall", spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert "WindowGroupLimit" in plan
+
+
+def test_purged_folds_single_pass(spark, sf_dir):
+    """Folds: a 3-row fold table broadcast onto ONE events pass with
+    conditional aggregation — no window, no per-fold rescan joins."""
+    plan = plan_of(q("purged_walkforward_folds", spark, sf_dir))
+    assert "Window" not in plan
+    assert "CartesianProduct" not in plan

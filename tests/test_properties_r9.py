@@ -28,12 +28,13 @@ def test_kappa_matches_model_on_random_draws(spark, pairs):
         ra[a] = ra.get(a, 0) + 1
         cb[b] = cb.get(b, 0) + 1
     pe = sum(r * cb.get(k, 0) for k, r in ra.items())
-    if n * n == pe:  # degenerate: both raters constant → κ undefined
-        return
     df = spark.createDataFrame(pairs, "a string, b string")
     row = cohens_kappa(df, "a", "b").collect()[0]
     assert row.kappa_num == n * agree - pe
     assert row.kappa_den == n * n - pe
+    if n * n == pe:  # both raters constant on one label: κ undefined → 0
+        assert row.kappa_ppm == 0
+        return
     assert row.kappa_ppm == (n * agree - pe) * 1_000_000 // (n * n - pe)
     if agree == n:
         assert row.kappa_ppm == 1_000_000  # perfect agreement

@@ -1,0 +1,192 @@
+"""Round-9 second-wave tests: custom stateful sessionizer vs a Python
+gap fold (including the cross-batch continuity proof), and the
+degenerate-κ guard."""
+
+from __future__ import annotations
+
+
+def test_stateful_sessions_cross_boundary_and_match_fold(spark):
+    from collections import defaultdict
+
+    from politicamente_etl_spark.streaming import windows as W
+
+    sf = "/root/testdata/sf0.001"
+    gap = 21_600_000_000
+    out = W.run_stream_to_table(
+        W.stateful_custom_sessions(W.stream_events_time_halves(spark, sf)),
+        mode="append",
+    ).collect()
+    got = defaultdict(set)
+    for r in out:
+        got[r.user_id].add((r.start_us, r.end_us, r.n_events))
+
+    rows = sorted(
+        spark.read.parquet(f"{sf}/events.parquet")
+        .selectExpr(
+            "user_id",
+            "unix_micros(cast(ts as timestamp)) AS t",
+            "event_id",
+        )
+        .collect(),
+        key=lambda r: (r.user_id, r.t, r.event_id),
+    )
+    per_user = defaultdict(list)
+    for r in rows:
+        per_user[r.user_id].append(r.t)
+    want = defaultdict(set)
+    for u, ts in per_user.items():
+        start, last, n = ts[0], ts[0], 1
+        for t in ts[1:]:
+            if t - last > gap:
+                want[u].add((start, last, n))
+                start, last, n = t, t, 1
+            else:
+                last, n = t, n + 1
+        # the final session stays open in state — never emitted
+    assert dict(got) == {u: s for u, s in want.items() if s}
+    # the proof obligation: at least one emitted session STRADDLES the
+    # median-ts batch boundary (starts before, ends after) — the state
+    # carried it across without splitting
+    mid = sorted(r.t for r in rows)[len(rows) // 2]
+    assert any(
+        s <= mid < e for sess in got.values() for (s, e, _) in sess
+    )
+
+
+def test_kappa_degenerate_constant_raters(spark):
+    """Both raters constant on the SAME label: pe = n², κ undefined →
+    the documented 0 contract (no division by zero)."""
+    from politicamente_etl_spark.operators.stats import cohens_kappa
+
+    df = spark.createDataFrame([("x", "x")] * 5, "a string, b string")
+    r = cohens_kappa(df, "a", "b").collect()[0]
+    assert r.kappa_den == 0 and r.kappa_ppm == 0
+
+
+def test_getis_ord_matches_python_model(spark):
+    """Gi* z on a hand grid with one obvious hot cluster vs an exact
+    integer Python replay (same isqrt snap)."""
+    import math
+
+    from politicamente_etl_spark.operators.geo import getis_ord_hotspots
+
+    cells = {
+        (0, 0): 9, (0, 1): 8, (1, 0): 7, (1, 1): 9,   # hot cluster
+        (5, 5): 1, (5, 6): 1, (6, 5): 1,              # cold corner
+        (9, 9): 2, (3, 7): 1, (7, 3): 2,
+    }
+    df = spark.createDataFrame(
+        [(cx, cy, x) for (cx, cy), x in cells.items()],
+        "cx long, cy long, x long",
+    )
+    got = {
+        (r.cx, r.cy): (r.x, r.s_n, r.w, r.z_milli)
+        for r in getis_ord_hotspots(df, top_k=100).collect()
+    }
+    n = len(cells)
+    s = sum(cells.values())
+    q = sum(v * v for v in cells.values())
+
+    def isqrt_snap(v):
+        return math.isqrt(v)
+
+    want = {}
+    for (cx, cy), x in cells.items():
+        neigh = [
+            cells[(cx + dx, cy + dy)]
+            for dx in (-1, 0, 1)
+            for dy in (-1, 0, 1)
+            if (cx + dx, cy + dy) in cells
+        ]
+        s_n, w = sum(neigh), len(neigh)
+        a = n * s_n - w * s
+        b = (n * q - s * s) * (n * w - w * w)
+        if b <= 0:
+            continue
+        z2 = a * a * (n - 1) * 1_000_000 // b
+        z = isqrt_snap(z2) * (1 if a >= 0 else -1)
+        want[(cx, cy)] = (x, s_n, w, z)
+    assert got == want
+    # the hot cluster's interior cells carry the largest positive z
+    assert max(want.values(), key=lambda t: t[3])[3] == max(
+        z for _, _, _, z in want.values()
+    ) and want[(0, 0)][3] > 0
+
+
+def test_purged_folds_embargo_gap(spark):
+    """The in-plan leakage proof: training days end at least
+    embargo+1 (= 3) days before validation starts, every fold."""
+    from politicamente_etl_spark.plans.catalog import CATALOG
+
+    rows = CATALOG["purged_walkforward_folds"].fn(
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    assert {r.fold for r in rows} == {1, 2, 3}
+    for r in rows:
+        assert r.n_val > 0
+        if r.train_max_day is not None and r.val_min_day is not None:
+            assert r.train_max_day <= r.val_min_day - 3
+        # counts partition the corpus: train + embargo + val + future
+        assert r.n_train + r.n_embargoed + r.n_val <= sum(
+            (x.n_train + x.n_embargoed + x.n_val) for x in rows
+        )
+
+
+def test_int8_recall_reasonable_and_self_hit(spark):
+    from politicamente_etl_spark.plans.catalog import CATALOG
+
+    rows = CATALOG["int8_quantization_recall"].fn(
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    assert len(rows) == 8
+    for r in rows:
+        assert 0 <= r.n_hits <= 10
+        assert r.recall_milli == r.n_hits * 100
+    # int8 over 64 dims keeps most of the float ranking at this scale
+    assert sum(r.n_hits for r in rows) >= 8 * 5
+
+
+def test_negative_sampling_fourth_root_exact(spark):
+    """⌊√⌊√c³⌋⌋ == ⌊c^0.75⌋ exactly — checked against Python isqrt
+    on the real vocabulary counts."""
+    import math
+
+    from politicamente_etl_spark.plans.catalog import CATALOG
+
+    rows = CATALOG["negative_sampling_weights"].fn(
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    assert rows
+    tot = None
+    for r in rows:
+        assert r.w_h == math.isqrt(math.isqrt(r.cnt**3))
+    # heavier tokens get more mass, but sublinearly: per-occurrence
+    # mass p/c follows c^-0.25 — strictly lower for the heaviest token
+    # than the lightest (ppm flooring can reorder near-equal counts,
+    # so only the clearly-separated extremes are asserted)
+    rows = sorted(rows, key=lambda r: -r.cnt)
+    hi, lo = rows[0], rows[-1]
+    if hi.cnt > 2 * lo.cnt:
+        assert hi.p_ppm / hi.cnt < lo.p_ppm / lo.cnt
+    assert hi.p_ppm > lo.p_ppm
+
+
+def test_burstiness_matches_python_and_bounds(spark):
+    """B from the operator equals the Python sufficient-stats replay;
+    metronome gaps → B near −1... 0⁻, bursty gaps → B > 0."""
+    import math
+
+    from politicamente_etl_spark.plans.catalog import CATALOG
+
+    rows = CATALOG["user_burstiness_profile"].fn(
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    assert rows
+    for r in rows:
+        root = math.isqrt(r.m * r.q - r.s * r.s)
+        assert r.r == root
+        if root + r.s:
+            num = (root - r.s) * 1000
+            den = root + r.s
+            assert r.b_milli == (num - (num % den + den) % den) // den
+        assert -1000 <= r.b_milli <= 1000
