@@ -998,3 +998,62 @@ def remove_duplicated_spans(
             F.expr("array_join(transform(__kept, p -> element_at(toks, p)), ' ')")
         ).alias("clean_digest"),
     )
+
+
+def containment_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold_ppm: int = 600_000,
+) -> DataFrame:
+    """Asymmetric shingle CONTAINMENT near-dup pairs — Broder's other
+    resemblance measure: C(A→B) = |A∩B| / |A|. Jaccard misses the
+    quote/subset case (a short doc wholly contained in a long one has
+    tiny Jaccard but containment ≈ 1), which is exactly the
+    boilerplate-inclusion / quoted-reply shape a pretraining dedup
+    pass must catch. Same inverted-index plan as ngram_jaccard_pairs
+    (shingle explode → xxhash64-narrowed equi-join → pair aggregate
+    with both set sizes in the grouping key — no re-joins); emits both
+    directions as floored ppm and keeps pairs whose LARGER containment
+    clears the threshold.
+    """
+    sh = spread(df.select(id_col, text_col), id_col).select(
+        F.col(id_col), F.array_distinct(shingles_regex(text_col)).alias("shs")
+    ).select(
+        F.col(id_col),
+        F.size("shs").alias("n_sh"),
+        F.explode("shs").alias("sh"),
+    ).withColumn("sh", F.xxhash64("sh"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.sh") == F.col("b.sh"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .groupBy(
+            F.col(f"a.{id_col}").alias("doc_a"),
+            F.col("a.n_sh").alias("n_a"),
+            F.col(f"b.{id_col}").alias("doc_b"),
+            F.col("b.n_sh").alias("n_b"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n_common"))
+        .select(
+            "doc_a",
+            "doc_b",
+            "n_common",
+            F.col("n_a").cast("long").alias("n_a"),
+            F.col("n_b").cast("long").alias("n_b"),
+            F.expr("n_common * 1000000 DIV n_a")
+            .cast("long")
+            .alias("contain_a_ppm"),
+            F.expr("n_common * 1000000 DIV n_b")
+            .cast("long")
+            .alias("contain_b_ppm"),
+        )
+        .filter(
+            F.greatest(F.col("contain_a_ppm"), F.col("contain_b_ppm"))
+            >= threshold_ppm
+        )
+    )

@@ -16,7 +16,7 @@ keeps every comparison engine-exact.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -287,3 +287,83 @@ def getis_ord_hotspots(
         .orderBy(F.abs(F.col("z_milli")).desc(), "cx", "cy")
         .limit(top_k)
     )
+
+
+def knn_outlier_scores(
+    df: DataFrame,
+    id_col: str,
+    lat_col: str = "lat_milli",
+    lon_col: str = "lon_milli",
+    k: int = 3,
+    radius_milli: int = 15_000,
+    top_k: int = 20,
+) -> DataFrame:
+    """R-bounded kNN-distance outliers (Ramaswamy et al. 2000): score =
+    distance to the k-th nearest neighbor, computed over the
+    radius-bounded neighborhood graph the grid join produces. A point
+    with fewer than k in-R neighbors is CENSORED at the radius (its
+    true k-dist provably exceeds R, so it ranks above every uncensored
+    point) — the explicit semantics that make the blocked plan and a
+    brute-force oracle agree exactly. Distances are exact integer
+    isqrt of the squared milli-degree metric (d² ≤ 2R² sits far inside
+    the float-sqrt ±1 domain).
+
+    Scale shape: `neighbor_pairs_within`'s 3×3 grid join (cell side =
+    R guarantees every in-R pair meets), symmetrize, per-point rank
+    window bounded by in-cell density, then TakeOrdered for the
+    global top_k.
+    """
+    pairs = neighbor_pairs_within(
+        df, id_col, lat_col, lon_col, radius_milli
+    )
+    sym = pairs.select(
+        F.col("a").alias("pid"), F.col("b").alias("nid"), "dist_sq_milli"
+    ).unionByName(
+        pairs.select(
+            F.col("b").alias("pid"), F.col("a").alias("nid"), "dist_sq_milli"
+        )
+    )
+    w = Window.partitionBy("pid").orderBy("dist_sq_milli", "nid")
+    kth = (
+        sym.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .groupBy("pid")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_in_r"),
+            F.max("dist_sq_milli").alias("d2k"),
+        )
+    )
+    isq = (
+        "(CAST(floor(sqrt(CAST({x} AS DOUBLE))) AS BIGINT)"
+        " - CASE WHEN CAST(floor(sqrt(CAST({x} AS DOUBLE))) AS BIGINT)"
+        "          * CAST(floor(sqrt(CAST({x} AS DOUBLE))) AS BIGINT)"
+        "          > ({x}) THEN 1 ELSE 0 END"
+        " + CASE WHEN (CAST(floor(sqrt(CAST({x} AS DOUBLE))) AS BIGINT) + 1)"
+        "          * (CAST(floor(sqrt(CAST({x} AS DOUBLE))) AS BIGINT) + 1)"
+        "          <= ({x}) THEN 1 ELSE 0 END)"
+    )
+    all_pts = df.select(F.col(id_col).alias("pid"))
+    scored = (
+        all_pts.join(kth, "pid", "left")
+        .select(
+            "pid",
+            F.coalesce(F.col("n_in_r"), F.lit(0)).cast("long").alias("n_in_r"),
+            F.when(
+                F.coalesce(F.col("n_in_r"), F.lit(0)) < k, F.lit(1)
+            )
+            .otherwise(F.lit(0))
+            .cast("int")
+            .alias("censored"),
+            F.when(
+                F.coalesce(F.col("n_in_r"), F.lit(0)) < k,
+                F.lit(radius_milli).cast("long"),
+            )
+            .otherwise(F.expr(isq.format(x="d2k")).cast("long"))
+            .alias("kdist_milli"),
+        )
+    )
+    return scored.orderBy(
+        F.col("censored").desc(),
+        F.col("kdist_milli").desc(),
+        F.col("pid"),
+    ).limit(top_k)

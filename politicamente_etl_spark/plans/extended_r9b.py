@@ -720,3 +720,524 @@ def _register_wave3():
 
 
 _register_wave3()
+
+
+def _register_wave4():
+    """Wave 4: multimodal frame-fingerprint near-dup — the video-dedup
+    shape (sample frames → fingerprint → inverted-index pair join) run
+    end-to-end through the REAL mapInPandas frame-sampling seam with an
+    injected deterministic extractor (the documented codec slot)."""
+    from politicamente_etl_spark.operators import multimodal
+    from politicamente_etl_spark.plans.catalog import T, register
+
+    @register(
+        "frame_hash_dedup_pairs",
+        sql="""
+        WITH f AS (
+            SELECT doc_id, md5(substr(text, 1 + i * 64, 64)) AS fh
+            FROM documents,
+                 UNNEST(generate_series(0,
+                     CAST(length(text) // 64 AS BIGINT) - 1)) u(i)
+        ), d AS (
+            SELECT DISTINCT doc_id, fh FROM f
+        ), nf AS (
+            SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n FROM d GROUP BY 1
+        ), p AS (
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                   CAST(COUNT(*) AS BIGINT) AS n_common
+            FROM d a JOIN d b ON a.fh = b.fh AND a.doc_id < b.doc_id
+            GROUP BY 1, 2
+        )
+        SELECT p.doc_a, p.doc_b, p.n_common,
+               na.n AS n_frames_a, nb.n AS n_frames_b,
+               CAST(p.n_common * 1000000 // least(na.n, nb.n) AS BIGINT)
+                   AS overlap_ppm
+        FROM p
+        JOIN nf na ON na.doc_id = p.doc_a
+        JOIN nf nb ON nb.doc_id = p.doc_b
+        """,
+        tags=("ext-multimodal", "ext-dedup"),
+    )
+    def q_frame_hash_dedup_pairs(
+        spark: SparkSession, sf_dir: str
+    ) -> DataFrame:
+        """Cross-video near-duplicate detection by frame fingerprints —
+        the standard video-dedup pipeline shape: sample frames
+        (`multimodal.sample_frames`, the real mapInPandas 1→N explode
+        with the codec slot INJECTED as a deterministic 64-byte
+        chunker, media = the documents' byte payloads), fingerprint
+        each frame (JVM md5 over the binary — the decode pass is the
+        only Python), then an inverted-index equi-join on frame hash
+        (never |videos|² — the same shape as ngram_jaccard_pairs).
+        Emits sharing pairs with the overlap share of the smaller
+        frame set."""
+        docs = multimodal.with_binary_payload(
+            T(spark, sf_dir, "documents").select("doc_id", "text")
+        )
+
+        def chunker(payload: bytes, every_n: int) -> list:
+            usable = (len(payload) // 64) * 64
+            return [
+                payload[i : i + 64] for i in range(0, usable, 64 * every_n)
+            ]
+
+        frames = multimodal.sample_frames(
+            docs, every_n=1, frame_extractor=chunker
+        )
+        d = frames.select(
+            "doc_id", F.md5(F.col("frame")).alias("fh")
+        ).distinct()
+        nf = d.groupBy("doc_id").agg(
+            F.count(F.lit(1)).cast("long").alias("n")
+        )
+        a = d.select(F.col("doc_id").alias("doc_a"), "fh")
+        b = d.select(F.col("doc_id").alias("doc_b"), "fh")
+        p = (
+            a.join(b, "fh")
+            .filter(F.col("doc_a") < F.col("doc_b"))
+            .groupBy("doc_a", "doc_b")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_common"))
+        )
+        na = nf.select(
+            F.col("doc_id").alias("doc_a"), F.col("n").alias("n_frames_a")
+        )
+        nb = nf.select(
+            F.col("doc_id").alias("doc_b"), F.col("n").alias("n_frames_b")
+        )
+        return (
+            p.join(F.broadcast(na), "doc_a")
+            .join(F.broadcast(nb), "doc_b")
+            .select(
+                "doc_a",
+                "doc_b",
+                "n_common",
+                "n_frames_a",
+                "n_frames_b",
+                F.expr(
+                    "n_common * 1000000 DIV least(n_frames_a, n_frames_b)"
+                )
+                .cast("long")
+                .alias("overlap_ppm"),
+            )
+        )
+
+
+_register_wave4()
+
+
+def _register_wave4b():
+    """Seasonal-naive backtest with MASE — the scale-free forecast
+    error (Hyndman & Koehler 2006) that lets per-nation errors be
+    compared and averaged, completing holt_backtest_report's absolute
+    errors."""
+    from politicamente_etl_spark.plans.catalog import T, register
+
+    @register(
+        "seasonal_naive_mase",
+        sql="""
+        WITH o AS (
+            SELECT c_nationkey AS nation,
+                   CAST(CAST(o_orderdate AS DATE) - DATE '1970-01-01'
+                        AS BIGINT) AS day,
+                   CAST(floor(o_totalprice * 100) AS BIGINT) AS cents
+            FROM orders JOIN customer ON o_custkey = c_custkey
+        ), rng AS (
+            SELECT MIN(day) AS dmin, MAX(day) AS dmax FROM o
+        ), cal AS (
+            SELECT n.nation, u.d AS day
+            FROM (SELECT DISTINCT nation FROM o) n,
+                 rng, UNNEST(generate_series(rng.dmin, rng.dmax)) u(d)
+        ), daily AS (
+            SELECT cal.nation, cal.day,
+                   CAST(COALESCE(SUM(o.cents), 0) AS BIGINT) AS y
+            FROM cal LEFT JOIN o
+              ON o.nation = cal.nation AND o.day = cal.day
+            GROUP BY 1, 2
+        ), lagged AS (
+            SELECT nation, day, y,
+                   lag(y, 1) OVER (PARTITION BY nation ORDER BY day) AS y1,
+                   lag(y, 7) OVER (PARTITION BY nation ORDER BY day) AS y7,
+                   MAX(day) OVER () AS dmax
+            FROM daily
+        ), parts AS (
+            SELECT nation,
+                   CAST(SUM(CASE WHEN day <= dmax - 7 AND y1 IS NOT NULL
+                                 THEN abs(y - y1) END) AS BIGINT)
+                       AS train_abs_diff,
+                   CAST(SUM(CASE WHEN day <= dmax - 7 AND y1 IS NOT NULL
+                                 THEN 1 ELSE 0 END) AS BIGINT) AS m_train,
+                   CAST(SUM(CASE WHEN day > dmax - 7
+                                 THEN abs(y - y7) END) AS BIGINT)
+                       AS test_abs_err
+            FROM lagged
+            GROUP BY 1
+        )
+        SELECT nation, m_train, train_abs_diff, test_abs_err,
+               CAST(CASE WHEN train_abs_diff = 0 THEN NULL
+                    ELSE CAST(test_abs_err AS HUGEINT) * m_train * 1000
+                         // (7 * CAST(train_abs_diff AS HUGEINT)) END
+                    AS BIGINT) AS mase_milli
+        FROM parts
+        """,
+        tags=("ext-temporal", "ext-stats"),
+    )
+    def q_seasonal_naive_mase(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Seasonal-naive (lag-7) forecast of each nation's last week
+        of daily revenue, scored by MASE: test MAE over the in-sample
+        one-step naive MAE — scale-free, so a 25-nation error sheet is
+        comparable row to row (mase_milli < 1000 beats the naive).
+        Zero-filled calendar per nation (the grid is bounded by
+        wall-clock days × nations); lag windows walk that grid, and the
+        corpus-sized work is the one daily rollup."""
+        from pyspark.sql import Window
+
+        o = (
+            T(spark, sf_dir, "orders")
+            .join(
+                F.broadcast(
+                    T(spark, sf_dir, "customer").select(
+                        "c_custkey", "c_nationkey"
+                    )
+                ),
+                F.col("o_custkey") == F.col("c_custkey"),
+            )
+            .select(
+                F.col("c_nationkey").alias("nation"),
+                F.unix_date(F.to_date("o_orderdate"))
+                .cast("long")
+                .alias("day"),
+                F.floor(F.col("o_totalprice") * 100)
+                .cast("long")
+                .alias("cents"),
+            )
+        )
+        rng = o.agg(F.min("day").alias("dmin"), F.max("day").alias("dmax"))
+        cal = (
+            o.select("nation")
+            .distinct()
+            .join(F.broadcast(rng))
+            .select(
+                "nation",
+                F.explode(F.expr("sequence(dmin, dmax)")).alias("day"),
+            )
+        )
+        daily = (
+            cal.join(o, ["nation", "day"], "left")
+            .groupBy("nation", "day")
+            .agg(F.coalesce(F.sum("cents"), F.lit(0)).cast("long").alias("y"))
+        )
+        w = Window.partitionBy("nation").orderBy("day")
+        wall = Window.rowsBetween(
+            Window.unboundedPreceding, Window.unboundedFollowing
+        )
+        lagged = daily.select(
+            "nation",
+            "day",
+            "y",
+            F.lag("y", 1).over(w).alias("y1"),
+            F.lag("y", 7).over(w).alias("y7"),
+            F.max("day").over(wall).alias("dmax"),
+        )
+        parts = lagged.groupBy("nation").agg(
+            F.sum(
+                F.when(
+                    (F.col("day") <= F.col("dmax") - 7)
+                    & F.col("y1").isNotNull(),
+                    F.abs(F.col("y") - F.col("y1")),
+                )
+            )
+            .cast("long")
+            .alias("train_abs_diff"),
+            F.sum(
+                (
+                    (F.col("day") <= F.col("dmax") - 7)
+                    & F.col("y1").isNotNull()
+                ).cast("long")
+            )
+            .cast("long")
+            .alias("m_train"),
+            F.sum(
+                F.when(
+                    F.col("day") > F.col("dmax") - 7,
+                    F.abs(F.col("y") - F.col("y7")),
+                )
+            )
+            .cast("long")
+            .alias("test_abs_err"),
+        )
+        return parts.select(
+            "nation",
+            "m_train",
+            "train_abs_diff",
+            "test_abs_err",
+            F.expr(
+                "CAST(CASE WHEN train_abs_diff = 0 THEN NULL"
+                " ELSE CAST(test_abs_err AS decimal(38,0)) * m_train * 1000"
+                " DIV (7 * CAST(train_abs_diff AS decimal(38,0))) END"
+                " AS BIGINT)"
+            ).alias("mase_milli"),
+        )
+
+
+_register_wave4b()
+
+
+def _register_wave5():
+    """Wave 5: shingle containment (the asymmetric dedup measure
+    Jaccard misses) and 1-D Wasserstein drift (the integral ECDF gap
+    next to KS's max gap)."""
+    from politicamente_etl_spark.operators import dedup
+    from politicamente_etl_spark.plans.catalog import T, register
+
+    @register(
+        "shingle_containment_pairs",
+        sql="""
+        WITH t AS (
+            SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+        ), sh AS (
+            SELECT DISTINCT doc_id,
+                   unnest([concat_ws(' ', toks[i], toks[i+1], toks[i+2])
+                           for i in range(1, len(toks) - 1)]) AS sh
+            FROM t
+        ), sizes AS (
+            SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_sh
+            FROM sh GROUP BY doc_id
+        ), inter AS (
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                   CAST(COUNT(*) AS BIGINT) AS n_common
+            FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+            GROUP BY 1, 2
+        )
+        SELECT doc_a, doc_b, n_common,
+               na.n_sh AS n_a, nb.n_sh AS n_b,
+               CAST(n_common * 1000000 // na.n_sh AS BIGINT)
+                   AS contain_a_ppm,
+               CAST(n_common * 1000000 // nb.n_sh AS BIGINT)
+                   AS contain_b_ppm
+        FROM inter
+        JOIN sizes na ON inter.doc_a = na.doc_id
+        JOIN sizes nb ON inter.doc_b = nb.doc_id
+        WHERE greatest(n_common * 1000000 // na.n_sh,
+                       n_common * 1000000 // nb.n_sh) >= 600000
+        """,
+        tags=("ext-dedup", "ext-docs"),
+    )
+    def q_shingle_containment_pairs(
+        spark: SparkSession, sf_dir: str
+    ) -> DataFrame:
+        """Asymmetric 3-gram containment pairs
+        (`dedup.containment_pairs`): C(A→B) = |A∩B|/|A| in floored ppm,
+        both directions, pairs kept when the larger direction ≥ 0.6 —
+        catches the short-doc-inside-long-doc inclusion that Jaccard's
+        symmetric denominator dilutes below any usable threshold. Same
+        inverted-index join as the Jaccard verifier."""
+        docs = T(spark, sf_dir, "documents").select("doc_id", "text")
+        return dedup.containment_pairs(docs)
+
+    @register(
+        "wasserstein_length_drift",
+        sql="""
+        WITH base AS (
+            SELECT source AS g,
+                   CAST(len(string_split(text, ' ')) AS BIGINT) AS v
+            FROM documents
+        ), gv AS (
+            SELECT g, v, CAST(COUNT(*) AS BIGINT) AS c
+            FROM base GROUP BY 1, 2
+        ), pv AS (
+            SELECT v, CAST(SUM(c) AS BIGINT) AS cv FROM gv GROUP BY 1
+        ), vals AS (
+            SELECT v,
+                   CAST(SUM(cv) OVER (ORDER BY v
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                        AS BIGINT) AS ct,
+                   lead(v) OVER (ORDER BY v) AS v_next
+            FROM pv
+        ), grps AS (
+            SELECT g, CAST(SUM(c) AS BIGINT) AS n1 FROM gv GROUP BY 1
+        ), tot AS (
+            SELECT CAST(SUM(n1) AS BIGINT) AS n FROM grps
+        ), cum AS (
+            SELECT grps.g, grps.n1, tot.n, vals.v, vals.ct, vals.v_next,
+                   CAST(SUM(COALESCE(gv.c, 0)) OVER (
+                        PARTITION BY grps.g ORDER BY vals.v
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                        AS BIGINT) AS c1
+            FROM grps CROSS JOIN vals CROSS JOIN tot
+            LEFT JOIN gv ON grps.g = gv.g AND vals.v = gv.v
+        )
+        SELECT g AS source, MIN(n1) AS n1, MIN(n - n1) AS n2,
+               CAST(SUM(CASE WHEN v_next IS NULL THEN 0
+                        ELSE abs(CAST(c1 AS HUGEINT) * (n - n1)
+                                 - CAST(ct - c1 AS HUGEINT) * n1)
+                             * (v_next - v) END) AS BIGINT) AS w1_num,
+               CAST(MIN(CAST(n1 AS HUGEINT) * (n - n1)) AS BIGINT) AS w1_den,
+               CAST(SUM(CASE WHEN v_next IS NULL THEN 0
+                        ELSE abs(CAST(c1 AS HUGEINT) * (n - n1)
+                                 - CAST(ct - c1 AS HUGEINT) * n1)
+                             * (v_next - v) END) * 1000
+                    // MIN(CAST(n1 AS HUGEINT) * (n - n1)) AS BIGINT)
+                   AS w1_milli_tokens
+        FROM cum GROUP BY g
+        """,
+        tags=("ext-stats", "ext-docs"),
+    )
+    def q_wasserstein_length_drift(
+        spark: SparkSession, sf_dir: str
+    ) -> DataFrame:
+        """1-D Wasserstein (earth-mover) distance between each source's
+        token-count distribution and the rest — the INTEGRAL of the
+        ECDF gap (how far mass must move, in tokens), complementing
+        KS's max gap (a distribution can pass KS yet carry large
+        transport cost in a long tail). Exact integers: W₁ = Σ over
+        the merged value grid of |c1·n2 − c2·n1|·Δv / (n1·n2), emitted
+        as the (num, den) pair + floored milli-tokens. Same bounded
+        (source, value) grid and windows as ks_one_vs_rest."""
+        from pyspark.sql import Window
+
+        docs = T(spark, sf_dir, "documents").select(
+            "source",
+            F.expr("CAST(size(split(text, ' ')) AS BIGINT)").alias("v"),
+        )
+        gv = docs.groupBy(F.col("source").alias("g"), "v").agg(
+            F.count(F.lit(1)).cast("long").alias("c")
+        )
+        pv = gv.groupBy("v").agg(F.sum("c").alias("cv"))
+        w_all = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
+        vals = pv.select(
+            "v",
+            F.sum("cv").over(w_all).cast("long").alias("ct"),
+            F.lead("v").over(Window.orderBy("v")).alias("v_next"),
+        )
+        grps = gv.groupBy("g").agg(F.sum("c").cast("long").alias("n1"))
+        tot = grps.agg(F.sum("n1").cast("long").alias("n"))
+        w_g = (
+            Window.partitionBy("g")
+            .orderBy("v")
+            .rowsBetween(Window.unboundedPreceding, 0)
+        )
+        cum = (
+            grps.join(F.broadcast(vals))
+            .join(F.broadcast(tot))
+            .join(gv, ["g", "v"], "left")
+            .withColumn(
+                "c1", F.sum(F.coalesce(F.col("c"), F.lit(0))).over(w_g)
+            )
+        )
+        return (
+            cum.groupBy(F.col("g").alias("source"))
+            .agg(
+                F.min("n1").cast("long").alias("n1"),
+                F.min(F.col("n") - F.col("n1")).cast("long").alias("n2"),
+                F.sum(
+                    F.expr(
+                        "CASE WHEN v_next IS NULL THEN CAST(0 AS decimal(38,0))"
+                        " ELSE abs(CAST(c1 AS decimal(38,0)) * (n - n1)"
+                        "          - CAST(ct - c1 AS decimal(38,0)) * n1)"
+                        "      * (v_next - v) END"
+                    )
+                ).alias("w1_num_d"),
+                F.min(
+                    F.expr("CAST(n1 AS decimal(38,0)) * (n - n1)")
+                ).alias("w1_den_d"),
+            )
+            .select(
+                "source",
+                "n1",
+                "n2",
+                F.col("w1_num_d").cast("long").alias("w1_num"),
+                F.col("w1_den_d").cast("long").alias("w1_den"),
+                F.expr(
+                    "CAST(w1_num_d * 1000 DIV w1_den_d AS BIGINT)"
+                ).alias("w1_milli_tokens"),
+            )
+        )
+
+
+_register_wave5()
+
+
+def _register_wave5b():
+    """kNN-distance outliers over the synthetic customer point cloud —
+    the blocked plan vs a brute-force-oracle pairing, same contract as
+    geo_neighbor_pairs."""
+    from politicamente_etl_spark.operators import geo
+    from politicamente_etl_spark.operators.geo import sql_synth_coords
+    from politicamente_etl_spark.plans.catalog import T, register
+
+    lat_sql, lon_sql = sql_synth_coords("c_custkey")
+    _isq = (
+        "(CAST(floor(sqrt(CAST({x} AS DOUBLE))) AS BIGINT)"
+        " - CASE WHEN CAST(floor(sqrt(CAST({x} AS DOUBLE))) AS BIGINT)"
+        "          * CAST(floor(sqrt(CAST({x} AS DOUBLE))) AS BIGINT)"
+        "          > ({x}) THEN 1 ELSE 0 END"
+        " + CASE WHEN (CAST(floor(sqrt(CAST({x} AS DOUBLE))) AS BIGINT) + 1)"
+        "          * (CAST(floor(sqrt(CAST({x} AS DOUBLE))) AS BIGINT) + 1)"
+        "          <= ({x}) THEN 1 ELSE 0 END)"
+    )
+
+    @register(
+        "knn_outlier_customers",
+        sql=f"""
+        WITH pts AS (
+            SELECT c_custkey AS pid, {lat_sql} AS lat, {lon_sql} AS lon
+            FROM customer
+        ), pairs AS (
+            SELECT a.pid, b.pid AS nid,
+                   (a.lat - b.lat) * (a.lat - b.lat)
+                   + (a.lon - b.lon) * (a.lon - b.lon) AS d2
+            FROM pts a JOIN pts b ON a.pid <> b.pid
+            WHERE (a.lat - b.lat) * (a.lat - b.lat)
+                  + (a.lon - b.lon) * (a.lon - b.lon)
+                  <= 15000 * 15000
+        ), kth AS (
+            SELECT pid, CAST(COUNT(*) AS BIGINT) AS n_in_r,
+                   CAST(MAX(d2) AS BIGINT) AS d2k
+            FROM (
+                SELECT pid, nid, d2,
+                       row_number() OVER (PARTITION BY pid
+                           ORDER BY d2, nid) AS rn
+                FROM pairs
+            ) WHERE rn <= 3
+            GROUP BY pid
+        ), scored AS (
+            SELECT p.pid,
+                   CAST(COALESCE(k.n_in_r, 0) AS BIGINT) AS n_in_r,
+                   CAST(CASE WHEN COALESCE(k.n_in_r, 0) < 3
+                             THEN 1 ELSE 0 END AS INT) AS censored,
+                   CASE WHEN COALESCE(k.n_in_r, 0) < 3
+                        THEN CAST(15000 AS BIGINT)
+                        ELSE CAST({_isq.format(x='k.d2k')} AS BIGINT)
+                   END AS kdist_milli
+            FROM pts p LEFT JOIN kth k USING (pid)
+        )
+        SELECT pid, n_in_r, censored, kdist_milli
+        FROM scored
+        ORDER BY censored DESC, kdist_milli DESC, pid
+        LIMIT 20
+        """,
+        tags=("ext-geo", "ext-stats"),
+    )
+    def q_knn_outlier_customers(
+        spark: SparkSession, sf_dir: str
+    ) -> DataFrame:
+        """Top-20 spatial outliers by R-bounded kNN distance (k = 3,
+        R = 15° milli): sparse customers whose 3rd neighbor is far —
+        or provably beyond R (censored, ranked first). The Spark plan
+        is the 3×3 grid blocking join; the oracle runs the OPPOSITE
+        algorithm (brute-force O(n²)) with identical censor semantics,
+        so the blocking's no-missed-pair guarantee is what's actually
+        verified."""
+        cust = T(spark, sf_dir, "customer")
+        lat, lon = geo.synth_coords(F.col("c_custkey"))
+        pts = cust.select(
+            F.col("c_custkey").alias("pid"),
+            lat.alias("lat_milli"),
+            lon.alias("lon_milli"),
+        )
+        return geo.knn_outlier_scores(
+            pts, "pid", k=3, radius_milli=15_000, top_k=20
+        )
+
+
+_register_wave5b()

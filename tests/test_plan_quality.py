@@ -1103,3 +1103,61 @@ def test_purged_folds_single_pass(spark, sf_dir):
     plan = plan_of(q("purged_walkforward_folds", spark, sf_dir))
     assert "Window" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_frame_dedup_inverted_index_join(spark, sf_dir):
+    """Frame dedup: pairs come from an equi-join on frame hash (the
+    inverted-index shape), never |videos|²."""
+    plan = plan_of(q("frame_hash_dedup_pairs", spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "MapInPandas" in plan  # the real codec seam is in the plan
+
+
+def test_mase_windows_walk_calendar_grid(spark, sf_dir):
+    """MASE: lag windows run over the zero-filled calendar grid
+    (nations × days), not the order rows; the corpus-sized work is the
+    one daily rollup."""
+    plan = plan_of(q("seasonal_naive_mase", spark, sf_dir))
+    assert "Window" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_containment_single_pair_aggregate(spark, sf_dir):
+    """Containment: sizes ride the grouping key — one pair aggregate,
+    no post-agg size re-joins, no cartesian."""
+    plan = plan_of(q("shingle_containment_pairs", spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "partial" in plan.lower()
+
+
+def test_wasserstein_windows_on_grid(spark, sf_dir):
+    """W1: like KS, the ECDF windows walk the bounded (source, value)
+    grid, not the corpus."""
+    plan = plan_of(q("wasserstein_length_drift", spark, sf_dir))
+    assert "Window" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_knn_outlier_grid_join_and_takeordered(spark, sf_dir):
+    """kNN outliers: candidates from the 3×3 grid equi-join (no
+    cartesian), global top-k as TakeOrdered."""
+    plan = plan_of(q("knn_outlier_customers", spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "TakeOrdered" in plan
+
+
+def test_youden_sweep_on_score_summary(spark, sf_dir):
+    """Youden: the threshold sweep is reverse-cumulative windows over
+    the bounded bucketed-score summary + TakeOrdered(1)."""
+    plan = plan_of(q("youden_optimal_threshold", spark, sf_dir))
+    assert "Window" in plan
+    assert "TakeOrdered" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_shapley_collapses_to_coalition_grid(spark, sf_dir):
+    """Shapley: one conditional aggregate collapses users to the 16-row
+    coalition table; the subset joins are broadcast grid work."""
+    plan = plan_of(q("shapley_channel_attribution", spark, sf_dir))
+    assert "partial" in plan.lower()
+    assert "CartesianProduct" not in plan

