@@ -298,3 +298,844 @@ def _register_wave6():
 
 
 _register_wave6()
+
+
+def _register_wave7():
+    """Wave 7: nonparametric time-series hypothesis tests — Mann-
+    Kendall monotone trend and the Wald-Wolfowitz runs test — over the
+    bounded daily-revenue calendar grid, plus a bipartiteness audit of
+    the co-purchase graph via BFS parity."""
+    from politicamente_etl_spark.plans.catalog import T, register
+
+    _ISQ = (
+        "(CAST(floor(sqrt(CAST({x} AS DOUBLE))) AS BIGINT)"
+        " - CASE WHEN CAST(floor(sqrt(CAST({x} AS DOUBLE))) AS BIGINT)"
+        "          * CAST(floor(sqrt(CAST({x} AS DOUBLE))) AS BIGINT)"
+        "          > ({x}) THEN 1 ELSE 0 END"
+        " + CASE WHEN (CAST(floor(sqrt(CAST({x} AS DOUBLE))) AS BIGINT) + 1)"
+        "          * (CAST(floor(sqrt(CAST({x} AS DOUBLE))) AS BIGINT) + 1)"
+        "          <= ({x}) THEN 1 ELSE 0 END)"
+    )
+
+    @register(
+        "mann_kendall_trend",
+        sql=f"""
+        WITH o AS (
+            SELECT CAST(CAST(o_orderdate AS DATE) - DATE '1970-01-01'
+                        AS BIGINT) AS day,
+                   CAST(floor(o_totalprice * 100) AS BIGINT) AS cents
+            FROM orders
+        ), daily AS (
+            SELECT day // 7 AS wk, CAST(SUM(cents) AS BIGINT) AS y
+            FROM o GROUP BY 1
+        ), pairs AS (
+            SELECT CAST(SUM(CASE WHEN b.y > a.y THEN 1
+                                 WHEN b.y < a.y THEN -1 ELSE 0 END)
+                        AS BIGINT) AS s_stat
+            FROM daily a JOIN daily b ON a.wk < b.wk
+        ), ties AS (
+            SELECT CAST(COALESCE(SUM(t * (t - 1) * (2 * t + 5)), 0)
+                        AS BIGINT) AS tie_term
+            FROM (SELECT CAST(COUNT(*) AS BIGINT) AS t
+                  FROM daily GROUP BY y HAVING COUNT(*) > 1)
+        ), nn AS (
+            SELECT CAST(COUNT(*) AS BIGINT) AS n FROM daily
+        ), var18 AS (
+            SELECT CAST(n * (n - 1) * (2 * n + 5) - tie_term AS BIGINT)
+                       AS v18, n
+            FROM nn, ties
+        )
+        SELECT pairs.s_stat, var18.n, var18.v18,
+               CAST(CASE
+                    WHEN pairs.s_stat > 0 THEN
+                      (pairs.s_stat - 1) * 1000
+                      // {_ISQ.format(x="var18.v18 * 1000000 // 18")}
+                    WHEN pairs.s_stat < 0 THEN
+                      -(((-pairs.s_stat) - 1) * 1000
+                        // {_ISQ.format(x="var18.v18 * 1000000 // 18")})
+                    ELSE 0 END * 1000 AS BIGINT) AS z_micro
+        FROM pairs, var18
+        """,
+        tags=("ext-temporal", "ext-stats"),
+    )
+    def q_mann_kendall_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Mann-Kendall monotone-trend test on weekly total revenue:
+        S = Σ_{i<j} sign(y_j − y_i) with the tie-corrected variance
+        Var·18 = n(n−1)(2n+5) − Σt(t−1)(2t+5), continuity-corrected
+        z = (|S|−1)/√Var in signed micro — the distribution-free 'is
+        revenue drifting?' answer (|z| ≳ 1.96e6 rejects no-trend). The
+        pair sum runs on the WEEK grid (calendar-bounded — ~350 rows
+        whatever the corpus), so the O(grid²) join is constant-cost;
+        the corpus-sized work is one weekly rollup. √Var via the exact
+        isqrt on a 10⁶-scaled radicand (milli-precision root)."""
+        o = T(spark, sf_dir, "orders").select(
+            F.unix_date(F.to_date("o_orderdate")).cast("long").alias("day"),
+            F.floor(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+        )
+        daily = o.groupBy(F.expr("day div 7").alias("wk")).agg(
+            F.sum("cents").cast("long").alias("y")
+        )
+        a = daily.select(F.col("wk").alias("wa"), F.col("y").alias("ya"))
+        b = daily.select(F.col("wk").alias("wb"), F.col("y").alias("yb"))
+        pairs = (
+            a.join(F.broadcast(b), F.col("wa") < F.col("wb"))
+            .agg(
+                F.sum(
+                    F.when(F.col("yb") > F.col("ya"), 1)
+                    .when(F.col("yb") < F.col("ya"), -1)
+                    .otherwise(0)
+                )
+                .cast("long")
+                .alias("s_stat")
+            )
+        )
+        ties = (
+            daily.groupBy("y")
+            .agg(F.count(F.lit(1)).cast("long").alias("t"))
+            .filter(F.col("t") > 1)
+            .agg(
+                F.coalesce(
+                    F.sum(
+                        F.col("t")
+                        * (F.col("t") - 1)
+                        * (2 * F.col("t") + 5)
+                    ),
+                    F.lit(0),
+                )
+                .cast("long")
+                .alias("tie_term")
+            )
+        )
+        nn = daily.agg(F.count(F.lit(1)).cast("long").alias("n"))
+        var18 = nn.join(F.broadcast(ties)).select(
+            "n",
+            F.expr(
+                "CAST(n * (n - 1) * (2 * n + 5) - tie_term AS BIGINT)"
+            ).alias("v18"),
+        )
+        isq = _ISQ.replace("//", "DIV")
+        root = isq.format(x="v18 * 1000000 DIV 18")
+        return pairs.join(F.broadcast(var18)).select(
+            "s_stat",
+            "n",
+            "v18",
+            F.expr(
+                f"CAST(CASE WHEN s_stat > 0 THEN"
+                f" (s_stat - 1) * 1000 DIV {root}"
+                f" WHEN s_stat < 0 THEN"
+                f" -(((-s_stat) - 1) * 1000 DIV {root})"
+                f" ELSE 0 END * 1000 AS BIGINT)"
+            ).alias("z_micro"),
+        )
+
+
+_register_wave7()
+
+
+def _register_wave7b():
+    """Wald-Wolfowitz runs test for randomness of the weekly revenue
+    series around its median."""
+    from politicamente_etl_spark.plans.catalog import T, register
+
+    _ISQ = (
+        "(CAST(floor(sqrt(CAST({x} AS DOUBLE))) AS BIGINT)"
+        " - CASE WHEN CAST(floor(sqrt(CAST({x} AS DOUBLE))) AS BIGINT)"
+        "          * CAST(floor(sqrt(CAST({x} AS DOUBLE))) AS BIGINT)"
+        "          > ({x}) THEN 1 ELSE 0 END"
+        " + CASE WHEN (CAST(floor(sqrt(CAST({x} AS DOUBLE))) AS BIGINT) + 1)"
+        "          * (CAST(floor(sqrt(CAST({x} AS DOUBLE))) AS BIGINT) + 1)"
+        "          <= ({x}) THEN 1 ELSE 0 END)"
+    )
+
+    @register(
+        "revenue_runs_test",
+        sql=f"""
+        WITH o AS (
+            SELECT CAST(CAST(o_orderdate AS DATE) - DATE '1970-01-01'
+                        AS BIGINT) // 7 AS wk,
+                   CAST(floor(o_totalprice * 100) AS BIGINT) AS cents
+            FROM orders
+        ), weekly AS (
+            SELECT wk, CAST(SUM(cents) AS BIGINT) AS y FROM o GROUP BY 1
+        ), med AS (
+            SELECT y AS m FROM (
+                SELECT y, row_number() OVER (ORDER BY y) AS rn,
+                       COUNT(*) OVER () AS n
+                FROM weekly
+            ) WHERE rn = (n + 1) // 2
+        ), signs AS (
+            SELECT wk, CASE WHEN y > m THEN 1 ELSE 0 END AS s
+            FROM weekly, med WHERE y <> m
+        ), runs AS (
+            SELECT CAST(1 + SUM(CASE WHEN s <> prev_s THEN 1 ELSE 0 END)
+                        AS BIGINT) AS r,
+                   CAST(SUM(s) AS BIGINT) AS n1,
+                   CAST(SUM(1 - s) AS BIGINT) AS n2
+            FROM (SELECT s, lag(s) OVER (ORDER BY wk) AS prev_s FROM signs)
+            WHERE prev_s IS NOT NULL OR TRUE
+        ), stat AS (
+            SELECT r, n1, n2, n1 + n2 AS n,
+                   r * (n1 + n2) - (n1 + n2) - 2 * n1 * n2 AS a,
+                   2 * n1 * n2 * (2 * n1 * n2 - (n1 + n2)) AS b
+            FROM runs
+        )
+        SELECT r AS n_runs, n1, n2,
+               CAST(CASE WHEN b <= 0 THEN NULL
+                    WHEN a >= 0 THEN
+                      {_ISQ.format(x="a * a * (n - 1) * 1000000 // b")}
+                    ELSE
+                      -{_ISQ.format(x="a * a * (n - 1) * 1000000 // b")}
+                    END AS BIGINT) AS z_milli
+        FROM stat
+        """,
+        tags=("ext-temporal", "ext-stats"),
+    )
+    def q_revenue_runs_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Wald-Wolfowitz runs test: is the weekly revenue's
+        above/below-median sequence random, or does it cluster
+        (momentum) / alternate (mean-reversion)? Exact integers: run
+        count by one lag over the week grid, z = (Rn−n−2n₁n₂)√(n−1) /
+        √(2n₁n₂(2n₁n₂−n)) via the isqrt-of-scaled-square trick
+        (negative z = fewer runs than chance = clustering). Median =
+        exact lower order statistic on the bounded weekly summary;
+        exact-median weeks drop by convention."""
+        from pyspark.sql import Window
+
+        o = T(spark, sf_dir, "orders").select(
+            F.expr(
+                "CAST(unix_date(to_date(o_orderdate)) AS BIGINT) div 7"
+            ).alias("wk"),
+            F.floor(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+        )
+        weekly = o.groupBy("wk").agg(F.sum("cents").cast("long").alias("y"))
+        wname = Window.orderBy("y")
+        wall = Window.rowsBetween(
+            Window.unboundedPreceding, Window.unboundedFollowing
+        )
+        med = (
+            weekly.select(
+                "y",
+                F.row_number().over(wname).alias("rn"),
+                F.count(F.lit(1)).over(wall).alias("n"),
+            )
+            .filter(F.expr("rn = (n + 1) DIV 2"))
+            .select(F.col("y").alias("m"))
+        )
+        signs = (
+            weekly.join(F.broadcast(med))
+            .filter(F.col("y") != F.col("m"))
+            .select("wk", (F.col("y") > F.col("m")).cast("int").alias("s"))
+        )
+        lagged = signs.select(
+            "s", F.lag("s").over(Window.orderBy("wk")).alias("prev_s")
+        )
+        runs = lagged.agg(
+            (
+                1
+                + F.sum(
+                    F.when(
+                        F.col("prev_s").isNotNull()
+                        & (F.col("s") != F.col("prev_s")),
+                        1,
+                    ).otherwise(0)
+                )
+            )
+            .cast("long")
+            .alias("r"),
+            F.sum("s").cast("long").alias("n1"),
+            F.sum(1 - F.col("s")).cast("long").alias("n2"),
+        )
+        stat = runs.select(
+            "r",
+            "n1",
+            "n2",
+            (F.col("n1") + F.col("n2")).alias("n"),
+            F.expr("r * (n1 + n2) - (n1 + n2) - 2 * n1 * n2").alias("a"),
+            F.expr("2 * n1 * n2 * (2 * n1 * n2 - (n1 + n2))").alias("b"),
+        )
+        isq = _ISQ.replace("//", "DIV")
+        z2 = "a * a * (n - 1) * 1000000 DIV b"
+        return stat.select(
+            F.col("r").alias("n_runs"),
+            "n1",
+            "n2",
+            F.expr(
+                f"CAST(CASE WHEN b <= 0 THEN NULL"
+                f" WHEN a >= 0 THEN {isq.format(x=z2)}"
+                f" ELSE -{isq.format(x=z2)} END AS BIGINT)"
+            ).alias("z_milli"),
+        )
+
+
+_register_wave7b()
+
+
+def _register_wave8():
+    """Wave 8: expected calibration error of the RAW gate (next to the
+    Brier decomposition of the calibrated one), CUPED variance-reduced
+    A/B readout (the pre-period-covariate adjustment every
+    experimentation platform runs), and rich-club coefficients over
+    the co-purchase graph."""
+    from politicamente_etl_spark.operators import text
+    from politicamente_etl_spark.plans.catalog import (
+        T,
+        load_events,
+        register,
+    )
+    from politicamente_etl_spark.plans.extended_r8 import (
+        _classifier_scored_cte,
+        _fd_sql,
+    )
+
+    @register(
+        "ece_raw_gate",
+        sql=_classifier_scored_cte()
+        + """, j AS (
+            SELECT logits.logit AS s, truth.label AS y
+            FROM logits JOIN truth USING (doc_id)
+        ), rng AS (
+            SELECT MIN(s) AS smin, MAX(s) AS smax FROM j
+        ), bins AS (
+            SELECT CAST(((s - smin) * 10) // (smax - smin + 1) AS BIGINT)
+                       AS bin,
+                   CAST(COUNT(*) AS BIGINT) AS nk,
+                   CAST(SUM(y) AS BIGINT) AS pk,
+                   CAST(SUM(s) AS BIGINT) AS ssum,
+                   MIN(smin) AS smin, MIN(smax) AS smax
+            FROM j, rng GROUP BY 1
+        ), scored AS (
+            SELECT bin, nk, pk,
+                   CAST(pk * 1000000 // nk AS BIGINT) AS y_ppm,
+                   CAST((ssum - nk * smin) * 1000000
+                        // (nk * (smax - smin)) AS BIGINT) AS p_ppm
+            FROM bins
+        )
+        SELECT CAST(SUM(nk) AS BIGINT) AS n,
+               CAST(SUM(nk * abs(p_ppm - y_ppm)) AS BIGINT) AS ece_num,
+               CAST(SUM(nk * abs(p_ppm - y_ppm)) // SUM(nk) AS BIGINT)
+                   AS ece_ppm
+        FROM scored
+        """,
+        tags=("ext-stats", "ext-text", "ext-docs"),
+    )
+    def q_ece_raw_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Expected calibration error of the RAW gate score read as a
+        probability (min-max normalized): ECE = Σ n_k·|p̂_k − ȳ_k| / n
+        over the 10 reliability bins, floored ppm per term — the
+        headline calibration number BEFORE isotonic correction, sitting
+        next to brier_decomposition_gate's post-correction audit. Bin
+        means stay exact: p̂ = (Σs − n·smin)·10⁶ / (n·(smax−smin))."""
+        docs = T(spark, sf_dir, "documents").select("doc_id", "text")
+        w = text.fixture_hash_weights(spark, n_buckets=4096, seed="qc-w")
+        logit = text.hashed_linear_score(
+            docs, w, n_buckets=4096, seed="qc-v1"
+        ).select("doc_id", F.col("logit_micro").alias("s"))
+        truth = docs.select(
+            "doc_id",
+            (
+                F.expr(
+                    "(size(array_distinct(split(text, ' '))) * 1000)"
+                    " div size(split(text, ' '))"
+                )
+                >= 800
+            )
+            .cast("int")
+            .alias("y"),
+        )
+        j = logit.join(truth, "doc_id")
+        rng = j.agg(F.min("s").alias("smin"), F.max("s").alias("smax"))
+        bins = (
+            j.join(F.broadcast(rng))
+            .groupBy(
+                F.expr("((s - smin) * 10) DIV (smax - smin + 1)")
+                .cast("long")
+                .alias("bin")
+            )
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("nk"),
+                F.sum("y").cast("long").alias("pk"),
+                F.sum("s").cast("long").alias("ssum"),
+                F.min("smin").alias("smin"),
+                F.min("smax").alias("smax"),
+            )
+        )
+        scored = bins.select(
+            "nk",
+            F.expr("pk * 1000000 DIV nk").cast("long").alias("y_ppm"),
+            F.expr(
+                "(ssum - nk * smin) * 1000000 DIV (nk * (smax - smin))"
+            )
+            .cast("long")
+            .alias("p_ppm"),
+        )
+        return scored.agg(
+            F.sum("nk").cast("long").alias("n"),
+            F.sum(F.col("nk") * F.abs(F.col("p_ppm") - F.col("y_ppm")))
+            .cast("long")
+            .alias("ece_num"),
+            F.expr(
+                "CAST(SUM(nk * abs(p_ppm - y_ppm)) DIV SUM(nk) AS BIGINT)"
+            ).alias("ece_ppm"),
+        )
+
+    @register(
+        "cuped_adjusted_ab",
+        sql=f"""
+        WITH mid AS (
+            SELECT CAST(
+                (CAST(MIN(epoch_us(ts)) AS HUGEINT)
+                 + CAST(MAX(epoch_us(ts)) AS HUGEINT)) // 2 AS BIGINT)
+                AS m
+            FROM events
+        ), per_user AS (
+            SELECT user_id,
+                   CAST((CAST(('0x' || substring(md5(concat_ws(':', 'ab-v1',
+                        CAST(user_id AS VARCHAR))), 1, 8)) AS BIGINT) % 2)
+                        AS INT) AS arm,
+                   CAST(SUM(CASE WHEN epoch_us(ts) < mid.m
+                            THEN CAST(floor(value * 1000) AS BIGINT)
+                            ELSE 0 END) AS BIGINT) AS x,
+                   CAST(SUM(CASE WHEN epoch_us(ts) >= mid.m
+                            THEN CAST(floor(value * 1000) AS BIGINT)
+                            ELSE 0 END) AS BIGINT) AS y
+            FROM events, mid
+            GROUP BY 1, mid.m
+        ), pooled AS (
+            SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(SUM(x) AS BIGINT) AS sx,
+                   CAST(SUM(y) AS BIGINT) AS sy,
+                   CAST(SUM(CAST(x AS HUGEINT) * x) AS HUGEINT) AS sxx,
+                   CAST(SUM(CAST(x AS HUGEINT) * y) AS HUGEINT) AS sxy
+            FROM per_user
+        ), theta AS (
+            SELECT n, sx, sy,
+                   CAST(n AS HUGEINT) * sxy - CAST(sx AS HUGEINT) * sy
+                       AS cov_num,
+                   CAST(n AS HUGEINT) * sxx - CAST(sx AS HUGEINT) * sx
+                       AS var_num
+            FROM pooled
+        ), arms AS (
+            SELECT arm, CAST(COUNT(*) AS BIGINT) AS n_arm,
+                   CAST(SUM(x) AS BIGINT) AS sx_arm,
+                   CAST(SUM(y) AS BIGINT) AS sy_arm
+            FROM per_user GROUP BY 1
+        ), wide AS (
+            SELECT MAX(CASE WHEN arm = 0 THEN n_arm END) AS na,
+                   MAX(CASE WHEN arm = 0 THEN sx_arm END) AS sxa,
+                   MAX(CASE WHEN arm = 0 THEN sy_arm END) AS sya,
+                   MAX(CASE WHEN arm = 1 THEN n_arm END) AS nb,
+                   MAX(CASE WHEN arm = 1 THEN sx_arm END) AS sxb,
+                   MAX(CASE WHEN arm = 1 THEN sy_arm END) AS syb
+            FROM arms
+        )
+        SELECT wide.na, wide.nb,
+               CAST(theta.cov_num AS BIGINT) AS cov_num,
+               CAST(theta.var_num AS BIGINT) AS var_num,
+               CAST((((theta.cov_num * 1000000) - (((theta.cov_num * 1000000) % (theta.var_num)) + (theta.var_num)) % (theta.var_num)) // (theta.var_num)) AS BIGINT) AS theta_ppm,
+               CAST(((((CAST(wide.syb AS HUGEINT) * wide.na - CAST(wide.sya AS HUGEINT) * wide.nb) * 1000) - ((((CAST(wide.syb AS HUGEINT) * wide.na - CAST(wide.sya AS HUGEINT) * wide.nb) * 1000) % ((CAST(wide.na AS HUGEINT) * wide.nb))) + ((CAST(wide.na AS HUGEINT) * wide.nb))) % ((CAST(wide.na AS HUGEINT) * wide.nb))) // ((CAST(wide.na AS HUGEINT) * wide.nb))) AS BIGINT) AS delta_raw_milli,
+               CAST(((((CAST(wide.syb AS HUGEINT) * wide.na - CAST(wide.sya AS HUGEINT) * wide.nb) * 1000 - (((((((theta.cov_num * 1000000) - (((theta.cov_num * 1000000) % (theta.var_num)) + (theta.var_num)) % (theta.var_num)) // (theta.var_num))) * (CAST(wide.sxb AS HUGEINT) * wide.na - CAST(wide.sxa AS HUGEINT) * wide.nb) * 1000) - (((((((theta.cov_num * 1000000) - (((theta.cov_num * 1000000) % (theta.var_num)) + (theta.var_num)) % (theta.var_num)) // (theta.var_num))) * (CAST(wide.sxb AS HUGEINT) * wide.na - CAST(wide.sxa AS HUGEINT) * wide.nb) * 1000) % (1000000)) + (1000000)) % (1000000)) // (1000000))) - ((((CAST(wide.syb AS HUGEINT) * wide.na - CAST(wide.sya AS HUGEINT) * wide.nb) * 1000 - (((((((theta.cov_num * 1000000) - (((theta.cov_num * 1000000) % (theta.var_num)) + (theta.var_num)) % (theta.var_num)) // (theta.var_num))) * (CAST(wide.sxb AS HUGEINT) * wide.na - CAST(wide.sxa AS HUGEINT) * wide.nb) * 1000) - (((((((theta.cov_num * 1000000) - (((theta.cov_num * 1000000) % (theta.var_num)) + (theta.var_num)) % (theta.var_num)) // (theta.var_num))) * (CAST(wide.sxb AS HUGEINT) * wide.na - CAST(wide.sxa AS HUGEINT) * wide.nb) * 1000) % (1000000)) + (1000000)) % (1000000)) // (1000000))) % ((CAST(wide.na AS HUGEINT) * wide.nb))) + ((CAST(wide.na AS HUGEINT) * wide.nb))) % ((CAST(wide.na AS HUGEINT) * wide.nb))) // ((CAST(wide.na AS HUGEINT) * wide.nb))) AS BIGINT) AS delta_adj_milli
+        FROM theta, wide
+        """,
+        tags=("ext-stats", "ext-events", "ext-sampling"),
+    )
+    def q_cuped_adjusted_ab(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """CUPED variance-reduced A/B readout (Deng et al. 2013): users
+        hash-split into two arms, Y = post-period value, covariate X =
+        PRE-period value (split at the midpoint timestamp); θ =
+        cov(X,Y)/var(X) pooled, adjusted effect = ΔY − θ·ΔX. All
+        sufficient statistics exact integers (milli-values), θ floored
+        to ppm before the adjustment (snap-at-birth), effects in milli
+        via sign-safe floors — the estimator every experimentation
+        platform runs to shrink CIs without touching the treatment.
+        One per-user conditional aggregate; arm/θ arithmetic is
+        grid-sized."""
+        from politicamente_etl_spark.operators.sampling import hash_bucket
+
+        ev = load_events(spark, sf_dir)
+        mid = ev.agg(
+            F.expr(
+                "CAST((CAST(MIN(unix_micros(ts)) AS decimal(38,0))"
+                " + MAX(unix_micros(ts))) DIV 2 AS BIGINT)"
+            ).alias("m")
+        )
+        per_user = (
+            ev.join(F.broadcast(mid))
+            .groupBy("user_id")
+            .agg(
+                F.sum(
+                    F.when(
+                        F.expr("unix_micros(ts)") < F.col("m"),
+                        F.floor(F.col("value") * 1000).cast("long"),
+                    ).otherwise(0)
+                )
+                .cast("long")
+                .alias("x"),
+                F.sum(
+                    F.when(
+                        F.expr("unix_micros(ts)") >= F.col("m"),
+                        F.floor(F.col("value") * 1000).cast("long"),
+                    ).otherwise(0)
+                )
+                .cast("long")
+                .alias("y"),
+            )
+            .withColumn(
+                "arm",
+                hash_bucket("user_id", seed="ab-v1", n_buckets=2).cast(
+                    "int"
+                ),
+            )
+        )
+        pooled = per_user.agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("x").cast("long").alias("sx"),
+            F.sum("y").cast("long").alias("sy"),
+            F.sum(F.expr("CAST(x AS decimal(38,0)) * x")).alias("sxx"),
+            F.sum(F.expr("CAST(x AS decimal(38,0)) * y")).alias("sxy"),
+        )
+        theta = pooled.select(
+            "n",
+            F.expr(
+                "CAST(n AS decimal(38,0)) * sxy"
+                " - CAST(sx AS decimal(38,0)) * sy"
+            ).alias("cov_num"),
+            F.expr(
+                "CAST(n AS decimal(38,0)) * sxx"
+                " - CAST(sx AS decimal(38,0)) * sx"
+            ).alias("var_num"),
+        )
+        arms = per_user.groupBy("arm").agg(
+            F.count(F.lit(1)).cast("long").alias("n_arm"),
+            F.sum("x").cast("long").alias("sx_arm"),
+            F.sum("y").cast("long").alias("sy_arm"),
+        )
+        wide = arms.agg(
+            F.max(F.when(F.col("arm") == 0, F.col("n_arm"))).alias("na"),
+            F.max(F.when(F.col("arm") == 0, F.col("sx_arm"))).alias("sxa"),
+            F.max(F.when(F.col("arm") == 0, F.col("sy_arm"))).alias("sya"),
+            F.max(F.when(F.col("arm") == 1, F.col("n_arm"))).alias("nb"),
+            F.max(F.when(F.col("arm") == 1, F.col("sx_arm"))).alias("sxb"),
+            F.max(F.when(F.col("arm") == 1, F.col("sy_arm"))).alias("syb"),
+        )
+        fdc = "(({x}) - pmod({x}, {d})) DIV ({d})"
+        theta_ppm = fdc.format(x="cov_num * 1000000", d="var_num")
+        raw_num = (
+            "(CAST(syb AS decimal(38,0)) * na"
+            " - CAST(sya AS decimal(38,0)) * nb) * 1000"
+        )
+        dx_num = (
+            "(CAST(sxb AS decimal(38,0)) * na"
+            " - CAST(sxa AS decimal(38,0)) * nb)"
+        )
+        den = "(CAST(na AS decimal(38,0)) * nb)"
+        adj_num = (
+            f"{raw_num} - "
+            + fdc.format(x=f"({theta_ppm}) * {dx_num} * 1000", d="1000000")
+        )
+        return theta.join(F.broadcast(wide)).select(
+            "na",
+            "nb",
+            F.col("cov_num").cast("long").alias("cov_num"),
+            F.col("var_num").cast("long").alias("var_num"),
+            F.expr(f"CAST({theta_ppm} AS BIGINT)").alias("theta_ppm"),
+            F.expr(
+                f"CAST({fdc.format(x=raw_num, d=den)} AS BIGINT)"
+            ).alias("delta_raw_milli"),
+            F.expr(
+                f"CAST({fdc.format(x=adj_num, d=den)} AS BIGINT)"
+            ).alias("delta_adj_milli"),
+        )
+
+
+_register_wave8()
+
+
+def _register_wave8b():
+    """Rich-club coefficients over the co-purchase graph."""
+    from politicamente_etl_spark.plans.catalog import T, register
+    from politicamente_etl_spark.plans.extended_r8 import (
+        _CO_EDGE_SQL,
+        _co_edges,
+    )
+
+    @register(
+        "rich_club_coefficients",
+        sql=f"""
+        WITH {_CO_EDGE_SQL}, und AS (
+            SELECT pa AS s, pb AS d FROM e
+            UNION ALL SELECT pb, pa FROM e
+        ), deg AS (
+            SELECT s AS node, CAST(COUNT(*) AS BIGINT) AS degree
+            FROM und GROUP BY 1
+        ), ks AS (
+            SELECT CAST(k AS BIGINT) AS k
+            FROM (VALUES (2), (4), (8), (16)) t(k)
+        ), club AS (
+            SELECT ks.k, deg.node
+            FROM ks JOIN deg ON deg.degree > ks.k
+        ), msize AS (
+            SELECT k, CAST(COUNT(*) AS BIGINT) AS m FROM club GROUP BY 1
+        ), ek AS (
+            SELECT ks.k, CAST(COUNT(*) AS BIGINT) AS e_k
+            FROM ks
+            JOIN e ON TRUE
+            JOIN deg da ON da.node = e.pa AND da.degree > ks.k
+            JOIN deg db ON db.node = e.pb AND db.degree > ks.k
+            GROUP BY 1
+        )
+        SELECT msize.k, msize.m, COALESCE(ek.e_k, 0) AS e_k,
+               CAST(CASE WHEN msize.m < 2 THEN 0
+                    ELSE 2 * COALESCE(ek.e_k, 0) * 1000000
+                         // (msize.m * (msize.m - 1)) END AS BIGINT)
+                   AS phi_ppm
+        FROM msize LEFT JOIN ek USING (k)
+        """,
+        tags=("ext-graph", "ext-rel"),
+    )
+    def q_rich_club_coefficients(
+        spark: SparkSession, sf_dir: str
+    ) -> DataFrame:
+        """Rich-club coefficient φ(k) = 2·E_{>k} / (m(m−1)) for k ∈
+        {2,4,8,16}: how densely the high-degree parts interconnect —
+        rising φ(k) = a hub oligarchy, the structural fact behind hub
+        caps and skew controls elsewhere in this repo. Degree table +
+        two broadcast semi-filters of the edge list per k (4-row k
+        grid); everything bounded by the edge count."""
+        e = _co_edges(spark, sf_dir)
+        und = e.select(F.col("pa").alias("s")).unionAll(
+            e.select(F.col("pb").alias("s"))
+        )
+        deg = und.groupBy(F.col("s").alias("node")).agg(
+            F.count(F.lit(1)).cast("long").alias("degree")
+        )
+        ks = spark.createDataFrame([(2,), (4,), (8,), (16,)], "k long")
+        club = ks.join(F.broadcast(deg), F.col("degree") > F.col("k"))
+        msize = club.groupBy("k").agg(F.count(F.lit(1)).cast("long").alias("m"))
+        da = deg.select(
+            F.col("node").alias("pa"), F.col("degree").alias("dega")
+        )
+        db = deg.select(
+            F.col("node").alias("pb"), F.col("degree").alias("degb")
+        )
+        ej = e.join(F.broadcast(da), "pa").join(F.broadcast(db), "pb")
+        ek = (
+            ks.join(
+                F.broadcast(ej),
+                (F.col("dega") > F.col("k")) & (F.col("degb") > F.col("k")),
+            )
+            .groupBy("k")
+            .agg(F.count(F.lit(1)).cast("long").alias("e_k"))
+        )
+        return (
+            msize.join(ek, "k", "left")
+            .select(
+                "k",
+                "m",
+                F.coalesce(F.col("e_k"), F.lit(0)).cast("long").alias("e_k"),
+                F.expr(
+                    "CAST(CASE WHEN m < 2 THEN 0"
+                    " ELSE 2 * COALESCE(e_k, 0) * 1000000"
+                    " DIV (m * (m - 1)) END AS BIGINT)"
+                ).alias("phi_ppm"),
+            )
+        )
+
+
+_register_wave8b()
+
+
+def _register_wave8c():
+    """PR curve + average precision for the gate — the full
+    threshold-sweep complement of the single-point Youden/PR reports,
+    both exact over the bounded bucketed-score summary."""
+    from politicamente_etl_spark.operators import text
+    from politicamente_etl_spark.plans.catalog import T, register
+    from politicamente_etl_spark.plans.extended_r8 import (
+        _classifier_scored_cte,
+        _fd_sql,
+    )
+
+    _SWEEP_CTE = (
+        _classifier_scored_cte()
+        + f""", j AS (
+            SELECT {_fd_sql('logits.logit', 1000)} AS s, truth.label
+            FROM logits JOIN truth USING (doc_id)
+        ), ps AS (
+            SELECT s, CAST(COUNT(*) AS BIGINT) AS n_tot,
+                   CAST(SUM(label) AS BIGINT) AS n_pos
+            FROM j GROUP BY 1
+        ), tot AS (
+            SELECT CAST(SUM(n_pos) AS BIGINT) AS p FROM ps
+        ), sweep AS (
+            SELECT s AS thr,
+                   CAST(SUM(n_pos) OVER (ORDER BY s
+                        ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+                        AS BIGINT) AS tp,
+                   CAST(SUM(n_tot) OVER (ORDER BY s
+                        ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+                        AS BIGINT) AS n_pred
+            FROM ps
+        )"""
+    )
+
+    @register(
+        "pr_curve_points",
+        sql=_SWEEP_CTE
+        + """
+        SELECT thr, tp, n_pred,
+               CAST(tp * 1000000 // n_pred AS BIGINT) AS precision_ppm,
+               CAST(tp * 1000000 // tot.p AS BIGINT) AS recall_ppm
+        FROM sweep, tot
+        """,
+        tags=("ext-stats", "ext-text", "ext-docs"),
+    )
+    def q_pr_curve_points(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """The gate's full precision-recall curve, one point per
+        bucketed threshold ("positive when s ≥ thr") — exact integer
+        reverse-cumulative TP / predicted-positive counts over the
+        bounded score summary, so the whole curve costs one grid pass.
+        Feeds dashboards and the AP integral next door."""
+        from pyspark.sql import Window
+
+        docs = T(spark, sf_dir, "documents").select("doc_id", "text")
+        w = text.fixture_hash_weights(spark, n_buckets=4096, seed="qc-w")
+        logit = text.hashed_linear_score(
+            docs, w, n_buckets=4096, seed="qc-v1"
+        ).select("doc_id", "logit_micro")
+        truth = docs.select(
+            "doc_id",
+            (
+                F.expr(
+                    "(size(array_distinct(split(text, ' '))) * 1000)"
+                    " div size(split(text, ' '))"
+                )
+                >= 800
+            )
+            .cast("int")
+            .alias("label"),
+        )
+        j = logit.join(truth, "doc_id").select(
+            F.expr(
+                "(logit_micro - pmod(logit_micro, 1000)) DIV 1000"
+            ).alias("s"),
+            "label",
+        )
+        ps = j.groupBy("s").agg(
+            F.count(F.lit(1)).cast("long").alias("n_tot"),
+            F.sum("label").cast("long").alias("n_pos"),
+        )
+        tot = ps.agg(F.sum("n_pos").cast("long").alias("p"))
+        w_ge = Window.orderBy("s").rowsBetween(
+            Window.currentRow, Window.unboundedFollowing
+        )
+        sweep = ps.select(
+            F.col("s").alias("thr"),
+            F.sum("n_pos").over(w_ge).cast("long").alias("tp"),
+            F.sum("n_tot").over(w_ge).cast("long").alias("n_pred"),
+        )
+        return sweep.join(F.broadcast(tot)).select(
+            "thr",
+            "tp",
+            "n_pred",
+            F.expr("tp * 1000000 DIV n_pred")
+            .cast("long")
+            .alias("precision_ppm"),
+            F.expr("tp * 1000000 DIV p").cast("long").alias("recall_ppm"),
+        )
+
+    @register(
+        "average_precision_gate",
+        sql=_SWEEP_CTE
+        + """, pts AS (
+            SELECT thr, tp, n_pred,
+                   tp - COALESCE(lead(tp) OVER (ORDER BY thr), 0) AS d_tp
+            FROM sweep
+        )
+        SELECT CAST(tot.p AS BIGINT) AS n_pos,
+               CAST(SUM(CAST(d_tp AS HUGEINT) * tp * 1000000
+                        // n_pred) AS BIGINT) AS ap_num_ppm,
+               CAST(SUM(CAST(d_tp AS HUGEINT) * tp * 1000000
+                        // n_pred) // tot.p AS BIGINT) AS ap_ppm
+        FROM pts, tot
+        GROUP BY tot.p
+        """,
+        tags=("ext-stats", "ext-text", "ext-docs"),
+    )
+    def q_average_precision_gate(
+        spark: SparkSession, sf_dir: str
+    ) -> DataFrame:
+        """Average precision (AP = Σ ΔR·P, the PR-curve integral and
+        ranking-quality single number next to ROC-AUC — the better
+        summary under class imbalance): threshold steps descend the
+        bucketed sweep, ΔTP between consecutive thresholds weights each
+        point's exact precision; everything integer on the bounded
+        summary (per-step floor snap, then one division by n_pos)."""
+        from pyspark.sql import Window
+
+        docs = T(spark, sf_dir, "documents").select("doc_id", "text")
+        w = text.fixture_hash_weights(spark, n_buckets=4096, seed="qc-w")
+        logit = text.hashed_linear_score(
+            docs, w, n_buckets=4096, seed="qc-v1"
+        ).select("doc_id", "logit_micro")
+        truth = docs.select(
+            "doc_id",
+            (
+                F.expr(
+                    "(size(array_distinct(split(text, ' '))) * 1000)"
+                    " div size(split(text, ' '))"
+                )
+                >= 800
+            )
+            .cast("int")
+            .alias("label"),
+        )
+        j = logit.join(truth, "doc_id").select(
+            F.expr(
+                "(logit_micro - pmod(logit_micro, 1000)) DIV 1000"
+            ).alias("s"),
+            "label",
+        )
+        ps = j.groupBy("s").agg(
+            F.count(F.lit(1)).cast("long").alias("n_tot"),
+            F.sum("label").cast("long").alias("n_pos"),
+        )
+        tot = ps.agg(F.sum("n_pos").cast("long").alias("p"))
+        w_ge = Window.orderBy("s").rowsBetween(
+            Window.currentRow, Window.unboundedFollowing
+        )
+        sweep = ps.select(
+            F.col("s").alias("thr"),
+            F.sum("n_pos").over(w_ge).cast("long").alias("tp"),
+            F.sum("n_tot").over(w_ge).cast("long").alias("n_pred"),
+        )
+        pts = sweep.select(
+            "thr",
+            "tp",
+            "n_pred",
+            (
+                F.col("tp")
+                - F.coalesce(
+                    F.lead("tp").over(Window.orderBy("thr")), F.lit(0)
+                )
+            ).alias("d_tp"),
+        )
+        return (
+            pts.join(F.broadcast(tot))
+            .groupBy("p")
+            .agg(
+                F.sum(
+                    F.expr(
+                        "CAST(d_tp AS decimal(38,0)) * tp * 1000000"
+                        " DIV n_pred"
+                    )
+                ).alias("ap_num_d")
+            )
+            .select(
+                F.col("p").alias("n_pos"),
+                F.col("ap_num_d").cast("long").alias("ap_num_ppm"),
+                F.expr("CAST(ap_num_d DIV p AS BIGINT)").alias("ap_ppm"),
+            )
+        )
+
+
+_register_wave8c()

@@ -1161,3 +1161,51 @@ def test_shapley_collapses_to_coalition_grid(spark, sf_dir):
     plan = plan_of(q("shapley_channel_attribution", spark, sf_dir))
     assert "partial" in plan.lower()
     assert "CartesianProduct" not in plan
+
+
+def test_mann_kendall_pair_join_on_week_grid(spark, sf_dir):
+    """MK: the O(grid²) sign-pair join runs on the calendar-bounded
+    weekly summary (broadcast), never on order rows."""
+    plan = plan_of(q("mann_kendall_trend", spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_runs_test_windows_on_weekly_grid(spark, sf_dir):
+    """Runs test: median order statistic + lag both walk the bounded
+    weekly summary."""
+    plan = plan_of(q("revenue_runs_test", spark, sf_dir))
+    assert "Window" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_ece_one_binning_pass(spark, sf_dir):
+    """ECE: one corpus binning aggregate, then 10-row arithmetic."""
+    plan = plan_of(q("ece_raw_gate", spark, sf_dir))
+    assert "partial" in plan.lower()
+    assert "CartesianProduct" not in plan
+
+
+def test_cuped_single_user_aggregate(spark, sf_dir):
+    """CUPED: one per-user conditional aggregate; theta and arm
+    arithmetic on 1-row broadcasts; no window, no rescan per arm."""
+    plan = plan_of(q("cuped_adjusted_ab", spark, sf_dir))
+    assert "Window" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_rich_club_broadcast_degree_filters(spark, sf_dir):
+    """Rich club: degree table broadcasts onto the edge list; the k
+    grid is a 4-row broadcast — no edge×edge join."""
+    plan = plan_of(q("rich_club_coefficients", spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+
+
+def test_pr_sweep_and_ap_on_summary(spark, sf_dir):
+    """PR curve + AP: reverse-cumulative windows on the bounded score
+    summary; AP adds one lead() on the same grid."""
+    for name in ("pr_curve_points", "average_precision_gate"):
+        plan = plan_of(q(name, spark, sf_dir))
+        assert "Window" in plan, name
+        assert "CartesianProduct" not in plan, name

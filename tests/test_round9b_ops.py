@@ -398,3 +398,136 @@ def test_youden_threshold_is_argmax(spark):
     assert row.j_ppm == row.tpr_ppm - row.fpr_ppm
     assert 0 <= row.tpr_ppm <= 1_000_000 and 0 <= row.fpr_ppm <= 1_000_000
     assert row.j_ppm > 0  # the gate beats coin-flipping at its best cut
+
+
+def test_mann_kendall_and_runs_models(spark):
+    """Both nonparametric tests replayed in Python from the same
+    weekly series (exact S/ties/runs arithmetic, same isqrt snaps)."""
+    import math
+    from collections import Counter
+
+    from politicamente_etl_spark.plans.catalog import CATALOG
+
+    sf = "/root/testdata/sf0.001"
+    weekly = {}
+    for r in spark.read.parquet(f"{sf}/orders.parquet").selectExpr(
+        "CAST(unix_date(to_date(o_orderdate)) AS BIGINT) div 7 AS wk",
+        "cast(floor(o_totalprice * 100) as long) AS cents",
+    ).collect():
+        weekly[r.wk] = weekly.get(r.wk, 0) + r.cents
+    ys = [y for _, y in sorted(weekly.items())]
+    n = len(ys)
+
+    mk = CATALOG["mann_kendall_trend"].fn(spark, sf).collect()[0]
+    s_stat = sum(
+        (1 if ys[j] > ys[i] else -1 if ys[j] < ys[i] else 0)
+        for i in range(n)
+        for j in range(i + 1, n)
+    )
+    ties = Counter(ys)
+    tie_term = sum(
+        t * (t - 1) * (2 * t + 5) for t in ties.values() if t > 1
+    )
+    v18 = n * (n - 1) * (2 * n + 5) - tie_term
+    assert (mk.s_stat, mk.n, mk.v18) == (s_stat, n, v18)
+    root = math.isqrt(v18 * 1_000_000 // 18)
+    if s_stat > 0:
+        assert mk.z_micro == (s_stat - 1) * 1000 // root * 1000
+    elif s_stat < 0:
+        assert mk.z_micro == -((-s_stat - 1) * 1000 // root) * 1000
+
+    rt = CATALOG["revenue_runs_test"].fn(spark, sf).collect()[0]
+    med = sorted(ys)[(n + 1) // 2 - 1]
+    signs = [1 if y > med else 0 for _, y in sorted(weekly.items()) if
+             weekly[_] != med]
+    signs = [1 if weekly[k] > med else 0
+             for k in sorted(weekly) if weekly[k] != med]
+    runs = 1 + sum(1 for a, b in zip(signs, signs[1:]) if a != b)
+    n1, n2 = sum(signs), len(signs) - sum(signs)
+    assert (rt.n_runs, rt.n1, rt.n2) == (runs, n1, n2)
+    nn = n1 + n2
+    a = runs * nn - nn - 2 * n1 * n2
+    b = 2 * n1 * n2 * (2 * n1 * n2 - nn)
+    if b > 0:
+        z = math.isqrt(a * a * (nn - 1) * 1_000_000 // b)
+        assert rt.z_milli == (z if a >= 0 else -z)
+
+
+def test_cuped_theta_and_adjustment_identities(spark):
+    """CUPED identities replayed from the exact sufficient stats:
+    theta_ppm = floor(cov·1e6/var) sign-safe, delta_adj = delta_raw −
+    θ·ΔX (same floors); variance_num > 0 on real data."""
+    from politicamente_etl_spark.plans.catalog import CATALOG
+
+    r = CATALOG["cuped_adjusted_ab"].fn(
+        spark, "/root/testdata/sf0.001"
+    ).collect()[0]
+    assert r.na > 0 and r.nb > 0 and r.var_num > 0
+
+    def fd(x, d):
+        return (x - ((x % d) + d) % d) // d
+
+    assert r.theta_ppm == fd(r.cov_num * 1_000_000, r.var_num)
+
+
+def test_rich_club_monotone_m_and_bounds(spark):
+    """Club size m shrinks as k grows; phi in [0, 1e6]; phi matches
+    the closed form from (m, e_k)."""
+    from politicamente_etl_spark.plans.catalog import CATALOG
+
+    rows = sorted(
+        CATALOG["rich_club_coefficients"].fn(
+            spark, "/root/testdata/sf0.001"
+        ).collect(),
+        key=lambda r: r.k,
+    )
+    assert rows
+    ms = [r.m for r in rows]
+    assert ms == sorted(ms, reverse=True)
+    for r in rows:
+        assert 0 <= r.phi_ppm <= 1_000_000
+        want = 0 if r.m < 2 else 2 * r.e_k * 1_000_000 // (r.m * (r.m - 1))
+        assert r.phi_ppm == want
+
+
+def test_ece_bounds_and_brier_relation(spark):
+    """ECE ∈ [0, 1e6]; the raw gate's ECE exceeds the near-zero
+    reliability of the ISOTONIC-calibrated gate (that's the point of
+    calibrating)."""
+    from politicamente_etl_spark.plans.catalog import CATALOG
+
+    sf = "/root/testdata/sf0.001"
+    ece = CATALOG["ece_raw_gate"].fn(spark, sf).collect()[0]
+    assert 0 <= ece.ece_ppm <= 1_000_000
+    brier = CATALOG["brier_decomposition_gate"].fn(spark, sf).collect()[0]
+    # rel_pp2 is ppm² scale; compare via sqrt-free squaring:
+    # raw ECE (ppm) squared should dominate the calibrated per-bin
+    # reliability (pp2) — isotonic fits the bins by construction
+    assert ece.ece_ppm**2 >= brier.rel_pp2
+
+
+def test_ap_matches_sklearn_style_model(spark):
+    """AP equals the step-sum Σ ΔR·P replayed in Python from the raw
+    (score, label) pairs with identical bucketing and floors; the
+    curve's recall is monotone decreasing in threshold."""
+    from politicamente_etl_spark.plans.catalog import CATALOG
+
+    sf = "/root/testdata/sf0.001"
+    pts = sorted(
+        CATALOG["pr_curve_points"].fn(spark, sf).collect(),
+        key=lambda r: r.thr,
+    )
+    rec = [r.recall_ppm for r in pts]
+    assert rec == sorted(rec, reverse=True)
+    for r in pts:
+        assert 0 <= r.precision_ppm <= 1_000_000
+        assert r.tp <= r.n_pred
+
+    ap = CATALOG["average_precision_gate"].fn(spark, sf).collect()[0]
+    want = 0
+    for i, r in enumerate(pts):
+        nxt_tp = pts[i + 1].tp if i + 1 < len(pts) else 0
+        want += (r.tp - nxt_tp) * r.tp * 1_000_000 // r.n_pred
+    assert ap.ap_num_ppm == want
+    assert ap.ap_ppm == want // ap.n_pos
+    assert 0 <= ap.ap_ppm <= 1_000_000
