@@ -1139,3 +1139,677 @@ def _register_wave8c():
 
 
 _register_wave8c()
+
+
+def _register_wave9():
+    """Wave 9: rank-based and robust ANOVA (Kruskal-Wallis H with tie
+    correction, Brown-Forsythe variance equality), and an EVT
+    mean-excess profile of the revenue tail."""
+    from politicamente_etl_spark.plans.catalog import T, register
+
+    @register(
+        "kruskal_wallis_segments",
+        sql="""
+        WITH j AS (
+            SELECT c_mktsegment AS g,
+                   CAST(floor(o_totalprice * 100) AS BIGINT) // 1000000
+                       AS v
+            FROM orders JOIN customer ON o_custkey = c_custkey
+        ), pv AS (
+            SELECT v, CAST(COUNT(*) AS BIGINT) AS cn FROM j GROUP BY 1
+        ), rk AS (
+            SELECT v,
+                   2 * COALESCE(SUM(cn) OVER (ORDER BY v
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                       0) + cn + 1 AS r2
+            FROM pv
+        ), gs AS (
+            SELECT j.g, CAST(COUNT(*) AS BIGINT) AS n_g,
+                   CAST(SUM(rk.r2) AS BIGINT) AS sr2
+            FROM j JOIN rk ON j.v = rk.v GROUP BY 1
+        ), nn AS (
+            SELECT CAST(SUM(n_g) AS BIGINT) AS n FROM gs
+        ), hraw AS (
+            -- H = 12/(N(N+1)) Σ R_g²/n_g − 3(N+1), with doubled ranks:
+            -- Σ R_g²/n_g = Σ (sr2/2)²/n_g = Σ sr2²/(4 n_g)
+            SELECT CAST(SUM(CAST(sr2 AS HUGEINT) * sr2 * 1000
+                            // (4 * n_g)) AS HUGEINT) AS s_milli, nn.n
+            FROM gs, nn GROUP BY nn.n
+        ), ties AS (
+            SELECT CAST(COALESCE(SUM(CAST(cn AS HUGEINT) * cn * cn - cn), 0)
+                        AS HUGEINT) AS t3t
+            FROM pv WHERE cn > 1
+        )
+        SELECT hraw.n,
+               CAST((12 * hraw.s_milli // (CAST(hraw.n AS HUGEINT)
+                     * (hraw.n + 1))) - 3000 * (hraw.n + 1) AS BIGINT)
+                   AS h_milli,
+               CAST(ties.t3t AS BIGINT) AS tie_t3t,
+               CAST(((12 * hraw.s_milli // (CAST(hraw.n AS HUGEINT)
+                      * (hraw.n + 1))) - 3000 * (hraw.n + 1)) * 1000000
+                    // (1000000 - ties.t3t * 1000000
+                        // (CAST(hraw.n AS HUGEINT) * hraw.n * hraw.n
+                            - hraw.n)) AS BIGINT) AS h_corrected_milli
+        FROM hraw, ties
+        """,
+        tags=("ext-stats", "ext-rel"),
+    )
+    def q_kruskal_wallis_segments(
+        spark: SparkSession, sf_dir: str
+    ) -> DataFrame:
+        """Kruskal-Wallis rank ANOVA: do the five market segments draw
+        order values from the same distribution? H over DOUBLED average
+        ranks (the _rank2x integer trick — Σ R_g²/n_g = Σ sr2²/(4n_g)
+        stays exact), tie-corrected by 1 − Σ(t³−t)/(N³−N) in ppm;
+        values bucketed to $10k so the rank summary is bounded (rank
+        tests over bucketed values are exactly the tie-corrected tests
+        of the bucketed variable). H ≳ 9488 milli rejects at p < 0.05
+        (χ²₄). One corpus rollup; windows on the value summary."""
+        from pyspark.sql import Window
+
+        j = (
+            T(spark, sf_dir, "orders")
+            .join(
+                F.broadcast(
+                    T(spark, sf_dir, "customer").select(
+                        "c_custkey", "c_mktsegment"
+                    )
+                ),
+                F.col("o_custkey") == F.col("c_custkey"),
+            )
+            .select(
+                F.col("c_mktsegment").alias("g"),
+                F.expr(
+                    "CAST(floor(o_totalprice * 100) AS BIGINT) DIV 1000000"
+                ).alias("v"),
+            )
+        )
+        pv = j.groupBy("v").agg(F.count(F.lit(1)).cast("long").alias("cn"))
+        w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, -1)
+        rk = pv.select(
+            "v",
+            (
+                2 * F.coalesce(F.sum("cn").over(w), F.lit(0))
+                + F.col("cn")
+                + 1
+            )
+            .cast("long")
+            .alias("r2"),
+        )
+        gs = (
+            j.join(F.broadcast(rk), "v")
+            .groupBy("g")
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n_g"),
+                F.sum("r2").cast("long").alias("sr2"),
+            )
+        )
+        nn = gs.agg(F.sum("n_g").cast("long").alias("n"))
+        hraw = gs.join(F.broadcast(nn)).agg(
+            F.first("n").alias("n"),
+            F.sum(
+                F.expr(
+                    "CAST(sr2 AS decimal(38,0)) * sr2 * 1000 DIV (4 * n_g)"
+                )
+            ).alias("s_milli"),
+        )
+        ties = pv.filter(F.col("cn") > 1).agg(
+            F.coalesce(
+                F.sum(
+                    F.expr("CAST(cn AS decimal(38,0)) * cn * cn - cn")
+                ),
+                F.lit(0).cast("decimal(38,0)"),
+            ).alias("t3t")
+        )
+        h = (
+            "(12 * s_milli DIV (CAST(n AS decimal(38,0)) * (n + 1)))"
+            " - 3000 * (n + 1)"
+        )
+        corr = (
+            "1000000 - t3t * 1000000"
+            " DIV (CAST(n AS decimal(38,0)) * n * n - n)"
+        )
+        return hraw.join(F.broadcast(ties)).select(
+            "n",
+            F.expr(f"CAST({h} AS BIGINT)").alias("h_milli"),
+            F.col("t3t").cast("long").alias("tie_t3t"),
+            F.expr(
+                f"CAST(({h}) * 1000000 DIV ({corr}) AS BIGINT)"
+            ).alias("h_corrected_milli"),
+        )
+
+
+_register_wave9()
+
+
+def _register_wave9b():
+    """Brown-Forsythe variance-equality test and the EVT mean-excess
+    profile."""
+    from politicamente_etl_spark.plans.catalog import T, register
+
+    @register(
+        "variance_equality_brownforsythe",
+        sql="""
+        WITH j AS (
+            SELECT c_mktsegment AS g,
+                   CAST(floor(o_totalprice * 100) AS BIGINT) AS y
+            FROM orders JOIN customer ON o_custkey = c_custkey
+        ), med AS (
+            SELECT g, y AS m FROM (
+                SELECT g, y, row_number() OVER (PARTITION BY g ORDER BY y)
+                           AS rn,
+                       COUNT(*) OVER (PARTITION BY g) AS n_g
+                FROM j
+            ) WHERE rn = (n_g + 1) // 2
+        ), z AS (
+            SELECT j.g, abs(j.y - med.m) AS z
+            FROM j JOIN med ON j.g = med.g
+        ), gs AS (
+            SELECT g, CAST(COUNT(*) AS BIGINT) AS n_g,
+                   CAST(SUM(z) AS BIGINT) AS sz,
+                   CAST(SUM(CAST(z AS HUGEINT) * z) AS HUGEINT) AS szz
+            FROM z GROUP BY 1
+        ), tot AS (
+            SELECT CAST(SUM(n_g) AS BIGINT) AS n,
+                   CAST(COUNT(*) AS BIGINT) AS k,
+                   CAST(SUM(sz) AS BIGINT) AS sz_all
+            FROM gs
+        ), parts AS (
+            -- between·n = Σ (n·sz_g − n_g·sz_all)² / (n_g·n)   (scaled)
+            -- within    = Σ szz_g − sz_g²/n_g
+            SELECT CAST(SUM((CAST(tot.n AS HUGEINT) * gs.sz
+                             - CAST(gs.n_g AS HUGEINT) * tot.sz_all)
+                            * (CAST(tot.n AS HUGEINT) * gs.sz
+                               - CAST(gs.n_g AS HUGEINT) * tot.sz_all)
+                            // (CAST(gs.n_g AS HUGEINT) * tot.n * tot.n))
+                        AS HUGEINT) AS between_num,
+                   CAST(SUM(gs.szz - CAST(gs.sz AS HUGEINT) * gs.sz
+                            // gs.n_g) AS HUGEINT) AS within_num,
+                   tot.n, tot.k
+            FROM gs, tot GROUP BY tot.n, tot.k
+        )
+        SELECT n, k,
+               CAST(between_num AS BIGINT) AS between_num,
+               CAST(within_num AS BIGINT) AS within_num,
+               CAST(between_num * (n - k) * 1000
+                    // (within_num * (k - 1)) AS BIGINT) AS w_milli
+        FROM parts
+        """,
+        tags=("ext-stats", "ext-rel"),
+    )
+    def q_variance_equality_brownforsythe(
+        spark: SparkSession, sf_dir: str
+    ) -> DataFrame:
+        """Brown-Forsythe test (Levene with group MEDIANS — robust to
+        heavy tails): do segments have equal order-value spread?
+        z = |y − median_g| on exact lower medians, then the one-way
+        ANOVA F on z from integer sufficient statistics:
+        W = ((n−k)/(k−1)) · Σn_g(z̄_g−z̄)² / Σ(z−z̄_g)², assembled as
+        one exact HUGEINT ratio (per-group floor snaps). W ≳ 2372
+        milli rejects equal variances at p<0.05 (F₄,∞). Median via a
+        per-group rank window; one stats pass after."""
+        from pyspark.sql import Window
+
+        j = (
+            T(spark, sf_dir, "orders")
+            .join(
+                F.broadcast(
+                    T(spark, sf_dir, "customer").select(
+                        "c_custkey", "c_mktsegment"
+                    )
+                ),
+                F.col("o_custkey") == F.col("c_custkey"),
+            )
+            .select(
+                F.col("c_mktsegment").alias("g"),
+                F.floor(F.col("o_totalprice") * 100).cast("long").alias("y"),
+            )
+        )
+        wg = Window.partitionBy("g").orderBy("y")
+        wcnt = Window.partitionBy("g")
+        med = (
+            j.select(
+                "g",
+                "y",
+                F.row_number().over(wg).alias("rn"),
+                F.count(F.lit(1)).over(wcnt).alias("n_g"),
+            )
+            .filter(F.expr("rn = (n_g + 1) DIV 2"))
+            .select("g", F.col("y").alias("m"))
+        )
+        z = j.join(F.broadcast(med), "g").select(
+            "g", F.abs(F.col("y") - F.col("m")).alias("z")
+        )
+        gs = z.groupBy("g").agg(
+            F.count(F.lit(1)).cast("long").alias("n_g"),
+            F.sum("z").cast("long").alias("sz"),
+            F.sum(F.expr("CAST(z AS decimal(38,0)) * z")).alias("szz"),
+        )
+        tot = gs.agg(
+            F.sum("n_g").cast("long").alias("n"),
+            F.count(F.lit(1)).cast("long").alias("k"),
+            F.sum("sz").cast("long").alias("sz_all"),
+        )
+        parts = gs.join(F.broadcast(tot)).agg(
+            F.first("n").alias("n"),
+            F.first("k").alias("k"),
+            F.sum(
+                F.expr(
+                    "(CAST(n AS decimal(38,0)) * sz"
+                    " - CAST(n_g AS decimal(38,0)) * sz_all)"
+                    " * (CAST(n AS decimal(38,0)) * sz"
+                    "    - CAST(n_g AS decimal(38,0)) * sz_all)"
+                    " DIV (CAST(n_g AS decimal(38,0)) * n * n)"
+                )
+            ).alias("between_num"),
+            F.sum(
+                F.expr(
+                    "szz - CAST(sz AS decimal(38,0)) * sz DIV n_g"
+                )
+            ).alias("within_num"),
+        )
+        return parts.select(
+            "n",
+            "k",
+            F.col("between_num").cast("long").alias("between_num"),
+            F.col("within_num").cast("long").alias("within_num"),
+            F.expr(
+                "CAST(CAST(between_num AS decimal(38,0)) * (n - k) * 1000"
+                " DIV (CAST(within_num AS decimal(38,0)) * (k - 1))"
+                " AS BIGINT)"
+            ).alias("w_milli"),
+        )
+
+    @register(
+        "mean_excess_profile",
+        sql="""
+        WITH y AS (
+            SELECT CAST(floor(o_totalprice * 100) AS BIGINT) AS cents
+            FROM orders
+        ), thr AS (
+            SELECT CAST(u AS BIGINT) * 10000000 AS u
+            FROM (VALUES (1), (2), (3), (4)) t(u)
+        )
+        SELECT thr.u AS threshold_cents,
+               CAST(COUNT(CASE WHEN y.cents > thr.u THEN 1 END) AS BIGINT)
+                   AS n_exceed,
+               CAST(COALESCE(SUM(CASE WHEN y.cents > thr.u
+                             THEN y.cents - thr.u END), 0) AS BIGINT)
+                   AS excess_sum,
+               CAST(CASE WHEN COUNT(CASE WHEN y.cents > thr.u THEN 1 END)
+                         = 0 THEN NULL
+                    ELSE COALESCE(SUM(CASE WHEN y.cents > thr.u
+                                  THEN y.cents - thr.u END), 0)
+                         // COUNT(CASE WHEN y.cents > thr.u THEN 1 END)
+                    END AS BIGINT) AS mean_excess_cents
+        FROM y CROSS JOIN thr
+        GROUP BY 1
+        """,
+        tags=("ext-stats",),
+    )
+    def q_mean_excess_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """EVT mean-excess function e(u) = E[Y−u | Y>u] at a $100k-step
+        threshold grid — the diagnostic whose slope identifies the tail
+        family (linear-rising ⇒ Pareto/heavy, flat ⇒ exponential,
+        falling ⇒ short tail) and the empirical anchor under the Hill
+        estimator's k choice. One pass with a 4-row broadcast threshold
+        grid; exact integer cents."""
+        y = T(spark, sf_dir, "orders").select(
+            F.floor(F.col("o_totalprice") * 100).cast("long").alias("cents")
+        )
+        thr = spark.createDataFrame(
+            [(10_000_000,), (20_000_000,), (30_000_000,), (40_000_000,)],
+            "u long",
+        )
+        return (
+            y.join(F.broadcast(thr))
+            .groupBy(F.col("u").alias("threshold_cents"))
+            .agg(
+                F.count(F.when(F.col("cents") > F.col("u"), 1))
+                .cast("long")
+                .alias("n_exceed"),
+                F.coalesce(
+                    F.sum(
+                        F.when(
+                            F.col("cents") > F.col("u"),
+                            F.col("cents") - F.col("u"),
+                        )
+                    ),
+                    F.lit(0),
+                )
+                .cast("long")
+                .alias("excess_sum"),
+            )
+            .select(
+                "threshold_cents",
+                "n_exceed",
+                "excess_sum",
+                F.expr(
+                    "CAST(CASE WHEN n_exceed = 0 THEN NULL"
+                    " ELSE excess_sum DIV n_exceed END AS BIGINT)"
+                ).alias("mean_excess_cents"),
+            )
+        )
+
+
+_register_wave9b()
+
+
+def _register_wave10():
+    """Wave 10: informative-prior log-odds keywords (Monroe et al.
+    2008 'Fightin' Words' — what vocabulary characterizes a source),
+    half-life-decayed item popularity (integer power-of-two decay),
+    and the Cochran-Armitage trend test for proportions over ordered
+    groups."""
+    from politicamente_etl_spark.plans.catalog import T, register
+
+    _ISQ = (
+        "(CAST(floor(sqrt(CAST({x} AS DOUBLE))) AS BIGINT)"
+        " - CASE WHEN CAST(floor(sqrt(CAST({x} AS DOUBLE))) AS BIGINT)"
+        "          * CAST(floor(sqrt(CAST({x} AS DOUBLE))) AS BIGINT)"
+        "          > ({x}) THEN 1 ELSE 0 END"
+        " + CASE WHEN (CAST(floor(sqrt(CAST({x} AS DOUBLE))) AS BIGINT) + 1)"
+        "          * (CAST(floor(sqrt(CAST({x} AS DOUBLE))) AS BIGINT) + 1)"
+        "          <= ({x}) THEN 1 ELSE 0 END)"
+    )
+    _LN = "CAST(round(ln(CAST({x} AS DOUBLE)) * 1e6) AS BIGINT)"
+
+    @register(
+        "source_logodds_keywords",
+        sql=f"""
+        WITH toks AS (
+            SELECT source AS g, unnest(string_split(text, ' ')) AS tok
+            FROM documents
+        ), c AS (
+            SELECT g, tok, CAST(COUNT(*) AS BIGINT) AS cgw
+            FROM toks GROUP BY 1, 2
+        ), tw AS (
+            SELECT tok, CAST(SUM(cgw) AS BIGINT) AS cw FROM c GROUP BY 1
+        ), ng AS (
+            SELECT g, CAST(SUM(cgw) AS BIGINT) AS n_g FROM c GROUP BY 1
+        ), nn AS (
+            SELECT CAST(SUM(cw) AS BIGINT) AS n FROM tw
+        ), z AS (
+            SELECT c.g, c.tok, c.cgw,
+                   tw.cw - c.cgw AS crw,
+                   ng.n_g, nn.n,
+                   ({_LN.format(x="(c.cgw + 1)")}
+                    - {_LN.format(x="(ng.n_g - c.cgw + 1)")}
+                    - {_LN.format(x="(tw.cw - c.cgw + 1)")}
+                    + {_LN.format(x="(nn.n - ng.n_g - tw.cw + c.cgw + 1)")})
+                       AS delta_micro,
+                   1000000 // (c.cgw + 1)
+                   + 1000000 // (tw.cw - c.cgw + 1) AS var_micro
+            FROM c JOIN tw USING (tok) JOIN ng USING (g) CROSS JOIN nn
+        ), scored AS (
+            SELECT g, tok, cgw, delta_micro,
+                   CAST(CASE WHEN delta_micro >= 0 THEN
+                        {_ISQ.format(
+                            x="delta_micro * delta_micro * 1000000"
+                              " // (var_micro * 1000000)")}
+                        ELSE
+                        -{_ISQ.format(
+                            x="delta_micro * delta_micro * 1000000"
+                              " // (var_micro * 1000000)")}
+                        END AS BIGINT) AS z_milli
+            FROM z
+        )
+        SELECT g AS source, tok, cgw, delta_micro, z_milli
+        FROM (
+            SELECT *, row_number() OVER (PARTITION BY g
+                      ORDER BY z_milli DESC, tok) AS rn
+            FROM scored
+        ) WHERE rn <= 3
+        """,
+        tags=("ext-text", "ext-stats", "ext-docs"),
+    )
+    def q_source_logodds_keywords(
+        spark: SparkSession, sf_dir: str
+    ) -> DataFrame:
+        """'Fightin' Words' (Monroe et al. 2008): which tokens
+        characterize each source vs the rest — smoothed log-odds-ratio
+        δ = ln(odds_in) − ln(odds_rest) with add-1 informative prior,
+        z-scored by its variance ≈ 1/(c+1) + 1/(c_rest+1); top-3 per
+        source. Micro-nat lns of add-1 counts, exact isqrt for the z.
+        The raw-frequency-independent keyword extractor next to the
+        tf-idf top terms. One token aggregate; bounded vocab work."""
+        from pyspark.sql import Window
+
+        toks = T(spark, sf_dir, "documents").select(
+            F.col("source").alias("g"),
+            F.explode(F.split("text", " ")).alias("tok"),
+        )
+        c = toks.groupBy("g", "tok").agg(
+            F.count(F.lit(1)).cast("long").alias("cgw")
+        )
+        tw = c.groupBy("tok").agg(F.sum("cgw").cast("long").alias("cw"))
+        ng = c.groupBy("g").agg(F.sum("cgw").cast("long").alias("n_g"))
+        nn = tw.agg(F.sum("cw").cast("long").alias("n"))
+        ln = _LN.replace("//", "DIV")
+        z = (
+            c.join(F.broadcast(tw), "tok")
+            .join(F.broadcast(ng), "g")
+            .join(F.broadcast(nn))
+            .select(
+                "g",
+                "tok",
+                "cgw",
+                (
+                    F.expr(ln.format(x="(cgw + 1)"))
+                    - F.expr(ln.format(x="(n_g - cgw + 1)"))
+                    - F.expr(ln.format(x="(cw - cgw + 1)"))
+                    + F.expr(ln.format(x="(n - n_g - cw + cgw + 1)"))
+                )
+                .cast("long")
+                .alias("delta_micro"),
+                F.expr(
+                    "1000000 DIV (cgw + 1) + 1000000 DIV (cw - cgw + 1)"
+                )
+                .cast("long")
+                .alias("var_micro"),
+            )
+        )
+        isq = _ISQ.replace("//", "DIV")
+        z2 = (
+            "delta_micro * delta_micro * 1000000"
+            " DIV (var_micro * 1000000)"
+        )
+        scored = z.select(
+            "g",
+            "tok",
+            "cgw",
+            "delta_micro",
+            F.expr(
+                f"CAST(CASE WHEN delta_micro >= 0 THEN {isq.format(x=z2)}"
+                f" ELSE -{isq.format(x=z2)} END AS BIGINT)"
+            ).alias("z_milli"),
+        )
+        w = Window.partitionBy("g").orderBy(
+            F.col("z_milli").desc(), F.col("tok")
+        )
+        return (
+            scored.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= 3)
+            .select(F.col("g").alias("source"), "tok", "cgw",
+                    "delta_micro", "z_milli")
+        )
+
+    @register(
+        "decayed_item_popularity",
+        sql="""
+        WITH mx AS (
+            SELECT MAX(CAST(CAST(o_orderdate AS DATE) - DATE '1970-01-01'
+                       AS BIGINT)) AS dmax
+            FROM orders
+        ), li AS (
+            SELECT l_partkey,
+                   (mx.dmax - CAST(CAST(o_orderdate AS DATE)
+                        - DATE '1970-01-01' AS BIGINT)) // 180 AS half_lives
+            FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey
+            CROSS JOIN mx
+        )
+        SELECT l_partkey AS part,
+               CAST(COUNT(*) AS BIGINT) AS n_purchases,
+               CAST(SUM(CASE WHEN half_lives >= 20 THEN 0
+                        ELSE 1048576 // CAST(power(2, half_lives) AS BIGINT)
+                        END) AS BIGINT) AS decayed_micro20
+        FROM li
+        GROUP BY 1
+        ORDER BY decayed_micro20 DESC, part
+        LIMIT 25
+        """,
+        tags=("ext-rel", "ext-temporal"),
+    )
+    def q_decayed_item_popularity(
+        spark: SparkSession, sf_dir: str
+    ) -> DataFrame:
+        """Half-life-decayed item popularity (half-life 180 days):
+        weight = 2^20 >> ⌊age/h⌋ — EXACT integer power-of-two decay (no
+        float exp), the recency-aware popularity every 'trending'
+        ranker uses where raw counts would let stale hits squat. Top-25
+        parts; one dim-broadcast join + one aggregate."""
+        o = T(spark, sf_dir, "orders").select(
+            "o_orderkey",
+            F.unix_date(F.to_date("o_orderdate")).cast("long").alias("day"),
+        )
+        mx = o.agg(F.max("day").alias("dmax"))
+        li = (
+            T(spark, sf_dir, "lineitem")
+            .select("l_orderkey", "l_partkey")
+            .join(o, F.col("l_orderkey") == o.o_orderkey)
+            .join(F.broadcast(mx))
+            .select(
+                "l_partkey",
+                F.expr("(dmax - day) div 180").alias("half_lives"),
+            )
+        )
+        return (
+            li.groupBy(F.col("l_partkey").alias("part"))
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n_purchases"),
+                F.sum(
+                    F.expr(
+                        "CASE WHEN half_lives >= 20 THEN 0"
+                        " ELSE shiftright(1048576, CAST(half_lives AS INT))"
+                        " END"
+                    )
+                )
+                .cast("long")
+                .alias("decayed_micro20"),
+            )
+            .orderBy(F.col("decayed_micro20").desc(), "part")
+            .limit(25)
+        )
+
+    @register(
+        "cochran_armitage_trend",
+        sql=f"""
+        WITH d AS (
+            SELECT doc_id, len(string_split(text, ' ')) AS n_tok,
+                   CAST((len(list_distinct(string_split(text, ' '))) * 1000)
+                        // len(string_split(text, ' ')) >= 800 AS INT)
+                       AS y
+            FROM documents
+        ), b AS (
+            SELECT CAST(CASE WHEN n_tok < 40 THEN 0
+                        WHEN n_tok < 80 THEN 1
+                        WHEN n_tok < 120 THEN 2
+                        ELSE 3 END AS BIGINT) AS grp, y
+            FROM d
+        ), gs AS (
+            SELECT grp, CAST(COUNT(*) AS BIGINT) AS n_i,
+                   CAST(SUM(y) AS BIGINT) AS r_i
+            FROM b GROUP BY 1
+        ), tot AS (
+            SELECT CAST(SUM(n_i) AS BIGINT) AS n,
+                   CAST(SUM(r_i) AS BIGINT) AS r,
+                   CAST(SUM(n_i * grp) AS BIGINT) AS snt,
+                   CAST(SUM(n_i * grp * grp) AS BIGINT) AS snt2,
+                   CAST(SUM(r_i * grp) AS BIGINT) AS srt
+            FROM gs
+        )
+        SELECT n, r,
+               CAST(n * srt - r * snt AS BIGINT) AS a_num,
+               CAST(CASE WHEN r * (n - r) * (n * snt2 - snt * snt) = 0
+                    THEN NULL
+                    WHEN n * srt - r * snt >= 0 THEN
+                    {_ISQ.format(
+                        x="(n * srt - r * snt) * (n * srt - r * snt)"
+                          " * n * 1000000"
+                          " // (r * (n - r) * (n * snt2 - snt * snt))")}
+                    ELSE
+                    -{_ISQ.format(
+                        x="(n * srt - r * snt) * (n * srt - r * snt)"
+                          " * n * 1000000"
+                          " // (r * (n - r) * (n * snt2 - snt * snt))")}
+                    END AS BIGINT) AS z_milli
+        FROM tot
+        """,
+        tags=("ext-stats", "ext-docs"),
+    )
+    def q_cochran_armitage_trend(
+        spark: SparkSession, sf_dir: str
+    ) -> DataFrame:
+        """Cochran-Armitage trend test: does the gate's positive rate
+        rise MONOTONICALLY with document-length band (scores 0..3)? The
+        χ²-family test with the trend alternative — more powerful than
+        the omnibus χ² when the direction is the hypothesis:
+        z = (nΣr_i t_i − rΣn_i t_i)·√n / √(r(n−r)(nΣn_i t_i² − (Σn_i t_i)²)),
+        every factor an exact integer, signed z in milli via exact
+        isqrt. One conditional aggregate to the 4-band summary."""
+        d = T(spark, sf_dir, "documents").select(
+            F.expr("size(split(text, ' '))").alias("n_tok"),
+            (
+                F.expr(
+                    "(size(array_distinct(split(text, ' '))) * 1000)"
+                    " div size(split(text, ' '))"
+                )
+                >= 800
+            )
+            .cast("int")
+            .alias("y"),
+        )
+        b = d.select(
+            F.expr(
+                "CAST(CASE WHEN n_tok < 40 THEN 0 WHEN n_tok < 80 THEN 1"
+                " WHEN n_tok < 120 THEN 2 ELSE 3 END AS BIGINT)"
+            ).alias("grp"),
+            "y",
+        )
+        gs = b.groupBy("grp").agg(
+            F.count(F.lit(1)).cast("long").alias("n_i"),
+            F.sum("y").cast("long").alias("r_i"),
+        )
+        tot = gs.agg(
+            F.sum("n_i").cast("long").alias("n"),
+            F.sum("r_i").cast("long").alias("r"),
+            F.sum(F.col("n_i") * F.col("grp")).cast("long").alias("snt"),
+            F.sum(F.col("n_i") * F.col("grp") * F.col("grp"))
+            .cast("long")
+            .alias("snt2"),
+            F.sum(F.col("r_i") * F.col("grp")).cast("long").alias("srt"),
+        )
+        isq = _ISQ.replace("//", "DIV")
+        z2 = (
+            "CAST(n * srt - r * snt AS decimal(38,0))"
+            " * (n * srt - r * snt) * n * 1000000"
+            " DIV (CAST(r AS decimal(38,0)) * (n - r)"
+            "      * (CAST(n AS decimal(38,0)) * snt2"
+            "         - CAST(snt AS decimal(38,0)) * snt))"
+        )
+        return tot.select(
+            "n",
+            "r",
+            F.expr("CAST(n * srt - r * snt AS BIGINT)").alias("a_num"),
+            F.expr(
+                f"CAST(CASE WHEN CAST(r AS decimal(38,0)) * (n - r)"
+                f" * (CAST(n AS decimal(38,0)) * snt2"
+                f"    - CAST(snt AS decimal(38,0)) * snt) = 0 THEN NULL"
+                f" WHEN n * srt - r * snt >= 0 THEN {isq.format(x=z2)}"
+                f" ELSE -{isq.format(x=z2)} END AS BIGINT)"
+            ).alias("z_milli"),
+        )
+
+
+_register_wave10()

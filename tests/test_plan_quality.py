@@ -1209,3 +1209,46 @@ def test_pr_sweep_and_ap_on_summary(spark, sf_dir):
         plan = plan_of(q(name, spark, sf_dir))
         assert "Window" in plan, name
         assert "CartesianProduct" not in plan, name
+
+
+def test_kw_and_bf_windows_on_summaries(spark, sf_dir):
+    """KW: doubled ranks over the bucketed value summary; BF: the
+    median windows partition by segment — neither cartesian-joins the
+    corpus."""
+    for name in (
+        "kruskal_wallis_segments",
+        "variance_equality_brownforsythe",
+    ):
+        plan = plan_of(q(name, spark, sf_dir))
+        assert "Window" in plan, name
+        assert "CartesianProduct" not in plan, name
+
+
+def test_mean_excess_single_pass_threshold_grid(spark, sf_dir):
+    """Mean excess: a 4-row broadcast threshold grid over ONE orders
+    pass — no per-threshold rescan."""
+    plan = plan_of(q("mean_excess_profile", spark, sf_dir))
+    assert "Window" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_logodds_bounded_vocab_joins(spark, sf_dir):
+    """Fightin' Words: one token aggregate, then vocab-bounded
+    broadcast joins + a per-source rank window."""
+    plan = plan_of(q("source_logodds_keywords", spark, sf_dir))
+    assert "Window" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_decayed_popularity_one_aggregate(spark, sf_dir):
+    """Decayed popularity: dim broadcast + one aggregate + TakeOrdered."""
+    plan = plan_of(q("decayed_item_popularity", spark, sf_dir))
+    assert "TakeOrdered" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_ca_trend_single_summary_pass(spark, sf_dir):
+    """CA trend: one conditional aggregate to the 4-band summary."""
+    plan = plan_of(q("cochran_armitage_trend", spark, sf_dir))
+    assert "Window" not in plan
+    assert "CartesianProduct" not in plan

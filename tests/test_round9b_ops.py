@@ -531,3 +531,175 @@ def test_ap_matches_sklearn_style_model(spark):
     assert ap.ap_num_ppm == want
     assert ap.ap_ppm == want // ap.n_pos
     assert 0 <= ap.ap_ppm <= 1_000_000
+
+
+def test_kruskal_wallis_and_brown_forsythe_models(spark):
+    """Both ANOVA statistics replayed exactly in Python from the raw
+    joined rows (same bucketing, doubled ranks, floors)."""
+    from collections import Counter, defaultdict
+
+    from politicamente_etl_spark.plans.catalog import CATALOG
+
+    sf = "/root/testdata/sf0.001"
+    orders = spark.read.parquet(f"{sf}/orders.parquet").collect()
+    cust = {
+        r.c_custkey: r.c_mktsegment
+        for r in spark.read.parquet(f"{sf}/customer.parquet").collect()
+    }
+    import math
+
+    rows = [
+        (cust[o.o_custkey], math.floor(o.o_totalprice * 100))
+        for o in orders
+        if o.o_custkey in cust
+    ]
+
+    # --- Kruskal-Wallis on $10k buckets with doubled ranks
+    kw = CATALOG["kruskal_wallis_segments"].fn(spark, sf).collect()[0]
+    vals = [(g, c // 1_000_000) for g, c in rows]
+    cnt = Counter(v for _, v in vals)
+    r2 = {}
+    below = 0
+    for v in sorted(cnt):
+        r2[v] = 2 * below + cnt[v] + 1
+        below += cnt[v]
+    gs = defaultdict(lambda: [0, 0])
+    for g, v in vals:
+        gs[g][0] += 1
+        gs[g][1] += r2[v]
+    n = len(vals)
+    s_milli = sum(sr2 * sr2 * 1000 // (4 * ng) for ng, sr2 in gs.values())
+    h_milli = 12 * s_milli // (n * (n + 1)) - 3000 * (n + 1)
+    t3t = sum(c**3 - c for c in cnt.values() if c > 1)
+    corr = 1_000_000 - t3t * 1_000_000 // (n**3 - n)
+    assert (kw.n, kw.h_milli, kw.tie_t3t) == (n, h_milli, t3t)
+    assert kw.h_corrected_milli == h_milli * 1_000_000 // corr
+
+    # --- Brown-Forsythe on exact lower medians
+    bf = CATALOG["variance_equality_brownforsythe"].fn(spark, sf).collect()[0]
+    per_g = defaultdict(list)
+    for g, c in rows:
+        per_g[g].append(c)
+    zs = defaultdict(list)
+    for g, ys in per_g.items():
+        m = sorted(ys)[(len(ys) + 1) // 2 - 1]
+        zs[g] = [abs(y - m) for y in ys]
+    k = len(zs)
+    nn = sum(len(z) for z in zs.values())
+    sz_all = sum(sum(z) for z in zs.values())
+    between = sum(
+        (nn * sum(z) - len(z) * sz_all) ** 2 // (len(z) * nn * nn)
+        for z in zs.values()
+    )
+    within = sum(
+        sum(x * x for x in z) - sum(z) ** 2 // len(z) for z in zs.values()
+    )
+    assert (bf.n, bf.k, bf.between_num, bf.within_num) == (
+        nn,
+        k,
+        between,
+        within,
+    )
+    assert bf.w_milli == between * (nn - k) * 1000 // (within * (k - 1))
+
+
+def test_mean_excess_monotone_counts(spark):
+    from politicamente_etl_spark.plans.catalog import CATALOG
+
+    rows = sorted(
+        CATALOG["mean_excess_profile"].fn(
+            spark, "/root/testdata/sf0.001"
+        ).collect(),
+        key=lambda r: r.threshold_cents,
+    )
+    assert len(rows) == 4
+    ns = [r.n_exceed for r in rows]
+    assert ns == sorted(ns, reverse=True)
+    for r in rows:
+        if r.n_exceed:
+            assert r.mean_excess_cents == r.excess_sum // r.n_exceed
+
+
+def test_logodds_keywords_and_ca_trend_models(spark):
+    """Fightin'-Words z replayed exactly for one (source, token) cell;
+    Cochran-Armitage replayed from the 4-band sufficient stats."""
+    import math
+    from collections import Counter, defaultdict
+
+    from politicamente_etl_spark.plans.catalog import CATALOG
+
+    sf = "/root/testdata/sf0.001"
+    rows = CATALOG["source_logodds_keywords"].fn(spark, sf).collect()
+    assert rows and all(r.z_milli is not None for r in rows)
+    per_source = defaultdict(list)
+    for r in rows:
+        per_source[r.source].append(r.z_milli)
+    for zs in per_source.values():
+        assert len(zs) == 3 and zs == sorted(zs, reverse=True)
+
+    docs = spark.read.parquet(f"{sf}/documents.parquet").collect()
+    cg = Counter()
+    cw = Counter()
+    ng = Counter()
+    n = 0
+    for d in docs:
+        toks = d.text.split(" ")
+        for t in toks:
+            cg[(d.source, t)] += 1
+            cw[t] += 1
+            ng[d.source] += 1
+            n += 1
+    r0 = rows[0]
+
+    def lnm(x):
+        return round(math.log(x) * 1e6)
+
+    cgw = cg[(r0.source, r0.tok)]
+    delta = (
+        lnm(cgw + 1)
+        - lnm(ng[r0.source] - cgw + 1)
+        - lnm(cw[r0.tok] - cgw + 1)
+        + lnm(n - ng[r0.source] - cw[r0.tok] + cgw + 1)
+    )
+    assert r0.delta_micro == delta and r0.cgw == cgw
+    var = 1_000_000 // (cgw + 1) + 1_000_000 // (cw[r0.tok] - cgw + 1)
+    z = math.isqrt(delta * delta * 1_000_000 // (var * 1_000_000))
+    assert r0.z_milli == (z if delta >= 0 else -z)
+
+    ca = CATALOG["cochran_armitage_trend"].fn(spark, sf).collect()[0]
+    gs = Counter()
+    rs = Counter()
+    for d in docs:
+        toks = d.text.split(" ")
+        grp = 0 if len(toks) < 40 else 1 if len(toks) < 80 else 2 if len(
+            toks
+        ) < 120 else 3
+        y = int(len(set(toks)) * 1000 // len(toks) >= 800)
+        gs[grp] += 1
+        rs[grp] += y
+    nn = sum(gs.values())
+    rr = sum(rs.values())
+    snt = sum(c * g for g, c in gs.items())
+    snt2 = sum(c * g * g for g, c in gs.items())
+    srt = sum(c * g for g, c in rs.items())
+    a = nn * srt - rr * snt
+    assert (ca.n, ca.r, ca.a_num) == (nn, rr, a)
+    den = rr * (nn - rr) * (nn * snt2 - snt * snt)
+    if den:
+        z = math.isqrt(a * a * nn * 1_000_000 // den)
+        assert ca.z_milli == (z if a >= 0 else -z)
+
+
+def test_decayed_popularity_weights(spark):
+    """Decay weights are exact powers of two of the half-life count;
+    decayed score ≤ n_purchases · 2^20."""
+    from politicamente_etl_spark.plans.catalog import CATALOG
+
+    rows = CATALOG["decayed_item_popularity"].fn(
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    assert rows
+    scores = [r.decayed_micro20 for r in rows]
+    assert scores == sorted(scores, reverse=True)
+    for r in rows:
+        assert 0 <= r.decayed_micro20 <= r.n_purchases * 1_048_576
