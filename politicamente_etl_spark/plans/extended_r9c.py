@@ -1245,11 +1245,17 @@ def _register_wave9():
             )
         )
         nn = gs.agg(F.sum("n_g").cast("long").alias("n"))
+        # exact-multiple decimal floor: (x - pmod(x, d)) / d divides an
+        # exact multiple, so the decimal quotient is integral and exact —
+        # Spark's DIV returns LONG and the quotient here outgrows it
+        # around N ~ 5e5 rows (found by the 4x scale probe, which
+        # crashed with ARITHMETIC_OVERFLOW rather than wrapping)
+        _t = "CAST(sr2 AS decimal(38,0)) * sr2 * 1000"
         hraw = gs.join(F.broadcast(nn)).agg(
             F.first("n").alias("n"),
             F.sum(
                 F.expr(
-                    "CAST(sr2 AS decimal(38,0)) * sr2 * 1000 DIV (4 * n_g)"
+                    f"(({_t}) - pmod({_t}, 4 * n_g)) / (4 * n_g)"
                 )
             ).alias("s_milli"),
         )
@@ -1261,20 +1267,26 @@ def _register_wave9():
                 F.lit(0).cast("decimal(38,0)"),
             ).alias("t3t")
         )
+        def _fdiv(x, d):
+            return f"((({x}) - pmod({x}, {d})) / ({d}))"
+
         h = (
-            "(12 * s_milli DIV (CAST(n AS decimal(38,0)) * (n + 1)))"
-            " - 3000 * (n + 1)"
+            _fdiv("12 * s_milli", "CAST(n AS decimal(38,0)) * (n + 1)")
+            + " - 3000 * (n + 1)"
         )
         corr = (
-            "1000000 - t3t * 1000000"
-            " DIV (CAST(n AS decimal(38,0)) * n * n - n)"
+            "1000000 - "
+            + _fdiv(
+                "t3t * 1000000",
+                "CAST(n AS decimal(38,0)) * n * n - n",
+            )
         )
         return hraw.join(F.broadcast(ties)).select(
             "n",
             F.expr(f"CAST({h} AS BIGINT)").alias("h_milli"),
             F.col("t3t").cast("long").alias("tie_t3t"),
             F.expr(
-                f"CAST(({h}) * 1000000 DIV ({corr}) AS BIGINT)"
+                f"CAST({_fdiv(f'({h}) * 1000000', f'({corr})')} AS BIGINT)"
             ).alias("h_corrected_milli"),
         )
 
@@ -1329,8 +1341,8 @@ def _register_wave9b():
             FROM gs, tot GROUP BY tot.n, tot.k
         )
         SELECT n, k,
-               CAST(between_num AS BIGINT) AS between_num,
-               CAST(within_num AS BIGINT) AS within_num,
+               CAST(between_num // n AS BIGINT) AS between_per_n,
+               CAST(within_num // n AS BIGINT) AS within_per_n,
                CAST(between_num * (n - k) * 1000
                     // (within_num * (k - 1)) AS BIGINT) AS w_milli
         FROM parts
@@ -1393,29 +1405,49 @@ def _register_wave9b():
         parts = gs.join(F.broadcast(tot)).agg(
             F.first("n").alias("n"),
             F.first("k").alias("k"),
+            # exact-multiple decimal floors: DIV would return LONG and
+            # both quotients outgrow it near N ~ 5e6 (same class as the
+            # Kruskal-Wallis overflow the 4x probe caught)
             F.sum(
                 F.expr(
-                    "(CAST(n AS decimal(38,0)) * sz"
-                    " - CAST(n_g AS decimal(38,0)) * sz_all)"
-                    " * (CAST(n AS decimal(38,0)) * sz"
-                    "    - CAST(n_g AS decimal(38,0)) * sz_all)"
-                    " DIV (CAST(n_g AS decimal(38,0)) * n * n)"
+                    "(((CAST(n AS decimal(38,0)) * sz"
+                    "   - CAST(n_g AS decimal(38,0)) * sz_all)"
+                    "  * (CAST(n AS decimal(38,0)) * sz"
+                    "     - CAST(n_g AS decimal(38,0)) * sz_all))"
+                    " - pmod((CAST(n AS decimal(38,0)) * sz"
+                    "         - CAST(n_g AS decimal(38,0)) * sz_all)"
+                    "        * (CAST(n AS decimal(38,0)) * sz"
+                    "           - CAST(n_g AS decimal(38,0)) * sz_all),"
+                    "        CAST(n_g AS decimal(38,0)) * n * n))"
+                    " / (CAST(n_g AS decimal(38,0)) * n * n)"
                 )
             ).alias("between_num"),
             F.sum(
                 F.expr(
-                    "szz - CAST(sz AS decimal(38,0)) * sz DIV n_g"
+                    "szz - ((CAST(sz AS decimal(38,0)) * sz"
+                    "        - pmod(CAST(sz AS decimal(38,0)) * sz, n_g))"
+                    "       / n_g)"
                 )
             ).alias("within_num"),
         )
+        # raw sums outgrow BIGINT near N ~ 5e6 (CAST_OVERFLOW, found by
+        # the 4x probe) — emit them per-n; the ratio statistic uses the
+        # unscaled decimals
         return parts.select(
             "n",
             "k",
-            F.col("between_num").cast("long").alias("between_num"),
-            F.col("within_num").cast("long").alias("within_num"),
             F.expr(
-                "CAST(CAST(between_num AS decimal(38,0)) * (n - k) * 1000"
-                " DIV (CAST(within_num AS decimal(38,0)) * (k - 1))"
+                "CAST((between_num - pmod(between_num, n)) / n AS BIGINT)"
+            ).alias("between_per_n"),
+            F.expr(
+                "CAST((within_num - pmod(within_num, n)) / n AS BIGINT)"
+            ).alias("within_per_n"),
+            F.expr(
+                "CAST((CAST(between_num AS decimal(38,0)) * (n - k) * 1000"
+                " - pmod(CAST(between_num AS decimal(38,0)) * (n - k)"
+                "        * 1000,"
+                "        CAST(within_num AS decimal(38,0)) * (k - 1)))"
+                " / (CAST(within_num AS decimal(38,0)) * (k - 1))"
                 " AS BIGINT)"
             ).alias("w_milli"),
         )
@@ -1813,3 +1845,394 @@ def _register_wave10():
 
 
 _register_wave10()
+
+
+def _register_wave11():
+    """Wave 11: Wald's SPRT sequential conversion monitor (the
+    daily-decision boundary walk) and Kendall's tau-b association over
+    the bounded joint-bucket grid."""
+    from politicamente_etl_spark.plans.catalog import (
+        T,
+        load_events,
+        register,
+    )
+    from politicamente_etl_spark.plans.extended_r8 import (
+        _classifier_scored_cte,
+        _fd_sql,
+    )
+
+    # SPRT log-likelihood increments, micro-nats, H0 p=0.2 vs H1 p=0.3:
+    # conv: ln(0.3/0.2), non-conv: ln(0.7/0.8) — Python-precomputed
+    # literals shared by both engines (snap-at-birth of the constants)
+    import math as _math
+
+    _LLR_C = round(_math.log(0.3 / 0.2) * 1e6)  # +405465
+    _LLR_N = round(_math.log(0.7 / 0.8) * 1e6)  # -133531
+    _A = round(_math.log(19) * 1e6)  # upper boundary (alpha=beta=0.05)
+
+    @register(
+        "sprt_signup_monitor",
+        sql=f"""
+        WITH d AS (
+            SELECT CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day,
+                   CAST(CASE WHEN event_type = 'signup'
+                        THEN 1 ELSE 0 END AS BIGINT) AS conv
+            FROM events WHERE event_type IN ('signup', 'view')
+        ), daily AS (
+            SELECT day, CAST(SUM(conv) AS BIGINT) AS n_conv,
+                   CAST(COUNT(*) - SUM(conv) AS BIGINT) AS n_fail
+            FROM d GROUP BY 1
+        ), walk AS (
+            SELECT day, n_conv, n_fail,
+                   CAST(SUM(n_conv * {_LLR_C} + n_fail * {_LLR_N})
+                        OVER (ORDER BY day
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                        AS BIGINT) AS llr_micro
+            FROM daily
+        )
+        SELECT day, n_conv, n_fail, llr_micro,
+               CAST(CASE WHEN llr_micro >= {_A} THEN 1
+                    WHEN llr_micro <= -{_A} THEN -1
+                    ELSE 0 END AS INT) AS decision
+        FROM walk
+        """,
+        tags=("ext-stats", "ext-events", "ext-temporal"),
+    )
+    def q_sprt_signup_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Wald's SPRT run daily over the signup-vs-view stream: the
+        cumulative log-likelihood ratio of H₁ (signup share 0.3)
+        against H₀ (0.2), with ±ln 19 boundaries (α = β = 0.05) — the
+        sequential test that lets a monitor STOP as soon as the
+        evidence crosses a boundary instead of waiting for a fixed n.
+        Increments are Python-precomputed micro-nat literals shared by
+        both engines; the walk is a window over the bounded day grid;
+        decision ∈ {{−1 accept H₀, 0 continue, +1 accept H₁}} per day."""
+        from pyspark.sql import Window
+
+        ev = load_events(spark, sf_dir)
+        d = ev.filter(
+            F.col("event_type").isin("signup", "view")
+        ).select(
+            F.expr("unix_micros(ts) div 86400000000")
+            .cast("long")
+            .alias("day"),
+            (F.col("event_type") == "signup").cast("long").alias("conv"),
+        )
+        daily = d.groupBy("day").agg(
+            F.sum("conv").cast("long").alias("n_conv"),
+            (F.count(F.lit(1)) - F.sum("conv")).cast("long").alias("n_fail"),
+        )
+        w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+        walk = daily.select(
+            "day",
+            "n_conv",
+            "n_fail",
+            F.sum(
+                F.col("n_conv") * _LLR_C + F.col("n_fail") * _LLR_N
+            )
+            .over(w)
+            .cast("long")
+            .alias("llr_micro"),
+        )
+        return walk.select(
+            "day",
+            "n_conv",
+            "n_fail",
+            "llr_micro",
+            F.expr(
+                f"CAST(CASE WHEN llr_micro >= {_A} THEN 1"
+                f" WHEN llr_micro <= -{_A} THEN -1 ELSE 0 END AS INT)"
+            ).alias("decision"),
+        )
+
+    @register(
+        "kendall_tau_quality_vs_logit",
+        sql=_classifier_scored_cte()
+        + f""", j AS (
+            SELECT {_fd_sql('logits.logit', 10000)} AS x,
+                   CAST((len(list_distinct(string_split(text, ' ')))
+                         * 1000)
+                        // len(string_split(text, ' ')) AS BIGINT) // 50
+                       AS y
+            FROM logits JOIN documents USING (doc_id)
+        ), cells AS (
+            SELECT x, y, CAST(COUNT(*) AS BIGINT) AS c
+            FROM j GROUP BY 1, 2
+        ), pairs AS (
+            SELECT CAST(SUM(CASE WHEN (a.x < b.x AND a.y < b.y)
+                                  OR (a.x > b.x AND a.y > b.y)
+                             THEN CAST(a.c AS HUGEINT) * b.c
+                             ELSE 0 END) AS HUGEINT) AS conc2,
+                   CAST(SUM(CASE WHEN (a.x < b.x AND a.y > b.y)
+                                  OR (a.x > b.x AND a.y < b.y)
+                             THEN CAST(a.c AS HUGEINT) * b.c
+                             ELSE 0 END) AS HUGEINT) AS disc2
+            FROM cells a, cells b
+        ), marg AS (
+            SELECT CAST(SUM(c) AS BIGINT) AS n,
+                   CAST((SELECT SUM(CAST(cx AS HUGEINT) * (cx - 1))
+                         FROM (SELECT SUM(c) AS cx FROM cells GROUP BY x))
+                        AS HUGEINT) AS tx2,
+                   CAST((SELECT SUM(CAST(cy AS HUGEINT) * (cy - 1))
+                         FROM (SELECT SUM(c) AS cy FROM cells GROUP BY y))
+                        AS HUGEINT) AS ty2
+            FROM cells
+        )
+        SELECT CAST(marg.n AS BIGINT) AS n,
+               CAST(pairs.conc2 / 2 AS BIGINT) AS n_concordant,
+               CAST(pairs.disc2 / 2 AS BIGINT) AS n_discordant,
+               CAST(CASE WHEN (CAST(marg.n AS HUGEINT) * (marg.n - 1)
+                               - marg.tx2)
+                              * (CAST(marg.n AS HUGEINT) * (marg.n - 1)
+                                 - marg.ty2) = 0 THEN NULL
+                    WHEN pairs.conc2 >= pairs.disc2 THEN
+                    (CAST(floor(sqrt(CAST(
+                      (pairs.conc2 - pairs.disc2)
+                      * (pairs.conc2 - pairs.disc2) * 1000000
+                      // ((CAST(marg.n AS HUGEINT) * (marg.n - 1) - marg.tx2)
+                         * (CAST(marg.n AS HUGEINT) * (marg.n - 1)
+                            - marg.ty2))
+                      AS DOUBLE))) AS BIGINT))
+                    ELSE
+                    -(CAST(floor(sqrt(CAST(
+                      (pairs.disc2 - pairs.conc2)
+                      * (pairs.disc2 - pairs.conc2) * 1000000
+                      // ((CAST(marg.n AS HUGEINT) * (marg.n - 1) - marg.tx2)
+                         * (CAST(marg.n AS HUGEINT) * (marg.n - 1)
+                            - marg.ty2))
+                      AS DOUBLE))) AS BIGINT))
+                    END AS BIGINT) AS tau_b_milli_approx
+        FROM pairs, marg
+        """,
+        tags=("ext-stats", "ext-text", "ext-docs"),
+    )
+    def q_kendall_tau_quality_vs_logit(
+        spark: SparkSession, sf_dir: str
+    ) -> DataFrame:
+        """Kendall's τ-b between the gate logit (10-milli-nat buckets)
+        and the lexical-diversity score (50-milli buckets): concordant
+        − discordant over the BOUNDED joint-bucket grid (cell-pair
+        products, O(grid²) constant cost — never row pairs), tie terms
+        from the marginals, |τ| via the float-floor sqrt of the exact
+        ratio (approx-root, documented: the num/den integers are the
+        contract; parity holds because both engines floor the same
+        double). The rank-correlation triplet is now complete:
+        Spearman (ρ), Kendall (τ), AUC (c-statistic)."""
+        docs = T(spark, sf_dir, "documents").select("doc_id", "text")
+        from politicamente_etl_spark.operators import text as text_ops
+
+        w = text_ops.fixture_hash_weights(
+            spark, n_buckets=4096, seed="qc-w"
+        )
+        logit = text_ops.hashed_linear_score(
+            docs, w, n_buckets=4096, seed="qc-v1"
+        ).select("doc_id", "logit_micro")
+        j = logit.join(docs, "doc_id").select(
+            F.expr(
+                "(logit_micro - pmod(logit_micro, 10000)) DIV 10000"
+            ).alias("x"),
+            F.expr(
+                "CAST((size(array_distinct(split(text, ' '))) * 1000)"
+                " div size(split(text, ' ')) AS BIGINT) DIV 50"
+            ).alias("y"),
+        )
+        cells = j.groupBy("x", "y").agg(
+            F.count(F.lit(1)).cast("long").alias("c")
+        )
+        a = cells.select(
+            F.col("x").alias("ax"), F.col("y").alias("ay"),
+            F.col("c").alias("ac"),
+        )
+        b = cells.select(
+            F.col("x").alias("bx"), F.col("y").alias("by"),
+            F.col("c").alias("bc"),
+        )
+        pairs = a.join(F.broadcast(b)).agg(
+            F.sum(
+                F.when(
+                    ((F.col("ax") < F.col("bx")) & (F.col("ay") < F.col("by")))
+                    | ((F.col("ax") > F.col("bx")) & (F.col("ay") > F.col("by"))),
+                    F.expr("CAST(ac AS decimal(38,0)) * bc"),
+                ).otherwise(F.lit(0).cast("decimal(38,0)"))
+            ).alias("conc2"),
+            F.sum(
+                F.when(
+                    ((F.col("ax") < F.col("bx")) & (F.col("ay") > F.col("by")))
+                    | ((F.col("ax") > F.col("bx")) & (F.col("ay") < F.col("by"))),
+                    F.expr("CAST(ac AS decimal(38,0)) * bc"),
+                ).otherwise(F.lit(0).cast("decimal(38,0)"))
+            ).alias("disc2"),
+        )
+        tx = (
+            cells.groupBy("x")
+            .agg(F.sum("c").alias("cx"))
+            .agg(
+                F.sum(F.expr("CAST(cx AS decimal(38,0)) * (cx - 1)")).alias(
+                    "tx2"
+                )
+            )
+        )
+        ty = (
+            cells.groupBy("y")
+            .agg(F.sum("c").alias("cy"))
+            .agg(
+                F.sum(F.expr("CAST(cy AS decimal(38,0)) * (cy - 1)")).alias(
+                    "ty2"
+                )
+            )
+        )
+        nn = cells.agg(F.sum("c").cast("long").alias("n"))
+        den = (
+            "(CAST(n AS decimal(38,0)) * (n - 1) - tx2)"
+            " * (CAST(n AS decimal(38,0)) * (n - 1) - ty2)"
+        )
+        pos = (
+            "CAST(floor(sqrt(CAST((conc2 - disc2) * (conc2 - disc2)"
+            f" * 1000000 DIV ({den}) AS DOUBLE))) AS BIGINT)"
+        )
+        neg = (
+            "CAST(floor(sqrt(CAST((disc2 - conc2) * (disc2 - conc2)"
+            f" * 1000000 DIV ({den}) AS DOUBLE))) AS BIGINT)"
+        )
+        return (
+            pairs.join(F.broadcast(tx))
+            .join(F.broadcast(ty))
+            .join(F.broadcast(nn))
+            .select(
+                "n",
+                F.expr("CAST(conc2 / 2 AS BIGINT)").alias("n_concordant"),
+                F.expr("CAST(disc2 / 2 AS BIGINT)").alias("n_discordant"),
+                F.expr(
+                    f"CAST(CASE WHEN {den} = 0 THEN NULL"
+                    f" WHEN conc2 >= disc2 THEN {pos}"
+                    f" ELSE -({neg}) END AS BIGINT)"
+                ).alias("tau_b_milli_approx"),
+            )
+        )
+
+
+_register_wave11()
+
+
+def _register_wave11b():
+    """Per-source PSI drift of the gate's logit distribution — the
+    score-level monitoring sheet (a source whose SCORES drift needs a
+    look even if its label mix hasn't moved)."""
+    from politicamente_etl_spark.plans.catalog import T, register
+    from politicamente_etl_spark.plans.extended_r8 import (
+        _classifier_scored_cte,
+        _fd_sql,
+    )
+
+    @register(
+        "logit_psi_by_source",
+        sql=_classifier_scored_cte()
+        + f""", b AS (
+            SELECT documents.source AS g,
+                   {_fd_sql('logits.logit', 200000)} AS bin
+            FROM logits JOIN documents USING (doc_id)
+        ), grid AS (
+            SELECT g.g, s.bin FROM (SELECT DISTINCT g FROM b) g
+            CROSS JOIN (SELECT DISTINCT bin FROM b) s
+        ), counts AS (
+            SELECT grid.g, grid.bin,
+                   CAST(COALESCE(COUNT(b.g), 0) + 1 AS BIGINT) AS cc
+            FROM grid LEFT JOIN b ON b.g = grid.g AND b.bin = grid.bin
+            GROUP BY 1, 2
+        ), refc AS (
+            SELECT bin, CAST(SUM(cc) AS BIGINT) AS cr FROM counts GROUP BY 1
+        ), totals AS (
+            SELECT g, CAST(SUM(cc) AS BIGINT) AS nc FROM counts GROUP BY 1
+        ), reft AS (
+            SELECT CAST(SUM(cr) AS BIGINT) AS nr FROM refc
+        ), terms AS (
+            SELECT c.g, c.bin,
+                   CAST(c.cc * 1000000 // t.nc AS BIGINT) AS q_ppm,
+                   CAST(r.cr * 1000000 // rt.nr AS BIGINT) AS p_ppm,
+                   CAST(round(ln(CAST(r.cr AS DOUBLE)
+                                 * CAST(t.nc AS DOUBLE)) * 1e6) AS BIGINT)
+                   - CAST(round(ln(CAST(c.cc AS DOUBLE)
+                                   * CAST(rt.nr AS DOUBLE)) * 1e6) AS BIGINT)
+                       AS ln_diff_micro
+            FROM counts c
+            JOIN refc r USING (bin) JOIN totals t USING (g) CROSS JOIN reft rt
+        )
+        SELECT g AS source,
+               CAST(SUM({_fd_sql(
+                   "(p_ppm - q_ppm) * ln_diff_micro", 1_000_000)})
+                    AS BIGINT) AS psi_micro
+        FROM terms GROUP BY 1
+        """,
+        tags=("ext-stats", "ext-text", "ext-docs"),
+    )
+    def q_logit_psi_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """PSI of each source's gate-LOGIT distribution against the
+        whole corpus (0.2-nat score bins, add-one smoothing on the
+        zero-filled source×bin grid) — score-level drift monitoring:
+        a source whose SCORE mass moves needs retraining attention even
+        before its pass rate does. Same micro-nat ratio-log machinery
+        as psi_report, grouped per source; one corpus scoring pass,
+        grid-sized arithmetic after."""
+        from politicamente_etl_spark.operators import text as text_ops
+
+        docs = T(spark, sf_dir, "documents").select(
+            "doc_id", "text", "source"
+        )
+        w = text_ops.fixture_hash_weights(spark, n_buckets=4096, seed="qc-w")
+        logit = text_ops.hashed_linear_score(
+            docs.select("doc_id", "text"), w, n_buckets=4096, seed="qc-v1"
+        ).select("doc_id", "logit_micro")
+        b = logit.join(docs.select("doc_id", "source"), "doc_id").select(
+            F.col("source").alias("g"),
+            F.expr(
+                "(logit_micro - pmod(logit_micro, 200000)) DIV 200000"
+            ).alias("bin"),
+        )
+        grid = (
+            b.select("g").distinct().join(F.broadcast(b.select("bin").distinct()))
+        )
+        counts = (
+            grid.join(b.withColumn("one", F.lit(1)), ["g", "bin"], "left")
+            .groupBy("g", "bin")
+            .agg((F.count("one") + 1).cast("long").alias("cc"))
+        )
+        refc = counts.groupBy("bin").agg(
+            F.sum("cc").cast("long").alias("cr")
+        )
+        totals = counts.groupBy("g").agg(
+            F.sum("cc").cast("long").alias("nc")
+        )
+        reft = refc.agg(F.sum("cr").cast("long").alias("nr"))
+        terms = (
+            counts.join(F.broadcast(refc), "bin")
+            .join(F.broadcast(totals), "g")
+            .join(F.broadcast(reft))
+            .select(
+                "g",
+                F.expr("cc * 1000000 DIV nc").cast("long").alias("q_ppm"),
+                F.expr("cr * 1000000 DIV nr").cast("long").alias("p_ppm"),
+                (
+                    F.expr(
+                        "CAST(round(ln(CAST(cr AS DOUBLE)"
+                        " * CAST(nc AS DOUBLE)) * 1e6) AS BIGINT)"
+                    )
+                    - F.expr(
+                        "CAST(round(ln(CAST(cc AS DOUBLE)"
+                        " * CAST(nr AS DOUBLE)) * 1e6) AS BIGINT)"
+                    )
+                )
+                .cast("long")
+                .alias("ln_diff_micro"),
+            )
+        )
+        fd = "(({x}) - pmod({x}, 1000000)) DIV 1000000"
+        return terms.groupBy(F.col("g").alias("source")).agg(
+            F.sum(
+                F.expr(fd.format(x="(p_ppm - q_ppm) * ln_diff_micro"))
+            )
+            .cast("long")
+            .alias("psi_micro")
+        )
+
+
+_register_wave11b()

@@ -1252,3 +1252,26 @@ def test_ca_trend_single_summary_pass(spark, sf_dir):
     plan = plan_of(q("cochran_armitage_trend", spark, sf_dir))
     assert "Window" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_sprt_walk_on_day_grid(spark, sf_dir):
+    """SPRT: the LLR walk is one window over the bounded day grid."""
+    plan = plan_of(q("sprt_signup_monitor", spark, sf_dir))
+    assert "Window" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_kendall_cell_pair_join_bounded(spark, sf_dir):
+    """τ-b: the pair products run over the bounded joint-bucket cell
+    grid (broadcast), never row-level pairs."""
+    plan = plan_of(q("kendall_tau_quality_vs_logit", spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_logit_psi_grid_zero_fill(spark, sf_dir):
+    """Per-source PSI: one scoring pass, then source×bin grid work
+    with broadcast marginals — no corpus re-join per source."""
+    plan = plan_of(q("logit_psi_by_source", spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "partial" in plan.lower()

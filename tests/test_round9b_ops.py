@@ -594,11 +594,11 @@ def test_kruskal_wallis_and_brown_forsythe_models(spark):
     within = sum(
         sum(x * x for x in z) - sum(z) ** 2 // len(z) for z in zs.values()
     )
-    assert (bf.n, bf.k, bf.between_num, bf.within_num) == (
+    assert (bf.n, bf.k, bf.between_per_n, bf.within_per_n) == (
         nn,
         k,
-        between,
-        within,
+        between // nn,
+        within // nn,
     )
     assert bf.w_milli == between * (nn - k) * 1000 // (within * (k - 1))
 
@@ -703,3 +703,96 @@ def test_decayed_popularity_weights(spark):
     assert scores == sorted(scores, reverse=True)
     for r in rows:
         assert 0 <= r.decayed_micro20 <= r.n_purchases * 1_048_576
+
+
+def test_sprt_walk_is_cumulative_and_bounded_decisions(spark):
+    import math
+
+    from politicamente_etl_spark.plans.catalog import CATALOG
+
+    rows = sorted(
+        CATALOG["sprt_signup_monitor"].fn(
+            spark, "/root/testdata/sf0.001"
+        ).collect(),
+        key=lambda r: r.day,
+    )
+    assert rows
+    llr_c = round(math.log(0.3 / 0.2) * 1e6)
+    llr_n = round(math.log(0.7 / 0.8) * 1e6)
+    a = round(math.log(19) * 1e6)
+    run = 0
+    for r in rows:
+        run += r.n_conv * llr_c + r.n_fail * llr_n
+        assert r.llr_micro == run
+        want = 1 if run >= a else -1 if run <= -a else 0
+        assert r.decision == want
+
+
+def test_kendall_tau_matches_cell_model(spark):
+    """τ-b replayed exactly from the joint bucket cells in Python
+    (concordant/discordant cell-pair products, tie marginals, same
+    floored root)."""
+    import math
+    from collections import Counter
+
+    from politicamente_etl_spark.plans.catalog import CATALOG
+    from politicamente_etl_spark.operators import text as text_ops
+
+    sf = "/root/testdata/sf0.001"
+    r = CATALOG["kendall_tau_quality_vs_logit"].fn(spark, sf).collect()[0]
+    docs = spark.read.parquet(f"{sf}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    w = text_ops.fixture_hash_weights(spark, n_buckets=4096, seed="qc-w")
+    logits = {
+        x.doc_id: x.logit_micro
+        for x in text_ops.hashed_linear_score(
+            docs, w, n_buckets=4096, seed="qc-v1"
+        ).collect()
+    }
+    cells = Counter()
+    for d in docs.collect():
+        lg = logits[d.doc_id]
+        x = (lg - ((lg % 10000) + 10000) % 10000) // 10000
+        toks = d.text.split(" ")
+        y = (len(set(toks)) * 1000 // len(toks)) // 50
+        cells[(x, y)] += 1
+    conc2 = disc2 = 0
+    items = list(cells.items())
+    for (ax, ay), ac in items:
+        for (bx, by), bc in items:
+            if (ax < bx and ay < by) or (ax > bx and ay > by):
+                conc2 += ac * bc
+            elif (ax < bx and ay > by) or (ax > bx and ay < by):
+                disc2 += ac * bc
+    n = sum(cells.values())
+    tx2 = sum(
+        c * (c - 1)
+        for c in Counter(x for (x, _), k in cells.items()
+                         for _ in range(k)).values()
+    )
+    ty2 = sum(
+        c * (c - 1)
+        for c in Counter(y for (_, y), k in cells.items()
+                         for _ in range(k)).values()
+    )
+    assert (r.n_concordant, r.n_discordant) == (conc2 // 2, disc2 // 2)
+    den = (n * (n - 1) - tx2) * (n * (n - 1) - ty2)
+    diff = conc2 - disc2
+    want = int(math.floor(math.sqrt(diff * diff * 1_000_000 // den)))
+    assert r.tau_b_milli_approx == (want if diff >= 0 else -want)
+    assert -1000 <= r.tau_b_milli_approx <= 1000
+
+
+def test_logit_psi_by_source_near_zero_for_uniform_fixture(spark):
+    """Sources draw from the same synthetic generator, so score drift
+    should be small but non-degenerate; PSI ≥ −|sources| micro from
+    snapping, and every source appears once."""
+    from politicamente_etl_spark.plans.catalog import CATALOG
+
+    rows = CATALOG["logit_psi_by_source"].fn(
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    assert len(rows) == len({r.source for r in rows}) > 0
+    for r in rows:
+        assert r.psi_micro >= -50  # exact math ≥ 0; snapping grazes

@@ -60,6 +60,15 @@ PROBE_QUERIES = [
     "lang_char_js_divergence",
     "sssp_weighted_histogram",
     "hits_order_part_scores",
+    # second/third-wave additions
+    "kruskal_wallis_segments",
+    "variance_equality_brownforsythe",
+    "source_logodds_keywords",
+    "kendall_tau_quality_vs_logit",
+    "sprt_signup_monitor",
+    "shapley_channel_attribution",
+    "interval_union_coverage",
+    "shingle_containment_pairs",
 ]
 
 
