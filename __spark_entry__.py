@@ -32,7 +32,9 @@ from politicamente_etl_spark.plans.catalog import CATALOG
 # hash-match + by-design rows-only ml_minhash_lsh_pairs) ∪
 # CORRECTNESS_r02.json (48 hash-match + by-design rows-only approx_aggs) ∪
 # CORRECTNESS_r03.json (all 50 rows hash-match, incl. the re-checked
-# json_props_map_explode after the HUGEINT oracle fix).
+# json_props_map_explode after the HUGEINT oracle fix) ∪
+# CORRECTNESS_r04.json (all 50 rows hash-match: 47 first-time queries +
+# 3 refactor re-checks).
 VERIFIED: frozenset[str] = frozenset(
     {
         # --- round 1 ---
@@ -181,38 +183,91 @@ VERIFIED: frozenset[str] = frozenset(
         "bigram_backoff_score_batch",
         "variant_props_extract",
         "variant_schema_profile",
+        # --- round 4 ---
+        "benford_first_digit",
+        "bitflag_order_profile",
+        "bootstrap_replicate_totals",
+        "bracketed_discount_revenue",
+        "brand_supplier_counts",
+        "bytes_per_token_by_source",
+        "centroid_drift_by_label",
+        "chunk_dedup_report",
+        "class_rebalance_realized",
+        "cogroup_conversion_stats",
+        "data_quality_orders",
+        "decile_lift_table",
+        "dominant_supplier_share",
+        "dsir_importance_weights",
+        "embedding_norm_outliers",
+        "event_key_skew_report",
+        "frame_sample_plan",
+        "gap_fill_daily_revenue",
+        "gini_spend_by_nation",
+        "greedy_pack_stats",
+        "idle_rich_customers",
+        "kmv_distinct_users",
+        "knn_graph_degree_hist",
+        "min_unit_price_supplier",
+        "minhash_calibration_report",
+        "nation_product_margin",
+        "order_count_distribution",
+        "pq_code_assignment",
+        "priority_mode_by_segment",
+        "recursive_user_ancestry",
+        "regional_market_share",
+        "rolling_zscore_events",
+        "running_distinct_users",
+        "snapshot_diff_cdc",
+        "source_vocab_jaccard",
+        "stratified_kfold_assign",
+        "streaming_complete_totals",
+        "streaming_left_outer_join",
+        "streaming_windowed_topk",
+        "supplier_revenue_share_gate",
+        "template_chunks_cross_source",
+        "tfidf_query_similarity",
+        "token_entropy_quality",
+        "token_pmi_pairs",
+        "two_nation_trade_volume",
+        "user_activity_streaks",
+        "waiting_supplier_audit",
+        "weighted_median_freight",
     }
 )
 
 # Verified queries whose operator implementation changed THIS round —
 # parked status is 'verified AND untouched since'; these stay in the front
 # window one more round so a refactor regression gets a driver row
-# (ADVICE.md r2, last item). Round-4 refactors: minhash_cross_pairs grew a
-# precomputed-signature entry point (corpus.py dedup of the inline band
-# join — SURVEY round-4 fix #4), pack_sequences grew mode="greedy"
-# (default closed-form path shared), and cogroup_conversion_stats'
-# oracle/pandas sides were reconciled per ADVICE r3.
-REFACTORED_THIS_ROUND: frozenset[str] = frozenset(
-    {
-        "minhash_incremental_pairs",  # dedup.minhash_cross_pairs: signature-table entry point
-        "pack_sequences",  # sampling.pack_sequences: greedy mode alongside closed-form
-        "cogroup_conversion_stats",  # ADVICE r3: click-row counting parity by construction
-    }
-)
+# (ADVICE.md r2, last item). Round-5 refactors: none of the verified
+# operators' code paths changed (basket_lift_pairs and
+# streaming_cdc_changelog were reworked per VERDICT r4, but neither has a
+# driver-green row yet — both sit in the front window by default).
+REFACTORED_THIS_ROUND: frozenset[str] = frozenset()
 
 
 def _ordered_names() -> list[str]:
     """Never-verified + refactored-this-round first (catalog order
-    preserved within each group), then the parked verified queries."""
+    preserved within each group), then never-verified rows-only entries
+    (sql=None — a driver row is only a weak rows-count check, so they
+    must not consume an oracle-bearing window slot while the parity
+    queue drains; VERDICT r4 #6), then the parked verified queries."""
     front = [
         n
         for n in CATALOG
-        if n not in VERIFIED or n in REFACTORED_THIS_ROUND
+        if (n not in VERIFIED and CATALOG[n].sql is not None)
+        or n in REFACTORED_THIS_ROUND
+    ]
+    rows_only = [
+        n
+        for n in CATALOG
+        if n not in VERIFIED
+        and CATALOG[n].sql is None
+        and n not in REFACTORED_THIS_ROUND
     ]
     back = [
         n for n in CATALOG if n in VERIFIED and n not in REFACTORED_THIS_ROUND
     ]
-    return front + back
+    return front + rows_only + back
 
 
 def entry(spark: SparkSession) -> DataFrame:

@@ -546,3 +546,4 @@ from politicamente_etl_spark.plans import extended_r8 as _extended_r8  # noqa: E
 from politicamente_etl_spark.plans import extended_r9 as _extended_r9  # noqa: E402,F401
 from politicamente_etl_spark.plans import extended_r9b as _extended_r9b  # noqa: E402,F401
 from politicamente_etl_spark.plans import extended_r9c as _extended_r9c  # noqa: E402,F401
+from politicamente_etl_spark.plans import extended_r10 as _extended_r10  # noqa: E402,F401

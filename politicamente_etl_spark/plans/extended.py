@@ -45,7 +45,9 @@ def _register():
                    AS stopword_ratio
         FROM documents
         """,
-        bench=True,
+        # bench headline slot ceded to txlog_merge_report in r5 (VERDICT
+        # r4 #8): this query is saturated (0 B shuffle, ~0.24 s) and no
+        # longer differentiates; the lakehouse layer was unbenched.
         tags=("ext-text",),
     )
     def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:

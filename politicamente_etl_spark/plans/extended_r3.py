@@ -266,6 +266,33 @@ def _register():
         return stats.equi_depth_histogram(li, "l_extendedprice", n_buckets=10)
 
     @register(
+        "equi_depth_histogram_prices_approx",
+        # no_oracle BY DESIGN (VERDICT r4 #6): approx_percentile is a
+        # KLL-style sketch — its edges are implementation-defined, so no
+        # engine-independent SQL can hash-match them. The driver records
+        # a rows-only check, which is still a regression tripwire for the
+        # 100 TB decile path (the exact twin's all-to-one percentile agg
+        # is the thing that does NOT scale; this sketch form is what
+        # production runs). Value-level semantics are covered by the
+        # exact twin's green row plus the plan pin in
+        # tests/test_plan_quality.py.
+        sql=None,
+        tags=("ext-olap", "ext-stats", "ext-approx"),
+    )
+    def q_equi_depth_histogram_prices_approx(
+        spark: SparkSession, sf_dir: str
+    ) -> DataFrame:
+        """Sketch-based equi-depth decile histogram of l_extendedprice:
+        approx_percentile edges (bounded-memory KLL, mergeable across
+        partitions — the at-scale default) broadcast back for
+        expression-only bucket assignment. Same shape as the exact twin;
+        only the edge estimator differs."""
+        li = T(spark, sf_dir, "lineitem")
+        return stats.equi_depth_histogram(
+            li, "l_extendedprice", n_buckets=10, approx=True
+        )
+
+    @register(
         "mad_outlier_events",
         sql="""
         WITH med AS (

@@ -18,6 +18,76 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 
+def _basket_lift(
+    li: DataFrame,
+    *,
+    min_both: int | None = None,
+    min_support_ppm: int | None = None,
+) -> DataFrame:
+    """Shared market-basket core: distinct (order, part) →
+    inverted-index self-join on the order key → pair aggregate with the
+    support floor applied IN the aggregate, then broadcast scoring joins.
+
+    Floor modes (exactly one must be set):
+    - ``min_both`` — ABSOLUTE count floor. Oracle-pinned mode; does NOT
+      scale (a fixed floor stops pruning as data grows — measured ×598k
+      surviving pairs at ×8 data, tools/r4_scale_probe.py).
+    - ``min_support_ppm`` — RELATIVE floor: keep a pair iff
+      n_both · 1e6 ≥ ppm · n_orders. The at-scale default: the floor
+      rises with the corpus, so surviving-pair growth stays ~linear
+      (tools/r5_scale_probe.py). Integer arithmetic only — no float
+      threshold drift between engines.
+    """
+    if (min_both is None) == (min_support_ppm is None):
+        raise ValueError("set exactly one of min_both / min_support_ppm")
+    n = li.agg(F.countDistinct("l_orderkey").alias("n_orders"))
+    item = li.groupBy("l_partkey").agg(F.count("*").alias("c"))
+    a, b = li.alias("a"), li.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("part_a"),
+            F.col("b.l_partkey").alias("part_b"),
+        )
+        .agg(F.count("*").alias("n_both"))
+    )
+    if min_both is not None:
+        pairs = pairs.filter(F.col("n_both") >= min_both)
+        pairs = pairs.join(F.broadcast(n))
+    else:
+        # 1-row broadcast aggregate rides the pair stream; the filter
+        # stays integer-exact and executes before the scoring joins.
+        pairs = pairs.join(F.broadcast(n)).filter(
+            F.col("n_both") * F.lit(1_000_000)
+            >= F.lit(int(min_support_ppm)) * F.col("n_orders")
+        )
+    return (
+        pairs.join(
+            F.broadcast(item.alias("ia")),
+            F.col("part_a") == F.col("ia.l_partkey"),
+        )
+        .join(
+            F.broadcast(item.alias("ib")),
+            F.col("part_b") == F.col("ib.l_partkey"),
+        )
+        .select(
+            "part_a",
+            "part_b",
+            F.col("n_both").cast("long").alias("n_both"),
+            F.expr("n_both * 1000000 DIV ia.c").cast("long").alias(
+                "conf_ppm"
+            ),
+            F.expr("n_both * n_orders * 1000000 DIV (ia.c * ib.c)")
+            .cast("long")
+            .alias("lift_ppm"),
+        )
+    )
+
+
 def _register():
     from politicamente_etl_spark.plans.catalog import T, load_events, register
 
@@ -63,53 +133,62 @@ def _register():
         Measured (tools/r4_scale_probe.py, 8× sf0.1): join time ×3.0 for
         ×8 input — the pair join scales; what does NOT is the ABSOLUTE
         support floor (n_both ≥ 3), whose surviving-pair count exploded
-        598,000× because replicated data multiplies every count. At scale
-        the floor must be RELATIVE (support_ppm ≥ x of orders), which
-        this query exposes as a column precisely so the caller can gate
-        on it."""
+        598,000× because replicated data multiplies every count. This
+        absolute mode is kept as the oracle-pinned variant;
+        ``basket_lift_pairs_rel`` is the at-scale default (relative
+        ppm-of-orders floor, ~linear survivor growth — VERDICT r4 #2)."""
         li = (
             T(spark, sf_dir, "lineitem")
             .select("l_orderkey", "l_partkey")
             .distinct()
         )
-        n = li.agg(F.countDistinct("l_orderkey").alias("n_orders"))
-        item = li.groupBy("l_partkey").agg(F.count("*").alias("c"))
-        a, b = li.alias("a"), li.alias("b")
-        pairs = (
-            a.join(
-                b,
-                (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-                & (F.col("a.l_partkey") < F.col("b.l_partkey")),
-            )
-            .groupBy(
-                F.col("a.l_partkey").alias("part_a"),
-                F.col("b.l_partkey").alias("part_b"),
-            )
-            .agg(F.count("*").alias("n_both"))
-            .filter(F.col("n_both") >= 3)
+        return _basket_lift(li, min_both=3)
+
+    @register(
+        "basket_lift_pairs_rel",
+        sql="""
+        WITH li AS (
+            SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+        ), n AS (
+            SELECT COUNT(DISTINCT l_orderkey) AS n_orders FROM li
+        ), item AS (
+            SELECT l_partkey, COUNT(*) AS c FROM li GROUP BY 1
+        ), pairs AS (
+            SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+                   COUNT(*) AS n_both
+            FROM li a JOIN li b
+              ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+            GROUP BY 1, 2
+            HAVING COUNT(*) * 1000000 >= 180 * (SELECT n_orders FROM n)
         )
-        return (
-            pairs.join(
-                F.broadcast(item.alias("ia")),
-                F.col("part_a") == F.col("ia.l_partkey"),
-            )
-            .join(
-                F.broadcast(item.alias("ib")),
-                F.col("part_b") == F.col("ib.l_partkey"),
-            )
-            .join(F.broadcast(n))
-            .select(
-                "part_a",
-                "part_b",
-                F.col("n_both").cast("long").alias("n_both"),
-                F.expr("n_both * 1000000 DIV ia.c").cast("long").alias(
-                    "conf_ppm"
-                ),
-                F.expr("n_both * n_orders * 1000000 DIV (ia.c * ib.c)")
-                .cast("long")
-                .alias("lift_ppm"),
-            )
+        SELECT part_a, part_b, CAST(n_both AS BIGINT) AS n_both,
+               CAST(n_both * 1000000 // ia.c AS BIGINT) AS conf_ppm,
+               CAST(n_both * n.n_orders * 1000000 // (ia.c * ib.c)
+                    AS BIGINT) AS lift_ppm
+        FROM pairs
+        JOIN item ia ON part_a = ia.l_partkey
+        JOIN item ib ON part_b = ib.l_partkey
+        CROSS JOIN n
+        """,
+        tags=("ext-rel", "ext-graph"),
+    )
+    def q_basket_lift_pairs_rel(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Market-basket association rules with a RELATIVE support floor —
+        the at-scale default (VERDICT r4 #2): keep a pair iff
+        n_both · 1e6 ≥ 180 ppm · n_orders, i.e. the floor RISES with the
+        corpus so surviving pairs grow ~linearly instead of the ×598k
+        blow-up measured for the absolute floor at ×8 data
+        (tools/r4_scale_probe.py → tools/r5_scale_probe.py documents the
+        fixed growth curve). 180 ppm of sf0.01's ~15k orders ≈ the same
+        n_both ≥ 3 cut, so the oracle pins real rows at test scale while
+        the semantics stay scale-invariant. Integer ppm arithmetic on
+        both engines — no float-threshold drift."""
+        li = (
+            T(spark, sf_dir, "lineitem")
+            .select("l_orderkey", "l_partkey")
+            .distinct()
         )
+        return _basket_lift(li, min_support_ppm=180)
 
     @register(
         "copurchase_triangles",

@@ -39,6 +39,8 @@ def _register():
                {sql_money_sum('p', 'total_price')}
         FROM merged GROUP BY 1
         """,
+        bench=True,  # r5 headline: exercises the lakehouse layer
+        # (create + file-pruned MERGE + snapshot agg) per VERDICT r4 #8
         tags=("ext-sink",),
     )
     def q_txlog_merge_report(spark: SparkSession, sf_dir: str) -> DataFrame:

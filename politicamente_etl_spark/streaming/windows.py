@@ -544,9 +544,22 @@ def stream_cdc_changelog(
 
     This is the foreachBatch + snapshot_diff composition: the SAME batch
     CDC operator maintains the streaming view, so its semantics (NULL-safe
-    compare, insert/update/delete) are already verified batch-side. State
-    here is the materialized view itself (group-count-sized, bounded);
-    the changelog is append-only and partitioned by batch.
+    compare, insert/update/delete) are already verified batch-side.
+
+    State lives in TWO commit-log tables, never in driver memory
+    (VERDICT r4 #3 — the earlier form collect()ed the view per batch,
+    valid only for bounded group domains):
+
+    - the VIEW table holds the per-batch count DELTAS, appended with
+      ``txn_id=batch_id`` so a foreachBatch redelivery is a no-op
+      (exactly-once, the streaming_lakehouse_roundtrip mechanism). The
+      view "old" snapshot is a distributed aggregate over the table's
+      parquet — works for per-user/per-doc key domains, not just
+      event_type, and compacts via checkpoint()/optimize().
+    - the CHANGELOG table receives each batch's snapshot_diff rows,
+      also txn-idempotent; the operator's return value is simply this
+      table's snapshot. Downstream consumers tail it with
+      ``table_changes`` instead of re-reading the view.
 
     Returns the changelog: (batch_id, group, old_n, new_n, change_type).
     Deterministic end-to-end — every row is oracle-checkable."""
@@ -588,27 +601,52 @@ def stream_cdc_changelog(
         .load(stage)
     )
 
-    state: dict[str, DataFrame] = {
-        "view": spark.createDataFrame([], f"{group_col} string, n long")
-    }
-    log: list[DataFrame] = []
+    from politicamente_etl_spark.sources.txlog import TxLogTable
+
+    empty_view = spark.createDataFrame([], f"{group_col} string, n long")
+    view = TxLogTable.create(spark, os.path.join(stage, "_view"), empty_view)
+    clog = TxLogTable.create(
+        spark,
+        os.path.join(stage, "_changelog"),
+        spark.createDataFrame(
+            [],
+            f"{group_col} string, batch_id long, old_n long, new_n long,"
+            " change_type string",
+        ),
+    )
 
     def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
         delta = batch_df.groupBy(group_col).agg(
             F.count("*").cast("long").alias("n")
         )
-        old = state["view"]
+        # distributed view read: aggregate the appended deltas — no
+        # driver-side state, scales to unbounded key domains
+        old = (
+            view.snapshot()
+            .groupBy(group_col)
+            .agg(F.sum("n").cast("long").alias("n"))
+        )
         new = (
             old.unionByName(delta)
             .groupBy(group_col)
             .agg(F.sum("n").cast("long").alias("n"))
         )
-        changes = cdc.snapshot_diff(old, new, [group_col], ["n"]).withColumn(
-            "batch_id", F.lit(batch_id).cast("long")
+        changes = (
+            cdc.snapshot_diff(old, new, [group_col], ["n"])
+            .withColumn("batch_id", F.lit(batch_id).cast("long"))
+            .select(
+                group_col,
+                "batch_id",
+                F.col("old_n").cast("long").alias("old_n"),
+                F.col("new_n").cast("long").alias("new_n"),
+                "change_type",
+            )
         )
-        # materialize both BEFORE the next batch mutates state
-        log.append(spark.createDataFrame(changes.collect(), changes.schema))
-        state["view"] = spark.createDataFrame(new.collect(), new.schema)
+        # changelog first (append stages the read of the CURRENT view
+        # files), then the view delta — both txn-idempotent, so a
+        # foreachBatch redelivery replays as two no-ops (exactly-once)
+        clog.append(changes, txn_id=f"cdc-changes-{batch_id}")
+        view.append(delta, txn_id=f"cdc-delta-{batch_id}")
 
     q = (
         raw.writeStream.foreachBatch(apply_batch)
@@ -622,16 +660,9 @@ def stream_cdc_changelog(
         q.processAllAvailable()
     finally:
         q.stop()
-    if not log:
-        return spark.createDataFrame(
-            [],
-            f"{group_col} string, batch_id long, old_n long, new_n long,"
-            " change_type string",
-        )
-    out = log[0]
-    for part in log[1:]:
-        out = out.unionByName(part)
-    return out.select(
+    # lazy read of the changelog table (tempdir lives until process
+    # exit); unlike the view-in-memory form there is NO collect anywhere
+    return clog.snapshot().select(
         group_col,
         "batch_id",
         F.col("old_n").cast("long").alias("old_n"),

@@ -1,0 +1,326 @@
+"""Round-5 batch-A operators (plans/extended_r10.py): model-based checks
+on tiny synthetic tables written as parquet mini-warehouses, so each
+catalog query's semantics are pinned against a hand-computed reference
+independent of the DuckDB oracle."""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+from politicamente_etl_spark.plans.catalog import CATALOG
+
+MICRO = 1_000_000
+
+
+def _mini(spark, tmp_path, **tables) -> str:
+    """Write {name: (rows, schema)} as a parquet mini-warehouse."""
+    d = str(tmp_path / "sf")
+    for name, (rows, schema) in tables.items():
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(f"{d}/{name}.parquet")
+    return d
+
+
+def _li_orders(pairs):
+    """lineitem rows giving each order a part set: [(orderkey, [parts])]."""
+    return [
+        (ok, p, 1, i, 1.0, 100.0, 0.0, 0.0, "N", "O", "1995-01-01")
+        for ok, parts in pairs
+        for i, p in enumerate(parts)
+    ]
+
+
+_LI_SCHEMA = (
+    "l_orderkey long, l_partkey long, l_suppkey long, l_linenumber int,"
+    " l_quantity double, l_extendedprice double, l_discount double,"
+    " l_tax double, l_returnflag string, l_linestatus string,"
+    " l_shipdate string"
+)
+
+
+def test_lpa_triangle_converges_to_one_community(spark, tmp_path):
+    # 3-clique (parts 1,2,3 co-bought in two orders) plus an isolated
+    # support-2 edge (4,5): LPA with min-label ties folds the clique to
+    # label 1 within 3 rounds; the pair flip-flops but stays size-1 each.
+    d = _mini(
+        spark,
+        tmp_path,
+        lineitem=(
+            _li_orders(
+                [(1, [1, 2, 3]), (2, [1, 2, 3]), (3, [4, 5]), (4, [4, 5])]
+            ),
+            _LI_SCHEMA,
+        ),
+    )
+    out = {
+        r.community: (r.n_nodes, r.node_checksum)
+        for r in CATALOG["lpa_communities"].fn(spark, d).collect()
+    }
+    # clique: r1 1->2,2->1,3->1; r2 1->1,2->2(tie min with 3? nbrs of 2
+    # are {1,3} labels {2,1} -> 1), 3->min(2,1)=1... final all 1.
+    assert out[1] == (3, 6)
+    # the 4-5 pair swaps labels every round; after 3 rounds 4 has 5's
+    # label and vice versa -> two singleton communities
+    assert out[4] == (1, 5) and out[5] == (1, 4)
+
+
+def test_clustering_coefficient_triangle_and_path(spark, tmp_path):
+    # triangle 1-2-3 (lcc 1.0) and path 4-5-6 (centre 5: deg 2, 0
+    # triangles; leaves deg 1 excluded by the deg>=2 floor)
+    d = _mini(
+        spark,
+        tmp_path,
+        lineitem=(
+            _li_orders(
+                [
+                    (1, [1, 2, 3]),
+                    (2, [1, 2, 3]),
+                    (3, [4, 5]),
+                    (4, [4, 5]),
+                    (5, [5, 6]),
+                    (6, [5, 6]),
+                ]
+            ),
+            _LI_SCHEMA,
+        ),
+    )
+    rows = {
+        r.part: r for r in CATALOG["clustering_coefficient_parts"].fn(spark, d).collect()
+    }
+    assert set(rows) == {1, 2, 3, 5}
+    for p in (1, 2, 3):
+        assert rows[p].degree == 2
+        assert rows[p].n_triangles == 1
+        assert rows[p].lcc_ppm == MICRO
+    assert rows[5].degree == 2 and rows[5].n_triangles == 0
+    assert rows[5].lcc_ppm == 0
+
+
+def test_hhi_two_suppliers_3_to_1(spark, tmp_path):
+    li = [
+        (1, 1, 1, 1, 1.0, 300.0, 0.0, 0.0, "N", "O", "1995-01-01"),
+        (2, 1, 2, 1, 1.0, 100.0, 0.0, 0.0, "N", "O", "1995-01-01"),
+    ]
+    d = _mini(
+        spark,
+        tmp_path,
+        lineitem=(li, _LI_SCHEMA),
+        supplier=(
+            [(1, "s1", 7, 0.0), (2, "s2", 7, 0.0)],
+            "s_suppkey long, s_name string, s_nationkey int, s_acctbal double",
+        ),
+        nation=(
+            [(7, "BRAZIL", 1)],
+            "n_nationkey int, n_name string, n_regionkey int",
+        ),
+    )
+    r = CATALOG["hhi_supplier_revenue"].fn(spark, d).collect()
+    assert len(r) == 1
+    row = r[0]
+    assert row.nation == "BRAZIL" and row.n_suppliers == 2
+    # shares 750000 / 250000 ppm -> HHI = (750000^2 + 250000^2) // 1e6
+    assert row.top_share_ppm == 750_000
+    assert row.hhi_ppm == (750_000**2 + 250_000**2) // MICRO
+
+
+def test_mld_equal_spend_is_zero(spark, tmp_path):
+    d = _mini(
+        spark,
+        tmp_path,
+        orders=(
+            [
+                (1, 1, "O", 100.0, "1995-01-01", "1-URGENT"),
+                (2, 2, "O", 100.0, "1995-02-01", "1-URGENT"),
+            ],
+            "o_orderkey long, o_custkey long, o_orderstatus string,"
+            " o_totalprice double, o_orderdate string,"
+            " o_orderpriority string",
+        ),
+        customer=(
+            [(1, "a", 7, 0.0, "X"), (2, "b", 7, 0.0, "X")],
+            "c_custkey long, c_name string, c_nationkey int,"
+            " c_acctbal double, c_mktsegment string",
+        ),
+        nation=(
+            [(7, "BRAZIL", 1)],
+            "n_nationkey int, n_name string, n_regionkey int",
+        ),
+    )
+    row = CATALOG["mld_spend_by_nation"].fn(spark, d).collect()[0]
+    assert row.n_customers == 2 and row.total_cents == 20_000
+    # equal spend: ln(mean) == mean(ln) exactly at the micro-nat grid
+    assert row.mld_micro == 0
+    assert row.sum_ln_micro == 2 * round(math.log(10_000) * MICRO)
+
+
+def test_mann_kendall_strictly_increasing(spark, tmp_path):
+    rows = [
+        (i, 1, "O", 100.0 * (i + 1), f"1995-01-{i + 1:02d}", "1-URGENT")
+        for i in range(5)
+    ]
+    d = _mini(
+        spark,
+        tmp_path,
+        orders=(
+            rows,
+            "o_orderkey long, o_custkey long, o_orderstatus string,"
+            " o_totalprice double, o_orderdate string,"
+            " o_orderpriority string",
+        ),
+    )
+    row = CATALOG["mann_kendall_daily_revenue"].fn(spark, d).collect()[0]
+    assert row.n_days == 5
+    assert row.s_stat == 10  # all C(5,2) pairs increasing
+    assert row.var_s_x18 == 5 * 4 * 15
+
+
+def test_page_hinkley_flat_then_step(spark, tmp_path):
+    # 3 flat days at 100.00 then 2 at 200.00 — model the exact integer
+    # recurrence in python
+    series = [10_000, 10_000, 10_000, 20_000, 20_000]
+    rows = [
+        (i, 1, "O", series[i] / 100.0, f"1995-01-{i + 1:02d}", "1-URGENT")
+        for i in range(5)
+    ]
+    d = _mini(
+        spark,
+        tmp_path,
+        orders=(
+            rows,
+            "o_orderkey long, o_custkey long, o_orderstatus string,"
+            " o_totalprice double, o_orderdate string,"
+            " o_orderpriority string",
+        ),
+    )
+    out = sorted(
+        CATALOG["page_hinkley_daily"].fn(spark, d).collect(),
+        key=lambda r: r.day,
+    )
+    prefix, m, mmin, want = 0, 0, None, []
+    for t, x in enumerate(series, start=1):
+        prefix += x
+        dev = round((float(x) - float(prefix) / t) * 100)
+        m += dev
+        mmin = m if mmin is None else min(mmin, m)
+        want.append((m, m - mmin))
+    assert [(r.m_c100, r.ph_c100) for r in out] == want
+    assert out[0].ph_c100 == 0 and out[-1].ph_c100 > 0
+
+
+def test_allen_relations_cover_cases(spark, tmp_path):
+    # one customer, intervals: [0,2] then [5,9] (before), [9,12] (meets),
+    # [10,20] (overlaps), [10,15] -> vs [10,20]: starts? s1=10<... the
+    # pairs are consecutive: (0,2)-(5,9) before; (5,9)-(9,12) meets;
+    # (9,12)-(10,20) overlaps; (10,20)-(12,15) contains
+    iv = [(1, "1970-01-01", ["1970-01-03"]),
+          (2, "1970-01-06", ["1970-01-10"]),
+          (3, "1970-01-10", ["1970-01-13"]),
+          (4, "1970-01-11", ["1970-01-21"]),
+          (5, "1970-01-13", ["1970-01-16"])]
+    orders = [
+        (ok, 1, "O", 1.0, od, "1-URGENT") for ok, od, _ in iv
+    ]
+    li = [
+        (ok, 1, 1, i, 1.0, 1.0, 0.0, 0.0, "N", "O", sd)
+        for ok, _, ships in iv
+        for i, sd in enumerate(ships)
+    ]
+    d = _mini(
+        spark,
+        tmp_path,
+        orders=(
+            orders,
+            "o_orderkey long, o_custkey long, o_orderstatus string,"
+            " o_totalprice double, o_orderdate string,"
+            " o_orderpriority string",
+        ),
+        lineitem=(li, _LI_SCHEMA),
+    )
+    got = {
+        r.relation: r.n_pairs
+        for r in CATALOG["allen_interval_profile"].fn(spark, d).collect()
+    }
+    assert got == {"before": 1, "meets": 1, "overlaps": 1, "contains": 1}
+
+
+def test_dp_contribution_bounds_clips_at_10(spark, tmp_path):
+    ev = [(i, "1995-01-01 00:00:00", 1, "click", 1.0, "{}") for i in range(15)]
+    ev += [(100 + i, "1995-01-01 00:00:00", 2, "click", 1.0, "{}") for i in range(3)]
+    d = _mini(
+        spark,
+        tmp_path,
+        events=(
+            ev,
+            "event_id long, ts string, user_id long, event_type string,"
+            " value double, props string",
+        ),
+    )
+    row = CATALOG["dp_contribution_bounds"].fn(spark, d).collect()[0]
+    assert row.event_type == "click"
+    assert row.n_users == 2
+    assert row.rows_total == 18
+    assert row.rows_kept == 13  # 10 + 3
+    assert row.rows_clipped == 5
+    assert row.n_users_clipped == 1
+    assert row.max_contribution == 15
+
+
+def test_unimax_waterfilling_threshold(spark, tmp_path):
+    # langs with 10/100/1000 tokens (single-token docs): caps 20/200/2000,
+    # budget 555 -> allocs 20 (capped), 200 (capped), 335 (= level t)
+    docs = []
+    doc_id = 0
+    for lang, n in (("aa", 10), ("bb", 100), ("cc", 1000)):
+        docs.append((doc_id, " ".join(["w"] * n), lang, "s", n))
+        doc_id += 1
+    d = _mini(
+        spark,
+        tmp_path,
+        documents=(
+            docs,
+            "doc_id long, text string, lang string, source string,"
+            " n_chars long",
+        ),
+    )
+    got = {
+        r.lang: (r.cap, r.alloc)
+        for r in CATALOG["unimax_language_budgets"].fn(spark, d).collect()
+    }
+    assert got == {"aa": (20, 20), "bb": (200, 200), "cc": (2000, 335)}
+
+
+def test_km_survival_two_customers(spark, tmp_path):
+    # cust 1 orders on days 0, 10, 30 (gaps 10, 20; censored 0 at horizon
+    # 30); cust 2 orders on days 0, 20 (gap 20; censored 10)
+    days = [(1, "1970-01-01"), (1, "1970-01-11"), (1, "1970-01-31"),
+            (2, "1970-01-01"), (2, "1970-01-21")]
+    rows = [
+        (i, ck, "O", 1.0, od, "1-URGENT") for i, (ck, od) in enumerate(days)
+    ]
+    d = _mini(
+        spark,
+        tmp_path,
+        orders=(
+            rows,
+            "o_orderkey long, o_custkey long, o_orderstatus string,"
+            " o_totalprice double, o_orderdate string,"
+            " o_orderpriority string",
+        ),
+    )
+    out = {
+        r.duration_days: r
+        for r in CATALOG["km_survival_order_gaps"].fn(spark, d).collect()
+    }
+    # observations: events {10, 20, 20}; censored {0 (c1), 10 (c2)}
+    assert set(out) == {0, 10, 20}
+    assert (out[0].n_events, out[0].n_censored, out[0].n_risk) == (0, 1, 5)
+    assert (out[10].n_events, out[10].n_censored, out[10].n_risk) == (1, 1, 4)
+    assert (out[20].n_events, out[20].n_censored, out[20].n_risk) == (2, 0, 2)
+    assert out[0].cum_ln_surv_micro == 0  # no event at 0
+    t10 = round(math.log(3 / 4) * MICRO)
+    assert out[10].cum_ln_surv_micro == t10
+    # terminal point d == n_risk -> documented 0 sentinel term
+    assert out[20].cum_ln_surv_micro == t10
