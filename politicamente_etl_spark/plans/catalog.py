@@ -547,3 +547,5 @@ from politicamente_etl_spark.plans import extended_r9 as _extended_r9  # noqa: E
 from politicamente_etl_spark.plans import extended_r9b as _extended_r9b  # noqa: E402,F401
 from politicamente_etl_spark.plans import extended_r9c as _extended_r9c  # noqa: E402,F401
 from politicamente_etl_spark.plans import extended_r10 as _extended_r10  # noqa: E402,F401
+from politicamente_etl_spark.plans import extended_r10b as _extended_r10b  # noqa: E402,F401
+from politicamente_etl_spark.plans import extended_r10c as _extended_r10c  # noqa: E402,F401

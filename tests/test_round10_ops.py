@@ -324,3 +324,310 @@ def test_km_survival_two_customers(spark, tmp_path):
     assert out[10].cum_ln_surv_micro == t10
     # terminal point d == n_risk -> documented 0 sentinel term
     assert out[20].cum_ln_surv_micro == t10
+
+
+# ---------------------------------------------------------------------------
+# batch B (plans/extended_r10b.py)
+# ---------------------------------------------------------------------------
+
+
+_DOC_SCHEMA = (
+    "doc_id long, text string, lang string, source string, n_chars long"
+)
+
+
+def test_ngram_novelty_duplicate_doc_scores_zero(spark, tmp_path):
+    t = "a b c d e f g h"  # exactly one 8-gram shingle
+    d = _mini(
+        spark,
+        tmp_path,
+        documents=(
+            [(1, t, "en", "s1", len(t)), (2, t, "en", "s2", len(t))],
+            _DOC_SCHEMA,
+        ),
+    )
+    got = {
+        r.source: (r.n_shingles, r.n_novel, r.novelty_ppm)
+        for r in CATALOG["ngram_novelty_by_source"].fn(spark, d).collect()
+    }
+    assert got == {"s1": (1, 1, MICRO), "s2": (1, 0, 0)}
+
+
+def test_char_class_profile_counts(spark, tmp_path):
+    d = _mini(
+        spark,
+        tmp_path,
+        documents=([(1, "ab 12!", "en", "s", 6)], _DOC_SCHEMA),
+    )
+    r = CATALOG["char_class_profile"].fn(spark, d).collect()[0]
+    assert r.n_chars == 6
+    assert r.letter_ppm == 2 * MICRO // 6
+    assert r.digit_ppm == 2 * MICRO // 6
+    assert r.space_ppm == 1 * MICRO // 6
+    assert r.other_ppm == 1 * MICRO // 6
+
+
+def test_doc_prefix_dup_groups_only_groups(spark, tmp_path):
+    p = "x" * 32
+    d = _mini(
+        spark,
+        tmp_path,
+        documents=(
+            [
+                (1, p + " tail one", "en", "s", 40),
+                (2, p + " tail two", "en", "s", 40),
+                (3, "y" * 40, "en", "s", 40),
+            ],
+            _DOC_SCHEMA,
+        ),
+    )
+    rows = CATALOG["doc_prefix_dup_groups"].fn(spark, d).collect()
+    assert len(rows) == 1
+    assert rows[0].n_docs == 2
+    assert rows[0].first_doc == 1 and rows[0].doc_checksum == 3
+
+
+def test_pps_keeps_certainty_rows_and_is_deterministic(spark, tmp_path):
+    # order 1 carries ~99% of total value -> inclusion prob capped at 1
+    rows = [(1, 1, "O", 9900.0, "1995-01-01", "1-URGENT")] + [
+        (k, 1, "F", 10.0, "1995-01-02", "1-URGENT") for k in range(2, 12)
+    ]
+    d = _mini(
+        spark,
+        tmp_path,
+        orders=(
+            rows,
+            "o_orderkey long, o_custkey long, o_orderstatus string,"
+            " o_totalprice double, o_orderdate string,"
+            " o_orderpriority string",
+        ),
+    )
+    got1 = {
+        r.o_orderstatus: (r.n_sampled, r.cents_sampled, r.key_checksum)
+        for r in CATALOG["pps_systematic_sample"].fn(spark, d).collect()
+    }
+    got2 = {
+        r.o_orderstatus: (r.n_sampled, r.cents_sampled, r.key_checksum)
+        for r in CATALOG["pps_systematic_sample"].fn(spark, d).collect()
+    }
+    assert got1 == got2  # md5 draw, not rand(): re-run identical
+    assert got1["O"] == (1, 990_000, 1)  # the certainty row always survives
+
+
+def test_int8_quantization_exact_integer_error(spark, tmp_path):
+    # three vectors with per-dim values {0.0, 0.5, 1.0}: milli 0/500/1000,
+    # q(500) = 127, reconstruction 498 -> err 2 on the middle vector only
+    vecs = [
+        (1, [0.0] * 64, 7),
+        (2, [0.5] * 64, 7),
+        (3, [1.0] * 64, 7),
+    ]
+    d = _mini(
+        spark,
+        tmp_path,
+        embeddings=(vecs, "vec_id long, embedding array<float>, label int"),
+    )
+    r = CATALOG["int8_quantization_report"].fn(spark, d).collect()[0]
+    assert r.label == 7
+    assert r.n_values == 192
+    assert r.max_abs_err_milli == 2
+    assert r.sse_milli2 == 64 * 4
+
+
+def test_binary_changepoint_finds_step(spark, tmp_path):
+    series = [10_000, 10_000, 10_000, 20_000, 20_000]
+    rows = [
+        (i, 1, "O", series[i] / 100.0, f"1995-01-{i + 1:02d}", "1-URGENT")
+        for i in range(5)
+    ]
+    d = _mini(
+        spark,
+        tmp_path,
+        orders=(
+            rows,
+            "o_orderkey long, o_custkey long, o_orderstatus string,"
+            " o_totalprice double, o_orderdate string,"
+            " o_orderpriority string",
+        ),
+    )
+    r = CATALOG["binary_changepoint_daily"].fn(spark, d).collect()[0]
+    # the best split separates the three flat days from the step
+    assert r.left_days == 3 and r.n_days == 5
+    assert r.left_mean_cents == 10_000 and r.right_mean_cents == 20_000
+
+
+def test_markov_stationary_two_state_cycle(spark, tmp_path):
+    # one user alternating A,B,A,B -> P(A->B)=P(B->A)=1, pi stays uniform
+    ev = [
+        (i, f"1995-01-01 00:0{i}:00", 1, t, 1.0, "{}")
+        for i, t in enumerate(["A", "B", "A", "B"])
+    ]
+    d = _mini(
+        spark,
+        tmp_path,
+        events=(
+            ev,
+            "event_id long, ts string, user_id long, event_type string,"
+            " value double, props string",
+        ),
+    )
+    got = {
+        r.state: r.pi_ppm
+        for r in CATALOG["markov_stationary_ppm"].fn(spark, d).collect()
+    }
+    assert got == {"A": 500_000, "B": 500_000}
+
+
+# ---------------------------------------------------------------------------
+# batch C (plans/extended_r10c.py)
+# ---------------------------------------------------------------------------
+
+
+def test_topk_plus_other_buckets(spark, tmp_path):
+    # 5 suppliers, revenues 500..100: top-3 named, 2 folded into OTHER
+    li = [
+        (k, 1, k, 1, 1.0, 100.0 * (6 - k), 0.0, 0.0, "N", "O", "1995-01-01")
+        for k in range(1, 6)
+    ]
+    d = _mini(
+        spark,
+        tmp_path,
+        lineitem=(li, _LI_SCHEMA),
+        supplier=(
+            [(k, f"s{k}", 7, 0.0) for k in range(1, 6)],
+            "s_suppkey long, s_name string, s_nationkey int, s_acctbal double",
+        ),
+        nation=(
+            [(7, "BRAZIL", 1)],
+            "n_nationkey int, n_name string, n_regionkey int",
+        ),
+    )
+    got = {
+        r.entity: (r.rnk, r.revenue_units, r.n_suppliers)
+        for r in CATALOG["topk_plus_other_suppliers"].fn(spark, d).collect()
+    }
+    # units are exact 1e-4 currency units: 500.0 -> 5_000_000
+    assert got["1"] == (1, 5_000_000, 1)
+    assert got["2"] == (2, 4_000_000, 1)
+    assert got["3"] == (3, 3_000_000, 1)
+    assert got["OTHER"] == (4, 3_000_000, 2)  # 200 + 100
+    assert set(got) == {"1", "2", "3", "OTHER"}
+
+
+def test_weekly_last_value_semiadditive(spark, tmp_path):
+    # one user, two values inside one epoch week: only the LAST counts
+    ev = [
+        (1, "1970-01-01 01:00:00", 1, "view", 5.0, "{}"),
+        (2, "1970-01-02 01:00:00", 1, "view", 7.0, "{}"),
+        (3, "1970-01-01 02:00:00", 2, "view", 1.0, "{}"),
+    ]
+    d = _mini(
+        spark,
+        tmp_path,
+        events=(
+            ev,
+            "event_id long, ts string, user_id long, event_type string,"
+            " value double, props string",
+        ),
+    )
+    rows = CATALOG["weekly_last_value_rollup"].fn(spark, d).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert r.week == 0 and r.n_users == 2
+    assert r.total_last_micro == 7_000_000 + 1_000_000
+
+
+def test_hapax_rate(spark, tmp_path):
+    d = _mini(
+        spark,
+        tmp_path,
+        documents=(
+            [(1, "a a b c", "en", "s", 7)],
+            _DOC_SCHEMA,
+        ),
+    )
+    r = CATALOG["hapax_rate_by_source"].fn(spark, d).collect()[0]
+    assert (r.vocab, r.hapax, r.n_tokens) == (3, 2, 4)
+    assert r.hapax_ppm == 2 * MICRO // 3
+
+
+def test_ks_identical_distributions_zero(spark, tmp_path):
+    docs = [
+        (1, "a b c", "en", "src0", 5),
+        (2, "a b c", "en", "src9", 5),
+        (3, "a b c d e", "en", "src0", 9),
+        (4, "a b c d e", "en", "src9", 9),
+    ]
+    d = _mini(spark, tmp_path, documents=(docs, _DOC_SCHEMA))
+    r = CATALOG["ks_doclen_two_sources"].fn(spark, d).collect()[0]
+    assert (r.n_a, r.n_b, r.d_ppm) == (2, 2, 0)
+
+
+def test_ks_disjoint_distributions_full(spark, tmp_path):
+    docs = [
+        (1, "a b", "en", "src0", 3),
+        (2, "a b", "en", "src0", 3),
+        (3, "a b c d", "en", "src9", 7),
+    ]
+    d = _mini(spark, tmp_path, documents=(docs, _DOC_SCHEMA))
+    r = CATALOG["ks_doclen_two_sources"].fn(spark, d).collect()[0]
+    # all of src0 at length 2, all of src9 at 4 -> D = 1, split at len 2
+    assert r.d_ppm == MICRO and r.argmax_len == 2
+
+
+def test_spearman_perfect_monotone(spark, tmp_path):
+    # spend strictly increases with order count -> d == 0 for all, no ties
+    rows = []
+    ok = 0
+    for cust in range(1, 4):
+        for _ in range(cust):  # cust k has k orders of 100*k each
+            rows.append(
+                (ok, cust, "O", 100.0 * cust, "1995-01-01", "1-URGENT")
+            )
+            ok += 1
+    d = _mini(
+        spark,
+        tmp_path,
+        orders=(
+            rows,
+            "o_orderkey long, o_custkey long, o_orderstatus string,"
+            " o_totalprice double, o_orderdate string,"
+            " o_orderpriority string",
+        ),
+    )
+    r = CATALOG["spearman_orders_spend"].fn(spark, d).collect()[0]
+    assert r.n == 3
+    assert r.sum_d2_x4 == 0
+    assert r.tie_x == 0 and r.tie_y == 0
+
+
+def test_alert_ttl_suppresses_drip(spark, tmp_path):
+    # user 1: alerts at t=0, +30min, +50min, +2h -> fired at 0 and +2h?
+    # NO: per-PREVIOUS-alert rule: +50min gap from +30min is 20min ->
+    # suppressed; +2h is 70min after +50min -> fired. fired = {0, +2h}
+    from datetime import datetime
+
+    def t(h, m):
+        return datetime(1970, 1, 1, h, m, 0)
+
+    ev = [
+        (1, t(0, 0), 1, "spike", 150.0, "{}"),
+        (2, t(0, 30), 1, "spike", 150.0, "{}"),
+        (3, t(0, 50), 1, "spike", 150.0, "{}"),
+        (4, t(2, 0), 1, "spike", 150.0, "{}"),
+        (5, t(0, 10), 1, "spike", 50.0, "{}"),  # below thresh
+    ]
+    d = _mini(
+        spark,
+        tmp_path,
+        events=(
+            ev,
+            "event_id long, ts timestamp_ntz, user_id long,"
+            " event_type string, value double, props string",
+        ),
+    )
+    r = CATALOG["alert_ttl_suppression"].fn(spark, d).collect()[0]
+    assert r.event_type == "spike"
+    assert r.n_alerts == 4
+    assert r.n_fired == 2 and r.n_suppressed == 2
+    assert r.fired_checksum == 1 + 4

@@ -99,6 +99,13 @@ def main() -> None:
     big = tempfile.mkdtemp(prefix="r5bprobe_")
     try:
         replicate(spark, k, big)
+        # replicate() writes the fact tables; dimension tables stay 1x
+        # (the right probe semantics — dims don't grow with volume)
+        for name in os.listdir(SRC):
+            if name.endswith(".parquet") and not os.path.exists(
+                os.path.join(big, name)
+            ):
+                os.symlink(os.path.join(SRC, name), os.path.join(big, name))
         print(f"\n== r5b txlog scale probe: 1x vs {k}x (sf0.1 base) ==")
         for name in PROBE_QUERIES:
             t1, n1 = time_one(lambda: CATALOG[name].fn(spark, SRC))
