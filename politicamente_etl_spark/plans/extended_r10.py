@@ -1,7 +1,6 @@
 """Round-5 prep batch A: graph community structure (label propagation,
 local clustering coefficients), market concentration (HHI), inequality
-decomposition (mean log deviation / Theil L), distribution-free trend
-testing (Mann-Kendall), sequential drift detection (Page-Hinkley),
+decomposition (mean log deviation / Theil L), sequential drift detection (Page-Hinkley),
 temporal interval algebra (Allen relations), DP pre-processing
 (contribution bounding), mixture allocation (UniMax capped
 waterfilling), and survival analysis (Kaplan-Meier over order gaps).
@@ -409,75 +408,6 @@ def _register():
                 (ln_mean - F.expr("sum_ln_micro DIV n_customers"))
                 .cast("long")
                 .alias("mld_micro"),
-            )
-        )
-
-    # -- trend: Mann-Kendall test -------------------------------------------
-
-    @register(
-        "mann_kendall_daily_revenue",
-        sql="""
-        WITH d AS (
-            SELECT date_diff('day', DATE '1970-01-01',
-                             CAST(o_orderdate AS DATE)) AS day,
-                   CAST(SUM(CAST(o_totalprice AS DECIMAL(27,2))) * 100
-                        AS BIGINT) AS cents
-            FROM orders GROUP BY 1
-        )
-        SELECT CAST((SELECT COUNT(*) FROM d) AS BIGINT) AS n_days,
-               CAST(SUM(CASE WHEN b.cents > a.cents THEN 1
-                             WHEN b.cents < a.cents THEN -1
-                             ELSE 0 END) AS BIGINT) AS s_stat,
-               CAST((SELECT COUNT(*) FROM d) * ((SELECT COUNT(*) FROM d) - 1)
-                    * (2 * (SELECT COUNT(*) FROM d) + 5) AS BIGINT)
-                   AS var_s_x18
-        FROM d a JOIN d b ON a.day < b.day
-        """,
-        tags=("ext-stats", "ext-temporal"),
-    )
-    def q_mann_kendall_daily_revenue(
-        spark: SparkSession, sf_dir: str
-    ) -> DataFrame:
-        """Mann-Kendall monotone-trend test on the daily-revenue series:
-        S = Σ_{i<j} sign(x_j − x_i) with the no-ties variance
-        numerator n(n−1)(2n+5) (denominator 18 left to the caller —
-        integer exact). The distribution-free complement to the
-        Theil-Sen slope estimator already in the catalog.
-
-        Scale shape: the only data-sized pass is the daily aggregate;
-        the pairwise join runs over the DAY series, whose length is
-        bounded by the calendar span (~2.4k days ⇒ ~3M sign
-        comparisons) and does NOT grow with data volume — at 100 TB it
-        is the same 3M-pair join over a broadcast-sized series."""
-        o = T(spark, sf_dir, "orders").select("o_orderdate", "o_totalprice")
-        d = (
-            o.groupBy(
-                F.unix_date(F.to_date("o_orderdate")).alias("day")
-            )
-            .agg(
-                (F.sum(F.col("o_totalprice").cast("decimal(27,2)")) * 100)
-                .cast("long")
-                .alias("cents")
-            )
-        )
-        a, b = d.alias("a"), d.alias("b")
-        sgn = (
-            F.when(F.col("b.cents") > F.col("a.cents"), F.lit(1))
-            .when(F.col("b.cents") < F.col("a.cents"), F.lit(-1))
-            .otherwise(F.lit(0))
-        )
-        pairs = a.join(b, F.col("a.day") < F.col("b.day")).agg(
-            F.sum(sgn).cast("long").alias("s_stat")
-        )
-        n = d.agg(F.count("*").alias("n"))
-        return (
-            pairs.join(F.broadcast(n))
-            .select(
-                F.col("n").cast("long").alias("n_days"),
-                "s_stat",
-                (F.col("n") * (F.col("n") - 1) * (2 * F.col("n") + 5))
-                .cast("long")
-                .alias("var_s_x18"),
             )
         )
 

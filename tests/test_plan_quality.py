@@ -1275,3 +1275,72 @@ def test_logit_psi_grid_zero_fill(spark, sf_dir):
     plan = plan_of(q("logit_psi_by_source", spark, sf_dir))
     assert "CartesianProduct" not in plan
     assert "partial" in plan.lower()
+
+
+# ---------------------------------------------------------------------------
+# round-5 batches A-C (plans/extended_r10*.py)
+# ---------------------------------------------------------------------------
+
+
+def test_hhi_broadcasts_dims_no_smj(spark, sf_dir):
+    """HHI: supplier/nation dims and the nation-level totals broadcast;
+    the only repartition-scale shuffle keys on l_suppkey."""
+    plan = plan_of(q("hhi_supplier_revenue", spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_lpa_rounds_are_equi_joins(spark, sf_dir):
+    """LPA: every propagation round joins edges to labels on the node
+    key — no cartesian anywhere in the 3-round plan."""
+    plan = plan_of(q("lpa_communities", spark, sf_dir))
+    assert "CartesianProduct" not in plan
+
+
+def test_clustering_coefficient_no_cartesian(spark, sf_dir):
+    """Wedge generation and closure are equi-joins (src key, (a,b)
+    pair key); the plan must not degrade to a cartesian."""
+    plan = plan_of(q("clustering_coefficient_parts", spark, sf_dir))
+    assert "CartesianProduct" not in plan
+
+
+def test_ks_pushes_source_filter_to_scan(spark, sf_dir):
+    """KS reads only the two compared sources: the IN-filter must reach
+    the parquet scan as a pushed filter, not a post-scan Filter."""
+    plan = plan_of(q("ks_doclen_two_sources", spark, sf_dir))
+    assert any(
+        "PushedFilters" in b and "src0" in b for b in plan.split("\n\n")
+    )  # In(source, [src0,src9]) reaches the scan
+    assert "CartesianProduct" not in plan
+
+
+def test_alert_ttl_pushes_value_threshold(spark, sf_dir):
+    """The >=100 alert threshold prunes ~90% of events AT THE SCAN."""
+    plan = plan_of(q("alert_ttl_suppression", spark, sf_dir))
+    assert any(
+        "PushedFilters" in b and "GreaterThanOrEqual(value,100.0)" in b
+        for b in plan.split("\n\n")
+    )
+
+
+def test_pps_total_rides_broadcast(spark, sf_dir):
+    """PPS: the 1-row corpus total joins as a broadcast; the fact scan
+    is never sort-merge-joined."""
+    plan = plan_of(q("pps_systematic_sample", spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_topk_other_broadcasts_nation(spark, sf_dir):
+    plan = plan_of(q("topk_plus_other_suppliers", spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_unimax_waterfills_on_bounded_lang_table(spark, sf_dir):
+    """The waterfilling windows/joins run on the language table; the
+    corpus contributes exactly one aggregate pass."""
+    plan = plan_of(q("unimax_language_budgets", spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan

@@ -156,27 +156,6 @@ def test_mld_equal_spend_is_zero(spark, tmp_path):
     assert row.sum_ln_micro == 2 * round(math.log(10_000) * MICRO)
 
 
-def test_mann_kendall_strictly_increasing(spark, tmp_path):
-    rows = [
-        (i, 1, "O", 100.0 * (i + 1), f"1995-01-{i + 1:02d}", "1-URGENT")
-        for i in range(5)
-    ]
-    d = _mini(
-        spark,
-        tmp_path,
-        orders=(
-            rows,
-            "o_orderkey long, o_custkey long, o_orderstatus string,"
-            " o_totalprice double, o_orderdate string,"
-            " o_orderpriority string",
-        ),
-    )
-    row = CATALOG["mann_kendall_daily_revenue"].fn(spark, d).collect()[0]
-    assert row.n_days == 5
-    assert row.s_stat == 10  # all C(5,2) pairs increasing
-    assert row.var_s_x18 == 5 * 4 * 15
-
-
 def test_page_hinkley_flat_then_step(spark, tmp_path):
     # 3 flat days at 100.00 then 2 at 200.00 — model the exact integer
     # recurrence in python
