@@ -153,8 +153,9 @@ def _register():
             SELECT src AS v, COUNT(*) AS deg FROM e GROUP BY src
         ), w AS (
             SELECT n1.src AS v, n1.dst AS a, n2.dst AS b
-            FROM e n1 JOIN e n2
-              ON n1.src = n2.src AND n1.dst < n2.dst
+            FROM e n1
+            JOIN d dc ON n1.src = dc.v AND dc.deg <= 64
+            JOIN e n2 ON n1.src = n2.src AND n1.dst < n2.dst
         ), t AS (
             SELECT v, COUNT(*) AS tri
             FROM w JOIN e0 ON w.a = e0.pa AND w.b = e0.pb
@@ -166,7 +167,7 @@ def _register():
                CAST(COALESCE(t.tri, 0) * 2000000
                     // (d.deg * (d.deg - 1)) AS BIGINT) AS lcc_ppm
         FROM d LEFT JOIN t ON d.v = t.v
-        WHERE d.deg >= 2
+        WHERE d.deg BETWEEN 2 AND 64
         ORDER BY lcc_ppm DESC, part
         LIMIT 50
         """,
@@ -180,17 +181,23 @@ def _register():
         (deg·(deg−1)) in integer ppm — the node-level community-density
         score (triangle counts alone conflate density with degree).
 
-        Scale shape: the wedge join is Σ_v deg(v)² — bounded here by the
-        support-2 edge floor; at 100 TB the production control is a
-        degree cap (drop hub wedges above k, exactly the
-        adamic_adar/top-k pattern used elsewhere in the repo) plus the
-        ordered-pair closure join against the edge list, which is an
-        equi-join, never a cartesian. Output is top-50 bounded."""
+        Scale shape: the wedge join is Σ_v deg(v)², so the production
+        control is a DEGREE CAP of 64 applied before wedge enumeration
+        (hub nodes above the cap are excluded — their coefficient needs
+        the sampled estimator, not exact wedges; the r10 probe measured
+        ×7.4 time at ×4 replica-densified edges WITHOUT the cap, which
+        is exactly the blow-up the cap bounds). The cap is inert at
+        oracle scales (max observed degree 13 at sf0.01, 6 at sf0.1) so
+        the pinned output is the exact coefficient set; the closure
+        join against the edge list is an equi-join, never a cartesian.
+        Output is top-50 bounded."""
         e0, e = _copurchase_edges(spark, sf_dir)
         d = e.groupBy(F.col("src").alias("v")).agg(F.count("*").alias("deg"))
+        capped = d.filter(F.col("deg") <= 64).select("v")
         n1, n2 = e.alias("n1"), e.alias("n2")
         w = (
-            n1.join(
+            n1.join(capped, F.col("n1.src") == F.col("v"))
+            .join(
                 n2,
                 (F.col("n1.src") == F.col("n2.src"))
                 & (F.col("n1.dst") < F.col("n2.dst")),
@@ -210,7 +217,7 @@ def _register():
         )
         return (
             d.join(t, "v", "left")
-            .filter(F.col("deg") >= 2)
+            .filter((F.col("deg") >= 2) & (F.col("deg") <= 64))
             .select(
                 F.col("v").alias("part"),
                 F.col("deg").cast("long").alias("degree"),

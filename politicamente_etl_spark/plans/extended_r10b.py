@@ -473,13 +473,23 @@ def _register():
         ), hops AS (
             SELECT cur, nxt, COUNT(*) AS c
             FROM seq WHERE nxt IS NOT NULL GROUP BY 1, 2
-        ), p AS (
+        ), p0 AS (
             SELECT cur, nxt,
                    CAST(c * 1000000 // SUM(c) OVER (PARTITION BY cur)
                         AS BIGINT) AS p_ppm
             FROM hops
         ), states AS (
-            SELECT DISTINCT cur AS state FROM p
+            SELECT DISTINCT cur AS state FROM p0
+            UNION
+            SELECT DISTINCT nxt AS state FROM p0
+        ), p AS (
+            -- sink states (observed only as a target) self-loop, so the
+            -- chain conserves mass — the PageRank dangling-node rule
+            SELECT cur, nxt, p_ppm FROM p0
+            UNION ALL
+            SELECT s.state, s.state, CAST(1000000 AS BIGINT)
+            FROM states s
+            WHERE s.state NOT IN (SELECT DISTINCT cur FROM p0)
         ), pi0 AS (
             SELECT state,
                    CAST(1000000 // (SELECT COUNT(*) FROM states) AS BIGINT)
@@ -497,9 +507,12 @@ def _register():
         integer power-iteration steps from uniform: π' = πP with P in
         row-stochastic ppm and every step floored back to ppm — the
         long-run behavior fingerprint that complements the raw
-        transition matrix already in the catalog. All arithmetic is
-        integer; the ≤k-ppm floor leakage per step is deterministic and
-        identical on both engines.
+        transition matrix already in the catalog. Sink states (observed
+        only as targets) get a self-loop so the chain conserves mass —
+        the PageRank dangling-node rule; without it an absorbing state
+        drains π to zero (found by the hypothesis mass-conservation
+        property). All arithmetic is integer; the ≤k-ppm floor leakage
+        per step is deterministic and identical on both engines.
 
         Scale shape: the per-user lead window is the data pass; the
         chain itself is |event types|² (tiny) and iterates as
@@ -512,7 +525,7 @@ def _register():
             .alias("nxt"),
         ).filter(F.col("nxt").isNotNull())
         hops = seq.groupBy("cur", "nxt").agg(F.count("*").alias("c"))
-        p = hops.select(
+        p0 = hops.select(
             "cur",
             "nxt",
             F.expr(
@@ -521,7 +534,23 @@ def _register():
             .cast("long")
             .alias("p_ppm"),
         )
-        states = p.select(F.col("cur").alias("state")).distinct()
+        states = (
+            p0.select(F.col("cur").alias("state"))
+            .unionByName(p0.select(F.col("nxt").alias("state")))
+            .distinct()
+        )
+        sinks = states.join(
+            p0.select(F.col("cur").alias("state")).distinct(),
+            "state",
+            "left_anti",
+        )
+        p = p0.unionByName(
+            sinks.select(
+                F.col("state").alias("cur"),
+                F.col("state").alias("nxt"),
+                F.lit(MICRO).cast("long").alias("p_ppm"),
+            )
+        )
         k = states.agg(F.count("*").alias("k"))
         pi = states.join(F.broadcast(k)).select(
             "state", F.expr("1000000 DIV k").cast("long").alias("pi_ppm")
