@@ -1075,3 +1075,51 @@ def stateful_custom_sessions(
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def stateful_alert_ttl(
+    events: DataFrame,
+    threshold: float = 100.0,
+    ttl_us: int = 3_600_000_000,
+) -> DataFrame:
+    """Streaming twin of the batch `alert_ttl_suppression` rule: an
+    event with value ≥ threshold fires only if the user's PREVIOUS
+    qualifying event is ≥ ttl older; otherwise it is suppressed. State
+    is ONE long per user — the last qualifying event's timestamp —
+    exactly what the batch lag() reads, so the streaming emission set
+    must equal the batch window's (the batch-equivalence proof pattern
+    of stateful_holt_user_value; requires the event-time-ordered
+    ingest staging, stream_events_time_halves).
+
+    Emits one row per qualifying event: (event_id, fired 0/1), append
+    mode. Enrichment (event_type rollup) happens batch-side on the
+    event-grain output — state stays a single timestamp per user, the
+    minimal footprint for a TTL rule at 100 TB/day."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def ttl_fn(key, pdfs, state: GroupState):
+        (prev,) = state.get if state.exists else (-(1 << 62),)
+        rows = pd.concat(list(pdfs), ignore_index=True)
+        rows = rows.sort_values(["t_us", "event_id"], kind="mergesort")
+        ids, fired = [], []
+        for eid, t in zip(rows["event_id"], rows["t_us"]):
+            t = int(t)
+            ids.append(int(eid))
+            fired.append(1 if t - prev >= ttl_us else 0)
+            prev = t
+        state.update((prev,))
+        yield pd.DataFrame({"event_id": ids, "fired": fired})
+
+    prepped = events.filter(F.col("value") >= threshold).select(
+        "user_id",
+        "event_id",
+        F.expr("unix_micros(ts)").cast("long").alias("t_us"),
+    )
+    return prepped.groupBy("user_id").applyInPandasWithState(
+        ttl_fn,
+        outputStructType="event_id long, fired long",
+        stateStructType="p long",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

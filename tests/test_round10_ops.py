@@ -610,3 +610,144 @@ def test_alert_ttl_suppresses_drip(spark, tmp_path):
     assert r.n_alerts == 4
     assert r.n_fired == 2 and r.n_suppressed == 2
     assert r.fired_checksum == 1 + 4
+
+
+# ---------------------------------------------------------------------------
+# batch D (plans/extended_r10d.py)
+# ---------------------------------------------------------------------------
+
+
+def test_fd_audit_flags_violations(spark, tmp_path):
+    d = _mini(
+        spark,
+        tmp_path,
+        documents=(
+            [
+                (1, "x", "en", "s1", 1),
+                (2, "x", "pt", "s1", 1),  # s1 -> {en, pt}: violating
+                (3, "x", "en", "s2", 1),
+            ],
+            _DOC_SCHEMA,
+        ),
+        orders=(
+            [(1, 1, "O", 1.0, "1995-01-01", "1-URGENT")],
+            "o_orderkey long, o_custkey long, o_orderstatus string,"
+            " o_totalprice double, o_orderdate string,"
+            " o_orderpriority string",
+        ),
+    )
+    got = {
+        r.fd: (r.n_determinants, r.n_violating, r.max_distinct)
+        for r in CATALOG["functional_dependency_audit"].fn(spark, d).collect()
+    }
+    assert got["documents.source->lang"] == (2, 1, 2)
+    assert got["orders.custkey->priority"] == (1, 0, 1)
+
+
+def test_ri_orphans_detected(spark, tmp_path):
+    d = _mini(
+        spark,
+        tmp_path,
+        lineitem=(_li_orders([(1, [1]), (99, [2])]), _LI_SCHEMA),
+        orders=(
+            [(1, 1, "O", 1.0, "1995-01-01", "1-URGENT")],
+            "o_orderkey long, o_custkey long, o_orderstatus string,"
+            " o_totalprice double, o_orderdate string,"
+            " o_orderpriority string",
+        ),
+        customer=(
+            [(1, "a", 7, 0.0, "X")],
+            "c_custkey long, c_name string, c_nationkey int,"
+            " c_acctbal double, c_mktsegment string",
+        ),
+        events=(
+            [(1, "1995-01-01 00:00:00", 5, "view", 1.0, "{}")],
+            "event_id long, ts string, user_id long, event_type string,"
+            " value double, props string",
+        ),
+    )
+    got = {
+        r.fk: (r.n_child_keys, r.n_orphans)
+        for r in CATALOG["ri_orphan_report"].fn(spark, d).collect()
+    }
+    assert got["lineitem.orderkey->orders"] == (2, 1)  # orderkey 99 orphan
+    assert got["orders.custkey->customer"] == (1, 0)
+    assert got["events.user_id->customer"] == (1, 1)  # user 5 orphan
+
+
+def test_revenue_recognition_conserves_cents(spark, tmp_path):
+    # order of 100.00 spread over 3 months: 3334 + 3333 + 3333; a
+    # ship-before-order case clamps to a single month
+    orders = [
+        (1, 1, "O", 100.0, "1995-01-15", "1-URGENT"),
+        (2, 1, "O", 55.55, "1995-06-15", "1-URGENT"),
+    ]
+    li = [
+        (1, 1, 1, 1, 1.0, 1.0, 0.0, 0.0, "N", "O", "1995-03-20"),
+        (2, 1, 1, 1, 1.0, 1.0, 0.0, 0.0, "N", "O", "1995-05-01"),  # clamp
+    ]
+    d = _mini(
+        spark,
+        tmp_path,
+        orders=(
+            orders,
+            "o_orderkey long, o_custkey long, o_orderstatus string,"
+            " o_totalprice double, o_orderdate string,"
+            " o_orderpriority string",
+        ),
+        lineitem=(li, _LI_SCHEMA),
+    )
+    out = {
+        r.month_idx: (r.n_orders, r.recognized_cents)
+        for r in CATALOG["revenue_recognition_schedule"].fn(spark, d).collect()
+    }
+    m_jan95 = 1995 * 12 + 0
+    # order 1: months jan..mar, 10000 cents -> 3334, 3333, 3333
+    assert out[m_jan95] == (1, 3334)
+    assert out[m_jan95 + 1] == (1, 3333)
+    assert out[m_jan95 + 2] == (1, 3333)
+    # order 2: clamped to its own (june) month
+    assert out[m_jan95 + 5] == (1, 5555)
+    assert sum(v for _, v in out.values()) == 10000 + 5555
+
+
+def test_ht_estimator_exact_when_all_certainty(spark, tmp_path):
+    rows = [
+        (k, 1, "O", 50.0, "1995-01-01", "1-URGENT") for k in range(1, 9)
+    ]
+    d = _mini(
+        spark,
+        tmp_path,
+        orders=(
+            rows,
+            "o_orderkey long, o_custkey long, o_orderstatus string,"
+            " o_totalprice double, o_orderdate string,"
+            " o_orderpriority string",
+        ),
+    )
+    r = CATALOG["pps_horvitz_thompson"].fn(spark, d).collect()[0]
+    # 8 equal rows, T=1000 -> every inclusion prob capped at 1: the
+    # estimate IS the total
+    assert r.n_sampled == 8
+    assert r.ht_total_cents == r.true_total_cents == 8 * 5000
+    assert r.err_ppm == 0
+
+
+def test_ivf_cell_balance_shares_sum(spark, sf_dir):
+    rows = CATALOG["ivf_cell_balance_report"].fn(spark, sf_dir).collect()
+    total_share = sum(r.share_ppm for r in rows)
+    # integer floors leak < k ppm
+    assert MICRO - len(rows) <= total_share <= MICRO
+    assert all(r.load_factor_ppm >= 0 for r in rows)
+
+
+def test_streaming_alert_ttl_equals_batch(spark, sf_dir):
+    batch = {
+        r.event_type: (r.n_alerts, r.n_fired, r.n_suppressed, r.fired_checksum)
+        for r in CATALOG["alert_ttl_suppression"].fn(spark, sf_dir).collect()
+    }
+    stream = {
+        r.event_type: (r.n_alerts, r.n_fired, r.n_suppressed, r.fired_checksum)
+        for r in CATALOG["streaming_alert_ttl"].fn(spark, sf_dir).collect()
+    }
+    assert stream == batch  # state hand-off across micro-batches is exact
