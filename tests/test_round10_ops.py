@@ -751,3 +751,75 @@ def test_streaming_alert_ttl_equals_batch(spark, sf_dir):
         for r in CATALOG["streaming_alert_ttl"].fn(spark, sf_dir).collect()
     }
     assert stream == batch  # state hand-off across micro-batches is exact
+
+
+# ---------------------------------------------------------------------------
+# batch E (plans/extended_r10e.py)
+# ---------------------------------------------------------------------------
+
+
+def test_graph_summary_triangle(spark, tmp_path):
+    d = _mini(
+        spark,
+        tmp_path,
+        lineitem=(
+            _li_orders([(1, [1, 2, 3]), (2, [1, 2, 3])]),
+            _LI_SCHEMA,
+        ),
+    )
+    r = CATALOG["graph_summary_stats"].fn(spark, d).collect()[0]
+    assert (r.n_nodes, r.n_edges) == (3, 3)
+    assert r.density_ppm == MICRO  # complete graph
+    assert r.avg_degree_milli == 2000
+
+
+def test_normalized_dedup_gain_counts(spark, tmp_path):
+    docs = [
+        (1, "Hello  World", "en", "s", 12),
+        (2, "hello world", "en", "s", 11),  # dup only after normalize
+        (3, "hello world", "en", "s", 11),  # raw dup of 2
+        (4, "other", "en", "s", 5),
+    ]
+    d = _mini(spark, tmp_path, documents=(docs, _DOC_SCHEMA))
+    r = CATALOG["normalized_dedup_gain"].fn(spark, d).collect()[0]
+    assert r.n_docs == 4
+    assert r.dups_raw == 1  # 3 is a raw dup of 2
+    assert r.dups_normalized == 2  # 1,2,3 collapse
+    assert r.gain_docs == 1
+
+
+def test_lorenz_shares_sum_to_total(spark, sf_dir):
+    rows = CATALOG["lorenz_decile_shares"].fn(spark, sf_dir).collect()
+    assert len(rows) == 10
+    assert sum(r.share_ppm for r in rows) <= MICRO
+    ordered = sorted(rows, key=lambda r: r.decile)
+    # Lorenz: shares are non-decreasing in the decile
+    shares = [r.share_ppm for r in ordered]
+    assert shares == sorted(shares)
+
+
+def test_decile_migration_preserves_customers(spark, sf_dir):
+    rows = CATALOG["decile_migration_matrix"].fn(spark, sf_dir).collect()
+    n_migrating = sum(r.n_customers for r in rows)
+    assert n_migrating > 0
+    assert all(0 <= r.decile_h1 <= 9 and 0 <= r.decile_h2 <= 9 for r in rows)
+
+
+def test_poisson_dispersion_constant_series(spark, tmp_path):
+    # 3 days x 2 events/day for one type: var = 0 -> dispersion 0
+    ev = [
+        (i, f"1995-01-{1 + i // 2:02d} 0{i % 2}:00:00", 1, "view", 1.0, "{}")
+        for i in range(6)
+    ]
+    d = _mini(
+        spark,
+        tmp_path,
+        events=(
+            ev,
+            "event_id long, ts string, user_id long, event_type string,"
+            " value double, props string",
+        ),
+    )
+    r = CATALOG["poisson_dispersion_daily_events"].fn(spark, d).collect()[0]
+    assert (r.n_days, r.n_events) == (3, 6)
+    assert r.var_num == 0 and r.dispersion_ppm == 0
