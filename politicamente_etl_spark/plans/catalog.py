@@ -551,3 +551,4 @@ from politicamente_etl_spark.plans import extended_r10b as _extended_r10b  # noq
 from politicamente_etl_spark.plans import extended_r10c as _extended_r10c  # noqa: E402,F401
 from politicamente_etl_spark.plans import extended_r10d as _extended_r10d  # noqa: E402,F401
 from politicamente_etl_spark.plans import extended_r10e as _extended_r10e  # noqa: E402,F401
+from politicamente_etl_spark.plans import extended_r10f as _extended_r10f  # noqa: E402,F401

@@ -823,3 +823,79 @@ def test_poisson_dispersion_constant_series(spark, tmp_path):
     r = CATALOG["poisson_dispersion_daily_events"].fn(spark, d).collect()[0]
     assert (r.n_days, r.n_events) == (3, 6)
     assert r.var_num == 0 and r.dispersion_ppm == 0
+
+
+# ---------------------------------------------------------------------------
+# batch F (plans/extended_r10f.py)
+# ---------------------------------------------------------------------------
+
+
+def test_open_orders_depth_sweep(spark, tmp_path):
+    # order 1: [day0, day2]; order 2: [day1, day1] -> depth 1,2,1 then 0
+    orders = [
+        (1, 1, "O", 1.0, "1970-01-01", "1-URGENT"),
+        (2, 1, "O", 1.0, "1970-01-02", "1-URGENT"),
+    ]
+    li = [
+        (1, 1, 1, 1, 1.0, 1.0, 0.0, 0.0, "N", "O", "1970-01-03"),
+        (2, 1, 1, 1, 1.0, 1.0, 0.0, 0.0, "N", "O", "1970-01-02"),
+    ]
+    d = _mini(
+        spark,
+        tmp_path,
+        orders=(
+            orders,
+            "o_orderkey long, o_custkey long, o_orderstatus string,"
+            " o_totalprice double, o_orderdate string,"
+            " o_orderpriority string",
+        ),
+        lineitem=(li, _LI_SCHEMA),
+    )
+    out = {
+        r.day: (r.n_starts, r.n_ends, r.depth)
+        for r in CATALOG["open_orders_depth_profile"].fn(spark, d).collect()
+    }
+    assert out[0] == (1, 0, 1)
+    assert out[1] == (1, 0, 2)
+    assert out[2] == (0, 1, 1)
+    assert out[3] == (0, 1, 0)
+
+
+def test_seasonal_naive_exact_repeat_zero_error(spark, tmp_path):
+    # 14 days with a perfectly weekly-periodic series -> MAE/MAPE 0
+    series = [100, 200, 300, 400, 500, 600, 700] * 2
+    rows = [
+        (i, 1, "O", float(series[i]), f"1995-01-{i + 1:02d}", "1-URGENT")
+        for i in range(14)
+    ]
+    d = _mini(
+        spark,
+        tmp_path,
+        orders=(
+            rows,
+            "o_orderkey long, o_custkey long, o_orderstatus string,"
+            " o_totalprice double, o_orderdate string,"
+            " o_orderpriority string",
+        ),
+    )
+    r = CATALOG["seasonal_naive_backtest"].fn(spark, d).collect()[0]
+    assert r.n_days_scored == 7
+    assert r.total_err_cents == 0
+    assert r.mae_cents == 0 and r.mape_ppm == 0
+
+
+def test_column_profile_uniform_entropy(spark, sf_dir):
+    rows = {
+        r.col: r
+        for r in CATALOG["column_cardinality_profile"].fn(spark, sf_dir).collect()
+    }
+    assert set(rows) == {
+        "orders.o_orderstatus",
+        "orders.o_orderpriority",
+        "lineitem.l_returnflag",
+        "customer.c_mktsegment",
+    }
+    for r in rows.values():
+        assert r.n_distinct >= 1
+        assert 0 < r.top_share_ppm <= MICRO
+        assert r.entropy_micro >= 0
