@@ -899,3 +899,87 @@ def test_column_profile_uniform_entropy(spark, sf_dir):
         assert r.n_distinct >= 1
         assert 0 < r.top_share_ppm <= MICRO
         assert r.entropy_micro >= 0
+
+
+# ---------------------------------------------------------------------------
+# batch G (plans/extended_r10g.py)
+# ---------------------------------------------------------------------------
+
+
+def test_weekly_decomposition_flat_series(spark, tmp_path):
+    # constant daily revenue: MA == value, detrended == 0 everywhere ->
+    # every dow's seasonal effect and residual are 0
+    rows = [
+        (i, 1, "O", 100.0, f"1995-01-{i + 1:02d}", "1-URGENT")
+        for i in range(21)
+    ]
+    d = _mini(
+        spark,
+        tmp_path,
+        orders=(
+            rows,
+            "o_orderkey long, o_custkey long, o_orderstatus string,"
+            " o_totalprice double, o_orderdate string,"
+            " o_orderpriority string",
+        ),
+    )
+    out = CATALOG["weekly_decomposition_profile"].fn(spark, d).collect()
+    assert len(out) == 7
+    for r in out:
+        assert r.seasonal_cents == 0
+        assert r.mean_abs_resid_cents == 0
+
+
+def test_markov_entropy_deterministic_chain_zero(spark, tmp_path):
+    from datetime import datetime, timedelta
+
+    # A->B->A->B...: every transition certain -> entropy rate 0
+    ev = [
+        (i, datetime(1995, 1, 1) + timedelta(minutes=i), 1,
+         "AB"[i % 2], 1.0, "{}")
+        for i in range(10)
+    ]
+    d = _mini(
+        spark,
+        tmp_path,
+        events=(
+            ev,
+            "event_id long, ts timestamp_ntz, user_id long,"
+            " event_type string, value double, props string",
+        ),
+    )
+    r = CATALOG["markov_entropy_rate"].fn(spark, d).collect()[0]
+    assert r.n_transitions == 9
+    assert r.n_edges == 2
+    assert r.entropy_rate_micro == 0
+
+
+def test_growth_accounting_conservation(spark, tmp_path):
+    # user 1 weeks {0,1,3}; user 2 weeks {1}; epoch week 0 starts
+    # 1970-01-01
+    days = [(1, 0), (1, 8), (1, 22), (2, 8)]
+    from datetime import datetime, timedelta
+
+    ev = [
+        (i, datetime(1970, 1, 1) + timedelta(days=dd), u, "view", 1.0, "{}")
+        for i, (u, dd) in enumerate(days)
+    ]
+    d = _mini(
+        spark,
+        tmp_path,
+        events=(
+            ev,
+            "event_id long, ts timestamp_ntz, user_id long,"
+            " event_type string, value double, props string",
+        ),
+    )
+    out = {
+        r.week: r
+        for r in CATALOG["growth_accounting_weekly"].fn(spark, d).collect()
+    }
+    assert out[0].n_new == 1 and out[0].n_active == 1
+    assert (out[1].n_new, out[1].n_retained, out[1].n_active) == (1, 1, 2)
+    assert (out[3].n_resurrected, out[3].n_active) == (1, 1)
+    # conservation: churned(3) = active(... lag over week series is
+    # week 1 (the previous emitted row) -> 2 active, 0 retained in w3
+    assert out[3].n_churned_from_prev == 2
