@@ -1344,3 +1344,31 @@ def test_unimax_waterfills_on_bounded_lang_table(spark, sf_dir):
     plan = plan_of(q("unimax_language_budgets", spark, sf_dir))
     assert "CartesianProduct" not in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_revenue_recognition_no_cartesian(spark, sf_dir):
+    """The month explode is sequence()-driven — bounded per order, no
+    cartesian, orders⋈lineitem stays an equi-join."""
+    plan = plan_of(q("revenue_recognition_schedule", spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_decile_migration_windows_keyed_by_half(spark, sf_dir):
+    plan = plan_of(q("decile_migration_matrix", spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_growth_accounting_single_distinct_then_windows(spark, sf_dir):
+    plan = plan_of(q("growth_accounting_weekly", spark, sf_dir))
+    assert "CartesianProduct" not in plan
+
+
+def test_open_orders_depth_no_interval_stab_join(spark, sf_dir):
+    """Sweep-line formulation: the plan must contain NO theta-join
+    (the O(n·days) interval-stabbing alternative would be a nested-loop
+    over a non-equi condition)."""
+    plan = plan_of(q("open_orders_depth_profile", spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
