@@ -286,3 +286,136 @@ def test_spearman_matches_rank_model(spark, cust):
         assert r.tie_y == ties(ys)
     finally:
         shutil.rmtree(d, ignore_errors=True)
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(1, 10**6),  # cents
+            st.integers(0, 11),     # order month offset
+            st.integers(0, 14),     # ship month offset (may precede!)
+        ),
+        min_size=1,
+        max_size=12,
+    )
+)
+def test_revenue_recognition_conserves_every_order(spark, orders):
+    rows, li = [], []
+    for i, (cents, om, sm) in enumerate(orders):
+        rows.append(
+            (
+                i,
+                1,
+                "O",
+                cents / 100.0,
+                f"1995-{om + 1:02d}-15",
+                "1-URGENT",
+            )
+        )
+        li.append(
+            (
+                i,
+                1,
+                1,
+                1,
+                1.0,
+                1.0,
+                0.0,
+                0.0,
+                "N",
+                "O",
+                f"{1995 + sm // 12}-{sm % 12 + 1:02d}-10",
+            )
+        )
+    d = _warehouse(
+        spark,
+        orders=(
+            rows,
+            "o_orderkey long, o_custkey long, o_orderstatus string,"
+            " o_totalprice double, o_orderdate string,"
+            " o_orderpriority string",
+        ),
+        lineitem=(
+            li,
+            "l_orderkey long, l_partkey long, l_suppkey long,"
+            " l_linenumber int, l_quantity double, l_extendedprice double,"
+            " l_discount double, l_tax double, l_returnflag string,"
+            " l_linestatus string, l_shipdate string",
+        ),
+    )
+    try:
+        out = CATALOG["revenue_recognition_schedule"].fn(spark, d).collect()
+        # cents never appear or vanish: the schedule sums to the exact
+        # total across all months, whatever the interval shapes
+        assert sum(r.recognized_cents for r in out) == sum(
+            c for c, _, _ in orders
+        )
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 30), st.integers(0, 12)),  # (start, len)
+        min_size=1,
+        max_size=15,
+    )
+)
+def test_open_orders_depth_returns_to_zero(spark, ivs):
+    rows, li = [], []
+    for i, (s, length) in enumerate(ivs):
+        rows.append(
+            (
+                i,
+                1,
+                "O",
+                1.0,
+                (datetime(1970, 1, 1) + timedelta(days=s)).strftime(
+                    "%Y-%m-%d"
+                ),
+                "1-URGENT",
+            )
+        )
+        li.append(
+            (
+                i,
+                1,
+                1,
+                1,
+                1.0,
+                1.0,
+                0.0,
+                0.0,
+                "N",
+                "O",
+                (
+                    datetime(1970, 1, 1) + timedelta(days=s + length)
+                ).strftime("%Y-%m-%d"),
+            )
+        )
+    d = _warehouse(
+        spark,
+        orders=(rows, _ORDER_SCHEMA),
+        lineitem=(
+            li,
+            "l_orderkey long, l_partkey long, l_suppkey long,"
+            " l_linenumber int, l_quantity double, l_extendedprice double,"
+            " l_discount double, l_tax double, l_returnflag string,"
+            " l_linestatus string, l_shipdate string",
+        ),
+    )
+    try:
+        out = sorted(
+            CATALOG["open_orders_depth_profile"].fn(spark, d).collect(),
+            key=lambda r: r.day,
+        )
+        # sweep-line bookkeeping: depth never negative, every interval
+        # both opens and closes, final depth is exactly zero
+        assert all(r.depth >= 0 for r in out)
+        assert out[-1].depth == 0
+        assert sum(r.n_starts for r in out) == len(ivs)
+        assert sum(r.n_ends for r in out) == len(ivs)
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
