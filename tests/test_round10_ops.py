@@ -983,3 +983,51 @@ def test_growth_accounting_conservation(spark, tmp_path):
     # conservation: churned(3) = active(... lag over week series is
     # week 1 (the previous emitted row) -> 2 active, 0 retained in w3
     assert out[3].n_churned_from_prev == 2
+
+
+# ---------------------------------------------------------------------------
+# batch H (plans/extended_r10h.py): Z-order model vs real storage
+# ---------------------------------------------------------------------------
+
+
+def test_zorder_model_matches_real_txlog_skipping(spark, sf_dir, tmp_path):
+    """Build a REAL commit-log table appended one-file-per-Z-bucket and
+    assert the storage layer's zonemap pruning keeps EXACTLY the file
+    count the model predicts for the same 2-D box — the model is not a
+    cartoon, it is the planner for the physical layout."""
+    from politicamente_etl_spark.plans.extended_r10h import zorder_prep
+    from politicamente_etl_spark.sources.txlog import TxLogTable
+
+    coded = zorder_prep(spark, sf_dir).localCheckpoint()
+    box = coded.select("lo_ck", "hi_ck", "lo_d", "hi_d").first()
+    zfiles = sorted(r.zfile for r in coded.select("zfile").distinct().collect())
+    first, *rest = zfiles
+    t = TxLogTable.create(
+        spark,
+        str(tmp_path / "zt"),
+        coded.filter(F.col("zfile") == first)
+        .select("o_orderkey", "o_custkey", "day")
+        .coalesce(1),
+    )
+    for zf in rest:
+        t.append(
+            coded.filter(F.col("zfile") == zf)
+            .select("o_orderkey", "o_custkey", "day")
+            .coalesce(1)
+        )
+    preds = {
+        "o_custkey": (box.lo_ck, box.hi_ck),
+        "day": (box.lo_d, box.hi_d),
+    }
+    kept, total = t.scan_files(preds)
+    model = {
+        r.layout: r
+        for r in CATALOG["zorder_skipping_model"].fn(spark, sf_dir).collect()
+    }
+    assert total == model["zorder"].n_files
+    assert len(kept) == model["zorder"].files_kept
+    # pruning is invisible to semantics: the scan equals the plain filter
+    got = t.scan(preds).count()
+    assert got == model["zorder"].n_rows_match
+    # and the 2-D layout strictly beats the single-column one here
+    assert model["zorder"].files_kept < model["linear"].files_kept
