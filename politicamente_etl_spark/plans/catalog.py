@@ -554,3 +554,4 @@ from politicamente_etl_spark.plans import extended_r10e as _extended_r10e  # noq
 from politicamente_etl_spark.plans import extended_r10f as _extended_r10f  # noqa: E402,F401
 from politicamente_etl_spark.plans import extended_r10g as _extended_r10g  # noqa: E402,F401
 from politicamente_etl_spark.plans import extended_r10h as _extended_r10h  # noqa: E402,F401
+from politicamente_etl_spark.plans import extended_r10i as _extended_r10i  # noqa: E402,F401

@@ -1031,3 +1031,27 @@ def test_zorder_model_matches_real_txlog_skipping(spark, sf_dir, tmp_path):
     assert got == model["zorder"].n_rows_match
     # and the 2-D layout strictly beats the single-column one here
     assert model["zorder"].files_kept < model["linear"].files_kept
+
+
+def test_srm_balanced_split_no_flag(spark, tmp_path):
+    # a deliberately biased "assignment" can't happen with md5 on ids;
+    # check the math on a tiny known universe instead
+    ev = [
+        (i, "1995-01-01 00:00:00", u, "view", 1.0, "{}")
+        for i, u in enumerate(range(1, 201))
+    ]
+    d = _mini(
+        spark,
+        tmp_path,
+        events=(
+            ev,
+            "event_id long, ts string, user_id long, event_type string,"
+            " value double, props string",
+        ),
+    )
+    r = CATALOG["ab_srm_check"].fn(spark, d).collect()[0]
+    assert r.n_arm0 + r.n_arm1 == 200
+    diff = r.n_arm0 - r.n_arm1
+    assert r.chi2_micro == diff * diff * MICRO // 200
+    # md5 on sequential ids splits near-evenly: far below the 3.84 cut
+    assert r.srm_flag == 0
