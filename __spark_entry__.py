@@ -34,7 +34,8 @@ from politicamente_etl_spark.plans.catalog import CATALOG
 # CORRECTNESS_r03.json (all 50 rows hash-match, incl. the re-checked
 # json_props_map_explode after the HUGEINT oracle fix) ∪
 # CORRECTNESS_r04.json (all 50 rows hash-match: 47 first-time queries +
-# 3 refactor re-checks).
+# 3 refactor re-checks) ∪ CORRECTNESS_r05.json (all 50 rows hash-match,
+# all first-time checks).
 VERIFIED: frozenset[str] = frozenset(
     {
         # --- round 1 ---
@@ -232,30 +233,108 @@ VERIFIED: frozenset[str] = frozenset(
         "user_activity_streaks",
         "waiting_supplier_audit",
         "weighted_median_freight",
+        # --- round 5 ---
+        "basket_lift_pairs",
+        "basket_lift_pairs_rel",
+        "copurchase_triangles",
+        "copurchase_communities",
+        "pareto_frontier_orders",
+        "event_sequence_regex",
+        "session_bounce_rate",
+        "conversion_latency_histogram",
+        "ewma_user_value",
+        "theil_sen_revenue_trend",
+        "hist2d_price_quantity",
+        "orders_dow_seasonality",
+        "customer_status_runs",
+        "embedding_dim_variance_rank",
+        "streaming_cdc_changelog",
+        "top_tokens_per_source",
+        "txlog_merge_report",
+        "txlog_time_travel_counts",
+        "bloom_prefiltered_join",
+        "copurchase_pagerank",
+        "streaming_txlog_exactly_once",
+        "per_source_doc_cap",
+        "txlog_zonemap_scan",
+        "txlog_cdf_changes",
+        "ivf_pq_topk",
+        "blocklist_filter_report",
+        "hard_negative_mining",
+        "personalized_pagerank_parts",
+        "zipf_octave_profile",
+        "pit_training_features",
+        "except_all_net_shipments",
+        "weighted_median_udaf",
+        "streaming_txlog_source_tail",
+        "cms_heavy_hitters",
+        "txlog_restore_report",
+        "streaming_lakehouse_roundtrip",
+        "dedup_savings_report",
+        "provenance_commit_rollup",
+        "txlog_optimize_invariance",
+        "bm25_topk_docs",
+        "dup_ngram_costing",
+        "epoch_shuffle_shards",
+        "hashed_classifier_gate",
+        "token_budget_selection",
+        "mmr_diverse_topk",
+        "ndcg_ann_eval",
+        "hll_register_merge",
+        "daily_revenue_autocorr",
+        "k_anonymity_report",
+        "kcore_peeling_rounds",
     }
 )
 
 # Verified queries whose operator implementation changed THIS round —
 # parked status is 'verified AND untouched since'; these stay in the front
 # window one more round so a refactor regression gets a driver row
-# (ADVICE.md r2, last item). Round-5 refactors: none of the verified
-# operators' code paths changed (basket_lift_pairs and
-# streaming_cdc_changelog were reworked per VERDICT r4, but neither has a
-# driver-green row yet — both sit in the front window by default).
+# (ADVICE.md r2, last item). Round-6 refactors: none of the VERIFIED
+# queries' operator code changed. (VERDICT r5 item 2 named
+# "event_sequence_regex", but the |types|^3 grid it points at —
+# operators/stats.py seq_pattern_support — backs the catalog query
+# `seq_pattern_support`, which is still UNVERIFIED and sits in the r6
+# front window by default, so the guard gets its driver row there;
+# event_sequence_regex's regexp_count operator is untouched.)
 REFACTORED_THIS_ROUND: frozenset[str] = frozenset()
+
+# Queries that jump the oldest-first catalog queue for the next driver
+# window: (a) round-5 post-sim registrations — parity_check + unit tests
+# only, no sim coverage (VERDICT r5 item 3); (b) round-6 queries whose
+# green row is an explicit VERDICT r5 deliverable (item 6: the Z-order
+# write-path == model certification).
+NEVER_SIM_CHECKED: tuple[str, ...] = (
+    "zorder_skipping_model",
+    "ab_srm_check",
+    "weekly_decomposition_profile",
+    "markov_entropy_rate",
+    "growth_accounting_weekly",
+    "txlog_zorder_storage_report",
+)
 
 
 def _ordered_names() -> list[str]:
     """Never-verified + refactored-this-round first (catalog order
-    preserved within each group), then never-verified rows-only entries
-    (sql=None — a driver row is only a weak rows-count check, so they
-    must not consume an oracle-bearing window slot while the parity
-    queue drains; VERDICT r4 #6), then the parked verified queries."""
-    front = [
+    preserved within each group, except the never-sim-checked entries,
+    which lead the front group — weakest verification signal goes
+    first), then never-verified rows-only entries (sql=None — a driver
+    row is only a weak rows-count check, so they must not consume an
+    oracle-bearing window slot while the parity queue drains; VERDICT
+    r4 #6), then the parked verified queries."""
+    lead = [
+        n
+        for n in NEVER_SIM_CHECKED
+        if n in CATALOG and n not in VERIFIED
+    ]
+    front = lead + [
         n
         for n in CATALOG
-        if (n not in VERIFIED and CATALOG[n].sql is not None)
-        or n in REFACTORED_THIS_ROUND
+        if n not in lead
+        and (
+            (n not in VERIFIED and CATALOG[n].sql is not None)
+            or n in REFACTORED_THIS_ROUND
+        )
     ]
     rows_only = [
         n

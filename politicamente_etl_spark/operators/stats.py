@@ -643,6 +643,7 @@ def seq_pattern_support(
     id_col: str = "event_id",
     max_len: int = 3,
     session_days: bool = True,
+    max_types: int = 64,
 ) -> DataFrame:
     """Sequential-pattern support (the counting core of GSP/PrefixSpan,
     Srikant & Agrawal 1996): for every ordered pattern of event types up
@@ -663,10 +664,22 @@ def seq_pattern_support(
 
     Scale shape: one shuffle builds per-user sequences (groupBy user;
     per-user arrays bounded by activity). The pattern table is
-    |types|^2 + |types|^3 rows — bounded by construction — so it
-    BROADCASTS onto the user rows; matching is map-side and the final
-    rollup shuffles |patterns| partial counts. n_sequences_total rides
-    along for read-time support ratios.
+    |types| + |types|^2 + |types|^3 rows, which is only broadcastable
+    while |types| is small — so the type domain is CAPPED at the
+    `max_types` most frequent event types (ties broken by type name,
+    deterministic). At the default K=64 the grid tops out at
+    64+64²+64³ ≈ 266k short strings (~a few MB broadcast); an
+    unguarded realistic taxonomy (|types| ≈ 10³) would otherwise
+    build a 10⁹-row grid and OOM the broadcast — the same
+    documented-contract cap as the clustering-coefficient degree-64
+    wedge guard. Patterns are scored against FULL sequences (rare
+    types still appear inside `seq`; they just don't mint candidate
+    patterns). The frequency top-K itself is one partial-aggregated
+    groupBy over the type column followed by a driver-side TopK —
+    |types| rows, never the event table. Matching is map-side
+    (broadcast grid) and the final rollup shuffles |patterns| partial
+    counts. n_sequences_total rides along for read-time support
+    ratios.
 
     Returns (pattern, plen, n_support, n_sequences_total).
     """
@@ -692,7 +705,13 @@ def seq_pattern_support(
             ).alias("seq")
         )
     )
-    types = events.select(F.col(type_col).alias("t1")).distinct()
+    types = (
+        events.groupBy(F.col(type_col).alias("t1"))
+        .agg(F.count("*").alias("__n"))
+        .orderBy(F.col("__n").desc(), "t1")
+        .limit(max_types)
+        .select("t1")
+    )
     pats = types.select(F.col("t1").alias("pattern"))
     if max_len >= 2:
         p2 = (

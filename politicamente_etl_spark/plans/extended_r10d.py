@@ -47,6 +47,8 @@ def _register():
                    AS fired_checksum
         FROM seq GROUP BY event_type
         """,
+        bench=True,  # r6 headline: the stateful-streaming layer
+        # (applyInPandasWithState TTL state) the bench couldn't see
         tags=("ext-stream", "ext-events"),
     )
     def q_streaming_alert_ttl(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -208,6 +208,8 @@ def _register2():
         ORDER BY rank_micromass DESC, part
         LIMIT 20
         """,
+        bench=True,  # r6 headline: the iterative-graph layer the
+        # bench couldn't see (per-round equi-join + agg to convergence)
         tags=("ext-rel", "ext-graph"),
     )
     def q_copurchase_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:

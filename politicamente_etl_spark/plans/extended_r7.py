@@ -458,7 +458,14 @@ def _register_batch3():
                    string_agg(event_type, ' '
                        ORDER BY epoch_us(ts), event_id) AS seq
             FROM events GROUP BY user_id, epoch_us(ts) // 86400000000
-        ), types AS (SELECT DISTINCT event_type AS t FROM events),
+        ), types AS (
+            -- top-K frequent types (K=64, ties by name) mirrors the
+            -- operator's max_types broadcast guard; inert at test scale
+            -- (|types| ~ 5) but load-bearing at a 10^3 taxonomy.
+            SELECT event_type AS t FROM events
+            GROUP BY event_type
+            ORDER BY COUNT(*) DESC, event_type LIMIT 64
+        ),
         pats AS (
             SELECT t AS pattern FROM types
             UNION ALL
@@ -488,8 +495,9 @@ def _register_batch3():
         of every 1-3-long event-type pattern across per-user ordered
         (user, day) session sequences — greedy remaining-pattern string
         fold (Spark aggregate == DuckDB list_reduce with the
-        list_prepend init trick), bounded pattern table broadcast
-        onto sessions."""
+        list_prepend init trick). Pattern table capped at the top-64
+        most frequent types (max_types guard, VERDICT r5 item 2) so
+        the broadcast grid stays ≤ ~266k rows at ANY taxonomy size."""
         ev = load_events(spark, sf_dir)
         return stats.seq_pattern_support(ev)
 

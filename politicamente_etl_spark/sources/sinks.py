@@ -343,3 +343,87 @@ def write_zordered(
         .write.mode("overwrite")
         .parquet(path)
     )
+
+def write_zordered_txlog(
+    spark,
+    path: str,
+    df: DataFrame,
+    cols: list[str],
+    bits: int = 4,
+    n_files: int = 16,
+):
+    """Z-order-clustered COMMIT-LOG table: the write_zordered layout
+    committed through sources/txlog.py, so every data file carries a
+    manifest zonemap over ALL clustered columns and `scan()`/
+    `scan_files()` prune multi-dimensional box predicates — the
+    storage half of the `zorder_skipping_model` planner (Delta's
+    OPTIMIZE ZORDER BY, as plain DataFrame algebra + the OCC log).
+
+    Unlike write_zordered's repartitionByRange (whose sampled range
+    boundaries are not run-reproducible), clustering here is EXACT
+    integer bucket math so the resulting file set is deterministic and
+    SQL-mirrorable: each cluster column (must be integral) bucketizes
+    to `bits` bits against its global min/max via
+    ``(c - min) * 2^bits DIV (max - min + 1)``, buckets interleave
+    into a Morton code, and the code range splits into `n_files`
+    contiguous Z-buckets — one data file per non-empty bucket. Files
+    are committed per-bucket (create + appends); a production rewrite
+    would stage all buckets in one OPTIMIZE commit, but the pruning
+    contract is identical — zonemaps are per FILE, not per commit.
+
+    Scale shape: one tiny min/max agg broadcast back, one map-side
+    Morton expression, one distinct over ≤ n_files bucket ids
+    (driver-bounded), and one write per bucket that scans only that
+    bucket's partition slice. Returns the TxLogTable.
+    """
+    from politicamente_etl_spark.sources.txlog import TxLogTable
+
+    top = (1 << bits) - 1
+    aggs = []
+    for c in cols:
+        aggs += [F.min(c).alias(f"__min_{c}"), F.max(c).alias(f"__max_{c}")]
+    bounds = df.agg(*aggs)
+    w = df.crossJoin(F.broadcast(bounds))
+    for c in cols:
+        w = w.withColumn(
+            f"__b_{c}",
+            F.least(
+                F.lit(top).cast("bigint"),
+                F.expr(
+                    f"(CAST({c} AS BIGINT) - __min_{c}) * {1 << bits}"
+                    f" DIV (CAST(__max_{c} AS BIGINT) - __min_{c} + 1)"
+                ),
+            ),
+        )
+    w = w.drop(*[f"__min_{c}" for c in cols], *[f"__max_{c}" for c in cols])
+    one = F.lit(1).cast("bigint")
+    z = F.lit(0).cast("bigint")
+    for bit in range(bits - 1, -1, -1):
+        for c in cols:
+            z = F.shiftleft(z, 1).bitwiseOR(
+                F.shiftright(F.col(f"__b_{c}"), bit)
+                .cast("bigint")
+                .bitwiseAND(one)
+            )
+    codes = 1 << (bits * len(cols))
+    if codes % n_files:
+        raise ValueError(
+            f"n_files={n_files} must divide 2^(bits*len(cols))={codes}"
+        )
+    w = (
+        w.withColumn("__z", z)
+        .withColumn(
+            "__zfile", F.expr(f"__z DIV {codes // n_files}").cast("bigint")
+        )
+        .drop("__z", *[f"__b_{c}" for c in cols])
+        .localCheckpoint()
+    )
+    zvals = sorted(r[0] for r in w.select("__zfile").distinct().collect())
+    t = None
+    for zv in zvals:
+        part = w.filter(F.col("__zfile") == zv).drop("__zfile").coalesce(1)
+        if t is None:
+            t = TxLogTable.create(spark, path, part)
+        else:
+            t.append(part)
+    return t

@@ -11,6 +11,7 @@ from politicamente_etl_spark.plans.catalog import CATALOG
 from politicamente_etl_spark.testing import run_parity
 
 
+@pytest.mark.slow  # sim-covered: tests/driver_sim.py runs this sweep
 @pytest.mark.parametrize("name", sorted(CATALOG))
 def test_oracle_parity(name: str, spark, sf_dir: str):
     problems = run_parity(name, spark, sf_dir)

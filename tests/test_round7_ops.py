@@ -360,6 +360,48 @@ def test_seq_pattern_greedy_fold_is_subsequence_containment(spark):
     assert out["click click click"] == (0, 2)
 
 
+def test_seq_pattern_max_types_caps_grid_not_sequences(spark):
+    """VERDICT r5 item 2: the candidate grid is built from the top-K
+    most frequent types only (K+K^2+K^3 rows, flat in the taxonomy
+    size), while rare types still participate in the SEQUENCES being
+    scored — they just don't mint patterns."""
+    from politicamente_etl_spark.operators.stats import seq_pattern_support
+
+    t0 = dt.datetime(2024, 5, 1)
+    rows = []
+    eid = 0
+    # user 1, one day: click rare1 purchase click rare2 purchase
+    for et in ["click", "rare1", "purchase", "click", "rare2", "purchase"]:
+        rows.append((eid, t0 + dt.timedelta(minutes=eid), 1, et, 1.0, "{}"))
+        eid += 1
+    # user 2, one day: click purchase (frequent types only)
+    for et in ["click", "purchase"]:
+        rows.append((eid, t0 + dt.timedelta(minutes=eid), 2, et, 1.0, "{}"))
+        eid += 1
+    events = spark.createDataFrame(
+        rows, ["event_id", "ts", "user_id", "event_type", "value", "props"]
+    )
+    out = {
+        r["pattern"]: r["n_support"]
+        for r in seq_pattern_support(events, max_types=2).collect()
+    }
+    # grid is exactly K + K^2 + K^3 for K=2 (click/purchase are the top-2
+    # by frequency; rare1/rare2 are singletons and out-ranked)
+    assert len(out) == 2 + 4 + 8
+    assert all(
+        set(p.split(" ")) <= {"click", "purchase"} for p in out
+    ), sorted(out)
+    # rare types still live inside user 1's sequence: the subsequence
+    # 'click purchase click purchase' only exists because matching runs
+    # over the FULL sequence, rare events included
+    assert out["click purchase click"] == 1
+    assert out["click purchase"] == 2
+    # tie-break determinism: widen K past the taxonomy — grid covers all
+    # 4 types and equals T + T^2 + T^3
+    full = seq_pattern_support(events, max_types=64)
+    assert full.count() == 4 + 16 + 64
+
+
 def test_mstep_counts_cover_every_char_and_match_model(spark):
     from politicamente_etl_spark.operators.text import (
         unigram_viterbi_mstep_counts,
