@@ -556,3 +556,4 @@ from politicamente_etl_spark.plans import extended_r10g as _extended_r10g  # noq
 from politicamente_etl_spark.plans import extended_r10h as _extended_r10h  # noqa: E402,F401
 from politicamente_etl_spark.plans import extended_r10i as _extended_r10i  # noqa: E402,F401
 from politicamente_etl_spark.plans import extended_r11 as _extended_r11  # noqa: E402,F401
+from politicamente_etl_spark.plans import extended_r11b as _extended_r11b  # noqa: E402,F401

@@ -70,3 +70,67 @@ def test_zorder_storage_report_matches_model_query(spark, sf_dir):
     assert storage.files_kept == model.files_kept
     assert storage.rows_in_kept_files == model.rows_in_kept_files
     assert storage.n_rows_match == model.n_rows_match
+
+
+# ---------------------------------------------------------------------------
+# batch B (plans/extended_r11b.py)
+# ---------------------------------------------------------------------------
+
+
+def test_partition_pruning_reaches_the_scan(spark, tmp_path):
+    """The range filter on the partition column must surface as a
+    PartitionFilters entry on the parquet scan — out-of-range day
+    directories are never listed, the O(partitions)-metadata contract
+    the driver query's measured numbers rely on."""
+    import contextlib
+    import io
+
+    df = spark.range(300).select(
+        F.col("id").alias("event_id"), (F.col("id") % 10).alias("pday")
+    )
+    path = str(tmp_path / "pp")
+    df.repartition("pday").write.partitionBy("pday").parquet(path)
+    rdf = spark.read.parquet(path).filter(F.col("pday").between(3, 5))
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        rdf.explain("formatted")
+    plan = buf.getvalue()
+    assert "PartitionFilters" in plan
+    pf = plan.split("PartitionFilters", 1)[1].split("]", 1)[0]
+    assert "pday" in pf
+    # layout invariant the driver query counts on: one file per day dir
+    got = {r[0] for r in rdf.select(F.input_file_name()).distinct().collect()}
+    assert len(got) == 3
+
+
+def test_linkage_fs_weights_expected_rates(spark, sf_dir):
+    """m/u come out at the rates the deterministic dirtying implies:
+    name m = P(custkey%5!=0) exactly, name u = 0 (names unique),
+    segment u is LARGE (5-value field)."""
+    rows = {r.field: r for r in CATALOG["linkage_fs_weights"].fn(spark, sf_dir).collect()}
+    assert set(rows) == {"name_exact", "name_suffix3", "segment"}
+    nm = rows["name_exact"]
+    # every block pair is counted once; matches = one per customer
+    assert nm.n_match > 0 and nm.n_unmatch > nm.n_match
+    # m_name = 1 - |%5==0| / n exactly, in ppm (floor)
+    n = nm.n_match
+    n_perturbed = sum(1 for k in range(1, n + 1) if k % 5 == 0)
+    assert nm.m_ppm == (n - n_perturbed) * 1_000_000 // n
+    assert nm.u_ppm == 0  # exact full names never collide across keys
+    sfx = rows["name_suffix3"]
+    assert sfx.u_ppm > 0  # 3-char suffix collides across keys...
+    assert sfx.u_ppm < 50_000  # ...but rarely (fuzzy key, small u)
+    seg = rows["segment"]
+    assert seg.u_ppm > 100_000  # low-cardinality field: huge u
+    assert seg.m_ppm < nm.m_ppm  # %3 wipe beats %5 truncation
+
+
+def test_orc_roundtrip_preserves_schema_and_rows(spark, tmp_path):
+    df = spark.createDataFrame(
+        [(1, "a", 1.5), (2, "b", -2.25)], "k long, s string, v double"
+    )
+    path = str(tmp_path / "orc")
+    df.write.orc(path)
+    back = spark.read.orc(path)
+    assert back.schema == df.schema
+    assert sorted(back.collect()) == sorted(df.collect())
