@@ -1057,3 +1057,62 @@ def containment_pairs(
             >= threshold_ppm
         )
     )
+
+def eval_ngram_contamination(
+    df: DataFrame,
+    n: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    group_col: str = "source",
+    eval_mod: int = 97,
+) -> DataFrame:
+    """Benchmark decontamination (the GPT-3 appendix-C pass, Brown et
+    al. 2020: drop training documents sharing long n-grams with the
+    eval set): every training doc is scored by how many of its DISTINCT
+    token n-grams also appear anywhere in the eval set. Here the eval
+    set is the deterministic `id % eval_mod == 0` slice (the stand-in
+    for a benchmark table; production passes its own eval relation —
+    the plan is identical). Returns contaminated docs only
+    (doc, group, n_grams, n_hit, contamination_ppm), the drop/review
+    list a decontamination gate consumes.
+
+    Scale shape: distinct per-doc grams are map-side (array_distinct
+    before explode, no shuffle); the eval gram set is DISTINCT grams of
+    the eval slice only — benchmarks are tiny relative to the corpus,
+    so it BROADCASTS and the contamination check is a map-side hash
+    probe on every train gram; one final groupBy(doc) rollup. The
+    corpus-sized gram stream is never shuffled on the gram itself —
+    compare duplicated_ngram_costing, whose all-pairs question forces
+    the (gram, source) exchange. If the eval set outgrows the broadcast
+    threshold, AQE degrades the semi-join to a shuffle join and the
+    plan stays correct."""
+    grams = df.select(
+        F.col(id_col).alias("__id"),
+        F.col(group_col).alias("__grp"),
+        (F.col(id_col) % eval_mod == 0).alias("__is_eval"),
+        F.explode(
+            F.array_distinct(shingles_regex(text_col, n))
+        ).alias("g"),
+    )
+    eval_grams = (
+        grams.filter(F.col("__is_eval"))
+        .select("g")
+        .distinct()
+        .withColumn("__hit", F.lit(1))
+    )
+    return (
+        grams.filter(~F.col("__is_eval"))
+        .join(F.broadcast(eval_grams), "g", "left")
+        .groupBy(F.col("__id").alias(id_col), F.col("__grp").alias(group_col))
+        .agg(
+            F.count("*").cast("long").alias("n_grams"),
+            F.sum(F.coalesce(F.col("__hit"), F.lit(0)))
+            .cast("long")
+            .alias("n_hit"),
+        )
+        .filter(F.col("n_hit") > 0)
+        .withColumn(
+            "contamination_ppm",
+            F.expr("(n_hit * 1000000) div n_grams").cast("long"),
+        )
+    )

@@ -134,3 +134,34 @@ def test_orc_roundtrip_preserves_schema_and_rows(spark, tmp_path):
     back = spark.read.orc(path)
     assert back.schema == df.schema
     assert sorted(back.collect()) == sorted(df.collect())
+
+
+# ---------------------------------------------------------------------------
+# batch C (plans/extended_r11c.py): benchmark decontamination
+# ---------------------------------------------------------------------------
+
+
+def test_eval_ngram_contamination_flags_exact_overlap(spark):
+    from politicamente_etl_spark.operators.dedup import (
+        eval_ngram_contamination,
+    )
+
+    rows = [
+        # doc 97 is EVAL (97 % 97 == 0)
+        (97, "bench", "alpha beta gamma delta epsilon zeta"),
+        # doc 1 shares the 4-gram 'beta gamma delta epsilon' -> flagged
+        (1, "web", "xx beta gamma delta epsilon yy zz"),
+        # doc 2 shares nothing -> absent
+        (2, "web", "one two three four five six seven"),
+        # doc 3 too short for any 4-gram -> absent
+        (3, "web", "just three tokens"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    out = {r.doc_id: r for r in eval_ngram_contamination(docs, n=4).collect()}
+    assert set(out) == {1}
+    r = out[1]
+    # doc 1 has 4 distinct 4-grams; exactly 1 hits the eval set
+    assert (r.n_grams, r.n_hit) == (4, 1)
+    assert r.contamination_ppm == 1_000_000 // 4
+    # eval docs are never scored, even self-contaminated ones
+    assert 97 not in out
