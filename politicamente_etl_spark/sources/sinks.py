@@ -366,15 +366,15 @@ def write_zordered_txlog(
     to `bits` bits against its global min/max via
     ``(c - min) * 2^bits DIV (max - min + 1)``, buckets interleave
     into a Morton code, and the code range splits into `n_files`
-    contiguous Z-buckets — one data file per non-empty bucket. Files
-    are committed per-bucket (create + appends); a production rewrite
-    would stage all buckets in one OPTIMIZE commit, but the pruning
-    contract is identical — zonemaps are per FILE, not per commit.
+    contiguous Z-buckets — one data file per non-empty bucket, staged
+    in ONE write job and linked by ONE commit (create's
+    cluster_file_col path: repartition(bucket) + partitionBy(bucket)
+    puts each bucket in exactly one task and splits that task's output
+    per bucket — the OPTIMIZE-style all-buckets-one-commit rewrite).
 
     Scale shape: one tiny min/max agg broadcast back, one map-side
-    Morton expression, one distinct over ≤ n_files bucket ids
-    (driver-bounded), and one write per bucket that scans only that
-    bucket's partition slice. Returns the TxLogTable.
+    Morton expression, one bucket-keyed shuffle, one write job.
+    Returns the TxLogTable.
     """
     from politicamente_etl_spark.sources.txlog import TxLogTable
 
@@ -416,14 +416,5 @@ def write_zordered_txlog(
             "__zfile", F.expr(f"__z DIV {codes // n_files}").cast("bigint")
         )
         .drop("__z", *[f"__b_{c}" for c in cols])
-        .localCheckpoint()
     )
-    zvals = sorted(r[0] for r in w.select("__zfile").distinct().collect())
-    t = None
-    for zv in zvals:
-        part = w.filter(F.col("__zfile") == zv).drop("__zfile").coalesce(1)
-        if t is None:
-            t = TxLogTable.create(spark, path, part)
-        else:
-            t.append(part)
-    return t
+    return TxLogTable.create(spark, path, w, cluster_file_col="__zfile")

@@ -141,20 +141,41 @@ class TxLogTable:
                     out[rel] = st
         return out
 
-    def _stage_write(self, df: DataFrame) -> tuple[str, list[str]]:
+    def _stage_write(
+        self, df: DataFrame, partition_col: str | None = None
+    ) -> tuple[str, list[str]]:
         """Write `df` to a fresh, unreferenced data directory; return the
         commit id and the relative file paths. Invisible until a manifest
-        links them in."""
+        links them in.
+
+        `partition_col`: stage ONE FILE PER DISTINCT VALUE of the column
+        in a single write job — `repartition(col)` puts each value in
+        exactly one task, `partitionBy(col)` splits that task's output
+        per value — giving a deterministic clustered file layout (each
+        file's zonemap spans exactly one cluster value) without N
+        sequential writes. The column itself is consumed by the layout
+        (it lives in directory names, not row data), matching the
+        file-clustering use where it is synthetic anyway."""
         commit_id = uuid.uuid4().hex[:12]
         rel_dir = os.path.join(_DATA_DIR, commit_id)
         abs_dir = os.path.join(self.path, rel_dir)
-        df.write.mode("errorifexists").parquet(abs_dir)
-        rels = [
-            os.path.join(rel_dir, f)
-            for f in sorted(os.listdir(abs_dir))
-            if f.endswith(".parquet")
-        ]
-        return commit_id, rels
+        if partition_col is None:
+            df.write.mode("errorifexists").parquet(abs_dir)
+        else:
+            (
+                df.repartition(partition_col)
+                .write.mode("errorifexists")
+                .partitionBy(partition_col)
+                .parquet(abs_dir)
+            )
+        rels = []
+        for root, _dirs, files in os.walk(abs_dir):
+            for f in files:
+                if f.endswith(".parquet"):
+                    rels.append(
+                        os.path.relpath(os.path.join(root, f), self.path)
+                    )
+        return commit_id, sorted(rels)
 
     def _file_stats(self, rels: list[str]) -> dict[str, dict[str, list]]:
         """Per-file min/max column stats lifted straight from the parquet
@@ -209,17 +230,30 @@ class TxLogTable:
     # -- write operations ---------------------------------------------------
 
     @classmethod
-    def create(cls, spark: SparkSession, path: str, df: DataFrame) -> "TxLogTable":
+    def create(
+        cls,
+        spark: SparkSession,
+        path: str,
+        df: DataFrame,
+        cluster_file_col: str | None = None,
+    ) -> "TxLogTable":
+        """`cluster_file_col`: stage one data file per distinct value of
+        the column (single write job; see _stage_write) — the clustered-
+        layout entry point write_zordered_txlog builds on. The column is
+        consumed by the layout and absent from the table's schema."""
         t = cls(spark, path)
         if t.latest_version():
             raise FileExistsError(f"txlog table already exists at {path}")
-        _, rels = t._stage_write(df)
+        _, rels = t._stage_write(df, partition_col=cluster_file_col)
+        schema_df = (
+            df.drop(cluster_file_col) if cluster_file_col is not None else df
+        )
         manifest = {
             "version": 1,
             "op": "create",
             "added": rels,
             "removed": [],
-            "schema": df.schema.jsonValue(),
+            "schema": schema_df.schema.jsonValue(),
             "stats": t._file_stats(rels),
         }
         if not t._try_commit(1, manifest):
