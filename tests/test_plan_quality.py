@@ -1372,3 +1372,20 @@ def test_open_orders_depth_no_interval_stab_join(spark, sf_dir):
     plan = plan_of(q("open_orders_depth_profile", spark, sf_dir))
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_linkage_blocked_join_no_cartesian(spark, sf_dir):
+    """Fellegi-Sunter candidate generation is ONE equi-join on the
+    blocking key; no all-pairs product may appear anywhere."""
+    plan = plan_of(q("linkage_fs_weights", spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_decontamination_eval_grams_broadcast(spark, sf_dir):
+    """The eval gram set (tiny by construction) must broadcast onto the
+    corpus gram stream — the corpus is never shuffled on the gram."""
+    plan = plan_of(q("eval_ngram_decontamination", spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
