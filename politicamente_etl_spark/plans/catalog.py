@@ -558,3 +558,4 @@ from politicamente_etl_spark.plans import extended_r10i as _extended_r10i  # noq
 from politicamente_etl_spark.plans import extended_r11 as _extended_r11  # noqa: E402,F401
 from politicamente_etl_spark.plans import extended_r11b as _extended_r11b  # noqa: E402,F401
 from politicamente_etl_spark.plans import extended_r11c as _extended_r11c  # noqa: E402,F401
+from politicamente_etl_spark.plans import extended_r11d as _extended_r11d  # noqa: E402,F401

@@ -165,3 +165,37 @@ def test_eval_ngram_contamination_flags_exact_overlap(spark):
     assert r.contamination_ppm == 1_000_000 // 4
     # eval docs are never scored, even self-contaminated ones
     assert 97 not in out
+
+
+# ---------------------------------------------------------------------------
+# batch D (plans/extended_r11d.py): keep-best canonical selection
+# ---------------------------------------------------------------------------
+
+
+def test_keep_best_picks_longest_and_flags_policy_delta(spark, sf_dir):
+    out = {
+        r.cluster_id: r
+        for r in CATALOG["canonical_keep_best_report"].fn(spark, sf_dir).collect()
+    }
+    assert out, "fixture corpus must contain multi-doc clusters"
+    docs = {
+        r.doc_id: len(r.text)
+        for r in spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select("doc_id", "text")
+        .collect()
+    }
+    clusters = {
+        r.doc_id: r.cluster_id
+        for r in CATALOG["near_dup_clusters"].fn(spark, sf_dir).collect()
+    }
+    for cid, r in out.items():
+        members = [d for d, c in clusters.items() if c == cid]
+        assert r.n_docs == len(members) >= 2
+        best = sorted(members, key=lambda d: (-docs[d], d))[0]
+        assert r.canonical_doc_id == best
+        assert r.canonical_chars == docs[best]
+        assert r.chars_dropped == sum(docs[d] for d in members if d != best)
+        assert r.differs_from_keep_first == (1 if best != cid else 0)
+    # the policy delta must be non-degenerate on the fixture corpus:
+    # keep-first (min id) and keep-best disagree somewhere
+    assert any(r.differs_from_keep_first for r in out.values())
