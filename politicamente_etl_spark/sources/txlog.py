@@ -60,6 +60,50 @@ from pyspark.sql import functions as F
 _LOG_DIR = "_txlog"
 _DATA_DIR = "data"
 
+# File-level Bloom filters (point-lookup pruning): two 32-bit lanes from
+# one md5 — positions are EXACT integer hex-prefix arithmetic so the
+# same math runs as Spark expressions (build), Python (probe), and
+# DuckDB SQL (oracle). Delta keeps its blooms in sidecar files; the
+# manifest-embedded form here bounds bloom size by construction
+# (n_bits/8 bytes per file per column) and rides the existing stats
+# fold. A file with no bloom for a column is conservatively read.
+_BLOOM_SEED = "bloom-v1"
+
+
+def _bloom_positions_py(col: str, value, n_bits: int) -> tuple[int, int]:
+    """Driver-side probe positions — must equal the Spark build
+    expressions in `_bloom_pos_cols` and the SQL in `sql_bloom_pos`."""
+    import hashlib
+
+    h = hashlib.md5(
+        f"{_BLOOM_SEED}:{col}:{value}".encode("utf-8")
+    ).hexdigest()
+    return int(h[0:8], 16) % n_bits, int(h[8:16], 16) % n_bits
+
+
+def _bloom_pos_cols(col: str, n_bits: int) -> tuple:
+    """Spark twin of `_bloom_positions_py` as two Column expressions."""
+    h = F.md5(
+        F.concat_ws(
+            ":", F.lit(_BLOOM_SEED), F.lit(col), F.col(col).cast("string")
+        )
+    )
+    p1 = F.conv(F.substring(h, 1, 8), 16, 10).cast("bigint") % n_bits
+    p2 = F.conv(F.substring(h, 9, 8), 16, 10).cast("bigint") % n_bits
+    return p1, p2
+
+
+def sql_bloom_pos(col: str, expr: str, n_bits: int) -> tuple[str, str]:
+    """DuckDB twin of `_bloom_positions_py` for oracle queries."""
+    h = (
+        f"md5(concat_ws(':', '{_BLOOM_SEED}', '{col}',"
+        f" CAST({expr} AS VARCHAR)))"
+    )
+    return (
+        f"(CAST(('0x' || substring({h}, 1, 8)) AS BIGINT) % {n_bits})",
+        f"(CAST(('0x' || substring({h}, 9, 8)) AS BIGINT) % {n_bits})",
+    )
+
 
 class CommitConflict(Exception):
     """Another writer committed the version this operation staged; the
@@ -140,6 +184,24 @@ class TxLogTable:
                 if rel in alive:
                     out[rel] = st
         return out
+
+    def _live_blooms(
+        self, version: int | None = None
+    ) -> tuple[int, dict[str, dict[str, list[int]]]]:
+        """(bloom_bits, per-file blooms) for the alive files at
+        `version` — same immutable-file fold as `_live_stats`. Files
+        with no bloom (plain appends, optimize rewrites) simply never
+        bloom-prune — the safe default."""
+        alive = set(self._live_files(version))
+        bits = 0
+        out: dict[str, dict[str, list[int]]] = {}
+        for m in self.history():
+            if "blooms" in m:
+                bits = m.get("bloom_bits", bits)
+                for rel, bl in m["blooms"].items():
+                    if rel in alive:
+                        out[rel] = bl
+        return bits, out
 
     def _stage_write(
         self, df: DataFrame, partition_col: str | None = None
@@ -236,14 +298,31 @@ class TxLogTable:
         path: str,
         df: DataFrame,
         cluster_file_col: str | None = None,
+        bloom_cols: tuple[str, ...] = (),
+        bloom_bits: int = 2048,
     ) -> "TxLogTable":
         """`cluster_file_col`: stage one data file per distinct value of
         the column (single write job; see _stage_write) — the clustered-
         layout entry point write_zordered_txlog builds on. The column is
-        consumed by the layout and absent from the table's schema."""
+        consumed by the layout and absent from the table's schema.
+
+        `bloom_cols` (requires cluster_file_col): build a per-FILE Bloom
+        filter over each named column — the equality-predicate
+        complement to the min/max zonemap, which is useless for a point
+        lookup on a column UNCORRELATED with the file layout (its range
+        spans every file). One extra aggregation job computes all
+        blooms: each row contributes two md5-lane bit positions, words
+        fold with bit_or, grouped by the cluster value — |files| ×
+        n_bits/64 longs ride the manifest. `scan_files` then prunes
+        equality predicates through the bloom after the zonemap. Size
+        `bloom_bits` ≈ 10× the expected distinct keys per file (~1%
+        false-positive files); integer/string columns only (the value
+        is hashed via CAST AS STRING on every engine)."""
         t = cls(spark, path)
         if t.latest_version():
             raise FileExistsError(f"txlog table already exists at {path}")
+        if bloom_cols and cluster_file_col is None:
+            raise ValueError("bloom_cols requires cluster_file_col")
         _, rels = t._stage_write(df, partition_col=cluster_file_col)
         schema_df = (
             df.drop(cluster_file_col) if cluster_file_col is not None else df
@@ -256,6 +335,41 @@ class TxLogTable:
             "schema": schema_df.schema.jsonValue(),
             "stats": t._file_stats(rels),
         }
+        if bloom_cols:
+            n_words = bloom_bits // 64
+            proj = [F.col(cluster_file_col).alias("__cf")]
+            for c in bloom_cols:
+                p1, p2 = _bloom_pos_cols(c, bloom_bits)
+                proj += [p1.alias(f"__p1_{c}"), p2.alias(f"__p2_{c}")]
+            aggs = []
+            for c in bloom_cols:
+                for w in range(n_words):
+                    aggs.append(
+                        F.expr(
+                            f"bit_or("
+                            f"IF(__p1_{c} DIV 64 = {w}, shiftleft(CAST(1 AS"
+                            f" BIGINT), CAST(__p1_{c} % 64 AS INT)), 0) | "
+                            f"IF(__p2_{c} DIV 64 = {w}, shiftleft(CAST(1 AS"
+                            f" BIGINT), CAST(__p2_{c} % 64 AS INT)), 0))"
+                        ).alias(f"__w_{c}_{w}")
+                    )
+            by_val = {
+                str(r["__cf"]): {
+                    c: [r[f"__w_{c}_{w}"] or 0 for w in range(n_words)]
+                    for c in bloom_cols
+                }
+                for r in df.select(*proj).groupBy("__cf").agg(*aggs).collect()
+            }
+            blooms: dict[str, dict] = {}
+            marker = f"{cluster_file_col}="
+            for rel in rels:
+                for seg in rel.split(os.sep):
+                    if seg.startswith(marker):
+                        val = seg[len(marker):]
+                        if val in by_val:
+                            blooms[rel] = by_val[val]
+            manifest["bloom_bits"] = bloom_bits
+            manifest["blooms"] = blooms
         if not t._try_commit(1, manifest):
             raise CommitConflict(f"concurrent create at {path}")
         return t
@@ -710,12 +824,35 @@ class TxLogTable:
         self,
         predicates: dict[str, tuple] | None = None,
         version: int | None = None,
+        use_blooms: bool = True,
     ) -> tuple[list[str], int]:
-        """The file-pruning half of scan(): (files to read, total live)."""
+        """The file-pruning half of scan(): (files to read, total live).
+        Range predicates prune through the min/max zonemap; an EQUALITY
+        predicate (lo == hi) on a bloom-equipped column additionally
+        probes the file's Bloom filter — the pruning that works when the
+        column is uncorrelated with the file layout and every zonemap
+        spans the whole range. `use_blooms=False` isolates the zonemap
+        contribution (measurement/report queries)."""
         live = self._live_files(version)
         if not predicates:
             return live, len(live)
         stats = self._live_stats(version)
+        eq_preds = {
+            col: lo
+            for col, (lo, hi) in predicates.items()
+            if use_blooms and lo is not None and lo == hi
+        }
+        bits, blooms = (
+            self._live_blooms(version) if eq_preds else (0, {})
+        )
+        probes = (
+            {
+                col: _bloom_positions_py(col, v, bits)
+                for col, v in eq_preds.items()
+            }
+            if bits
+            else {}
+        )
         kept: list[str] = []
         for rel in live:
             st = stats.get(rel, {})
@@ -732,6 +869,18 @@ class TxLogTable:
                         break
                 except TypeError:
                     continue  # stats/bound type mismatch → read the file
+            if not drop and probes:
+                bl = blooms.get(rel, {})
+                for col, (p1, p2) in probes.items():
+                    words = bl.get(col)
+                    if not words:
+                        continue  # no bloom → cannot prune, must read
+                    if not (
+                        words[p1 // 64] >> (p1 % 64) & 1
+                        and words[p2 // 64] >> (p2 % 64) & 1
+                    ):
+                        drop = True
+                        break
             if not drop:
                 kept.append(rel)
         return kept, len(live)

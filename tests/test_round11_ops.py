@@ -199,3 +199,63 @@ def test_keep_best_picks_longest_and_flags_policy_delta(spark, sf_dir):
     # the policy delta must be non-degenerate on the fixture corpus:
     # keep-first (min id) and keep-best disagree somewhere
     assert any(r.differs_from_keep_first for r in out.values())
+
+
+# ---------------------------------------------------------------------------
+# batch E (plans/extended_r11e.py): file-level Bloom point-lookup pruning
+# ---------------------------------------------------------------------------
+
+
+def test_bloom_pruning_semantics_and_subsets(spark, tmp_path):
+    """Bloom pruning never loses rows (scan == plain filter), only ever
+    SHRINKS the zonemap-kept set, and the containing file survives for
+    every present key."""
+    from politicamente_etl_spark.sources.txlog import TxLogTable
+
+    n = 2000
+    df = spark.range(1, n + 1).select(
+        F.col("id").alias("k"), (F.col("id") % 8).alias("__f")
+    )
+    t = TxLogTable.create(
+        spark,
+        str(tmp_path / "bt"),
+        df,
+        cluster_file_col="__f",
+        bloom_cols=("k",),
+        bloom_bits=4096,
+    )
+    for key in (1, 777, n):  # spread across files
+        preds = {"k": (key, key)}
+        zm, total = t.scan_files(preds, use_blooms=False)
+        bl, _ = t.scan_files(preds)
+        assert total == 8
+        assert set(bl) <= set(zm)
+        got = [r.k for r in t.scan(preds).collect()]
+        assert got == [key]
+    # absent key: zero rows regardless of false-positive files kept
+    absent = n + 12345
+    assert t.scan({"k": (absent, absent)}).count() == 0
+    # range predicates ignore blooms (lo != hi) — zonemap path unchanged
+    zm_range, _ = t.scan_files({"k": (10, 20)}, use_blooms=False)
+    bl_range, _ = t.scan_files({"k": (10, 20)})
+    assert zm_range == bl_range
+
+
+def test_bloom_probe_matches_spark_build_math(spark):
+    """The driver-side probe positions equal the Spark build
+    expressions for the same (column, value) — the cross-engine
+    contract the oracle also relies on."""
+    from politicamente_etl_spark.sources.txlog import (
+        _bloom_pos_cols,
+        _bloom_positions_py,
+    )
+
+    vals = [1, 42, 999999999, -7]
+    df = spark.createDataFrame([(v,) for v in vals], "k long")
+    p1c, p2c = _bloom_pos_cols("k", 2048)
+    got = {
+        r.k: (r.p1, r.p2)
+        for r in df.select("k", p1c.alias("p1"), p2c.alias("p2")).collect()
+    }
+    for v in vals:
+        assert got[v] == _bloom_positions_py("k", v, 2048)
