@@ -560,3 +560,4 @@ from politicamente_etl_spark.plans import extended_r11b as _extended_r11b  # noq
 from politicamente_etl_spark.plans import extended_r11c as _extended_r11c  # noqa: E402,F401
 from politicamente_etl_spark.plans import extended_r11d as _extended_r11d  # noqa: E402,F401
 from politicamente_etl_spark.plans import extended_r11e as _extended_r11e  # noqa: E402,F401
+from politicamente_etl_spark.plans import extended_r11f as _extended_r11f  # noqa: E402,F401

@@ -185,6 +185,82 @@ class TxLogTable:
                     out[rel] = st
         return out
 
+    def _live_tombstones(
+        self, version: int | None = None
+    ) -> list[tuple[int, str, frozenset]]:
+        """Key tombstones (merge-on-read logical deletes) visible at
+        `version`: [(origin_version, key_col, values)]. Checkpoint
+        manifests carry earlier tombstones forward with their ORIGIN
+        version preserved (the version ordering against file add
+        versions is the application rule)."""
+        out: dict[tuple[int, str], set] = {}
+        for m in self.history():
+            if version is not None and m["version"] > version:
+                continue
+            for t in m.get("tombstones", []):
+                v = int(t.get("version", m["version"]))
+                out.setdefault((v, t["key"]), set()).update(t["values"])
+        return [
+            (v, k, frozenset(vals))
+            for (v, k), vals in sorted(out.items())
+        ]
+
+    def _file_add_versions(
+        self, version: int | None = None
+    ) -> dict[str, int]:
+        """rel → version of the LAST non-checkpoint manifest that added
+        it. Last-add wins so a restore's re-add (or a merge rewrite)
+        postdates earlier tombstones and is never filtered by them —
+        which is exactly snapshot-reproduction semantics. Files known
+        only through a checkpoint (their adding manifest vacuumed) map
+        to 0: every tombstone applies — conservative; materialize
+        tombstones (optimize) before vacuuming their adding history."""
+        out: dict[str, int] = {}
+        for m in self.history():
+            if version is not None and m["version"] > version:
+                continue
+            if m.get("checkpoint"):
+                continue
+            for rel in m.get("added", []):
+                out[rel] = m["version"]
+            for rel, v in m.get("added_versions", {}).items():
+                out[rel] = int(v)
+        return out
+
+    def _tombstone_filter(self, df: DataFrame, added_version: int, ts) -> DataFrame:
+        """Anti-filter `df` (rows of files added at `added_version`) by
+        every tombstone committed AFTER that version."""
+        for v, key, vals in ts:
+            if v > added_version and key in df.columns:
+                df = df.filter(~F.col(key).isin(*vals))
+        return df
+
+    def _read_with_tombstones(
+        self, rels: list[str], version: int | None = None
+    ) -> DataFrame:
+        """Read `rels` with logical deletes applied — the read every
+        REWRITE path (merge/delete/optimize) must use, or physically
+        present but tombstoned rows would resurrect in the rewrite."""
+        ts = self._live_tombstones(version)
+        if not ts:
+            return self.spark.read.parquet(
+                *[os.path.join(self.path, f) for f in rels]
+            )
+        addv = self._file_add_versions(version)
+        groups: dict[int, list[str]] = {}
+        for rel in rels:
+            groups.setdefault(addv.get(rel, 0), []).append(rel)
+        parts = []
+        for av, grp in sorted(groups.items()):
+            df = self.spark.read.parquet(
+                *[os.path.join(self.path, f) for f in grp]
+            )
+            parts.append(self._tombstone_filter(df, av, ts))
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p, allowMissingColumns=True)
+        return out
+
     def _live_blooms(
         self, version: int | None = None
     ) -> tuple[int, dict[str, dict[str, list[int]]]]:
@@ -539,9 +615,9 @@ class TxLogTable:
             os.path.join(self.path, live[0])
         ).columns
         if touched:
-            old_rows = self.spark.read.parquet(
-                *[os.path.join(self.path, f) for f in touched]
-            )
+            # tombstone-aware read: physically present but logically
+            # deleted rows must not resurrect through the rewrite
+            old_rows = self._read_with_tombstones(touched, version=base)
             resolved = upsert(old_rows, new.select(*cols), keys)
         else:
             resolved = new.select(*cols)
@@ -635,9 +711,7 @@ class TxLogTable:
         rels: list[str] = []
         rows_removed = 0
         if touched:
-            old_rows = self.spark.read.parquet(
-                *[os.path.join(self.path, f) for f in touched]
-            )
+            old_rows = self._read_with_tombstones(touched, version=base)
             survivors = old_rows.join(
                 keys_df.select(*keys).distinct(), on=keys, how="anti"
             )
@@ -666,6 +740,46 @@ class TxLogTable:
             )
         return manifest
 
+
+    def delete_where_logical(self, key_col: str, values) -> dict:
+        """Merge-on-read DELETE (the Delta deletion-vector / Iceberg
+        delete-file analogue): commit a KEY TOMBSTONE manifest — no data
+        file is read, rewritten, or removed — and every read path
+        (snapshot, scan, CDF via snapshot-diff, merge/optimize rewrite
+        reads) anti-filters tombstoned keys out of files ADDED BEFORE
+        the tombstone. A later upsert of the same key lands in a newer
+        file and passes through (delete-then-reinsert works); restore to
+        a pre-delete version re-adds files at the restore version and
+        so sees the rows again; `optimize()` MATERIALIZES tombstones
+        (the rewrite drops the rows physically and the new files
+        postdate the filter). Contrast `delete_keys`, the copy-on-write
+        path that rewrites containing files immediately — logical
+        delete is O(1) commit latency now, physical reclaim deferred to
+        compaction; copy-on-write pays the rewrite now. GDPR-style
+        erasure needs the physical path (tombstoned bytes remain on
+        disk until optimize+vacuum).
+
+        `values` is a bounded key list (a compliance batch, not a
+        predicate scan); production formats store large delete sets as
+        bitmap sidecars — the manifest-embedded list keeps the commit
+        primitive identical. Appends commute, so commit retries rebase
+        like `append`."""
+        vals = sorted(values)
+        if not vals:
+            raise ValueError("empty tombstone value list")
+        while True:
+            version = self.latest_version() + 1
+            manifest = {
+                "version": version,
+                "op": "delete_logical",
+                "added": [],
+                "removed": [],
+                "tombstones": [{"key": key_col, "values": vals}],
+                "delete_stats": {"files_rewritten": 0},
+            }
+            if self._try_commit(version, manifest):
+                return manifest
+
     def checkpoint(self) -> int:
         """Fold the current live set into one self-contained manifest so
         readers stop replaying the full history (the Delta `_checkpoint`
@@ -679,6 +793,12 @@ class TxLogTable:
             "removed": [],
             "stats": self._live_stats(),
         }
+        ts = self._live_tombstones()
+        if ts:
+            manifest["tombstones"] = [
+                {"version": v, "key": k, "values": sorted(vals)}
+                for v, k, vals in ts
+            ]
         sch = self._latest_schema()
         if sch is not None:
             manifest["schema"] = sch
@@ -763,15 +883,22 @@ class TxLogTable:
                     continue
                 for rel in m.get("added", []):
                     file_version.setdefault(rel, m["version"])
+        ts = self._live_tombstones(version)
+        addv = self._file_add_versions(version) if ts else {}
         by_commit: dict[tuple, list[str]] = {}
         for f in files:
-            key = (os.path.dirname(f), file_version.get(f))
+            key = (os.path.dirname(f), file_version.get(f), addv.get(f, 0))
             by_commit.setdefault(key, []).append(f)
         parts = []
-        for (_, ver), grp in by_commit.items():
+        for (_, ver, av), grp in by_commit.items():
             df = self.spark.read.parquet(
                 *[os.path.join(self.path, f) for f in grp]
             )
+            if ts:
+                # logical deletes: drop tombstoned keys from files ADDED
+                # before the tombstone; later adds (merge rewrites,
+                # restores, re-inserts) postdate it and pass through
+                df = self._tombstone_filter(df, av, ts)
             if provenance:
                 df = df.withColumn(
                     "_commit_version", F.lit(ver).cast("long")
@@ -801,18 +928,7 @@ class TxLogTable:
         if not kept:
             df = self.snapshot(version).limit(0)
         else:
-            by_commit: dict[str, list[str]] = {}
-            for f in kept:
-                by_commit.setdefault(os.path.dirname(f), []).append(f)
-            parts = [
-                self.spark.read.parquet(
-                    *[os.path.join(self.path, f) for f in grp]
-                )
-                for grp in by_commit.values()
-            ]
-            df = parts[0]
-            for p in parts[1:]:
-                df = df.unionByName(p, allowMissingColumns=True)
+            df = self._read_with_tombstones(kept, version=version)
         for col, (lo, hi) in (predicates or {}).items():
             if lo is not None:
                 df = df.filter(F.col(col) >= F.lit(lo))
@@ -911,9 +1027,7 @@ class TxLogTable:
             os.path.getsize(os.path.join(self.path, f)) for f in small
         )
         n_out = max(1, -(-total_bytes // target_file_bytes))  # ceil div
-        df = self.spark.read.parquet(
-            *[os.path.join(self.path, f) for f in small]
-        )
+        df = self._read_with_tombstones(small)
         _, rels = self._stage_write(df.coalesce(n_out))
         manifest = {
             "version": base + 1,
@@ -1024,6 +1138,20 @@ class TxLogTable:
             "removed": [],
             "stats": {rels[r]: st for r, st in stats.items() if r in rels},
         }
+        ts = self._live_tombstones()
+        if ts:
+            # un-materialized logical deletes must follow the data, and
+            # the tombstone-version vs file-add-version ordering must
+            # survive the re-rooting (a post-tombstone re-insert in the
+            # source must not get filtered in the clone)
+            manifest["tombstones"] = [
+                {"version": v, "key": k, "values": sorted(vals)}
+                for v, k, vals in ts
+            ]
+            src_addv = self._file_add_versions()
+            manifest["added_versions"] = {
+                rels[r]: src_addv.get(r, 0) for r in live
+            }
         sch = self._latest_schema()
         if sch is not None:
             manifest["schema"] = sch
