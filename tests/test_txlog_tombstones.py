@@ -102,3 +102,34 @@ def test_cdf_sees_logical_delete_as_row_deletes(spark, tmp_path):
     ch = t.table_changes(1, 2, ["k"], ["v"])
     ops = {r.k: r["change_type"] for r in ch.collect()}
     assert set(ops.items()) >= {(2, "delete"), (4, "delete")}
+
+
+def test_random_interleavings_match_dict_model(spark, tmp_path):
+    """Deterministic pseudo-random interleaving of logical deletes,
+    merges, and optimize against a plain dict model: the snapshot must
+    equal the model after every step (the whole merge-on-read contract
+    in one sweep)."""
+    import hashlib
+
+    t = _mk(spark, tmp_path / "t", n=60)
+    model = {k: k * 10 for k in range(1, 61)}
+    for step in range(8):
+        h = int(hashlib.md5(f"ts-ops:{step}".encode()).hexdigest()[:8], 16)
+        op = h % 3
+        ks = sorted({(h >> (4 * i)) % 60 + 1 for i in range(3)})
+        if op == 0:
+            live = [k for k in ks if k in model]
+            if live:
+                t.delete_where_logical("k", live)
+                for k in live:
+                    del model[k]
+        elif op == 1:
+            batch = [(k, k * 100 + step) for k in ks]
+            t.merge(
+                spark.createDataFrame(batch, "k long, v long"), ["k"]
+            )
+            model.update({k: v for k, v in batch})
+        else:
+            t.optimize(target_file_bytes=1 << 30)
+        got = {r.k: r.v for r in t.snapshot().collect()}
+        assert got == model, f"diverged at step {step} (op {op})"
