@@ -351,6 +351,8 @@ def write_zordered_txlog(
     cols: list[str],
     bits: int = 4,
     n_files: int = 16,
+    bloom_cols: tuple[str, ...] = (),
+    bloom_bits: int = 2048,
 ):
     """Z-order-clustered COMMIT-LOG table: the write_zordered layout
     committed through sources/txlog.py, so every data file carries a
@@ -417,4 +419,14 @@ def write_zordered_txlog(
         )
         .drop("__z", *[f"__b_{c}" for c in cols])
     )
-    return TxLogTable.create(spark, path, w, cluster_file_col="__zfile")
+    # bloom_cols compose with the Z layout: zonemaps answer range
+    # predicates on the clustered dimensions, blooms answer point
+    # lookups on everything else — one create, both metadata layers
+    return TxLogTable.create(
+        spark,
+        path,
+        w,
+        cluster_file_col="__zfile",
+        bloom_cols=bloom_cols,
+        bloom_bits=bloom_bits,
+    )

@@ -259,3 +259,36 @@ def test_bloom_probe_matches_spark_build_math(spark):
     }
     for v in vals:
         assert got[v] == _bloom_positions_py("k", v, 2048)
+
+
+def test_zordered_writer_composes_with_blooms(spark, tmp_path):
+    """One create gives both metadata layers: Z zonemaps prune the 2-D
+    box on the clustered columns, blooms prune a point lookup on an
+    UNclustered column."""
+    from politicamente_etl_spark.sources.sinks import write_zordered_txlog
+
+    n = 4096
+    df = spark.range(n).select(
+        F.col("id").alias("k"),
+        (F.col("id") % 64).alias("x"),
+        ((F.col("id") * 37) % 64).alias("y"),
+    )
+    t = write_zordered_txlog(
+        spark,
+        str(tmp_path / "zb"),
+        df,
+        ["x", "y"],
+        bits=4,
+        n_files=16,
+        bloom_cols=("k",),
+        bloom_bits=8192,
+    )
+    box_kept, total = t.scan_files({"x": (32, 47), "y": (32, 47)})
+    assert 0 < len(box_kept) < total == 16
+    # k is uncorrelated with the (x, y) Morton layout: the zonemap keeps
+    # ~every file, the bloom keeps few
+    key = 1234
+    zm, _ = t.scan_files({"k": (key, key)}, use_blooms=False)
+    bl, _ = t.scan_files({"k": (key, key)})
+    assert len(bl) < len(zm)
+    assert [r.k for r in t.scan({"k": (key, key)}).collect()] == [key]
