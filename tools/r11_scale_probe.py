@@ -90,6 +90,12 @@ QUERIES = [
     "partition_pruning_report",
     "orc_roundtrip_stats",
     "linkage_fs_weights",
+    # batch E/F (round 6): bloom build is one extra agg job ⇒ ~linear;
+    # DV report is three snapshot aggregates + O(1) tombstone commits ⇒
+    # ~linear (this row CAUGHT the NOT-IN literal blow-up: 19 s → 81 s
+    # at 4× before the broadcast anti-join fix, flat after)
+    "txlog_bloom_point_scan",
+    "txlog_deletion_vector_report",
 ]
 
 
