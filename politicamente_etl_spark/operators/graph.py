@@ -796,3 +796,81 @@ def hits_scores(
         F.col("a").alias("score"),
     )
     return hubs.unionByName(auths)
+
+
+def md5_random_walks(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    walk_len: int = 3,
+    n_walks: int = 2,
+    seed: str = "walk-v1",
+) -> DataFrame:
+    """DeepWalk-style trajectory sampling (Perozzi et al. 2014) with
+    DETERMINISTIC pseudo-randomness: `n_walks` walks of `walk_len`
+    steps start from EVERY node; the step from node u at (walk w,
+    step t) goes to the neighbor v minimizing md5(seed:w:t:u:v) —
+    hash-ranking stands in for the uniform draw, so the corpus is a
+    pure function of the graph (append-stable, rerun-identical, and
+    exactly mirrorable in oracle SQL — the same no-RNG rule every
+    sampling operator in this repo follows). The transition depends
+    only on (u, w, t): walks that meet move together afterwards, the
+    standard coupling artifact of common-random-number sampling,
+    acceptable for corpus generation and documented here.
+
+    Returns the visit relation (walk, step, seed_node, node) — step 0
+    is the seed — which downstream embedding pipelines window into
+    skip-gram pairs exactly like a text corpus.
+
+    Scale shape: the symmetrized edge list localCheckpoints once; each
+    of the `walk_len` rounds is ONE equi-join of the frontier (n_nodes
+    × n_walks rows) onto the edges plus one min-hash aggregate and a
+    self-join on the min — the BSP shape shared with pagerank/BFS, no
+    per-row Python anywhere. Walk count and length are literals, so
+    the oracle unrolls them as CTEs."""
+    und = (
+        edges.select(F.col(src).alias("s"), F.col(dst).alias("d"))
+        .unionByName(edges.select(F.col(dst).alias("s"), F.col(src).alias("d")))
+        .filter(F.col("s") != F.col("d"))
+        .distinct()
+        .localCheckpoint()
+    )
+    nodes = und.select(F.col("s").alias("node")).distinct()
+    frontier = nodes.crossJoin(
+        und.sparkSession.range(n_walks).select(F.col("id").alias("walk"))
+    ).select(
+        "walk",
+        F.lit(0).cast("int").alias("step"),
+        F.col("node").alias("seed_node"),
+        "node",
+    )
+    out = frontier
+    for t in range(1, walk_len + 1):
+        cand = frontier.join(und, frontier.node == und.s).select(
+            "walk",
+            "seed_node",
+            F.col("d").alias("cand"),
+            F.md5(
+                F.concat_ws(
+                    ":",
+                    F.lit(seed),
+                    F.col("walk").cast("string"),
+                    F.lit(str(t)),
+                    F.col("node").cast("string"),
+                    F.col("d").cast("string"),
+                )
+            ).alias("h"),
+        )
+        best = cand.groupBy("walk", "seed_node").agg(F.min("h").alias("mh"))
+        frontier = (
+            cand.join(best, ["walk", "seed_node"])
+            .filter(F.col("h") == F.col("mh"))
+            .select(
+                "walk",
+                F.lit(t).cast("int").alias("step"),
+                "seed_node",
+                F.col("cand").alias("node"),
+            )
+        ).localCheckpoint()
+        out = out.unionByName(frontier)
+    return out

@@ -561,3 +561,4 @@ from politicamente_etl_spark.plans import extended_r11c as _extended_r11c  # noq
 from politicamente_etl_spark.plans import extended_r11d as _extended_r11d  # noqa: E402,F401
 from politicamente_etl_spark.plans import extended_r11e as _extended_r11e  # noqa: E402,F401
 from politicamente_etl_spark.plans import extended_r11f as _extended_r11f  # noqa: E402,F401
+from politicamente_etl_spark.plans import extended_r11g as _extended_r11g  # noqa: E402,F401

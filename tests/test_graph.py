@@ -127,3 +127,35 @@ def test_star_mode_ignores_ghost_bridge_nodes(spark):
             for r in dedup.near_dup_clusters(nodes, pairs, algo=algo).collect()
         }
         assert out == {5: (5, 1), 6: (6, 1)}, algo
+
+
+def test_md5_random_walks_match_python_model(spark):
+    """The hash-ranked walk equals a hashlib reimplementation step for
+    step on a small random-ish graph — the no-RNG determinism contract."""
+    import hashlib
+
+    from politicamente_etl_spark.operators.graph import md5_random_walks
+
+    edges = [(1, 2), (2, 3), (3, 4), (4, 1), (1, 3), (2, 5)]
+    e = spark.createDataFrame(edges, "src long, dst long")
+    out = md5_random_walks(e, walk_len=3, n_walks=2)
+    got = {
+        (r.walk, r.step, r.seed_node): r.node for r in out.collect()
+    }
+    adj = {}
+    for a, b in edges:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+
+    def h(w, t, u, v):
+        return hashlib.md5(f"walk-v1:{w}:{t}:{u}:{v}".encode()).hexdigest()
+
+    for w in (0, 1):
+        for s in adj:
+            cur = s
+            assert got[(w, 0, s)] == s
+            for t in (1, 2, 3):
+                cur = min(adj[cur], key=lambda v: h(w, t, cur, v))
+                assert got[(w, t, s)] == cur, (w, t, s)
+    # corpus size: (walk_len + 1) rows per (walk, seed)
+    assert len(got) == 2 * len(adj) * 4
