@@ -122,3 +122,89 @@ def _register():
 
 
 _register()
+
+
+def _register_skipgram():
+    from politicamente_etl_spark.plans.catalog import T, register
+
+    @register(
+        "copurchase_skipgram_pairs",
+        sql=f"""
+        WITH {_EDGE_CTES},
+        n AS (SELECT DISTINCT s AS node FROM e),
+        w AS (SELECT UNNEST(generate_series(0, 1)) AS walk),
+        f0 AS (SELECT walk, node AS seed_node, node FROM n, w),
+        {_step(1)},
+        {_step(2)},
+        {_step(3)},
+        corpus AS (
+            SELECT walk, seed_node, 0 AS step, node FROM f0
+            UNION ALL SELECT walk, seed_node, 1, node FROM f1
+            UNION ALL SELECT walk, seed_node, 2, node FROM f2
+            UNION ALL SELECT walk, seed_node, 3, node FROM f3
+        )
+        SELECT a.node AS center, b.node AS context,
+               CAST(COUNT(*) AS BIGINT) AS n_pairs
+        FROM corpus a JOIN corpus b
+          ON a.walk = b.walk AND a.seed_node = b.seed_node
+         AND abs(a.step - b.step) BETWEEN 1 AND 2
+        GROUP BY 1, 2
+        ORDER BY n_pairs DESC, center, context LIMIT 50
+        """,
+        tags=("ext-rel", "ext-graph", "ext-sampling"),
+    )
+    def q_copurchase_skipgram_pairs(
+        spark: SparkSession, sf_dir: str
+    ) -> DataFrame:
+        """The skip-gram training pairs a word2vec-style embedder
+        consumes, generated from the deterministic walk corpus: within
+        each walk sequence, every (center, context) pair at step
+        distance 1-2 — exactly the windowing DeepWalk applies to its
+        trajectories, with walks standing in for sentences. One
+        self-join keyed by (walk, seed) — each group is walk_len+1
+        rows, so the join is bounded per walk regardless of graph
+        size — then a pair rollup. Top-50 heaviest pairs fingerprint
+        the corpus; the full relation is the embedder's input."""
+        from politicamente_etl_spark.operators.graph import md5_random_walks
+
+        li = (
+            T(spark, sf_dir, "lineitem")
+            .select("l_orderkey", "l_partkey")
+            .distinct()
+        )
+        a, b = li.alias("a"), li.alias("b")
+        e = (
+            a.join(
+                b,
+                (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+                & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+            )
+            .groupBy(
+                F.col("a.l_partkey").alias("src"),
+                F.col("b.l_partkey").alias("dst"),
+            )
+            .agg(F.count("*").alias("cnt"))
+            .filter(F.col("cnt") >= 2)
+            .select("src", "dst")
+        )
+        corpus = md5_random_walks(e, walk_len=3, n_walks=2)
+        ca, cb = corpus.alias("ca"), corpus.alias("cb")
+        dist = F.abs(F.col("ca.step") - F.col("cb.step"))
+        return (
+            ca.join(
+                cb,
+                (F.col("ca.walk") == F.col("cb.walk"))
+                & (F.col("ca.seed_node") == F.col("cb.seed_node"))
+                & dist.between(1, 2),
+            )
+            .groupBy(
+                F.col("ca.node").alias("center"),
+                F.col("cb.node").alias("context"),
+            )
+            .agg(F.count("*").cast("long").alias("n_pairs"))
+            .orderBy(F.col("n_pairs").desc(), "center", "context")
+            .limit(50)
+        )
+
+
+_register_skipgram()
