@@ -110,6 +110,16 @@ class CommitConflict(Exception):
     table state the operation read is stale. Retry the operation."""
 
 
+class ConstraintViolation(Exception):
+    """An incoming batch violates a table CHECK constraint; NOTHING was
+    committed (writes are all-or-nothing, like Delta's constraint
+    enforcement). Carries {constraint_name: n_violating_rows}."""
+
+    def __init__(self, counts: dict[str, int]):
+        self.counts = dict(counts)
+        super().__init__(f"constraint violations: {self.counts}")
+
+
 def _manifest_path(path: str, version: int) -> str:
     return os.path.join(path, _LOG_DIR, f"{version:020d}.json")
 
@@ -488,6 +498,58 @@ class TxLogTable:
                 f"{sorted(cols)}; pass merge_schema=True to union-evolve"
             )
 
+    def set_constraint(self, name: str, expr: str | None) -> int:
+        """Declare (or drop, with expr=None) a table CHECK constraint —
+        a SQL boolean expression every INCOMING batch row must satisfy
+        (Delta's ALTER TABLE ADD CONSTRAINT). Enforcement is at write
+        time on the batch (append/merge), which prices it at O(batch),
+        never O(table); existing rows are NOT retro-checked, matching
+        the lakehouse semantics. The constraint is one more manifest
+        commit, so it is versioned, time-travels, and follows clones."""
+        while True:
+            version = self.latest_version() + 1
+            manifest = {
+                "version": version,
+                "op": "set_constraint" if expr else "drop_constraint",
+                "added": [],
+                "removed": [],
+                "constraints": {name: expr},
+            }
+            if self._try_commit(version, manifest):
+                return version
+
+    def _live_constraints(self, version: int | None = None) -> dict[str, str]:
+        """name → expr of active constraints at `version` (latest
+        setting per name wins; None = dropped)."""
+        out: dict[str, str | None] = {}
+        for m in self.history():
+            if version is not None and m["version"] > version:
+                continue
+            out.update(m.get("constraints", {}))
+        return {k: v for k, v in out.items() if v}
+
+    def _enforce_constraints(self, df: DataFrame) -> None:
+        """Raise ConstraintViolation with per-constraint violating-row
+        counts if any active CHECK fails on the batch. One aggregate
+        over the batch computes every constraint's count at once."""
+        cons = self._live_constraints()
+        if not cons:
+            return
+        aggs = [
+            F.sum(
+                F.when(~F.expr(expr).eqNullSafe(F.lit(True)), 1).otherwise(0)
+            ).alias(name)
+            for name, expr in cons.items()
+        ]
+        row = df.agg(*aggs).first()
+        counts = {
+            name: int(row[name] or 0)
+            for name in cons
+            if (row[name] or 0) > 0
+        }
+        if counts:
+            raise ConstraintViolation(counts)
+
     def append(
         self, df: DataFrame, merge_schema: bool = False, txn_id: str | None = None
     ) -> int:
@@ -507,6 +569,7 @@ class TxLogTable:
                 if m.get("txn_id") == txn_id:
                     return m["version"]
         self._check_schema(df, merge_schema)
+        self._enforce_constraints(df)
         _, rels = self._stage_write(df)
         while True:
             version = self.latest_version() + 1
@@ -574,6 +637,7 @@ class TxLogTable:
         live = self._live_files(version=base)
         if not live:
             raise ValueError("merge into empty table; use create/append")
+        self._enforce_constraints(new)
         # Zonemap pre-prune (single-column key): a live file whose key
         # min/max range misses the batch's [min, max] provably contains
         # no match, so it never even enters the semi-join scan — the
@@ -814,6 +878,9 @@ class TxLogTable:
                 {"version": v, "key": k, "values": sorted(vals)}
                 for v, k, vals in ts
             ]
+        cons = self._live_constraints()
+        if cons:
+            manifest["constraints"] = cons
         sch = self._latest_schema()
         if sch is not None:
             manifest["schema"] = sch

@@ -133,3 +133,43 @@ def test_random_interleavings_match_dict_model(spark, tmp_path):
             t.optimize(target_file_bytes=1 << 30)
         got = {r.k: r.v for r in t.snapshot().collect()}
         assert got == model, f"diverged at step {step} (op {op})"
+
+
+def test_check_constraints_gate_appends_and_merges(spark, tmp_path):
+    """CHECK constraints reject the WHOLE violating batch atomically,
+    pass clean batches, time-travel with the log, and drop cleanly."""
+    import pytest as _pytest
+
+    from politicamente_etl_spark.sources.txlog import ConstraintViolation
+
+    t = _mk(spark, tmp_path / "t", n=10)
+    t.set_constraint("v_nonneg", "v >= 0 AND v IS NOT NULL")
+    bad = spark.createDataFrame(
+        [(11, -1), (12, 5), (13, None)], "k long, v long"
+    )
+    with _pytest.raises(ConstraintViolation) as ei:
+        t.append(bad)
+    assert ei.value.counts == {"v_nonneg": 2}
+    assert t.snapshot().count() == 10  # nothing committed
+    with _pytest.raises(ConstraintViolation):
+        t.merge(bad, ["k"])
+    assert t.snapshot().count() == 10
+    t.append(bad.filter("v >= 0"))
+    assert t.snapshot().count() == 11
+    # drop the constraint -> the same batch now lands
+    t.set_constraint("v_nonneg", None)
+    t.append(bad)
+    assert t.snapshot().count() == 14
+
+
+def test_constraints_survive_checkpoint(spark, tmp_path):
+    import pytest as _pytest
+
+    from politicamente_etl_spark.sources.txlog import ConstraintViolation
+
+    t = _mk(spark, tmp_path / "t", n=5)
+    t.set_constraint("pos", "k > 0")
+    t.checkpoint()
+    t2 = TxLogTable(spark, t.path)
+    with _pytest.raises(ConstraintViolation):
+        t2.append(spark.createDataFrame([(0, 1)], "k long, v long"))
