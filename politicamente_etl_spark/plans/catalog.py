@@ -563,3 +563,4 @@ from politicamente_etl_spark.plans import extended_r11e as _extended_r11e  # noq
 from politicamente_etl_spark.plans import extended_r11f as _extended_r11f  # noqa: E402,F401
 from politicamente_etl_spark.plans import extended_r11g as _extended_r11g  # noqa: E402,F401
 from politicamente_etl_spark.plans import extended_r11h as _extended_r11h  # noqa: E402,F401
+from politicamente_etl_spark.plans import extended_r11i as _extended_r11i  # noqa: E402,F401

@@ -859,6 +859,35 @@ class TxLogTable:
             if self._try_commit(version, manifest):
                 return manifest
 
+    def describe_history(self) -> DataFrame:
+        """The audit surface (Delta DESCRIBE HISTORY): one row per
+        committed version with the operation and its manifest-level
+        accounting — files added/removed, tombstone and constraint
+        carriage, merge/delete stats where the op recorded them. Pure
+        manifest metadata (no data file is opened), so it costs
+        O(versions) driver work and the result is exactly what any
+        reader's fold sees."""
+        rows = []
+        for m in self.history():
+            ms = m.get("merge_stats") or m.get("delete_stats") or {}
+            rows.append(
+                (
+                    m["version"],
+                    m.get("op", ""),
+                    len(m.get("added", [])),
+                    len(m.get("removed", [])),
+                    sum(len(t.get("values", [])) for t in m.get("tombstones", [])),
+                    len([k for k, v in m.get("constraints", {}).items() if v]),
+                    ms.get("files_rewritten"),
+                )
+            )
+        return self.spark.createDataFrame(
+            rows,
+            "version long, op string, n_added int, n_removed int, "
+            "n_tombstoned_keys long, n_constraints_set int, "
+            "files_rewritten int",
+        )
+
     def checkpoint(self) -> int:
         """Fold the current live set into one self-contained manifest so
         readers stop replaying the full history (the Delta `_checkpoint`
