@@ -35,7 +35,8 @@ from politicamente_etl_spark.plans.catalog import CATALOG
 # json_props_map_explode after the HUGEINT oracle fix) ∪
 # CORRECTNESS_r04.json (all 50 rows hash-match: 47 first-time queries +
 # 3 refactor re-checks) ∪ CORRECTNESS_r05.json (all 50 rows hash-match,
-# all first-time checks).
+# all first-time checks) ∪ CORRECTNESS_r06.json (all 50 rows hash-match,
+# all first-time checks, led by the six weakest-signal registrations).
 VERIFIED: frozenset[str] = frozenset(
     {
         # --- round 1 ---
@@ -284,33 +285,94 @@ VERIFIED: frozenset[str] = frozenset(
         "daily_revenue_autocorr",
         "k_anonymity_report",
         "kcore_peeling_rounds",
+        # --- round 6 ---
+        "zorder_skipping_model",
+        "ab_srm_check",
+        "weekly_decomposition_profile",
+        "markov_entropy_rate",
+        "growth_accounting_weekly",
+        "txlog_zorder_storage_report",
+        "bpe_pair_counts",
+        "source_unigram_kl",
+        "txlog_schema_evolution",
+        "weighted_sample_topk",
+        "ols_revenue_trend_by_nation",
+        "streaming_hll_merge",
+        "cosine_topk_lsh_multiprobe",
+        "dim_label_mutual_info",
+        "kaplan_meier_retention",
+        "revenue_changepoint_cusum",
+        "rbo_ann_comparison",
+        "bpe_one_merge_recount",
+        "l_diversity_report",
+        "dedup_method_pr",
+        "embedding_dim_robust_scale",
+        "mix_schedule_realized",
+        "char_coverage_curve",
+        "ab_test_sufficient_stats",
+        "heldout_perplexity_by_source",
+        "jsonl_roundtrip_stats",
+        "cms_merge_proof",
+        "trimmed_mean_revenue_by_segment",
+        "dup_span_extraction",
+        "dedup_spans_applied",
+        "unigram_viterbi_segmentation",
+        "u_shaped_attribution",
+        "seasonal_decomposition_hourly",
+        "ipw_telemetry_estimates",
+        "consistent_hash_rebalance",
+        "corpus_datasheet",
+        "geo_neighbor_pairs",
+        "seq_pattern_support",
+        "unigram_mstep_piece_counts",
+        "geo_density_clusters",
+        "jl_projection_distance_pairs",
+        "item_item_cooccurrence_sim",
+        "txlog_right_to_erasure",
+        "window_funnel_levels",
+        "adamic_adar_link_pred",
+        "mutual_knn_pairs",
+        "loo_target_encoding_segment",
+        "holt_winters_daily_revenue",
+        "hbos_event_outliers",
+        "classifier_auc_report",
     }
 )
 
 # Verified queries whose operator implementation changed THIS round —
 # parked status is 'verified AND untouched since'; these stay in the front
 # window one more round so a refactor regression gets a driver row
-# (ADVICE.md r2, last item). Round-6 refactors: none of the VERIFIED
-# queries' operator code changed. (VERDICT r5 item 2 named
-# "event_sequence_regex", but the |types|^3 grid it points at —
-# operators/stats.py seq_pattern_support — backs the catalog query
-# `seq_pattern_support`, which is still UNVERIFIED and sits in the r6
-# front window by default, so the guard gets its driver row there;
-# event_sequence_regex's regexp_count operator is untouched.)
-REFACTORED_THIS_ROUND: frozenset[str] = frozenset()
+# (ADVICE.md r2, last item). Round-7 refactors (sources/txlog.py —
+# ADVICE r6 fixes: vacuum-checkpoint tombstone/constraint carriage,
+# _tombstone_filter NULL-key uniformity, os.walk vacuum reachability,
+# exact added_versions in checkpoints; plus the delete-file-sidecar
+# tombstone form): the verified queries exercising the changed
+# delete/vacuum/tombstone read paths re-enter the window.
+REFACTORED_THIS_ROUND: frozenset[str] = frozenset(
+    {
+        "txlog_right_to_erasure",   # delete_keys → _read_with_tombstones
+        "txlog_optimize_invariance",  # optimize → _read_with_tombstones
+    }
+)
 
 # Queries that jump the oldest-first catalog queue for the next driver
-# window: (a) round-5 post-sim registrations — parity_check + unit tests
-# only, no sim coverage (VERDICT r5 item 3); (b) round-6 queries whose
-# green row is an explicit VERDICT r5 deliverable (item 6: the Z-order
-# write-path == model certification).
+# window: VERDICT r6 item 3 demands first driver rows IN ROUND 7 for the
+# eleven round-6 registrations (judge-parity-green, no driver row yet);
+# under plain oldest-first order they sit at queue positions 117-127 —
+# verified, not assumed — i.e. round 9. Fronting them displaces eleven
+# oldest-queue entries by one round.
 NEVER_SIM_CHECKED: tuple[str, ...] = (
-    "zorder_skipping_model",
-    "ab_srm_check",
-    "weekly_decomposition_profile",
-    "markov_entropy_rate",
-    "growth_accounting_weekly",
-    "txlog_zorder_storage_report",
+    "partition_pruning_report",
+    "linkage_fs_weights",
+    "orc_roundtrip_stats",
+    "eval_ngram_decontamination",
+    "canonical_keep_best_report",
+    "txlog_bloom_point_scan",
+    "txlog_deletion_vector_report",
+    "copurchase_walk_corpus",
+    "copurchase_skipgram_pairs",
+    "txlog_constraint_gate_report",
+    "txlog_history_report",
 )
 
 
