@@ -238,7 +238,9 @@ def q_union_all_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT l_orderkey, l_linenumber, s_name, s_nationkey
     FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
     """,
-    bench=True,
+    # bench slot ceded r7 (saturated at 0.28 s) to
+    # txlog_deletion_vector_report — the tombstone read path the
+    # headline set didn't exercise (VERDICT r6 item 6)
     tags=("J1",),
 )
 def q_join_dim_single_key(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -564,3 +566,6 @@ from politicamente_etl_spark.plans import extended_r11f as _extended_r11f  # noq
 from politicamente_etl_spark.plans import extended_r11g as _extended_r11g  # noqa: E402,F401
 from politicamente_etl_spark.plans import extended_r11h as _extended_r11h  # noqa: E402,F401
 from politicamente_etl_spark.plans import extended_r11i as _extended_r11i  # noqa: E402,F401
+from politicamente_etl_spark.plans import extended_r12 as _extended_r12  # noqa: E402,F401
+from politicamente_etl_spark.plans import extended_r12b as _extended_r12b  # noqa: E402,F401
+from politicamente_etl_spark.plans import extended_r12c as _extended_r12c  # noqa: E402,F401

@@ -210,3 +210,68 @@ def test_asof_join_timestamp_interval_tolerance(spark, sf_dir):
         if r.asof_ts is not None:
             delta = (r.p_ts - r.asof_ts).total_seconds()
             assert 0 <= delta <= 1800
+
+
+# --- built-in pure-Python image codec (round 7: the real byte path) ---
+
+
+def test_encode_parse_bmp_roundtrip_with_padding():
+    """width=3 forces a 9-byte pixel row padded to 12 — the parser must
+    exclude the 3 padding bytes from pixel_sum."""
+    data = mm.encode_bmp(3, 2, 7)
+    assert data[:2] == b"BM"
+    got = mm.parse_bmp(data)
+    assert got == {
+        "width": 3,
+        "height": 2,
+        "n_channels": 3,
+        "pixel_sum": 3 * 2 * 3 * 7,
+    }
+    # stride math: file = 54-byte header + 2 rows of 12
+    assert len(data) == 54 + 2 * 12
+
+
+def test_parse_bmp_rejects_compressed_and_non_bmp():
+    with pytest.raises(ValueError):
+        mm.parse_bmp(b"PNG whatever")
+    data = bytearray(mm.encode_bmp(2, 2, 1))
+    data[30:34] = (1).to_bytes(4, "little")  # BI_RLE8
+    with pytest.raises(NotImplementedError):
+        mm.parse_bmp(bytes(data))
+
+
+def test_parse_ppm_header_with_comment():
+    raster = bytes(range(2 * 1 * 3))
+    data = b"P6\n# a comment\n2 1\n255\n" + raster
+    got = mm.parse_ppm(data)
+    assert got == {
+        "width": 2,
+        "height": 1,
+        "n_channels": 3,
+        "pixel_sum": sum(raster),
+    }
+
+
+def test_decode_image_dispatch_and_unknown_format():
+    assert mm.decode_image(mm.encode_bmp(1, 1, 9))["pixel_sum"] == 27
+    assert mm.decode_image(b"P6\n1 1\n255\n\x01\x02\x03")["pixel_sum"] == 6
+    with pytest.raises(NotImplementedError):
+        mm.decode_image(b"\x89PNG\r\n")
+
+
+def test_decode_image_meta_default_uses_builtin_codec(spark):
+    df = spark.createDataFrame(
+        [(1, mm.encode_bmp(4, 3, 5)), (2, mm.encode_bmp(7, 2, 0))],
+        "doc_id long, media binary",
+    )
+    rows = {r.doc_id: r for r in mm.decode_image_meta(df).collect()}
+    assert (rows[1].width, rows[1].height, rows[1].n_channels) == (4, 3, 3)
+    assert (rows[2].width, rows[2].height, rows[2].n_channels) == (7, 2, 3)
+
+
+def test_decode_image_stats_executor_path(spark):
+    df = spark.createDataFrame(
+        [(1, mm.encode_bmp(4, 3, 5))], "doc_id long, media binary"
+    )
+    (row,) = mm.decode_image_stats(df).collect()
+    assert row.pixel_sum == 4 * 3 * 3 * 5 and row.width == 4

@@ -1389,3 +1389,24 @@ def test_decontamination_eval_grams_broadcast(spark, sf_dir):
     assert "CartesianProduct" not in plan
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_sidecar_tombstone_read_is_broadcast_anti_join(spark, tmp_path):
+    """The delete-file read path (round 7): sidecar tombstones must
+    apply as a BROADCAST anti-join — never a SortMergeJoin (shuffling
+    the whole table to apply a delete set defeats merge-on-read) and
+    never an In-literal expression (Catalyst superlinear analysis,
+    measured 19 s → 81 s at 4× on the literal form)."""
+    from politicamente_etl_spark.sources.txlog import TxLogTable
+
+    df = spark.range(1, 1001).select(
+        F.col("id").alias("k"), (F.col("id") * 2).alias("v")
+    )
+    t = TxLogTable.create(spark, str(tmp_path / "t"), df)
+    t.delete_where_logical(
+        "k", keys_df=spark.range(1, 201).select(F.col("id").alias("k"))
+    )
+    plan = plan_of(t.snapshot())
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+    assert "SortMergeJoin" not in plan
+    assert t.snapshot().count() == 800

@@ -1,0 +1,253 @@
+"""Delete-file sidecars (parquet key-set tombstones), the vacuum
+checkpoint's tombstone/constraint/add-version carriage, NULL-key
+uniformity, clustered-commit vacuum reachability, staged-file
+constraint validation, and the needs_optimize policy — the round-7
+txlog surface (VERDICT r6 item 2 + every ADVICE r6 item)."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from politicamente_etl_spark.sources.txlog import (
+    ConstraintViolation,
+    TxLogTable,
+    _DELETES_DIR,
+)
+
+
+def _mk(spark, path, n=100):
+    df = spark.range(1, n + 1).select(
+        F.col("id").alias("k"), (F.col("id") * 10).alias("v")
+    )
+    return TxLogTable.create(spark, str(path), df)
+
+
+def _keys(spark, ks):
+    return spark.createDataFrame([(k,) for k in ks], "k long")
+
+
+def test_sidecar_delete_filters_reads_without_rewrite_or_driver_keys(
+    spark, tmp_path
+):
+    t = _mk(spark, tmp_path / "t")
+    files_before = set(t._live_files())
+    m = t.delete_where_logical("k", keys_df=_keys(spark, [3, 7, 50]))
+    assert m["delete_stats"] == {"files_rewritten": 0, "n_keys": 3}
+    assert set(t._live_files()) == files_before
+    # the manifest carries a path + count, never the key values
+    tomb = m["tombstones"][0]
+    assert "values" not in tomb and tomb["n_keys"] == 3
+    assert tomb["path"].startswith(_DELETES_DIR)
+    got = sorted(r.k for r in t.snapshot().collect())
+    assert got == [k for k in range(1, 101) if k not in (3, 7, 50)]
+    assert t.snapshot(version=1).count() == 100  # time travel intact
+    # scan() applies sidecar tombstones after pruning too
+    assert sorted(r.k for r in t.scan({"k": (1, 10)}).collect()) == [
+        1, 2, 4, 5, 6, 8, 9, 10,
+    ]
+
+
+def test_sidecar_manifest_size_independent_of_key_count(spark, tmp_path):
+    """The scale contract: tombstoning 10× more keys must not grow the
+    manifest — only the parquet sidecar grows (distributed, off the
+    driver)."""
+    t1 = _mk(spark, tmp_path / "a", n=400)
+    m1 = t1.delete_where_logical(
+        "k", keys_df=_keys(spark, range(1, 21))
+    )
+    t2 = _mk(spark, tmp_path / "b", n=400)
+    m2 = t2.delete_where_logical(
+        "k", keys_df=_keys(spark, range(1, 201))
+    )
+    s1 = len(json.dumps({k: v for k, v in m1.items() if k != "tombstones"})
+             ) + len(json.dumps(
+                 [{k: v for k, v in t.items() if k != "path"}
+                  for t in m1["tombstones"]]))
+    s2 = len(json.dumps({k: v for k, v in m2.items() if k != "tombstones"})
+             ) + len(json.dumps(
+                 [{k: v for k, v in t.items() if k != "path"}
+                  for t in m2["tombstones"]]))
+    # identical up to the n_keys digits (20 vs 200)
+    assert abs(s2 - s1) <= 2
+    assert t2.snapshot().count() == 200
+
+
+def test_reinsert_after_sidecar_delete_survives(spark, tmp_path):
+    t = _mk(spark, tmp_path / "t")
+    t.delete_where_logical("k", keys_df=_keys(spark, [5, 6]))
+    t.merge(spark.createDataFrame([(5, 555)], "k long, v long"), ["k"])
+    rows = {r.k: r.v for r in t.snapshot().collect()}
+    assert rows[5] == 555 and 6 not in rows and len(rows) == 99
+
+
+def test_null_keys_uniformly_retained_inline_and_sidecar(spark, tmp_path):
+    """ADVICE r6 (medium): NOT-IN tri-valued logic silently deleted
+    NULL-keyed rows on the small-inline branch while the anti-join
+    branch kept them. Both branches must keep them."""
+    df = spark.createDataFrame(
+        [(1, 10), (2, 20), (None, 30), (None, 40)], "k long, v long"
+    )
+    t_inline = TxLogTable.create(spark, str(tmp_path / "i"), df)
+    t_inline.delete_where_logical("k", [1])  # inline (< 64 values)
+    got = sorted(r.v for r in t_inline.snapshot().collect())
+    assert got == [20, 30, 40]
+    t_side = TxLogTable.create(spark, str(tmp_path / "s"), df)
+    t_side.delete_where_logical("k", keys_df=_keys(spark, [1]))
+    got = sorted(r.v for r in t_side.snapshot().collect())
+    assert got == [20, 30, 40]
+    # large inline set (> 64 → anti-join branch) — same answer
+    t_big = TxLogTable.create(spark, str(tmp_path / "b"), df)
+    t_big.delete_where_logical("k", [1, *range(100, 200)])
+    got = sorted(r.v for r in t_big.snapshot().collect())
+    assert got == [20, 30, 40]
+
+
+def test_checkpoint_and_clone_carry_sidecar_tombstones(spark, tmp_path):
+    t = _mk(spark, tmp_path / "t")
+    t.delete_where_logical("k", keys_df=_keys(spark, [5, 6]))
+    t.merge(spark.createDataFrame([(5, 555)], "k long, v long"), ["k"])
+    t.checkpoint()
+    t2 = TxLogTable(spark, t.path)
+    rows = {r.k: r.v for r in t2.snapshot().collect()}
+    assert rows[5] == 555 and 6 not in rows and len(rows) == 99
+    c = t.clone_shallow(str(tmp_path / "c"))
+    rows = {r.k: r.v for r in c.snapshot().collect()}
+    assert rows[5] == 555 and 6 not in rows and len(rows) == 99
+
+
+def test_vacuum_checkpoint_preserves_tombstones_and_constraints(
+    spark, tmp_path
+):
+    """ADVICE r6 (high): vacuum's retained-version checkpoint used to
+    omit live tombstones and constraints — logically deleted rows
+    resurrected and CHECKs silently stopped. Both must survive
+    manifest expiry, for inline AND sidecar forms."""
+    t = _mk(spark, tmp_path / "t")
+    t.delete_where_logical("k", [1, 2])                       # v2 inline
+    t.delete_where_logical("k", keys_df=_keys(spark, [3]))    # v3 sidecar
+    t.set_constraint("pos", "v >= 0")                         # v4
+    t.append(spark.createDataFrame([(200, 1)], "k long, v long"))  # v5
+    assert t.snapshot().count() == 98
+    t.vacuum(retain_versions=2)  # expire v1-v3 incl. both tombstones
+    t2 = TxLogTable(spark, t.path)
+    got = sorted(r.k for r in t2.snapshot().collect())
+    assert 1 not in got and 2 not in got and 3 not in got
+    assert len(got) == 98
+    with pytest.raises(ConstraintViolation):
+        t2.append(spark.createDataFrame([(201, -5)], "k long, v long"))
+
+
+def test_vacuum_keeps_referenced_sidecars_reclaims_expired(spark, tmp_path):
+    t = _mk(spark, tmp_path / "t")
+    t.delete_where_logical("k", keys_df=_keys(spark, [7, 8]))
+    del_root = os.path.join(t.path, _DELETES_DIR)
+    assert len(os.listdir(del_root)) == 1
+    # referenced: vacuum must not touch it
+    t.vacuum()
+    assert len(os.listdir(del_root)) == 1
+    assert t.snapshot().count() == 98
+    # materialize + checkpoint drops the now-dead tombstone, then
+    # vacuum(retain) expires the referencing manifests → sidecar goes
+    t.optimize(target_file_bytes=1 << 30)
+    t.checkpoint()
+    t.vacuum(retain_versions=1)
+    assert os.listdir(del_root) == []
+    assert t.snapshot().count() == 98  # physically materialized
+
+
+def test_vacuum_reclaims_clustered_commit_dirs(spark, tmp_path):
+    """ADVICE r6 (medium): clustered commits nest files under
+    <col>=<val>/ subdirs; top-level-only listing read them as empty and
+    leaked them forever. After overwrite de-references the clustered
+    create, vacuum(retain=1) must physically delete it."""
+    df = spark.range(1, 41).select(
+        F.col("id").alias("k"),
+        (F.col("id") * 10).alias("v"),
+        (F.col("id") % 4).alias("bucket"),
+    )
+    t = TxLogTable.create(
+        spark, str(tmp_path / "t"), df, cluster_file_col="bucket"
+    )
+    clustered_dirs = {
+        os.path.dirname(os.path.dirname(f)) for f in t._live_files()
+    }
+    assert len(clustered_dirs) == 1
+    (old_commit,) = clustered_dirs
+    t.overwrite(spark.range(1, 6).select(
+        F.col("id").alias("k"), (F.col("id") * 10).alias("v")
+    ))
+    t.vacuum(retain_versions=1)
+    assert not os.path.isdir(os.path.join(t.path, old_commit))
+    assert t.snapshot().count() == 5
+
+
+def test_add_versions_exact_across_vacuum_reinsert_ordering(spark, tmp_path):
+    """ADVICE r6 (low): a file added AFTER a tombstone (merge re-insert)
+    whose adding manifest is vacuumed used to fall back to add-version
+    0, so the tombstone wrongly filtered its rows — data loss. The
+    checkpoint's added_versions map must keep the fold exact."""
+    t = _mk(spark, tmp_path / "t", n=20)
+    t.delete_where_logical("k", keys_df=_keys(spark, [5]))       # v2
+    t.merge(spark.createDataFrame([(5, 555)], "k long, v long"),
+            ["k"])                                               # v3 re-add
+    t.append(spark.createDataFrame([(100, 1)], "k long, v long"))  # v4
+    t.append(spark.createDataFrame([(101, 1)], "k long, v long"))  # v5
+    t.vacuum(retain_versions=2)  # expires v1-v3: re-add manifest gone
+    t2 = TxLogTable(spark, t.path)
+    rows = {r.k: r.v for r in t2.snapshot().collect()}
+    assert rows[5] == 555, "re-inserted row lost its add version"
+    assert len(rows) == 22
+
+
+def test_append_constraint_checks_staged_rows_and_unstages(spark, tmp_path):
+    """ADVICE r6 (low): constraints validate the STAGED files (the
+    exact committed rows); a violating batch leaves no commit AND no
+    orphan data directory."""
+    t = _mk(spark, tmp_path / "t", n=5)
+    t.set_constraint("v_nonneg", "v >= 0")
+    data_root = os.path.join(t.path, "data")
+    dirs_before = set(os.listdir(data_root))
+    with pytest.raises(ConstraintViolation) as ei:
+        t.append(spark.createDataFrame([(9, -1), (10, 2)], "k long, v long"))
+    assert ei.value.counts == {"v_nonneg": 1}
+    assert t.snapshot().count() == 5
+    assert set(os.listdir(data_root)) == dirs_before  # unstaged
+    t.append(spark.createDataFrame([(9, 1)], "k long, v long"))
+    assert t.snapshot().count() == 6
+
+
+def test_needs_optimize_fires_exactly_at_threshold(spark, tmp_path):
+    t = _mk(spark, tmp_path / "t", n=100)
+    t.delete_where_logical("k", keys_df=_keys(spark, range(1, 11)))
+    rep = t.needs_optimize(tombstone_ratio=0.10)
+    assert rep["live_rows"] == 100 and rep["tombstoned_keys"] == 10
+    assert rep["tombstone_ratio"] == pytest.approx(0.10)
+    assert rep["needs_optimize"] is True  # >= threshold fires
+    assert t.needs_optimize(tombstone_ratio=0.101)["needs_optimize"] is False
+    # optimize materializes → debt reads 0, policy stops firing
+    t.optimize(target_file_bytes=1 << 30)
+    rep2 = t.needs_optimize(tombstone_ratio=0.10)
+    assert rep2 == {
+        "live_rows": 90,
+        "tombstoned_keys": 0,
+        "tombstone_ratio": 0.0,
+        "threshold": 0.10,
+        "needs_optimize": False,
+    }
+
+
+def test_delete_where_logical_arg_validation(spark, tmp_path):
+    t = _mk(spark, tmp_path / "t", n=5)
+    with pytest.raises(ValueError):
+        t.delete_where_logical("k")
+    with pytest.raises(ValueError):
+        t.delete_where_logical("k", [1], keys_df=_keys(spark, [1]))
+    with pytest.raises(ValueError):
+        t.delete_where_logical("k", keys_df=_keys(spark, []))
+    # a rejected empty key set must not leak a staged sidecar
+    del_root = os.path.join(t.path, _DELETES_DIR)
+    assert not os.path.isdir(del_root) or os.listdir(del_root) == []
