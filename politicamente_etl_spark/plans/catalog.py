@@ -50,6 +50,13 @@ CATALOG: dict[str, Query] = {}
 
 def register(name: str, sql: str | None, bench: bool = False, tags: tuple[str, ...] = ()):
     def deco(fn: Callable[[SparkSession, str], DataFrame]):
+        # last-wins overwriting silently dropped an existing query once
+        # (round 7: a draft re-used int8_quantization_report and ate the
+        # r10b original) — duplicates are always a registration bug
+        if name in CATALOG:
+            raise ValueError(
+                f"catalog name collision: {name!r} is already registered"
+            )
         CATALOG[name] = Query(name=name, fn=fn, sql=sql, bench=bench, tags=tags)
         return fn
 

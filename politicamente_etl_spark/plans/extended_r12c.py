@@ -1,8 +1,6 @@
 """Round-7 batch C: incremental materialized-view maintenance off the
 commit log's change feed (cost ∝ changeset, never the table — the
-Delta Live Tables / IVM shape), and int8 embedding quantization error
-accounting (the storage decision every 100 TB vector corpus makes,
-certified in exact fixed-point integer arithmetic).
+Delta Live Tables / IVM shape).
 """
 
 from __future__ import annotations
@@ -117,79 +115,13 @@ def _register():
             .select("priority", "n_orders", "revenue")
         )
 
-    @register(
-        "int8_quantization_report",
-        sql="""
-        WITH e AS (
-            SELECT vec_id, i AS pos,
-                   CAST(floor(CAST(embedding[i + 1] AS DOUBLE) * 1e9)
-                        AS BIGINT) AS x9
-            FROM embeddings CROSS JOIN range(0, 64) t(i)
-        ), b AS (
-            SELECT pos, MIN(x9) AS mn, MAX(x9) AS mx FROM e GROUP BY pos
-        ), r AS (
-            SELECT e.pos,
-                   x9 - (mn + (CASE WHEN mx > mn
-                               THEN ((x9 - mn) * 255) // (mx - mn)
-                               ELSE 0 END) * (mx - mn) // 255) AS err9
-            FROM e JOIN b USING (pos)
-        )
-        SELECT pos,
-               CAST(COUNT(*) AS BIGINT) AS n_values,
-               CAST(SUM(ABS(err9)) AS BIGINT) AS sum_abs_err9,
-               CAST(MAX(ABS(err9)) AS BIGINT) AS max_abs_err9
-        FROM r GROUP BY pos
-        """,
-        tags=("ext-sim",),
-    )
-    def q_int8_quantization_report(
-        spark: SparkSession, sf_dir: str
-    ) -> DataFrame:
-        """Per-dimension int8 (256-level min/max) quantization error for
-        the embedding corpus — the accounting behind the 4× storage /
-        bandwidth cut every large vector store takes before ANN. All
-        arithmetic is FIXED-POINT INTEGER (values snapped to 1e-9 grid,
-        levels and dequantization by exact integer div), so Spark and
-        DuckDB agree bit-for-bit and the error bound is a theorem the
-        oracle checks: max |err| ≤ per-dim range / 255.
-
-        Scale shape: one 64-row bounds aggregate (map-side partial
-        combine), broadcast back, one final per-dim aggregate — two
-        narrow shuffles whose width is the DIMENSION count, not the
-        corpus. The posexplode is the only row blow-up (×dim) and it
-        never leaves the partition before aggregation."""
-        emb = T(spark, sf_dir, "embeddings")
-        e = emb.select(
-            "vec_id", F.posexplode("embedding").alias("pos", "val")
-        ).select(
-            "vec_id",
-            "pos",
-            F.floor(F.col("val").cast("double") * 1e9)
-            .cast("bigint")
-            .alias("x9"),
-        )
-        b = e.groupBy("pos").agg(
-            F.min("x9").alias("mn"), F.max("x9").alias("mx")
-        )
-        j = e.join(F.broadcast(b), "pos")
-        qv = F.when(
-            F.col("mx") > F.col("mn"),
-            F.expr("((x9 - mn) * 255) DIV (mx - mn)"),
-        ).otherwise(F.lit(0))
-        err9 = F.col("x9") - (
-            F.col("mn") + F.expr("qv * (mx - mn) DIV 255")
-        )
-        return (
-            j.withColumn("qv", qv)
-            .withColumn("err9", err9)
-            .groupBy("pos")
-            .agg(
-                F.count("*").cast("long").alias("n_values"),
-                F.sum(F.abs("err9")).cast("long").alias("sum_abs_err9"),
-                F.max(F.abs("err9")).cast("long").alias("max_abs_err9"),
-            )
-            .select("pos", "n_values", "sum_abs_err9", "max_abs_err9")
-        )
+    # NOTE: an int8 quantization-error query already exists at the
+    # (label, dim) grain — plans/extended_r10b.py
+    # `int8_quantization_report` (milli fixed-point). A round-7 draft
+    # duplicated the concept at global-dim grain and silently overwrote
+    # that CATALOG entry (register() is last-wins); removed in favor of
+    # the richer original. New registrations must grep the catalog for
+    # the name first.
 
 
 _register()
