@@ -352,6 +352,11 @@ REFACTORED_THIS_ROUND: frozenset[str] = frozenset(
     {
         "txlog_right_to_erasure",   # delete_keys → _read_with_tombstones
         "txlog_optimize_invariance",  # optimize → _read_with_tombstones
+        # r7 additions — txlog.py internals these verified queries ride
+        # were refactored (sidecar tombstones + ADVICE r6 fixes):
+        "txlog_merge_report",  # merge → tombstone-aware rewrite read
+        "txlog_schema_evolution",  # append → staged-file constraint path
+        "streaming_txlog_exactly_once",  # txn_id append → same new path
     }
 )
 

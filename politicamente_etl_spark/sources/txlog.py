@@ -136,6 +136,14 @@ class TxLogTable:
     def __init__(self, spark: SparkSession, path: str):
         self.spark = spark
         self.path = path
+        # manifests are immutable once linked (vacuum's same-version
+        # checkpoint rewrite is the one exception — os.replace bumps
+        # mtime, which invalidates the entry), so parsed JSON is cached
+        # per instance keyed by (mtime_ns, size). A snapshot() folds the
+        # log several times (live set, stats, tombstones, add versions);
+        # without this every fold re-reads every manifest from disk —
+        # O(versions) I/O per fold instead of per table handle.
+        self._manifest_cache: dict[int, tuple[int, int, dict]] = {}
 
     # -- log plumbing -------------------------------------------------------
 
@@ -158,8 +166,15 @@ class TxLogTable:
         return vs[-1] if vs else 0
 
     def _read_manifest(self, version: int) -> dict:
-        with open(_manifest_path(self.path, version)) as fh:
-            return json.load(fh)
+        p = _manifest_path(self.path, version)
+        st = os.stat(p)
+        hit = self._manifest_cache.get(version)
+        if hit is not None and hit[0] == st.st_mtime_ns and hit[1] == st.st_size:
+            return hit[2]
+        with open(p) as fh:
+            m = json.load(fh)
+        self._manifest_cache[version] = (st.st_mtime_ns, st.st_size, m)
+        return m
 
     def history(self) -> list[dict]:
         return [self._read_manifest(v) for v in self._versions()]

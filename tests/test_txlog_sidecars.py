@@ -251,3 +251,23 @@ def test_delete_where_logical_arg_validation(spark, tmp_path):
     # a rejected empty key set must not leak a staged sidecar
     del_root = os.path.join(t.path, _DELETES_DIR)
     assert not os.path.isdir(del_root) or os.listdir(del_root) == []
+
+
+def test_manifest_cache_sees_vacuum_rewrite_and_new_commits(spark, tmp_path):
+    """The parsed-manifest cache must never serve stale state: a new
+    commit (new version) appears, and vacuum's same-version checkpoint
+    rewrite (the ONE mutation of an existing manifest file) invalidates
+    its entry via mtime/size."""
+    t = _mk(spark, tmp_path / "t", n=20)
+    assert t.history()[-1]["op"] == "create"
+    t.delete_where_logical("k", keys_df=_keys(spark, [5]))  # v2
+    assert [m["version"] for m in t.history()] == [1, 2]  # new commit seen
+    t.append(spark.createDataFrame([(100, 1)], "k long, v long"))  # v3
+    t.append(spark.createDataFrame([(101, 1)], "k long, v long"))  # v4
+    # prime the cache on v3, then vacuum rewrites v3 as a checkpoint
+    assert t.history()[2].get("checkpoint") is None
+    t.vacuum(retain_versions=2)
+    assert t._read_manifest(3)["checkpoint"] is True  # rewrite visible
+    assert sorted(r.k for r in t.snapshot().collect()) == [
+        *[k for k in range(1, 21) if k != 5], 100, 101,
+    ]
