@@ -357,6 +357,7 @@ REFACTORED_THIS_ROUND: frozenset[str] = frozenset(
         "txlog_merge_report",  # merge → tombstone-aware rewrite read
         "txlog_schema_evolution",  # append → staged-file constraint path
         "streaming_txlog_exactly_once",  # txn_id append → same new path
+        "txlog_cdf_changes",  # table_changes → changed-files-only diff
     }
 )
 

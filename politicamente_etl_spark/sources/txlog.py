@@ -1424,20 +1424,96 @@ class TxLogTable:
         self, from_version: int, to_version: int, keys: list[str], compare_cols: list[str]
     ) -> DataFrame:
         """Change data feed between two committed versions: row-level
-        insert/update/delete records computed by diffing the two
-        snapshots through the SAME cdc.snapshot_diff operator the batch
-        CDC surface uses. Because versions are immutable, the feed for a
-        (from, to) pair is a pure function of the log — replayable at
-        any time, which is what makes downstream incremental consumers
-        (sync jobs, materialized views) restartable."""
+        insert/update/delete records through the SAME cdc.snapshot_diff
+        operator the batch CDC surface uses. Because versions are
+        immutable, the feed for a (from, to) pair is a pure function of
+        the log — replayable at any time, which is what makes downstream
+        incremental consumers (sync jobs, materialized views)
+        restartable.
+
+        Scale shape (round 7): the diff reads ONLY the files that
+        DIFFER between the two versions — files live at both versions
+        are immutable bytes, so their rows can't have changed and never
+        enter the join. A merge that touched 0.1% of a 100 TB table
+        yields a CDF that reads ~0.2% (old + new copies of touched
+        files), not 200 TB. The one way a shared file's rows CAN change
+        is a tombstone committed in (from, to]: those surface as
+        'delete' records via one anti-join of the shared-file rows
+        against the (broadcast) new tombstone keys — no full-snapshot
+        join there either."""
         from politicamente_etl_spark.operators import cdc
 
-        return cdc.snapshot_diff(
-            self.snapshot(from_version),
-            self.snapshot(to_version),
-            keys,
-            compare_cols,
+        f_from = self._live_files(from_version)
+        f_to = self._live_files(to_version)
+        shared = set(f_from) & set(f_to)
+        changed_from = [f for f in f_from if f not in shared]
+        changed_to = [f for f in f_to if f not in shared]
+        empty = self.snapshot(from_version).limit(0)
+        old = (
+            self._read_with_tombstones(changed_from, version=from_version)
+            if changed_from
+            else empty
         )
+        new = (
+            self._read_with_tombstones(changed_to, version=to_version)
+            if changed_to
+            else empty
+        )
+        diff = cdc.snapshot_diff(old, new, keys, compare_cols)
+        new_ts = [
+            t
+            for t in self._live_tombstones(to_version)
+            if from_version < t[0] and t[1] in empty.columns
+        ]
+        addv_from = self._file_add_versions(from_version)
+        addv_to = self._file_add_versions(to_version)
+        # a shared file whose add version moved inside the interval was
+        # re-added (restore): tombstone applicability flipped mid-way,
+        # so rows can resurrect as well as die — diff its alive sets
+        # exactly (values are immutable, so only inserts/deletes emerge)
+        readded = sorted(
+            f
+            for f in shared
+            if addv_to.get(f, 0) != addv_from.get(f, 0)
+        )
+        stable = sorted(shared - set(readded))
+        if stable and new_ts:
+            # rows of stable still-live files logically deleted in
+            # (from, to]: a stable shared file has add version ≤ from,
+            # so every new tombstone applies — survivors drop out via
+            # the standard filter, the anti-join on the CDC keys yields
+            # the deleted rows (keys unique per row by CDC contract)
+            sh_from = self._read_with_tombstones(
+                stable, version=from_version
+            )
+            survivors = self._tombstone_filter(sh_from, from_version, new_ts)
+            gone = sh_from.join(
+                survivors.select(*keys), on=keys, how="anti"
+            )
+            deletes = gone.select(
+                *keys,
+                F.lit("delete").alias("change_type"),
+                *[F.col(c).alias(f"old_{c}") for c in compare_cols],
+                *[
+                    F.lit(None)
+                    .cast(gone.schema[c].dataType)
+                    .alias(f"new_{c}")
+                    for c in compare_cols
+                ],
+            )
+            diff = diff.unionByName(deletes)
+        if readded:
+            diff = diff.unionByName(
+                cdc.snapshot_diff(
+                    self._read_with_tombstones(
+                        readded, version=from_version
+                    ),
+                    self._read_with_tombstones(readded, version=to_version),
+                    keys,
+                    compare_cols,
+                )
+            )
+        return diff
 
     def restore(self, version: int) -> int:
         """Roll the table BACK to `version` as a NEW commit (Delta

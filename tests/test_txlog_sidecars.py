@@ -271,3 +271,70 @@ def test_manifest_cache_sees_vacuum_rewrite_and_new_commits(spark, tmp_path):
     assert sorted(r.k for r in t.snapshot().collect()) == [
         *[k for k in range(1, 21) if k != 5], 100, 101,
     ]
+
+
+def test_concurrent_sidecar_deletes_both_land(spark, tmp_path):
+    """OCC rebase for sidecar tombstones: two writers race
+    delete_where_logical(keys_df=...); appends commute, so BOTH must
+    commit (versions 2 and 3, either order), each reusing its staged
+    sidecar across EEXIST retries, and the final snapshot excludes both
+    key sets."""
+    import threading
+
+    t = _mk(spark, tmp_path / "t")
+    barrier = threading.Barrier(2)
+    errs = []
+
+    def worker(ks):
+        try:
+            barrier.wait(timeout=30)
+            TxLogTable(spark, t.path).delete_where_logical(
+                "k", keys_df=_keys(spark, ks)
+            )
+        except Exception as exc:  # noqa: BLE001
+            errs.append(exc)
+
+    th1 = threading.Thread(target=worker, args=([1, 2, 3],))
+    th2 = threading.Thread(target=worker, args=([50, 51],))
+    th1.start(); th2.start(); th1.join(60); th2.join(60)
+    assert not errs
+    assert t.latest_version() == 3
+    got = sorted(r.k for r in t.snapshot().collect())
+    assert got == [k for k in range(1, 101) if k not in (1, 2, 3, 50, 51)]
+    assert sum(
+        len(m.get("tombstones", [])) for m in t.history()
+    ) == 2
+
+
+def test_cdf_changed_files_only_matches_full_diff(spark, tmp_path):
+    """table_changes (round 7) diffs only the files that DIFFER between
+    versions. Every change class in one log: a merge update+insert
+    (changed files), a sidecar tombstone on an untouched file (stable
+    shared file → delete records), and a restore that re-adds a shared
+    file (resurrection → insert records)."""
+    df = spark.range(1, 41).select(
+        F.col("id").alias("k"), (F.col("id") * 10).alias("v")
+    )
+    t = TxLogTable.create(spark, str(tmp_path / "t"), df.repartition(4))
+    # v2: merge updates k=1, inserts k=100
+    t.merge(
+        spark.createDataFrame([(1, 111), (100, 1000)], "k long, v long"),
+        ["k"],
+    )
+    ch = t.table_changes(1, 2, ["k"], ["v"])
+    got = {(r.k, r.change_type, r.old_v, r.new_v) for r in ch.collect()}
+    assert got == {(1, "update", 10, 111), (100, "insert", None, 1000)}
+    # v3: sidecar tombstone — no file changes at all
+    t.delete_where_logical("k", keys_df=_keys(spark, [2, 3]))
+    ch = t.table_changes(2, 3, ["k"], ["v"])
+    got = {(r.k, r.change_type, r.old_v, r.new_v) for r in ch.collect()}
+    assert got == {(2, "delete", 20, None), (3, "delete", 30, None)}
+    # v4: restore to v2 — tombstoned rows resurrect as inserts
+    t.restore(2)
+    ch = t.table_changes(3, 4, ["k"], ["v"])
+    got = {(r.k, r.change_type, r.old_v, r.new_v) for r in ch.collect()}
+    assert got == {(2, "insert", None, 20), (3, "insert", None, 30)}
+    # cross-interval feed equals the end-to-end diff
+    ch = t.table_changes(1, 4, ["k"], ["v"])
+    got = {(r.k, r.change_type, r.old_v, r.new_v) for r in ch.collect()}
+    assert got == {(1, "update", 10, 111), (100, "insert", None, 1000)}
