@@ -154,6 +154,97 @@ def parse_ppm(data: bytes) -> dict:
     }
 
 
+AUDIO_STATS_SCHEMA = (
+    "doc_id long, n_channels int, sample_rate int, n_samples long, "
+    "sample_sum long"
+)
+
+
+def encode_wav(
+    n_samples: int, sample_rate: int, amplitude: int, n_channels: int = 1
+) -> bytes:
+    """A minimal valid RIFF/WAVE file: PCM16, every sample = `amplitude`
+    (int16). Pure Python — the deterministic payload generator for the
+    real audio decode path, the WAV twin of `encode_bmp`."""
+    data = (
+        int(amplitude).to_bytes(2, "little", signed=True)
+        * (n_samples * n_channels)
+    )
+    byte_rate = sample_rate * n_channels * 2
+    fmt = (
+        b"fmt "
+        + (16).to_bytes(4, "little")
+        + (1).to_bytes(2, "little")  # PCM
+        + n_channels.to_bytes(2, "little")
+        + sample_rate.to_bytes(4, "little")
+        + byte_rate.to_bytes(4, "little")
+        + (n_channels * 2).to_bytes(2, "little")  # block align
+        + (16).to_bytes(2, "little")  # bits per sample
+    )
+    payload = b"WAVE" + fmt + b"data" + len(data).to_bytes(4, "little") + data
+    return b"RIFF" + len(payload).to_bytes(4, "little") + payload
+
+
+def parse_wav(data: bytes) -> dict:
+    """Decode a PCM16 RIFF/WAVE header + sample stats by walking the
+    chunk list (the public RIFF layout): channels, rate, frame count,
+    and the exact int64 sum of all int16 samples."""
+    if data[:4] != b"RIFF" or data[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    pos = 12
+    n_channels = sample_rate = None
+    raw = None
+    while pos + 8 <= len(data):
+        cid = data[pos : pos + 4]
+        size = int.from_bytes(data[pos + 4 : pos + 8], "little")
+        body = data[pos + 8 : pos + 8 + size]
+        if cid == b"fmt ":
+            fmt_tag = int.from_bytes(body[0:2], "little")
+            bits = int.from_bytes(body[14:16], "little")
+            if fmt_tag != 1 or bits != 16:
+                raise NotImplementedError(
+                    f"only PCM16 WAV supported (format={fmt_tag}, "
+                    f"bits={bits}); inject decoder= for others"
+                )
+            n_channels = int.from_bytes(body[2:4], "little")
+            sample_rate = int.from_bytes(body[4:8], "little")
+        elif cid == b"data":
+            raw = body
+        pos += 8 + size + (size % 2)  # chunks are word-aligned
+    if n_channels is None or raw is None:
+        raise ValueError("WAV missing fmt/data chunk")
+    import numpy as np
+
+    samples = np.frombuffer(raw, dtype="<i2")
+    return {
+        "n_channels": n_channels,
+        "sample_rate": sample_rate,
+        "n_samples": len(samples) // n_channels,
+        "sample_sum": int(samples.astype(np.int64).sum()),
+    }
+
+
+def decode_audio_stats(df: DataFrame) -> DataFrame:
+    """Audio decode pass via mapInPandas using the built-in PCM16 WAV
+    parser — the audio twin of `decode_image_stats`: real RIFF bytes
+    parsed on the executors, payload dropped before any shuffle."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            stats = [parse_wav(bytes(b)) for b in pdf["media"]]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "n_channels": [s["n_channels"] for s in stats],
+                    "sample_rate": [s["sample_rate"] for s in stats],
+                    "n_samples": [s["n_samples"] for s in stats],
+                    "sample_sum": [s["sample_sum"] for s in stats],
+                }
+            )
+
+    return df.select("doc_id", "media").mapInPandas(run, AUDIO_STATS_SCHEMA)
+
+
 def decode_image(data: bytes) -> dict:
     """The built-in pure-Python codec behind the decode seam: dispatch
     on magic bytes to the BMP or PPM parser; every other format still

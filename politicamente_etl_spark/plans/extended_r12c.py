@@ -7,6 +7,9 @@ from __future__ import annotations
 
 import os
 import tempfile
+from collections.abc import Iterator
+
+import pandas as pd
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -122,6 +125,76 @@ def _register():
     # that CATALOG entry (register() is last-wins); removed in favor of
     # the richer original. New registrations must grep the catalog for
     # the name first.
+
+    @register(
+        "wav_decode_stats",
+        sql="""
+        SELECT CAST(8000 + (doc_id % 4) * 4000 AS INT) AS sample_rate,
+               CAST(COUNT(*) AS BIGINT) AS n_files,
+               CAST(SUM(8 + doc_id % 32) AS BIGINT) AS frames_sum,
+               CAST(SUM((8 + doc_id % 32) * (1 + doc_id % 2)
+                        * ((doc_id % 251) - 125)) AS BIGINT)
+                   AS sample_sum_total
+        FROM documents
+        GROUP BY 1
+        """,
+        tags=("ext-multimodal",),
+    )
+    def q_wav_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """The audio twin of bmp_decode_stats: each document synthesizes
+        a genuine RIFF/PCM16 WAV on the executors (frames = 8 +
+        doc_id % 32, rate = 8000 + (doc_id % 4)·4000, mono/stereo
+        alternating, every int16 sample = doc_id % 251 - 125), the
+        payloads ride a binary column through `decode_audio_stats`'
+        mapInPandas pass, and the pure-Python RIFF chunk walker
+        recovers channel count, rate, frame count, and the exact
+        int64 sample sum FROM THE RAW BYTES (numpy int16 view — the
+        vectorized per-batch path a real audio featurizer would use).
+        The oracle pins the closed-form math (sample_sum = frames ×
+        channels × amplitude), so a chunk-offset bug, word-alignment
+        slip, or channel/frame conflation hash-fails. Non-PCM formats
+        still need an injected decoder.
+
+        100 TB: audio bytes are built AND parsed inside one Arrow
+        batch per partition — the payload never crosses a shuffle and
+        the output carries 5 stat columns per clip, not the clip."""
+        from politicamente_etl_spark.operators.multimodal import (
+            decode_audio_stats,
+            encode_wav,
+        )
+
+        docs = T(spark, sf_dir, "documents").select("doc_id")
+
+        def build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            for pdf in batches:
+                yield pd.DataFrame(
+                    {
+                        "doc_id": pdf["doc_id"],
+                        "media": [
+                            encode_wav(
+                                8 + int(d) % 32,
+                                8000 + (int(d) % 4) * 4000,
+                                int(d) % 251 - 125,
+                                n_channels=1 + int(d) % 2,
+                            )
+                            for d in pdf["doc_id"]
+                        ],
+                    }
+                )
+
+        payloads = docs.mapInPandas(build, "doc_id long, media binary")
+        return (
+            decode_audio_stats(payloads)
+            .groupBy("sample_rate")
+            .agg(
+                F.count("*").cast("long").alias("n_files"),
+                F.sum("n_samples").cast("long").alias("frames_sum"),
+                F.sum("sample_sum").cast("long").alias("sample_sum_total"),
+            )
+            .select(
+                "sample_rate", "n_files", "frames_sum", "sample_sum_total"
+            )
+        )
 
 
 _register()

@@ -275,3 +275,45 @@ def test_decode_image_stats_executor_path(spark):
     )
     (row,) = mm.decode_image_stats(df).collect()
     assert row.pixel_sum == 4 * 3 * 3 * 5 and row.width == 4
+
+
+def test_encode_parse_wav_roundtrip_mono_and_stereo():
+    got = mm.parse_wav(mm.encode_wav(10, 16000, -7, n_channels=1))
+    assert got == {
+        "n_channels": 1,
+        "sample_rate": 16000,
+        "n_samples": 10,
+        "sample_sum": -70,
+    }
+    got = mm.parse_wav(mm.encode_wav(5, 8000, 100, n_channels=2))
+    assert got == {
+        "n_channels": 2,
+        "sample_rate": 8000,
+        "n_samples": 5,
+        "sample_sum": 5 * 2 * 100,
+    }
+
+
+def test_parse_wav_walks_extra_chunks_and_rejects_non_pcm():
+    # a LIST chunk (odd-sized, forcing the word-alignment pad) before fmt
+    base = mm.encode_wav(3, 8000, 4)
+    extra = b"LIST" + (3).to_bytes(4, "little") + b"abc" + b"\x00"
+    data = base[:12] + extra + base[12:]
+    data = data[:4] + (len(data) - 8).to_bytes(4, "little") + data[8:]
+    assert mm.parse_wav(data)["sample_sum"] == 12
+    with pytest.raises(ValueError):
+        mm.parse_wav(b"OggS junk")
+    bad = bytearray(mm.encode_wav(2, 8000, 1))
+    bad[20:22] = (3).to_bytes(2, "little")  # IEEE float format tag
+    with pytest.raises(NotImplementedError):
+        mm.parse_wav(bytes(bad))
+
+
+def test_decode_audio_stats_executor_path(spark):
+    df = spark.createDataFrame(
+        [(1, mm.encode_wav(4, 8000, 9, n_channels=2))],
+        "doc_id long, media binary",
+    )
+    (row,) = mm.decode_audio_stats(df).collect()
+    assert (row.n_channels, row.sample_rate, row.n_samples, row.sample_sum) \
+        == (2, 8000, 4, 72)
