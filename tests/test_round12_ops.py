@@ -1,0 +1,390 @@
+"""Round-7 batch D unit tests: bucketed co-located join, Kneser-Ney
+smoothing invariants, per-language CCNet buckets, GMM EM step, and the
+per-nation Kalman filter (cross-checked against a hand-rolled scalar
+reference)."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from politicamente_etl_spark.plans.catalog import CATALOG
+from politicamente_etl_spark.plans.extended_r12d import _bucketed_tables
+from tests.test_plan_quality import plan_of
+
+
+def q(name, spark, sf_dir):
+    return CATALOG[name].fn(spark, sf_dir)
+
+
+# -- bucketed co-located join ------------------------------------------------
+
+
+def test_bucketed_join_has_no_shuffle(spark, sf_dir):
+    """The whole point of bucketBy: with broadcast disabled, the
+    orders⋈customer equi-join on the bucket key must run with ZERO
+    shuffle exchange — the write-time hash layout satisfies the join's
+    distribution requirement on both sides."""
+    bo, bc = _bucketed_tables(spark, sf_dir)
+    with_conf = spark.conf
+    old = with_conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        with_conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        joined = bo.join(bc, bo.o_custkey == bc.c_custkey)
+        plan = plan_of(joined)
+        assert "SortMergeJoin" in plan
+        assert "Exchange" not in plan
+    finally:
+        with_conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
+def test_bucketed_join_matches_plain_join(spark, sf_dir):
+    """Bucketed write+read is lossless: the segment rollup equals the
+    same aggregate over the raw parquet."""
+    got = {
+        r["c_mktsegment"]: (r["n_orders"], r["revenue"])
+        for r in q("bucketed_colocated_join", spark, sf_dir).collect()
+    }
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    c = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    want = {
+        r["c_mktsegment"]: (r["n"], r["rev"])
+        for r in (
+            o.join(c, o.o_custkey == c.c_custkey)
+            .groupBy("c_mktsegment")
+            .agg(
+                F.count("*").alias("n"),
+                F.sum(F.col("o_totalprice").cast("decimal(27,4)"))
+                .cast("double")
+                .alias("rev"),
+            )
+            .collect()
+        )
+    }
+    assert got == want
+
+
+# -- Kneser-Ney ---------------------------------------------------------------
+
+
+def test_kneser_ney_distribution_sums_to_one(spark):
+    """The KN invariant: for any context w1, Σ_w2 P_kn(w2|w1) = 1 over
+    the observed-bigram support plus the backoff mass it leaves — here
+    checked on a closed vocabulary where every bigram type is observed,
+    so the observed-support sum alone must hit 1 exactly."""
+    corpus = ["a b a c a b", "b a c a b a", "c a b a c a"]
+    docs = spark.createDataFrame([(i, t) for i, t in enumerate(corpus)], "doc_id long, text string")
+    from politicamente_etl_spark.operators.text import shingles_regex
+
+    pairs = docs.select(F.explode(shingles_regex("text", 2)).alias("bg")).select(
+        F.split("bg", " ")[0].alias("w1"), F.split("bg", " ")[1].alias("w2")
+    )
+    c12 = pairs.groupBy("w1", "w2").agg(F.count("*").alias("n12"))
+    c1 = c12.groupBy("w1").agg(
+        F.sum("n12").alias("c1n"), F.count("*").alias("nf")
+    )
+    cb = c12.groupBy("w2").agg(F.count("*").alias("nb"))
+    ntb = c12.count()
+    rows = (
+        c12.join(c1, "w1").join(cb, "w2").collect()
+    )
+    # group by w1 in python and sum the closed-form p_kn
+    from collections import defaultdict
+
+    sums = defaultdict(float)
+    # continuation distribution must itself sum to 1 over the vocab
+    cont = {r["w2"]: r["nb"] / ntb for r in cb.collect()}
+    assert abs(sum(cont.values()) - 1.0) < 1e-12
+    for r in rows:
+        p = max(r["n12"] - 0.75, 0.0) / r["c1n"] + 0.75 * r["nf"] / r[
+            "c1n"
+        ] * (r["nb"] / ntb)
+        sums[r["w1"]] += p
+    # every vocab word follows every context here EXCEPT pairs never
+    # seen; add the unseen-backoff mass explicitly
+    seen = {(r["w1"], r["w2"]) for r in rows}
+    by_w1 = {r["w1"]: r for r in c1.collect()}
+    for w1, tot in list(sums.items()):
+        unseen = [w2 for w2 in cont if (w1, w2) not in seen]
+        backoff = 0.75 * by_w1[w1]["nf"] / by_w1[w1]["c1n"]
+        tot += sum(backoff * cont[w2] for w2 in unseen)
+        assert abs(tot - 1.0) < 1e-9, (w1, tot)
+
+
+def test_kneser_ney_query_rows(spark, sf_dir):
+    out = q("kneser_ney_bigram_scores", spark, sf_dir).collect()
+    assert len(out) == 20
+    assert all(0 < r["p_kn_micro"] <= 1_000_000 for r in out)
+    assert [r["rnk"] for r in sorted(out, key=lambda r: r["rnk"])] == list(
+        range(1, 21)
+    )
+
+
+# -- CCNet per-language buckets ----------------------------------------------
+
+
+def test_ccnet_lang_buckets_balanced(spark, sf_dir):
+    """ntile(3) per language: the three buckets' doc counts differ by
+    at most 1 within each language, and every language contributes all
+    three buckets (sf0.01 has hundreds of docs per lang)."""
+    rows = q("ccnet_lang_buckets_report", spark, sf_dir).collect()
+    by_lang = {}
+    for r in rows:
+        by_lang.setdefault(r["lang"], {})[r["bucket"]] = r["n_docs"]
+    for lang, buckets in by_lang.items():
+        assert set(buckets) == {"head", "middle", "tail"}, lang
+        counts = sorted(buckets.values())
+        assert counts[-1] - counts[0] <= 1, (lang, buckets)
+
+
+# -- GMM EM step ---------------------------------------------------------------
+
+
+def test_gmm_em_step_invariants(spark, sf_dir):
+    rows = {r["component"]: r for r in q("gmm_em_one_step", spark, sf_dir).collect()}
+    assert set(rows) == {1, 2}
+    n = rows[1]["n"]
+    # responsibilities partition each row: Σr1 + Σr2 == n (in micro units)
+    total_micro = rows[1]["sum_r_micro"] + rows[2]["sum_r_micro"]
+    assert abs(total_micro - n * 1_000_000) <= n  # ≤1 micro per row of snap
+    # component order is preserved by the init means
+    assert rows[1]["mu_new"] < rows[2]["mu_new"]
+    assert rows[1]["sigma_new"] > 0 and rows[2]["sigma_new"] > 0
+
+
+# -- Kalman local-level filter --------------------------------------------------
+
+
+def _scalar_kalman(xs, q_noise=0.1, r_noise=1.0):
+    level, p, k = xs[0], 1.0, 0.0
+    for x in xs[1:]:
+        pe = p + q_noise
+        k = pe / (pe + r_noise)
+        level = level + k * (x - level)
+        p = (1.0 - k) * pe
+    return level, p, k
+
+
+def test_kalman_matches_scalar_reference(spark, sf_dir):
+    """The distributed filter must equal the sequential scalar filter
+    run on the same per-nation series — same trajectory, not just the
+    same summary statistic."""
+    out = {
+        r["nation"]: r for r in q("kalman_local_level_daily", spark, sf_dir).collect()
+    }
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        "o_custkey",
+        "o_orderdate",
+        F.floor(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    c = spark.read.parquet(f"{sf_dir}/customer.parquet").select(
+        "c_custkey", "c_nationkey"
+    )
+    n = spark.read.parquet(f"{sf_dir}/nation.parquet").select(
+        "n_nationkey", "n_name"
+    )
+    daily = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .join(n, c.c_nationkey == n.n_nationkey)
+        .groupBy(F.col("n_name").alias("nation"), "o_orderdate")
+        .agg(F.sum("cents").alias("cents"))
+        .orderBy("nation", "o_orderdate")
+        .collect()
+    )
+    series = {}
+    for r in daily:
+        series.setdefault(r["nation"], []).append(float(r["cents"]) / 1e7)
+    assert set(series) == set(out)
+    for nation, xs in series.items():
+        level, p, k = _scalar_kalman(xs)
+        row = out[nation]
+        assert row["n_obs"] == len(xs)
+        assert row["level_micro"] == int(math.floor(level * 1e6 + 0.5))
+        assert row["p_micro"] == int(math.floor(p * 1e6 + 0.5))
+        assert row["gain_micro"] == int(math.floor(k * 1e6 + 0.5))
+
+
+# -- incremental LSH index maintenance -----------------------------------------
+
+
+def test_lsh_index_incremental_equals_rebuild(spark, tmp_path):
+    """Row-level proof (stronger than the query's checksum): the index
+    maintained from the change feed is exactly the index rebuilt from
+    the final table state."""
+    from politicamente_etl_spark.operators.dedup import with_minhash_signature
+    from politicamente_etl_spark.sources.txlog import TxLogTable
+
+    docs = spark.createDataFrame(
+        [(i, f"tok{i} alpha beta gamma delta tok{i % 5}") for i in range(40)],
+        "doc_id long, text string",
+    )
+    base = docs.filter(F.col("doc_id") % 7 != 3)
+    t = TxLogTable.create(spark, str(tmp_path / "t"), base)
+    updates = docs.filter(
+        (F.col("doc_id") % 11 == 4) & (F.col("doc_id") % 7 != 3)
+    ).select("doc_id", F.concat("text", F.lit(" zz")).alias("text"))
+    inserts = docs.filter(F.col("doc_id") % 7 == 3)
+    t.merge(updates.unionByName(inserts), ["doc_id"])
+
+    index0 = with_minhash_signature(t.snapshot(version=1)).drop("text")
+    delta = t.table_changes(1, 2, ["doc_id"], ["text"])
+    changed = delta.select("doc_id").distinct()
+    fresh = with_minhash_signature(
+        delta.filter(F.col("change_type").isin("insert", "update")).select(
+            "doc_id", F.col("new_text").alias("text")
+        )
+    ).drop("text")
+    incremental = index0.join(changed, "doc_id", "left_anti").unionByName(
+        fresh
+    )
+    rebuilt = with_minhash_signature(t.snapshot()).drop("text")
+
+    inc = sorted(map(tuple, incremental.collect()))
+    reb = sorted(map(tuple, rebuilt.collect()))
+    assert inc == reb
+    # and the changeset really is smaller than the corpus (the point)
+    assert fresh.count() < docs.count()
+
+
+# -- PNG codec -----------------------------------------------------------------
+
+
+def _png_forward_filter(ft, line, prev, nch):
+    """Forward PNG filter (encoder side) — the spec's §9 equations, used
+    to build test rasters that force every unfilter branch."""
+    out = bytearray(len(line))
+    for i in range(len(line)):
+        a = line[i - nch] if i >= nch else 0
+        b = prev[i]
+        c = prev[i - nch] if i >= nch else 0
+        if ft == 0:
+            pred = 0
+        elif ft == 1:
+            pred = a
+        elif ft == 2:
+            pred = b
+        elif ft == 3:
+            pred = (a + b) >> 1
+        else:  # Paeth
+            p = a + b - c
+            pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+            pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+        out[i] = (line[i] - pred) & 0xFF
+    return bytes(out)
+
+
+def test_png_all_filter_types_roundtrip():
+    """A raster whose five scanlines are encoded with filter types
+    0,1,2,3,4 must reconstruct to the original pixel bytes — this is
+    the decoder's unfiltering logic under test, not just the header."""
+    import zlib
+
+    from politicamente_etl_spark.operators.multimodal import (
+        _png_chunk,
+        parse_png,
+    )
+
+    w, h, nch = 4, 5, 3
+    rows = [
+        bytes((r * 41 + i * 17) % 256 for i in range(w * nch))
+        for r in range(h)
+    ]
+    raw = bytearray()
+    prev = bytes(w * nch)
+    for r, line in enumerate(rows):
+        ft = r % 5
+        raw += bytes([ft]) + _png_forward_filter(ft, line, prev, nch)
+        prev = line
+    ihdr = w.to_bytes(4, "big") + h.to_bytes(4, "big") + bytes([8, 2, 0, 0, 0])
+    png = (
+        b"\x89PNG\r\n\x1a\n"
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + _png_chunk(b"IEND", b"")
+    )
+    got = parse_png(png)
+    assert got == {
+        "width": w,
+        "height": h,
+        "n_channels": nch,
+        "pixel_sum": sum(sum(line) for line in rows),
+    }
+
+
+def test_png_encode_parse_roundtrip_all_color_types():
+    from politicamente_etl_spark.operators.multimodal import (
+        encode_png,
+        parse_png,
+    )
+
+    for color_type, nch in ((0, 1), (2, 3), (6, 4)):
+        got = parse_png(encode_png(7, 3, 200, color_type=color_type))
+        assert got == {
+            "width": 7,
+            "height": 3,
+            "n_channels": nch,
+            "pixel_sum": 7 * 3 * nch * 200,
+        }
+
+
+def test_png_crc_corruption_detected():
+    import pytest as _pytest
+
+    from politicamente_etl_spark.operators.multimodal import (
+        encode_png,
+        parse_png,
+    )
+
+    png = bytearray(encode_png(4, 4, 9))
+    png[40] ^= 0xFF  # flip a byte inside IDAT without fixing its CRC
+    with _pytest.raises(ValueError, match="CRC"):
+        parse_png(bytes(png))
+
+
+def test_png_unsupported_depth_raises():
+    import zlib
+
+    import pytest as _pytest
+
+    from politicamente_etl_spark.operators.multimodal import (
+        _png_chunk,
+        parse_png,
+    )
+
+    ihdr = (1).to_bytes(4, "big") + (1).to_bytes(4, "big") + bytes(
+        [16, 2, 0, 0, 0]
+    )
+    png = (
+        b"\x89PNG\r\n\x1a\n"
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(b"\x00\x00\x00"))
+        + _png_chunk(b"IEND", b"")
+    )
+    with _pytest.raises(NotImplementedError):
+        parse_png(png)
+
+
+def test_png_dispatch_through_decode_image():
+    from politicamente_etl_spark.operators.multimodal import (
+        decode_image,
+        encode_bmp,
+        encode_png,
+    )
+
+    assert decode_image(encode_png(3, 2, 10))["pixel_sum"] == 3 * 2 * 3 * 10
+    assert decode_image(encode_bmp(3, 2, 10))["pixel_sum"] == 3 * 2 * 3 * 10
+
+
+def test_kalman_constant_series_converges():
+    """On a constant series the level equals the observation and the
+    gain converges to the Riccati fixed point k* solving
+    k = (p+Q)/(p+Q+R), p = (1-k)(p+Q)."""
+    xs = [5.0] * 400
+    level, p, k = _scalar_kalman(xs)
+    assert level == 5.0
+    # fixed point: p* = (1-k*)(p*+Q) with k* = (p*+Q)/(p*+Q+R)
+    pe = p + 0.1
+    k_star = pe / (pe + 1.0)
+    assert abs(k - k_star) < 1e-9
