@@ -12,7 +12,9 @@ Axes measured:
 - PNG decode: wall time at 1× vs 4× images. Expected ~linear (pure
   per-byte executor work, no shuffle anywhere).
 
-Writes nothing to the repo; results recorded in SCALING.md.
+Shuffle bytes come from the Spark UI REST API with a per-measurement
+job group (same route as tools/shuffle_audit.py). Writes nothing to
+the repo; results recorded in SCALING.md.
 
 Usage: python tools/r12d_scale_probe.py
 """
@@ -23,6 +25,7 @@ import json
 import os
 import sys
 import time
+import urllib.request
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
@@ -33,38 +36,39 @@ from politicamente_etl_spark.session import get_spark  # noqa: E402
 SF = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
 
 
-def shuffle_bytes(spark, df) -> tuple[float, int]:
-    """Run df.count() and return (seconds, shuffle write bytes)."""
+def _get(base: str, path: str):
+    with urllib.request.urlopen(f"{base}/api/v1/{path}", timeout=30) as r:
+        return json.loads(r.read())
+
+
+def measure(spark, df, group: str) -> tuple[float, int]:
+    """Run df.count() under a job group; return (sec, shuffle write B)."""
     sc = spark.sparkContext
-    tracker = sc.statusTracker()
-    before = {
-        sid for sid in tracker.getActiveStageIds()
-    }  # should be empty between jobs
+    sc.setJobGroup(group, group)
     t0 = time.perf_counter()
     df.count()
     dt = time.perf_counter() - t0
-    # pull shuffle metrics from the REST-less route: the SparkStatusStore
-    # via the JVM (local mode only; probe-only code)
-    store = spark._jsparkSession.sparkContext().statusStore()
-    total = 0
-    it = store.stageList(None).iterator()
-    while it.hasNext():
-        s = it.next()
-        total += s.shuffleWriteBytes()
-    _ = before
-    return dt, total
+    sc.setJobGroup("idle", "idle")
+    base = sc.uiWebUrl
+    app_id = sc.applicationId
+    stage_ids = set()
+    for j in _get(base, f"applications/{app_id}/jobs"):
+        if j.get("jobGroup") == group:
+            stage_ids.update(j.get("stageIds", []))
+    sw = 0
+    for st in _get(base, f"applications/{app_id}/stages?status=complete"):
+        if st["stageId"] in stage_ids:
+            sw += st.get("shuffleWriteBytes", 0)
+    return dt, sw
 
 
 def mult_df(spark, path: str, mult: int, key_shift: str, shift_by: int):
     base = spark.read.parquet(path)
-    parts = [base]
+    out = base
     for i in range(1, mult):
-        parts.append(
+        out = out.unionByName(
             base.withColumn(key_shift, F.col(key_shift) + shift_by * i)
         )
-    out = parts[0]
-    for p in parts[1:]:
-        out = out.unionByName(p)
     return out
 
 
@@ -90,14 +94,14 @@ def probe_bucketed(spark, mult: int) -> dict:
     bo = spark.table(f"probe_o_{sfx}_{mult}")
     bc = spark.table(f"probe_c_{sfx}_{mult}")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
-    base0 = shuffle_bytes(spark, spark.range(0).select(F.col("id")))[1]
-    t_b, sh_b = shuffle_bytes(
-        spark, bo.join(bc, bo.o_custkey == bc.c_custkey)
+    t_b, sh_b = measure(
+        spark,
+        bo.join(bc, bo.o_custkey == bc.c_custkey),
+        f"bkt_{mult}",
     )
-    sh_b -= base0
-    base1 = shuffle_bytes(spark, spark.range(0).select(F.col("id")))[1]
-    t_p, sh_p = shuffle_bytes(spark, o.join(c, o.o_custkey == c.c_custkey))
-    sh_p -= base1
+    t_p, sh_p = measure(
+        spark, o.join(c, o.o_custkey == c.c_custkey), f"plain_{mult}"
+    )
     spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
     return {
         "mult": mult,
@@ -109,22 +113,16 @@ def probe_bucketed(spark, mult: int) -> dict:
 
 
 def probe_kn(spark, mult: int) -> dict:
-    from politicamente_etl_spark.plans.catalog import CATALOG
-
-    docs = mult_df(spark, f"{SF}/documents.parquet", mult, "doc_id", 10_000_000)
-    docs.createOrReplaceTempView("probe_docs")
-    # time the catalog query against a scaled temp dir is awkward; inline
-    # the same plan over the multiplied docs
     from politicamente_etl_spark.operators.text import shingles_regex
 
-    t0 = time.perf_counter()
+    docs = mult_df(spark, f"{SF}/documents.parquet", mult, "doc_id", 10_000_000)
     pairs = docs.select(F.explode(shingles_regex("text", 2)).alias("bg")).select(
         F.split("bg", " ")[0].alias("w1"), F.split("bg", " ")[1].alias("w2")
     )
     c12 = pairs.groupBy("w1", "w2").agg(F.count("*").alias("n12"))
+    t0 = time.perf_counter()
     n = c12.count()
     dt = time.perf_counter() - t0
-    _ = CATALOG
     return {"mult": mult, "kn_bigram_agg_sec": round(dt, 2), "bigram_types": n}
 
 
@@ -161,7 +159,10 @@ def probe_png(spark, mult: int) -> dict:
 
 
 def main() -> None:
-    spark = get_spark(app_name="r12d-scale-probe")
+    spark = get_spark(
+        app_name="r12d-scale-probe", extra_conf={"spark.ui.enabled": "true"}
+    )
+    spark.sparkContext.setLogLevel("ERROR")
     out = {"bucketed": [], "kn": [], "png": []}
     for mult in (1, 4):
         out["bucketed"].append(probe_bucketed(spark, mult))
