@@ -578,3 +578,4 @@ from politicamente_etl_spark.plans import extended_r12b as _extended_r12b  # noq
 from politicamente_etl_spark.plans import extended_r12c as _extended_r12c  # noqa: E402,F401
 from politicamente_etl_spark.plans import extended_r12d as _extended_r12d  # noqa: E402,F401
 from politicamente_etl_spark.plans import extended_r12e as _extended_r12e  # noqa: E402,F401
+from politicamente_etl_spark.plans import extended_r12f as _extended_r12f  # noqa: E402,F401

@@ -206,6 +206,54 @@ def test_kalman_matches_scalar_reference(spark, sf_dir):
         assert row["gain_micro"] == int(math.floor(k * 1e6 + 0.5))
 
 
+# -- contiguous global IDs -------------------------------------------------------
+
+
+def test_contiguous_ids_are_dense_and_ordered(spark, sf_dir):
+    rows = q("contiguous_id_assignment", spark, sf_dir).collect()
+    rows.sort(key=lambda r: r["doc_id"])
+    assert [r["global_id"] for r in rows] == list(range(1, len(rows) + 1))
+
+
+def test_contiguous_ids_with_sparse_ranges(spark):
+    """ID distributions that leave some ranges empty (here everything
+    clusters at the ends) must still number densely."""
+    from politicamente_etl_spark.plans.catalog import CATALOG
+    import tempfile, os  # noqa: E401
+
+    docs = spark.createDataFrame(
+        [(i,) for i in [1, 2, 3, 1000000, 1000001]], "doc_id long"
+    )
+    d = tempfile.mkdtemp(prefix="sparse_ids_")
+    docs.write.parquet(os.path.join(d, "documents.parquet"))
+    rows = CATALOG["contiguous_id_assignment"].fn(spark, d).collect()
+    rows.sort(key=lambda r: r["doc_id"])
+    assert [r["global_id"] for r in rows] == [1, 2, 3, 4, 5]
+
+
+# -- Matryoshka truncation recall --------------------------------------------------
+
+
+def test_mrl_recall_bounds_and_full_dim_identity(spark, sf_dir):
+    rows = {r["dims"]: r for r in q("mrl_truncation_recall", spark, sf_dir).collect()}
+    assert set(rows) == {8, 16, 32}
+    for r in rows.values():
+        assert 0 <= r["overlap"] <= r["n_pairs"]
+        assert abs(r["recall_at_10"] - r["overlap"] / r["n_pairs"]) < 1e-12
+    # slicing to the FULL width must reproduce the baseline exactly
+    from politicamente_etl_spark.operators import sim
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    queries = emb.filter(F.col("vec_id") < 8)
+    full = sim.cosine_topk(emb, queries, k=10).select("query_id", "vec_id")
+    emb64 = emb.select("vec_id", F.slice("embedding", 1, 64).alias("embedding"))
+    q64 = queries.select("vec_id", F.slice("embedding", 1, 64).alias("embedding"))
+    top64 = sim.cosine_topk(emb64, q64, k=10).select("query_id", "vec_id")
+    assert top64.join(full, ["query_id", "vec_id"]).count() == full.count()
+
+
 # -- incremental LSH index maintenance -----------------------------------------
 
 
