@@ -144,7 +144,14 @@ def parse_ppm(data: bytes) -> dict:
         tokens.append(int(data[i:j]))
         i = j
     i += 1  # single whitespace after maxval, then raster
-    width, height, _maxval = tokens
+    width, height, maxval = tokens
+    if maxval > 255:
+        # 2 bytes per sample — slicing 1-byte samples would return a
+        # plausible but WRONG pixel_sum; refuse like the other parsers
+        raise NotImplementedError(
+            f"only 8-bit P6 PPM supported (maxval={maxval});"
+            " inject decoder= for 16-bit"
+        )
     raster = data[i : i + width * height * 3]
     return {
         "width": width,
@@ -389,8 +396,8 @@ def decode_image(data: bytes) -> dict:
     if data[:8] == _PNG_MAGIC:
         return parse_png(data)
     raise NotImplementedError(
-        "NotImplementedError: no built-in codec for this format (built-in"
-        " handles BMP/P6-PPM/8-bit-PNG); inject decoder= for others"
+        "no built-in codec for this format (built-in handles"
+        " BMP/P6-PPM/8-bit-PNG); inject decoder= for others"
     )
 
 

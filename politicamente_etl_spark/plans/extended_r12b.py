@@ -99,7 +99,10 @@ def _register():
         part1 = spark.createDataFrame(part1.collect(), part1.schema)
         t.optimize(target_file_bytes=1 << 30)  # materialize tombstones
         t.checkpoint()  # drops the dead tombstone from the fold
-        t.vacuum(retain_versions=1)  # reclaims the sidecar
+        # single-writer demo: no in-flight delete can be staging, so the
+        # sidecar grace window (vacuum's in-flight-writer guard) is
+        # safely zero — reclaims the sidecar immediately
+        t.vacuum(retain_versions=1, sidecar_grace_sec=0.0)
         part2 = stage("after_reclaim", sidecar_dirs())
         return part1.unionByName(part2).select(
             "stage", "n_rows", "key_sum", "n_sidecar_dirs"

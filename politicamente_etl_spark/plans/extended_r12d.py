@@ -28,6 +28,12 @@ _KF_Q = 0.1  # process noise
 _KF_R = 1.0  # observation noise
 
 
+# one bucketed copy per (sf_dir, n_buckets) per process: repeat callers
+# (driver rounds, tests, probes) reuse it instead of leaking a fresh
+# catalog table + tempdir parquet copy every invocation
+_BUCKETED_CACHE: dict[tuple[str, int], tuple[str, str]] = {}
+
+
 def _bucketed_tables(
     spark: SparkSession, sf_dir: str, n_buckets: int = 8
 ) -> tuple[DataFrame, DataFrame]:
@@ -42,12 +48,21 @@ def _bucketed_tables(
     Spark bucketed-table contract; Delta/Iceberg expose the same idea
     as clustering). Table names are uuid-suffixed: registration is
     session-scoped metadata over an external tempdir path."""
+    from politicamente_etl_spark.sources.readers import load_table
+
+    cache_key = (os.path.abspath(sf_dir), n_buckets)
+    if cache_key in _BUCKETED_CACHE:
+        to, tc = _BUCKETED_CACHE[cache_key]
+        try:
+            return spark.table(to), spark.table(tc)
+        except Exception:
+            pass  # different session than the one that wrote them
     sfx = uuid.uuid4().hex[:10]
     base = tempfile.mkdtemp(prefix="bucketed_join_")
-    o = spark.read.parquet(os.path.join(sf_dir, "orders.parquet")).select(
+    o = load_table(spark, sf_dir, "orders").select(
         "o_custkey", "o_totalprice"
     )
-    c = spark.read.parquet(os.path.join(sf_dir, "customer.parquet")).select(
+    c = load_table(spark, sf_dir, "customer").select(
         "c_custkey", "c_mktsegment"
     )
     to, tc = f"bkt_orders_{sfx}", f"bkt_customer_{sfx}"
@@ -63,6 +78,7 @@ def _bucketed_tables(
         .option("path", os.path.join(base, "customer"))
         .saveAsTable(tc)
     )
+    _BUCKETED_CACHE[cache_key] = (to, tc)
     return spark.table(to), spark.table(tc)
 
 

@@ -57,6 +57,7 @@ from __future__ import annotations
 import json
 import os
 import shutil
+import time
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
@@ -313,23 +314,34 @@ class TxLogTable:
                     (~F.col(key).isin(*vals)) | F.col(key).isNull()
                 )
                 continue
-            key_type = df.schema[key].dataType
-            parts = [
-                self.spark.read.parquet(os.path.join(self.path, p))
-                .select(F.col(key).cast(key_type).alias(key))
-                for p in paths
-            ]
-            if vals:
-                parts.append(
-                    self.spark.createDataFrame(
-                        [(x,) for x in sorted(vals)], [key]
-                    ).select(F.col(key).cast(key_type).alias(key))
-                )
-            tomb = parts[0]
-            for p in parts[1:]:
-                tomb = tomb.unionByName(p)
+            tomb = self._tombstone_keys_df(
+                key, vals, paths, df.schema[key].dataType
+            )
             df = df.join(F.broadcast(tomb), on=key, how="anti")
         return df
+
+    def _tombstone_keys_df(
+        self, key: str, vals: set, paths: list[str], key_type
+    ) -> DataFrame:
+        """Union of a tombstone key set (sidecar parquet files + inline
+        values) as a one-column DataFrame typed to the table's key —
+        the broadcast side of both the anti-join read path and the CDF
+        stable-file delete detection."""
+        parts = [
+            self.spark.read.parquet(os.path.join(self.path, p))
+            .select(F.col(key).cast(key_type).alias(key))
+            for p in paths
+        ]
+        if vals:
+            parts.append(
+                self.spark.createDataFrame(
+                    [(x,) for x in sorted(vals)], [key]
+                ).select(F.col(key).cast(key_type).alias(key))
+            )
+        tomb = parts[0]
+        for p in parts[1:]:
+            tomb = tomb.unionByName(p)
+        return tomb
 
     def _read_with_tombstones(
         self, rels: list[str], version: int | None = None
@@ -1107,7 +1119,9 @@ class TxLogTable:
             raise CommitConflict("concurrent commit during checkpoint; retry")
         return base + 1
 
-    def vacuum(self, retain_versions: int = 0) -> list[str]:
+    def vacuum(
+        self, retain_versions: int = 0, sidecar_grace_sec: float = 600.0
+    ) -> list[str]:
         """Delete data files reachable from NO retained version: crash
         orphans (staged but never committed) and, when `retain_versions`
         bounds time travel, files only referenced by expired versions.
@@ -1117,7 +1131,14 @@ class TxLogTable:
         tombstones + constraints + schema-as-of), so expiring history
         never resurrects logically deleted rows or drops a CHECK
         constraint (ADVICE r6). Delete-file sidecars referenced by no
-        remaining manifest are reclaimed alongside the data files."""
+        remaining manifest are reclaimed alongside the data files —
+        EXCEPT dirs younger than `sidecar_grace_sec`: an in-flight
+        `delete_where_logical(keys_df=)` stages its sidecar parquet
+        BEFORE its manifest commits, so a concurrent vacuum that
+        reclaimed it would leave the committed tombstone pointing at a
+        deleted path (the same staged-vs-committed window every
+        lakehouse vacuum handles with a retention clock). Set 0 only
+        when no writer can be in flight."""
         versions = self._versions()
         keep_from = (
             versions[0]
@@ -1176,11 +1197,16 @@ class TxLogTable:
         }
         del_root = os.path.join(self.path, _DELETES_DIR)
         if os.path.isdir(del_root):
+            now = time.time()
             for d in sorted(os.listdir(del_root)):
                 rel_dir = os.path.join(_DELETES_DIR, d)
-                if rel_dir not in live_sidecars:
-                    shutil.rmtree(os.path.join(self.path, rel_dir))
-                    deleted.append(rel_dir)
+                abs_dir = os.path.join(self.path, rel_dir)
+                if rel_dir in live_sidecars:
+                    continue
+                if now - os.path.getmtime(abs_dir) < sidecar_grace_sec:
+                    continue  # possibly staged by an in-flight delete
+                shutil.rmtree(abs_dir)
+                deleted.append(rel_dir)
         return deleted
 
     # -- read operations ----------------------------------------------------
@@ -1438,9 +1464,12 @@ class TxLogTable:
         yields a CDF that reads ~0.2% (old + new copies of touched
         files), not 200 TB. The one way a shared file's rows CAN change
         is a tombstone committed in (from, to]: those surface as
-        'delete' records via one anti-join of the shared-file rows
-        against the (broadcast) new tombstone keys — no full-snapshot
-        join there either."""
+        'delete' records via ONE scan of the stable shared files
+        semi-joined (broadcast) against the new tombstone key sets —
+        no second scan, no key shuffle, no full-snapshot join. A
+        delete + same-key re-insert inside the interval coalesces back
+        to one 'update' record (or nothing when the values match),
+        preserving the full-snapshot diff's unique-key contract."""
         from politicamente_etl_spark.operators import cdc
 
         f_from = self._live_files(from_version)
@@ -1480,16 +1509,35 @@ class TxLogTable:
         if stable and new_ts:
             # rows of stable still-live files logically deleted in
             # (from, to]: a stable shared file has add version ≤ from,
-            # so every new tombstone applies — survivors drop out via
-            # the standard filter, the anti-join on the CDC keys yields
-            # the deleted rows (keys unique per row by CDC contract)
+            # so every new tombstone applies — the deleted rows are
+            # exactly the rows matching the (broadcast-sized) interval
+            # tombstone key sets, so ONE scan + one broadcast SEMI-join
+            # per tombstone key column yields them directly (no second
+            # scan, no key shuffle). NULL-keyed rows never equi-match a
+            # tombstone key, so they are (correctly) never reported
+            # deleted — mirroring _tombstone_filter's NULL retention.
             sh_from = self._read_with_tombstones(
                 stable, version=from_version
             )
-            survivors = self._tombstone_filter(sh_from, from_version, new_ts)
-            gone = sh_from.join(
-                survivors.select(*keys), on=keys, how="anti"
-            )
+            by_key: dict[str, tuple[set, list[str]]] = {}
+            for _v, key, vals, path, _n in new_ts:
+                s, ps = by_key.setdefault(key, (set(), []))
+                if path is None:
+                    s.update(vals)
+                else:
+                    ps.append(path)
+            gone = None
+            for key in sorted(by_key):
+                vals, paths = by_key[key]
+                tomb = self._tombstone_keys_df(
+                    key, vals, paths, sh_from.schema[key].dataType
+                )
+                part = sh_from.join(F.broadcast(tomb), on=key, how="semi")
+                gone = part if gone is None else gone.unionByName(part)
+            if len(by_key) > 1:
+                # a row can match tombstones on two different key
+                # columns; report its deletion once
+                gone = gone.dropDuplicates(keys)
             deletes = gone.select(
                 *keys,
                 F.lit("delete").alias("change_type"),
@@ -1512,6 +1560,46 @@ class TxLogTable:
                     keys,
                     compare_cols,
                 )
+            )
+        if ((stable and new_ts) or readded) and (changed_to or readded):
+            # COALESCE cross-branch pairs: a tombstone delete of key k
+            # in a stable file plus a re-insert of k in a changed (or
+            # re-added) file is ONE logical change. (Skipped when no
+            # branch can produce inserts — e.g. a tombstone-only
+            # interval — so that plan stays scan+broadcast-semi only.) The full-snapshot
+            # diff reported it as a single 'update' (or nothing when
+            # the values match); splitting it into delete+insert rows
+            # breaks consumers that key on unique keys or apply deletes
+            # after inserts, so pair them back up here — cost ∝ the
+            # changeset, never the table.
+            dels = diff.filter(F.col("change_type") == "delete")
+            ins = diff.filter(F.col("change_type") == "insert")
+            others = diff.filter(
+                ~F.col("change_type").isin("delete", "insert")
+            )
+            old_cols = [f"old_{c}" for c in compare_cols]
+            new_cols = [f"new_{c}" for c in compare_cols]
+            paired = dels.select(*keys, *old_cols).join(
+                ins.select(*keys, *new_cols), on=keys
+            )
+            changed = None
+            for c in compare_cols:
+                cnd = ~F.col(f"old_{c}").eqNullSafe(F.col(f"new_{c}"))
+                changed = cnd if changed is None else (changed | cnd)
+            upd = paired.filter(changed).select(
+                *keys,
+                F.lit("update").alias("change_type"),
+                *old_cols,
+                *new_cols,
+            )
+            diff = (
+                others.unionByName(
+                    dels.join(ins.select(*keys), on=keys, how="anti")
+                )
+                .unionByName(
+                    ins.join(dels.select(*keys), on=keys, how="anti")
+                )
+                .unionByName(upd)
             )
         return diff
 

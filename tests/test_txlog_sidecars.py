@@ -154,7 +154,13 @@ def test_vacuum_keeps_referenced_sidecars_reclaims_expired(spark, tmp_path):
     # vacuum(retain) expires the referencing manifests → sidecar goes
     t.optimize(target_file_bytes=1 << 30)
     t.checkpoint()
+    # default grace protects in-flight writers; this test IS the only
+    # writer, and also asserts the guard: a graced vacuum must keep
+    # the (unreferenced, fresh) sidecar...
     t.vacuum(retain_versions=1)
+    assert len(os.listdir(del_root)) == 1
+    # ...and a zero-grace vacuum reclaims it
+    t.vacuum(sidecar_grace_sec=0.0)
     assert os.listdir(del_root) == []
     assert t.snapshot().count() == 98  # physically materialized
 
@@ -338,3 +344,78 @@ def test_cdf_changed_files_only_matches_full_diff(spark, tmp_path):
     ch = t.table_changes(1, 4, ["k"], ["v"])
     got = {(r.k, r.change_type, r.old_v, r.new_v) for r in ch.collect()}
     assert got == {(1, "update", 10, 111), (100, "insert", None, 1000)}
+
+
+def test_cdf_delete_then_reinsert_coalesces_to_update(spark, tmp_path):
+    """Code-review r7: a tombstone delete of k in a stable file plus a
+    re-insert of k in a new file used to emit TWO feed rows (delete +
+    insert) where the full-snapshot diff emitted one 'update' — a
+    consumer applying deletes after inserts dropped the live row."""
+    t = _mk(spark, tmp_path / "t", n=20)
+    t.delete_where_logical("k", keys_df=_keys(spark, [5]))        # v2
+    t.append(spark.createDataFrame([(5, 555)], "k long, v long"))  # v3
+    ch = t.table_changes(1, 3, ["k"], ["v"])
+    got = {(r.k, r.change_type, r.old_v, r.new_v) for r in ch.collect()}
+    assert got == {(5, "update", 50, 555)}
+
+
+def test_cdf_delete_then_identical_reinsert_emits_nothing(spark, tmp_path):
+    """The value-preserving twin: delete + re-insert of the SAME value
+    is no net change, so the feed (like the full-snapshot diff) must
+    not mention the key at all."""
+    t = _mk(spark, tmp_path / "t", n=20)
+    t.delete_where_logical("k", keys_df=_keys(spark, [5]))        # v2
+    t.append(spark.createDataFrame([(5, 50)], "k long, v long"))   # v3
+    ch = t.table_changes(1, 3, ["k"], ["v"])
+    assert not [r for r in ch.collect() if r.k == 5]
+
+
+def test_cdf_null_key_rows_never_reported_deleted(spark, tmp_path):
+    """Code-review r7: the stable-file delete detection used an
+    anti-join against survivors, and NULL keys never equi-match — so a
+    retained NULL-keyed row was reported 'delete' while still alive.
+    The semi-join against the tombstone key set cannot misfire."""
+    df = spark.createDataFrame(
+        [(1, 10), (2, 20), (None, 99)], "k long, v long"
+    )
+    t = TxLogTable.create(spark, str(tmp_path / "t"), df)
+    t.delete_where_logical("k", keys_df=_keys(spark, [2]))         # v2
+    assert t.snapshot().count() == 2  # NULL row retained
+    ch = t.table_changes(1, 2, ["k"], ["v"])
+    got = {(r.k, r.change_type) for r in ch.collect()}
+    assert got == {(2, "delete")}
+
+
+def test_cdf_tombstone_only_interval_plan_is_shuffle_free(spark, tmp_path):
+    """Code-review r7: the stable-branch delete detection must be one
+    scan + a BROADCAST semi-join (no second scan of the stable files,
+    no SortMergeJoin shuffling the table on the CDC keys)."""
+    import contextlib
+    import io
+
+    t = _mk(spark, tmp_path / "t")
+    t.delete_where_logical("k", keys_df=_keys(spark, [7, 8]))
+    ch = t.table_changes(1, 2, ["k"], ["v"])
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        ch.explain("formatted")
+    plan = buf.getvalue()
+    assert "SortMergeJoin" not in plan
+    assert "BroadcastHashJoin" in plan and "LeftSemi" in plan
+
+
+def test_vacuum_grace_window_protects_staged_sidecar(spark, tmp_path):
+    """Code-review r7: vacuum must not reclaim a fresh unreferenced
+    sidecar dir — an in-flight delete_where_logical stages its parquet
+    BEFORE committing the manifest that references it. Back-dated dirs
+    (true orphans) still reclaim."""
+    t = _mk(spark, tmp_path / "t")
+    staged = os.path.join(t.path, _DELETES_DIR, "in-flight-uuid")
+    os.makedirs(staged)
+    _keys(spark, [1]).write.mode("overwrite").parquet(staged)
+    t.vacuum()  # fresh → protected by the default grace window
+    assert os.path.isdir(staged)
+    old = os.path.getmtime(staged) - 3600
+    os.utime(staged, (old, old))
+    t.vacuum()  # an hour old and unreferenced → a real orphan
+    assert not os.path.isdir(staged)
