@@ -206,6 +206,55 @@ def test_kalman_matches_scalar_reference(spark, sf_dir):
         assert row["gain_micro"] == int(math.floor(k * 1e6 + 0.5))
 
 
+# -- entity resolution + replica divergence ---------------------------------------
+
+
+def test_entity_resolution_accounting(spark, sf_dir):
+    """Every record (2 per customer: one per file) lands in exactly one
+    entity; singleton entities are trivially pure; every true pair that
+    the match rule links lands in one entity (the rule always links a
+    record to its own twin when neither field was dirtied away)."""
+    rows = q("linkage_entity_resolution", spark, sf_dir).collect()
+    n_cust = spark.read.parquet(f"{sf_dir}/customer.parquet").count()
+    total_records = sum(r["entity_size"] * r["n_entities"] for r in rows)
+    assert total_records == 2 * n_cust
+    for r in rows:
+        assert 0 <= r["n_pure"] <= r["n_entities"]
+        if r["entity_size"] == 1:
+            assert r["n_pure"] == r["n_entities"]
+
+
+def test_replica_divergence_localizes_all_faults(spark, sf_dir):
+    """Completeness: every bucket holding an injected fault (dropped
+    %1009 key or repriced %997 key) is reported, and no clean bucket
+    is. Derived from the same fault rule, independently."""
+    from pyspark.sql import functions as SF
+
+    got = {r["bucket"] for r in q("replica_divergence_buckets", spark, sf_dir).collect()}
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet").select("o_orderkey")
+    faulty = o.filter(
+        (SF.col("o_orderkey") % 1009 == 0) | (SF.col("o_orderkey") % 997 == 0)
+    )
+    bucket = (
+        SF.conv(
+            SF.substring(
+                SF.md5(
+                    SF.concat_ws(
+                        ":", SF.lit("v1"), SF.col("o_orderkey").cast("string")
+                    )
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % 64
+    )
+    want = {r["b"] for r in faulty.select(bucket.alias("b")).distinct().collect()}
+    assert got == want and got  # non-empty at sf0.01
+
+
 # -- contiguous global IDs -------------------------------------------------------
 
 
