@@ -280,5 +280,74 @@ def _register():
             )
         )
 
+    @register(
+        "txlog_layout_evolution_proof",
+        sql="""
+        WITH e AS (
+            SELECT o_orderkey, o_custkey FROM orders WHERE o_orderkey % 2 = 0
+        ), o AS (
+            SELECT o_orderkey, o_custkey FROM orders WHERE o_orderkey % 2 = 1
+        )
+        SELECT 1 AS version,
+               (SELECT CAST(COUNT(DISTINCT o_custkey % 4) AS BIGINT) FROM e)
+                   AS n_files_added,
+               (SELECT CAST(COUNT(*) AS BIGINT) FROM e) AS n_rows,
+               (SELECT CAST(SUM(o_orderkey) AS BIGINT) FROM e) AS key_sum
+        UNION ALL
+        SELECT 2,
+               (SELECT CAST(COUNT(DISTINCT o_custkey % 3) AS BIGINT) FROM o),
+               (SELECT CAST(COUNT(*) AS BIGINT) FROM orders),
+               (SELECT CAST(SUM(o_orderkey) AS BIGINT) FROM orders)
+        """,
+        tags=("ext-sink", "ext-storage"),
+    )
+    def q_txlog_layout_evolution_proof(
+        spark: SparkSession, sf_dir: str
+    ) -> DataFrame:
+        """PARTITION/CLUSTERING EVOLUTION on the commit log: version 1
+        creates the table clustered one-file-per-value of custkey%4;
+        version 2 APPENDS under a DIFFERENT layout (custkey%3) — layout
+        is a per-commit physical property, not a table contract,
+        because every read goes through the manifest's file list +
+        per-file zonemaps (the Iceberg partition-evolution insight: no
+        table rewrite to change layout, old files keep their old shape
+        until optimize). The proof compares, per version: files added
+        (must equal the DISTINCT CLUSTER VALUES of that commit — the
+        one-file-per-value layout contract), snapshot row count and key
+        checksum (mixed-layout reads are exact). The oracle derives all
+        three from pure SQL over the source table, so a layout leak
+        into row data, a dropped cluster column, or a misread nested
+        dir hash-fails."""
+        import os
+        import tempfile
+
+        from politicamente_etl_spark.sources.txlog import TxLogTable
+
+        ork = T(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+        even = ork.filter(F.col("o_orderkey") % 2 == 0).withColumn(
+            "c4", F.col("o_custkey") % 4
+        )
+        odd = ork.filter(F.col("o_orderkey") % 2 == 1).withColumn(
+            "c3", F.col("o_custkey") % 3
+        )
+        path = os.path.join(tempfile.mkdtemp(prefix="layout_evo_"), "t")
+        t = TxLogTable.create(spark, path, even, cluster_file_col="c4")
+        t.append(odd, cluster_file_col="c3")
+
+        rows = []
+        for m in sorted(t.history(), key=lambda m: m["version"]):
+            snap = t.snapshot(version=m["version"])
+            agg = snap.agg(
+                F.count("*").cast("long").alias("n"),
+                F.sum("o_orderkey").cast("long").alias("s"),
+            ).first()
+            rows.append(
+                (m["version"], len(m["added"]), agg["n"], agg["s"])
+            )
+        return spark.createDataFrame(
+            rows,
+            "version int, n_files_added long, n_rows long, key_sum long",
+        )
+
 
 _register()

@@ -642,7 +642,11 @@ class TxLogTable:
             raise ConstraintViolation(counts)
 
     def append(
-        self, df: DataFrame, merge_schema: bool = False, txn_id: str | None = None
+        self,
+        df: DataFrame,
+        merge_schema: bool = False,
+        txn_id: str | None = None,
+        cluster_file_col: str | None = None,
     ) -> int:
         """Blind append: commutes with every concurrent commit, so an
         EEXIST just rebases onto the new head and relinks the SAME staged
@@ -654,13 +658,29 @@ class TxLogTable:
         Streaming foreachBatch retry, a re-run ingest job) to
         exactly-once table contents — the retry re-offers the same
         txn_id and the log rejects the duplicate, the same mechanism as
-        Delta's txn/appId version checkpointing."""
+        Delta's txn/appId version checkpointing.
+
+        `cluster_file_col` stages this commit's files clustered by the
+        column (one file per distinct value), independent of how any
+        earlier commit was laid out — PARTITION/CLUSTERING EVOLUTION:
+        layout is a per-commit physical property, not a table contract,
+        because reads always go through the manifest's file list +
+        per-file zonemaps (scan() skips by stats whatever the layout).
+        Old files keep their old layout until optimize() rewrites
+        them."""
         if txn_id is not None:
             for m in self.history():
                 if m.get("txn_id") == txn_id:
                     return m["version"]
-        self._check_schema(df, merge_schema)
-        commit_id, rels = self._stage_write(df)
+        # the cluster column is consumed by the layout (it lives in
+        # directory names) — the table schema never contains it
+        schema_df = (
+            df.drop(cluster_file_col) if cluster_file_col is not None else df
+        )
+        self._check_schema(schema_df, merge_schema)
+        commit_id, rels = self._stage_write(
+            df, partition_col=cluster_file_col
+        )
         # CHECK constraints validate the STAGED files, not the incoming
         # plan: a non-deterministic batch (sampling, shuffle
         # nondeterminism) could pass a pre-write check yet commit
@@ -685,7 +705,7 @@ class TxLogTable:
                 "op": "append",
                 "added": rels,
                 "removed": [],
-                "schema": df.schema.jsonValue(),
+                "schema": schema_df.schema.jsonValue(),
                 "stats": self._file_stats(rels),
             }
             if txn_id is not None:

@@ -485,3 +485,41 @@ def test_kalman_constant_series_converges():
     pe = p + 0.1
     k_star = pe / (pe + 1.0)
     assert abs(k - k_star) < 1e-9
+
+
+# -- clustering/layout evolution on the commit log --------------------------------
+
+
+def test_append_with_new_cluster_layout(spark, tmp_path):
+    """Appends may adopt a different cluster layout than create; the
+    cluster column is consumed by the layout on BOTH paths, reads are
+    exact across mixed layouts, and the schema check compares the
+    LOGICAL schema (sans cluster col)."""
+    from politicamente_etl_spark.sources.txlog import TxLogTable
+
+    base = spark.range(1, 21).select(
+        F.col("id").alias("k"), (F.col("id") * 10).alias("v"),
+        (F.col("id") % 4).alias("c4"),
+    )
+    t = TxLogTable.create(
+        spark, str(tmp_path / "t"), base, cluster_file_col="c4"
+    )
+    more = spark.range(21, 31).select(
+        F.col("id").alias("k"), (F.col("id") * 10).alias("v"),
+        (F.col("id") % 3).alias("c3"),
+    )
+    t.append(more, cluster_file_col="c3")
+    snap = t.snapshot()
+    assert "c4" not in snap.columns and "c3" not in snap.columns
+    assert sorted(r.k for r in snap.collect()) == list(range(1, 31))
+    # per-commit layout contract: one file per distinct cluster value
+    h = {m["version"]: m for m in t.history()}
+    assert len(h[1]["added"]) == 4 and len(h[2]["added"]) == 3
+    # zonemap scan still prunes and returns exact rows on mixed layouts
+    assert sorted(r.k for r in t.scan({"k": (5, 8)}).collect()) == [5, 6, 7, 8]
+    # logical-schema check: appending mismatched columns still rejects
+    import pytest as _pytest
+
+    bad = spark.range(40, 42).select(F.col("id").alias("k"))
+    with _pytest.raises(Exception):
+        t.append(bad, cluster_file_col=None)
