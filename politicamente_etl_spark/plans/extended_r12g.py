@@ -349,5 +349,96 @@ def _register():
             "version int, n_files_added long, n_rows long, key_sum long",
         )
 
+    from politicamente_etl_spark.plans.extended_r8 import (
+        _CO_EDGE_SQL,
+        _co_edges,
+    )
+
+    _hc_sweeps = ""
+    for i in range(1, 5):
+        _hc_sweeps += f""", h{i} AS (
+            SELECT seed, node, MIN(dist) AS dist FROM (
+                SELECT seed, node, dist FROM h{i - 1}
+                UNION ALL
+                SELECT h{i - 1}.seed, und.d, h{i - 1}.dist + 1
+                FROM und JOIN h{i - 1} ON und.s = h{i - 1}.node
+            ) GROUP BY 1, 2
+        )"""
+
+    @register(
+        "harmonic_centrality_seeds",
+        sql=f"""
+        WITH {_CO_EDGE_SQL}, und AS (
+            SELECT pa AS s, pb AS d FROM e
+            UNION ALL SELECT pb AS s, pa AS d FROM e
+        ), seeds AS (
+            SELECT DISTINCT pa AS seed FROM e ORDER BY seed LIMIT 8
+        ), h0 AS (
+            SELECT seed, seed AS node, CAST(0 AS BIGINT) AS dist FROM seeds
+        ){_hc_sweeps}
+        SELECT seed,
+               CAST(COUNT(*) - 1 AS BIGINT) AS n_reached,
+               CAST(SUM(CASE WHEN dist > 0
+                    THEN CAST(round(1000000.0 / CAST(dist AS DOUBLE))
+                              AS BIGINT)
+                    ELSE 0 END) AS BIGINT) AS harmonic_micro
+        FROM h4 GROUP BY seed
+        """,
+        tags=("ext-graph",),
+    )
+    def q_harmonic_centrality_seeds(
+        spark: SparkSession, sf_dir: str
+    ) -> DataFrame:
+        """Harmonic centrality (Boldi & Vigna's reachability-robust
+        closeness: Σ 1/dist, naturally 0-weighting unreachable nodes)
+        for 8 deterministic seed parts over the support-≥2 co-purchase
+        graph, truncated at 4 hops — the k-source BFS shape: the
+        frontier carries (seed, node, dist) triples, each sweep is one
+        equi-join + min-merge, so state is O(k·V) and sweeps shuffle
+        only the frontier (the standard scale trade: exact centrality
+        for k probes instead of O(V²) for all nodes; HyperBall replaces
+        the exact set with HLL registers in the same sweep loop).
+        Distances micro-snap as round(1e6/d) so the sum is exact; the
+        oracle unrolls the sweeps as SQL stages like bfs_hop_histogram
+        and the n_reached witness pins the frontier set itself."""
+        e = _co_edges(spark, sf_dir)
+        und = e.select(
+            F.col("pa").alias("s"), F.col("pb").alias("d")
+        ).unionByName(
+            e.select(F.col("pb").alias("s"), F.col("pa").alias("d"))
+        )
+        seeds = (
+            e.select(F.col("pa").alias("seed"))
+            .distinct()
+            .orderBy("seed")
+            .limit(8)
+        )
+        h = seeds.select(
+            "seed", F.col("seed").alias("node"), F.lit(0).cast("long").alias("dist")
+        )
+        for _ in range(4):
+            step = und.join(h, und.s == h.node).select(
+                "seed", F.col("d").alias("node"), (F.col("dist") + 1).alias("dist")
+            )
+            h = (
+                h.unionByName(step)
+                .groupBy("seed", "node")
+                .agg(F.min("dist").alias("dist"))
+                .localCheckpoint()
+            )
+        return h.groupBy("seed").agg(
+            (F.count("*") - 1).cast("long").alias("n_reached"),
+            F.sum(
+                F.when(
+                    F.col("dist") > 0,
+                    F.round(1000000.0 / F.col("dist").cast("double"), 0).cast(
+                        "long"
+                    ),
+                ).otherwise(0)
+            )
+            .cast("long")
+            .alias("harmonic_micro"),
+        )
+
 
 _register()

@@ -523,3 +523,19 @@ def test_append_with_new_cluster_layout(spark, tmp_path):
     bad = spark.range(40, 42).select(F.col("id").alias("k"))
     with _pytest.raises(Exception):
         t.append(bad, cluster_file_col=None)
+
+
+# -- harmonic centrality ------------------------------------------------------------
+
+
+def test_harmonic_centrality_bounds(spark, sf_dir):
+    """Σ 1/dist over ≤4 hops: bounded by n_reached (all dist=1) and
+    at least n_reached/4 (all dist=4); 8 seed rows, seeds are the 8
+    smallest edge-bearing part ids."""
+    rows = q("harmonic_centrality_seeds", spark, sf_dir).collect()
+    assert len(rows) == 8
+    for r in rows:
+        assert r["n_reached"] >= 0
+        lo = r["n_reached"] * 250_000
+        hi = r["n_reached"] * 1_000_000
+        assert lo <= r["harmonic_micro"] <= hi, r
