@@ -1410,3 +1410,31 @@ def test_sidecar_tombstone_read_is_broadcast_anti_join(spark, tmp_path):
     assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
     assert "SortMergeJoin" not in plan
     assert t.snapshot().count() == 800
+
+
+def test_kneser_ney_joins_are_broadcast(spark, sf_dir):
+    """KN's three count-table joins are vocabulary-sized → broadcast;
+    the token stream shuffles exactly once (the bigram aggregate). The
+    top-20 plans as a TakeOrderedAndProject heap, not a full sort."""
+    plan = plan_of(q("kneser_ney_bigram_scores", spark, sf_dir))
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_contiguous_ids_avoid_global_window(spark, sf_dir):
+    """The two-pass numbering must not degrade to joins that shuffle
+    the table: min/max and offsets broadcast; the only exchange is the
+    range-key partition for the per-range window."""
+    plan = plan_of(q("contiguous_id_assignment", spark, sf_dir))
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_ccnet_lang_buckets_vocab_broadcast(spark, sf_dir):
+    """The vocab logprob join must broadcast back onto the token stream
+    (CCNet shape); the per-lang ntile sorts doc-level rows only."""
+    plan = plan_of(q("ccnet_lang_buckets_report", spark, sf_dir))
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
