@@ -302,7 +302,9 @@ def _register():
                COUNT(*) AS n_copies
         FROM documents GROUP BY md5(text)
         """,
-        bench=True,
+        # bench slot ceded to bucketed_colocated_join (round 7, VERDICT
+        # r6 item 6 pattern): saturated at 0.18 s since r1; the bucketed
+        # join covers the storage-layout layer the headline set lacked
         tags=("ext-dedup",),
     )
     def q_exact_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -97,6 +97,7 @@ def _register():
         FROM orders JOIN customer ON o_custkey = c_custkey
         GROUP BY c_mktsegment
         """,
+        bench=True,
         tags=("ext-storage", "ext-join"),
     )
     def q_bucketed_colocated_join(
