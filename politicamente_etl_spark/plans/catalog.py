@@ -580,3 +580,4 @@ from politicamente_etl_spark.plans import extended_r12d as _extended_r12d  # noq
 from politicamente_etl_spark.plans import extended_r12e as _extended_r12e  # noqa: E402,F401
 from politicamente_etl_spark.plans import extended_r12f as _extended_r12f  # noqa: E402,F401
 from politicamente_etl_spark.plans import extended_r12g as _extended_r12g  # noqa: E402,F401
+from politicamente_etl_spark.plans import extended_r12h as _extended_r12h  # noqa: E402,F401

@@ -539,3 +539,29 @@ def test_harmonic_centrality_bounds(spark, sf_dir):
         lo = r["n_reached"] * 250_000
         hi = r["n_reached"] * 1_000_000
         assert lo <= r["harmonic_micro"] <= hi, r
+
+
+# -- XML source/sink ---------------------------------------------------------------
+
+
+def test_xml_roundtrip_survives_markup_characters(spark, tmp_path):
+    """XML's escaping layer must return text content byte-exactly —
+    including markup characters, quotes, and newlines."""
+    rows = [
+        (1, 'a <tag> & "quoted" text'),
+        (2, "line one\nline two"),
+        (3, "]]> cdata-terminator & <nested attr='x'/>"),
+        (4, "plain"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    path = str(tmp_path / "x")
+    df.write.format("xml").option("rootTag", "d").option("rowTag", "r").save(
+        path
+    )
+    back = (
+        spark.read.format("xml")
+        .option("rowTag", "r")
+        .schema("doc_id long, text string")
+        .load(path)
+    )
+    assert sorted(map(tuple, back.collect())) == sorted(rows)
