@@ -70,5 +70,65 @@ def _register():
             F.sum("n_chars").cast("long").alias("n_chars_sum"),
         )
 
+    @register(
+        "txlog_time_travel_timestamp",
+        sql="""
+        WITH e AS (
+            SELECT o_orderkey FROM orders WHERE o_orderkey % 2 = 0
+        )
+        SELECT 'as_of_v1' AS label, CAST(1 AS INT) AS resolved_version,
+               (SELECT CAST(COUNT(*) AS BIGINT) FROM e) AS n_rows,
+               (SELECT CAST(SUM(o_orderkey) AS BIGINT) FROM e) AS key_sum
+        UNION ALL
+        SELECT 'between', 1,
+               (SELECT CAST(COUNT(*) AS BIGINT) FROM e),
+               (SELECT CAST(SUM(o_orderkey) AS BIGINT) FROM e)
+        UNION ALL
+        SELECT 'as_of_v2', 2,
+               (SELECT CAST(COUNT(*) AS BIGINT) FROM orders),
+               (SELECT CAST(SUM(o_orderkey) AS BIGINT) FROM orders)
+        """,
+        tags=("ext-sink", "ext-storage"),
+    )
+    def q_txlog_time_travel_timestamp(
+        spark: SparkSession, sf_dir: str
+    ) -> DataFrame:
+        """TIMESTAMP AS OF time travel (Delta parity): commit times are
+        stamped STRICTLY MONOTONIC at commit (wall clocks tie across
+        fast consecutive commits — the Delta adjustment), so an as-of
+        read at v1's exact commit time resolves v1, at any instant
+        strictly before v2 resolves v1 (the 'between' row reads at
+        commit_ts(v2)-1, which the monotonicity contract guarantees is
+        ≥ commit_ts(v1)), and at v2's commit time resolves v2. The
+        oracle pins the CONTENT each resolution must produce from pure
+        SQL — wall-clock values never reach the compared rows, only
+        the resolution DECISIONS they must imply."""
+        from politicamente_etl_spark.sources.txlog import TxLogTable
+
+        ork = T(spark, sf_dir, "orders").select("o_orderkey")
+        even = ork.filter(F.col("o_orderkey") % 2 == 0)
+        odd = ork.filter(F.col("o_orderkey") % 2 == 1)
+        path = os.path.join(tempfile.mkdtemp(prefix="asof_"), "t")
+        t = TxLogTable.create(spark, path, even)
+        t.append(odd)
+        ts = {m["version"]: m["commit_ts_ms"] for m in t.history()}
+        probes = [
+            ("as_of_v1", ts[1]),
+            ("between", ts[2] - 1),
+            ("as_of_v2", ts[2]),
+        ]
+        rows = []
+        for label, probe_ts in probes:
+            v = t.version_as_of(probe_ts)
+            agg = t.snapshot(version=v).agg(
+                F.count("*").cast("long").alias("n"),
+                F.sum("o_orderkey").cast("long").alias("s"),
+            ).first()
+            rows.append((label, v, agg["n"], agg["s"]))
+        return spark.createDataFrame(
+            rows,
+            "label string, resolved_version int, n_rows long, key_sum long",
+        )
+
 
 _register()

@@ -457,7 +457,27 @@ class TxLogTable:
 
     def _try_commit(self, version: int, manifest: dict) -> bool:
         """Atomically claim `version` with `manifest`. True on success,
-        False if another writer holds the version (EEXIST)."""
+        False if another writer holds the version (EEXIST).
+
+        Every commit is stamped with a `commit_ts_ms` that is STRICTLY
+        GREATER than the previous version's (the Delta timestamp-
+        monotonicity adjustment): wall clocks can tie or step backwards
+        across fast consecutive commits, and AS-OF-timestamp resolution
+        needs commit times to order exactly like versions."""
+        if "commit_ts_ms" not in manifest:
+            prev_ts = 0
+            if version > 1:
+                try:
+                    prev_ts = int(
+                        self._read_manifest(version - 1).get(
+                            "commit_ts_ms", 0
+                        )
+                    )
+                except Exception:
+                    prev_ts = 0
+            manifest["commit_ts_ms"] = max(
+                int(time.time() * 1000), prev_ts + 1
+            )
         log = os.path.join(self.path, _LOG_DIR)
         os.makedirs(log, exist_ok=True)
         tmp = os.path.join(log, f".tmp-{uuid.uuid4().hex}.json")
@@ -1114,6 +1134,12 @@ class TxLogTable:
             "stats": self._live_stats(at_version),
             "added_versions": {r: addv.get(r, 0) for r in live},
         }
+        # timestamp travel must survive the rewrite: keep the version's
+        # ORIGINAL commit time (a checkpoint re-describes it, it does
+        # not re-commit it)
+        orig_ts = self._read_manifest(at_version).get("commit_ts_ms")
+        if orig_ts is not None:
+            manifest["commit_ts_ms"] = orig_ts
         if ts:
             manifest["tombstones"] = self._serialize_tombstones(ts)
         cons = self._live_constraints(at_version)
@@ -1135,6 +1161,9 @@ class TxLogTable:
         base = self.latest_version()
         manifest = self._checkpoint_manifest(base)
         manifest["version"] = base + 1
+        # a checkpoint COMMIT is a new version → fresh commit time (the
+        # preserved ts is only for vacuum's in-place rewrite)
+        manifest.pop("commit_ts_ms", None)
         if not self._try_commit(base + 1, manifest):
             raise CommitConflict("concurrent commit during checkpoint; retry")
         return base + 1
@@ -1230,6 +1259,35 @@ class TxLogTable:
         return deleted
 
     # -- read operations ----------------------------------------------------
+
+    def version_as_of(self, ts_ms: int) -> int:
+        """Resolve a wall-clock timestamp to the version visible at that
+        instant: the LARGEST version whose commit_ts_ms ≤ ts_ms (Delta's
+        `TIMESTAMP AS OF`). Commit times are stamped strictly monotonic
+        at commit, so the mapping is total-ordered; legacy manifests
+        without the field fall back to manifest-file mtime. Raises if
+        ts_ms predates the table."""
+        best = None
+        for m in self.history():
+            ts = m.get("commit_ts_ms")
+            if ts is None:
+                ts = int(
+                    os.path.getmtime(
+                        _manifest_path(self.path, m["version"])
+                    )
+                    * 1000
+                )
+            if ts <= ts_ms and (best is None or m["version"] > best):
+                best = m["version"]
+        if best is None:
+            raise ValueError(
+                f"no version committed at or before ts_ms={ts_ms}"
+            )
+        return best
+
+    def snapshot_as_of(self, ts_ms: int) -> DataFrame:
+        """TIMESTAMP AS OF read: `snapshot(version_as_of(ts_ms))`."""
+        return self.snapshot(version=self.version_as_of(ts_ms))
 
     def snapshot(
         self, version: int | None = None, provenance: bool = False

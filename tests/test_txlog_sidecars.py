@@ -419,3 +419,32 @@ def test_vacuum_grace_window_protects_staged_sidecar(spark, tmp_path):
     os.utime(staged, (old, old))
     t.vacuum()  # an hour old and unreferenced → a real orphan
     assert not os.path.isdir(staged)
+
+
+def test_timestamp_as_of_monotonic_and_survives_vacuum(spark, tmp_path):
+    """Commit times are strictly monotonic even for back-to-back
+    commits; version_as_of orders exactly like versions; vacuum's
+    in-place checkpoint rewrite preserves the version's ORIGINAL commit
+    time while checkpoint() (a new commit) gets a fresh later one."""
+    import pytest as _pytest
+
+    t = _mk(spark, tmp_path / "t", n=20)                               # v1
+    t.append(spark.createDataFrame([(100, 1)], "k long, v long"))      # v2
+    t.append(spark.createDataFrame([(101, 1)], "k long, v long"))      # v3
+    ts = {m["version"]: m["commit_ts_ms"] for m in t.history()}
+    assert ts[1] < ts[2] < ts[3]
+    assert t.version_as_of(ts[1]) == 1
+    assert t.version_as_of(ts[2] - 1) == 1
+    assert t.version_as_of(ts[2]) == 2
+    assert t.version_as_of(ts[3] + 10_000) == 3
+    with _pytest.raises(ValueError):
+        t.version_as_of(ts[1] - 1)
+    assert t.snapshot_as_of(ts[2]).count() == 21
+    v_ck = t.checkpoint()                                              # v4
+    ts2 = {m["version"]: m["commit_ts_ms"] for m in t.history()}
+    assert ts2[v_ck] > ts[3]
+    t.vacuum(retain_versions=2)  # rewrites v3 in place as a checkpoint
+    t2 = TxLogTable(spark, t.path)
+    ts3 = {m["version"]: m["commit_ts_ms"] for m in t2.history()}
+    assert ts3[3] == ts[3]  # original commit time preserved
+    assert t2.version_as_of(ts[3]) == 3
