@@ -130,5 +130,76 @@ def _register():
             "label string, resolved_version int, n_rows long, key_sum long",
         )
 
+    @register(
+        "txlog_sync_report",
+        sql="""
+        WITH src AS (
+            SELECT o_orderkey, o_orderpriority,
+                   CASE WHEN o_orderkey % 7 = 0
+                        THEN CAST(CAST(o_totalprice AS DECIMAL(27,4))
+                                  + 50 AS DOUBLE)
+                        ELSE o_totalprice END AS o_totalprice
+            FROM orders WHERE o_orderkey % 5 != 0
+        ), del AS (
+            SELECT CAST(COUNT(*) AS BIGINT) AS n_deleted
+            FROM orders WHERE o_orderkey % 3 != 0 AND o_orderkey % 5 = 0
+        )
+        SELECT o_orderpriority AS priority,
+               CAST(COUNT(*) AS BIGINT) AS n_orders,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(27,4))) AS DOUBLE)
+                   AS revenue,
+               (SELECT n_deleted FROM del) AS n_deleted
+        FROM src GROUP BY 1
+        """,
+        tags=("ext-sink", "ext-storage"),
+    )
+    def q_txlog_sync_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Three-clause MERGE (Delta's WHEN MATCHED / NOT MATCHED / NOT
+        MATCHED BY SOURCE) in ONE atomic commit — `sync_from`: the
+        table (keys %3≠0) syncs to a source snapshot (keys %5≠0, some
+        repriced), so matched keys update, source-new keys insert, and
+        vanished keys DELETE via a key-tombstone sidecar riding the
+        SAME manifest as the rewrite (readers see the old table or the
+        fully synced one, never a half-state). The oracle aggregates
+        the SOURCE directly: a green row proves the post-sync table's
+        key set and values EQUAL the source — a surviving vanished key
+        (the rewritten-file edge: dead rows must drop from rewrites
+        explicitly since fresh files postdate the tombstone), a lost
+        insert, or a stale update all hash-fail. n_deleted pins the
+        tombstone accounting. 100 TB: rewrite ∝ files holding source
+        keys; deletes are O(1) commit + sidecar bytes."""
+        from politicamente_etl_spark.sources.txlog import TxLogTable
+
+        o = T(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_orderpriority", "o_totalprice"
+        )
+        base = o.filter(F.col("o_orderkey") % 3 != 0)
+        dec = lambda c: F.col(c).cast("decimal(27,4)")  # noqa: E731
+        source = o.filter(F.col("o_orderkey") % 5 != 0).select(
+            "o_orderkey",
+            "o_orderpriority",
+            F.when(
+                F.col("o_orderkey") % 7 == 0,
+                (dec("o_totalprice") + 50).cast("double"),
+            )
+            .otherwise(F.col("o_totalprice"))
+            .alias("o_totalprice"),
+        )
+        path = os.path.join(tempfile.mkdtemp(prefix="sync_"), "t")
+        t = TxLogTable.create(spark, path, base.repartition(4))
+        m = t.sync_from(source, ["o_orderkey"])
+        return (
+            t.snapshot()
+            .groupBy(F.col("o_orderpriority").alias("priority"))
+            .agg(
+                F.count("*").cast("long").alias("n_orders"),
+                F.sum(dec("o_totalprice")).cast("double").alias("revenue"),
+            )
+            .withColumn(
+                "n_deleted",
+                F.lit(m["sync_stats"]["deleted_keys"]).cast("long"),
+            )
+        )
+
 
 _register()

@@ -967,6 +967,142 @@ class TxLogTable:
         return manifest
 
 
+    def _stage_tombstone_sidecar(
+        self, keys_df: DataFrame, key_col: str
+    ) -> dict | None:
+        """Write a distinct key set as a parquet delete-file sidecar and
+        return its tombstone manifest entry ({key, path, n_keys}), or
+        None (dir removed) when the set is empty. Row count comes from
+        the staged footers — metadata only, never a second Spark job
+        over the key set."""
+        import pyarrow.parquet as pq
+
+        rel_dir = os.path.join(_DELETES_DIR, uuid.uuid4().hex[:12])
+        abs_dir = os.path.join(self.path, rel_dir)
+        (
+            keys_df.select(key_col)
+            .distinct()
+            .write.mode("errorifexists")
+            .parquet(abs_dir)
+        )
+        n_keys = 0
+        for root, _dirs, files in os.walk(abs_dir):
+            for f in files:
+                if f.endswith(".parquet"):
+                    n_keys += pq.ParquetFile(
+                        os.path.join(root, f)
+                    ).metadata.num_rows
+        if n_keys == 0:
+            shutil.rmtree(abs_dir)
+            return None
+        return {"key": key_col, "path": rel_dir, "n_keys": n_keys}
+
+    def sync_from(self, source: DataFrame, keys: list[str]) -> dict:
+        """FULL MERGE semantics in ONE atomic commit (Delta's three-
+        clause MERGE: WHEN MATCHED update, WHEN NOT MATCHED insert,
+        WHEN NOT MATCHED BY SOURCE delete) — the dimension-sync shape:
+        after the commit the table's key set EQUALS the source's.
+
+        Plan: the upsert half reuses merge()'s machinery (zonemap
+        pre-prune + one semi-join finds the files to rewrite; rewritten
+        files drop to-delete rows explicitly); the delete half is a
+        key-tombstone SIDECAR in the SAME manifest — files not rewritten
+        keep their dead rows physically, and the tombstone (whose
+        version strictly postdates their add versions) filters them on
+        every read. Rewritten files are added AT the tombstone's version
+        so it never filters the fresh rows. One commit, so readers see
+        either the old table or the fully synced one — never the
+        half-state a delete-then-merge composition exposes.
+
+        Single-column key (tombstones are single-key). Cost: rewrite ∝
+        files containing source keys; delete ∝ |vanished keys| sidecar
+        bytes; untouched files survive."""
+        from politicamente_etl_spark.sources.sinks import upsert
+
+        if len(keys) != 1:
+            raise NotImplementedError(
+                "sync_from supports a single key column (key tombstones)"
+            )
+        k = keys[0]
+        base = self.latest_version()
+        live = self._live_files(version=base)
+        if not live:
+            raise ValueError("sync into empty table; use create/append")
+        self._enforce_constraints(source)
+        src_keys = source.select(k).distinct()
+        target = self._read_with_tombstones(live, version=base)
+        missing = target.select(k).distinct().join(
+            src_keys, on=k, how="left_anti"
+        )
+        tomb = self._stage_tombstone_sidecar(missing, k)
+
+        # files to rewrite: those containing a source key (updates land
+        # there); the semi-join shape of merge()
+        snap = self.spark.read.parquet(
+            *[os.path.join(self.path, f) for f in live]
+        ).withColumn("__file", F.input_file_name())
+        touched_abs = {
+            r["__file"]
+            for r in snap.join(src_keys, on=k, how="semi")
+            .select("__file")
+            .distinct()
+            .collect()
+        }
+
+        def _is_touched(rel: str) -> bool:
+            a = os.path.abspath(os.path.join(self.path, rel))
+            return any(
+                os.path.abspath(t.removeprefix("file:")) == a
+                for t in touched_abs
+            )
+
+        touched = [f for f in live if _is_touched(f)]
+        cols = self.spark.read.parquet(
+            os.path.join(self.path, live[0])
+        ).columns
+        old_rows = (
+            self._read_with_tombstones(touched, version=base)
+            if touched
+            else None
+        )
+        if old_rows is not None and tomb is not None:
+            # rewritten files postdate the tombstone → drop dead rows
+            # from the rewrite explicitly
+            dead = self.spark.read.parquet(
+                os.path.join(self.path, tomb["path"])
+            )
+            old_rows = old_rows.join(F.broadcast(dead), on=k, how="anti")
+        resolved = (
+            upsert(old_rows, source.select(*cols), keys)
+            if old_rows is not None
+            else source.select(*cols)
+        )
+        _, rels = self._stage_write(resolved)
+        manifest = {
+            "version": base + 1,
+            "op": "sync",
+            "added": rels,
+            "removed": touched,
+            "schema": resolved.schema.jsonValue(),
+            "stats": self._file_stats(rels),
+            "sync_stats": {
+                "files_rewritten": len(touched),
+                "files_preserved": len(live) - len(touched),
+                "deleted_keys": tomb["n_keys"] if tomb else 0,
+            },
+        }
+        if tomb is not None:
+            manifest["tombstones"] = [tomb]
+        if not self._try_commit(base + 1, manifest):
+            if tomb is not None:
+                shutil.rmtree(
+                    os.path.join(self.path, tomb["path"]), ignore_errors=True
+                )
+            raise CommitConflict(
+                f"version {base + 1} was committed concurrently; retry sync"
+            )
+        return manifest
+
     def delete_where_logical(
         self,
         key_col: str,
@@ -1012,29 +1148,10 @@ class TxLogTable:
         if (values is None) == (keys_df is None):
             raise ValueError("pass exactly one of values= or keys_df=")
         if keys_df is not None:
-            import pyarrow.parquet as pq
-
-            rel_dir = os.path.join(_DELETES_DIR, uuid.uuid4().hex[:12])
-            abs_dir = os.path.join(self.path, rel_dir)
-            (
-                keys_df.select(key_col)
-                .distinct()
-                .write.mode("errorifexists")
-                .parquet(abs_dir)
-            )
-            # row count from the staged footers — metadata only, never
-            # a second Spark job over the key set
-            n_keys = 0
-            for root, _dirs, files in os.walk(abs_dir):
-                for f in files:
-                    if f.endswith(".parquet"):
-                        n_keys += pq.ParquetFile(
-                            os.path.join(root, f)
-                        ).metadata.num_rows
-            if n_keys == 0:
-                shutil.rmtree(abs_dir)
+            tomb = self._stage_tombstone_sidecar(keys_df, key_col)
+            if tomb is None:
                 raise ValueError("empty tombstone key set")
-            tomb = {"key": key_col, "path": rel_dir, "n_keys": n_keys}
+            n_keys = tomb["n_keys"]
         else:
             vals = sorted(values)
             if not vals:

@@ -448,3 +448,51 @@ def test_timestamp_as_of_monotonic_and_survives_vacuum(spark, tmp_path):
     ts3 = {m["version"]: m["commit_ts_ms"] for m in t2.history()}
     assert ts3[3] == ts[3]  # original commit time preserved
     assert t2.version_as_of(ts[3]) == 3
+
+
+def test_sync_from_three_clause_merge_one_commit(spark, tmp_path):
+    """sync_from: matched update, not-matched insert, not-matched-by-
+    source DELETE — one commit, key set equals the source afterwards,
+    including vanished keys that cohabit REWRITTEN files (which must
+    drop explicitly: fresh files postdate the tombstone)."""
+    t = _mk(spark, tmp_path / "t", n=10)  # keys 1..10, v=k*10, ONE file
+    src = spark.createDataFrame(
+        # 2 vanishes; 3 updates; 11 inserts; rest unchanged
+        [(k, k * 10) for k in (1, 4, 5, 6, 7, 8, 9, 10)]
+        + [(3, 333), (11, 110)],
+        "k long, v long",
+    )
+    m = t.sync_from(src, ["k"])
+    assert m["op"] == "sync" and m["version"] == 2
+    assert m["sync_stats"]["deleted_keys"] == 1
+    got = {r.k: r.v for r in t.snapshot().collect()}
+    want = {r.k: r.v for r in src.collect()}
+    assert got == want  # key set EQUALS the source, values synced
+    # single-file table → key 2 lived in the rewritten file and must
+    # not survive through the rewrite path
+    assert 2 not in got
+    # time travel: pre-sync version intact
+    assert t.snapshot(version=1).count() == 10
+    # timestamp travel across the sync
+    ts = {mm["version"]: mm["commit_ts_ms"] for mm in t.history()}
+    assert t.version_as_of(ts[1]) == 1 and t.version_as_of(ts[2]) == 2
+
+
+def test_sync_from_deletes_in_untouched_files_via_tombstone(spark, tmp_path):
+    """A vanished key living in a file the rewrite never touches must
+    die via the manifest tombstone (merge-on-read), not a rewrite."""
+    lo = spark.createDataFrame([(1, 10), (2, 20)], "k long, v long")
+    hi = spark.createDataFrame([(100, 1000), (101, 1010)], "k long, v long")
+    t = TxLogTable.create(spark, str(tmp_path / "t"), lo)
+    t.append(hi)
+    # source touches only the low file; key 101 vanishes from the high
+    src = spark.createDataFrame([(1, 11), (2, 20), (100, 1000)], "k long, v long")
+    m = t.sync_from(src, ["k"])
+    assert m["sync_stats"]["deleted_keys"] == 1
+    assert m["sync_stats"]["files_preserved"] >= 1
+    got = {r.k: r.v for r in t.snapshot().collect()}
+    assert got == {1: 11, 2: 20, 100: 1000}
+    # the preserved file still physically holds 101; the tombstone
+    # carries the delete (merge-on-read), and optimize materializes it
+    t.optimize(target_file_bytes=1 << 30)
+    assert {r.k for r in t.snapshot().collect()} == {1, 2, 100}
