@@ -201,5 +201,66 @@ def _register():
             )
         )
 
+    @register(
+        "soft_dedup_weights",
+        sql="""
+        WITH h AS (
+            SELECT source, md5(text) AS th,
+                   CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+            FROM documents
+        ), c AS (
+            SELECT th, CAST(COUNT(*) AS BIGINT) AS n_copies
+            FROM h GROUP BY th
+        )
+        SELECT source,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(n_tok) AS BIGINT) AS raw_tokens,
+               CAST(SUM(CAST(round(1000000.0 * CAST(n_tok AS DOUBLE)
+                        / CAST(n_copies AS DOUBLE)) AS BIGINT)) AS BIGINT)
+                   AS effective_tokens_micro
+        FROM h JOIN c USING (th)
+        GROUP BY source
+        """,
+        tags=("ext-dedup", "ext-sampling"),
+    )
+    def q_soft_dedup_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Soft deduplication (the SoftDeDup / SlimPajama-DC insight:
+        instead of DROPPING duplicates, DOWN-WEIGHT each copy by
+        1/n_copies so the duplicated content contributes exactly one
+        copy's worth of expected training mass — no arbitrary canonical
+        choice, repeated-but-valuable text keeps proportional signal):
+        per source, raw token mass vs effective (weight-summed) mass
+        under exact-dup counting. The weight join shuffles 16-byte
+        digests, never text; per-doc weights micro-snap so the sums are
+        exact. Plug the near-dup cluster size in place of n_copies for
+        the fuzzy variant — the algebra is identical. The raw-vs-
+        effective gap per source is the number a mixing policy feeds
+        back into its budgets (dedup_savings_report's sampling twin)."""
+        docs = T(spark, sf_dir, "documents").select("source", "text")
+        h = docs.select(
+            "source",
+            F.md5("text").alias("th"),
+            F.size(F.split("text", " ")).cast("long").alias("n_tok"),
+        )
+        c = h.groupBy("th").agg(F.count("*").cast("long").alias("n_copies"))
+        return (
+            h.join(c, "th")
+            .groupBy("source")
+            .agg(
+                F.count("*").cast("long").alias("n_docs"),
+                F.sum("n_tok").cast("long").alias("raw_tokens"),
+                F.sum(
+                    F.round(
+                        1000000.0
+                        * F.col("n_tok").cast("double")
+                        / F.col("n_copies").cast("double"),
+                        0,
+                    ).cast("long")
+                )
+                .cast("long")
+                .alias("effective_tokens_micro"),
+            )
+        )
+
 
 _register()

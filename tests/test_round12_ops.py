@@ -565,3 +565,38 @@ def test_xml_roundtrip_survives_markup_characters(spark, tmp_path):
         .load(path)
     )
     assert sorted(map(tuple, back.collect())) == sorted(rows)
+
+
+# -- soft dedup ------------------------------------------------------------------
+
+
+def test_soft_dedup_mass_conservation(spark):
+    """Down-weighting by 1/n_copies makes each distinct text contribute
+    exactly one copy's token mass: effective mass == distinct-text mass
+    regardless of how duplicates spread across sources."""
+    rows = [
+        (f"s{i % 2}", t)
+        for i, t in enumerate(
+            ["a b c", "a b c", "a b c", "d e", "d e", "f g h i"]
+        )
+    ]
+    docs = spark.createDataFrame(rows, "source string, text string")
+    h = docs.select(
+        "source",
+        F.md5("text").alias("th"),
+        F.size(F.split("text", " ")).cast("long").alias("n_tok"),
+    )
+    c = h.groupBy("th").agg(F.count("*").alias("n_copies"))
+    eff = (
+        h.join(c, "th")
+        .agg(
+            F.sum(
+                F.round(
+                    1000000.0 * F.col("n_tok") / F.col("n_copies"), 0
+                ).cast("long")
+            ).alias("eff")
+        )
+        .first()["eff"]
+    )
+    distinct_mass = sum(len(t.split()) for t in {"a b c", "d e", "f g h i"})
+    assert eff == distinct_mass * 1_000_000
