@@ -106,3 +106,84 @@ def test_kalman_gain_sequence_is_data_independent(xs):
     _, p_a, k_a = _scalar_kalman(xs)
     _, p_b, k_b = _scalar_kalman([7.0] * len(xs))
     assert p_a == p_b and k_a == k_b
+
+
+# -- table_changes vs the naive full-snapshot diff --------------------------------
+
+
+import pytest
+
+
+@pytest.mark.slow
+@settings(max_examples=6, deadline=None)
+@given(data=st.data())
+def test_table_changes_equals_full_snapshot_diff(spark, tmp_path_factory, data):
+    """The changed-files-only CDF must be EXTENSIONALLY equal to
+    cdc.snapshot_diff over full snapshots for any interleaving of
+    appends, merges, logical deletes, and restores — the strongest
+    statement of this round's table_changes rewrite (coalescing,
+    NULL-key handling, re-add flips are all consequences of this
+    equality)."""
+    from politicamente_etl_spark.operators import cdc
+    from politicamente_etl_spark.sources.txlog import TxLogTable
+
+    tmp = tmp_path_factory.mktemp("cdfprop")
+    base = spark.createDataFrame(
+        [(k, k * 10) for k in range(1, 13)], "k long, v long"
+    )
+    t = TxLogTable.create(spark, str(tmp / "t"), base.repartition(3))
+    n_ops = data.draw(st.integers(2, 4))
+    next_key = 100
+    for _ in range(n_ops):
+        op = data.draw(st.sampled_from(["append", "merge", "delete", "restore"]))
+        if op == "append":
+            t.append(
+                spark.createDataFrame(
+                    [(next_key, next_key)], "k long, v long"
+                )
+            )
+            next_key += 1
+        elif op == "merge":
+            ks = data.draw(
+                st.lists(st.integers(1, 12), min_size=1, max_size=3, unique=True)
+            )
+            t.merge(
+                spark.createDataFrame(
+                    [(k, k * 1000 + t.latest_version()) for k in ks],
+                    "k long, v long",
+                ),
+                ["k"],
+            )
+        elif op == "delete":
+            ks = data.draw(
+                st.lists(st.integers(1, 12), min_size=1, max_size=3, unique=True)
+            )
+            live = {r.k for r in t.snapshot().select("k").collect()}
+            ks = [k for k in ks if k in live]
+            if not ks:
+                continue
+            t.delete_where_logical(
+                "k", keys_df=spark.createDataFrame([(k,) for k in ks], "k long")
+            )
+        else:
+            v = data.draw(st.integers(1, t.latest_version()))
+            t.restore(v)
+    hi = t.latest_version()
+    lo = data.draw(st.integers(1, hi))
+    if lo == hi:
+        return
+    got = {
+        tuple(r)
+        for r in t.table_changes(lo, hi, ["k"], ["v"])
+        .select("k", "change_type", "old_v", "new_v")
+        .collect()
+    }
+    want = {
+        tuple(r)
+        for r in cdc.snapshot_diff(
+            t.snapshot(version=lo), t.snapshot(version=hi), ["k"], ["v"]
+        )
+        .select("k", "change_type", "old_v", "new_v")
+        .collect()
+    }
+    assert got == want
