@@ -187,3 +187,33 @@ def test_table_changes_equals_full_snapshot_diff(spark, tmp_path_factory, data):
         .collect()
     }
     assert got == want
+
+
+@pytest.mark.slow
+@settings(max_examples=6, deadline=None)
+@given(data=st.data())
+def test_sync_from_table_equals_source(spark, tmp_path_factory, data):
+    """For ANY source key set (subset updates, fresh inserts, arbitrary
+    vanishes), after sync_from the table content EQUALS the source —
+    the defining property of three-clause MERGE."""
+    from politicamente_etl_spark.sources.txlog import TxLogTable
+
+    tmp = tmp_path_factory.mktemp("syncprop")
+    base = spark.createDataFrame(
+        [(k, k * 10) for k in range(1, 16)], "k long, v long"
+    )
+    t = TxLogTable.create(spark, str(tmp / "t"), base.repartition(3))
+    keep = data.draw(
+        st.lists(st.integers(1, 15), min_size=0, max_size=15, unique=True)
+    )
+    fresh = data.draw(
+        st.lists(st.integers(100, 110), min_size=0, max_size=4, unique=True)
+    )
+    rows = [(k, k * 1000) for k in keep] + [(k, k) for k in fresh]
+    if not rows:
+        return  # sync to empty is rejected by design (use overwrite)
+    src = spark.createDataFrame(rows, "k long, v long")
+    m = t.sync_from(src, ["k"])
+    assert m["sync_stats"]["deleted_keys"] == 15 - len(keep)
+    got = {(r.k, r.v) for r in t.snapshot().collect()}
+    assert got == set(rows)
