@@ -202,6 +202,42 @@ def _register():
         )
 
     @register(
+        "lateral_topk_orders",
+        sql="""
+        SELECT c.c_custkey, t.o_orderkey, t.o_totalprice
+        FROM customer c,
+        LATERAL (SELECT o_orderkey, o_totalprice FROM orders o
+                 WHERE o.o_custkey = c.c_custkey
+                 ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) t
+        WHERE c.c_custkey < 50
+        """,
+        tags=("ext-rel", "ext-join"),
+    )
+    def q_lateral_topk_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Correlated LATERAL subquery (SQL:1999 lateral join, Spark
+        3.2+/SPARK-34382): top-2 orders per customer expressed as a
+        per-row correlated ORDER BY … LIMIT — the form migrating SQL
+        workloads actually write, complementing the window-function
+        formulation (`window_topk_orders`). Catalyst decorrelates it
+        into a join + per-key limit rather than executing per-row, so
+        the declarative form keeps the distributed plan. The oracle is
+        the IDENTICAL SQL on DuckDB: both engines must agree on the
+        correlation semantics and the (price DESC, orderkey) total
+        tie-break."""
+        T(spark, sf_dir, "customer").createOrReplaceTempView("lat_c")
+        T(spark, sf_dir, "orders").createOrReplaceTempView("lat_o")
+        return spark.sql(
+            """
+            SELECT c.c_custkey, t.o_orderkey, t.o_totalprice
+            FROM lat_c c,
+            LATERAL (SELECT o_orderkey, o_totalprice FROM lat_o o
+                     WHERE o.o_custkey = c.c_custkey
+                     ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) t
+            WHERE c.c_custkey < 50
+            """
+        )
+
+    @register(
         "soft_dedup_weights",
         sql="""
         WITH h AS (
