@@ -1438,3 +1438,37 @@ def test_ccnet_lang_buckets_vocab_broadcast(spark, sf_dir):
     plan = plan_of(q("ccnet_lang_buckets_report", spark, sf_dir))
     assert "SortMergeJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_dynamic_partition_pruning_fires(spark, tmp_path):
+    """Catalyst's DPP: joining a day-partitioned fact to a FILTERED dim
+    prunes fact partitions at RUNTIME from the dim's broadcast side.
+    Requirements this pins: the dim filter sits on a SCAN (not a local
+    relation) and the partition column types match on both sides (a
+    cast on the partition attribute silently disables DPP — found while
+    writing this test). Under AQE the pruning subquery appears in the
+    EXECUTED plan, not the pre-execution explain."""
+    import os
+
+    fact = spark.range(0, 10_000).selectExpr(
+        "id", "id % 20 AS pday", "id * 2 AS v"
+    )
+    path = str(tmp_path / "fact")
+    fact.write.partitionBy("pday").parquet(path)
+    dim_path = str(tmp_path / "dim")
+    spark.range(0, 20).selectExpr(
+        "CAST(id AS INT) AS pday",  # match the read-back partition type
+        "CASE WHEN id IN (3, 7) THEN 'keep' ELSE 'drop' END AS tag",
+    ).write.parquet(dim_path)
+    _ = os
+    dim = spark.read.parquet(dim_path).filter(F.col("tag") == "keep")
+    # NOTE: adding input_file_name() to the fact side also disables DPP
+    # (non-deterministic expression pins the scan) — a third silent
+    # disabler alongside the cast and the local-relation dim
+    f = spark.read.parquet(path)
+    joined = f.join(dim, "pday")
+    rows = joined.collect()  # finalize THIS plan's query execution
+    assert len(rows) == 1000  # 2 of 20 day-slices
+    executed = joined._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruning" in executed.lower()
+    assert "SubqueryAdaptiveBroadcast" in executed or "SubqueryBroadcast" in executed
