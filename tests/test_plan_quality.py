@@ -1472,3 +1472,13 @@ def test_dynamic_partition_pruning_fires(spark, tmp_path):
     executed = joined._jdf.queryExecution().executedPlan().toString()
     assert "dynamicpruning" in executed.lower()
     assert "SubqueryAdaptiveBroadcast" in executed or "SubqueryBroadcast" in executed
+
+
+def test_lateral_subquery_decorrelates(spark, sf_dir):
+    """The correlated LATERAL ORDER BY/LIMIT must decorrelate into a
+    join + WindowGroupLimit (per-partition top-k heap) — never a
+    per-row nested loop or cartesian execution."""
+    plan = plan_of(q("lateral_topk_orders", spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "WindowGroupLimit" in plan
