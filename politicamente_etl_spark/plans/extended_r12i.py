@@ -4,6 +4,8 @@ deterministic on both engines."""
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -131,6 +133,71 @@ def _register():
                 / F.sum("w_micro").cast("double")
             ).alias("huber_mean_cents"),
         )
+
+    @register(
+        "codec_roundtrip_matrix",
+        sql="""
+        SELECT codec,
+               CAST(COUNT(*) AS BIGINT) AS n_items,
+               CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+               CAST(SUM(CAST(floor(l_extendedprice * 100) AS BIGINT))
+                    AS BIGINT) AS price_cents_sum
+        FROM (
+            SELECT 'snappy' AS codec, l_quantity, l_extendedprice
+            FROM lineitem
+            UNION ALL
+            SELECT 'zstd', l_quantity, l_extendedprice FROM lineitem
+            UNION ALL
+            SELECT 'gzip', l_quantity, l_extendedprice FROM lineitem
+        ) GROUP BY codec
+        """,
+        tags=("ext-sink", "ext-storage"),
+    )
+    def q_codec_roundtrip_matrix(
+        spark: SparkSession, sf_dir: str
+    ) -> DataFrame:
+        """Parquet compression-codec transparency: the same lineitem
+        projection written under snappy (the scan-speed default), zstd
+        (the 100 TB storage choice — typically ~30% smaller at similar
+        scan cost), and gzip (legacy interchange), each read back and
+        checksummed. All three rows must carry IDENTICAL aggregates —
+        codec choice is a pure storage/scan-cost knob, never a
+        semantics one (the regression gate for flipping
+        spark.sql.parquet.compression.codec fleet-wide). The oracle
+        reads the original parquet three times, so a codec-specific
+        value corruption or row drop hash-fails."""
+        import tempfile as _tf
+
+        li = T(spark, sf_dir, "lineitem").select(
+            "l_quantity", "l_extendedprice"
+        )
+        base = _tf.mkdtemp(prefix="codec_rt_")
+        out = None
+        for codec in ("snappy", "zstd", "gzip"):
+            p = os.path.join(base, codec)
+            li.write.option("compression", codec).parquet(p)
+            row = (
+                spark.read.parquet(p)
+                .agg(
+                    F.count("*").cast("long").alias("n_items"),
+                    F.sum(F.col("l_quantity").cast("long"))
+                    .cast("long")
+                    .alias("sum_qty"),
+                    F.sum(
+                        F.floor(F.col("l_extendedprice") * 100).cast("long")
+                    )
+                    .cast("long")
+                    .alias("price_cents_sum"),
+                )
+                .select(
+                    F.lit(codec).alias("codec"),
+                    "n_items",
+                    "sum_qty",
+                    "price_cents_sum",
+                )
+            )
+            out = row if out is None else out.unionByName(row)
+        return out
 
 
 _register()
