@@ -199,5 +199,61 @@ def _register():
             out = row if out is None else out.unionByName(row)
         return out
 
+    @register(
+        "collation_aware_dedup",
+        sql="""
+        WITH named AS (
+            SELECT CASE WHEN c_custkey % 3 = 0
+                        THEN upper('cust#' || CAST(c_custkey % 50 AS VARCHAR))
+                        ELSE 'cust#' || CAST(c_custkey % 50 AS VARCHAR)
+                   END AS name_v
+            FROM customer
+        )
+        SELECT MIN(name_v) AS canonical,
+               CAST(COUNT(*) AS BIGINT) AS n_rows,
+               CAST(COUNT(DISTINCT name_v) AS BIGINT) AS n_casings
+        FROM named
+        GROUP BY lower(name_v)
+        """,
+        tags=("ext-text", "ext-dedup"),
+    )
+    def q_collation_aware_dedup(
+        spark: SparkSession, sf_dir: str
+    ) -> DataFrame:
+        """Spark 4's COLLATION engine (SPARK-46830) through a dedup
+        lens: grouping under the UTF8_LCASE collation must equal
+        grouping on lower() — entity keys that differ only by case
+        (the classic dirty-CRM join killer) collapse WITHOUT rewriting
+        every expression to lower(col), and the collation participates
+        in hashing/shuffles natively. Names are synthesized with a
+        deterministic case fault (every 3rd key uppercased) over a
+        50-value domain so every group genuinely mixes casings; the
+        group key itself is first-seen-nondeterministic under
+        collation, so the output carries the BINARY MIN as the
+        deterministic canonical plus the row/casing counts the dedup
+        decision needs. The oracle is the lower() formulation — a
+        semantic divergence between the collation engine and explicit
+        folding hash-fails."""
+        c = T(spark, sf_dir, "customer").select("c_custkey")
+        base = F.concat(F.lit("cust#"), (F.col("c_custkey") % 50).cast("string"))
+        named = c.select(
+            F.when(F.col("c_custkey") % 3 == 0, F.upper(base))
+            .otherwise(base)
+            .alias("name_v")
+        )
+        return (
+            named.groupBy(
+                F.collate(F.col("name_v"), "UTF8_LCASE").alias("__g")
+            )
+            .agg(
+                F.min(F.col("name_v").cast("string")).alias("canonical"),
+                F.count("*").cast("long").alias("n_rows"),
+                F.countDistinct(F.col("name_v").cast("string"))
+                .cast("long")
+                .alias("n_casings"),
+            )
+            .drop("__g")
+        )
+
 
 _register()
