@@ -1482,3 +1482,18 @@ def test_lateral_subquery_decorrelates(spark, sf_dir):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "WindowGroupLimit" in plan
+
+
+def test_harmonic_centrality_no_cartesian(spark, sf_dir):
+    """k-source BFS sweeps are equi-joins on the frontier — no
+    cartesian or nested-loop product may appear."""
+    plan = plan_of(q("harmonic_centrality_seeds", spark, sf_dir))
+    assert "CartesianProduct" not in plan
+
+
+def test_huber_stats_table_broadcasts(spark, sf_dir):
+    """The (median, MAD) per-segment table is 5 rows — it must
+    broadcast back onto the facts, never shuffle them."""
+    plan = plan_of(q("huber_mean_revenue_by_segment", spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan

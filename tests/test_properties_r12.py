@@ -217,3 +217,29 @@ def test_sync_from_table_equals_source(spark, tmp_path_factory, data):
     assert m["sync_stats"]["deleted_keys"] == 15 - len(keep)
     got = {(r.k, r.v) for r in t.snapshot().collect()}
     assert got == set(rows)
+
+
+@pytest.mark.slow
+@settings(max_examples=8, deadline=None)
+@given(
+    ids=st.lists(
+        st.integers(0, 1_000_000), min_size=1, max_size=40, unique=True
+    )
+)
+def test_contiguous_ids_dense_for_any_id_distribution(spark, tmp_path_factory, ids):
+    """The two-pass numbering must produce exactly 1..N in id order for
+    ANY id distribution — clustered, sparse, singleton, adversarial."""
+    import os
+
+    from politicamente_etl_spark.plans.catalog import CATALOG
+
+    d = str(tmp_path_factory.mktemp("cid"))
+    spark.createDataFrame([(i,) for i in ids], "doc_id long").write.parquet(
+        os.path.join(d, "documents.parquet")
+    )
+    rows = sorted(
+        CATALOG["contiguous_id_assignment"].fn(spark, d).collect(),
+        key=lambda r: r["doc_id"],
+    )
+    assert [r["doc_id"] for r in rows] == sorted(ids)
+    assert [r["global_id"] for r in rows] == list(range(1, len(ids) + 1))
