@@ -30,8 +30,30 @@ _KF_R = 1.0  # observation noise
 
 # one bucketed copy per (sf_dir, n_buckets) per process: repeat callers
 # (driver rounds, tests, probes) reuse it instead of leaking a fresh
-# catalog table + tempdir parquet copy every invocation
-_BUCKETED_CACHE: dict[tuple[str, int], tuple[str, str]] = {}
+# catalog table + tempdir parquet copy every invocation; value carries
+# the tempdir so stale entries can be torn down on recreation/atexit
+# (ADVICE r7 — the old cache leaked a tempdir per cache-miss session)
+_BUCKETED_CACHE: dict[tuple[str, int], tuple[str, str, str]] = {}
+
+
+def _drop_bucketed(spark: SparkSession | None, to: str, tc: str, base: str):
+    import shutil
+
+    if spark is not None:
+        for t in (to, tc):
+            try:
+                spark.sql(f"DROP TABLE IF EXISTS {t}")
+            except Exception:
+                pass
+    shutil.rmtree(base, ignore_errors=True)
+
+
+def _cleanup_bucketed_cache():
+    # atexit: sessions are usually gone by now — the parquet tempdirs are
+    # the part that would survive the process, so rmtree is the real work
+    for to, tc, base in _BUCKETED_CACHE.values():
+        _drop_bucketed(None, to, tc, base)
+    _BUCKETED_CACHE.clear()
 
 
 def _bucketed_tables(
@@ -50,13 +72,21 @@ def _bucketed_tables(
     session-scoped metadata over an external tempdir path."""
     from politicamente_etl_spark.sources.readers import load_table
 
+    import atexit
+
     cache_key = (os.path.abspath(sf_dir), n_buckets)
     if cache_key in _BUCKETED_CACHE:
-        to, tc = _BUCKETED_CACHE[cache_key]
+        to, tc, base = _BUCKETED_CACHE[cache_key]
         try:
             return spark.table(to), spark.table(tc)
         except Exception:
-            pass  # different session than the one that wrote them
+            # different session than the one that wrote them: the old
+            # catalog names are dead metadata and the old tempdir parquet
+            # is unreachable — reclaim both before re-paying the write
+            _drop_bucketed(spark, to, tc, base)
+            del _BUCKETED_CACHE[cache_key]
+    if not _BUCKETED_CACHE:
+        atexit.register(_cleanup_bucketed_cache)
     sfx = uuid.uuid4().hex[:10]
     base = tempfile.mkdtemp(prefix="bucketed_join_")
     o = load_table(spark, sf_dir, "orders").select(
@@ -78,7 +108,7 @@ def _bucketed_tables(
         .option("path", os.path.join(base, "customer"))
         .saveAsTable(tc)
     )
-    _BUCKETED_CACHE[cache_key] = (to, tc)
+    _BUCKETED_CACHE[cache_key] = (to, tc, base)
     return spark.table(to), spark.table(tc)
 
 
@@ -113,7 +143,10 @@ def _register():
         the raw parquet — equality proves bucketed write+read is
         lossless and the bucket pruning/partitioning metadata changes
         nothing about the answer. This is the ingest-once/join-forever
-        trade every 100 TB warehouse makes for its hottest join key."""
+        trade every 100 TB warehouse makes for its hottest join key.
+        Bench note: the one-time bucketed write is paid in bench.py's
+        warmup pass (and cached per process), so timed iterations
+        measure the join, not the ingest."""
         bo, bc = _bucketed_tables(spark, sf_dir)
         joined = bo.join(bc, bo.o_custkey == bc.c_custkey)
         return joined.groupBy("c_mktsegment").agg(

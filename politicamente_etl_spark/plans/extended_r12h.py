@@ -63,6 +63,11 @@ def _register():
             )
             .load(path)
         )
+        # Spark's XML source reads an empty element back as NULL, not ''
+        # (ADVICE r7): coalesce restores the empty string so the lossless
+        # invariant holds even for text='' documents, instead of being
+        # green only because the corpus happens to contain none
+        back = back.withColumn("text", F.coalesce(F.col("text"), F.lit("")))
         return back.groupBy("source").agg(
             F.count("*").cast("long").alias("n_docs"),
             F.sum("doc_id").cast("long").alias("id_sum"),

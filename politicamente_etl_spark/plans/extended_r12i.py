@@ -63,7 +63,10 @@ def _register():
                CAST(MAX(m0) AS BIGINT) AS median_cents,
                CAST(MAX(mad0) AS BIGINT) AS mad_cents,
                CAST(SUM(w_micro) AS BIGINT) AS sum_w_micro,
-               CAST(SUM(w_micro * cents) AS DOUBLE)
+               -- explicit HUGEINT: per-row w_micro*cents ~1e13 overflows
+               -- an int64 SUM near sf1 (~1.5M orders); DuckDB would
+               -- promote silently, Spark would not — both now widen
+               CAST(SUM(CAST(w_micro AS HUGEINT) * cents) AS DOUBLE)
                    / CAST(SUM(w_micro) AS DOUBLE) AS huber_mean_cents
         FROM w GROUP BY seg
         """,
@@ -128,8 +131,14 @@ def _register():
             F.max("m0").cast("long").alias("median_cents"),
             F.max("mad0").cast("long").alias("mad_cents"),
             F.sum("w_micro").cast("long").alias("sum_w_micro"),
+            # sum in decimal(38,0): per-row w_micro*cents is ~1.4e13, so a
+            # LONG sum overflows near sf1 (~1.5M orders) — ANSI mode would
+            # throw ARITHMETIC_OVERFLOW exactly at the scale this query
+            # claims to serve (ADVICE r7); the oracle widens via HUGEINT
             (
-                F.sum(F.col("w_micro") * F.col("cents")).cast("double")
+                F.sum(
+                    (F.col("w_micro") * F.col("cents")).cast("decimal(38,0)")
+                ).cast("double")
                 / F.sum("w_micro").cast("double")
             ).alias("huber_mean_cents"),
         )

