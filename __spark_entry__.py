@@ -398,7 +398,9 @@ REFACTORED_THIS_ROUND: frozenset[str] = frozenset(
     {
         "txlog_deletion_vector_report",  # sidecar apply → shared rowindex path
         "txlog_vacuum_erasure_proof",  # vacuum → lease-guarded sidecar sweep
-        "txlog_history_report",  # history → commit_ts fold refactor
+        "txlog_history_report",  # history rides the commit_ts/version fold
+        "txlog_cdf_changes",  # table_changes gained the DV-delete branch
+        "txlog_merge_report",  # merge rewrite reads via _read_group_filtered
     }
 )
 
@@ -434,6 +436,11 @@ NEVER_SIM_CHECKED: tuple[str, ...] = (
     "txlog_sync_report",
     "txlog_time_travel_timestamp",
     "txlog_vacuum_lifecycle_report",
+    # VERDICT r7 item 5: the rows-only KLL decile query has never had a
+    # driver row (the rows-only queue never reaches a 50-slot window) —
+    # front it once for its weak check; its oracle-checkable twin
+    # (equi_depth_histogram_hashsketch, r8) covers the value semantics
+    "equi_depth_histogram_prices_approx",
 )
 
 
@@ -468,6 +475,7 @@ def _ordered_names() -> list[str]:
         n
         for n in CATALOG
         if n not in VERIFIED
+        and n not in lead
         and CATALOG[n].sql is None
         and n not in REFACTORED_THIS_ROUND
     ]

@@ -363,7 +363,8 @@ def q_anti_join_absent(spark: SparkSession, sf_dir: str) -> DataFrame:
            MIN(l_returnflag) AS status
     FROM lineitem GROUP BY l_orderkey
     """,
-    bench=True,
+    # bench slot ceded in r8 (saturated at 0.41 s since r1) to
+    # lsh_index_cdf_maintenance — VERDICT r7 item 6 slot hygiene
     tags=("A1",),
 )
 def q_sum_status_by_key(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -582,3 +583,7 @@ from politicamente_etl_spark.plans import extended_r12f as _extended_r12f  # noq
 from politicamente_etl_spark.plans import extended_r12g as _extended_r12g  # noqa: E402,F401
 from politicamente_etl_spark.plans import extended_r12h as _extended_r12h  # noqa: E402,F401
 from politicamente_etl_spark.plans import extended_r12i as _extended_r12i  # noqa: E402,F401
+from politicamente_etl_spark.plans import extended_r13 as _extended_r13  # noqa: E402,F401
+from politicamente_etl_spark.plans import extended_r13b as _extended_r13b  # noqa: E402,F401
+from politicamente_etl_spark.plans import extended_r13c as _extended_r13c  # noqa: E402,F401
+from politicamente_etl_spark.plans import extended_r13d as _extended_r13d  # noqa: E402,F401

@@ -142,6 +142,9 @@ def _register():
                CAST(sig_sum AS BIGINT) AS sig_sum
         FROM perms
         """,
+        bench=True,  # r8 headline: incremental LSH index maintenance
+        # under CDF deletes (slot ceded by sum_status_by_key, saturated
+        # at 0.41 s since r1 — VERDICT r7 item 6)
         tags=("ext-dedup", "ext-sink", "ext-stream"),
     )
     def q_lsh_index_cdf_maintenance(

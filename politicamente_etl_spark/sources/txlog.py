@@ -237,6 +237,16 @@ class TxLogTable:
         for m in self.history():
             if version is not None and m["version"] > version:
                 continue
+            if m.get("op") == "restore" and "restored_from" in m:
+                # FILTER BARRIER: a restore reproduces the target
+                # version's state, so filters committed AFTER the
+                # target are undone from this manifest onward (their
+                # deletes are part of the history being rolled back)
+                cut = int(m["restored_from"])
+                inline = {k: v for k, v in inline.items() if k[0] <= cut}
+                sidecar = {
+                    k: v for k, v in sidecar.items() if k[0] <= cut
+                }
             for t in m.get("tombstones", []):
                 v = int(t.get("version", m["version"]))
                 if "path" in t:
@@ -270,6 +280,12 @@ class TxLogTable:
         for m in self.history():
             if version is not None and m["version"] > version:
                 continue
+            if m.get("op") == "restore" and "restored_from" in m:
+                # same FILTER BARRIER as _live_tombstones: a restore
+                # undoes deletion vectors committed after its target
+                cut = int(m["restored_from"])
+                out = [d for d in out if d[0] <= cut]
+                seen = {k for k in seen if k[0] <= cut}
             for d in m.get("dvs", []):
                 v = int(d.get("version", m["version"]))
                 key = (v, d["path"])
@@ -435,15 +451,21 @@ class TxLogTable:
         return df
 
     def _read_with_tombstones(
-        self, rels: list[str], version: int | None = None
+        self,
+        rels: list[str],
+        version: int | None = None,
+        keep_row_address: bool = False,
     ) -> DataFrame:
         """Read `rels` with logical deletes applied (key tombstones AND
         row-index deletion vectors) — the read every REWRITE path
         (merge/delete/optimize) must use, or physically present but
-        logically deleted rows would resurrect in the rewrite."""
+        logically deleted rows would resurrect in the rewrite.
+        `keep_row_address=True` retains the (__fb, __ri) DV address
+        columns — the shared entry point for DV creation and the CDF's
+        address-level delete detection (one fold, three callers)."""
         ts = self._live_tombstones(version)
         dvs = self._live_dvs(version)
-        if not ts and not dvs:
+        if not ts and not dvs and not keep_row_address:
             return self.spark.read.parquet(
                 *[os.path.join(self.path, f) for f in rels]
             )
@@ -453,7 +475,11 @@ class TxLogTable:
             groups.setdefault(addv.get(rel, 0), []).append(rel)
         parts = []
         for av, grp in sorted(groups.items()):
-            parts.append(self._read_group_filtered(grp, av, ts, dvs))
+            parts.append(
+                self._read_group_filtered(
+                    grp, av, ts, dvs, keep_row_address=keep_row_address
+                )
+            )
         out = parts[0]
         for p in parts[1:]:
             out = out.unionByName(p, allowMissingColumns=True)
@@ -1070,12 +1096,18 @@ class TxLogTable:
         rel_dir = os.path.join(_DELETES_DIR, uuid.uuid4().hex[:12])
         abs_dir = os.path.join(self.path, rel_dir)
         self._mark_sidecar_inflight(abs_dir)
-        (
-            keys_df.select(key_col)
-            .distinct()
-            .write.mode("append")
-            .parquet(abs_dir)
-        )
+        try:
+            (
+                keys_df.select(key_col)
+                .distinct()
+                .write.mode("append")
+                .parquet(abs_dir)
+            )
+        except BaseException:
+            # an aborted stage must not leave a LEASED dir behind — the
+            # default vacuum never reclaims leased dirs (review r8)
+            shutil.rmtree(abs_dir, ignore_errors=True)
+            raise
         n_keys = 0
         for root, _dirs, files in os.walk(abs_dir):
             for f in files:
@@ -1137,11 +1169,25 @@ class TxLogTable:
             raise NotImplementedError(
                 "sync_from supports a single key column (key tombstones)"
             )
+        import atexit
+        import tempfile
+
         k = keys[0]
         base = self.latest_version()
         live = self._live_files(version=base)
         if not live:
             raise ValueError("sync into empty table; use create/append")
+        # MATERIALIZE the source ONCE (review r8): sync_from reads the
+        # source plan several times (key set, tombstone complement,
+        # rewrite upsert, staged constraint check) — a non-deterministic
+        # plan evaluated per-read could commit rows its own checks never
+        # saw. One parquet write pins a single evaluation; every
+        # downstream read sees the same bytes. Dimension-sized, so the
+        # extra write is the cheap half of the rewrite it feeds.
+        src_dir = tempfile.mkdtemp(prefix="txlog_sync_src_")
+        atexit.register(shutil.rmtree, src_dir, ignore_errors=True)
+        source.write.mode("overwrite").parquet(src_dir)
+        source = self.spark.read.parquet(src_dir)
         src_keys = source.select(k).distinct()
         target = self._read_with_tombstones(live, version=base)
         missing = target.select(k).distinct().join(
@@ -1351,25 +1397,25 @@ class TxLogTable:
         live = self._live_files(version=base)
         if not live:
             raise ValueError("delete from empty table")
-        ts = self._live_tombstones(base)
-        dvs = self._live_dvs(base)
-        addv = self._file_add_versions(base)
-        groups: dict[int, list[str]] = {}
-        for rel in live:
-            groups.setdefault(addv.get(rel, 0), []).append(rel)
-        matched = None
-        for av, grp in sorted(groups.items()):
-            # visibility-correct targeting: rows already dead (by DV or
-            # key tombstone) never enter the new vector
-            df = self._read_group_filtered(
-                grp, av, ts, dvs, keep_row_address=True
+        # visibility-correct targeting: rows already dead (by DV or key
+        # tombstone) never enter the new vector
+        matched = (
+            self._read_with_tombstones(
+                live, version=base, keep_row_address=True
             )
-            part = df.filter(F.expr(predicate)).select("__fb", "__ri")
-            matched = part if matched is None else matched.unionByName(part)
+            .filter(F.expr(predicate))
+            .select("__fb", "__ri")
+        )
         rel_dir = os.path.join(_DELETES_DIR, uuid.uuid4().hex[:12])
         abs_dir = os.path.join(self.path, rel_dir)
         self._mark_sidecar_inflight(abs_dir)
-        matched.write.mode("append").parquet(abs_dir)
+        try:
+            matched.write.mode("append").parquet(abs_dir)
+        except BaseException:
+            # aborted stage: drop the leased dir (default vacuum never
+            # reclaims leased dirs, so a leak here would be permanent)
+            shutil.rmtree(abs_dir, ignore_errors=True)
+            raise
         n_rows = 0
         for root, _dirs, fs in os.walk(abs_dir):
             for f in fs:
@@ -1642,17 +1688,27 @@ class TxLogTable:
                 abs_dir = os.path.join(self.path, rel_dir)
                 if rel_dir in live_sidecars:
                     continue
+                # TOCTOU guard (review r8): a live writer can release
+                # its lease (unlink the marker) or a concurrent vacuum
+                # can rmtree the dir between our stat calls — treat a
+                # vanished path as "skip this round", never crash the
+                # sweep mid-way
                 marker = os.path.join(abs_dir, ".inflight")
-                if os.path.exists(marker):
-                    # leased: a writer staged this and hasn't committed.
-                    # Only an explicit operator override reclaims it.
-                    if reclaim_inflight_after_sec is None or (
-                        now - os.path.getmtime(marker)
-                        < reclaim_inflight_after_sec
+                try:
+                    if os.path.exists(marker):
+                        # leased: a writer staged this and hasn't
+                        # committed. Only an explicit override reclaims.
+                        if reclaim_inflight_after_sec is None or (
+                            now - os.path.getmtime(marker)
+                            < reclaim_inflight_after_sec
+                        ):
+                            continue
+                    elif (
+                        now - os.path.getmtime(abs_dir) < sidecar_grace_sec
                     ):
-                        continue
-                elif now - os.path.getmtime(abs_dir) < sidecar_grace_sec:
-                    continue  # markerless (legacy writer) — clock fallback
+                        continue  # markerless (legacy) — clock fallback
+                except FileNotFoundError:
+                    continue
                 shutil.rmtree(abs_dir)
                 deleted.append(rel_dir)
         return deleted
@@ -1921,11 +1977,21 @@ class TxLogTable:
             for v, _k, _vals, _p, n in self._live_tombstones(version)
             if min_addv is not None and v > min_addv
         )
+        # deletion-vector debt counts the same way (review r8: a table
+        # maintained purely with delete_where_rowindex must still
+        # trigger compaction — its reads pay the same anti-join and
+        # dead-byte scan tax)
+        dv_rows = sum(
+            n
+            for v, _p, n in self._live_dvs(version)
+            if min_addv is not None and v > min_addv
+        )
         live_rows = sum(self._file_row_counts(live).values())
-        ratio = (debt / live_rows) if live_rows else 0.0
+        ratio = ((debt + dv_rows) / live_rows) if live_rows else 0.0
         return {
             "live_rows": live_rows,
             "tombstoned_keys": debt,
+            "dv_rows": dv_rows,
             "tombstone_ratio": ratio,
             "threshold": tombstone_ratio,
             "needs_optimize": ratio >= tombstone_ratio,
@@ -1982,13 +2048,21 @@ class TxLogTable:
         addv_from = self._file_add_versions(from_version)
         addv_to = self._file_add_versions(to_version)
         # a shared file whose add version moved inside the interval was
-        # re-added (restore): tombstone applicability flipped mid-way,
-        # so rows can resurrect as well as die — diff its alive sets
-        # exactly (values are immutable, so only inserts/deletes emerge)
+        # re-added, and ANY restore inside the interval is a filter
+        # barrier (visible tombstone/DV sets can shrink as well as
+        # grow): either way rows can resurrect as well as die — diff
+        # those files' alive sets exactly (values are immutable, so
+        # only inserts/deletes emerge)
+        restore_in_interval = any(
+            m.get("op") == "restore"
+            and from_version < m["version"] <= to_version
+            for m in self.history()
+        )
         readded = sorted(
             f
             for f in shared
-            if addv_to.get(f, 0) != addv_from.get(f, 0)
+            if restore_in_interval
+            or addv_to.get(f, 0) != addv_from.get(f, 0)
         )
         stable = sorted(shared - set(readded))
         if stable and new_ts:
@@ -2044,19 +2118,9 @@ class TxLogTable:
             # tombstones, but the join key is the physical row address.
             # Visibility at from_version (earlier tombstones/DVs applied)
             # keeps already-dead rows out of the feed.
-            ts_from = self._live_tombstones(from_version)
-            dvs_from = self._live_dvs(from_version)
-            groups: dict[int, list[str]] = {}
-            for rel in stable:
-                groups.setdefault(addv_from.get(rel, 0), []).append(rel)
-            vis = None
-            for av, grp in sorted(groups.items()):
-                part = self._read_group_filtered(
-                    grp, av, ts_from, dvs_from, keep_row_address=True
-                )
-                vis = part if vis is None else vis.unionByName(
-                    part, allowMissingColumns=True
-                )
+            vis = self._read_with_tombstones(
+                stable, version=from_version, keep_row_address=True
+            )
             gone_dv = vis.join(
                 F.broadcast(
                     self._dv_rows_df([p for _v, p, _n in new_dvs])
@@ -2146,16 +2210,32 @@ class TxLogTable:
         the target version's files — no data movement (files are
         immutable, so the old files are simply re-referenced), full
         history preserved (the bad commits stay inspectable), and the
-        restore itself is one more atomic, OCC-guarded commit."""
+        restore itself is one more atomic, OCC-guarded commit.
+
+        Logical-delete semantics (round-8 fix, found by review): the
+        restored state must EQUAL snapshot(version) — including the
+        tombstones/DVs that were VISIBLE at the target. The manifest
+        therefore (a) re-adds files with their ORIGINAL add versions
+        (`added_versions` map), so filters visible at the target keep
+        their exact per-file applicability, and (b) acts as a FILTER
+        BARRIER: `_live_tombstones`/`_live_dvs` drop filters whose
+        origin lies AFTER `restored_from` when they fold past this
+        manifest — restoring to a pre-delete version undoes the delete
+        (the old behavior, preserved), while restoring to a
+        post-delete version no longer resurrects the deleted rows (the
+        old bug: re-adding at the restore version postdated every
+        filter and silently voided them all)."""
         base = self.latest_version()
         target = self._live_files(version)
         current = self._live_files()
+        addv = self._file_add_versions(version)
         manifest = {
             "version": base + 1,
             "op": "restore",
             "restored_from": version,
             "added": target,
             "removed": current,
+            "added_versions": {r: addv.get(r, 0) for r in target},
             "stats": {
                 rel: st
                 for rel, st in self._live_stats(version).items()

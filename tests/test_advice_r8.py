@@ -179,18 +179,21 @@ def test_version_as_of_monotonizes_legacy_mtimes(spark, sf_dir):
         m.pop("commit_ts_ms", None)
         json.dump(m, open(mp, "w"))
         os.utime(mp, (mtime, mtime))
-    # raw mtimes would resolve ts1 to v3 (every mtime <= ts1, max version
-    # wins) — that part is coincidentally right; the broken case is a
-    # probe BETWEEN the legacy mtimes, which must NOT resolve to a stale
-    # middle version once monotonized
-    probe = int((ts1 - 75 * 1000))  # between v3's and v2's raw mtimes
+    # raw mtimes would resolve any probe <= ts1 to v3 (every legacy
+    # mtime sits BELOW ts1, max version wins); monotonized, v2/v3 are
+    # pushed to ts1+1 and ts1+2 so the timeline orders like versions
     with pytest.raises(ValueError):
-        # monotonized: v2/v3 stamps are pushed AFTER v1's (> ts1), so a
-        # probe before v1 finds nothing rather than a phantom v2/v3
+        # a probe before v1 finds nothing rather than a phantom v2/v3
         t.version_as_of(int(ts1) - 100_000)
-    assert t.version_as_of(probe) in (1,) if probe >= ts1 else True
-    # at ts1 exactly: v1 is visible; v2/v3 (pushed to ts1+1, ts1+2) are not
+    # a probe between the raw legacy mtimes and v1's stamp must resolve
+    # to NOTHING (pre-v1), not to a stale v2/v3 — the exact broken case
+    with pytest.raises(ValueError):
+        t.version_as_of(int(ts1) - 75 * 1000)
+    # at ts1 exactly: v1 is visible; v2/v3 (pushed later) are not
     assert t.version_as_of(int(ts1)) == 1
+    # the monotonized legacy stamps resolve version-ordered
+    assert t.version_as_of(int(ts1) + 1) == 2
+    assert t.version_as_of(int(ts1) + 2) == 3
     # far future resolves the true head
     assert t.version_as_of(int(ts1) + 10_000_000) == 3
 

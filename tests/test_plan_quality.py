@@ -1497,3 +1497,44 @@ def test_huber_stats_table_broadcasts(spark, sf_dir):
     plan = plan_of(q("huber_mean_revenue_by_segment", spark, sf_dir))
     assert "CartesianProduct" not in plan
     assert "BroadcastHashJoin" in plan
+
+
+def test_dv_read_is_broadcast_anti_join_on_addresses(spark, tmp_path):
+    """The deletion-vector read path (round 8): a DV applies as a
+    BROADCAST anti-join on the (file basename, row ordinal) address
+    pair — never a SortMergeJoin (shuffling the table to apply a
+    positional delete defeats merge-on-read), and the address columns
+    come from the parquet reader's _metadata (scan-local, no extra
+    exchange to compute them)."""
+    from politicamente_etl_spark.sources.txlog import TxLogTable
+
+    df = spark.range(1, 1001).select(
+        F.col("id").alias("k"), (F.col("id") * 2).alias("v")
+    )
+    t = TxLogTable.create(spark, str(tmp_path / "t"), df)
+    t.delete_where_rowindex("k % 5 = 0")
+    plan = plan_of(t.snapshot())
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+    assert "SortMergeJoin" not in plan
+    assert t.snapshot().count() == 800
+
+
+def test_mann_whitney_window_runs_on_value_counts(spark, sf_dir):
+    """The rank window must consume the grouped VALUE-COUNT table (one
+    HashAggregate below the Window), never the raw joined rows — that
+    is the difference between a window over |distinct prices| and a
+    global per-row sort at 100 TB. The dimension join broadcasts."""
+    plan = plan_of(q("mann_whitney_u_segments", spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    w = plan.index("Window")
+    assert "HashAggregate" in plan[:w], (
+        "value-count aggregate must sit below the rank window"
+    )
+
+
+def test_offset_pagination_is_collect_limit_not_global_sort(spark, sf_dir):
+    """ORDER BY + LIMIT/OFFSET must execute as a take-ordered/collect-
+    limit shape (top-60 per partition, one tiny reduce), never a full
+    global Sort exchange of the table."""
+    plan = plan_of(q("offset_pagination_orders", spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan or "CollectLimit" in plan

@@ -248,3 +248,72 @@ def test_committed_sidecars_drop_their_lease(spark, sf_dir):
         assert not os.path.exists(
             os.path.join(del_root, d, ".inflight")
         ), "commit must release the lease"
+
+
+# -- round-8 review fixes --------------------------------------------------
+
+
+def test_restore_to_post_delete_version_keeps_deletes(spark):
+    """Review r8 finding: restore(v) where v POSTDATES a DV/tombstone
+    must reproduce snapshot(v) exactly — the re-add previously voided
+    every filter and resurrected the deleted rows."""
+    t, _ = _mk(spark)
+    t.delete_where_rowindex("grp = 3")  # v2: 857 visible
+    assert t.snapshot(version=2).count() == 857
+    t.restore(2)  # v3 — restoring to the CURRENT state must be a no-op
+    assert t.snapshot().count() == 857
+    assert t.snapshot().filter("grp = 3").count() == 0
+    # and restore-to-pre-delete still resurrects (the old contract)
+    t.restore(1)
+    assert t.snapshot().count() == 1000
+
+
+def test_restore_post_delete_keeps_key_tombstones_too(spark):
+    t, _ = _mk(spark)
+    t.delete_where_logical(
+        "v", keys_df=t.spark.range(0, 100).selectExpr("id as v")
+    )
+    assert t.snapshot().count() == 900
+    t.restore(2)
+    assert t.snapshot().count() == 900
+    # a pre-restore re-insert of a tombstoned key stays visible after a
+    # restore to the version that contained it (per-file applicability
+    # preserved via original add versions)
+    t.append(spark.range(0, 10).selectExpr("id as v", "id % 7 as grp"))
+    n = t.snapshot().count()
+    assert n == 910
+    t.restore(4)  # v4 = the append commit
+    assert t.snapshot().count() == 910
+
+
+def test_restore_cdf_reports_resurrections(spark):
+    t, _ = _mk(spark)
+    t.delete_where_rowindex("grp = 3")  # v2
+    t.restore(1)  # v3: 143 rows come back
+    ch = t.table_changes(2, 3, keys=["v"], compare_cols=["grp"])
+    rows = ch.collect()
+    assert all(r["change_type"] == "insert" for r in rows)
+    assert len(rows) == 143
+
+
+def test_aborted_dv_stage_does_not_leak_leased_dir(spark):
+    t, path = _mk(spark)
+    with pytest.raises(Exception):
+        t.delete_where_rowindex("no_such_column = 1")
+    del_root = os.path.join(path, _DELETES_DIR)
+    leftover = os.listdir(del_root) if os.path.isdir(del_root) else []
+    assert leftover == [], f"aborted stage leaked leased dir: {leftover}"
+    assert t.latest_version() == 1
+
+
+def test_needs_optimize_counts_dv_debt(spark):
+    t, _ = _mk(spark)
+    rep0 = t.needs_optimize(tombstone_ratio=0.05)
+    assert rep0["dv_rows"] == 0 and not rep0["needs_optimize"]
+    t.delete_where_rowindex("grp = 3")  # 143/1000 = 14.3% dead
+    rep = t.needs_optimize(tombstone_ratio=0.05)
+    assert rep["dv_rows"] == 143
+    assert rep["needs_optimize"]
+    t.optimize(target_file_bytes=1 << 30)
+    rep2 = t.needs_optimize(tombstone_ratio=0.05)
+    assert rep2["dv_rows"] == 0 and not rep2["needs_optimize"]

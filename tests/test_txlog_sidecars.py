@@ -240,6 +240,7 @@ def test_needs_optimize_fires_exactly_at_threshold(spark, tmp_path):
     assert rep2 == {
         "live_rows": 90,
         "tombstoned_keys": 0,
+        "dv_rows": 0,
         "tombstone_ratio": 0.0,
         "threshold": 0.10,
         "needs_optimize": False,
