@@ -587,3 +587,4 @@ from politicamente_etl_spark.plans import extended_r13 as _extended_r13  # noqa:
 from politicamente_etl_spark.plans import extended_r13b as _extended_r13b  # noqa: E402,F401
 from politicamente_etl_spark.plans import extended_r13c as _extended_r13c  # noqa: E402,F401
 from politicamente_etl_spark.plans import extended_r13d as _extended_r13d  # noqa: E402,F401
+from politicamente_etl_spark.plans import extended_r13e as _extended_r13e  # noqa: E402,F401

@@ -23,6 +23,12 @@ from politicamente_etl_spark.sources.txlog import (
     _DELETES_DIR,
 )
 
+# sim-covered: DV semantics ride the driver queries
+# (txlog_rowindex_delete_proof / dv_vs_cow / dv_cdf_feed /
+# dv_restore_proof) and the r13 property suite; full tier only, keeping
+# the fast tier under its 20-minute budget (VERDICT r7 item 7)
+pytestmark = pytest.mark.slow
+
 
 def _mk(spark, n=1000):
     path = os.path.join(tempfile.mkdtemp(prefix="dv_"), "t")
