@@ -588,3 +588,4 @@ from politicamente_etl_spark.plans import extended_r13b as _extended_r13b  # noq
 from politicamente_etl_spark.plans import extended_r13c as _extended_r13c  # noqa: E402,F401
 from politicamente_etl_spark.plans import extended_r13d as _extended_r13d  # noqa: E402,F401
 from politicamente_etl_spark.plans import extended_r13e as _extended_r13e  # noqa: E402,F401
+from politicamente_etl_spark.plans import extended_r13f as _extended_r13f  # noqa: E402,F401
