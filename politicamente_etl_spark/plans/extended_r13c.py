@@ -48,6 +48,36 @@ def _ordered_sum(df: DataFrame, key: str, term, out: str) -> DataFrame:
     )
 
 
+
+def _f_stat_from_suff(g, F):
+    """Assemble (n_total, k_groups, ssb, ssw, f_stat) from a per-group
+    sufficient-statistics frame (seg, n, s, q) — shared by the ANOVA
+    and Levene twins so their 'identical IEEE sequence' contract has
+    exactly one implementation (review r8, second pass)."""
+    between = _ordered_sum(
+        g,
+        "seg",
+        F.col("s").cast("double")
+        * F.col("s").cast("double")
+        / F.col("n").cast("double"),
+        "between_raw",
+    )
+    qsum = _ordered_sum(g, "seg", F.col("q"), "q_sum")
+    tot = g.agg(
+        F.sum("n").cast("long").alias("nn"),
+        F.sum("s").cast("long").alias("ss"),
+        F.count("*").cast("long").alias("k"),
+    )
+    t = tot.crossJoin(F.broadcast(between)).crossJoin(F.broadcast(qsum))
+    nn_d = F.col("nn").cast("double")
+    k_d = F.col("k").cast("double")
+    ssb = F.col("between_raw") - F.col("ss").cast("double") * F.col(
+        "ss"
+    ).cast("double") / nn_d
+    ssw = F.col("q_sum") - F.col("between_raw")
+    return t, ssb, ssw, nn_d, k_d
+
+
 def _register():
     from politicamente_etl_spark.plans.catalog import T, register
 
@@ -113,27 +143,7 @@ def _register():
             .cast("double")
             .alias("q"),
         )
-        between = _ordered_sum(
-            g,
-            "seg",
-            F.col("s").cast("double")
-            * F.col("s").cast("double")
-            / F.col("n").cast("double"),
-            "between_raw",
-        )
-        qsum = _ordered_sum(g, "seg", F.col("q"), "q_sum")
-        tot = g.agg(
-            F.sum("n").cast("long").alias("nn"),
-            F.sum("s").cast("long").alias("ss"),
-            F.count("*").cast("long").alias("k"),
-        )
-        t = tot.crossJoin(F.broadcast(between)).crossJoin(F.broadcast(qsum))
-        nn_d = F.col("nn").cast("double")
-        k_d = F.col("k").cast("double")
-        ssb = F.col("between_raw") - F.col("ss").cast("double") * F.col(
-            "ss"
-        ).cast("double") / nn_d
-        ssw = F.col("q_sum") - F.col("between_raw")
+        t, ssb, ssw, nn_d, k_d = _f_stat_from_suff(g, F)
         return t.select(
             F.col("nn").alias("n_total"),
             F.col("k").alias("k_groups"),
@@ -217,27 +227,7 @@ def _register():
             .cast("double")
             .alias("q"),
         )
-        between = _ordered_sum(
-            g,
-            "seg",
-            F.col("s").cast("double")
-            * F.col("s").cast("double")
-            / F.col("n").cast("double"),
-            "between_raw",
-        )
-        qsum = _ordered_sum(g, "seg", F.col("q"), "q_sum")
-        tot = g.agg(
-            F.sum("n").cast("long").alias("nn"),
-            F.sum("s").cast("long").alias("ss"),
-            F.count("*").cast("long").alias("k"),
-        )
-        t = tot.crossJoin(F.broadcast(between)).crossJoin(F.broadcast(qsum))
-        nn_d = F.col("nn").cast("double")
-        k_d = F.col("k").cast("double")
-        ssb = F.col("between_raw") - F.col("ss").cast("double") * F.col(
-            "ss"
-        ).cast("double") / nn_d
-        ssw = F.col("q_sum") - F.col("between_raw")
+        t, ssb, ssw, nn_d, k_d = _f_stat_from_suff(g, F)
         return t.select(
             F.col("nn").alias("n_total"),
             F.col("k").alias("k_groups"),

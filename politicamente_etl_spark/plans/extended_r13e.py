@@ -312,12 +312,20 @@ def _register():
         pairs = cand.join(ref, "pair_id")
 
         def bigrams(col):
-            return F.transform(
-                F.sequence(F.lit(1), F.size(col) - 1),
-                lambda i: F.concat_ws(
-                    " ", F.element_at(col, i), F.element_at(col, i + 1)
+            # guard size==1: Spark's sequence(1, 0) STEPS DOWN to [1, 0]
+            # (it never returns empty), so a space-free document would
+            # evaluate element_at(toks, 0) and kill the query with
+            # INVALID_ARRAY_INDEX (review r8, second pass; the DuckDB
+            # range(1, 1) is empty and needs no guard)
+            return F.when(
+                F.size(col) > 1,
+                F.transform(
+                    F.sequence(F.lit(1), F.size(col) - 1),
+                    lambda i: F.concat_ws(
+                        " ", F.element_at(col, i), F.element_at(col, i + 1)
+                    ),
                 ),
-            )
+            ).otherwise(F.array().cast("array<string>"))
 
         cand_bg = (
             pairs.select(

@@ -1163,14 +1163,12 @@ class TxLogTable:
         Single-column key (tombstones are single-key). Cost: rewrite ∝
         files containing source keys; delete ∝ |vanished keys| sidecar
         bytes; untouched files survive."""
-        from politicamente_etl_spark.sources.sinks import upsert
+        import tempfile
 
         if len(keys) != 1:
             raise NotImplementedError(
                 "sync_from supports a single key column (key tombstones)"
             )
-        import atexit
-        import tempfile
 
         k = keys[0]
         base = self.latest_version()
@@ -1182,12 +1180,28 @@ class TxLogTable:
         # rewrite upsert, staged constraint check) — a non-deterministic
         # plan evaluated per-read could commit rows its own checks never
         # saw. One parquet write pins a single evaluation; every
-        # downstream read sees the same bytes. Dimension-sized, so the
-        # extra write is the cheap half of the rewrite it feeds.
+        # downstream read sees the same bytes. Dimension-sized, and
+        # reclaimed in the finally (review r8, second pass: atexit-only
+        # cleanup held N full source copies across N syncs).
         src_dir = tempfile.mkdtemp(prefix="txlog_sync_src_")
-        atexit.register(shutil.rmtree, src_dir, ignore_errors=True)
-        source.write.mode("overwrite").parquet(src_dir)
-        source = self.spark.read.parquet(src_dir)
+        try:
+            source.write.mode("overwrite").parquet(src_dir)
+            return self._sync_from_materialized(
+                self.spark.read.parquet(src_dir), k, base, live
+            )
+        finally:
+            shutil.rmtree(src_dir, ignore_errors=True)
+
+    def _sync_from_materialized(
+        self, source: DataFrame, k: str, base: int, live: list[str]
+    ) -> dict:
+        """sync_from's body over the already-materialized source — the
+        commit MUST finish before the caller's finally reclaims the
+        staging dir (everything the commit links in is re-staged under
+        the table root by _stage_write / the tombstone sidecar)."""
+        from politicamente_etl_spark.sources.sinks import upsert
+
+        keys = [k]
         src_keys = source.select(k).distinct()
         target = self._read_with_tombstones(live, version=base)
         missing = target.select(k).distinct().join(
@@ -1709,7 +1723,9 @@ class TxLogTable:
                         continue  # markerless (legacy) — clock fallback
                 except FileNotFoundError:
                     continue
-                shutil.rmtree(abs_dir)
+                # ignore_errors: a concurrent vacuum's rmtree can win
+                # between our checks and this call (same TOCTOU family)
+                shutil.rmtree(abs_dir, ignore_errors=True)
                 deleted.append(rel_dir)
         return deleted
 
@@ -2242,6 +2258,22 @@ class TxLogTable:
                 if rel in set(target)
             },
         }
+        # CARRY the target's visible filters explicitly (review r8,
+        # second pass): the barrier alone is one-way — it can DROP
+        # filters but never re-establish one an EARLIER restore already
+        # dropped (restore(1) then restore(2) would lose v2's delete).
+        # Carriage is idempotent with barrier-surviving filters (the
+        # folds dedup by (origin, key/path)), exactly like checkpoint
+        # carriage.
+        ts_at = self._live_tombstones(version)
+        if ts_at:
+            manifest["tombstones"] = self._serialize_tombstones(ts_at)
+        dvs_at = self._live_dvs(version)
+        if dvs_at:
+            manifest["dvs"] = [
+                {"version": v, "path": p, "n_rows": n}
+                for v, p, n in dvs_at
+            ]
         sch = None
         for v in range(version, 0, -1):
             try:

@@ -323,3 +323,45 @@ def test_needs_optimize_counts_dv_debt(spark):
     t.optimize(target_file_bytes=1 << 30)
     rep2 = t.needs_optimize(tombstone_ratio=0.05)
     assert rep2["dv_rows"] == 0 and not rep2["needs_optimize"]
+
+
+def test_double_restore_reestablishes_filters(spark):
+    """Review r8 second pass: the filter barrier is one-way (it can
+    only drop), so restore(1) followed by restore(2) lost v2's delete —
+    restore manifests now CARRY the target's visible filters, making
+    restore(v) == snapshot(v) under any restore chain."""
+    t, _ = _mk(spark)
+    t.delete_where_rowindex("grp = 3")  # v2: 857 visible
+    t.restore(1)  # v3: 1000 visible (barrier drops the DV)
+    assert t.snapshot().count() == 1000
+    t.restore(2)  # v4: must RE-ESTABLISH the DV, not lose it
+    assert t.snapshot().count() == 857
+    assert t.snapshot().filter("grp = 3").count() == 0
+    # and the same chain over key tombstones
+    t2, _ = _mk(spark)
+    t2.delete_where_logical(
+        "v", keys_df=spark.range(0, 100).selectExpr("id as v")
+    )  # v2: 900
+    t2.restore(1)  # v3: 1000
+    t2.restore(2)  # v4: 900 again
+    assert t2.snapshot().count() == 900
+
+
+def test_sync_from_reclaims_source_staging(spark, sf_dir):
+    """Review r8 second pass: each sync_from materialization must be
+    reclaimed when the call returns, not held until process exit."""
+    import glob
+
+    from politicamente_etl_spark.plans.catalog import T
+
+    before = set(glob.glob(os.path.join(tempfile.gettempdir(), "txlog_sync_src_*")))
+    base_df = (
+        T(spark, sf_dir, "orders")
+        .select("o_orderkey", "o_custkey")
+        .limit(500)
+    )
+    path = os.path.join(tempfile.mkdtemp(prefix="sync_tmp_"), "t")
+    t = TxLogTable.create(spark, path, base_df)
+    t.sync_from(base_df, keys=["o_orderkey"])
+    after = set(glob.glob(os.path.join(tempfile.gettempdir(), "txlog_sync_src_*")))
+    assert after <= before, f"sync_from leaked staging dirs: {after - before}"
