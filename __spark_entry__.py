@@ -401,6 +401,9 @@ REFACTORED_THIS_ROUND: frozenset[str] = frozenset(
         "txlog_history_report",  # history rides the commit_ts/version fold
         "txlog_cdf_changes",  # table_changes gained the DV-delete branch
         "txlog_merge_report",  # merge rewrite reads via _read_group_filtered
+        "streaming_txlog_source_tail",  # stream source op classification
+        # gained the delete/metadata/clone tiers (ignore_deletes)
+        "txlog_restore_report",  # restore gained filter carriage + barrier
     }
 )
 

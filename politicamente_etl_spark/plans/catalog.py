@@ -589,3 +589,4 @@ from politicamente_etl_spark.plans import extended_r13c as _extended_r13c  # noq
 from politicamente_etl_spark.plans import extended_r13d as _extended_r13d  # noqa: E402,F401
 from politicamente_etl_spark.plans import extended_r13e as _extended_r13e  # noqa: E402,F401
 from politicamente_etl_spark.plans import extended_r13f as _extended_r13f  # noqa: E402,F401
+from politicamente_etl_spark.plans import extended_r13g as _extended_r13g  # noqa: E402,F401

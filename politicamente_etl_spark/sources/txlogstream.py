@@ -44,10 +44,25 @@ from pyspark.sql.types import StructType
 
 _LOG_DIR = "_txlog"
 
-# ops whose `added` files carry genuinely NEW rows
-_APPEND_OPS = ("create", "append")
-# ops that move/rewrite data without changing table contents
-_INVISIBLE_OPS = ("optimize", "checkpoint")
+# ops whose `added` files carry genuinely NEW rows (clone's v1
+# references the source's files — for a stream started at offset 0
+# they ARE the initial data, exactly like create)
+_APPEND_OPS = ("create", "append", "clone")
+# ops that move/rewrite data without changing table contents, plus
+# pure-metadata commits (a constraint declaration must never kill a
+# running tail — it adds no rows and rewrites none)
+_INVISIBLE_OPS = (
+    "optimize",
+    "checkpoint",
+    "set_constraint",
+    "drop_constraint",
+)
+# pure RETRACTIONS: key tombstones and row-index deletion vectors add
+# no files and rewrite none — an append-only reader cannot express
+# them, a weaker hazard than a rewrite (nothing is re-emitted;
+# downstream just misses the delete). Delta splits the same contract
+# into ignoreDeletes (this) vs ignoreChanges (rewrites).
+_DELETE_OPS = ("delete_logical", "delete_rowindex")
 
 
 class _FilePartition(InputPartition):
@@ -72,7 +87,13 @@ def _manifest(path: str, version: int) -> dict:
 
 
 class TxLogStreamReader(DataSourceStreamReader):
-    def __init__(self, path: str, ignore_changes: bool):
+    def __init__(
+        self,
+        path: str,
+        ignore_changes: bool,
+        ignore_deletes: bool = False,
+    ):
+        self.ignore_deletes = ignore_deletes
         self.path = path
         self.ignore_changes = ignore_changes
 
@@ -90,6 +111,16 @@ class TxLogStreamReader(DataSourceStreamReader):
             op = m.get("op", "")
             if op in _INVISIBLE_OPS or m.get("checkpoint"):
                 continue
+            if op in _DELETE_OPS:
+                if not (self.ignore_deletes or self.ignore_changes):
+                    raise RuntimeError(
+                        f"txlogstream: version {v} is op={op!r}, a "
+                        "logical DELETE; an append-only stream cannot "
+                        "retract rows. Set ignore_deletes=true to skip "
+                        "delete commits (downstream then misses the "
+                        "deletes — Delta's ignoreDeletes contract)."
+                    )
+                continue  # retraction-only: nothing to emit either way
             if op not in _APPEND_OPS:
                 if not self.ignore_changes:
                     raise RuntimeError(
@@ -117,8 +148,10 @@ class TxLogStreamReader(DataSourceStreamReader):
 
 
 class TxLogStreamDataSource(DataSource):
-    """format("txlogstream"): options `path` (required) and
-    `ignore_changes` ("true"/"false", default false)."""
+    """format("txlogstream"): options `path` (required),
+    `ignore_changes` and `ignore_deletes` ("true"/"false", default
+    false — the Delta ignoreChanges/ignoreDeletes split: rewrites vs
+    pure retractions)."""
 
     @classmethod
     def name(cls) -> str:
@@ -137,4 +170,5 @@ class TxLogStreamDataSource(DataSource):
         return TxLogStreamReader(
             self.options["path"],
             str(self.options.get("ignore_changes", "false")).lower() == "true",
+            str(self.options.get("ignore_deletes", "false")).lower() == "true",
         )

@@ -120,3 +120,83 @@ def test_stream_ignore_changes_skips_rewrites(registered, tmp_path):
         )
     finally:
         q.stop()
+
+
+def test_stream_refuses_delete_without_flag(spark, sf_dir):
+    """A logical-delete commit must STOP the tail (loud failure), not
+    silently drop the retraction — and ignore_deletes=true opts into
+    skipping it, Delta's ignoreDeletes contract."""
+    import os
+    import tempfile
+
+    import pytest
+    from pyspark.sql import functions as F
+
+    from politicamente_etl_spark.sources.txlog import TxLogTable
+    from politicamente_etl_spark.sources.txlogstream import (
+        TxLogStreamDataSource,
+    )
+
+    try:
+        spark.dataSource.register(TxLogStreamDataSource)
+    except Exception:
+        pass
+    df = spark.range(0, 200).selectExpr("id as k", "id % 5 as g")
+    path = os.path.join(tempfile.mkdtemp(prefix="igdel_"), "t")
+    t = TxLogTable.create(spark, path, df)
+    t.delete_where_rowindex("g = 2")
+    name = "igdel_refuse_" + os.path.basename(os.path.dirname(path))
+    q = (
+        spark.readStream.format("txlogstream")
+        .option("path", path)
+        .load()
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .start()
+    )
+    with pytest.raises(Exception, match="ignore_deletes"):
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+
+
+def test_stream_skips_constraints_and_reads_clone_create(spark):
+    """Metadata-only commits (set_constraint) must be tail-invisible,
+    and a shallow clone's v1 must stream like create (it IS the
+    initial data of the cloned table)."""
+    import os
+    import tempfile
+
+    from politicamente_etl_spark.sources.txlog import TxLogTable
+    from politicamente_etl_spark.sources.txlogstream import (
+        TxLogStreamDataSource,
+    )
+
+    try:
+        spark.dataSource.register(TxLogStreamDataSource)
+    except Exception:
+        pass
+    df = spark.range(0, 100).selectExpr("id as k", "id % 3 as g")
+    base = tempfile.mkdtemp(prefix="igmeta_")
+    t = TxLogTable.create(spark, os.path.join(base, "src"), df)
+    t.set_constraint("k_pos", "k >= 0")
+    t.append(spark.range(100, 150).selectExpr("id as k", "id % 3 as g"))
+    c = t.clone_shallow(os.path.join(base, "clone"))
+    for path, expect in ((t.path, 150), (c.path, 150)):
+        name = "igmeta_" + os.path.basename(path)
+        q = (
+            spark.readStream.format("txlogstream")
+            .option("path", path)
+            .load()
+            .writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        assert spark.table(name).count() == expect
