@@ -208,13 +208,26 @@ class TxLogTable:
     def _live_stats(self, version: int | None = None) -> dict[str, dict[str, list]]:
         """Stats for the alive files at `version`: data files are
         immutable, so ANY manifest's stats for a file remain valid — the
-        fold just collects the latest mention of each alive path."""
+        fold just collects the latest mention of each alive path.
+        Column-mapping renames remap old physical names to logical ones
+        for files added before the rename, so zonemap pruning keeps
+        working under the new name."""
         alive = set(self._live_files(version))
         out: dict[str, dict[str, list]] = {}
         for m in self.history():
             for rel, st in m.get("stats", {}).items():
                 if rel in alive:
                     out[rel] = st
+        renames = self._live_renames(version)
+        if renames:
+            addv = self._file_add_versions(version)
+            for rel, st in out.items():
+                av = addv.get(rel, 0)
+                mapped = dict(st)
+                for v, old, new in renames:
+                    if v > av and old in mapped:
+                        mapped[new] = mapped.pop(old)
+                out[rel] = mapped
         return out
 
     def _live_tombstones(
@@ -424,6 +437,7 @@ class TxLogTable:
         ts,
         dvs,
         keep_row_address: bool = False,
+        renames: list[tuple[int, str, str]] | None = None,
     ) -> DataFrame:
         """Read one add-version group of files with BOTH logical-delete
         forms applied: row-index deletion vectors (broadcast anti-join
@@ -446,6 +460,12 @@ class TxLogTable:
                 df = df.drop("__fb", "__ri")
         else:
             df = self.spark.read.parquet(*paths)
+        # column-mapping renames: files added BEFORE a rename carry the
+        # old physical name — alias them to the logical name, in commit
+        # order (chained renames compose)
+        for v, old, new in renames or ():
+            if v > added_version and old in df.columns:
+                df = df.withColumnRenamed(old, new)
         if ts:
             df = self._tombstone_filter(df, added_version, ts)
         return df
@@ -465,7 +485,8 @@ class TxLogTable:
         address-level delete detection (one fold, three callers)."""
         ts = self._live_tombstones(version)
         dvs = self._live_dvs(version)
-        if not ts and not dvs and not keep_row_address:
+        renames = self._live_renames(version)
+        if not ts and not dvs and not renames and not keep_row_address:
             return self.spark.read.parquet(
                 *[os.path.join(self.path, f) for f in rels]
             )
@@ -477,7 +498,12 @@ class TxLogTable:
         for av, grp in sorted(groups.items()):
             parts.append(
                 self._read_group_filtered(
-                    grp, av, ts, dvs, keep_row_address=keep_row_address
+                    grp,
+                    av,
+                    ts,
+                    dvs,
+                    keep_row_address=keep_row_address,
+                    renames=renames,
                 )
             )
         out = parts[0]
@@ -501,6 +527,18 @@ class TxLogTable:
                 for rel, bl in m["blooms"].items():
                     if rel in alive:
                         out[rel] = bl
+        renames = self._live_renames(version)
+        if renames and out:
+            # same remap as _live_stats: pre-rename files' blooms keep
+            # pruning under the logical (new) column name
+            addv = self._file_add_versions(version)
+            for rel, bl in out.items():
+                av = addv.get(rel, 0)
+                mapped = dict(bl)
+                for v, old, new in renames:
+                    if v > av and old in mapped:
+                        mapped[new] = mapped.pop(old)
+                out[rel] = mapped
         return bits, out
 
     def _stage_write(
@@ -706,6 +744,12 @@ class TxLogTable:
         # any data-carrying manifest records its schema
         known: set[str] = set()
         for m in self.history():
+            # a rename RETIRES the old logical name: batches written
+            # after it must use the new one (fold order matters — a
+            # later schema may legitimately re-introduce the old name)
+            for old, new in m.get("renames", {}).items():
+                known.discard(old)
+                known.add(new)
             for f in m.get("schema", {}).get("fields", []):
                 known.add(f["name"])
         if not known:
@@ -747,10 +791,133 @@ class TxLogTable:
             out.update(m.get("constraints", {}))
         return {k: v for k, v in out.items() if v}
 
-    def _enforce_constraints(self, df: DataFrame) -> None:
+    def set_generated_column(self, name: str, expr: str | None) -> int:
+        """Declare (or drop, with expr=None) a GENERATED COLUMN (Delta's
+        `GENERATED ALWAYS AS (expr)`): on every subsequent write, a
+        batch that OMITS the column gets it computed from `expr`
+        (ingest jobs stop hand-maintaining derived fields), and a batch
+        that SUPPLIES it is VALIDATED — every provided value must equal
+        the generation expression (null-safe), or nothing commits. The
+        declaration is one manifest commit, so it is versioned,
+        time-travels, and follows clones; files written before it keep
+        their bytes (the column null-fills on old vintages until a
+        rewrite, the same lazy-backfill contract as schema evolution).
+        Validation rides the staged-file CHECK machinery, so it shares
+        the determinism contract (validated rows == committed rows)."""
+        while True:
+            version = self.latest_version() + 1
+            manifest = {
+                "version": version,
+                "op": (
+                    "set_generated_column" if expr else "drop_generated_column"
+                ),
+                "added": [],
+                "removed": [],
+                "generated": {name: expr},
+            }
+            if self._try_commit(version, manifest):
+                return version
+
+    def _live_generated(self, version: int | None = None) -> dict[str, str]:
+        """name → generation expr active at `version`."""
+        out: dict[str, str | None] = {}
+        for m in self.history():
+            if version is not None and m["version"] > version:
+                continue
+            out.update(m.get("generated", {}))
+        return {k: v for k, v in out.items() if v}
+
+    def rename_column(self, old: str, new: str) -> int:
+        """RENAME WITHOUT REWRITE (Delta column mapping): one metadata
+        commit changes the logical name; files written BEFORE it keep
+        their physical bytes and are aliased at read time (per
+        add-version-group `withColumnRenamed`), files written after
+        carry the new name natively. At 100 TB a rename must never be
+        a table rewrite — this is the whole point of name mapping.
+        Stats/Bloom zonemaps remap the same way, so data skipping keeps
+        pruning under the new name for old files.
+
+        Guards (surface the hazard instead of silently corrupting):
+        refuses while the old name is a live TOMBSTONE key (the
+        anti-filter would stop matching renamed rows — materialize via
+        optimize first) or appears in a live CHECK / generated-column
+        expression (their SQL strings would dangle)."""
+        sch = self._latest_schema()
+        if sch is None or old not in [f["name"] for f in sch["fields"]]:
+            raise ValueError(f"no column {old!r} in the table schema")
+        if new in [f["name"] for f in sch["fields"]]:
+            raise ValueError(f"column {new!r} already exists")
+        for v, k, _vals, _p, _n in self._live_tombstones():
+            del v
+            if k == old:
+                raise ValueError(
+                    f"{old!r} is a live tombstone key; run optimize() to "
+                    "materialize the deletes before renaming"
+                )
+        for name, expr in {
+            **self._live_constraints(),
+            **self._live_generated(),
+        }.items():
+            if old in expr:
+                raise ValueError(
+                    f"{old!r} appears in live expression {name!r} "
+                    f"({expr}); drop or rewrite it first"
+                )
+        new_sch = json.loads(json.dumps(sch))
+        for f in new_sch["fields"]:
+            if f["name"] == old:
+                f["name"] = new
+        base = self.latest_version()
+        manifest = {
+            "version": base + 1,
+            "op": "rename_column",
+            "added": [],
+            "removed": [],
+            "renames": {old: new},
+            "schema": new_sch,
+        }
+        if not self._try_commit(base + 1, manifest):
+            # a rename does NOT commute with concurrent appends (their
+            # staged files carry the old physical name but would
+            # postdate this commit) — surface, don't rebase
+            raise CommitConflict("concurrent commit during rename; retry")
+        return base + 1
+
+    def _live_renames(
+        self, version: int | None = None
+    ) -> list[tuple[int, str, str]]:
+        """[(commit_version, old, new)] in version order — the name
+        mapping chain reads apply to files added before each entry."""
+        out: list[tuple[int, str, str]] = []
+        for m in self.history():
+            if version is not None and m["version"] > version:
+                continue
+            for old, new in m.get("renames", {}).items():
+                out.append((m["version"], old, new))
+        return out
+
+    def _apply_generated(self, df: DataFrame) -> tuple[DataFrame, dict]:
+        """Compute absent generated columns on an incoming batch; return
+        (df, validation checks) where the checks assert provided values
+        equal their generation expressions (run on the STAGED files via
+        `_enforce_constraints(cons=...)`)."""
+        gens = self._live_generated()
+        checks: dict[str, str] = {}
+        for name, expr in gens.items():
+            if name not in df.columns:
+                df = df.withColumn(name, F.expr(expr))
+            else:
+                checks[f"generated_{name}"] = f"{name} <=> ({expr})"
+        return df, checks
+
+    def _enforce_constraints(
+        self, df: DataFrame, cons: dict[str, str] | None = None
+    ) -> None:
         """Raise ConstraintViolation with per-constraint violating-row
         counts if any active CHECK fails on the batch. One aggregate
         over the batch computes every constraint's count at once.
+        `cons` overrides the live-constraint set (generated-column
+        validation reuses this machinery with name <=> (expr) checks).
 
         Determinism contract: append() calls this on the READ-BACK of
         the staged files (validated rows == committed rows, immune to
@@ -759,7 +926,8 @@ class TxLogTable:
         check pre-existing rows, which CHECK semantics exclude — so a
         merge batch is assumed deterministic between the check and the
         rewrite (the lakehouse-standard assumption)."""
-        cons = self._live_constraints()
+        if cons is None:
+            cons = self._live_constraints()
         if not cons:
             return
         aggs = [
@@ -808,6 +976,9 @@ class TxLogTable:
             for m in self.history():
                 if m.get("txn_id") == txn_id:
                     return m["version"]
+        # generated columns: compute the absent ones, collect equality
+        # checks for the provided ones (validated on the staged files)
+        df, gen_checks = self._apply_generated(df)
         # the cluster column is consumed by the layout (it lives in
         # directory names) — the table schema never contains it
         schema_df = (
@@ -817,18 +988,21 @@ class TxLogTable:
         commit_id, rels = self._stage_write(
             df, partition_col=cluster_file_col
         )
-        # CHECK constraints validate the STAGED files, not the incoming
-        # plan: a non-deterministic batch (sampling, shuffle
-        # nondeterminism) could pass a pre-write check yet commit
-        # different rows (ADVICE r6). Files are immutable once staged,
-        # so the rows checked here are bit-for-bit the rows the
-        # manifest links in; a violation unstages and nothing commits.
-        if self._live_constraints():
+        # CHECK constraints (and generated-column equality checks)
+        # validate the STAGED files, not the incoming plan: a
+        # non-deterministic batch (sampling, shuffle nondeterminism)
+        # could pass a pre-write check yet commit different rows
+        # (ADVICE r6). Files are immutable once staged, so the rows
+        # checked here are bit-for-bit the rows the manifest links in;
+        # a violation unstages and nothing commits.
+        cons = dict(self._live_constraints())
+        cons.update(gen_checks)
+        if cons:
             staged = self.spark.read.parquet(
                 *[os.path.join(self.path, f) for f in rels]
             )
             try:
-                self._enforce_constraints(staged)
+                self._enforce_constraints(staged, cons=cons)
             except ConstraintViolation:
                 shutil.rmtree(
                     os.path.join(self.path, _DATA_DIR, commit_id)
@@ -900,7 +1074,13 @@ class TxLogTable:
         live = self._live_files(version=base)
         if not live:
             raise ValueError("merge into empty table; use create/append")
-        self._enforce_constraints(new)
+        # generated columns: compute absent, validate provided — merge
+        # checks the incoming batch pre-write (see _enforce_constraints
+        # docstring for the determinism contract split vs append)
+        new, gen_checks = self._apply_generated(new)
+        self._enforce_constraints(
+            new, cons={**self._live_constraints(), **gen_checks}
+        )
         # Zonemap pre-prune (single-column key): a live file whose key
         # min/max range misses the batch's [min, max] provably contains
         # no match, so it never even enters the semi-join scan — the
@@ -1794,7 +1974,12 @@ class TxLogTable:
                     file_version.setdefault(rel, m["version"])
         ts = self._live_tombstones(version)
         dvs = self._live_dvs(version)
-        addv = self._file_add_versions(version) if (ts or dvs) else {}
+        renames = self._live_renames(version)
+        addv = (
+            self._file_add_versions(version)
+            if (ts or dvs or renames)
+            else {}
+        )
         by_commit: dict[tuple, list[str]] = {}
         for f in files:
             key = (os.path.dirname(f), file_version.get(f), addv.get(f, 0))
@@ -1804,8 +1989,10 @@ class TxLogTable:
             # logical deletes: drop DV'd row addresses and tombstoned
             # keys from files ADDED before the filter's commit; later
             # adds (merge rewrites, restores, re-inserts) postdate it
-            # and pass through
-            df = self._read_group_filtered(grp, av, ts, dvs)
+            # and pass through; pre-rename files alias to logical names
+            df = self._read_group_filtered(
+                grp, av, ts, dvs, renames=renames
+            )
             if provenance:
                 df = df.withColumn(
                     "_commit_version", F.lit(ver).cast("long")

@@ -56,6 +56,8 @@ _INVISIBLE_OPS = (
     "checkpoint",
     "set_constraint",
     "drop_constraint",
+    "set_generated_column",
+    "drop_generated_column",
 )
 # pure RETRACTIONS: key tombstones and row-index deletion vectors add
 # no files and rewrite none — an append-only reader cannot express
@@ -121,6 +123,13 @@ class TxLogStreamReader(DataSourceStreamReader):
                         "deletes — Delta's ignoreDeletes contract)."
                     )
                 continue  # retraction-only: nothing to emit either way
+            if op == "rename_column":
+                raise RuntimeError(
+                    f"txlogstream: version {v} renames a column; the "
+                    "stream's output schema cannot change mid-query — "
+                    "restart the stream (Delta requires the same, via "
+                    "schemaTrackingLocation)."
+                )
             if op not in _APPEND_OPS:
                 if not self.ignore_changes:
                     raise RuntimeError(
