@@ -511,6 +511,50 @@ class TxLogTable:
             out = out.unionByName(p, allowMissingColumns=True)
         return out
 
+    def _file_tagged_rows(
+        self, rels: list[str], version: int | None = None
+    ) -> DataFrame:
+        """Raw rows of `rels` under LOGICAL column names plus a `__file`
+        column (absolute path) — the candidate-detection read merge /
+        delete_keys / sync_from semi-join against incoming keys. Raw =
+        tombstones/DVs NOT applied (a dead row still marks its file as
+        touched, which is correct for rewrite targeting), but renames
+        ARE applied: without aliasing, pre-rename files' key column
+        reads as NULL under the logical name and rewrite targeting
+        silently misses them (review r8, third pass)."""
+        renames = self._live_renames(version)
+        if not renames:
+            return self.spark.read.parquet(
+                *[os.path.join(self.path, f) for f in rels]
+            ).withColumn("__file", F.input_file_name())
+        addv = self._file_add_versions(version)
+        groups: dict[int, list[str]] = {}
+        for rel in rels:
+            groups.setdefault(addv.get(rel, 0), []).append(rel)
+        out = None
+        for av, grp in sorted(groups.items()):
+            df = self.spark.read.parquet(
+                *[os.path.join(self.path, f) for f in grp]
+            ).withColumn("__file", F.input_file_name())
+            for v, old, new in renames:
+                if v > av and old in df.columns:
+                    df = df.withColumnRenamed(old, new)
+            out = df if out is None else out.unionByName(
+                df, allowMissingColumns=True
+            )
+        return out
+
+    def _logical_columns(self, fallback_rel: str) -> list[str]:
+        """The table's LOGICAL column names (post-rename), from the
+        latest schema-bearing manifest; falls back to a physical file's
+        footer only on legacy logs with no schema records."""
+        sch = self._latest_schema()
+        if sch is not None:
+            return [f["name"] for f in sch["fields"]]
+        return self.spark.read.parquet(
+            os.path.join(self.path, fallback_rel)
+        ).columns
+
     def _live_blooms(
         self, version: int | None = None
     ) -> tuple[int, dict[str, dict[str, list[int]]]]:
@@ -529,15 +573,20 @@ class TxLogTable:
                         out[rel] = bl
         renames = self._live_renames(version)
         if renames and out:
-            # same remap as _live_stats: pre-rename files' blooms keep
-            # pruning under the logical (new) column name
+            # Blooms CANNOT be remapped (unlike min/max stats): the
+            # probe hashes the column NAME into the bit positions, so
+            # old-name bits probed under the new name are noise and
+            # would FALSELY PRUNE files containing matches (review r8,
+            # third pass). Drop renamed columns' blooms on pre-rename
+            # files instead — no bloom means "must read", the safe
+            # default.
             addv = self._file_add_versions(version)
             for rel, bl in out.items():
                 av = addv.get(rel, 0)
                 mapped = dict(bl)
-                for v, old, new in renames:
-                    if v > av and old in mapped:
-                        mapped[new] = mapped.pop(old)
+                for v, old, _new in renames:
+                    if v > av:
+                        mapped.pop(old, None)
                 out[rel] = mapped
         return bits, out
 
@@ -803,7 +852,23 @@ class TxLogTable:
         their bytes (the column null-fills on old vintages until a
         rewrite, the same lazy-backfill contract as schema evolution).
         Validation rides the staged-file CHECK machinery, so it shares
-        the determinism contract (validated rows == committed rows)."""
+        the determinism contract (validated rows == committed rows).
+
+        The column must ALREADY EXIST in the table schema (matching
+        Delta, where generated columns are declared in the table's DDL)
+        — declaring generation for a brand-new column would silently
+        interact with schema evolution on every write path; evolve the
+        schema first (one merge_schema append), then declare."""
+        sch = self._latest_schema()
+        if expr is not None and (
+            sch is None
+            or name not in [f["name"] for f in sch["fields"]]
+        ):
+            raise ValueError(
+                f"generated column {name!r} is not in the table schema; "
+                "evolve the schema first (merge_schema append), then "
+                "declare the generation rule"
+            )
         while True:
             version = self.latest_version() + 1
             manifest = {
@@ -854,11 +919,16 @@ class TxLogTable:
                     f"{old!r} is a live tombstone key; run optimize() to "
                     "materialize the deletes before renaming"
                 )
+        import re as _re
+
+        ident = _re.compile(rf"\b{_re.escape(old)}\b")
         for name, expr in {
             **self._live_constraints(),
             **self._live_generated(),
         }.items():
-            if old in expr:
+            # word-boundary match, not substring: renaming 'price' must
+            # not be blocked by an expression that mentions 'price_usd'
+            if ident.search(expr) or name == old:
                 raise ValueError(
                     f"{old!r} appears in live expression {name!r} "
                     f"({expr}); drop or rewrite it first"
@@ -886,15 +956,33 @@ class TxLogTable:
     def _live_renames(
         self, version: int | None = None
     ) -> list[tuple[int, str, str]]:
-        """[(commit_version, old, new)] in version order — the name
-        mapping chain reads apply to files added before each entry."""
+        """[(origin_version, old, new)] in version order — the name
+        mapping chain reads apply to files added before each entry.
+        Checkpoints/clones/restores carry earlier renames forward as
+        `renames_v` triples with ORIGIN versions preserved; a restore
+        manifest is also a barrier (renames after its target are part
+        of the rolled-back history) mirroring tombstones/DVs."""
         out: list[tuple[int, str, str]] = []
+        seen: set[tuple[int, str, str]] = set()
         for m in self.history():
             if version is not None and m["version"] > version:
                 continue
-            for old, new in m.get("renames", {}).items():
-                out.append((m["version"], old, new))
-        return out
+            if m.get("op") == "restore" and "restored_from" in m:
+                cut = int(m["restored_from"])
+                out = [r for r in out if r[0] <= cut]
+                seen = {r for r in seen if r[0] <= cut}
+            entries = [
+                (m["version"], old, new)
+                for old, new in m.get("renames", {}).items()
+            ] + [
+                (int(v), old, new)
+                for v, old, new in m.get("renames_v", [])
+            ]
+            for e in entries:
+                if e not in seen:
+                    seen.add(e)
+                    out.append(e)
+        return sorted(out)
 
     def _apply_generated(self, df: DataFrame) -> tuple[DataFrame, dict]:
         """Compute absent generated columns on an incoming batch; return
@@ -1031,10 +1119,27 @@ class TxLogTable:
 
     def overwrite(self, df: DataFrame) -> int:
         """Replace the table contents. Read-modify-write: conflicts are
-        surfaced, not rebased."""
+        surfaced, not rebased. Generated columns compute/validate here
+        too — an overwrite's rows are all incoming rows, so the whole
+        staged set is checked (review r8, third pass: overwrite
+        previously bypassed both generation and CHECK constraints)."""
         base = self.latest_version()
         removed = self._live_files()
-        _, rels = self._stage_write(df)
+        df, gen_checks = self._apply_generated(df)
+        commit_id, rels = self._stage_write(df)
+        cons = {**self._live_constraints(), **gen_checks}
+        if cons:
+            staged = self.spark.read.parquet(
+                *[os.path.join(self.path, f) for f in rels]
+            )
+            try:
+                self._enforce_constraints(staged, cons=cons)
+            except ConstraintViolation:
+                shutil.rmtree(
+                    os.path.join(self.path, _DATA_DIR, commit_id),
+                    ignore_errors=True,
+                )
+                raise
         manifest = {
             "version": base + 1,
             "op": "overwrite",
@@ -1111,9 +1216,7 @@ class TxLogTable:
                     else:
                         candidates.append(rel)
         if candidates:
-            snap = self.spark.read.parquet(
-                *[os.path.join(self.path, f) for f in candidates]
-            ).withColumn("__file", F.input_file_name())
+            snap = self._file_tagged_rows(candidates, version=base)
             # One semi-join on the key column finds the files that must
             # be rewritten; everything else is provably untouched.
             touched_abs = {
@@ -1133,9 +1236,10 @@ class TxLogTable:
             return any(os.path.abspath(t.removeprefix("file:")) == a for t in touched_abs)
 
         touched = [f for f in live if _is_touched(f)]
-        cols = self.spark.read.parquet(
-            os.path.join(self.path, live[0])
-        ).columns
+        # LOGICAL schema, not live[0]'s physical footer: after a
+        # rename, pre-rename files still carry the old name and a
+        # projection on it would crash or drop the renamed column
+        cols = self._logical_columns(live[0])
         if touched:
             # tombstone-aware read: physically present but logically
             # deleted rows must not resurrect through the rewrite
@@ -1207,9 +1311,7 @@ class TxLogTable:
                     else:
                         candidates.append(rel)
         if candidates:
-            snap = self.spark.read.parquet(
-                *[os.path.join(self.path, f) for f in candidates]
-            ).withColumn("__file", F.input_file_name())
+            snap = self._file_tagged_rows(candidates, version=base)
             touched_abs = {
                 r["__file"]
                 for r in snap.join(
@@ -1382,6 +1484,11 @@ class TxLogTable:
         from politicamente_etl_spark.sources.sinks import upsert
 
         keys = [k]
+        # generated columns: compute absent on the (materialized) source,
+        # collect equality checks for provided values — validated on the
+        # staged rewrite below (review r8, third pass: sync previously
+        # bypassed generation entirely)
+        source, gen_checks = self._apply_generated(source)
         src_keys = source.select(k).distinct()
         target = self._read_with_tombstones(live, version=base)
         missing = target.select(k).distinct().join(
@@ -1391,9 +1498,7 @@ class TxLogTable:
 
         # files to rewrite: those containing a source key (updates land
         # there); the semi-join shape of merge()
-        snap = self.spark.read.parquet(
-            *[os.path.join(self.path, f) for f in live]
-        ).withColumn("__file", F.input_file_name())
+        snap = self._file_tagged_rows(live, version=base)
         touched_abs = {
             r["__file"]
             for r in snap.join(src_keys, on=k, how="semi")
@@ -1410,9 +1515,7 @@ class TxLogTable:
             )
 
         touched = [f for f in live if _is_touched(f)]
-        cols = self.spark.read.parquet(
-            os.path.join(self.path, live[0])
-        ).columns
+        cols = self._logical_columns(live[0])
         old_rows = (
             self._read_with_tombstones(touched, version=base)
             if touched
@@ -1440,7 +1543,8 @@ class TxLogTable:
         # the rows that originate from the source: in upsert(old, source,
         # keys) those are exactly the staged rows whose key is in the
         # source key set. A violation unstages files AND sidecar.
-        if self._live_constraints():
+        sync_cons = {**self._live_constraints(), **gen_checks}
+        if sync_cons:
             staged = self.spark.read.parquet(
                 *[os.path.join(self.path, f) for f in rels]
             )
@@ -1448,7 +1552,8 @@ class TxLogTable:
                 # plain semi-join: src_keys can be the full dimension key
                 # set — let AQE pick broadcast vs shuffle by its size
                 self._enforce_constraints(
-                    staged.join(src_keys, on=k, how="semi")
+                    staged.join(src_keys, on=k, how="semi"),
+                    cons=sync_cons,
                 )
             except ConstraintViolation:
                 shutil.rmtree(
@@ -1755,6 +1860,20 @@ class TxLogTable:
             manifest["dvs"] = [
                 {"version": v, "path": p, "n_rows": n} for v, p, n in dvs
             ]
+        # column-mapping renames and generated-column rules survive
+        # manifest expiry exactly like tombstones/constraints (review
+        # r8, third pass: dropping either silently corrupts reads /
+        # un-validates writes after a routine retention vacuum)
+        rens = [
+            r
+            for r in self._live_renames(at_version)
+            if min_addv is not None and r[0] > min_addv
+        ]
+        if rens:
+            manifest["renames_v"] = [[v, o, n] for v, o, n in rens]
+        gens = self._live_generated(at_version)
+        if gens:
+            manifest["generated"] = gens
         cons = self._live_constraints(at_version)
         if cons:
             manifest["constraints"] = cons
@@ -2461,6 +2580,22 @@ class TxLogTable:
                 {"version": v, "path": p, "n_rows": n}
                 for v, p, n in dvs_at
             ]
+        # renames: barrier + carriage, same as tombstones/DVs — restore
+        # to a pre-rename version rolls the schema back (files alias to
+        # the names of THAT version), restore past an earlier restore
+        # re-establishes the target's mapping
+        rens_at = self._live_renames(version)
+        if rens_at:
+            manifest["renames_v"] = [[v, o, n] for v, o, n in rens_at]
+        # generated rules: the target's rule set replaces the head's —
+        # rules added after the target are explicitly nulled so the
+        # fold forgets them
+        cur_g = self._live_generated()
+        tgt_g = self._live_generated(version)
+        g: dict = {name: None for name in cur_g if name not in tgt_g}
+        g.update(tgt_g)
+        if g:
+            manifest["generated"] = g
         sch = None
         for v in range(version, 0, -1):
             try:
@@ -2541,7 +2676,17 @@ class TxLogTable:
                 }
                 for v, p, n in dvs
             ]
-        if ts or dvs:
+        # renames + generated rules follow the clone (review r8, third
+        # pass: without them the clone reads pre-rename source files
+        # raw — NULL under the logical name — and appends to the clone
+        # skip generated-column compute/validation)
+        rens = self._live_renames()
+        if rens:
+            manifest["renames_v"] = [[v, o, n] for v, o, n in rens]
+        gens = self._live_generated()
+        if gens:
+            manifest["generated"] = gens
+        if ts or dvs or rens:
             src_addv = self._file_add_versions()
             manifest["added_versions"] = {
                 rels[r]: src_addv.get(r, 0) for r in live

@@ -94,10 +94,16 @@ class TxLogStreamReader(DataSourceStreamReader):
         path: str,
         ignore_changes: bool,
         ignore_deletes: bool = False,
+        field_names: list[str] | None = None,
     ):
         self.ignore_deletes = ignore_deletes
         self.path = path
         self.ignore_changes = ignore_changes
+        # the DECLARED output schema's names: pre-rename files carry old
+        # physical names and the DataSource contract enforces name
+        # equality — batches rename POSITIONALLY to the declared names
+        # (column order is preserved by both parquet and rename commits)
+        self.field_names = field_names or []
 
     def initialOffset(self) -> dict:
         return {"version": 0}
@@ -124,12 +130,24 @@ class TxLogStreamReader(DataSourceStreamReader):
                     )
                 continue  # retraction-only: nothing to emit either way
             if op == "rename_column":
-                raise RuntimeError(
-                    f"txlogstream: version {v} renames a column; the "
-                    "stream's output schema cannot change mid-query — "
-                    "restart the stream (Delta requires the same, via "
-                    "schemaTrackingLocation)."
-                )
+                # ignore_changes is the documented escape hatch: without
+                # it a rename would BRICK the table for streaming (every
+                # restart re-hits the same version) — with it, the
+                # rename commit is skipped (it adds no rows) and rows
+                # keep flowing; files written after carry the new name,
+                # so downstream sees the old schema only for pre-rename
+                # batches, the same caveat as Delta's ignoreChanges
+                if not self.ignore_changes:
+                    raise RuntimeError(
+                        f"txlogstream: version {v} renames a column; "
+                        "the stream's output schema cannot change "
+                        "mid-query. Set ignore_changes=true to skip the "
+                        "rename commit (pre-rename batches keep the old "
+                        "column name), or restart consumers on the new "
+                        "schema (Delta's schemaTrackingLocation "
+                        "contract)."
+                    )
+                continue
             if op not in _APPEND_OPS:
                 if not self.ignore_changes:
                     raise RuntimeError(
@@ -150,6 +168,12 @@ class TxLogStreamReader(DataSourceStreamReader):
         import pyarrow.parquet as pq
 
         for batch in pq.ParquetFile(partition.abs_path).iter_batches():
+            if (
+                self.field_names
+                and batch.schema.names != self.field_names
+                and len(batch.schema.names) == len(self.field_names)
+            ):
+                batch = batch.rename_columns(self.field_names)
             yield batch
 
     def commit(self, end: dict) -> None:
@@ -180,4 +204,5 @@ class TxLogStreamDataSource(DataSource):
             self.options["path"],
             str(self.options.get("ignore_changes", "false")).lower() == "true",
             str(self.options.get("ignore_deletes", "false")).lower() == "true",
+            field_names=list(schema.fieldNames()),
         )
