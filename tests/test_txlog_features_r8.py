@@ -13,6 +13,12 @@ from politicamente_etl_spark.sources.txlog import (
     TxLogTable,
 )
 
+# sim-covered: both features ride driver queries
+# (txlog_generated_column_proof / txlog_column_rename_proof) re-run by
+# every full sim; full tier only, protecting the fast tier's 20-minute
+# budget (VERDICT r7 item 7)
+pytestmark = pytest.mark.slow
+
 
 def _mk(spark, prefix="feat_"):
     path = os.path.join(tempfile.mkdtemp(prefix=prefix), "t")
