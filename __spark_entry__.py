@@ -382,68 +382,120 @@ VERIFIED: frozenset[str] = frozenset(
         "txlog_history_report",
         "txlog_vacuum_erasure_proof",
         "wordpiece_greedy_segmentation",
+        # --- round 8 --- (CORRECTNESS_r08.json: 49 hash-match rows — 42
+        # first-time greens below + 7 txlog refactor re-checks already
+        # listed above — plus the by-design rows-only KLL decile query,
+        # which got its one weak driver row per VERDICT r7 item 5)
+        "bucketed_colocated_join",
+        "lateral_topk_orders",
+        "collation_aware_dedup",
+        "soft_dedup_weights",
+        "contiguous_id_assignment",
+        "harmonic_centrality_seeds",
+        "kneser_ney_bigram_scores",
+        "ccnet_lang_buckets_report",
+        "linkage_entity_resolution",
+        "replica_divergence_buckets",
+        "lsh_index_cdf_maintenance",
+        "mrl_truncation_recall",
+        "gmm_em_one_step",
+        "huber_mean_revenue_by_segment",
+        "kalman_local_level_daily",
+        "wav_decode_stats",
+        "png_decode_stats",
+        "bmp_decode_stats",
+        "xml_roundtrip_stats",
+        "codec_roundtrip_matrix",
+        "txlog_auto_optimize_policy",
+        "txlog_incremental_mv",
+        "txlog_layout_evolution_proof",
+        "txlog_null_key_tombstone_proof",
+        "txlog_sync_report",
+        "txlog_time_travel_timestamp",
+        "txlog_vacuum_lifecycle_report",
+        "price_psi_by_year",
+        "gate_vs_length_mcnemar",
+        "doc_length_ks_by_source",
+        "logrank_building_vs_rest",
+        "kmv_set_ops_users",
+        "retrieval_mrr_report",
+        "streaming_cusum_user_alerts",
+        "txlog_concurrent_writers_audit",
+        "dau_mau_stickiness",
+        "neyman_allocation_plan",
+        "brier_decomposition_gate",
+        "sssp_weighted_histogram",
+        "source_lang_diversity",
+        "lang_char_js_divergence",
+        "hits_order_part_scores",
+        "equi_depth_histogram_prices_approx",
     }
 )
 
 # Verified queries whose operator implementation changed THIS round —
 # parked status is 'verified AND untouched since'; these stay in the front
 # window one more round so a refactor regression gets a driver row
-# (ADVICE.md r2, last item). Round-8 refactors (sources/txlog.py —
-# ADVICE r7 fixes: sync_from staged-file constraint enforcement,
-# version_as_of monotonic legacy-mtime fallback, vacuum in-flight-sidecar
-# lease via link(2) claim files; plus row-index deletion-vector sidecars):
-# the verified queries riding the changed read/commit paths re-enter the
-# window.
+# (ADVICE.md r2, last item). Round-9 refactors (sources/txlog.py +
+# sources/txlogstream.py — ADVICE r8 fixes: table-root-relative DV
+# addressing, rename/generated non-commutation guards in the rebase
+# loops, explicit rename-chain column mapping in the stream reader,
+# vacuum reclaim of committed-but-still-leased sidecars; plus the
+# pluggable commit-coordinator seam under _try_commit): the verified
+# queries riding the changed read/commit paths re-enter the window
+# (VERDICT r8 item 8 names merge/cdf/restore explicitly).
 REFACTORED_THIS_ROUND: frozenset[str] = frozenset(
     {
-        "txlog_deletion_vector_report",  # sidecar apply → shared rowindex path
-        "txlog_vacuum_erasure_proof",  # vacuum → lease-guarded sidecar sweep
-        "txlog_history_report",  # history rides the commit_ts/version fold
-        "txlog_cdf_changes",  # table_changes gained the DV-delete branch
-        "txlog_merge_report",  # merge rewrite reads via _read_group_filtered
-        "streaming_txlog_source_tail",  # stream source op classification
-        # gained the delete/metadata/clone tiers (ignore_deletes)
-        "txlog_restore_report",  # restore gained filter carriage + barrier
+        "txlog_deletion_vector_report",  # DV sidecars now path-addressed
+        "txlog_vacuum_erasure_proof",  # vacuum reclaims committed leases
+        "txlog_history_report",  # history rides the commit fold
+        "txlog_cdf_changes",  # table_changes reads path-addressed DVs
+        "txlog_merge_report",  # merge rebases past rename guards
+        "streaming_txlog_source_tail",  # stream column mapping rewrite
+        "txlog_restore_report",  # restore carries DV sidecar paths
     }
 )
 
 # Queries that jump the oldest-first catalog queue for the next driver
-# window: VERDICT r7 item 1 demands the 27 round-7 registrations
-# (judge-parity-green 39/39, no driver row yet) lead the round-8 window;
-# the remaining ~23 slots drain the oldest pending queue.
+# window: VERDICT r8 item 1 demands the 35 round-8 registrations (the
+# plans/extended_r13*.py batches, all 35 judge-parity-green in the r8
+# verdict sweep) lead the round-9 window; the refactor re-checks follow,
+# and the remaining slots drain the oldest pending queue.
 NEVER_SIM_CHECKED: tuple[str, ...] = (
-    "bucketed_colocated_join",
-    "lateral_topk_orders",
-    "collation_aware_dedup",
-    "soft_dedup_weights",
-    "contiguous_id_assignment",
-    "harmonic_centrality_seeds",
-    "kneser_ney_bigram_scores",
-    "ccnet_lang_buckets_report",
-    "linkage_entity_resolution",
-    "replica_divergence_buckets",
-    "lsh_index_cdf_maintenance",
-    "mrl_truncation_recall",
-    "gmm_em_one_step",
-    "huber_mean_revenue_by_segment",
-    "kalman_local_level_daily",
-    "wav_decode_stats",
-    "png_decode_stats",
-    "bmp_decode_stats",
-    "xml_roundtrip_stats",
-    "codec_roundtrip_matrix",
-    "txlog_auto_optimize_policy",
-    "txlog_incremental_mv",
-    "txlog_layout_evolution_proof",
-    "txlog_null_key_tombstone_proof",
-    "txlog_sync_report",
-    "txlog_time_travel_timestamp",
-    "txlog_vacuum_lifecycle_report",
-    # VERDICT r7 item 5: the rows-only KLL decile query has never had a
-    # driver row (the rows-only queue never reaches a 50-slot window) —
-    # front it once for its weak check; its oracle-checkable twin
-    # (equi_depth_histogram_hashsketch, r8) covers the value semantics
-    "equi_depth_histogram_prices_approx",
+    "txlog_rowindex_delete_proof",
+    "txlog_dv_vs_cow_report",
+    "txlog_dv_cdf_feed",
+    "pipe_syntax_revenue_report",
+    "sql_udf_price_bands",
+    "group_by_all_priority_matrix",
+    "offset_pagination_orders",
+    "parameterized_sql_filter",
+    "lateral_alias_margin_chain",
+    "mann_whitney_u_segments",
+    "benjamini_hochberg_fdr_gates",
+    "curriculum_schedule_by_difficulty",
+    "csv_quarantine_report",
+    "equi_depth_histogram_hashsketch",
+    "anova_oneway_segments",
+    "levene_brown_forsythe_segments",
+    "hash_randomization_test",
+    "tost_equivalence_gate",
+    "jsonl_quarantine_report",
+    "sentence_split_stats",
+    "identifier_clause_scan",
+    "try_arithmetic_audit",
+    "price_cume_dist_by_segment",
+    "numeric_mentions_stats",
+    "order_line_array_metrics",
+    "txlog_dv_restore_proof",
+    "jarque_bera_normality_gate",
+    "grubbs_max_outlier_gate",
+    "bleu2_pair_precision",
+    "twap_daily_value",
+    "pinball_loss_eval",
+    "split_gain_candidates",
+    "streaming_txlog_ignore_deletes",
+    "txlog_generated_column_proof",
+    "txlog_column_rename_proof",
 )
 
 
