@@ -280,10 +280,12 @@ class TxLogTable:
     ) -> list[tuple[int, str, int]]:
         """Row-index DELETION VECTORS visible at `version`:
         [(origin_version, sidecar_rel_path, n_rows)]. A DV addresses
-        (data-file basename, row ordinal) — the Delta deletion-vector /
-        Iceberg positional-delete shape — so predicate deletes work on
-        KEYLESS tables and the read-side filter is a broadcast of
-        row-address pairs, never a wide key set. Same visibility rule
+        (data-root-relative file path, row ordinal) — the Delta
+        deletion-vector / Iceberg positional-delete shape, which keys
+        on the file PATH because basenames are not unique within a
+        table (ADVICE r8) — so predicate deletes work on KEYLESS
+        tables and the read-side filter is a broadcast of row-address
+        pairs, never a wide key set. Same visibility rule
         as key tombstones: a DV applies only to files ADDED BEFORE its
         commit (a restore's re-add or an optimize rewrite postdates it
         and passes through); checkpoints carry still-applicable DVs
@@ -400,12 +402,19 @@ class TxLogTable:
 
     def _dv_rows_df(self, paths: list[str]) -> DataFrame:
         """Union of deletion-vector sidecars as a two-column row-address
-        DataFrame (__fb data-file basename, __ri row ordinal) — the
-        broadcast side of the DV anti-join. Basenames are the address
-        because Spark part-file names embed a per-job UUID (globally
-        unique within a table), survive shallow-clone re-rooting
-        unchanged, and make the sidecar independent of the table
-        root."""
+        DataFrame (__fb data-root-relative file path, __ri row ordinal)
+        — the broadcast side of the DV anti-join. The address is the
+        path UNDER the data root (`<commit>/<partition dirs>/<file>`),
+        not the basename: a clustered `_stage_write(partition_col=...)`
+        has one task write the SAME part-file name into every partition
+        directory it receives, so basenames collide across sibling
+        files and a basename-keyed DV would delete same-ordinal rows in
+        every sibling (ADVICE r8 — Delta DVs and Iceberg positional
+        deletes key on the full path for exactly this reason). The
+        under-data-root suffix is unique (the commit dir is a fresh
+        uuid per staged write), survives shallow-clone re-rooting
+        unchanged (only the prefix above the data root changes), and
+        keeps the sidecar independent of the table root."""
         parts = [
             self.spark.read.parquet(os.path.join(self.path, p)).select(
                 F.col("__fb").cast("string").alias("__fb"),
@@ -421,11 +430,17 @@ class TxLogTable:
     @staticmethod
     def _with_row_address(df: DataFrame) -> DataFrame:
         """Attach the DV row address (__fb, __ri) from the parquet
-        reader's metadata column — computed in the scan, no shuffle."""
+        reader's metadata column — computed in the scan, no shuffle.
+        __fb is the file path below the LAST `/data/` component (greedy
+        regex — partition dirs are `<col>=<val>` and staged commit dirs
+        are uuid hex, so no deeper component can equal the data-root
+        name), which is root-invariant (clones re-root the prefix only)
+        and unique across partition sibling files, unlike the basename
+        (see _dv_rows_df)."""
         return df.select(
             "*",
-            F.element_at(
-                F.split(F.col("_metadata.file_path"), "/"), -1
+            F.regexp_replace(
+                F.col("_metadata.file_path"), f".*/{_DATA_DIR}/", ""
             ).alias("__fb"),
             F.col("_metadata.row_index").alias("__ri"),
         )
@@ -441,7 +456,8 @@ class TxLogTable:
     ) -> DataFrame:
         """Read one add-version group of files with BOTH logical-delete
         forms applied: row-index deletion vectors (broadcast anti-join
-        on the (file basename, row ordinal) address) then key tombstones
+        on the (data-root-relative path, row ordinal) address) then key
+        tombstones
         (`_tombstone_filter`). Every read path — snapshot, scan, rewrite
         reads, DV creation itself — funnels through here so the two
         forms compose with one visibility rule: filters committed AFTER
@@ -695,6 +711,40 @@ class TxLogTable:
             return False
         finally:
             os.unlink(tmp)
+
+    def _rebase_conflict_since(self, base: int) -> str | None:
+        """Description of the first NON-COMMUTING metadata commit with
+        version > `base`, or None if rebasing is safe. Blind-rebase
+        loops (append, delete_where_logical) call this before every
+        version claim: their staged artifacts are bound to the rules
+        observed at staging time — staged data files carry the physical
+        column names, generated-column values, and constraint checks of
+        that snapshot, and a key tombstone is keyed on the then-current
+        logical name. An intervening rename_column would leave appended
+        files postdating the rename and never aliased (the column reads
+        NULL under the logical name) or a tombstone keyed on a stale
+        name that matches nothing; an intervening generated/constraint
+        declaration means the staged rows were never computed/validated
+        under it; a restore changes all of those rule sets at once. The
+        one-sided guard in rename_column (it conflicts only when IT
+        loses the race) is not enough — the in-flight writer must
+        refuse to rebase past the winner too (ADVICE r8)."""
+        for m in self.history():
+            if m["version"] <= base or m.get("checkpoint"):
+                continue
+            op = m.get("op", "")
+            if m.get("renames"):
+                return f"rename_column committed at version {m['version']}"
+            if op in (
+                "set_generated_column",
+                "drop_generated_column",
+                "set_constraint",
+                "drop_constraint",
+            ):
+                return f"{op} committed at version {m['version']}"
+            if op == "restore":
+                return f"restore committed at version {m['version']}"
+        return None
 
     # -- write operations ---------------------------------------------------
 
@@ -1064,6 +1114,11 @@ class TxLogTable:
             for m in self.history():
                 if m.get("txn_id") == txn_id:
                     return m["version"]
+        # snapshot point for the rebase non-commutation guard: the
+        # rename/generated/constraint rules applied below are the ones
+        # live at THIS version — the rebase loop refuses to claim past
+        # a later metadata commit (ADVICE r8)
+        stage_base = self.latest_version()
         # generated columns: compute the absent ones, collect equality
         # checks for the provided ones (validated on the staged files)
         df, gen_checks = self._apply_generated(df)
@@ -1097,6 +1152,20 @@ class TxLogTable:
                 )
                 raise
         while True:
+            conflict = self._rebase_conflict_since(stage_base)
+            if conflict is not None:
+                # unstage: blindly rebasing past a rename/generated/
+                # constraint/restore commit would link in files bound
+                # to the superseded rules (ADVICE r8)
+                shutil.rmtree(
+                    os.path.join(self.path, _DATA_DIR, commit_id),
+                    ignore_errors=True,
+                )
+                raise CommitConflict(
+                    f"append staged against version {stage_base} cannot "
+                    f"rebase past a non-commuting {conflict}; re-run the "
+                    "append against the new head"
+                )
             version = self.latest_version() + 1
             manifest = {
                 "version": version,
@@ -1637,6 +1706,12 @@ class TxLogTable:
         the staged sidecar is reused across retries."""
         if (values is None) == (keys_df is None):
             raise ValueError("pass exactly one of values= or keys_df=")
+        # snapshot point for the rebase guard: the tombstone is keyed on
+        # the logical column name live at THIS version — rebasing past a
+        # later rename would commit a key that aliases to nothing (every
+        # pre-rename file reads under the NEW name), silently voiding
+        # the delete (ADVICE r8)
+        stage_base = self.latest_version()
         if keys_df is not None:
             tomb = self._stage_tombstone_sidecar(keys_df, key_col)
             if tomb is None:
@@ -1649,6 +1724,18 @@ class TxLogTable:
             n_keys = len(vals)
             tomb = {"key": key_col, "values": vals}
         while True:
+            conflict = self._rebase_conflict_since(stage_base)
+            if conflict is not None:
+                if "path" in tomb:
+                    shutil.rmtree(
+                        os.path.join(self.path, tomb["path"]),
+                        ignore_errors=True,
+                    )
+                raise CommitConflict(
+                    f"tombstone staged against version {stage_base} "
+                    f"cannot rebase past a non-commuting {conflict}; "
+                    "re-run the delete against the new head"
+                )
             version = self.latest_version() + 1
             manifest = {
                 "version": version,
@@ -1670,7 +1757,8 @@ class TxLogTable:
         """Merge-on-read PREDICATE DELETE via row-index DELETION VECTORS
         (Delta DV / Iceberg positional-delete parity): evaluate the SQL
         predicate over the current snapshot, record the matching rows'
-        (data-file basename, row ordinal) addresses in a parquet sidecar
+        (data-root-relative path, row ordinal) addresses in a parquet
+        sidecar
         under `_deletes/`, and commit one O(1) manifest — no data file
         is read back on commit, rewritten, or removed. Completes the
         logical-delete matrix next to `delete_where_logical`:
@@ -1728,10 +1816,10 @@ class TxLogTable:
         while True:
             version = self.latest_version() + 1
             # rebase rule: DVs address PHYSICAL rows, so they commute
-            # with appends (new files never carry addressed basenames)
+            # with appends (new files never carry addressed paths)
             # but NOT with rewrites — a concurrent merge/optimize/delete
             # that removed a file we addressed would silently void those
-            # deletes (rows moved to new basenames). Surface the
+            # deletes (rows moved to new file paths). Surface the
             # conflict instead, like Delta does for DV vs rewrite races.
             rewritten = {
                 r
@@ -2000,6 +2088,18 @@ class TxLogTable:
                 rel_dir = os.path.join(_DELETES_DIR, d)
                 abs_dir = os.path.join(self.path, rel_dir)
                 if rel_dir in live_sidecars:
+                    # referenced by a committed manifest ⇒ the staging
+                    # lease is obsolete (reference-reachability keeps
+                    # the dir alive now). Unlink a stale `.inflight`
+                    # left by a writer that crashed between _try_commit
+                    # and _release_sidecar_lease — otherwise, once the
+                    # reference later expires (checkpoint materializes
+                    # the filter), the default sweep would skip the
+                    # leased dir forever (ADVICE r8).
+                    try:
+                        os.unlink(os.path.join(abs_dir, ".inflight"))
+                    except FileNotFoundError:
+                        pass
                     continue
                 # TOCTOU guard (review r8): a live writer can release
                 # its lease (unlink the marker) or a concurrent vacuum
@@ -2664,7 +2764,9 @@ class TxLogTable:
         dvs = self._live_dvs()
         if dvs:
             # deletion vectors re-root like key-tombstone sidecars; the
-            # addressed basenames are unchanged by cloning, so the DV
+            # addressed data-root-relative paths are unchanged by
+            # cloning (only the prefix above the data root moves), so
+            # the DV
             # keeps matching the referenced source files
             manifest["dvs"] = [
                 {

@@ -68,8 +68,13 @@ _DELETE_OPS = ("delete_logical", "delete_rowindex")
 
 
 class _FilePartition(InputPartition):
-    def __init__(self, abs_path: str):
+    def __init__(self, abs_path: str, resolve: dict[str, str] | None = None):
         self.abs_path = abs_path
+        # physical column name → declared output name, derived from the
+        # table's rename chain (None entries are names that resolve to
+        # no declared column). Computed driver-side in partitions(),
+        # shipped with the partition so executors never trust position.
+        self.resolve = resolve or {}
 
 
 def _versions(path: str) -> list[int]:
@@ -88,6 +93,66 @@ def _manifest(path: str, version: int) -> dict:
         return json.load(fh)
 
 
+def _rename_chain(path: str) -> list[tuple[int, str, str]]:
+    """[(origin_version, old, new)] in version order — the same fold as
+    TxLogTable._live_renames (txlog.py) over raw manifests: restore is
+    a barrier (renames after its target are rolled back), checkpoints /
+    restores carry earlier renames as `renames_v` with origin versions
+    preserved, dedup by triple."""
+    out: list[tuple[int, str, str]] = []
+    seen: set[tuple[int, str, str]] = set()
+    for v in _versions(path):
+        m = _manifest(path, v)
+        if m.get("op") == "restore" and "restored_from" in m:
+            cut = int(m["restored_from"])
+            out = [r for r in out if r[0] <= cut]
+            seen = {r for r in seen if r[0] <= cut}
+        entries = [
+            (v, old, new) for old, new in m.get("renames", {}).items()
+        ] + [
+            (int(rv), old, new) for rv, old, new in m.get("renames_v", [])
+        ]
+        for e in entries:
+            if e not in seen:
+                seen.add(e)
+                out.append(e)
+    return sorted(out)
+
+
+def _alias_resolution(
+    chain: list[tuple[int, str, str]], declared: list[str]
+) -> dict[str, str]:
+    """Physical-name → declared-name map for every name the rename
+    chain mentions. A batch column named `c` resolves by walking the
+    chain FORWARD (old→new, for files that predate a rename the
+    declared schema has applied) or BACKWARD (new→old, for files
+    written after a rename the stream skipped via ignore_changes, where
+    the declared schema is the pre-rename vintage). Names that reach no
+    declared column are absent — the reader raises on them instead of
+    trusting position (ADVICE r8)."""
+    declared_set = set(declared)
+    names = {o for _, o, _ in chain} | {n for _, _, n in chain}
+    res: dict[str, str] = {}
+    for name in names:
+        if name in declared_set:
+            res[name] = name
+            continue
+        cur = name
+        for _, old, new in chain:  # forward, version order
+            if cur == old:
+                cur = new
+        if cur in declared_set:
+            res[name] = cur
+            continue
+        cur = name
+        for _, old, new in reversed(chain):  # backward
+            if cur == new:
+                cur = old
+        if cur in declared_set:
+            res[name] = cur
+    return res
+
+
 class TxLogStreamReader(DataSourceStreamReader):
     def __init__(
         self,
@@ -101,8 +166,9 @@ class TxLogStreamReader(DataSourceStreamReader):
         self.ignore_changes = ignore_changes
         # the DECLARED output schema's names: pre-rename files carry old
         # physical names and the DataSource contract enforces name
-        # equality — batches rename POSITIONALLY to the declared names
-        # (column order is preserved by both parquet and rename commits)
+        # equality — batches relabel via the table's rename chain
+        # (explicit old→new mapping computed in partitions(); see
+        # read()), never by position (ADVICE r8)
         self.field_names = field_names or []
 
     def initialOffset(self) -> dict:
@@ -114,6 +180,12 @@ class TxLogStreamReader(DataSourceStreamReader):
 
     def partitions(self, start: dict, end: dict) -> Sequence[InputPartition]:
         parts: list[InputPartition] = []
+        # name-mapping table for this batch's files: recomputed per
+        # micro-batch so renames that land mid-stream (skipped via
+        # ignore_changes) are resolvable by the time their files flow
+        resolve = _alias_resolution(
+            _rename_chain(self.path), self.field_names
+        ) if self.field_names else {}
         for v in range(start["version"] + 1, end["version"] + 1):
             m = _manifest(self.path, v)
             op = m.get("op", "")
@@ -160,21 +232,48 @@ class TxLogStreamReader(DataSourceStreamReader):
                 continue
             for rel in m.get("added", []):
                 parts.append(
-                    _FilePartition(os.path.join(self.path, rel))
+                    _FilePartition(
+                        os.path.join(self.path, rel), resolve=resolve
+                    )
                 )
         return parts
 
     def read(self, partition: _FilePartition) -> Iterator:
+        import pyarrow as pa
         import pyarrow.parquet as pq
 
+        declared = self.field_names
+        resolve = getattr(partition, "resolve", {}) or {}
         for batch in pq.ParquetFile(partition.abs_path).iter_batches():
-            if (
-                self.field_names
-                and batch.schema.names != self.field_names
-                and len(batch.schema.names) == len(self.field_names)
-            ):
-                batch = batch.rename_columns(self.field_names)
-            yield batch
+            names = batch.schema.names
+            if not declared or names == declared:
+                yield batch
+                continue
+            if len(names) != len(declared):
+                # schema-evolution vintage (column added later): pass
+                # through; the engine null-fills against the declared
+                # schema — arity mismatch is never a rename
+                yield batch
+                continue
+            # Map each physical name to its declared name EXPLICITLY
+            # via the table's rename chain — never positionally: a file
+            # rewritten with a different projection order, or an
+            # evolved schema with the same arity, would otherwise be
+            # silently mislabeled (ADVICE r8).
+            mapped = [
+                n if n in declared else resolve.get(n) for n in names
+            ]
+            if None in mapped or len(set(mapped)) != len(mapped):
+                raise RuntimeError(
+                    f"txlogstream: file {partition.abs_path!r} carries "
+                    f"columns {names} which are neither the declared "
+                    f"schema {declared} nor a rename-chain vintage of "
+                    "it; refusing to relabel by position"
+                )
+            cols = {m_: batch.column(i) for i, m_ in enumerate(mapped)}
+            yield pa.RecordBatch.from_arrays(
+                [cols[d] for d in declared], names=list(declared)
+            )
 
     def commit(self, end: dict) -> None:
         pass  # offsets live in the query checkpoint; nothing to clean

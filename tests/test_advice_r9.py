@@ -1,0 +1,396 @@
+"""Regression tests for the four ADVICE r8 findings fixed in round 9.
+
+1. (high) Deletion vectors address rows by (data-root-relative path,
+   row ordinal), not (basename, ordinal): a clustered append has one
+   task write the SAME part-file name into every partition directory
+   it receives, so basenames collide across sibling files and a
+   basename-keyed DV silently deleted same-ordinal rows in every
+   sibling (reference: Delta DVs / Iceberg positional deletes key on
+   the full path for exactly this reason).
+2. (medium) rename_column's non-commutation guard was one-sided: if
+   the rename committed FIRST, an in-flight append (staged with the
+   old physical column name) or delete_where_logical (tombstone keyed
+   on the old name) blindly rebased past it — appended files postdate
+   the rename so reads never alias them, and the tombstone key matches
+   nothing. Both rebase loops now raise CommitConflict on intervening
+   rename/generated/constraint/restore commits.
+3. (low) The stream reader relabeled arrow batches POSITIONALLY
+   whenever name lists differed and lengths matched — a file with a
+   different physical column ORDER was silently mislabeled. Now maps
+   names explicitly via the rename chain and raises on unknowns.
+4. (low) A writer crashing after _try_commit but before
+   _release_sidecar_lease left a committed, manifest-referenced
+   sidecar with a stale .inflight marker that the default vacuum sweep
+   skipped forever. vacuum now unlinks the marker for sidecars
+   referenced by a committed manifest (reference-reachability makes
+   the lease obsolete).
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from politicamente_etl_spark.sources.txlog import (
+    CommitConflict,
+    TxLogTable,
+    _DATA_DIR,
+    _DELETES_DIR,
+)
+
+pytestmark = pytest.mark.slow
+
+
+def _mk_clustered(spark, n_clusters=40, rows_per=1):
+    """Table whose files are clustered one-per-value with MORE distinct
+    values than shuffle tasks, forcing at least one task to write the
+    same part-file basename into several partition directories — the
+    exact collision ADVICE r8 describes."""
+    path = os.path.join(tempfile.mkdtemp(prefix="dvpath_"), "t")
+    df = spark.range(0, n_clusters * rows_per).selectExpr(
+        "id as v", f"cast(id % {n_clusters} as bigint) as grp"
+    ).withColumn("cl", F.col("grp"))
+    t = TxLogTable.create(spark, path, df, cluster_file_col="cl")
+    return t, path
+
+
+# -- 1. DV path addressing ------------------------------------------------
+
+
+def test_clustered_layout_has_basename_collisions(spark):
+    """Precondition proof: the clustered write DOES produce duplicate
+    basenames across partition dirs (otherwise the regression tests
+    below are vacuous)."""
+    t, _ = _mk_clustered(spark)
+    rels = t._live_files()
+    basenames = [os.path.basename(r) for r in rels]
+    assert len(rels) == 40
+    assert len(set(basenames)) < len(basenames), (
+        "expected part-file basename collisions across partition dirs; "
+        "raise n_clusters if the shuffle task count grew"
+    )
+
+
+def test_dv_on_clustered_table_deletes_only_matching_rows(spark):
+    """The ADVICE r8 failure: with one row per file, every row sits at
+    ordinal 0, so a basename-keyed DV for one row also killed the
+    same-ordinal row in every sibling file sharing the basename."""
+    t, _ = _mk_clustered(spark)
+    m = t.delete_where_rowindex("v = 5")
+    assert m["delete_stats"]["n_rows"] == 1
+    snap = t.snapshot()
+    assert snap.count() == 39
+    assert snap.filter("v = 5").count() == 0
+    surviving = {r["v"] for r in snap.collect()}
+    assert surviving == set(range(40)) - {5}
+
+
+def test_dv_addresses_are_data_root_relative_paths(spark):
+    t, _ = _mk_clustered(spark)
+    t.delete_where_rowindex("v < 3")
+    dvs = t._live_dvs()
+    assert dvs, "expected a committed deletion vector"
+    addr = t._dv_rows_df([p for _v, p, _n in dvs]).collect()
+    assert len(addr) == 3
+    for r in addr:
+        assert "/" in r["__fb"], "address must be a path, not a basename"
+        assert not r["__fb"].startswith(_DATA_DIR), (
+            "address is relative to the data root (no data/ prefix)"
+        )
+        assert r["__fb"].endswith(".parquet")
+    # every address resolves to exactly one live file
+    rels = {r.split(f"{_DATA_DIR}/", 1)[-1] for r in t._live_files()}
+    for r in addr:
+        assert r["__fb"] in rels
+
+
+def test_dv_survives_shallow_clone_rerooting(spark):
+    """Addresses are the path BELOW the data root, so a clone (which
+    re-roots file references with ../ prefixes) keeps matching."""
+    t, path = _mk_clustered(spark)
+    t.delete_where_rowindex("v = 7")
+    clone = t.clone_shallow(os.path.join(os.path.dirname(path), "c"))
+    snap = clone.snapshot()
+    assert snap.count() == 39
+    assert snap.filter("v = 7").count() == 0
+    # a DV created IN the clone addresses the source-rooted files
+    clone.delete_where_rowindex("v = 11")
+    assert clone.snapshot().count() == 38
+    assert t.snapshot().count() == 39, "source unaffected by clone's DV"
+
+
+# -- 2. two-sided rename/metadata rebase guard ----------------------------
+
+
+def _mk_plain(spark, n=100):
+    path = os.path.join(tempfile.mkdtemp(prefix="rebase_"), "t")
+    df = spark.range(0, n).selectExpr("id as v", "id % 7 as grp")
+    return TxLogTable.create(spark, path, df), path
+
+
+def test_append_refuses_to_rebase_past_rename(spark, monkeypatch):
+    """Interleave: rename_column commits BETWEEN append's staging and
+    its version claim. The append must raise CommitConflict (its staged
+    files carry the old physical name but would postdate the rename)
+    and unstage its files."""
+    t, path = _mk_plain(spark)
+    orig = TxLogTable._stage_write
+    fired = []
+
+    def hooked(self, df, partition_col=None):
+        res = orig(self, df, partition_col)
+        if not fired:
+            fired.append(True)
+            TxLogTable(self.spark, self.path).rename_column("v", "val")
+        return res
+
+    monkeypatch.setattr(TxLogTable, "_stage_write", hooked)
+    before = set(os.listdir(os.path.join(path, _DATA_DIR)))
+    with pytest.raises(CommitConflict, match="rename_column"):
+        t.append(spark.range(100, 110).selectExpr("id as v", "id % 7 as grp"))
+    after = set(os.listdir(os.path.join(path, _DATA_DIR)))
+    assert after == before, "conflicted append must unstage its files"
+    # table is intact under the NEW logical name
+    snap = TxLogTable(spark, path).snapshot()
+    assert "val" in snap.columns and snap.count() == 100
+
+
+def test_append_still_rebases_past_plain_appends(spark, monkeypatch):
+    """Commuting commits must still rebase (the guard is not a blanket
+    single-writer lock)."""
+    t, path = _mk_plain(spark)
+    orig = TxLogTable._stage_write
+    fired = []
+
+    def hooked(self, df, partition_col=None):
+        res = orig(self, df, partition_col)
+        if not fired:
+            fired.append(True)
+            TxLogTable(self.spark, self.path).append(
+                self.spark.range(500, 510).selectExpr(
+                    "id as v", "id % 7 as grp"
+                )
+            )
+        return res
+
+    monkeypatch.setattr(TxLogTable, "_stage_write", hooked)
+    v = t.append(spark.range(100, 110).selectExpr("id as v", "id % 7 as grp"))
+    assert v == 3, "append rebases onto the interleaved append's head"
+    assert TxLogTable(spark, path).snapshot().count() == 120
+
+
+def test_tombstone_refuses_to_rebase_past_rename(spark, monkeypatch):
+    """Same interleave for delete_where_logical: the tombstone is keyed
+    on the OLD logical name; rebasing past the rename would commit a
+    key that matches nothing (pre-rename files alias to the new name),
+    silently voiding the delete."""
+    t, path = _mk_plain(spark)
+    orig = TxLogTable._stage_tombstone_sidecar
+    fired = []
+
+    def hooked(self, keys_df, key_col):
+        res = orig(self, keys_df, key_col)
+        if not fired:
+            fired.append(True)
+            TxLogTable(self.spark, self.path).rename_column("grp", "g")
+        return res
+
+    monkeypatch.setattr(TxLogTable, "_stage_tombstone_sidecar", hooked)
+    with pytest.raises(CommitConflict, match="rename_column"):
+        t.delete_where_logical(
+            "grp", keys_df=spark.range(3, 4).selectExpr("id as grp")
+        )
+    fresh = TxLogTable(spark, path)
+    assert fresh.snapshot().count() == 100, "void delete must not commit"
+    # conflicted sidecar is unstaged
+    del_root = os.path.join(path, _DELETES_DIR)
+    assert not os.path.isdir(del_root) or os.listdir(del_root) == []
+    # re-run against the new head works under the new name
+    fresh.delete_where_logical(
+        "g", keys_df=spark.range(3, 4).selectExpr("id as g")
+    )
+    assert fresh.snapshot().filter("g = 3").count() == 0
+
+
+def test_rebase_conflict_since_classifies_ops(spark):
+    t, _ = _mk_plain(spark)
+    base = t.latest_version()
+    assert t._rebase_conflict_since(base) is None
+    t.append(spark.range(100, 101).selectExpr("id as v", "id % 7 as grp"))
+    assert t._rebase_conflict_since(base) is None, "appends commute"
+    t.set_constraint("v_nonneg", "v >= 0")
+    got = t._rebase_conflict_since(base)
+    assert got is not None and "set_constraint" in got
+    assert t._rebase_conflict_since(t.latest_version()) is None
+
+
+# -- 3. stream reader explicit rename mapping ------------------------------
+
+
+def test_stream_read_reorders_by_name_not_position(spark, tmp_path):
+    """A file whose physical column ORDER differs from the declared
+    schema (same names) was silently mislabeled by the positional
+    rename; it must now come back correctly labeled."""
+    import pyarrow.parquet as pq
+
+    from politicamente_etl_spark.sources.txlogstream import (
+        TxLogStreamReader,
+        _FilePartition,
+    )
+
+    f = str(tmp_path / "swapped.parquet")
+    spark.range(0, 5).selectExpr("id * 10 as b", "id as a").toPandas().to_parquet(
+        f, index=False
+    )
+    assert pq.ParquetFile(f).schema_arrow.names == ["b", "a"]
+    reader = TxLogStreamReader(
+        str(tmp_path), False, field_names=["a", "b"]
+    )
+    batches = list(reader.read(_FilePartition(f, resolve={})))
+    assert batches and batches[0].schema.names == ["a", "b"]
+    col_a = [v.as_py() for b in batches for v in b.column(0)]
+    col_b = [v.as_py() for b in batches for v in b.column(1)]
+    assert col_a == [0, 1, 2, 3, 4]
+    assert col_b == [0, 10, 20, 30, 40]
+
+
+def test_stream_read_maps_pre_rename_vintage_by_chain(spark, tmp_path):
+    from politicamente_etl_spark.sources.txlogstream import (
+        TxLogStreamReader,
+        _FilePartition,
+        _alias_resolution,
+    )
+
+    f = str(tmp_path / "old.parquet")
+    spark.range(0, 3).selectExpr("id as v_old", "id * 2 as w").toPandas().to_parquet(
+        f, index=False
+    )
+    resolve = _alias_resolution([(5, "v_old", "v")], ["v", "w"])
+    assert resolve == {"v_old": "v", "v": "v"}
+    reader = TxLogStreamReader(str(tmp_path), True, field_names=["v", "w"])
+    batches = list(reader.read(_FilePartition(f, resolve=resolve)))
+    assert batches[0].schema.names == ["v", "w"]
+
+
+def test_stream_read_raises_on_unknown_names(spark, tmp_path):
+    from politicamente_etl_spark.sources.txlogstream import (
+        TxLogStreamReader,
+        _FilePartition,
+    )
+
+    f = str(tmp_path / "alien.parquet")
+    spark.range(0, 3).selectExpr("id as x", "id as y").toPandas().to_parquet(
+        f, index=False
+    )
+    reader = TxLogStreamReader(str(tmp_path), True, field_names=["a", "b"])
+    with pytest.raises(RuntimeError, match="refusing to relabel"):
+        list(reader.read(_FilePartition(f, resolve={})))
+
+
+def test_alias_resolution_post_rename_vintage_maps_backward(spark):
+    """ignore_changes skips a mid-stream rename: the declared schema is
+    the PRE-rename vintage, and files written after carry the new name
+    — the backward walk maps them."""
+    from politicamente_etl_spark.sources.txlogstream import _alias_resolution
+
+    resolve = _alias_resolution([(5, "v", "val")], ["v", "w"])
+    assert resolve["val"] == "v"
+
+
+def test_stream_end_to_end_reads_through_rename(spark):
+    """Full stream over a table that renames mid-history: with
+    ignore_changes the pre-rename files flow relabeled to the declared
+    (post-rename) schema via the chain — by NAME, not position."""
+    import tempfile as _tf
+
+    from politicamente_etl_spark.sources.txlogstream import (
+        TxLogStreamDataSource,
+    )
+
+    try:
+        spark.dataSource.register(TxLogStreamDataSource)
+    except Exception:
+        pass
+    path = os.path.join(_tf.mkdtemp(prefix="stream_ren_"), "t")
+    t = TxLogTable.create(
+        spark, path, spark.range(0, 10).selectExpr("id as v", "id % 3 as g")
+    )
+    t.rename_column("v", "val")
+    t.append(spark.range(10, 15).selectExpr("id as val", "id % 3 as g"))
+    name = "advice_r9_stream_" + os.path.basename(os.path.dirname(path))
+    q = (
+        spark.readStream.format("txlogstream")
+        .option("path", path)
+        .option("ignore_changes", "true")
+        .load()
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    out = spark.table(name)
+    assert out.columns == ["val", "g"]
+    rows = sorted((r["val"], r["g"]) for r in out.collect())
+    assert rows == [(i, i % 3) for i in range(15)]
+
+
+# -- 4. vacuum reclaims obsolete leases on committed sidecars --------------
+
+
+def test_vacuum_unlinks_stale_lease_on_committed_sidecar(spark):
+    """Crash window: _try_commit succeeded, _release_sidecar_lease did
+    not run. The sidecar is manifest-referenced, so vacuum must treat
+    the lease as obsolete (unlink it) instead of skipping forever."""
+    t, path = _mk_plain(spark)
+    tomb = t._stage_tombstone_sidecar(
+        spark.range(0, 5).selectExpr("id as v"), "v"
+    )
+    version = t.latest_version() + 1
+    assert t._try_commit(
+        version,
+        {
+            "version": version,
+            "op": "delete_logical",
+            "added": [],
+            "removed": [],
+            "tombstones": [tomb],
+        },
+    )
+    # crash here: lease never released
+    abs_dir = os.path.join(path, tomb["path"])
+    marker = os.path.join(abs_dir, ".inflight")
+    assert os.path.exists(marker)
+    t.vacuum()
+    assert os.path.isdir(abs_dir), "referenced sidecar stays alive"
+    assert not os.path.exists(marker), (
+        "vacuum must unlink the obsolete lease of a committed sidecar"
+    )
+    assert t.snapshot().count() == 95
+    # once the reference expires (optimize materializes the tombstone,
+    # retention drops the referencing manifests), the DEFAULT sweep can
+    # reclaim the sidecar — previously impossible without the manual
+    # reclaim_inflight_after_sec override
+    t.optimize()
+    t.checkpoint()
+    t.vacuum(retain_versions=1, sidecar_grace_sec=0.0)
+    assert not os.path.isdir(abs_dir), "expired sidecar reclaimed"
+
+
+def test_vacuum_keeps_lease_of_uncommitted_sidecar(spark):
+    """The fix must not weaken the stalled-writer guarantee: an
+    UNreferenced leased dir keeps its marker and survives."""
+    t, path = _mk_plain(spark)
+    tomb = t._stage_tombstone_sidecar(
+        spark.range(0, 5).selectExpr("id as v"), "v"
+    )
+    abs_dir = os.path.join(path, tomb["path"])
+    marker = os.path.join(abs_dir, ".inflight")
+    t.vacuum(sidecar_grace_sec=0.0)
+    assert os.path.isdir(abs_dir) and os.path.exists(marker)

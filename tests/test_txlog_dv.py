@@ -1,8 +1,11 @@
 """Row-index DELETION VECTORS (VERDICT r7 item 3) and the vacuum
 sidecar LEASE (item 4).
 
-DVs address (data-file basename, row ordinal) — predicate deletes on
-KEYLESS tables, broadcast row addresses instead of wide key sets. The
+DVs address (data-root-relative file path, row ordinal) — predicate
+deletes on KEYLESS tables, broadcast row addresses instead of wide key
+sets; the path (not basename) keys the address because clustered
+writes duplicate basenames across partition dirs (ADVICE r8, covered
+in test_advice_r9.py). The
 lease (`.inflight` marker created with the sidecar dir, dropped after
 the manifest commits) makes vacuum reference+lease-based instead of
 clock-based: a writer stalled past any grace window can no longer lose
