@@ -131,12 +131,72 @@ def _manifest_path(path: str, version: int) -> str:
     return os.path.join(path, _LOG_DIR, f"{version:020d}.json")
 
 
-class TxLogTable:
-    """Handle on a commit-log table rooted at `path`."""
+class CommitStore:
+    """Pluggable COMMIT COORDINATOR — the one operation whose atomicity
+    the whole OCC protocol rests on (the Delta LogStore seam: Delta
+    splits exactly here, with HDFS/Azure rename-based stores vs the
+    DynamoDB-coordinated S3 store, because S3 historically lacked a
+    conditional put).
 
-    def __init__(self, spark: SparkSession, path: str):
+    Contract of `put_if_absent(path, payload)`:
+    - returns True iff it ATOMICALLY created `path` with exactly
+      `payload`, durably (no reader may ever observe a partial file);
+    - returns False iff `path` already existed (the claim lost); the
+      store must leave the existing file untouched;
+    - two concurrent calls on the same path: exactly one True.
+
+    Everything else the txlog does against storage (manifest reads,
+    data-file I/O) is plain immutable-object read/write, which every
+    store provides; only the version claim needs coordination. A 100 TB
+    deployment on an object store plugs in a coordinator backed by the
+    store's conditional put (S3 `If-None-Match: *`, GCS
+    `ifGenerationMatch=0`, Azure `If-None-Match: *`) or an external
+    lock table; local/NFS deployments keep the POSIX link(2) default."""
+
+    def put_if_absent(self, path: str, payload: str) -> bool:
+        raise NotImplementedError
+
+
+class PosixLinkCommitStore(CommitStore):
+    """Default coordinator for POSIX filesystems: write + fsync a
+    temp file, then `os.link(2)` it to the canonical name — link is
+    atomic and fails with EEXIST if another writer holds the version.
+    This is the claim the multi-process OCC race test exercises
+    (tests/test_occ_race.py: 6 processes x 10 commits)."""
+
+    def put_if_absent(self, path: str, payload: str) -> bool:
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        tmp = os.path.join(
+            os.path.dirname(path), f".tmp-{uuid.uuid4().hex}.json"
+        )
+        with open(tmp, "w") as fh:
+            fh.write(payload)
+            fh.flush()
+            os.fsync(fh.fileno())
+        try:
+            os.link(tmp, path)
+            return True
+        except FileExistsError:
+            return False
+        finally:
+            os.unlink(tmp)
+
+
+class TxLogTable:
+    """Handle on a commit-log table rooted at `path`.
+
+    `commit_store` swaps the commit coordinator (default: POSIX
+    link(2)); see CommitStore for the object-store contract."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        path: str,
+        commit_store: CommitStore | None = None,
+    ):
         self.spark = spark
         self.path = path
+        self._commit_store = commit_store or PosixLinkCommitStore()
         # manifests are immutable once linked (vacuum's same-version
         # checkpoint rewrite is the one exception — os.replace bumps
         # mtime, which invalidates the entry), so parsed JSON is cached
@@ -675,8 +735,10 @@ class TxLogTable:
         return out
 
     def _try_commit(self, version: int, manifest: dict) -> bool:
-        """Atomically claim `version` with `manifest`. True on success,
-        False if another writer holds the version (EEXIST).
+        """Atomically claim `version` with `manifest` through the
+        pluggable CommitStore (default POSIX link(2) — see CommitStore
+        for the object-store seam). True on success, False if another
+        writer holds the version.
 
         Every commit is stamped with a `commit_ts_ms` that is STRICTLY
         GREATER than the previous version's (the Delta timestamp-
@@ -697,20 +759,10 @@ class TxLogTable:
             manifest["commit_ts_ms"] = max(
                 int(time.time() * 1000), prev_ts + 1
             )
-        log = os.path.join(self.path, _LOG_DIR)
-        os.makedirs(log, exist_ok=True)
-        tmp = os.path.join(log, f".tmp-{uuid.uuid4().hex}.json")
-        with open(tmp, "w") as fh:
-            json.dump(manifest, fh, sort_keys=True)
-            fh.flush()
-            os.fsync(fh.fileno())
-        try:
-            os.link(tmp, _manifest_path(self.path, version))
-            return True
-        except FileExistsError:
-            return False
-        finally:
-            os.unlink(tmp)
+        return self._commit_store.put_if_absent(
+            _manifest_path(self.path, version),
+            json.dumps(manifest, sort_keys=True),
+        )
 
     def _rebase_conflict_since(self, base: int) -> str | None:
         """Description of the first NON-COMMUTING metadata commit with
@@ -757,6 +809,7 @@ class TxLogTable:
         cluster_file_col: str | None = None,
         bloom_cols: tuple[str, ...] = (),
         bloom_bits: int = 2048,
+        commit_store: CommitStore | None = None,
     ) -> "TxLogTable":
         """`cluster_file_col`: stage one data file per distinct value of
         the column (single write job; see _stage_write) — the clustered-
@@ -775,7 +828,7 @@ class TxLogTable:
         `bloom_bits` ≈ 10× the expected distinct keys per file (~1%
         false-positive files); integer/string columns only (the value
         is hashed via CAST AS STRING on every engine)."""
-        t = cls(spark, path)
+        t = cls(spark, path, commit_store=commit_store)
         if t.latest_version():
             raise FileExistsError(f"txlog table already exists at {path}")
         if bloom_cols and cluster_file_col is None:
@@ -2726,7 +2779,7 @@ class TxLogTable:
 
         The cheap-fork primitive: dev/test tables against production
         data, experiment branches, migration dry-runs."""
-        t = TxLogTable(self.spark, dest)
+        t = TxLogTable(self.spark, dest, commit_store=self._commit_store)
         if t.latest_version():
             raise FileExistsError(f"txlog table already exists at {dest}")
         os.makedirs(dest, exist_ok=True)
