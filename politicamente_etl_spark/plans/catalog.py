@@ -591,3 +591,4 @@ from politicamente_etl_spark.plans import extended_r13e as _extended_r13e  # noq
 from politicamente_etl_spark.plans import extended_r13f as _extended_r13f  # noqa: E402,F401
 from politicamente_etl_spark.plans import extended_r13g as _extended_r13g  # noqa: E402,F401
 from politicamente_etl_spark.plans import extended_r13h as _extended_r13h  # noqa: E402,F401
+from politicamente_etl_spark.plans import extended_r14 as _extended_r14  # noqa: E402,F401
