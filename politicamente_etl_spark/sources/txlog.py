@@ -921,7 +921,21 @@ class TxLogTable:
         never O(table); existing rows are NOT retro-checked, matching
         the lakehouse semantics. The constraint is one more manifest
         commit, so it is versioned, time-travels, and follows clones."""
+        base = self.latest_version()
         while True:
+            conflict = self._rebase_conflict_since(base)
+            if conflict is not None:
+                # rename_column refuses while `name`/`expr` reference a
+                # LIVE constraint, but that check reads the rename's own
+                # snapshot — rebasing this setter past a winning rename
+                # would slip in an expression whose identifiers dangle
+                # (every later write then fails analysis). Same
+                # two-sided guard as append (ADVICE r8).
+                raise CommitConflict(
+                    f"constraint declared against version {base} cannot "
+                    f"rebase past a non-commuting {conflict}; re-declare "
+                    "against the new head"
+                )
             version = self.latest_version() + 1
             manifest = {
                 "version": version,
@@ -972,7 +986,18 @@ class TxLogTable:
                 "evolve the schema first (merge_schema append), then "
                 "declare the generation rule"
             )
+        base = self.latest_version()
         while True:
+            conflict = self._rebase_conflict_since(base)
+            if conflict is not None:
+                # same two-sided guard as set_constraint: the schema
+                # check above and the expression identifiers are bound
+                # to the snapshot at `base`
+                raise CommitConflict(
+                    f"generated column declared against version {base} "
+                    f"cannot rebase past a non-commuting {conflict}; "
+                    "re-declare against the new head"
+                )
             version = self.latest_version() + 1
             manifest = {
                 "version": version,

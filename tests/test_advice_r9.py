@@ -394,3 +394,34 @@ def test_vacuum_keeps_lease_of_uncommitted_sidecar(spark):
     marker = os.path.join(abs_dir, ".inflight")
     t.vacuum(sidecar_grace_sec=0.0)
     assert os.path.isdir(abs_dir) and os.path.exists(marker)
+
+
+def test_metadata_setters_refuse_to_rebase_past_rename(spark, monkeypatch):
+    """Symmetry guard: set_constraint / set_generated_column bind their
+    expression identifiers to the snapshot observed at call time;
+    rebasing past a winning rename would commit a dangling expression
+    (every later write fails analysis). They must conflict instead."""
+    t, path = _mk_plain(spark)
+    # interleave: a rename wins the version the setter is about to claim
+    orig = TxLogTable.latest_version
+    state = {"armed": False, "fired": False}
+
+    def hooked(self):
+        v = orig(self)
+        if state["armed"] and not state["fired"]:
+            state["fired"] = True
+            tt = TxLogTable(self.spark, self.path)
+            state["armed"] = False
+            tt.rename_column("v", "val")
+            state["armed"] = True
+        return v
+
+    monkeypatch.setattr(TxLogTable, "latest_version", hooked)
+    state["armed"] = True
+    with pytest.raises(CommitConflict, match="rename_column"):
+        t.set_constraint("v_nonneg", "v >= 0")
+    state["armed"] = False
+    state["fired"] = False
+    fresh = TxLogTable(spark, path)
+    fresh.set_constraint("val_nonneg", "val >= 0")
+    assert "val_nonneg" in fresh._live_constraints()
