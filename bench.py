@@ -68,29 +68,38 @@ def main() -> None:
     import shutil
     import tempfile
 
+    # Route every tempfile.mkdtemp the QUERY CODE makes (txlog tables,
+    # stream checkpoints, roundtrip scratch) into a bench-owned scratch
+    # root, so per-slot reclaim can only ever delete what this process
+    # created — never a concurrent process's /tmp state (review r9,
+    # first pass: a listdir diff of the shared /tmp would). Spark's own
+    # dirs don't go through Python tempfile and are untouched.
+    scratch_root = tempfile.mkdtemp(prefix="bench-scratch-")
+    tempfile.tempdir = scratch_root
+    import atexit
+
+    atexit.register(
+        lambda: (
+            tempfile.__setattr__("tempdir", None),
+            shutil.rmtree(scratch_root, ignore_errors=True),
+        )
+    )
+
     def _tmp_snapshot() -> set[str]:
         try:
-            return set(os.listdir(tempfile.gettempdir()))
+            return set(os.listdir(scratch_root))
         except OSError:
             return set()
 
     def _reclaim_slot_tmp(before: set[str]) -> None:
-        """Delete the tempdirs THIS slot created (txlog tables, stream
-        checkpoints, roundtrip scratch) so their accumulated I/O never
-        bleeds into later slots. Query-owned dirs come from
-        tempfile.mkdtemp with snake_case prefixes — dash-free by
-        construction — while every Spark-owned /tmp dir (spark-*,
-        blockmgr-*) embeds a dashed UUID; dash names are never
-        touched."""
-        d = tempfile.gettempdir()
+        """Delete the scratch dirs THIS slot created so their
+        accumulated I/O never bleeds into later slots."""
         try:
-            new = set(os.listdir(d)) - before
+            new = set(os.listdir(scratch_root)) - before
         except OSError:
             return
         for e in new:
-            if "-" in e:
-                continue  # Spark/py4j-owned: deleting would kill the session
-            p = os.path.join(d, e)
+            p = os.path.join(scratch_root, e)
             if os.path.isdir(p):
                 shutil.rmtree(p, ignore_errors=True)
 

@@ -70,10 +70,29 @@ def _register():
         positional deletes key on file path for the same reason."""
         from politicamente_etl_spark.sources.txlog import TxLogTable
 
+        # collision forcing must hold under ANY shuffle-partition
+        # config: one file per distinct cluster value, with more values
+        # than write tasks ⇒ pigeonhole guarantees a shared task ⇒
+        # duplicate basenames. Scale the cluster count off the session
+        # setting instead of pinning 300 (review r9, first pass). The
+        # oracle columns are all independent of the cluster count.
+        try:
+            n_part = int(spark.conf.get("spark.sql.shuffle.partitions"))
+        except Exception:
+            n_part = 200
+        n_clusters = max(300, n_part + 64)
+        from pyspark.sql import Window
+
+        # dense row_number % n_clusters ⇒ every residue is PRESENT
+        # (rows ≥ n_clusters at every SF), so distinct cluster values
+        # strictly exceed the write-task count under any config
         o = T(spark, sf_dir, "orders").select(
             "o_orderkey",
             "o_custkey",
-            (F.col("o_orderkey") % 300).alias("cl"),
+            (
+                F.row_number().over(Window.orderBy("o_orderkey"))
+                % n_clusters
+            ).alias("cl"),
         )
         base = tempfile.mkdtemp(prefix="txlog_cldv_")
         t = TxLogTable.create(
@@ -114,49 +133,94 @@ def _register():
     ) -> DataFrame:
         """Two-sided rename non-commutation (ADVICE r8, medium):
         rename_column already refused to rebase when IT lost the OCC
-        race; now the in-flight writer refuses too. The sequence below
-        reproduces the winning-rename interleave deterministically by
-        checking the guard at the claim point exactly as the rebase
-        loops do: a write staged against version N must observe the
-        rename committed at N+1 and raise CommitConflict — blindly
+        race; now the in-flight writer refuses too. The interleave is
+        driven through the REAL rebase loops — racer subclasses commit
+        the rename inside the staging hook, between the write's
+        snapshot and its version claim (review r9, first pass:
+        re-calling the classifier alone stays green even if the loops
+        stop consulting it) — so a regression in either loop's
+        conflict check or unstaging turns this row red. Blindly
         rebasing would link in files carrying the OLD physical name
         that POSTDATE the rename (reads never alias them: the column
         is NULL under the logical name), or commit a tombstone keyed
-        on a name that no longer matches any file. After re-reading
-        the new head, the retried append commits clean (flag 0) and
-        the row count proves it landed. Ref: sources/txlog.py
-        _rebase_conflict_since + append/delete_where_logical rebase
-        loops; Delta raises the same conflict class for metadata-
-        update races."""
-        from politicamente_etl_spark.sources.txlog import TxLogTable
+        on a name that no longer matches any file. The flags fold in
+        the unstaging proof (flag -1 if the table's row count moved);
+        the retry against the new head commits clean under the new
+        logical name. Ref: sources/txlog.py _rebase_conflict_since +
+        append/delete_where_logical rebase loops; Delta raises the
+        same conflict class for metadata-update races."""
+        from politicamente_etl_spark.sources.txlog import (
+            CommitConflict,
+            TxLogTable,
+        )
+
+        class AppendRacer(TxLogTable):
+            def _stage_write(self, df, partition_col=None):
+                res = super()._stage_write(df, partition_col)
+                TxLogTable(self.spark, self.path).rename_column(
+                    "n_nationkey", "nation_id"
+                )
+                return res
+
+        class TombstoneRacer(TxLogTable):
+            def _stage_tombstone_sidecar(self, keys_df, key_col):
+                tomb = super()._stage_tombstone_sidecar(keys_df, key_col)
+                TxLogTable(self.spark, self.path).rename_column(
+                    "n_name", "nation_name"
+                )
+                return tomb
 
         n = T(spark, sf_dir, "nation").select("n_nationkey", "n_name")
         base = tempfile.mkdtemp(prefix="txlog_renrace_")
-        path = os.path.join(base, "t")
-        t = TxLogTable.create(spark, path, n)
-        # the interleave: a writer observes version 1, stages, and a
-        # rename wins version 2 before the writer claims
-        stage_base = t.latest_version()
-        TxLogTable(spark, path).rename_column("n_nationkey", "nation_id")
-        append_conflict = t._rebase_conflict_since(stage_base)
-        tomb_conflict = t._rebase_conflict_since(stage_base)
+        n_nation = n.count()
+
+        path_a = os.path.join(base, "a")
+        TxLogTable.create(spark, path_a, n)
+        append_conflict = 0
+        try:
+            AppendRacer(spark, path_a).append(
+                spark.range(900, 901).select(
+                    F.col("id").cast("int").alias("n_nationkey"),
+                    F.lit("ATLANTIS").alias("n_name"),
+                )
+            )
+        except CommitConflict:
+            append_conflict = 1
+        n_after_a = TxLogTable(spark, path_a).snapshot().count()
+
+        path_b = os.path.join(base, "b")
+        TxLogTable.create(spark, path_b, n)
+        tomb_conflict = 0
+        try:
+            TombstoneRacer(spark, path_b).delete_where_logical(
+                "n_name",
+                keys_df=spark.createDataFrame([("BRAZIL",)], ["n_name"]),
+            )
+        except CommitConflict:
+            tomb_conflict = 1
+        n_after_b = TxLogTable(spark, path_b).snapshot().count()
+
         # retry against the new head under the new logical name
-        fresh = TxLogTable(spark, path)
+        fresh = TxLogTable(spark, path_a)
         fresh.append(
             spark.range(900, 901).select(
                 F.col("id").cast("int").alias("nation_id"),
                 F.lit("ATLANTIS").alias("n_name"),
             )
         )
-        retry_conflict = fresh._rebase_conflict_since(
-            fresh.latest_version()
-        )
         n_total = fresh.snapshot().count()
-        n_nation = n.count()
         data = [
-            ("append_conflicts", int(append_conflict is not None), n_nation),
-            ("tombstone_conflicts", int(tomb_conflict is not None), n_nation),
-            ("retry_on_new_head", int(retry_conflict is not None), n_total),
+            (
+                "append_conflicts",
+                append_conflict if n_after_a == n_nation else -1,
+                n_after_a,
+            ),
+            (
+                "tombstone_conflicts",
+                tomb_conflict if n_after_b == n_nation else -1,
+                n_after_b,
+            ),
+            ("retry_on_new_head", 0, n_total),
         ]
         return (
             spark.createDataFrame(data, ["step", "flag", "n_rows"])

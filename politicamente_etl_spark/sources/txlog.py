@@ -362,6 +362,23 @@ class TxLogTable:
                 out = [d for d in out if d[0] <= cut]
                 seen = {k for k in seen if k[0] <= cut}
             for d in m.get("dvs", []):
+                # FORMAT FENCE (review r9): r9 changed the sidecar
+                # address from basename to data-root-relative path; a
+                # sidecar written by the basename-era code would match
+                # nothing under the new scan address and every deleted
+                # row would silently resurrect. New entries are stamped
+                # `"addr": "path"`; anything else fails LOUDLY with the
+                # remediation instead of reading wrong.
+                if d.get("addr") != "path":
+                    raise RuntimeError(
+                        f"deletion-vector sidecar {d.get('path')!r} "
+                        f"(manifest version {m['version']}) predates "
+                        "path addressing (addr="
+                        f"{d.get('addr', 'basename-legacy')!r}); "
+                        "restore the table to the pre-DV version and "
+                        "re-issue the deletes, or optimize() with the "
+                        "old reader to materialize them first"
+                    )
                 v = int(d.get("version", m["version"]))
                 key = (v, d["path"])
                 if key not in seen:
@@ -780,10 +797,24 @@ class TxLogTable:
         under it; a restore changes all of those rule sets at once. The
         one-sided guard in rename_column (it conflicts only when IT
         loses the race) is not enough — the in-flight writer must
-        refuse to rebase past the winner too (ADVICE r8)."""
+        refuse to rebase past the winner too (ADVICE r8).
+
+        A CHECKPOINT manifest with version > base also conflicts: a
+        concurrent vacuum(retain_versions) may have absorbed exactly
+        such a metadata commit into the keep_from checkpoint (renames
+        survive as `renames_v` carriage; generated/constraint carriage
+        loses its origin version entirely), so commutativity can no
+        longer be PROVEN — and unprovable is a conflict under OCC,
+        never a pass (review r9, first pass)."""
         for m in self.history():
-            if m["version"] <= base or m.get("checkpoint"):
+            if m["version"] <= base:
                 continue
+            if m.get("checkpoint"):
+                return (
+                    f"checkpoint at version {m['version']} (history past "
+                    f"the staged base was expired; commutativity is "
+                    "unprovable)"
+                )
             op = m.get("op", "")
             if m.get("renames"):
                 return f"rename_column committed at version {m['version']}"
@@ -1245,12 +1276,44 @@ class TxLogTable:
                     "append against the new head"
                 )
             version = self.latest_version() + 1
+            # schema under rebase: a concurrent merge_schema append may
+            # have EVOLVED the table between our staging and this claim
+            # (appends commute on data, but each append manifest carries
+            # a schema and _latest_schema takes the last one) — blindly
+            # stamping our staged schema would silently REVERT the
+            # evolution (review r9, first pass). Union by field name:
+            # the current table schema first, then our new fields; a
+            # same-name type disagreement is a real conflict.
+            cur_sch = self._latest_schema()
+            out_sch = schema_df.schema.jsonValue()
+            if cur_sch is not None and cur_sch != out_sch:
+                cur_fields = {f["name"]: f for f in cur_sch["fields"]}
+                for f in out_sch["fields"]:
+                    have = cur_fields.get(f["name"])
+                    if have is None:
+                        continue
+                    if have["type"] != f["type"]:
+                        shutil.rmtree(
+                            os.path.join(self.path, _DATA_DIR, commit_id),
+                            ignore_errors=True,
+                        )
+                        raise CommitConflict(
+                            f"column {f['name']!r} evolved to type "
+                            f"{have['type']!r} concurrently; re-run the "
+                            "append against the new head"
+                        )
+                merged = json.loads(json.dumps(cur_sch))
+                known = {f["name"] for f in merged["fields"]}
+                merged["fields"] += [
+                    f for f in out_sch["fields"] if f["name"] not in known
+                ]
+                out_sch = merged
             manifest = {
                 "version": version,
                 "op": "append",
                 "added": rels,
                 "removed": [],
-                "schema": schema_df.schema.jsonValue(),
+                "schema": out_sch,
                 "stats": self._file_stats(rels),
             }
             if txn_id is not None:
@@ -1917,7 +1980,7 @@ class TxLogTable:
                 "op": "delete_rowindex",
                 "added": [],
                 "removed": [],
-                "dvs": [{"path": rel_dir, "n_rows": n_rows}],
+                "dvs": [{"path": rel_dir, "n_rows": n_rows, "addr": "path"}],
                 "delete_stats": {
                     "files_rewritten": 0,
                     "n_rows": n_rows,
@@ -2024,7 +2087,8 @@ class TxLogTable:
         ]
         if dvs:
             manifest["dvs"] = [
-                {"version": v, "path": p, "n_rows": n} for v, p, n in dvs
+                {"version": v, "path": p, "n_rows": n, "addr": "path"}
+                for v, p, n in dvs
             ]
         # column-mapping renames and generated-column rules survive
         # manifest expiry exactly like tombstones/constraints (review
@@ -2755,7 +2819,7 @@ class TxLogTable:
         dvs_at = self._live_dvs(version)
         if dvs_at:
             manifest["dvs"] = [
-                {"version": v, "path": p, "n_rows": n}
+                {"version": v, "path": p, "n_rows": n, "addr": "path"}
                 for v, p, n in dvs_at
             ]
         # renames: barrier + carriage, same as tombstones/DVs — restore
@@ -2853,6 +2917,7 @@ class TxLogTable:
                         os.path.join(self.path, p), dest
                     ),
                     "n_rows": n,
+                    "addr": "path",
                 }
                 for v, p, n in dvs
             ]

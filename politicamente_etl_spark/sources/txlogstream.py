@@ -120,36 +120,47 @@ def _rename_chain(path: str) -> list[tuple[int, str, str]]:
 
 
 def _alias_resolution(
-    chain: list[tuple[int, str, str]], declared: list[str]
+    chain: list[tuple[int, str, str]],
+    declared: list[str],
+    file_v: int,
+    declared_v: int,
 ) -> dict[str, str]:
-    """Physical-name → declared-name map for every name the rename
-    chain mentions. A batch column named `c` resolves by walking the
-    chain FORWARD (old→new, for files that predate a rename the
-    declared schema has applied) or BACKWARD (new→old, for files
-    written after a rename the stream skipped via ignore_changes, where
-    the declared schema is the pre-rename vintage). Names that reach no
-    declared column are absent — the reader raises on them instead of
+    """Physical-name → declared-name map for a file written at version
+    `file_v`, read by a stream whose declared schema was captured at
+    version `declared_v`. VINTAGE-AWARE (review r9, first pass): a
+    physical name maps by walking the rename chain FORWARD through
+    renames committed in (file_v, declared_v] (the file predates them;
+    the declared schema has them applied) and BACKWARD through renames
+    in (declared_v, file_v] (a mid-stream rename skipped via
+    ignore_changes: the file postdates it, the declared schema does
+    not). Version-bounding the walks — instead of trying both
+    directions name-globally — disambiguates reuse chains like
+    `a→x` then `b→a`: a pre-rename file's physical `a` maps to `x`,
+    never short-circuits to the redeclared `a`. Names that reach no
+    declared column are absent; the reader raises on them instead of
     trusting position (ADVICE r8)."""
     declared_set = set(declared)
-    names = {o for _, o, _ in chain} | {n for _, _, n in chain}
+
+    def map_name(name: str) -> str:
+        cur = name
+        for ver, old, new in chain:  # forward, version order
+            if file_v < ver <= declared_v and cur == old:
+                cur = new
+        for ver, old, new in reversed(chain):  # backward
+            if declared_v < ver <= file_v and cur == new:
+                cur = old
+        return cur
+
+    names = (
+        {o for _, o, _ in chain}
+        | {n for _, _, n in chain}
+        | declared_set
+    )
     res: dict[str, str] = {}
     for name in names:
-        if name in declared_set:
-            res[name] = name
-            continue
-        cur = name
-        for _, old, new in chain:  # forward, version order
-            if cur == old:
-                cur = new
-        if cur in declared_set:
-            res[name] = cur
-            continue
-        cur = name
-        for _, old, new in reversed(chain):  # backward
-            if cur == new:
-                cur = old
-        if cur in declared_set:
-            res[name] = cur
+        mapped = map_name(name)
+        if mapped in declared_set:
+            res[name] = mapped
     return res
 
 
@@ -167,9 +178,19 @@ class TxLogStreamReader(DataSourceStreamReader):
         # the DECLARED output schema's names: pre-rename files carry old
         # physical names and the DataSource contract enforces name
         # equality — batches relabel via the table's rename chain
-        # (explicit old→new mapping computed in partitions(); see
-        # read()), never by position (ADVICE r8)
+        # (explicit vintage-aware old→new mapping computed in
+        # partitions(); see read()), never by position (ADVICE r8)
         self.field_names = field_names or []
+        # the schema vintage: renames at or below this version are
+        # already reflected in field_names (schema() reads the head at
+        # reader construction); later ones are mid-stream
+        self.declared_version = max(_versions(path), default=0)
+        # rename-chain cache keyed by the version listing — manifests
+        # are immutable (vacuum's in-place checkpoint rewrite changes
+        # the listing via expiry), so re-folding the whole log every
+        # micro-batch would be O(versions) driver I/O forever
+        self._chain_key: tuple[int, int] | None = None
+        self._chain: list[tuple[int, str, str]] = []
 
     def initialOffset(self) -> dict:
         return {"version": 0}
@@ -178,14 +199,23 @@ class TxLogStreamReader(DataSourceStreamReader):
         vs = _versions(self.path)
         return {"version": vs[-1] if vs else 0}
 
+    def _current_chain(self) -> list[tuple[int, str, str]]:
+        vs = _versions(self.path)
+        key = (len(vs), vs[-1] if vs else 0)
+        if key != self._chain_key:
+            self._chain = _rename_chain(self.path)
+            self._chain_key = key
+        return self._chain
+
     def partitions(self, start: dict, end: dict) -> Sequence[InputPartition]:
         parts: list[InputPartition] = []
-        # name-mapping table for this batch's files: recomputed per
-        # micro-batch so renames that land mid-stream (skipped via
-        # ignore_changes) are resolvable by the time their files flow
-        resolve = _alias_resolution(
-            _rename_chain(self.path), self.field_names
-        ) if self.field_names else {}
+        # vintage-aware name maps for this batch's files, one per
+        # commit version (a file written at v carries the names live at
+        # v); recomputed when the log grows so renames that land
+        # mid-stream (skipped via ignore_changes) are resolvable by the
+        # time their files flow
+        chain = self._current_chain() if self.field_names else []
+        maps: dict[int, dict[str, str]] = {}
         for v in range(start["version"] + 1, end["version"] + 1):
             m = _manifest(self.path, v)
             op = m.get("op", "")
@@ -230,10 +260,15 @@ class TxLogStreamReader(DataSourceStreamReader):
                         "same contract as Delta's ignoreChanges)."
                     )
                 continue
+            if self.field_names and v not in maps:
+                maps[v] = _alias_resolution(
+                    chain, self.field_names, v, self.declared_version
+                )
             for rel in m.get("added", []):
                 parts.append(
                     _FilePartition(
-                        os.path.join(self.path, rel), resolve=resolve
+                        os.path.join(self.path, rel),
+                        resolve=maps.get(v, {}),
                     )
                 )
         return parts
@@ -249,21 +284,36 @@ class TxLogStreamReader(DataSourceStreamReader):
             if not declared or names == declared:
                 yield batch
                 continue
-            if len(names) != len(declared):
-                # schema-evolution vintage (column added later): pass
-                # through; the engine null-fills against the declared
-                # schema — arity mismatch is never a rename
-                yield batch
-                continue
             # Map each physical name to its declared name EXPLICITLY
-            # via the table's rename chain — never positionally: a file
-            # rewritten with a different projection order, or an
+            # via the file-vintage rename map — never positionally: a
+            # file rewritten with a different projection order, or an
             # evolved schema with the same arity, would otherwise be
             # silently mislabeled (ADVICE r8).
-            mapped = [
-                n if n in declared else resolve.get(n) for n in names
-            ]
-            if None in mapped or len(set(mapped)) != len(mapped):
+            mapped = [resolve.get(n) for n in names]
+            live = [m_ for m_ in mapped if m_ is not None]
+            if len(set(live)) != len(live):
+                raise RuntimeError(
+                    f"txlogstream: file {partition.abs_path!r} columns "
+                    f"{names} map ambiguously onto the declared schema "
+                    f"{declared}; refusing to relabel by position"
+                )
+            if len(names) != len(declared):
+                # schema-evolution vintage (column added later / the
+                # file predates a widened schema): relabel what maps —
+                # a renamed column must surface under its DECLARED name
+                # even here (review r9, first pass) — and keep unmapped
+                # extras as-is; the engine reconciles arity against the
+                # declared schema
+                out_names = [
+                    m_ if m_ is not None else n
+                    for n, m_ in zip(names, mapped)
+                ]
+                yield pa.RecordBatch.from_arrays(
+                    [batch.column(i) for i in range(len(names))],
+                    names=out_names,
+                )
+                continue
+            if None in mapped:
                 raise RuntimeError(
                     f"txlogstream: file {partition.abs_path!r} carries "
                     f"columns {names} which are neither the declared "

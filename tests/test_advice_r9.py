@@ -241,6 +241,10 @@ def test_stream_read_reorders_by_name_not_position(spark, tmp_path):
         _FilePartition,
     )
 
+    from politicamente_etl_spark.sources.txlogstream import (
+        _alias_resolution,
+    )
+
     f = str(tmp_path / "swapped.parquet")
     spark.range(0, 5).selectExpr("id * 10 as b", "id as a").toPandas().to_parquet(
         f, index=False
@@ -249,7 +253,8 @@ def test_stream_read_reorders_by_name_not_position(spark, tmp_path):
     reader = TxLogStreamReader(
         str(tmp_path), False, field_names=["a", "b"]
     )
-    batches = list(reader.read(_FilePartition(f, resolve={})))
+    resolve = _alias_resolution([], ["a", "b"], 1, 1)
+    batches = list(reader.read(_FilePartition(f, resolve=resolve)))
     assert batches and batches[0].schema.names == ["a", "b"]
     col_a = [v.as_py() for b in batches for v in b.column(0)]
     col_b = [v.as_py() for b in batches for v in b.column(1)]
@@ -268,8 +273,8 @@ def test_stream_read_maps_pre_rename_vintage_by_chain(spark, tmp_path):
     spark.range(0, 3).selectExpr("id as v_old", "id * 2 as w").toPandas().to_parquet(
         f, index=False
     )
-    resolve = _alias_resolution([(5, "v_old", "v")], ["v", "w"])
-    assert resolve == {"v_old": "v", "v": "v"}
+    resolve = _alias_resolution([(5, "v_old", "v")], ["v", "w"], 1, 6)
+    assert resolve == {"v_old": "v", "v": "v", "w": "w"}
     reader = TxLogStreamReader(str(tmp_path), True, field_names=["v", "w"])
     batches = list(reader.read(_FilePartition(f, resolve=resolve)))
     assert batches[0].schema.names == ["v", "w"]
@@ -296,8 +301,26 @@ def test_alias_resolution_post_rename_vintage_maps_backward(spark):
     — the backward walk maps them."""
     from politicamente_etl_spark.sources.txlogstream import _alias_resolution
 
-    resolve = _alias_resolution([(5, "v", "val")], ["v", "w"])
+    resolve = _alias_resolution([(5, "v", "val")], ["v", "w"], 6, 4)
     assert resolve["val"] == "v"
+
+
+def test_alias_resolution_reuse_chain_is_vintage_exact(spark):
+    """Review r9: rename a→x (v2) then b→a (v3), stream declares
+    [x, a]. A pre-v2 file's physical `a` must map to `x` (its vintage),
+    never short-circuit to the redeclared `a`; physical `b` maps to
+    `a`. The name-global two-direction walk could not disambiguate
+    this; the version-bounded walk can."""
+    from politicamente_etl_spark.sources.txlogstream import _alias_resolution
+
+    chain = [(2, "a", "x"), (3, "b", "a")]
+    resolve = _alias_resolution(chain, ["x", "a"], 1, 3)
+    assert resolve["a"] == "x"
+    assert resolve["b"] == "a"
+    assert resolve["x"] == "x"
+    # a post-rename file (vintage 4) carries [x, a] natively: identity
+    resolve4 = _alias_resolution(chain, ["x", "a"], 4, 3)
+    assert resolve4["x"] == "x" and resolve4["a"] == "a"
 
 
 def test_stream_end_to_end_reads_through_rename(spark):
