@@ -131,6 +131,43 @@ def _manifest_path(path: str, version: int) -> str:
     return os.path.join(path, _LOG_DIR, f"{version:020d}.json")
 
 
+def fold_renames(
+    manifests: list[dict],
+) -> list[tuple[int, int, str, str]]:
+    """Fold the RENAME CHAIN out of raw manifest dicts (in version
+    order): [(origin_version, carrier_version, old, new)], sorted by
+    origin. One implementation serves the batch reader
+    (TxLogTable._live_renames projects origin/old/new) and the
+    streaming source (which also needs the CARRIER — the version of
+    the first manifest that made the entry visible in THIS log: a
+    clone's v1 carries source renames whose origins exceed every local
+    version, and the stream's vintage math must know the entry was
+    visible from v1, not from its foreign origin — review r9, second
+    pass). Restore manifests are a BARRIER: entries with origin after
+    the restore target are part of the rolled-back history and drop
+    out; carriage after the restore re-establishes the target's
+    chain."""
+    out: list[tuple[int, int, str, str]] = []
+    seen: set[tuple[int, str, str]] = set()
+    for m in manifests:
+        mv = int(m["version"])
+        if m.get("op") == "restore" and "restored_from" in m:
+            cut = int(m["restored_from"])
+            out = [r for r in out if r[0] <= cut]
+            seen = {r for r in seen if r[0] <= cut}
+        entries = [
+            (mv, old, new) for old, new in m.get("renames", {}).items()
+        ] + [
+            (int(v), old, new) for v, old, new in m.get("renames_v", [])
+        ]
+        for origin, old, new in entries:
+            key = (origin, old, new)
+            if key not in seen:
+                seen.add(key)
+                out.append((origin, mv, old, new))
+    return sorted(out)
+
+
 class CommitStore:
     """Pluggable COMMIT COORDINATOR — the one operation whose atomicity
     the whole OCC protocol rests on (the Delta LogStore seam: Delta
@@ -352,6 +389,7 @@ class TxLogTable:
         forward with origin versions preserved."""
         out: list[tuple[int, str, int]] = []
         seen: set[tuple[int, str]] = set()
+        legacy: dict[tuple[int, str], int] = {}
         for m in self.history():
             if version is not None and m["version"] > version:
                 continue
@@ -362,28 +400,31 @@ class TxLogTable:
                 out = [d for d in out if d[0] <= cut]
                 seen = {k for k in seen if k[0] <= cut}
             for d in m.get("dvs", []):
-                # FORMAT FENCE (review r9): r9 changed the sidecar
-                # address from basename to data-root-relative path; a
-                # sidecar written by the basename-era code would match
-                # nothing under the new scan address and every deleted
-                # row would silently resurrect. New entries are stamped
-                # `"addr": "path"`; anything else fails LOUDLY with the
-                # remediation instead of reading wrong.
-                if d.get("addr") != "path":
-                    raise RuntimeError(
-                        f"deletion-vector sidecar {d.get('path')!r} "
-                        f"(manifest version {m['version']}) predates "
-                        "path addressing (addr="
-                        f"{d.get('addr', 'basename-legacy')!r}); "
-                        "restore the table to the pre-DV version and "
-                        "re-issue the deletes, or optimize() with the "
-                        "old reader to materialize them first"
-                    )
                 v = int(d.get("version", m["version"]))
                 key = (v, d["path"])
                 if key not in seen:
                     seen.add(key)
                     out.append((v, d["path"], int(d["n_rows"])))
+                if d.get("addr") != "path":
+                    legacy[(v, d["path"])] = m["version"]
+        # FORMAT FENCE (review r9): r9 changed the sidecar address from
+        # basename to data-root-relative path; a basename-era sidecar
+        # would match nothing under the new scan address and every
+        # deleted row would silently resurrect. New entries are stamped
+        # `"addr": "path"`; a SURVIVING legacy entry fails LOUDLY with
+        # the remediation. Checked after the fold — not per manifest —
+        # so a restore to the pre-DV version actually clears the fence
+        # (its barrier drops the legacy entry) instead of the table
+        # being bricked by the dead manifest (review r9, second pass).
+        for v, p, _n in out:
+            if (v, p) in legacy:
+                raise RuntimeError(
+                    f"deletion-vector sidecar {p!r} (manifest version "
+                    f"{legacy[(v, p)]}) predates path addressing; "
+                    "restore the table to the pre-DV version and "
+                    "re-issue the deletes, or optimize() with the old "
+                    "reader to materialize them first"
+                )
         return sorted(out)
 
     def _file_add_versions(
@@ -799,22 +840,39 @@ class TxLogTable:
         loses the race) is not enough — the in-flight writer must
         refuse to rebase past the winner too (ADVICE r8).
 
-        A CHECKPOINT manifest with version > base also conflicts: a
-        concurrent vacuum(retain_versions) may have absorbed exactly
-        such a metadata commit into the keep_from checkpoint (renames
-        survive as `renames_v` carriage; generated/constraint carriage
-        loses its origin version entirely), so commutativity can no
-        longer be PROVEN — and unprovable is a conflict under OCC,
-        never a pass (review r9, first pass)."""
+        A CHECKPOINT manifest past the base conflicts only when it can
+        HIDE a metadata commit: a concurrent vacuum(retain_versions)
+        absorbs such commits into the keep_from checkpoint — renames
+        survive as `renames_v` carriage (checked by origin), but
+        generated/constraint carriage loses its origin version, so
+        whenever the log was actually EXPIRED past the staged base
+        (the oldest retained version moved above it, or a version gap
+        opened below the checkpoint) commutativity can no longer be
+        proven — and unprovable is a conflict under OCC, never a pass.
+        A routine checkpoint() that expired nothing leaves every
+        manifest in (base, head] individually scannable and commutes
+        (review r9, second pass: the blanket rule aborted fully staged
+        writes on every concurrent maintenance checkpoint)."""
+        vs = self._versions()
+        vset = set(vs)
         for m in self.history():
             if m["version"] <= base:
                 continue
             if m.get("checkpoint"):
-                return (
-                    f"checkpoint at version {m['version']} (history past "
-                    f"the staged base was expired; commutativity is "
-                    "unprovable)"
+                expired = (vs and vs[0] > base) or any(
+                    v not in vset for v in range(base + 1, m["version"])
                 )
+                carried = any(
+                    int(rv) > base
+                    for rv, _o, _n in m.get("renames_v", [])
+                )
+                if expired or carried:
+                    return (
+                        f"checkpoint at version {m['version']} absorbed "
+                        "history past the staged base; commutativity is "
+                        "unprovable"
+                    )
+                continue
             op = m.get("op", "")
             if m.get("renames"):
                 return f"rename_column committed at version {m['version']}"
@@ -1120,28 +1178,16 @@ class TxLogTable:
         Checkpoints/clones/restores carry earlier renames forward as
         `renames_v` triples with ORIGIN versions preserved; a restore
         manifest is also a barrier (renames after its target are part
-        of the rolled-back history) mirroring tombstones/DVs."""
-        out: list[tuple[int, str, str]] = []
-        seen: set[tuple[int, str, str]] = set()
-        for m in self.history():
-            if version is not None and m["version"] > version:
-                continue
-            if m.get("op") == "restore" and "restored_from" in m:
-                cut = int(m["restored_from"])
-                out = [r for r in out if r[0] <= cut]
-                seen = {r for r in seen if r[0] <= cut}
-            entries = [
-                (m["version"], old, new)
-                for old, new in m.get("renames", {}).items()
-            ] + [
-                (int(v), old, new)
-                for v, old, new in m.get("renames_v", [])
-            ]
-            for e in entries:
-                if e not in seen:
-                    seen.add(e)
-                    out.append(e)
-        return sorted(out)
+        of the rolled-back history) mirroring tombstones/DVs. The fold
+        itself is the module-level `fold_renames` shared with the
+        streaming source (one visibility rule, two readers — review r9,
+        second pass)."""
+        ms = [
+            m
+            for m in self.history()
+            if version is None or m["version"] <= version
+        ]
+        return [(v, o, n) for v, _c, o, n in fold_renames(ms)]
 
     def _apply_generated(self, df: DataFrame) -> tuple[DataFrame, dict]:
         """Compute absent generated columns on an incoming batch; return
@@ -1287,22 +1333,42 @@ class TxLogTable:
             cur_sch = self._latest_schema()
             out_sch = schema_df.schema.jsonValue()
             if cur_sch is not None and cur_sch != out_sch:
-                cur_fields = {f["name"]: f for f in cur_sch["fields"]}
-                for f in out_sch["fields"]:
-                    have = cur_fields.get(f["name"])
-                    if have is None:
-                        continue
-                    if have["type"] != f["type"]:
-                        shutil.rmtree(
-                            os.path.join(self.path, _DATA_DIR, commit_id),
-                            ignore_errors=True,
-                        )
-                        raise CommitConflict(
-                            f"column {f['name']!r} evolved to type "
-                            f"{have['type']!r} concurrently; re-run the "
-                            "append against the new head"
-                        )
                 merged = json.loads(json.dumps(cur_sch))
+                by_name = {f["name"]: f for f in out_sch["fields"]}
+                # numeric WIDENING lattice (Spark's mergeSchema rule):
+                # a narrower vintage reads fine under the wider type,
+                # so same-family types resolve to the wider one —
+                # manifests stay stable where last-append-wins used to
+                # flip-flop int/long across writers
+                widen = {"byte": 0, "short": 1, "integer": 2, "long": 3}
+                fwiden = {"float": 0, "double": 1}
+                for f in merged["fields"]:
+                    ours = by_name.get(f["name"])
+                    if ours is None:
+                        continue
+                    a, b = f["type"], ours["type"]
+                    if a != b:
+                        if a in widen and b in widen:
+                            f["type"] = a if widen[a] >= widen[b] else b
+                        elif a in fwiden and b in fwiden:
+                            f["type"] = a if fwiden[a] >= fwiden[b] else b
+                        else:
+                            shutil.rmtree(
+                                os.path.join(
+                                    self.path, _DATA_DIR, commit_id
+                                ),
+                                ignore_errors=True,
+                            )
+                            raise CommitConflict(
+                                f"column {f['name']!r} is {a!r} in the "
+                                f"table but {b!r} in this append; the "
+                                "types are not widenable"
+                            )
+                    # nullability only ever WIDENS: our staged files may
+                    # contain nulls the current declaration forbids
+                    # (review r9, second pass)
+                    if ours.get("nullable", True):
+                        f["nullable"] = True
                 known = {f["name"] for f in merged["fields"]}
                 merged["fields"] += [
                     f for f in out_sch["fields"] if f["name"] not in known
@@ -1968,12 +2034,29 @@ class TxLogTable:
                 if m["version"] > base and not m.get("checkpoint")
                 for r in m.get("removed", [])
             }
-            if rewritten & set(live):
+            # the removal scan above only sees SURVIVING manifests: a
+            # concurrent vacuum(retain_versions) can absorb a rewrite
+            # into the keep_from checkpoint and expire its manifest —
+            # if the log was expired past our base, the no-rewrite
+            # proof is gone and unprovable conflicts (review r9,
+            # second pass — same rule as _rebase_conflict_since)
+            vs = self._versions()
+            expired = bool(vs) and (
+                vs[0] > base
+                or any(
+                    v not in set(vs)
+                    for m in self.history()
+                    if m.get("checkpoint") and m["version"] > base
+                    for v in range(base + 1, m["version"])
+                )
+            )
+            if (rewritten & set(live)) or expired:
                 shutil.rmtree(abs_dir, ignore_errors=True)
                 raise CommitConflict(
                     "files addressed by this deletion vector were "
-                    "rewritten concurrently; recompute the predicate "
-                    "delete against the new head"
+                    "rewritten concurrently (or history past the base "
+                    "was expired); recompute the predicate delete "
+                    "against the new head"
                 )
             manifest = {
                 "version": version,

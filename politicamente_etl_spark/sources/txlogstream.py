@@ -93,67 +93,55 @@ def _manifest(path: str, version: int) -> dict:
         return json.load(fh)
 
 
-def _rename_chain(path: str) -> list[tuple[int, str, str]]:
-    """[(origin_version, old, new)] in version order — the same fold as
-    TxLogTable._live_renames (txlog.py) over raw manifests: restore is
-    a barrier (renames after its target are rolled back), checkpoints /
-    restores carry earlier renames as `renames_v` with origin versions
-    preserved, dedup by triple."""
-    out: list[tuple[int, str, str]] = []
-    seen: set[tuple[int, str, str]] = set()
-    for v in _versions(path):
-        m = _manifest(path, v)
-        if m.get("op") == "restore" and "restored_from" in m:
-            cut = int(m["restored_from"])
-            out = [r for r in out if r[0] <= cut]
-            seen = {r for r in seen if r[0] <= cut}
-        entries = [
-            (v, old, new) for old, new in m.get("renames", {}).items()
-        ] + [
-            (int(rv), old, new) for rv, old, new in m.get("renames_v", [])
-        ]
-        for e in entries:
-            if e not in seen:
-                seen.add(e)
-                out.append(e)
-    return sorted(out)
+def _rename_chain(path: str) -> list[tuple[int, int, str, str]]:
+    """[(origin_version, carrier_version, old, new)] — the SHARED fold
+    (txlog.fold_renames): one visibility rule for the batch reader and
+    this source (review r9, second pass: two copies of the restore-
+    barrier/carriage fold is how the two readers drift apart)."""
+    from politicamente_etl_spark.sources.txlog import fold_renames
+
+    return fold_renames([_manifest(path, v) for v in _versions(path)])
 
 
 def _alias_resolution(
-    chain: list[tuple[int, str, str]],
+    chain: list[tuple[int, int, str, str]],
     declared: list[str],
     file_v: int,
     declared_v: int,
 ) -> dict[str, str]:
-    """Physical-name → declared-name map for a file written at version
-    `file_v`, read by a stream whose declared schema was captured at
-    version `declared_v`. VINTAGE-AWARE (review r9, first pass): a
-    physical name maps by walking the rename chain FORWARD through
-    renames committed in (file_v, declared_v] (the file predates them;
-    the declared schema has them applied) and BACKWARD through renames
-    in (declared_v, file_v] (a mid-stream rename skipped via
-    ignore_changes: the file postdates it, the declared schema does
-    not). Version-bounding the walks — instead of trying both
-    directions name-globally — disambiguates reuse chains like
-    `a→x` then `b→a`: a pre-rename file's physical `a` maps to `x`,
-    never short-circuits to the redeclared `a`. Names that reach no
-    declared column are absent; the reader raises on them instead of
-    trusting position (ADVICE r8)."""
+    """Physical-name → declared-name map for a file written at local
+    version `file_v`, read by a stream whose declared schema was
+    captured at local version `declared_v`. VINTAGE-AWARE (review r9,
+    first pass): a physical name maps by walking the rename chain
+    FORWARD through renames the file predates (origin > file_v) that
+    the declared schema already reflects (carrier ≤ declared_v), and
+    BACKWARD through renames the declared schema predates (carrier >
+    declared_v) that the file carries natively (origin ≤ file_v — a
+    mid-stream rename skipped via ignore_changes). Bounds use the
+    CARRIER (the local version that made the entry visible), not the
+    origin alone: a clone's v1 carries source renames whose origins
+    exceed every local version, and pre-rename source files must still
+    map (review r9, second pass). Version-bounding the walks — instead
+    of trying both directions name-globally — disambiguates reuse
+    chains like `a→x` then `b→a`: a pre-rename file's physical `a`
+    maps to `x`, never short-circuits to the redeclared `a`. Names
+    that reach no declared column are absent; the reader raises on
+    them instead of trusting position (ADVICE r8)."""
     declared_set = set(declared)
 
     def map_name(name: str) -> str:
         cur = name
-        for ver, old, new in chain:  # forward, version order
-            if file_v < ver <= declared_v and cur == old:
+        for origin, carrier, old, new in chain:  # forward, origin order
+            if origin > file_v and carrier <= declared_v and cur == old:
                 cur = new
-        for ver, old, new in reversed(chain):  # backward
-            if declared_v < ver <= file_v and cur == new:
+        for origin, carrier, old, new in reversed(chain):  # backward
+            if carrier > declared_v and origin <= file_v and cur == new:
                 cur = old
         return cur
 
     names = (
-        {o for _, o, _ in chain}
-        | {n for _, _, n in chain}
+        {o for _, _, o, _ in chain}
+        | {n for _, _, _, n in chain}
         | declared_set
     )
     res: dict[str, str] = {}

@@ -273,7 +273,7 @@ def test_stream_read_maps_pre_rename_vintage_by_chain(spark, tmp_path):
     spark.range(0, 3).selectExpr("id as v_old", "id * 2 as w").toPandas().to_parquet(
         f, index=False
     )
-    resolve = _alias_resolution([(5, "v_old", "v")], ["v", "w"], 1, 6)
+    resolve = _alias_resolution([(5, 5, "v_old", "v")], ["v", "w"], 1, 6)
     assert resolve == {"v_old": "v", "v": "v", "w": "w"}
     reader = TxLogStreamReader(str(tmp_path), True, field_names=["v", "w"])
     batches = list(reader.read(_FilePartition(f, resolve=resolve)))
@@ -301,7 +301,7 @@ def test_alias_resolution_post_rename_vintage_maps_backward(spark):
     — the backward walk maps them."""
     from politicamente_etl_spark.sources.txlogstream import _alias_resolution
 
-    resolve = _alias_resolution([(5, "v", "val")], ["v", "w"], 6, 4)
+    resolve = _alias_resolution([(5, 5, "v", "val")], ["v", "w"], 6, 4)
     assert resolve["val"] == "v"
 
 
@@ -313,7 +313,7 @@ def test_alias_resolution_reuse_chain_is_vintage_exact(spark):
     this; the version-bounded walk can."""
     from politicamente_etl_spark.sources.txlogstream import _alias_resolution
 
-    chain = [(2, "a", "x"), (3, "b", "a")]
+    chain = [(2, 2, "a", "x"), (3, 3, "b", "a")]
     resolve = _alias_resolution(chain, ["x", "a"], 1, 3)
     assert resolve["a"] == "x"
     assert resolve["b"] == "a"
@@ -321,6 +321,59 @@ def test_alias_resolution_reuse_chain_is_vintage_exact(spark):
     # a post-rename file (vintage 4) carries [x, a] natively: identity
     resolve4 = _alias_resolution(chain, ["x", "a"], 4, 3)
     assert resolve4["x"] == "x" and resolve4["a"] == "a"
+
+
+def test_alias_resolution_clone_carried_renames(spark):
+    """Review r9, second pass: a clone's v1 manifest carries source
+    renames whose ORIGIN versions exceed every local version. The
+    carrier (local v1) bounds declared-visibility, so pre-rename source
+    files referenced by the clone still map old→new."""
+    from politicamente_etl_spark.sources.txlogstream import _alias_resolution
+
+    resolve = _alias_resolution([(2, 1, "a", "b")], ["b"], 1, 1)
+    assert resolve["a"] == "b"
+
+
+def test_stream_over_clone_of_renamed_source(spark):
+    """End-to-end: stream a shallow clone whose SOURCE renamed a column
+    — the clone's pre-rename source files must flow relabeled to the
+    clone's declared schema (review r9, second pass: the origin-only
+    bound raised on every such file)."""
+    import tempfile as _tf
+
+    from politicamente_etl_spark.sources.txlogstream import (
+        TxLogStreamDataSource,
+    )
+
+    try:
+        spark.dataSource.register(TxLogStreamDataSource)
+    except Exception:
+        pass
+    base = _tf.mkdtemp(prefix="stream_clone_ren_")
+    src = os.path.join(base, "src")
+    t = TxLogTable.create(
+        spark, src, spark.range(0, 8).selectExpr("id as a", "id % 2 as g")
+    )
+    t.rename_column("a", "b")
+    clone = t.clone_shallow(os.path.join(base, "c"))
+    assert "b" in clone.snapshot().columns
+    name = "clone_ren_" + os.path.basename(base)
+    q = (
+        spark.readStream.format("txlogstream")
+        .option("path", os.path.join(base, "c"))
+        .load()
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    out = spark.table(name)
+    assert out.columns == ["b", "g"]
+    assert sorted(r["b"] for r in out.collect()) == list(range(8))
 
 
 def test_stream_end_to_end_reads_through_rename(spark):
@@ -448,3 +501,178 @@ def test_metadata_setters_refuse_to_rebase_past_rename(spark, monkeypatch):
     fresh = TxLogTable(spark, path)
     fresh.set_constraint("val_nonneg", "val >= 0")
     assert "val_nonneg" in fresh._live_constraints()
+
+
+# -- review r9 second pass: fence/checkpoint/expiry refinements ------------
+
+
+def test_legacy_dv_fence_raises_and_restore_clears_it(spark):
+    """A basename-era DV manifest (no addr field) must fail reads
+    loudly — and following the error's own remediation (restore to the
+    pre-DV version) must actually clear the fence, not leave the table
+    bricked by the dead manifest."""
+    t, path = _mk_plain(spark)
+    pre_dv = t.latest_version()
+    # forge a legacy-era DV manifest: sidecar + entry WITHOUT addr
+    matched = (
+        t._read_with_tombstones(t._live_files(), keep_row_address=True)
+        .filter("v < 3")
+        .select("__fb", "__ri")
+    )
+    rel_dir = os.path.join(_DELETES_DIR, "legacyforge")
+    abs_dir = os.path.join(path, rel_dir)
+    matched.write.parquet(abs_dir)
+    version = t.latest_version() + 1
+    assert t._try_commit(
+        version,
+        {
+            "version": version,
+            "op": "delete_rowindex",
+            "added": [],
+            "removed": [],
+            "dvs": [{"path": rel_dir, "n_rows": 3}],  # no addr: legacy
+        },
+    )
+    fresh = TxLogTable(spark, path)
+    with pytest.raises(RuntimeError, match="predates path addressing"):
+        fresh.snapshot().count()
+    with pytest.raises(RuntimeError, match="predates path addressing"):
+        fresh.checkpoint()
+    # the remediation: restore to the pre-DV version → barrier drops
+    # the legacy entry → table readable again
+    fresh.restore(pre_dv)
+    assert fresh.snapshot().count() == 100
+    fresh.checkpoint()
+    assert TxLogTable(spark, path).snapshot().count() == 100
+
+
+def test_routine_checkpoint_does_not_conflict_append(spark, monkeypatch):
+    """Review r9, second pass: a maintenance checkpoint() that expired
+    nothing commutes with an in-flight append — the blanket rule
+    aborted fully staged writes on every concurrent checkpoint."""
+    t, path = _mk_plain(spark)
+    orig = TxLogTable._stage_write
+    fired = []
+
+    def hooked(self, df, partition_col=None):
+        res = orig(self, df, partition_col)
+        if not fired:
+            fired.append(True)
+            TxLogTable(self.spark, self.path).checkpoint()
+        return res
+
+    monkeypatch.setattr(TxLogTable, "_stage_write", hooked)
+    v = t.append(spark.range(100, 110).selectExpr("id as v", "id % 7 as grp"))
+    assert v == 3, "append rebases past the routine checkpoint"
+    assert TxLogTable(spark, path).snapshot().count() == 110
+
+
+def test_append_conflicts_when_history_expired_past_base(spark, monkeypatch):
+    """But an expiring vacuum DOES conflict: with manifests below the
+    keep_from checkpoint gone, an absorbed metadata commit can no
+    longer be ruled out."""
+    t, path = _mk_plain(spark)
+    t.append(spark.range(100, 110).selectExpr("id as v", "id % 7 as grp"))
+    orig = TxLogTable._stage_write
+    fired = []
+
+    def hooked(self, df, partition_col=None):
+        res = orig(self, df, partition_col)
+        if not fired:
+            fired.append(True)
+            other = TxLogTable(self.spark, self.path)
+            other.append(
+                self.spark.range(200, 201).selectExpr(
+                    "id as v", "id % 7 as grp"
+                )
+            )
+            other.vacuum(retain_versions=1)
+        return res
+
+    monkeypatch.setattr(TxLogTable, "_stage_write", hooked)
+    with pytest.raises(CommitConflict, match="unprovable"):
+        t.append(spark.range(300, 310).selectExpr("id as v", "id % 7 as grp"))
+
+
+def test_dv_commit_conflicts_when_history_expired_past_base(
+    spark, monkeypatch
+):
+    """delete_where_rowindex's no-rewrite proof relies on scanning
+    surviving manifests; once an expiring vacuum absorbs history past
+    its base, the proof is gone and the commit must conflict (review
+    r9, second pass) — a rewrite hidden inside the checkpoint would
+    otherwise silently void the addressed deletes."""
+    t, path = _mk_plain(spark)
+    t.append(spark.range(100, 110).selectExpr("id as v", "id % 7 as grp"))
+    orig = TxLogTable._try_commit
+    fired = []
+
+    def hooked(self, version, manifest):
+        # race exactly at the DV writer's first claim (its sidecar is
+        # fully staged): an optimize rewrites the addressed files and a
+        # retention vacuum absorbs the rewrite into a checkpoint,
+        # expiring the manifests that could prove it happened
+        if not fired and manifest.get("op") == "delete_rowindex":
+            fired.append(True)
+            other = TxLogTable(self.spark, self.path)
+            other.optimize()
+            other.vacuum(retain_versions=1)
+        return orig(self, version, manifest)
+
+    monkeypatch.setattr(TxLogTable, "_try_commit", hooked)
+    with pytest.raises(CommitConflict):
+        t.delete_where_rowindex("v < 5")
+
+
+def test_append_schema_merge_widens_nullability(spark):
+    """Review r9, second pass: spark.range stamps nullable:false; an
+    append of null-bearing data must widen the declared nullability,
+    never freeze non-nullable over files containing nulls."""
+    import tempfile as _tf
+
+    path = os.path.join(_tf.mkdtemp(prefix="nullable_"), "t")
+    t = TxLogTable.create(
+        spark, path, spark.range(0, 5).selectExpr("id as v")
+    )
+    sch0 = t._latest_schema()
+    assert sch0["fields"][0]["nullable"] is False
+    t.append(
+        spark.range(5, 8).selectExpr(
+            "CASE WHEN id = 6 THEN NULL ELSE id END as v"
+        )
+    )
+    sch1 = t._latest_schema()
+    assert sch1["fields"][0]["nullable"] is True
+    assert t.snapshot().filter("v IS NULL").count() == 1
+
+
+def test_append_schema_merge_widens_numeric_types(spark):
+    """int-literal appends into a bigint column keep the manifest at
+    bigint (Spark mergeSchema's widening rule) instead of flip-flopping
+    per writer or raising; a non-widenable mismatch raises."""
+    import tempfile as _tf
+
+    path = os.path.join(_tf.mkdtemp(prefix="widen_"), "t")
+    t = TxLogTable.create(
+        spark,
+        path,
+        spark.range(0, 5).selectExpr("id as k", "cast(1 as bigint) as w"),
+    )
+    t.append(spark.range(5, 8).selectExpr("id as k", "7 as w"))  # int literal
+    sch = t._latest_schema()
+    assert {f["name"]: f["type"] for f in sch["fields"]}["w"] == "long"
+    # widening the other direction too: int table column, long append
+    t2 = TxLogTable.create(
+        spark,
+        os.path.join(os.path.dirname(path), "t2"),
+        spark.range(0, 5).selectExpr("id as k", "cast(1 as int) as w"),
+    )
+    t2.append(
+        spark.range(5, 8).selectExpr("id as k", "cast(7 as bigint) as w")
+    )
+    sch2 = t2._latest_schema()
+    assert {f["name"]: f["type"] for f in sch2["fields"]}["w"] == "long"
+    with pytest.raises(CommitConflict, match="not widenable"):
+        t2.append(
+            spark.range(8, 9).selectExpr("id as k", "string(id) as w")
+        )
