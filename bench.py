@@ -102,6 +102,11 @@ def main() -> None:
             p = os.path.join(scratch_root, e)
             if os.path.isdir(p):
                 shutil.rmtree(p, ignore_errors=True)
+            else:
+                try:
+                    os.unlink(p)  # mkstemp-style plain files too
+                except OSError:
+                    pass
 
     def _isolate_session() -> None:
         """Reset the session state a previous slot may have mutated:

@@ -131,6 +131,81 @@ def _manifest_path(path: str, version: int) -> str:
     return os.path.join(path, _LOG_DIR, f"{version:020d}.json")
 
 
+_INT_WIDEN = {"byte": 0, "short": 1, "integer": 2, "long": 3}
+_FLOAT_WIDEN = {"float": 0, "double": 1}
+
+
+def _widen_types(a, b):
+    """Widened union of two schema-JSON types, or None when they are
+    incompatible. Scalars widen along the numeric lattices
+    (byte<short<int<long, float<double — Spark's mergeSchema rule);
+    complex types widen RECURSIVELY with nullability flags OR-ed
+    (containsNull / valueContainsNull / field nullable), so an append
+    whose array<string> merely differs in containsNull keeps
+    committing (review r9, third pass: the scalar-only lattice crashed
+    on dict types and would have conflicted on compatible complex
+    types)."""
+    if a == b:
+        return a
+    if isinstance(a, str) and isinstance(b, str):
+        for lat in (_INT_WIDEN, _FLOAT_WIDEN):
+            if a in lat and b in lat:
+                return a if lat[a] >= lat[b] else b
+        return None
+    if not (isinstance(a, dict) and isinstance(b, dict)):
+        return None
+    if a.get("type") != b.get("type"):
+        return None
+    t = a.get("type")
+    if t == "array":
+        et = _widen_types(a.get("elementType"), b.get("elementType"))
+        if et is None:
+            return None
+        return {
+            "type": "array",
+            "elementType": et,
+            "containsNull": bool(
+                a.get("containsNull", True) or b.get("containsNull", True)
+            ),
+        }
+    if t == "map":
+        kt = _widen_types(a.get("keyType"), b.get("keyType"))
+        vt = _widen_types(a.get("valueType"), b.get("valueType"))
+        if kt is None or vt is None:
+            return None
+        return {
+            "type": "map",
+            "keyType": kt,
+            "valueType": vt,
+            "valueContainsNull": bool(
+                a.get("valueContainsNull", True)
+                or b.get("valueContainsNull", True)
+            ),
+        }
+    if t == "struct":
+        fa = a.get("fields", [])
+        fb = b.get("fields", [])
+        if [f["name"] for f in fa] != [f["name"] for f in fb]:
+            return None
+        fields = []
+        for x, y in zip(fa, fb):
+            ft = _widen_types(x["type"], y["type"])
+            if ft is None:
+                return None
+            fields.append(
+                {
+                    "name": x["name"],
+                    "type": ft,
+                    "nullable": bool(
+                        x.get("nullable", True) or y.get("nullable", True)
+                    ),
+                    "metadata": x.get("metadata", {}),
+                }
+            )
+        return {"type": "struct", "fields": fields}
+    return None
+
+
 def fold_renames(
     manifests: list[dict],
 ) -> list[tuple[int, int, str, str]]:
@@ -153,8 +228,28 @@ def fold_renames(
         mv = int(m["version"])
         if m.get("op") == "restore" and "restored_from" in m:
             cut = int(m["restored_from"])
+            dropped = sorted(r for r in out if r[0] > cut)
             out = [r for r in out if r[0] <= cut]
             seen = {r for r in seen if r[0] <= cut}
+            # INVERSE entries for the retracted renames: files appended
+            # while a now-rolled-back rename was live physically carry
+            # its NEW name, but post-restore the logical name is the
+            # TARGET vintage's — without an entry mapping them back,
+            # the streaming tail bricks on those files (review r9,
+            # third pass). Each retracted vintage name maps DIRECTLY to
+            # its fully-unwound target name (composing the dropped
+            # chain), at origin = the restore version, so it applies
+            # exactly to files added before the restore and is a no-op
+            # for the re-added target files (they carry the target
+            # names already).
+            for _o, _c, _old, new in dropped:
+                name = new
+                for _o2, _c2, old2, new2 in reversed(dropped):
+                    if name == new2:
+                        name = old2
+                if name != new and (mv, new, name) not in seen:
+                    seen.add((mv, new, name))
+                    out.append((mv, mv, new, name))
         entries = [
             (mv, old, new) for old, new in m.get("renames", {}).items()
         ] + [
@@ -182,16 +277,35 @@ class CommitStore:
       store must leave the existing file untouched;
     - two concurrent calls on the same path: exactly one True.
 
+    `replace(path, payload)` is the second, maintenance-only seam:
+    vacuum's retention checkpoint rewrites the keep_from manifest IN
+    PLACE (same version, folded content). It must be atomic for
+    READERS (no torn manifest observable) but needs no multi-writer
+    arbitration — retention runs single-maintainer by contract. POSIX
+    os.replace provides it; object stores use their native atomic PUT
+    (review r9, third pass: this call previously bypassed the seam).
+
     Everything else the txlog does against storage (manifest reads,
-    data-file I/O) is plain immutable-object read/write, which every
-    store provides; only the version claim needs coordination. A 100 TB
-    deployment on an object store plugs in a coordinator backed by the
-    store's conditional put (S3 `If-None-Match: *`, GCS
-    `ifGenerationMatch=0`, Azure `If-None-Match: *`) or an external
-    lock table; local/NFS deployments keep the POSIX link(2) default."""
+    data-file I/O, expired-manifest deletes) is plain immutable-object
+    read/write/delete, which every store provides; only the version
+    claim needs coordination. A 100 TB deployment on an object store
+    plugs in a coordinator backed by the store's conditional put (S3
+    `If-None-Match: *`, GCS `ifGenerationMatch=0`, Azure
+    `If-None-Match: *`) or an external lock table; local/NFS
+    deployments keep the POSIX link(2) default."""
 
     def put_if_absent(self, path: str, payload: str) -> bool:
         raise NotImplementedError
+
+    def replace(self, path: str, payload: str) -> None:
+        """Atomically overwrite `path` with `payload` (readers see old
+        or new bytes, never a tear). Default: temp file + os.replace."""
+        tmp = path + f".rw-{uuid.uuid4().hex}"
+        with open(tmp, "w") as fh:
+            fh.write(payload)
+            fh.flush()
+            os.fsync(fh.fileno())
+        os.replace(tmp, path)
 
 
 class PosixLinkCommitStore(CommitStore):
@@ -822,6 +936,25 @@ class TxLogTable:
             json.dumps(manifest, sort_keys=True),
         )
 
+    def _history_expired_past(self, base: int) -> bool:
+        """True when retention expiry removed manifests with version >
+        `base` (the oldest retained version moved above it, or a
+        version gap opened below a checkpoint) — the shared premise of
+        every 'commutativity is unprovable' conflict (review r9, third
+        pass: one rule, two rebase loops)."""
+        vs = self._versions()
+        if not vs:
+            return False
+        if vs[0] > base:
+            return True
+        vset = set(vs)
+        return any(
+            v not in vset
+            for m in self.history()
+            if m.get("checkpoint") and m["version"] > base
+            for v in range(base + 1, m["version"])
+        )
+
     def _rebase_conflict_since(self, base: int) -> str | None:
         """Description of the first NON-COMMUTING metadata commit with
         version > `base`, or None if rebasing is safe. Blind-rebase
@@ -853,20 +986,15 @@ class TxLogTable:
         manifest in (base, head] individually scannable and commutes
         (review r9, second pass: the blanket rule aborted fully staged
         writes on every concurrent maintenance checkpoint)."""
-        vs = self._versions()
-        vset = set(vs)
         for m in self.history():
             if m["version"] <= base:
                 continue
             if m.get("checkpoint"):
-                expired = (vs and vs[0] > base) or any(
-                    v not in vset for v in range(base + 1, m["version"])
-                )
                 carried = any(
                     int(rv) > base
                     for rv, _o, _n in m.get("renames_v", [])
                 )
-                if expired or carried:
+                if carried or self._history_expired_past(base):
                     return (
                         f"checkpoint at version {m['version']} absorbed "
                         "history past the staged base; commutativity is "
@@ -1335,35 +1463,26 @@ class TxLogTable:
             if cur_sch is not None and cur_sch != out_sch:
                 merged = json.loads(json.dumps(cur_sch))
                 by_name = {f["name"]: f for f in out_sch["fields"]}
-                # numeric WIDENING lattice (Spark's mergeSchema rule):
-                # a narrower vintage reads fine under the wider type,
-                # so same-family types resolve to the wider one —
+                # WIDENING union (Spark's mergeSchema rule, _widen_types):
+                # numeric lattices + recursive complex-type nullability —
                 # manifests stay stable where last-append-wins used to
                 # flip-flop int/long across writers
-                widen = {"byte": 0, "short": 1, "integer": 2, "long": 3}
-                fwiden = {"float": 0, "double": 1}
                 for f in merged["fields"]:
                     ours = by_name.get(f["name"])
                     if ours is None:
                         continue
-                    a, b = f["type"], ours["type"]
-                    if a != b:
-                        if a in widen and b in widen:
-                            f["type"] = a if widen[a] >= widen[b] else b
-                        elif a in fwiden and b in fwiden:
-                            f["type"] = a if fwiden[a] >= fwiden[b] else b
-                        else:
-                            shutil.rmtree(
-                                os.path.join(
-                                    self.path, _DATA_DIR, commit_id
-                                ),
-                                ignore_errors=True,
-                            )
-                            raise CommitConflict(
-                                f"column {f['name']!r} is {a!r} in the "
-                                f"table but {b!r} in this append; the "
-                                "types are not widenable"
-                            )
+                    wt = _widen_types(f["type"], ours["type"])
+                    if wt is None:
+                        shutil.rmtree(
+                            os.path.join(self.path, _DATA_DIR, commit_id),
+                            ignore_errors=True,
+                        )
+                        raise CommitConflict(
+                            f"column {f['name']!r} is {f['type']!r} in "
+                            f"the table but {ours['type']!r} in this "
+                            "append; the types are not widenable"
+                        )
+                    f["type"] = wt
                     # nullability only ever WIDENS: our staged files may
                     # contain nulls the current declaration forbids
                     # (review r9, second pass)
@@ -2040,17 +2159,7 @@ class TxLogTable:
             # if the log was expired past our base, the no-rewrite
             # proof is gone and unprovable conflicts (review r9,
             # second pass — same rule as _rebase_conflict_since)
-            vs = self._versions()
-            expired = bool(vs) and (
-                vs[0] > base
-                or any(
-                    v not in set(vs)
-                    for m in self.history()
-                    if m.get("checkpoint") and m["version"] > base
-                    for v in range(base + 1, m["version"])
-                )
-            )
-            if (rewritten & set(live)) or expired:
+            if (rewritten & set(live)) or self._history_expired_past(base):
                 shutil.rmtree(abs_dir, ignore_errors=True)
                 raise CommitConflict(
                     "files addressed by this deletion vector were "
@@ -2260,11 +2369,13 @@ class TxLogTable:
             # Make the oldest retained version self-contained, then drop
             # the expired manifests it no longer needs.
             ck = self._checkpoint_manifest(keep_from)
-            p = _manifest_path(self.path, keep_from)
-            tmp = p + ".ck"
-            with open(tmp, "w") as fh:
-                json.dump(ck, fh, sort_keys=True)
-            os.replace(tmp, p)  # same-version rewrite, not a new commit
+            # same-version rewrite, not a new commit — through the
+            # store's atomic replace so object-store deployments keep
+            # readers tear-free (review r9, third pass)
+            self._commit_store.replace(
+                _manifest_path(self.path, keep_from),
+                json.dumps(ck, sort_keys=True),
+            )
             for v in versions:
                 if v < keep_from:
                     os.unlink(_manifest_path(self.path, v))

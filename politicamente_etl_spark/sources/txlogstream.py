@@ -159,6 +159,7 @@ class TxLogStreamReader(DataSourceStreamReader):
         ignore_changes: bool,
         ignore_deletes: bool = False,
         field_names: list[str] | None = None,
+        declared_version: int | None = None,
     ):
         self.ignore_deletes = ignore_deletes
         self.path = path
@@ -170,9 +171,16 @@ class TxLogStreamReader(DataSourceStreamReader):
         # partitions(); see read()), never by position (ADVICE r8)
         self.field_names = field_names or []
         # the schema vintage: renames at or below this version are
-        # already reflected in field_names (schema() reads the head at
-        # reader construction); later ones are mid-stream
-        self.declared_version = max(_versions(path), default=0)
+        # already reflected in field_names. Passed from the version the
+        # DataSource actually read the schema at — re-deriving 'latest'
+        # here would invert the vintage math for a rename landing
+        # between schema() and reader construction (review r9, third
+        # pass)
+        self.declared_version = (
+            declared_version
+            if declared_version is not None
+            else max(_versions(path), default=0)
+        )
         # rename-chain cache keyed by the version listing — manifests
         # are immutable (vacuum's in-place checkpoint rewrite changes
         # the listing via expiry), so re-folding the whole log every
@@ -333,6 +341,11 @@ class TxLogStreamDataSource(DataSource):
         for v in reversed(vs):
             m = _manifest(path, v)
             if "schema" in m:
+                # remember the vintage this schema belongs to — the
+                # reader's rename math is relative to it (review r9,
+                # third pass: a rename committed between schema() and
+                # streamReader() must count as mid-stream)
+                self._schema_version = vs[-1]
                 return StructType.fromJson(m["schema"])
         raise RuntimeError(f"no schema-bearing manifest in {path}")
 
@@ -342,4 +355,5 @@ class TxLogStreamDataSource(DataSource):
             str(self.options.get("ignore_changes", "false")).lower() == "true",
             str(self.options.get("ignore_deletes", "false")).lower() == "true",
             field_names=list(schema.fieldNames()),
+            declared_version=getattr(self, "_schema_version", None),
         )

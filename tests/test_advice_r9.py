@@ -676,3 +676,154 @@ def test_append_schema_merge_widens_numeric_types(spark):
         t2.append(
             spark.range(8, 9).selectExpr("id as k", "string(id) as w")
         )
+
+
+# -- review r9 third pass ---------------------------------------------------
+
+
+def test_append_schema_merge_handles_complex_types(spark):
+    """Array/struct types are dicts in schema JSON — the merge must
+    widen their nullability flags recursively, not crash on an
+    unhashable dict or conflict on compatible types (review r9, third
+    pass)."""
+    import tempfile as _tf
+
+    path = os.path.join(_tf.mkdtemp(prefix="complex_"), "t")
+    t = TxLogTable.create(
+        spark,
+        path,
+        spark.range(0, 3).selectExpr(
+            "id as k", "array(string(id), NULL) as tags"
+        ),
+    )
+    # F.split yields array<string> with containsNull=false — differs
+    # from the created containsNull=true; must commit and keep true
+    t.append(
+        spark.range(3, 5).selectExpr("id as k", "split(string(id), ',') as tags")
+    )
+    sch = {f["name"]: f for f in t._latest_schema()["fields"]}
+    assert sch["tags"]["type"]["containsNull"] is True
+    assert t.snapshot().count() == 5
+    # incompatible element type still conflicts (and unstages)
+    before = set(os.listdir(os.path.join(path, _DATA_DIR)))
+    with pytest.raises(CommitConflict, match="not widenable"):
+        t.append(
+            spark.range(5, 6).selectExpr("id as k", "array(id) as tags")
+        )
+    assert set(os.listdir(os.path.join(path, _DATA_DIR))) == before
+
+
+def test_stream_reads_files_of_restore_retracted_rename(spark):
+    """Files appended while a later-rolled-back rename was live carry
+    its NEW physical name; after restore the logical schema reverts.
+    The fold emits inverse entries at the restore version, so the tail
+    relabels those files to the restored names instead of bricking
+    (review r9, third pass)."""
+    import tempfile as _tf
+
+    from politicamente_etl_spark.sources.txlogstream import (
+        TxLogStreamDataSource,
+    )
+
+    try:
+        spark.dataSource.register(TxLogStreamDataSource)
+    except Exception:
+        pass
+    base = _tf.mkdtemp(prefix="stream_retract_")
+    path = os.path.join(base, "t")
+    t = TxLogTable.create(
+        spark, path, spark.range(0, 5).selectExpr("id as a", "id % 2 as g")
+    )
+    t.rename_column("a", "b")
+    t.append(spark.range(5, 8).selectExpr("id as b", "id % 2 as g"))
+    t.restore(1)
+    assert "a" in t.snapshot().columns
+    name = "retract_" + os.path.basename(base)
+    q = (
+        spark.readStream.format("txlogstream")
+        .option("path", path)
+        .option("ignore_changes", "true")
+        .option("ignore_deletes", "true")
+        .load()
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    out = spark.table(name)
+    assert out.columns == ["a", "g"]
+    # the tail emits create(0..4) + append(5..7); the restore commit
+    # itself is a rewrite skipped by ignore_changes (its re-adds do
+    # not replay). The append's files carry physical 'b' and MUST
+    # surface under the restored logical name 'a'.
+    vals = sorted(r["a"] for r in out.collect())
+    assert vals == list(range(8))
+
+
+def test_stream_declared_version_captured_at_schema_read(spark):
+    """A rename landing between schema() and streamReader() must count
+    as mid-stream: the reader's declared_version is the version the
+    schema was actually read at, not a later head (review r9, third
+    pass)."""
+    import tempfile as _tf
+
+    from politicamente_etl_spark.sources.txlogstream import (
+        TxLogStreamDataSource,
+    )
+
+    path = os.path.join(_tf.mkdtemp(prefix="declared_v_"), "t")
+    t = TxLogTable.create(
+        spark, path, spark.range(0, 4).selectExpr("id as a", "id % 2 as g")
+    )
+    ds = TxLogStreamDataSource(options={"path": path})
+    sch = ds.schema()
+    assert sch.fieldNames() == ["a", "g"]
+    t.rename_column("a", "b")  # lands between schema() and reader init
+    reader = ds.streamReader(sch)
+    assert reader.declared_version == 1, (
+        "declared_version must be the schema-read vintage, not the head"
+    )
+    # vintage math: a post-rename file (carrying 'b') maps back to the
+    # declared 'a' via the backward walk
+    from politicamente_etl_spark.sources.txlogstream import (
+        _alias_resolution,
+        _rename_chain,
+    )
+
+    resolve = _alias_resolution(
+        _rename_chain(path), ["a", "g"], 3, reader.declared_version
+    )
+    assert resolve["b"] == "a"
+
+
+def test_vacuum_checkpoint_rewrite_goes_through_commit_store(spark):
+    """The retention checkpoint rewrite is the second store seam: it
+    must route through CommitStore.replace so object-store deployments
+    keep readers tear-free (review r9, third pass)."""
+    import tempfile as _tf
+
+    from politicamente_etl_spark.sources.txlog import PosixLinkCommitStore
+
+    calls = []
+
+    class RecordingReplace(PosixLinkCommitStore):
+        def replace(self, path, payload):
+            calls.append(path)
+            super().replace(path, payload)
+
+    path = os.path.join(_tf.mkdtemp(prefix="store_rw_"), "t")
+    t = TxLogTable.create(
+        spark,
+        path,
+        spark.range(0, 10).selectExpr("id as v"),
+        commit_store=RecordingReplace(),
+    )
+    t.append(spark.range(10, 15).selectExpr("id as v"))
+    t.append(spark.range(15, 20).selectExpr("id as v"))
+    t.vacuum(retain_versions=1)
+    assert len(calls) == 1 and calls[0].endswith(".json")
+    assert TxLogTable(spark, path).snapshot().count() == 20
