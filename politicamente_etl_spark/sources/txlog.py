@@ -986,13 +986,31 @@ class TxLogTable:
         manifest in (base, head] individually scannable and commutes
         (review r9, second pass: the blanket rule aborted fully staged
         writes on every concurrent maintenance checkpoint)."""
+        pre_renames: set[tuple[int, str, str]] | None = None
         for m in self.history():
             if m["version"] <= base:
                 continue
             if m.get("checkpoint"):
+                if pre_renames is None:
+                    # rename triples already visible AT the base — a
+                    # checkpoint re-carrying one of those commutes.
+                    # Membership, not origin>base: clone-inherited
+                    # entries keep FOREIGN (source-log) origins, which
+                    # made every routine clone checkpoint read as
+                    # 'absorbed history' (review r9, fourth pass)
+                    pre_renames = {
+                        (v, o, n)
+                        for v, _c, o, n in fold_renames(
+                            [
+                                mm
+                                for mm in self.history()
+                                if mm["version"] <= base
+                            ]
+                        )
+                    }
                 carried = any(
-                    int(rv) > base
-                    for rv, _o, _n in m.get("renames_v", [])
+                    (int(rv), o, n) not in pre_renames
+                    for rv, o, n in m.get("renames_v", [])
                 )
                 if carried or self._history_expired_past(base):
                     return (
@@ -3061,11 +3079,24 @@ class TxLogTable:
         clone is the caller's lifecycle contract, exactly as in Delta.
 
         The cheap-fork primitive: dev/test tables against production
-        data, experiment branches, migration dry-runs."""
+        data, experiment branches, migration dry-runs.
+
+        The clone's create manifest claims version = the SOURCE's head
+        version (not 1): every carried artifact — tombstone/DV origins,
+        rename origins, file add-versions — keeps source numbering, and
+        local commits continue above it, so 'committed after' stays a
+        plain integer comparison across the carried and local history.
+        Claiming 1 put local commits (2, 3, …) BELOW carried source
+        versions: a clone-local rename at local v2 never aliased
+        carried files whose source add-version was ≥ 2 (review r9,
+        fourth pass). Version numbers below the clone point simply
+        don't exist in the clone's log (reads there see an empty
+        table), the same shape as a vacuum-expired history."""
         t = TxLogTable(self.spark, dest, commit_store=self._commit_store)
         if t.latest_version():
             raise FileExistsError(f"txlog table already exists at {dest}")
         os.makedirs(dest, exist_ok=True)
+        clone_v = max(1, self.latest_version())
         live = self._live_files()
         stats = self._live_stats()
         rels = {
@@ -3073,7 +3104,7 @@ class TxLogTable:
             for r in live
         }
         manifest = {
-            "version": 1,
+            "version": clone_v,
             "op": "clone",
             "source": os.path.abspath(self.path),
             "source_version": self.latest_version(),
@@ -3133,6 +3164,6 @@ class TxLogTable:
         sch = self._latest_schema()
         if sch is not None:
             manifest["schema"] = sch
-        if not t._try_commit(1, manifest):
+        if not t._try_commit(clone_v, manifest):
             raise CommitConflict(f"concurrent create at {dest}")
         return t

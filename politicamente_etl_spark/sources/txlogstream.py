@@ -126,16 +126,26 @@ def _alias_resolution(
     chains like `a→x` then `b→a`: a pre-rename file's physical `a`
     maps to `x`, never short-circuits to the redeclared `a`. Names
     that reach no declared column are absent; the reader raises on
-    them instead of trusting position (ADVICE r8)."""
+    them instead of trusting position (ADVICE r8).
+
+    'Included in the declared schema' is origin ≤ declared_v OR
+    carrier ≤ declared_v — either proves the entry was visible when
+    the schema was read. Origin alone misses clone carriage (foreign
+    origins exceed every local version); carrier alone is unstable
+    under vacuum expiry, which re-carries old entries at the keep_from
+    checkpoint and would flip their classification mid-stream (review
+    r9, fourth pass)."""
     declared_set = set(declared)
 
     def map_name(name: str) -> str:
         cur = name
         for origin, carrier, old, new in chain:  # forward, origin order
-            if origin > file_v and carrier <= declared_v and cur == old:
+            included = origin <= declared_v or carrier <= declared_v
+            if origin > file_v and included and cur == old:
                 cur = new
         for origin, carrier, old, new in reversed(chain):  # backward
-            if carrier > declared_v and origin <= file_v and cur == new:
+            included = origin <= declared_v or carrier <= declared_v
+            if not included and origin <= file_v and cur == new:
                 cur = old
         return cur
 
@@ -183,10 +193,10 @@ class TxLogStreamReader(DataSourceStreamReader):
         )
         # rename-chain cache keyed by the version listing — manifests
         # are immutable (vacuum's in-place checkpoint rewrite changes
-        # the listing via expiry), so re-folding the whole log every
-        # micro-batch would be O(versions) driver I/O forever
-        self._chain_key: tuple[int, int] | None = None
-        self._chain: list[tuple[int, str, str]] = []
+        # the listing via expiry), folded INCREMENTALLY per new commit
+        # (see _current_chain)
+        self._chain_key: tuple[int, ...] | None = None
+        self._chain: list[tuple[int, int, str, str]] = []
 
     def initialOffset(self) -> dict:
         return {"version": 0}
@@ -195,12 +205,45 @@ class TxLogStreamReader(DataSourceStreamReader):
         vs = _versions(self.path)
         return {"version": vs[-1] if vs else 0}
 
-    def _current_chain(self) -> list[tuple[int, str, str]]:
-        vs = _versions(self.path)
-        key = (len(vs), vs[-1] if vs else 0)
-        if key != self._chain_key:
-            self._chain = _rename_chain(self.path)
-            self._chain_key = key
+    def _current_chain(self) -> list[tuple[int, int, str, str]]:
+        """Rename chain with an INCREMENTAL fold: a busy table commits
+        every trigger, so a whole-log refold per micro-batch is
+        O(versions²) driver I/O over the stream's life (review r9,
+        fourth pass). New manifests that extend the cached version
+        listing fold on top of the cached chain (the barrier can't
+        retroactively fire: restores among them trigger a full refold,
+        and expiry/in-place rewrites shrink the listing, breaking the
+        prefix match)."""
+        vs = tuple(_versions(self.path))
+        if vs == self._chain_key:
+            return self._chain
+        prev = self._chain_key or ()
+        if prev and vs[: len(prev)] == prev:
+            new_ms = [_manifest(self.path, v) for v in vs[len(prev):]]
+            if not any(
+                m.get("op") == "restore" and "restored_from" in m
+                for m in new_ms
+            ):
+                seen = {(o, old, new) for o, _c, old, new in self._chain}
+                chain = list(self._chain)
+                for m in new_ms:
+                    mv = int(m["version"])
+                    entries = [
+                        (mv, old, new)
+                        for old, new in m.get("renames", {}).items()
+                    ] + [
+                        (int(v), old, new)
+                        for v, old, new in m.get("renames_v", [])
+                    ]
+                    for origin, old, new in entries:
+                        if (origin, old, new) not in seen:
+                            seen.add((origin, old, new))
+                            chain.append((origin, mv, old, new))
+                self._chain = sorted(chain)
+                self._chain_key = vs
+                return self._chain
+        self._chain = _rename_chain(self.path)
+        self._chain_key = vs
         return self._chain
 
     def partitions(self, start: dict, end: dict) -> Sequence[InputPartition]:
@@ -213,7 +256,16 @@ class TxLogStreamReader(DataSourceStreamReader):
         chain = self._current_chain() if self.field_names else []
         maps: dict[int, dict[str, str]] = {}
         for v in range(start["version"] + 1, end["version"] + 1):
-            m = _manifest(self.path, v)
+            try:
+                m = _manifest(self.path, v)
+            except FileNotFoundError:
+                # version numbers can be sparse: a clone's log starts
+                # at the source's head version, and retention expiry
+                # unlinks manifests below the keep_from checkpoint
+                # (whose folded live set is op=checkpoint, invisible
+                # here either way) — an absent version contributes no
+                # files
+                continue
             op = m.get("op", "")
             if op in _INVISIBLE_OPS or m.get("checkpoint"):
                 continue
@@ -256,15 +308,23 @@ class TxLogStreamReader(DataSourceStreamReader):
                         "same contract as Delta's ignoreChanges)."
                     )
                 continue
-            if self.field_names and v not in maps:
-                maps[v] = _alias_resolution(
-                    chain, self.field_names, v, self.declared_version
-                )
+            # a file's vintage is its TRUE add version when the
+            # manifest records one (a clone's v1 carries source files
+            # written across many source versions — treating them all
+            # as vintage v1 forward-applies renames their names already
+            # reflect; review r9, fourth pass), else the manifest's own
+            # version
+            addv = m.get("added_versions", {})
             for rel in m.get("added", []):
+                fv = int(addv.get(rel, v))
+                if self.field_names and fv not in maps:
+                    maps[fv] = _alias_resolution(
+                        chain, self.field_names, fv, self.declared_version
+                    )
                 parts.append(
                     _FilePartition(
                         os.path.join(self.path, rel),
-                        resolve=maps.get(v, {}),
+                        resolve=maps.get(fv, {}),
                     )
                 )
         return parts

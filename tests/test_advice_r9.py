@@ -827,3 +827,114 @@ def test_vacuum_checkpoint_rewrite_goes_through_commit_store(spark):
     t.vacuum(retain_versions=1)
     assert len(calls) == 1 and calls[0].endswith(".json")
     assert TxLogTable(spark, path).snapshot().count() == 20
+
+
+# -- review r9 fourth pass: version-space unification ----------------------
+
+
+def test_clone_local_rename_aliases_carried_files(spark):
+    """The clone's log starts at the SOURCE's head version, so a
+    clone-local rename postdates every carried file and aliases them
+    all (review r9, fourth pass: with the clone at v1, a local rename
+    at v2 never aliased carried files whose source add-version was
+    >= 2 — the column read NULL under the new logical name)."""
+    import tempfile as _tf
+
+    base = _tf.mkdtemp(prefix="clone_ren_local_")
+    src = os.path.join(base, "src")
+    t = TxLogTable.create(
+        spark, src, spark.range(0, 5).selectExpr("id as a", "id % 2 as g")
+    )
+    t.append(spark.range(5, 9).selectExpr("id as a", "id % 2 as g"))
+    t.append(spark.range(9, 12).selectExpr("id as a", "id % 2 as g"))
+    assert t.latest_version() == 3
+    clone = t.clone_shallow(os.path.join(base, "c"))
+    assert clone.latest_version() == 3, "clone claims the source head"
+    clone.rename_column("a", "b")
+    snap = clone.snapshot()
+    assert snap.columns == ["b", "g"]
+    assert snap.filter("b IS NULL").count() == 0, (
+        "every carried vintage must alias to the new logical name"
+    )
+    assert sorted(r["b"] for r in snap.collect()) == list(range(12))
+
+
+def test_routine_checkpoint_on_clone_commutes_with_append(
+    spark, monkeypatch
+):
+    """Clone-inherited renames keep foreign origins; a routine
+    checkpoint on the clone re-carries them and must NOT read as
+    'absorbed history' for concurrent appends (review r9, fourth
+    pass: the origin>base check aborted every such append)."""
+    import tempfile as _tf
+
+    base = _tf.mkdtemp(prefix="clone_ckpt_")
+    src = os.path.join(base, "src")
+    t = TxLogTable.create(
+        spark, src, spark.range(0, 5).selectExpr("id as a", "id % 2 as g")
+    )
+    t.rename_column("a", "b")
+    t.append(spark.range(5, 8).selectExpr("id as b", "id % 2 as g"))
+    clone = t.clone_shallow(os.path.join(base, "c"))
+    orig = TxLogTable._stage_write
+    fired = []
+
+    def hooked(self, df, partition_col=None):
+        res = orig(self, df, partition_col)
+        if not fired:
+            fired.append(True)
+            TxLogTable(self.spark, self.path).checkpoint()
+        return res
+
+    monkeypatch.setattr(TxLogTable, "_stage_write", hooked)
+    v = clone.append(
+        spark.range(8, 10).selectExpr("id as b", "id % 2 as g")
+    )
+    assert v == clone.latest_version()
+    assert TxLogTable(spark, os.path.join(base, "c")).snapshot().count() == 10
+
+
+def test_stream_over_clone_with_reuse_chain(spark):
+    """Clone carrying a name-REUSE chain (a->x then b->a): carried
+    post-rename files physically hold the redeclared 'a' and must map
+    identically, while pre-rename files map a->x — per-file vintages
+    from added_versions make both resolvable (review r9, fourth pass:
+    vintage=clone-version for all carried files collided the maps)."""
+    import tempfile as _tf
+
+    from politicamente_etl_spark.sources.txlogstream import (
+        TxLogStreamDataSource,
+    )
+
+    try:
+        spark.dataSource.register(TxLogStreamDataSource)
+    except Exception:
+        pass
+    base = _tf.mkdtemp(prefix="clone_reuse_")
+    src = os.path.join(base, "src")
+    t = TxLogTable.create(
+        spark, src, spark.range(0, 4).selectExpr("id as a", "id as b")
+    )
+    t.rename_column("a", "x")
+    t.rename_column("b", "a")
+    # post-rename append physically carries [x, a]
+    t.append(spark.range(4, 7).selectExpr("id as x", "id as a"))
+    t.clone_shallow(os.path.join(base, "c"))
+    name = "clone_reuse_" + os.path.basename(base)
+    q = (
+        spark.readStream.format("txlogstream")
+        .option("path", os.path.join(base, "c"))
+        .load()
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    out = spark.table(name)
+    assert out.columns == ["x", "a"]
+    rows = sorted((r["x"], r["a"]) for r in out.collect())
+    assert rows == [(i, i) for i in range(7)]
