@@ -49,7 +49,7 @@ def _register():
         """Row-index DELETION VECTORS (Delta DV / Iceberg positional
         delete parity; VERDICT r7 item 3): `delete_where_rowindex`
         evaluates a SQL predicate once, records the matching rows'
-        (data-file basename, row ordinal) addresses in a parquet
+        (data-root-relative path, row ordinal) addresses in a parquet
         sidecar, and commits one O(1) manifest — zero files rewritten
         (pinned per row). Three proofs in one result:
 

@@ -56,9 +56,12 @@ def _register():
         per hash bucket and `partitionBy` splits each task's output per
         cluster value, so two values landing in the same task produce
         files with IDENTICAL part-file basenames in sibling partition
-        dirs. 300 cluster values over any shuffle-partition setting
-        below 300 guarantees such collisions (`has_dup_basenames` is
-        pinned TRUE and measured, not assumed) — under the old
+        dirs. The cluster count (max(300, shuffle partitions + 64),
+        dense row_number ids so every residue is present) keeps
+        distinct values strictly above the task count under any
+        config, so pigeonhole guarantees such collisions
+        (`has_dup_basenames` is pinned TRUE and measured, not
+        assumed) — under the old
         (basename, ordinal) DV addressing the delete below would have
         silently killed same-ordinal rows in every colliding sibling;
         under data-root-relative path addressing exactly the predicate
