@@ -208,6 +208,8 @@ def _widen_types(a, b):
 
 def fold_renames(
     manifests: list[dict],
+    synthesize_restore_inverses: bool = False,
+    state: tuple[list, set] | None = None,
 ) -> list[tuple[int, int, str, str]]:
     """Fold the RENAME CHAIN out of raw manifest dicts (in version
     order): [(origin_version, carrier_version, old, new)], sorted by
@@ -215,15 +217,31 @@ def fold_renames(
     (TxLogTable._live_renames projects origin/old/new) and the
     streaming source (which also needs the CARRIER — the version of
     the first manifest that made the entry visible in THIS log: a
-    clone's v1 carries source renames whose origins exceed every local
-    version, and the stream's vintage math must know the entry was
-    visible from v1, not from its foreign origin — review r9, second
-    pass). Restore manifests are a BARRIER: entries with origin after
-    the restore target are part of the rolled-back history and drop
-    out; carriage after the restore re-establishes the target's
-    chain."""
-    out: list[tuple[int, int, str, str]] = []
-    seen: set[tuple[int, str, str]] = set()
+    clone carries source renames whose origins may exceed the versions
+    a stale log numbering would expect, and the stream's vintage math
+    needs the local visibility point — review r9, second pass).
+    Restore manifests are a BARRIER: entries with origin after the
+    restore target are part of the rolled-back history and drop out;
+    carriage after the restore re-establishes the target's chain.
+
+    `synthesize_restore_inverses` (STREAM-ONLY): emit composed entries
+    mapping each retracted rename's vintage name back to its unwound
+    target name at origin = the restore version, so the tail can
+    relabel files appended while the rolled-back rename was live. The
+    batch reader must NOT see these: it applies any entry with
+    origin > add-version, and on rename-NAME REUSE the inverse would
+    also remap ORIGINAL files whose physical name legitimately equals
+    the retracted name (review r9, fifth pass — those retracted files
+    are never live for batch reads, so batch needs no inverses). The
+    stream consults the map only for batches whose names differ from
+    the declared schema, which the original-name files don't.
+
+    `state` seeds (out, seen) for INCREMENTAL folding of a manifest
+    suffix (the stream's per-micro-batch continuation); the caller
+    owns the invariant that no seeded manifest is re-passed."""
+    out: list[tuple[int, int, str, str]]
+    seen: set[tuple[int, str, str]]
+    out, seen = state if state is not None else ([], set())
     for m in manifests:
         mv = int(m["version"])
         if m.get("op") == "restore" and "restored_from" in m:
@@ -231,25 +249,15 @@ def fold_renames(
             dropped = sorted(r for r in out if r[0] > cut)
             out = [r for r in out if r[0] <= cut]
             seen = {r for r in seen if r[0] <= cut}
-            # INVERSE entries for the retracted renames: files appended
-            # while a now-rolled-back rename was live physically carry
-            # its NEW name, but post-restore the logical name is the
-            # TARGET vintage's — without an entry mapping them back,
-            # the streaming tail bricks on those files (review r9,
-            # third pass). Each retracted vintage name maps DIRECTLY to
-            # its fully-unwound target name (composing the dropped
-            # chain), at origin = the restore version, so it applies
-            # exactly to files added before the restore and is a no-op
-            # for the re-added target files (they carry the target
-            # names already).
-            for _o, _c, _old, new in dropped:
-                name = new
-                for _o2, _c2, old2, new2 in reversed(dropped):
-                    if name == new2:
-                        name = old2
-                if name != new and (mv, new, name) not in seen:
-                    seen.add((mv, new, name))
-                    out.append((mv, mv, new, name))
+            if synthesize_restore_inverses:
+                for _o, _c, _old, new in dropped:
+                    name = new
+                    for _o2, _c2, old2, new2 in reversed(dropped):
+                        if name == new2:
+                            name = old2
+                    if name != new and (mv, new, name) not in seen:
+                        seen.add((mv, new, name))
+                        out.append((mv, mv, new, name))
         entries = [
             (mv, old, new) for old, new in m.get("renames", {}).items()
         ] + [
@@ -3096,9 +3104,14 @@ class TxLogTable:
         if t.latest_version():
             raise FileExistsError(f"txlog table already exists at {dest}")
         os.makedirs(dest, exist_ok=True)
+        # ONE pinned snapshot version for every fold below: the folds
+        # each re-read the head, so a concurrent source commit between
+        # them would mix state from two versions — and a carried
+        # added_version above clone_v would break the unified version
+        # space this function establishes (review r9, fifth pass)
         clone_v = max(1, self.latest_version())
-        live = self._live_files()
-        stats = self._live_stats()
+        live = self._live_files(version=clone_v)
+        stats = self._live_stats(version=clone_v)
         rels = {
             r: os.path.relpath(os.path.join(self.path, r), dest)
             for r in live
@@ -3107,12 +3120,12 @@ class TxLogTable:
             "version": clone_v,
             "op": "clone",
             "source": os.path.abspath(self.path),
-            "source_version": self.latest_version(),
+            "source_version": clone_v,
             "added": sorted(rels.values()),
             "removed": [],
             "stats": {rels[r]: st for r, st in stats.items() if r in rels},
         }
-        ts = self._live_tombstones()
+        ts = self._live_tombstones(clone_v)
         if ts:
             # un-materialized logical deletes must follow the data, and
             # the tombstone-version vs file-add-version ordering must
@@ -3128,7 +3141,7 @@ class TxLogTable:
             manifest["tombstones"] = self._serialize_tombstones(
                 ts, path_map=path_map
             )
-        dvs = self._live_dvs()
+        dvs = self._live_dvs(clone_v)
         if dvs:
             # deletion vectors re-root like key-tombstone sidecars; the
             # addressed data-root-relative paths are unchanged by
@@ -3150,18 +3163,36 @@ class TxLogTable:
         # pass: without them the clone reads pre-rename source files
         # raw — NULL under the logical name — and appends to the clone
         # skip generated-column compute/validation)
-        rens = self._live_renames()
+        rens = self._live_renames(clone_v)
         if rens:
             manifest["renames_v"] = [[v, o, n] for v, o, n in rens]
-        gens = self._live_generated()
+        gens = self._live_generated(clone_v)
         if gens:
             manifest["generated"] = gens
+        cons = self._live_constraints(clone_v)
+        if cons:
+            # CHECK constraints follow the clone like generated rules —
+            # without carriage, writes to the clone silently skipped the
+            # source's declared invariants (review r9, fifth pass)
+            manifest["constraints"] = cons
+        bloom_bits, blooms = self._live_blooms(clone_v)
+        if blooms:
+            # per-file Bloom zonemaps re-key to the re-rooted rels so
+            # scan_files keeps point-lookup pruning on the clone
+            manifest["bloom_bits"] = bloom_bits
+            manifest["blooms"] = {
+                rels[r]: bl for r, bl in blooms.items() if r in rels
+            }
         if ts or dvs or rens:
-            src_addv = self._file_add_versions()
+            src_addv = self._file_add_versions(clone_v)
             manifest["added_versions"] = {
                 rels[r]: src_addv.get(r, 0) for r in live
             }
-        sch = self._latest_schema()
+        sch = None
+        for m in reversed(self.history()):
+            if m["version"] <= clone_v and "schema" in m:
+                sch = m["schema"]
+                break
         if sch is not None:
             manifest["schema"] = sch
         if not t._try_commit(clone_v, manifest):

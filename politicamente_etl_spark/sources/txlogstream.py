@@ -97,10 +97,15 @@ def _rename_chain(path: str) -> list[tuple[int, int, str, str]]:
     """[(origin_version, carrier_version, old, new)] — the SHARED fold
     (txlog.fold_renames): one visibility rule for the batch reader and
     this source (review r9, second pass: two copies of the restore-
-    barrier/carriage fold is how the two readers drift apart)."""
+    barrier/carriage fold is how the two readers drift apart). The
+    stream asks for restore-INVERSE entries: it tails files a restore
+    retracted, which batch reads never see (review r9, fifth pass)."""
     from politicamente_etl_spark.sources.txlog import fold_renames
 
-    return fold_renames([_manifest(path, v) for v in _versions(path)])
+    return fold_renames(
+        [_manifest(path, v) for v in _versions(path)],
+        synthesize_restore_inverses=True,
+    )
 
 
 def _alias_resolution(
@@ -127,6 +132,13 @@ def _alias_resolution(
     maps to `x`, never short-circuits to the redeclared `a`. Names
     that reach no declared column are absent; the reader raises on
     them instead of trusting position (ADVICE r8).
+
+    Scope: assumes origins and file vintages share one ordered space,
+    which every log written by the current clone_shallow guarantees
+    (the clone manifest claims the source's head version). A legacy
+    pre-r9 clone log (clone manifest at v1 with foreign source
+    origins) can mis-classify local files against carried entries —
+    re-clone such tables before streaming them.
 
     'Included in the declared schema' is origin ≤ declared_v OR
     carrier ≤ declared_v — either proves the entry was visible when
@@ -219,29 +231,23 @@ class TxLogStreamReader(DataSourceStreamReader):
             return self._chain
         prev = self._chain_key or ()
         if prev and vs[: len(prev)] == prev:
-            new_ms = [_manifest(self.path, v) for v in vs[len(prev):]]
-            if not any(
-                m.get("op") == "restore" and "restored_from" in m
-                for m in new_ms
-            ):
-                seen = {(o, old, new) for o, _c, old, new in self._chain}
-                chain = list(self._chain)
-                for m in new_ms:
-                    mv = int(m["version"])
-                    entries = [
-                        (mv, old, new)
-                        for old, new in m.get("renames", {}).items()
-                    ] + [
-                        (int(v), old, new)
-                        for v, old, new in m.get("renames_v", [])
-                    ]
-                    for origin, old, new in entries:
-                        if (origin, old, new) not in seen:
-                            seen.add((origin, old, new))
-                            chain.append((origin, mv, old, new))
-                self._chain = sorted(chain)
-                self._chain_key = vs
-                return self._chain
+            # continuation: seed the SHARED fold with the cached chain
+            # (seen is always exactly the triple set of the chain) so
+            # the suffix — restores and their inverse synthesis
+            # included — goes through the one fold implementation
+            # (review r9, fifth pass: the inline copy was a third fold)
+            from politicamente_etl_spark.sources.txlog import fold_renames
+
+            self._chain = fold_renames(
+                [_manifest(self.path, v) for v in vs[len(prev):]],
+                synthesize_restore_inverses=True,
+                state=(
+                    list(self._chain),
+                    {(o, old, new) for o, _c, old, new in self._chain},
+                ),
+            )
+            self._chain_key = vs
+            return self._chain
         self._chain = _rename_chain(self.path)
         self._chain_key = vs
         return self._chain
@@ -255,17 +261,38 @@ class TxLogStreamReader(DataSourceStreamReader):
         # time their files flow
         chain = self._current_chain() if self.field_names else []
         maps: dict[int, dict[str, str]] = {}
-        for v in range(start["version"] + 1, end["version"] + 1):
-            try:
-                m = _manifest(self.path, v)
-            except FileNotFoundError:
-                # version numbers can be sparse: a clone's log starts
-                # at the source's head version, and retention expiry
-                # unlinks manifests below the keep_from checkpoint
-                # (whose folded live set is op=checkpoint, invisible
-                # here either way) — an absent version contributes no
-                # files
-                continue
+        lo, hi = start["version"], end["version"]
+        vs = _versions(self.path)
+        in_range = [v for v in vs if lo < v <= hi]
+        # version numbers can be sparse. Two causes, opposite handling
+        # (review r9, fifth pass): numbers below a CLONE's first
+        # manifest never existed (the clone claims the source's head
+        # version) — skip, nothing was ever committed there; numbers
+        # expired by a retention vacuum DID hold data this tail has not
+        # emitted — that is silent data loss, fail loudly like Delta
+        # does for expired starting versions. Iterating the existing
+        # listing (not the dense range) also avoids O(head-version)
+        # failed opens on a fresh clone stream.
+        if len(in_range) < hi - lo:
+            vset = set(vs)
+            gaps = [v for v in range(lo + 1, hi + 1) if v not in vset]
+            first = _manifest(self.path, vs[0]) if vs else {}
+            never_existed = (
+                bool(vs)
+                and first.get("op") == "clone"
+                and not first.get("checkpoint")
+                and all(v < vs[0] for v in gaps)
+            )
+            if not never_existed:
+                raise RuntimeError(
+                    f"txlogstream: versions {gaps[:5]}{'…' if len(gaps) > 5 else ''} "
+                    "in this batch's offset range were expired by a "
+                    "retention vacuum; their rows can no longer be "
+                    "tailed. Restart the stream from a fresh checkpoint "
+                    "(current-snapshot initial load) instead."
+                )
+        for v in in_range:
+            m = _manifest(self.path, v)
             op = m.get("op", "")
             if op in _INVISIBLE_OPS or m.get("checkpoint"):
                 continue

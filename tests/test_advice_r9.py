@@ -938,3 +938,116 @@ def test_stream_over_clone_with_reuse_chain(spark):
     assert out.columns == ["x", "a"]
     rows = sorted((r["x"], r["a"]) for r in out.collect())
     assert rows == [(i, i) for i in range(7)]
+
+
+# -- review r9 fifth pass ---------------------------------------------------
+
+
+def test_batch_read_correct_after_rename_reuse_and_restore(spark):
+    """Review r9, fifth pass: with restore-inverse entries in the
+    BATCH chain, rename-name reuse (b->c, then d->b, then restore)
+    remapped ORIGINAL b-files' physical b to d — duplicate column,
+    values under the wrong name. Inverses are stream-only now; the
+    batch snapshot must read the original columns exactly."""
+    import tempfile as _tf
+
+    path = os.path.join(_tf.mkdtemp(prefix="reuse_restore_"), "t")
+    t = TxLogTable.create(
+        spark,
+        path,
+        spark.range(0, 5).selectExpr("id as b", "id * 10 as d"),
+    )
+    t.rename_column("b", "c")
+    t.rename_column("d", "b")
+    t.append(spark.range(5, 8).selectExpr("id as c", "id * 10 as b"))
+    t.restore(1)
+    snap = t.snapshot()
+    assert sorted(snap.columns) == ["b", "d"]
+    rows = sorted((r["b"], r["d"]) for r in snap.collect())
+    assert rows == [(i, i * 10) for i in range(5)]
+    # time travel to the pre-restore vintage still sees the renamed view
+    pre = t.snapshot(version=4)
+    assert sorted(pre.columns) == ["b", "c"]
+
+
+def test_clone_carries_constraints_and_blooms(spark):
+    """Review r9, fifth pass: clone_shallow dropped CHECK constraints
+    (writes to the clone skipped the source's invariants) and Bloom
+    zonemaps (point-lookup pruning lost)."""
+    import tempfile as _tf
+
+    from politicamente_etl_spark.sources.txlog import ConstraintViolation
+
+    base = _tf.mkdtemp(prefix="clone_cons_")
+    src = os.path.join(base, "src")
+    t = TxLogTable.create(
+        spark,
+        src,
+        spark.range(0, 64).selectExpr(
+            "id as k", "cast(id % 8 as bigint) as cl"
+        ),
+        cluster_file_col="cl",
+        bloom_cols=("k",),
+    )
+    t.set_constraint("k_nonneg", "k >= 0")
+    clone = t.clone_shallow(os.path.join(base, "c"))
+    assert clone._live_constraints() == {"k_nonneg": "k >= 0"}
+    with pytest.raises(ConstraintViolation):
+        clone.append(spark.range(1).selectExpr("-5 as k"))
+    bits, blooms = clone._live_blooms()
+    assert blooms, "bloom zonemaps must follow the clone"
+
+
+def test_stream_raises_on_vacuum_expired_offsets(spark):
+    """Review r9, fifth pass: silently skipping vacuum-expired
+    versions converted a loud failure into silent data loss. A stale
+    offset range over expired history must raise; a clone's
+    never-existed version numbers still skip silently."""
+    import tempfile as _tf
+
+    from politicamente_etl_spark.sources.txlogstream import (
+        TxLogStreamReader,
+    )
+
+    path = os.path.join(_tf.mkdtemp(prefix="expired_"), "t")
+    t = TxLogTable.create(spark, path, spark.range(0, 5).selectExpr("id as v"))
+    t.append(spark.range(5, 8).selectExpr("id as v"))
+    t.append(spark.range(8, 9).selectExpr("id as v"))
+    t.vacuum(retain_versions=1)
+    reader = TxLogStreamReader(path, False, field_names=["v"])
+    with pytest.raises(RuntimeError, match="expired"):
+        reader.partitions({"version": 0}, {"version": t.latest_version()})
+    # resumed at the retained head: no gap, no raise
+    assert (
+        reader.partitions(
+            {"version": t.latest_version()},
+            {"version": t.latest_version()},
+        )
+        == []
+    )
+
+
+def test_stream_skips_clone_never_existed_versions(spark):
+    """The clone's log starts at the source head; a fresh stream must
+    skip the numbers below it without failed opens or errors."""
+    import tempfile as _tf
+
+    from politicamente_etl_spark.sources.txlogstream import (
+        TxLogStreamReader,
+    )
+
+    base = _tf.mkdtemp(prefix="clone_gap_")
+    src = os.path.join(base, "src")
+    t = TxLogTable.create(spark, src, spark.range(0, 5).selectExpr("id as v"))
+    t.append(spark.range(5, 8).selectExpr("id as v"))
+    t.append(spark.range(8, 9).selectExpr("id as v"))
+    clone = t.clone_shallow(os.path.join(base, "c"))
+    reader = TxLogStreamReader(
+        os.path.join(base, "c"), False, field_names=["v"]
+    )
+    parts = reader.partitions(
+        {"version": 0}, {"version": clone.latest_version()}
+    )
+    assert len(parts) == len(clone._live_files()), (
+        "one partition per carried file, no error for the gap"
+    )
