@@ -273,6 +273,7 @@ class TxLogStreamReader(DataSourceStreamReader):
         # does for expired starting versions. Iterating the existing
         # listing (not the dense range) also avoids O(head-version)
         # failed opens on a fresh clone stream.
+        snapshot_from: int | None = None
         if len(in_range) < hi - lo:
             vset = set(vs)
             gaps = [v for v in range(lo + 1, hi + 1) if v not in vset]
@@ -284,17 +285,54 @@ class TxLogStreamReader(DataSourceStreamReader):
                 and all(v < vs[0] for v in gaps)
             )
             if not never_existed:
-                raise RuntimeError(
-                    f"txlogstream: versions {gaps[:5]}{'…' if len(gaps) > 5 else ''} "
-                    "in this batch's offset range were expired by a "
-                    "retention vacuum; their rows can no longer be "
-                    "tailed. Restart the stream from a fresh checkpoint "
-                    "(current-snapshot initial load) instead."
-                )
+                # a FRESH stream (offset 0) over expired history is
+                # still serviceable: vacuum rewrote the oldest retained
+                # manifest as a self-contained CHECKPOINT folding
+                # everything at or below it, so that fold IS the
+                # current-snapshot initial load (Delta's fresh-stream
+                # behavior on a vacuumed table). Only a RESUMED stream
+                # has emitted rows the fold would duplicate / has
+                # missed rows the fold absorbed — that one fails
+                # loudly.
+                cks = [
+                    v
+                    for v in in_range
+                    if _manifest(self.path, v).get("checkpoint")
+                ]
+                if lo == 0 and cks and all(g < max(cks) for g in gaps):
+                    snapshot_from = max(cks)
+                else:
+                    raise RuntimeError(
+                        f"txlogstream: versions {gaps[:5]}{'…' if len(gaps) > 5 else ''} "
+                        "in this batch's offset range were expired by a "
+                        "retention vacuum; their rows can no longer be "
+                        "tailed. Restart the stream from a fresh "
+                        "checkpoint (current-snapshot initial load) "
+                        "instead."
+                    )
         for v in in_range:
+            if snapshot_from is not None and v < snapshot_from:
+                # folded into the initial-load checkpoint below
+                continue
             m = _manifest(self.path, v)
             op = m.get("op", "")
-            if op in _INVISIBLE_OPS or m.get("checkpoint"):
+            if v == snapshot_from:
+                # the checkpoint's live fold is the initial data; its
+                # still-applicable tombstones/DVs are retractions an
+                # append-only reader cannot express — same contract as
+                # a live delete commit
+                if (m.get("tombstones") or m.get("dvs")) and not (
+                    self.ignore_deletes or self.ignore_changes
+                ):
+                    raise RuntimeError(
+                        f"txlogstream: the initial-load checkpoint at "
+                        f"version {v} carries logical deletes "
+                        "(tombstones / deletion vectors); an "
+                        "append-only stream would emit the deleted "
+                        "rows. Set ignore_deletes=true to accept that "
+                        "(Delta's ignoreDeletes contract)."
+                    )
+            elif op in _INVISIBLE_OPS or m.get("checkpoint"):
                 continue
             if op in _DELETE_OPS:
                 if not (self.ignore_deletes or self.ignore_changes):
@@ -325,7 +363,7 @@ class TxLogStreamReader(DataSourceStreamReader):
                         "contract)."
                     )
                 continue
-            if op not in _APPEND_OPS:
+            if op not in _APPEND_OPS and v != snapshot_from:
                 if not self.ignore_changes:
                     raise RuntimeError(
                         f"txlogstream: version {v} is op={op!r}, which "

@@ -1000,9 +1000,11 @@ def test_clone_carries_constraints_and_blooms(spark):
 
 def test_stream_raises_on_vacuum_expired_offsets(spark):
     """Review r9, fifth pass: silently skipping vacuum-expired
-    versions converted a loud failure into silent data loss. A stale
-    offset range over expired history must raise; a clone's
-    never-existed version numbers still skip silently."""
+    versions converted a loud failure into silent data loss. A
+    RESUMED stream whose offset range spans expired history must
+    raise; a FRESH stream (offset 0) instead takes the retained
+    checkpoint's fold as its current-snapshot initial load (sixth
+    pass — the behavior the resumed-stream error message promises)."""
     import tempfile as _tf
 
     from politicamente_etl_spark.sources.txlogstream import (
@@ -1015,8 +1017,17 @@ def test_stream_raises_on_vacuum_expired_offsets(spark):
     t.append(spark.range(8, 9).selectExpr("id as v"))
     t.vacuum(retain_versions=1)
     reader = TxLogStreamReader(path, False, field_names=["v"])
+    # resumed past v1 only: versions 2-3's rows were never emitted and
+    # now live only inside the checkpoint fold — loud failure
     with pytest.raises(RuntimeError, match="expired"):
-        reader.partitions({"version": 0}, {"version": t.latest_version()})
+        reader.partitions({"version": 1}, {"version": t.latest_version()})
+    # fresh stream: the checkpoint IS the initial load
+    parts = reader.partitions(
+        {"version": 0}, {"version": t.latest_version()}
+    )
+    assert {os.path.relpath(p.abs_path, path) for p in parts} == set(
+        t._live_files()
+    )
     # resumed at the retained head: no gap, no raise
     assert (
         reader.partitions(
@@ -1025,6 +1036,36 @@ def test_stream_raises_on_vacuum_expired_offsets(spark):
         )
         == []
     )
+
+
+def test_stream_snapshot_load_requires_ignore_deletes_for_folded_deletes(
+    spark,
+):
+    """Review r9, sixth pass: an initial-load checkpoint that carries
+    still-applicable tombstones/DVs holds rows an append-only reader
+    would wrongly emit — same ignore_deletes contract as a live
+    delete commit."""
+    import tempfile as _tf
+
+    from politicamente_etl_spark.sources.txlogstream import (
+        TxLogStreamReader,
+    )
+
+    path = os.path.join(_tf.mkdtemp(prefix="ck_ts_"), "t")
+    t = TxLogTable.create(spark, path, spark.range(0, 5).selectExpr("id as v"))
+    t.append(spark.range(5, 8).selectExpr("id as v"))
+    t.delete_where_logical("v", [6])
+    t.vacuum(retain_versions=1)
+    reader = TxLogStreamReader(path, False, field_names=["v"])
+    with pytest.raises(RuntimeError, match="ignore_deletes"):
+        reader.partitions({"version": 0}, {"version": t.latest_version()})
+    tolerant = TxLogStreamReader(
+        path, False, ignore_deletes=True, field_names=["v"]
+    )
+    parts = tolerant.partitions(
+        {"version": 0}, {"version": t.latest_version()}
+    )
+    assert len(parts) == len(t._live_files())
 
 
 def test_stream_skips_clone_never_existed_versions(spark):
