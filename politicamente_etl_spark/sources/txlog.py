@@ -210,6 +210,7 @@ def fold_renames(
     manifests: list[dict],
     synthesize_restore_inverses: bool = False,
     state: tuple[list, set] | None = None,
+    transitions: list[tuple[int, str, str]] | None = None,
 ) -> list[tuple[int, int, str, str]]:
     """Fold the RENAME CHAIN out of raw manifest dicts (in version
     order): [(origin_version, carrier_version, old, new)], sorted by
@@ -238,26 +239,58 @@ def fold_renames(
 
     `state` seeds (out, seen) for INCREMENTAL folding of a manifest
     suffix (the stream's per-micro-batch continuation); the caller
-    owns the invariant that no seeded manifest is re-passed."""
+    owns the invariant that no seeded manifest is re-passed.
+
+    `transitions` (required with `synthesize_restore_inverses` when
+    incremental): a caller-owned, NEVER-pruned list of every declared-
+    name transition (origin, old, new) this log ever committed — the
+    fold appends to it. The inverse synthesis needs the full history,
+    not the barrier-pruned chain: a second restore drops a prior
+    restore's inverse entries, and composing through the pruned
+    `dropped` list alone walked past the cut regime into names whose
+    undo transitions were discarded by the earlier restore — emitting
+    wrong mappings and losing needed ones (review r9, sixth pass:
+    create a / rename a->b / restore 1 / rename a->c / restore 1
+    yielded a->b and c->b instead of b->a and c->a)."""
     out: list[tuple[int, int, str, str]]
     seen: set[tuple[int, str, str]]
     out, seen = state if state is not None else ([], set())
+    trans = transitions if transitions is not None else []
+    tseen = set(trans)
     for m in manifests:
         mv = int(m["version"])
         if m.get("op") == "restore" and "restored_from" in m:
             cut = int(m["restored_from"])
-            dropped = sorted(r for r in out if r[0] > cut)
             out = [r for r in out if r[0] <= cut]
             seen = {r for r in seen if r[0] <= cut}
             if synthesize_restore_inverses:
-                for _o, _c, _old, new in dropped:
-                    name = new
-                    for _o2, _c2, old2, new2 in reversed(dropped):
-                        if name == new2:
+                # every name regime that BEGAN in (cut, mv] is
+                # retracted; walk each back through the full transition
+                # history to the cut-regime name (transitions at or
+                # below the cut belong to regimes the restore keeps —
+                # undoing them would overshoot the target)
+                regimes = sorted(
+                    {(o, n) for o, _old, n in trans if cut < o <= mv}
+                )
+                latest = regimes[-1] if regimes else None
+                for o, n in regimes:
+                    name = n
+                    for o2, old2, new2 in sorted(trans, reverse=True):
+                        if cut < o2 <= o and name == new2:
                             name = old2
-                    if name != new and (mv, new, name) not in seen:
-                        seen.add((mv, new, name))
-                        out.append((mv, mv, new, name))
+                    if name == n:
+                        continue
+                    if (mv, n, name) not in seen:
+                        seen.add((mv, n, name))
+                        out.append((mv, mv, n, name))
+                    if (o, n) == latest and (mv, n, name) not in tseen:
+                        # the restore's one true declared transition:
+                        # pre-restore declared name -> cut name. The
+                        # other synthesized entries are vintage ALIASES,
+                        # not transitions — recording them would invent
+                        # regimes that never existed
+                        tseen.add((mv, n, name))
+                        trans.append((mv, n, name))
         entries = [
             (mv, old, new) for old, new in m.get("renames", {}).items()
         ] + [
@@ -268,6 +301,9 @@ def fold_renames(
             if key not in seen:
                 seen.add(key)
                 out.append((origin, mv, old, new))
+            if key not in tseen:
+                tseen.add(key)
+                trans.append(key)
     return sorted(out)
 
 
@@ -1139,6 +1175,13 @@ class TxLogTable:
         # any data-carrying manifest records its schema
         known: set[str] = set()
         for m in self.history():
+            if m.get("op") == "restore" and "schema" in m:
+                # a restore re-declares the column set WHOLESALE:
+                # names introduced only in the rolled-back range are
+                # retired with it (review r9, sixth pass — without the
+                # reset, rename + restore + rename left the retracted
+                # name in the fold and failed legitimate appends)
+                known = set()
             # a rename RETIRES the old logical name: batches written
             # after it must use the new one (fold order matters — a
             # later schema may legitimately re-introduce the old name)
@@ -2332,6 +2375,14 @@ class TxLogTable:
                 break
         if sch is not None:
             manifest["schema"] = sch
+        bloom_bits, blooms = self._live_blooms(at_version)
+        if blooms:
+            # per-file Bloom zonemaps survive manifest expiry like
+            # stats — without carriage a retention vacuum silently
+            # dropped point-lookup pruning (review r9, sixth pass;
+            # clone carriage got the same fix in pass five)
+            manifest["bloom_bits"] = bloom_bits
+            manifest["blooms"] = blooms
         return manifest
 
     def checkpoint(self) -> int:
@@ -3058,6 +3109,18 @@ class TxLogTable:
         g.update(tgt_g)
         if g:
             manifest["generated"] = g
+        # constraints: same replace-with-target rule as generated
+        # rules — Delta RESTORE rolls METADATA back too; a CHECK
+        # declared after the target is retired (explicit null), one
+        # dropped or redefined after it is re-established at the
+        # target's expression (review r9, sixth pass: constraints were
+        # the one metadata family restore left at the head's state)
+        cur_c = self._live_constraints()
+        tgt_c = self._live_constraints(version)
+        c: dict = {name: None for name in cur_c if name not in tgt_c}
+        c.update(tgt_c)
+        if c:
+            manifest["constraints"] = c
         sch = None
         for v in range(version, 0, -1):
             try:

@@ -93,18 +93,24 @@ def _manifest(path: str, version: int) -> dict:
         return json.load(fh)
 
 
-def _rename_chain(path: str) -> list[tuple[int, int, str, str]]:
+def _rename_chain(
+    path: str, transitions: list[tuple[int, str, str]] | None = None
+) -> list[tuple[int, int, str, str]]:
     """[(origin_version, carrier_version, old, new)] — the SHARED fold
     (txlog.fold_renames): one visibility rule for the batch reader and
     this source (review r9, second pass: two copies of the restore-
     barrier/carriage fold is how the two readers drift apart). The
     stream asks for restore-INVERSE entries: it tails files a restore
-    retracted, which batch reads never see (review r9, fifth pass)."""
+    retracted, which batch reads never see (review r9, fifth pass).
+    `transitions` (caller-owned, appended to) collects the full
+    declared-name transition history the inverse synthesis composes
+    over (review r9, sixth pass)."""
     from politicamente_etl_spark.sources.txlog import fold_renames
 
     return fold_renames(
         [_manifest(path, v) for v in _versions(path)],
         synthesize_restore_inverses=True,
+        transitions=transitions,
     )
 
 
@@ -209,6 +215,10 @@ class TxLogStreamReader(DataSourceStreamReader):
         # (see _current_chain)
         self._chain_key: tuple[int, ...] | None = None
         self._chain: list[tuple[int, int, str, str]] = []
+        # full declared-name transition history (never pruned by
+        # restore barriers) — the inverse synthesis composes over it
+        # (review r9, sixth pass)
+        self._transitions: list[tuple[int, str, str]] = []
 
     def initialOffset(self) -> dict:
         return {"version": 0}
@@ -245,10 +255,12 @@ class TxLogStreamReader(DataSourceStreamReader):
                     list(self._chain),
                     {(o, old, new) for o, _c, old, new in self._chain},
                 ),
+                transitions=self._transitions,
             )
             self._chain_key = vs
             return self._chain
-        self._chain = _rename_chain(self.path)
+        self._transitions = []
+        self._chain = _rename_chain(self.path, self._transitions)
         self._chain_key = vs
         return self._chain
 

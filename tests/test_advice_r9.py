@@ -940,6 +940,112 @@ def test_stream_over_clone_with_reuse_chain(spark):
     assert rows == [(i, i) for i in range(7)]
 
 
+def test_restore_rolls_back_constraints(spark):
+    """Review r9, sixth pass: restore replaced generated rules with the
+    target's set but left CONSTRAINTS at the head's state — Delta
+    RESTORE rolls metadata back. Post-target declarations retire;
+    post-target drops re-establish the target's expression."""
+    import tempfile as _tf
+
+    from politicamente_etl_spark.sources.txlog import ConstraintViolation
+
+    path = os.path.join(_tf.mkdtemp(prefix="restore_cons_"), "t")
+    t = TxLogTable.create(
+        spark, path, spark.range(0, 3).selectExpr("id as k")
+    )
+    t.set_constraint("k_small", "k < 100")  # v2
+    t.restore(1)
+    assert t._live_constraints() == {}, "post-target constraint retired"
+    t.append(spark.range(1).selectExpr("500 as k"))  # no longer gated
+    t.set_constraint("k_cap", "k < 1000")  # at head
+    head = t.latest_version()
+    t.set_constraint("k_cap", None)  # dropped
+    t.append(spark.range(1).selectExpr("5000 as k"))
+    t.restore(head)
+    assert t._live_constraints() == {"k_cap": "k < 1000"}, (
+        "target's constraint re-established after a later drop"
+    )
+    with pytest.raises(ConstraintViolation):
+        t.append(spark.range(1).selectExpr("5000 as k"))
+
+
+def test_checkpoint_carries_blooms_through_vacuum(spark):
+    """Review r9, sixth pass: the retention checkpoint carried stats /
+    tombstones / renames / constraints but dropped per-file Bloom
+    zonemaps — a routine vacuum silently lost point-lookup pruning."""
+    import tempfile as _tf
+
+    path = os.path.join(_tf.mkdtemp(prefix="ck_bloom_"), "t")
+    t = TxLogTable.create(
+        spark,
+        path,
+        spark.range(0, 64).selectExpr(
+            "id as k", "cast(id % 4 as bigint) as cl"
+        ),
+        cluster_file_col="cl",
+        bloom_cols=("k",),
+    )
+    t.append(spark.range(64, 96).selectExpr("id as k"))
+    bits_before, blooms_before = t._live_blooms()
+    assert blooms_before
+    t.vacuum(retain_versions=1)
+    bits_after, blooms_after = t._live_blooms()
+    assert bits_after == bits_before
+    assert blooms_after == blooms_before, (
+        "bloom zonemaps must survive manifest expiry via the checkpoint"
+    )
+
+
+def test_stream_tail_through_double_restore_rename_reuse(spark):
+    """Review r9, sixth pass: composing restore inverses through the
+    barrier-PRUNED chain walked past the cut regime once a second
+    restore dropped the first restore's inverse entries — create a /
+    rename a->b / restore / rename a->c / restore yielded a->b and
+    c->b (wrong, 'b' is not even declared) instead of b->a and c->a.
+    The synthesis now walks the full transition history; every
+    appended vintage must surface under the declared post-restore
+    name."""
+    import tempfile as _tf
+
+    from politicamente_etl_spark.sources.txlogstream import (
+        TxLogStreamDataSource,
+    )
+
+    try:
+        spark.dataSource.register(TxLogStreamDataSource)
+    except Exception:
+        pass
+    base = _tf.mkdtemp(prefix="dbl_restore_")
+    path = os.path.join(base, "t")
+    t = TxLogTable.create(
+        spark, path, spark.range(0, 3).selectExpr("id as a")
+    )
+    t.rename_column("a", "b")
+    t.append(spark.range(3, 5).selectExpr("id as b"))
+    t.restore(1)
+    t.rename_column("a", "c")
+    t.append(spark.range(5, 7).selectExpr("id as c"))
+    t.restore(1)
+    name = "dbl_restore_" + os.path.basename(base)
+    q = (
+        spark.readStream.format("txlogstream")
+        .option("path", path)
+        .option("ignore_changes", "true")
+        .load()
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    out = spark.table(name)
+    assert out.columns == ["a"]
+    assert sorted(r["a"] for r in out.collect()) == list(range(7))
+
+
 # -- review r9 fifth pass ---------------------------------------------------
 
 
