@@ -940,6 +940,49 @@ def test_stream_over_clone_with_reuse_chain(spark):
     assert rows == [(i, i) for i in range(7)]
 
 
+def test_stream_snapshot_load_relabels_renamed_vintages(spark):
+    """Review r9, sixth pass: the checkpoint initial load must keep
+    per-file vintages (added_versions) so pre-rename files relabel to
+    the declared name — vintage=checkpoint-version would skip the
+    rename map for them."""
+    import tempfile as _tf
+
+    from politicamente_etl_spark.sources.txlogstream import (
+        TxLogStreamDataSource,
+    )
+
+    try:
+        spark.dataSource.register(TxLogStreamDataSource)
+    except Exception:
+        pass
+    base = _tf.mkdtemp(prefix="ck_ren_")
+    path = os.path.join(base, "t")
+    t = TxLogTable.create(
+        spark, path, spark.range(0, 3).selectExpr("id as a")
+    )
+    t.append(spark.range(3, 5).selectExpr("id as a"))
+    t.rename_column("a", "b")
+    t.append(spark.range(5, 7).selectExpr("id as b"))
+    t.vacuum(retain_versions=1)
+    name = "ck_ren_" + os.path.basename(base)
+    q = (
+        spark.readStream.format("txlogstream")
+        .option("path", path)
+        .load()
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    out = spark.table(name)
+    assert out.columns == ["b"]
+    assert sorted(r["b"] for r in out.collect()) == list(range(7))
+
+
 def test_restore_rolls_back_constraints(spark):
     """Review r9, sixth pass: restore replaced generated rules with the
     target's set but left CONSTRAINTS at the head's state — Delta
