@@ -592,3 +592,4 @@ from politicamente_etl_spark.plans import extended_r13f as _extended_r13f  # noq
 from politicamente_etl_spark.plans import extended_r13g as _extended_r13g  # noqa: E402,F401
 from politicamente_etl_spark.plans import extended_r13h as _extended_r13h  # noqa: E402,F401
 from politicamente_etl_spark.plans import extended_r14 as _extended_r14  # noqa: E402,F401
+from politicamente_etl_spark.plans import extended_r14b as _extended_r14b  # noqa: E402,F401
