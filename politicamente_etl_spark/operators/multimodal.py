@@ -701,6 +701,13 @@ def _decode_jpeg_pixels(data: bytes):
             raise ValueError("JPEG marker expected")
         marker = data[pos + 1]
         pos += 2
+        while marker == 0xFF:
+            # T.81 B.1.1.2: markers may be preceded by any number of
+            # 0xFF fill bytes — other encoders legally pad with them
+            if pos >= len(data):
+                raise ValueError("JPEG truncated in marker fill")
+            marker = data[pos]
+            pos += 1
         if marker == 0xD9:  # EOI
             break
         if marker == 0x01 or 0xD0 <= marker <= 0xD7:

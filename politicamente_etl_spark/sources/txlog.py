@@ -56,6 +56,7 @@ from __future__ import annotations
 
 import json
 import os
+import re
 import shutil
 import time
 import uuid
@@ -133,6 +134,7 @@ def _manifest_path(path: str, version: int) -> str:
 
 _INT_WIDEN = {"byte": 0, "short": 1, "integer": 2, "long": 3}
 _FLOAT_WIDEN = {"float": 0, "double": 1}
+_DECIMAL_RE = re.compile(r"decimal\((\d+),(\d+)\)$")
 
 
 def _widen_types(a, b):
@@ -148,6 +150,15 @@ def _widen_types(a, b):
     if a == b:
         return a
     if isinstance(a, str) and isinstance(b, str):
+        da, db = _DECIMAL_RE.match(a), _DECIMAL_RE.match(b)
+        if da and db:
+            # Spark's findWiderTypeForDecimal: keep the larger scale
+            # and enough integral digits for both, capped at 38
+            p1, s1 = int(da.group(1)), int(da.group(2))
+            p2, s2 = int(db.group(1)), int(db.group(2))
+            s3 = max(s1, s2)
+            p3 = min(38, s3 + max(p1 - s1, p2 - s2))
+            return f"decimal({p3},{s3})"
         for lat in (_INT_WIDEN, _FLOAT_WIDEN):
             if a in lat and b in lat:
                 return a if lat[a] >= lat[b] else b
@@ -183,12 +194,24 @@ def _widen_types(a, b):
             ),
         }
     if t == "struct":
+        # UNION by field name, a-side order first (Spark's
+        # StructType.merge / parquet mergeSchema rule): nested field
+        # additions and reorders are legitimate evolution, not a
+        # conflict — requiring identical name lists here hard-failed a
+        # lone merge_schema=True writer adding one nested field
+        # (review r9, seventh pass). A field present on only one side
+        # must read NULL from the other side's files, so it is forced
+        # nullable.
         fa = a.get("fields", [])
         fb = b.get("fields", [])
-        if [f["name"] for f in fa] != [f["name"] for f in fb]:
-            return None
+        bmap = {f["name"]: f for f in fb}
+        anames = {f["name"] for f in fa}
         fields = []
-        for x, y in zip(fa, fb):
+        for x in fa:
+            y = bmap.get(x["name"])
+            if y is None:
+                fields.append({**x, "nullable": True})
+                continue
             ft = _widen_types(x["type"], y["type"])
             if ft is None:
                 return None
@@ -202,6 +225,9 @@ def _widen_types(a, b):
                     "metadata": x.get("metadata", {}),
                 }
             )
+        fields += [
+            {**y, "nullable": True} for y in fb if y["name"] not in anames
+        ]
         return {"type": "struct", "fields": fields}
     return None
 
@@ -272,23 +298,44 @@ def fold_renames(
                 regimes = sorted(
                     {(o, n) for o, _old, n in trans if cut < o <= mv}
                 )
-                latest = regimes[-1] if regimes else None
+                composed = {}
                 for o, n in regimes:
                     name = n
                     for o2, old2, new2 in sorted(trans, reverse=True):
                         if cut < o2 <= o and name == new2:
                             name = old2
+                    composed[(o, n)] = name
+                # per-LINEAGE latest regime, keyed by the composed
+                # cut-regime name: a restore undoes renames of MANY
+                # columns, and each lineage's pre-restore declared name
+                # transitions to its own cut name. The old single
+                # global `latest` recorded only one lineage's
+                # transition — a restore rolling back renames of two
+                # different columns dropped the other column's
+                # transition from `trans`, so a LATER restore
+                # mis-composed that lineage (review r9, seventh pass).
+                lineage_latest: dict[str, tuple[int, str]] = {}
+                for o, n in regimes:
+                    cn = composed[(o, n)]
+                    if o > lineage_latest.get(cn, (0, ""))[0]:
+                        lineage_latest[cn] = (o, n)
+                for o, n in regimes:
+                    name = composed[(o, n)]
                     if name == n:
                         continue
                     if (mv, n, name) not in seen:
                         seen.add((mv, n, name))
                         out.append((mv, mv, n, name))
-                    if (o, n) == latest and (mv, n, name) not in tseen:
-                        # the restore's one true declared transition:
-                        # pre-restore declared name -> cut name. The
-                        # other synthesized entries are vintage ALIASES,
-                        # not transitions — recording them would invent
-                        # regimes that never existed
+                    if (o, n) == lineage_latest[name] and (
+                        mv,
+                        n,
+                        name,
+                    ) not in tseen:
+                        # the restore's true declared transition for
+                        # THIS lineage: pre-restore declared name ->
+                        # cut name. The other synthesized entries are
+                        # vintage ALIASES, not transitions — recording
+                        # them would invent regimes that never existed
                         tseen.add((mv, n, name))
                         trans.append((mv, n, name))
         entries = [
@@ -779,7 +826,20 @@ class TxLogTable:
         dvs = self._live_dvs(version)
         renames = self._live_renames(version)
         if not ts and not dvs and not renames and not keep_row_address:
-            return self.spark.read.parquet(
+            reader = self.spark.read
+            sch = self._latest_schema(version)
+            if sch is not None:
+                # project the DECLARED schema, not the first footer:
+                # after an evolving append, files predating the
+                # evolution lack the added (possibly NESTED) fields,
+                # and a footer-schema read silently drops them for
+                # every row (review r9, seventh pass). Spark's parquet
+                # reader null-fills missing fields and widens
+                # int→long/float→double against an explicit schema.
+                from pyspark.sql.types import StructType
+
+                reader = reader.schema(StructType.fromJson(sch))
+            return reader.parquet(
                 *[os.path.join(self.path, f) for f in rels]
             )
         addv = self._file_add_versions(version)
@@ -1030,9 +1090,26 @@ class TxLogTable:
         manifest in (base, head] individually scannable and commutes
         (review r9, second pass: the blanket rule aborted fully staged
         writes on every concurrent maintenance checkpoint)."""
+        # INCREMENTAL scan (review r9, seventh pass): each rebase-loop
+        # iteration re-called this with the same base and one more head
+        # commit, re-walking the whole history — O(history²) stats per
+        # contended commit. Manifests already proven commuting for this
+        # base stay cleared as long as the version listing only GREW at
+        # the top (a vacuum shrinks it below, breaking the prefix match
+        # and forcing the full re-scan that expiry demands).
+        vs = tuple(self._versions())
+        cached = getattr(self, "_rebase_scan_cache", None)
+        cleared = 0
         pre_renames: set[tuple[int, str, str]] | None = None
+        if (
+            cached is not None
+            and cached["base"] == base
+            and vs[: len(cached["vs"])] == cached["vs"]
+        ):
+            cleared = cached["cleared"]
+            pre_renames = cached["pre"]
         for m in self.history():
-            if m["version"] <= base:
+            if m["version"] <= base or m["version"] <= cleared:
                 continue
             if m.get("checkpoint"):
                 if pre_renames is None:
@@ -1075,6 +1152,12 @@ class TxLogTable:
                 return f"{op} committed at version {m['version']}"
             if op == "restore":
                 return f"restore committed at version {m['version']}"
+        self._rebase_scan_cache = {
+            "base": base,
+            "vs": vs,
+            "cleared": vs[-1] if vs else 0,
+            "pre": pre_renames,
+        }
         return None
 
     # -- write operations ---------------------------------------------------
@@ -1163,8 +1246,10 @@ class TxLogTable:
             raise CommitConflict(f"concurrent create at {path}")
         return t
 
-    def _latest_schema(self) -> dict | None:
+    def _latest_schema(self, version: int | None = None) -> dict | None:
         for m in reversed(self.history()):
+            if version is not None and m["version"] > version:
+                continue
             if "schema" in m:
                 return m["schema"]
         return None
@@ -3172,7 +3257,29 @@ class TxLogTable:
         # them would mix state from two versions — and a carried
         # added_version above clone_v would break the unified version
         # space this function establishes (review r9, fifth pass)
-        clone_v = max(1, self.latest_version())
+        src_head = self.latest_version()
+        clone_v = max(1, src_head)
+        if src_head == 0:
+            # an EMPTY source (no manifests) has nothing to fold — the
+            # version-pinned folds below would raise on the absent
+            # version 1; commit a bare empty clone instead (review r9,
+            # seventh pass: the pinning regression crashed this path)
+            if not t._try_commit(
+                clone_v,
+                {
+                    "version": clone_v,
+                    "op": "clone",
+                    "source": os.path.abspath(self.path),
+                    "source_version": src_head,
+                    "added": [],
+                    "removed": [],
+                    "stats": {},
+                },
+            ):
+                raise CommitConflict(
+                    f"concurrent writer created {dest} during clone"
+                )
+            return t
         live = self._live_files(version=clone_v)
         stats = self._live_stats(version=clone_v)
         rels = {

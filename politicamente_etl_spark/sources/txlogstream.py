@@ -114,6 +114,30 @@ def _rename_chain(
     )
 
 
+def _infer_declared_version(path: str, field_names: list[str]) -> int:
+    """The newest version whose DECLARED column-name set matches
+    `field_names`. Declared names only change at schema-bearing
+    manifests (every rename/restore/evolving append commits one), so
+    the governing range of the schema at version v runs up to just
+    below the NEXT schema-bearing version. No match (or no names to
+    match) falls back to the head — the pre-inference behavior."""
+    vs = _versions(path)
+    head = vs[-1] if vs else 0
+    if not field_names:
+        return head
+    want = sorted(field_names)
+    nxt: int | None = None  # lowest schema-bearing version above v
+    for v in reversed(vs):
+        m = _manifest(path, v)
+        if "schema" not in m:
+            continue
+        names = sorted(f["name"] for f in m["schema"]["fields"])
+        if names == want:
+            return head if nxt is None else nxt - 1
+        nxt = v
+    return head
+
+
 def _alias_resolution(
     chain: list[tuple[int, int, str, str]],
     declared: list[str],
@@ -203,12 +227,19 @@ class TxLogStreamReader(DataSourceStreamReader):
         # DataSource actually read the schema at — re-deriving 'latest'
         # here would invert the vintage math for a rename landing
         # between schema() and reader construction (review r9, third
-        # pass)
-        self.declared_version = (
-            declared_version
-            if declared_version is not None
-            else max(_versions(path), default=0)
-        )
+        # pass). With a USER-SUPPLIED schema, DataSource.schema() (the
+        # only place that vintage is captured) never runs — so infer
+        # the vintage from the names themselves: the newest version
+        # range whose DECLARED name set matches field_names (review
+        # r9, seventh pass; falling back to head mis-classified a
+        # rename landing in that same window as already-reflected,
+        # bricking the relabel of post-rename files).
+        if declared_version is not None:
+            self.declared_version = declared_version
+        else:
+            self.declared_version = _infer_declared_version(
+                path, self.field_names
+            )
         # rename-chain cache keyed by the version listing — manifests
         # are immutable (vacuum's in-place checkpoint rewrite changes
         # the listing via expiry), folded INCREMENTALLY per new commit
