@@ -10,6 +10,8 @@ now DCT+Huffman JPEG) decodes through genuine byte paths.
 
 from __future__ import annotations
 
+import os
+import tempfile
 from collections.abc import Iterator
 
 import pandas as pd
@@ -101,6 +103,86 @@ def _register():
                 F.sum("pixel_sum").cast("long").alias("pixel_sum_total"),
             )
             .select("n_channels", "n_images", "width_sum", "pixel_sum_total")
+        )
+
+    @register(
+        "txlog_schema_evolution_proof",
+        sql="""
+        SELECT 'schema_evolution' AS label,
+               'decimal(12,2)' AS declared_price_type,
+               'status,flag' AS nested_fields,
+               CAST(COUNT(*) AS BIGINT) AS n_rows,
+               CAST(SUM(CASE WHEN o_orderkey % 2 = 0 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS flag_nulls,
+               CAST(SUM(CASE WHEN o_orderkey % 2 = 1 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS flag_set,
+               CAST(SUM(o_orderkey % 1000) AS BIGINT) AS price_units_sum
+        FROM orders
+        """,
+        tags=("ext-sink", "ext-storage"),
+    )
+    def q_txlog_schema_evolution_proof(
+        spark: SparkSession, sf_dir: str
+    ) -> DataFrame:
+        """Widening schema evolution end-to-end (review r9, seventh
+        pass): batch 1 appends (k, meta struct<status>, price
+        decimal(10,2)); batch 2 appends with merge_schema=True a NESTED
+        field addition (meta struct<status, flag>) and a DECIMAL
+        precision widening (price decimal(12,2)). The proof pins the
+        three contracts at once: (a) the manifest's declared type is
+        the WIDENED decimal(12,2) and the nested union keeps table
+        order with the new field appended; (b) pre-evolution rows read
+        the added nested field as NULL (the snapshot read projects the
+        DECLARED schema, not the first file footer — a footer read
+        silently dropped the field for every row); (c) data survives
+        the widening bit-exactly (price derived from integers, so the
+        unit sum is exact across the precision change). 100 TB:
+        schema evolution must never rewrite data — both appends link
+        files untouched and only the manifest schema moves, Delta's
+        mergeSchema semantics. Ref: sources/txlog.py _widen_types /
+        _read_with_tombstones."""
+        from pyspark.sql.types import StructType
+
+        from politicamente_etl_spark.sources.txlog import TxLogTable
+
+        o = T(spark, sf_dir, "orders").select("o_orderkey")
+        b1 = o.filter(F.col("o_orderkey") % 2 == 0).select(
+            F.col("o_orderkey").alias("k"),
+            F.struct(F.lit("ok").alias("status")).alias("meta"),
+            (F.col("o_orderkey") % 1000).cast("decimal(10,2)").alias(
+                "price"
+            ),
+        )
+        b2 = o.filter(F.col("o_orderkey") % 2 == 1).select(
+            F.col("o_orderkey").alias("k"),
+            F.struct(
+                F.lit("ok").alias("status"),
+                F.lit(1).cast("int").alias("flag"),
+            ).alias("meta"),
+            (F.col("o_orderkey") % 1000).cast("decimal(12,2)").alias(
+                "price"
+            ),
+        )
+        base = tempfile.mkdtemp(prefix="txlog_sev_")
+        t = TxLogTable.create(spark, os.path.join(base, "t"), b1)
+        t.append(b2, merge_schema=True)
+        declared = StructType.fromJson(t._latest_schema())
+        price_type = declared["price"].dataType.simpleString()
+        nested = ",".join(
+            f.name for f in declared["meta"].dataType.fields
+        )
+        return t.snapshot().agg(
+            F.lit("schema_evolution").alias("label"),
+            F.lit(price_type).alias("declared_price_type"),
+            F.lit(nested).alias("nested_fields"),
+            F.count("*").cast("long").alias("n_rows"),
+            F.sum(
+                F.col("meta.flag").isNull().cast("long")
+            ).alias("flag_nulls"),
+            F.sum(
+                F.col("meta.flag").isNotNull().cast("long")
+            ).alias("flag_set"),
+            F.sum(F.col("price").cast("long")).alias("price_units_sum"),
         )
 
 

@@ -994,10 +994,18 @@ class TxLogTable:
                 row_group = md.row_group(rg)
                 for ci in range(row_group.num_columns):
                     col = row_group.column(ci)
-                    st = col.statistics
-                    if st is None or not st.has_min_max:
+                    try:
+                        st = col.statistics
+                        if st is None or not st.has_min_max:
+                            continue
+                        lo, hi = st.min, st.max
+                    except Exception:
+                        # Arrow cannot extract/cast stats for every
+                        # physical type (e.g. some decimal/nested
+                        # leaves raise ArrowNotImplementedError) — no
+                        # stats just means this column never prunes
+                        # this file, the documented safe default
                         continue
-                    lo, hi = st.min, st.max
                     if isinstance(lo, bytes) or isinstance(hi, bytes):
                         continue
                     if not isinstance(lo, (int, float, str, bool)):
