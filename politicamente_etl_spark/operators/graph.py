@@ -172,6 +172,7 @@ def pagerank_integer(
     damping_num: int = 85,
     damping_den: int = 100,
     personalize: DataFrame | None = None,
+    edges_oriented_unique: bool = False,
 ) -> DataFrame:
     """Fixed-iteration PageRank over an undirected edge list, in exact
     integer arithmetic so the result is bit-identical on any engine and
@@ -198,17 +199,33 @@ def pagerank_integer(
     are restricted to the seeds (random walk with restart) — rank then
     measures proximity to the seed set rather than global centrality.
     Seed sets are small by construction (they are the query), hence the
-    broadcast."""
-    und = (
-        edges.select(F.col(src).alias("s"), F.col(dst).alias("d"))
-        .unionByName(
-            edges.select(F.col(dst).alias("s"), F.col(src).alias("d"))
-        )
-        .filter(F.col("s") != F.col("d"))
-        .distinct()
-        .localCheckpoint()
+    broadcast.
+
+    ``edges_oriented_unique``: caller contract that the input edge list
+    is already DISTINCT with ``src < dst`` per row (the shape every
+    groupBy(pa, pb)-built co-occurrence graph has). The symmetrized
+    union of such a list is provably duplicate- and self-loop-free, so
+    the defensive ``filter(s != d).distinct()`` — a full shuffle of the
+    edge list — is skipped. Results are identical; only the redundant
+    exchange goes."""
+    und = edges.select(F.col(src).alias("s"), F.col(dst).alias("d")).unionByName(
+        edges.select(F.col(dst).alias("s"), F.col(src).alias("d"))
     )
+    if not edges_oriented_unique:
+        und = und.filter(F.col("s") != F.col("d")).distinct()
+    und = und.localCheckpoint()
     deg = und.groupBy("s").agg(F.count("*").alias("deg"))
+    # Attach the source degree to the edge relation ONCE and pin its
+    # layout (hash-partitioned by s) before checkpointing: every sweep's
+    # probe join then needs NO exchange on the edge side — only the
+    # (node, rank) relation moves per sweep, which is the claim that has
+    # to hold at 100 TB where the edge list cannot be re-shuffled per
+    # iteration (the old shape joined ranks⋈deg, then edges⋈that: one
+    # extra node-relation join per sweep, and under sort-merge at scale
+    # the edge list re-shuffled every sweep).
+    und_deg = (
+        und.join(deg, "s").repartition(F.col("s")).localCheckpoint(eager=False)
+    )
     base = (damping_den - damping_num) * init // damping_den
     if personalize is not None:
         # Personalized PageRank: start mass AND teleport mass live only
@@ -233,16 +250,14 @@ def pagerank_integer(
         ranks = deg.select(
             F.col("s").alias("node"), F.lit(init).cast("long").alias("rank")
         )
-    for _ in range(iterations):
+    for it in range(iterations):
+        # rank div deg is constant per source node, so evaluating it on
+        # the joined edge row (instead of pre-joining ranks⋈deg) sums
+        # the identical integers — bit-equal result, one join fewer.
         contrib = (
-            und.join(
-                ranks.join(deg, ranks.node == deg.s).select(
-                    "node", F.expr("rank div deg").alias("c")
-                ),
-                und.s == F.col("node"),
-            )
+            und_deg.join(ranks, und_deg.s == ranks.node)
             .groupBy("d")
-            .agg(F.sum("c").alias("sc"))
+            .agg(F.sum(F.expr("rank div deg")).alias("sc"))
         )
         damped = F.expr(f"({damping_num} * sc) div {damping_den}")
         if seeds is None:
@@ -257,9 +272,14 @@ def pagerank_integer(
         out = contrib.select(F.col("d").alias("node"), F.col("sc"))
         if seeds is not None:
             out = out.join(F.broadcast(seeds), "node", "left")
-        ranks = out.select("node", rank_col.alias("rank")).localCheckpoint(
-            eager=False
-        )
+        ranks = out.select("node", rank_col.alias("rank"))
+        # lineage cut per ROUND keeps plans flat at any iteration count;
+        # the final round's plan is already flat (one join + one agg over
+        # checkpointed inputs) and is consumed exactly once by callers,
+        # so checkpointing it would only hide the sweep shape from
+        # explain() without saving any recomputation
+        if it < iterations - 1:
+            ranks = ranks.localCheckpoint(eager=False)
     return ranks
 
 

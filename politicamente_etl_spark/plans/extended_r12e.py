@@ -15,6 +15,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from politicamente_etl_spark.operators import dedup
+from politicamente_etl_spark.operators.core import spread
 
 # DuckDB twins of the minhash signature pipeline (mirrors the blocks in
 # plans/extended.py for minhash_signatures — 3-gram token shingles,
@@ -179,15 +180,23 @@ def _register():
         inserts = docs.filter(F.col("doc_id") % 7 == 3)
         t.merge(updates.unionByName(inserts), ["doc_id"])
 
-        index0 = dedup.with_minhash_signature(t.snapshot(version=1)).drop(
-            "text"
-        )
+        # spread() both signature inputs: the snapshot/changeset scans are
+        # single-split at bench SF, which would run the 8-permutation md5
+        # minhash on ONE core; at production scale the scans already carry
+        # >= cores splits and spread is a no-op (guide §2: scale-adaptive
+        # partitioning, the same fan-out _banded_signature applies)
+        index0 = dedup.with_minhash_signature(
+            spread(t.snapshot(version=1).select("doc_id", "text"), "doc_id")
+        ).drop("text")
         delta = t.table_changes(1, 2, ["doc_id"], ["text"])
         changed = delta.select("doc_id").distinct()
         fresh = dedup.with_minhash_signature(
-            delta.filter(
-                F.col("change_type").isin("insert", "update")
-            ).select("doc_id", F.col("new_text").alias("text"))
+            spread(
+                delta.filter(
+                    F.col("change_type").isin("insert", "update")
+                ).select("doc_id", F.col("new_text").alias("text")),
+                "doc_id",
+            )
         ).drop("text")
         index2 = index0.join(
             F.broadcast(changed), "doc_id", "left_anti"

@@ -244,7 +244,9 @@ def _register2():
             .filter(F.col("cnt") >= 2)
             .select("pa", "pb")
         )
-        ranks = pagerank_integer(e, src="pa", dst="pb", iterations=2)
+        ranks = pagerank_integer(
+            e, src="pa", dst="pb", iterations=2, edges_oriented_unique=True
+        )
         return (
             ranks.orderBy(F.desc("rank"), F.asc("node"))
             .limit(20)
@@ -818,7 +820,12 @@ def _register9():
         )
         seeds = nodes.filter(F.col("n") % 100 == 0).distinct()
         ranks = pagerank_integer(
-            e, src="pa", dst="pb", iterations=2, personalize=seeds
+            e,
+            src="pa",
+            dst="pb",
+            iterations=2,
+            personalize=seeds,
+            edges_oriented_unique=True,
         )
         return (
             ranks.filter(F.col("rank") > 0)

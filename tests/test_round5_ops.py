@@ -149,3 +149,48 @@ def test_weighted_median_gagg_matches_window_form(spark):
         .collect()
     }
     assert got == exact
+
+
+def test_pagerank_oriented_unique_flag_matches_default_path(spark):
+    """r9-opt: `edges_oriented_unique=True` skips the defensive
+    filter+distinct on the symmetrized union (and the per-sweep shape
+    pre-joins degree onto the checkpointed edge relation). On an input
+    that satisfies the contract — DISTINCT rows with src < dst — both
+    paths must produce bit-identical ranks."""
+    from politicamente_etl_spark.operators.graph import pagerank_integer
+
+    edges = spark.createDataFrame(
+        [(1, 2), (1, 3), (1, 4), (2, 3), (5, 6)], ["src", "dst"]
+    )
+    default = {
+        r.node: r.rank for r in pagerank_integer(edges, iterations=2).collect()
+    }
+    flagged = {
+        r.node: r.rank
+        for r in pagerank_integer(
+            edges, iterations=2, edges_oriented_unique=True
+        ).collect()
+    }
+    assert default == flagged
+
+
+def test_pagerank_sweep_is_single_join(spark):
+    """r9-opt plan pin: a sweep is ONE probe join (edge-with-degree ⋈
+    ranks) + one aggregate. The old shape pre-joined ranks⋈deg every
+    sweep — two joins; rank div deg is per-source constant, so folding
+    it onto the joined edge row sums identical integers."""
+    import re
+
+    from politicamente_etl_spark.operators.graph import pagerank_integer
+
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(1, 50)], ["src", "dst"]
+    )
+    ranks = pagerank_integer(edges, iterations=1, edges_oriented_unique=True)
+    plan = ranks._jdf.queryExecution().executedPlan().toString()
+    joins = re.findall(
+        r"BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin"
+        r"|BroadcastNestedLoopJoin|CartesianProduct",
+        plan,
+    )
+    assert len(joins) == 1, plan
