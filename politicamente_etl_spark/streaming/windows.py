@@ -842,12 +842,26 @@ def stream_hll_register_merge(
     return state["regs"]
 
 
-def stream_events_time_halves(spark: SparkSession, sf_dir: str) -> DataFrame:
+def stream_events_time_halves(
+    spark: SparkSession,
+    sf_dir: str,
+    predicate=None,
+) -> DataFrame:
     """Events as TWO time-ordered micro-batches (first/second half by the
     median event ts, one file per half, mtime-pinned order — the same
     deterministic staging as stream_cdc_changelog but split on TIME, for
     stateful operators whose recurrence is order-sensitive: the ingest
-    contract 'files arrive in event-time order' made literal."""
+    contract 'files arrive in event-time order' made literal.
+
+    ``predicate`` (r9 opt, guide §2.3 "shuffle fewer bytes" applied to the
+    staging write): when the downstream stateful operator provably ignores
+    rows failing a filter it re-applies itself (stateful_alert_ttl drops
+    value < threshold before the state op), staging only the qualifying
+    rows writes/reads/streams a fraction of the bytes with an identical
+    emission set — the rows never reached the operator's state fold either
+    way. Time-ordering across batches is preserved for any subset: the
+    median split point moves, but every batch-a row still precedes every
+    batch-b row in event time."""
     import atexit
     import os
     import shutil
@@ -856,6 +870,12 @@ def stream_events_time_halves(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = normalize_ts(
         spark.read.parquet(f"{sf_dir}/events.parquet")
     ).select("event_id", "user_id", "ts", "value")
+    if predicate is not None:
+        # One scan instead of three: the median job and both half-writes
+        # below would each re-run scan+filter; pin the (small) qualifying
+        # set once. Unfiltered callers keep the plain scan — re-reading a
+        # single parquet file twice is cheaper than holding it on-heap.
+        ev = ev.localCheckpoint()
     mid = ev.agg(
         F.expr("percentile(unix_micros(ts), 0.5)").cast("long").alias("m")
     ).collect()[0]["m"]
