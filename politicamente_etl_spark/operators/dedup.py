@@ -101,7 +101,19 @@ def minhash_near_dup_pairs(
     to exact-dedup / per-bucket representative handling, not pairwise
     scoring. Off (None) by default so the oracle-checked query keeps
     exhaustive banding semantics."""
-    ex = _banded_signature(df, text_col, id_col, n_perm, band_size)
+    # r9 opt: cut lineage on the banded signature BEFORE the self-join.
+    # Without the barrier, the join's inferred isnotnull(band_key) is
+    # pushed by substitution below the fan-out repartition into the scan
+    # stage, where it re-runs a full md5-minhash transform over every
+    # doc's shingles on the scan's (few, at bench SF: one) partitions —
+    # measured ~20% of the slot. The materialized relation is the
+    # fingerprint table of guide §8 step 1: ids + n_perm longs + band
+    # keys, a lightweight proxy both join sides read instead of
+    # re-deriving; results are bit-identical (verified, plus oracle
+    # parity).
+    ex = _banded_signature(
+        df, text_col, id_col, n_perm, band_size
+    ).localCheckpoint(eager=False)
     if hot_bucket_cap is not None:
         sizes = ex.groupBy("band_id", "band_key").agg(
             F.count("*").alias("__bucket_n")
@@ -682,6 +694,14 @@ def ngram_jaccard_pairs(
         F.size("shs").alias("n_sh"),
         F.explode("shs").alias("sh"),
     ).withColumn("sh", F.xxhash64("sh"))
+    # r9 opt: materialize the inverted index once before the self-join.
+    # Without the barrier each join side re-runs the regex shingle pass,
+    # and the explode's inferred size(shs) > 0 plus the join's
+    # isnotnull(sh) push below the fan-out repartition — two MORE full
+    # regex passes on the scan's single bench-SF partition. The exploded
+    # (id, n_sh, sh-hash) relation is the posting list both sides read;
+    # results are bit-identical (oracle parity re-proven).
+    sh = sh.localCheckpoint(eager=False)
     a = sh.alias("a")
     b = sh.alias("b")
     return (
@@ -1024,6 +1044,14 @@ def containment_pairs(
         F.size("shs").alias("n_sh"),
         F.explode("shs").alias("sh"),
     ).withColumn("sh", F.xxhash64("sh"))
+    # r9 opt: materialize the inverted index once before the self-join.
+    # Without the barrier each join side re-runs the regex shingle pass,
+    # and the explode's inferred size(shs) > 0 plus the join's
+    # isnotnull(sh) push below the fan-out repartition — two MORE full
+    # regex passes on the scan's single bench-SF partition. The exploded
+    # (id, n_sh, sh-hash) relation is the posting list both sides read;
+    # results are bit-identical (oracle parity re-proven).
+    sh = sh.localCheckpoint(eager=False)
     a = sh.alias("a")
     b = sh.alias("b")
     return (

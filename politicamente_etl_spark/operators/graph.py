@@ -163,6 +163,43 @@ def connected_components(
     return out
 
 
+def cooccurrence_pairs(
+    df: DataFrame, key: str, item: str
+) -> DataFrame:
+    """Distinct co-occurring item pairs per key, counted across keys —
+    the co-purchase edge builder: returns (pa, pb, cnt) with pa < pb
+    where cnt = number of distinct keys containing both items.
+
+    Shape (r9 optimization, guide §2.4 "remove shuffles outright"): ONE
+    groupBy(key) shuffle + map-side pair generation from the per-key
+    sorted item set, replacing the classic distinct → self-equi-join →
+    groupBy chain. The old chain cost a distinct shuffle of (key, item)
+    PLUS a self-join on key — broadcast at bench scale, but at 100 TB the
+    (key, item) relation is billions of rows, far over any broadcast cap,
+    so the join becomes a second full shuffle of both sides. Here the
+    item list per key is bounded (lineitems per order), so collect_set
+    per key is O(basket), the strict upper triangle of the sorted array
+    reproduces a.item < b.item exactly, and only pair counts shuffle
+    afterwards. Result-identical: collect_set dedups (key, item) the way
+    distinct did, and each pair is emitted once per containing key."""
+    return (
+        df.groupBy(key)
+        .agg(F.array_sort(F.collect_set(item)).alias("__items"))
+        .select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(__items, (x, i) -> "
+                    "transform(slice(__items, i + 2, size(__items)), "
+                    "y -> named_struct('pa', x, 'pb', y))))"
+                )
+            ).alias("__p")
+        )
+        .select("__p.pa", "__p.pb")
+        .groupBy("pa", "pb")
+        .agg(F.count("*").alias("cnt"))
+    )
+
+
 def pagerank_integer(
     edges: DataFrame,
     src: str = "src",

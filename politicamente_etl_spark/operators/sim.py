@@ -485,10 +485,17 @@ def semdedup(
     not re-derived per subtree (the small-scale model of a production
     precomputed cell-assignment table, same rationale as
     dedup.minhash_cross_pairs' signature checkpoints)."""
-    assigned = assign_cells(corpus, centroids, id_col, vec_col).localCheckpoint()
-    sides = assigned.withColumn(
-        "__nrm", F.sqrt(F.expr(NORM2_DOUBLE.format(a=vec_col)))
+    # r9 opt: the norm is part of the checkpointed relation. Computed
+    # after the barrier it was substituted into BOTH pair-join side
+    # projections AND their pushed-down isnotnull filters — four
+    # embedding-array passes per row instead of one. Same expression,
+    # evaluated once at materialization: bit-identical values.
+    assigned = (
+        assign_cells(corpus, centroids, id_col, vec_col)
+        .withColumn("__nrm", F.sqrt(F.expr(NORM2_DOUBLE.format(a=vec_col))))
+        .localCheckpoint()
     )
+    sides = assigned
     a = sides.select(
         F.col("cell"),
         F.col(id_col).alias("__ia"),

@@ -38,26 +38,21 @@ _EDGE_SQL = """
 
 
 def _copurchase_edges(spark: SparkSession, sf_dir: str):
-    """(e0 ordered pairs, e undirected) co-purchase edges, support >= 2."""
+    """(e0 ordered pairs, e undirected) co-purchase edges, support >= 2.
+
+    r9 opt: edge construction now runs through the one-shuffle
+    cooccurrence_pairs builder (see operators/graph.py) instead of the
+    distinct → self-equi-join → groupBy chain; the support-2 edge set is
+    identical."""
+    from politicamente_etl_spark.operators.graph import cooccurrence_pairs
     from politicamente_etl_spark.plans.catalog import T
 
-    li = (
-        T(spark, sf_dir, "lineitem")
-        .select("l_orderkey", "l_partkey")
-        .distinct()
-    )
-    a, b = li.alias("a"), li.alias("b")
     e0 = (
-        a.join(
-            b,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        cooccurrence_pairs(
+            T(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey"),
+            "l_orderkey",
+            "l_partkey",
         )
-        .groupBy(
-            F.col("a.l_partkey").alias("pa"),
-            F.col("b.l_partkey").alias("pb"),
-        )
-        .agg(F.count("*").alias("cnt"))
         .filter(F.col("cnt") >= 2)
         .select("pa", "pb")
     )

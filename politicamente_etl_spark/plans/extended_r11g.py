@@ -90,27 +90,23 @@ def _register():
         round); the corpus is n_nodes × n_walks rows per step. At
         100 TB the frontier join partitions by current node like every
         other iterative-graph op here."""
-        from politicamente_etl_spark.operators.graph import md5_random_walks
+        from politicamente_etl_spark.operators.graph import (
+            cooccurrence_pairs,
+            md5_random_walks,
+        )
 
         li = (
             T(spark, sf_dir, "lineitem")
             .select("l_orderkey", "l_partkey")
             .distinct()
         )
-        a, b = li.alias("a"), li.alias("b")
+        # r9 opt: one-shuffle pair builder; identical support-2 edges.
         e = (
-            a.join(
-                b,
-                (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-                & (F.col("a.l_partkey") < F.col("b.l_partkey")),
-            )
-            .groupBy(
-                F.col("a.l_partkey").alias("src"),
-                F.col("b.l_partkey").alias("dst"),
-            )
-            .agg(F.count("*").alias("cnt"))
+            cooccurrence_pairs(li, "l_orderkey", "l_partkey")
             .filter(F.col("cnt") >= 2)
-            .select("src", "dst")
+            .select(
+                F.col("pa").alias("src"), F.col("pb").alias("dst")
+            )
         )
         visits = md5_random_walks(e, walk_len=3, n_walks=2)
         return (
@@ -165,27 +161,23 @@ def _register_skipgram():
         rows, so the join is bounded per walk regardless of graph
         size — then a pair rollup. Top-50 heaviest pairs fingerprint
         the corpus; the full relation is the embedder's input."""
-        from politicamente_etl_spark.operators.graph import md5_random_walks
+        from politicamente_etl_spark.operators.graph import (
+            cooccurrence_pairs,
+            md5_random_walks,
+        )
 
         li = (
             T(spark, sf_dir, "lineitem")
             .select("l_orderkey", "l_partkey")
             .distinct()
         )
-        a, b = li.alias("a"), li.alias("b")
+        # r9 opt: one-shuffle pair builder; identical support-2 edges.
         e = (
-            a.join(
-                b,
-                (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-                & (F.col("a.l_partkey") < F.col("b.l_partkey")),
-            )
-            .groupBy(
-                F.col("a.l_partkey").alias("src"),
-                F.col("b.l_partkey").alias("dst"),
-            )
-            .agg(F.count("*").alias("cnt"))
+            cooccurrence_pairs(li, "l_orderkey", "l_partkey")
             .filter(F.col("cnt") >= 2)
-            .select("src", "dst")
+            .select(
+                F.col("pa").alias("src"), F.col("pb").alias("dst")
+            )
         )
         corpus = md5_random_walks(e, walk_len=3, n_walks=2)
         ca, cb = corpus.alias("ca"), corpus.alias("cb")

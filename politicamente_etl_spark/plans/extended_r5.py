@@ -40,20 +40,17 @@ def _basket_lift(
     """
     if (min_both is None) == (min_support_ppm is None):
         raise ValueError("set exactly one of min_both / min_support_ppm")
+    from politicamente_etl_spark.operators.graph import cooccurrence_pairs
+
     n = li.agg(F.countDistinct("l_orderkey").alias("n_orders"))
     item = li.groupBy("l_partkey").agg(F.count("*").alias("c"))
-    a, b = li.alias("a"), li.alias("b")
-    pairs = (
-        a.join(
-            b,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
-        )
-        .groupBy(
-            F.col("a.l_partkey").alias("part_a"),
-            F.col("b.l_partkey").alias("part_b"),
-        )
-        .agg(F.count("*").alias("n_both"))
+    # r9 opt: one-shuffle pair builder (groupBy(order) + map-side pair
+    # gen) replaces the inverted-index self-join; identical pair counts
+    # (callers pass distinct (order, part) rows — see cooccurrence_pairs).
+    pairs = cooccurrence_pairs(li, "l_orderkey", "l_partkey").select(
+        F.col("pa").alias("part_a"),
+        F.col("pb").alias("part_b"),
+        F.col("cnt").alias("n_both"),
     )
     if min_both is not None:
         pairs = pairs.filter(F.col("n_both") >= min_both)
@@ -228,18 +225,13 @@ def _register():
             .select("l_orderkey", "l_partkey")
             .distinct()
         )
-        a, b = li.alias("a"), li.alias("b")
+        from politicamente_etl_spark.operators.graph import (
+            cooccurrence_pairs,
+        )
+
+        # r9 opt: one-shuffle pair builder; identical support-2 edges.
         e = (
-            a.join(
-                b,
-                (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-                & (F.col("a.l_partkey") < F.col("b.l_partkey")),
-            )
-            .groupBy(
-                F.col("a.l_partkey").alias("pa"),
-                F.col("b.l_partkey").alias("pb"),
-            )
-            .agg(F.count("*").alias("cnt"))
+            cooccurrence_pairs(li, "l_orderkey", "l_partkey")
             .filter(F.col("cnt") >= 2)
             .select("pa", "pb")
         )
@@ -317,20 +309,17 @@ def _register():
             .select("l_orderkey", "l_partkey")
             .distinct()
         )
-        a, b = li.alias("a"), li.alias("b")
+        from politicamente_etl_spark.operators.graph import (
+            cooccurrence_pairs,
+        )
+
+        # r9 opt: one-shuffle pair builder; identical support-2 edges.
         e = (
-            a.join(
-                b,
-                (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-                & (F.col("a.l_partkey") < F.col("b.l_partkey")),
-            )
-            .groupBy(
-                F.col("a.l_partkey").alias("src"),
-                F.col("b.l_partkey").alias("dst"),
-            )
-            .agg(F.count("*").alias("cnt"))
+            cooccurrence_pairs(li, "l_orderkey", "l_partkey")
             .filter(F.col("cnt") >= 2)
-            .select("src", "dst")
+            .select(
+                F.col("pa").alias("src"), F.col("pb").alias("dst")
+            )
         )
         cc = graph.connected_components(e)
         return (

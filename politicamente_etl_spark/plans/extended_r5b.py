@@ -147,9 +147,15 @@ def _register():
         the payoff at 100 TB is a shuffle shrunk by the true-negative
         rate (~81% of lineitem here) without needing the build side to
         be broadcastable."""
+        from politicamente_etl_spark.operators.core import spread
         from politicamente_etl_spark.operators.joins import bloom_prefilter
 
-        li = T(spark, sf_dir, "lineitem")
+        # r9 opt: fan the one-split bench scan out before the per-row
+        # bloom membership test (5 hash probes/row) — single-core
+        # otherwise. At scale the scan has >= cores splits, spread() is
+        # a no-op, and the bloom filter stays scan-side ahead of any
+        # exchange as designed.
+        li = spread(T(spark, sf_dir, "lineitem"), "l_orderkey")
         build = T(spark, sf_dir, "orders").filter(
             F.col("o_orderpriority") == "1-URGENT"
         )
@@ -222,25 +228,22 @@ def _register2():
         shape is one edge-list equi-join + one partial-aggregated
         groupBy(dst) per sweep with lineage cut per round — PageRank's
         canonical BSP form."""
-        from politicamente_etl_spark.operators.graph import pagerank_integer
-
-        li = (
-            T(spark, sf_dir, "lineitem")
-            .select("l_orderkey", "l_partkey")
-            .distinct()
+        from politicamente_etl_spark.operators.graph import (
+            cooccurrence_pairs,
+            pagerank_integer,
         )
-        a, b = li.alias("a"), li.alias("b")
+
+        # r9 opt: one-shuffle edge builder (groupBy(order) + map-side
+        # pair gen) replaces distinct → self-equi-join → groupBy; the
+        # support-2 edge set is identical (see cooccurrence_pairs).
         e = (
-            a.join(
-                b,
-                (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-                & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+            cooccurrence_pairs(
+                T(spark, sf_dir, "lineitem").select(
+                    "l_orderkey", "l_partkey"
+                ),
+                "l_orderkey",
+                "l_partkey",
             )
-            .groupBy(
-                F.col("a.l_partkey").alias("pa"),
-                F.col("b.l_partkey").alias("pb"),
-            )
-            .agg(F.count("*").alias("cnt"))
             .filter(F.col("cnt") >= 2)
             .select("pa", "pb")
         )
@@ -793,25 +796,22 @@ def _register9():
         popularity. Same integer sweeps as copurchase_pagerank with mass
         and teleport confined to the seed set; zero-mass nodes are
         dropped so the top-20 is proximity-ranked."""
-        from politicamente_etl_spark.operators.graph import pagerank_integer
-
-        li = (
-            T(spark, sf_dir, "lineitem")
-            .select("l_orderkey", "l_partkey")
-            .distinct()
+        from politicamente_etl_spark.operators.graph import (
+            cooccurrence_pairs,
+            pagerank_integer,
         )
-        a, b = li.alias("a"), li.alias("b")
+
+        # r9 opt: one-shuffle edge builder (groupBy(order) + map-side
+        # pair gen) replaces distinct → self-equi-join → groupBy; the
+        # support-2 edge set is identical (see cooccurrence_pairs).
         e = (
-            a.join(
-                b,
-                (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-                & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+            cooccurrence_pairs(
+                T(spark, sf_dir, "lineitem").select(
+                    "l_orderkey", "l_partkey"
+                ),
+                "l_orderkey",
+                "l_partkey",
             )
-            .groupBy(
-                F.col("a.l_partkey").alias("pa"),
-                F.col("b.l_partkey").alias("pb"),
-            )
-            .agg(F.count("*").alias("cnt"))
             .filter(F.col("cnt") >= 2)
             .select("pa", "pb")
         )

@@ -93,20 +93,13 @@ def _register():
             .select("l_orderkey", "l_partkey")
             .distinct()
         )
-        a, b = li.alias("a"), li.alias("b")
+        # r9 opt: one-shuffle pair builder; identical support-2 edges.
         e = (
-            a.join(
-                b,
-                (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-                & (F.col("a.l_partkey") < F.col("b.l_partkey")),
-            )
-            .groupBy(
-                F.col("a.l_partkey").alias("src"),
-                F.col("b.l_partkey").alias("dst"),
-            )
-            .agg(F.count("*").alias("cnt"))
+            graph.cooccurrence_pairs(li, "l_orderkey", "l_partkey")
             .filter(F.col("cnt") >= 2)
-            .select("src", "dst")
+            .select(
+                F.col("pa").alias("src"), F.col("pb").alias("dst")
+            )
         )
         return graph.kcore_peel(e, k=_KCORE_K, rounds=_KCORE_ROUNDS)
 

@@ -51,19 +51,12 @@ def _co_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("l_orderkey", "l_partkey")
         .distinct()
     )
-    a, b = li.alias("a"), li.alias("b")
+    from politicamente_etl_spark.operators.graph import cooccurrence_pairs
+
+    # r9 opt: one-shuffle pair builder; identical support-2 edges.
     return (
-        a.join(
-            b,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
-        )
-        .groupBy(
-            F.col("a.l_partkey").alias("pa"),
-            F.col("b.l_partkey").alias("pb"),
-        )
-        .agg(F.count("*").alias("n"))
-        .filter(F.col("n") >= 2)
+        cooccurrence_pairs(li, "l_orderkey", "l_partkey")
+        .filter(F.col("cnt") >= 2)
         .select("pa", "pb")
     )
 

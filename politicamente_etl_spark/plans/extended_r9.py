@@ -1347,20 +1347,13 @@ def _register_batch9():
             .select("l_orderkey", "l_partkey")
             .distinct()
         )
-        a, b = li.alias("a"), li.alias("b")
+        # r9 opt: one-shuffle pair builder; identical support-2 edges.
         we = (
-            a.join(
-                b,
-                (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-                & (F.col("a.l_partkey") < F.col("b.l_partkey")),
-            )
-            .groupBy(
-                F.col("a.l_partkey").alias("pa"),
-                F.col("b.l_partkey").alias("pb"),
-            )
-            .agg(F.count(F.lit(1)).alias("cnt"))
+            graph.cooccurrence_pairs(li, "l_orderkey", "l_partkey")
             .filter(F.col("cnt") >= 2)
-            .select("pa", "pb", F.expr("1000 div cnt").cast("long").alias("w"))
+            .select(
+                "pa", "pb", F.expr("1000 div cnt").cast("long").alias("w")
+            )
         )
         seeds = (
             T(spark, sf_dir, "part")
