@@ -1072,7 +1072,10 @@ def _register():
         """Exact brute-force cosine top-10 for 5 query vectors against the
         corpus. Sequential-fold double math → bit-identical to DuckDB's
         list_reduce; ties broken by vec_id."""
-        emb = T(spark, sf_dir, "embeddings")
+        # r9 opt: fan the one-split bench scan out before the per-row
+        # double-fold cosine against the broadcast query set
+        # (single-core otherwise; no-op at production split counts).
+        emb = core.spread(T(spark, sf_dir, "embeddings"), "vec_id")
         queries = emb.filter(F.col("vec_id") < 5)
         return sim.cosine_topk(emb, queries, k=10)
 

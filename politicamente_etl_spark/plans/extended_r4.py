@@ -56,7 +56,14 @@ def _chunks(
 ) -> DataFrame:
     from politicamente_etl_spark.plans.catalog import T
 
-    docs = T(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    from politicamente_etl_spark.operators.core import spread
+
+    # r9 opt: fan the one-split bench scan out before chunking + per-chunk
+    # md5 (single-core otherwise; no-op at production split counts).
+    docs = spread(
+        T(spark, sf_dir, "documents").select("doc_id", "source", "text"),
+        "doc_id",
+    )
     ch = text.chunk_documents(docs, window=CHUNK_W, stride=CHUNK_W)
     if with_source:
         # chunk_documents drops non-(id, text) columns; re-attach source

@@ -49,9 +49,13 @@ _M_CTE = f"""
 def _emb_milli(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(vec_id, label, pos 1-based, mv) — posexploded integer-milli
     embedding components, the shared front of the embedding queries."""
+    from politicamente_etl_spark.operators.core import spread
     from politicamente_etl_spark.plans.catalog import T
 
-    emb = T(spark, sf_dir, "embeddings")
+    # r9 opt: fan the one-split bench scan out before the 64-way
+    # posexplode + downstream per-component work (single-core otherwise;
+    # no-op at production split counts).
+    emb = spread(T(spark, sf_dir, "embeddings"), "vec_id")
     return emb.select(
         "vec_id",
         "label",

@@ -83,7 +83,14 @@ def _register():
         orderBy+limit (TakeOrdered), never a global row_number sort.
         Engine note: every SQL float literal is scientific notation
         (1.2e0, 7.5e-1) so DuckDB binds DOUBLE, not DECIMAL."""
-        docs = T(spark, sf_dir, "documents").select("doc_id", "text")
+        from politicamente_etl_spark.operators.core import spread
+
+        # r9 opt: fan the one-split bench scan out before the two
+        # tokenize passes (postings + corpus stats) — single-core
+        # otherwise; no-op at production split counts.
+        docs = spread(
+            T(spark, sf_dir, "documents").select("doc_id", "text"), "doc_id"
+        )
         return text.bm25_topk(docs, list(BM25_TERMS), k=10)
 
     @register(
@@ -205,7 +212,14 @@ def _register():
         model from arithmetic alone — swap in trained weights and the
         plan is unchanged. The classifier-inference shape every curated
         pretraining corpus runs at full scale."""
-        docs = T(spark, sf_dir, "documents").select("doc_id", "text")
+        from politicamente_etl_spark.operators.core import spread
+
+        # r9 opt: fan the one-split bench scan out before the two
+        # tokenize/shingle explode branches (single-core otherwise;
+        # no-op at production split counts).
+        docs = spread(
+            T(spark, sf_dir, "documents").select("doc_id", "text"), "doc_id"
+        )
         w = text.fixture_hash_weights(spark, n_buckets=4096, seed="qc-w")
         return text.hashed_linear_score(
             docs, w, n_buckets=4096, seed="qc-v1"

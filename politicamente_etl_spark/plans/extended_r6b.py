@@ -144,7 +144,12 @@ def _register():
         loop, no per-step join); the oracle replays it with a recursive
         CTE carrying the selected list. All-integer milli-dot scoring
         makes the selection order engine-exact."""
-        emb = T(spark, sf_dir, "embeddings")
+        from politicamente_etl_spark.operators.core import spread
+
+        # r9 opt: fan the one-split bench scan out before the per-row
+        # milli-dot candidate scoring against the broadcast query set
+        # (single-core otherwise; no-op at production split counts).
+        emb = spread(T(spark, sf_dir, "embeddings"), "vec_id")
         queries = emb.filter(F.col("vec_id") < 3)
         return sim.mmr_topk(emb, queries, k=5, n_candidates=12, lam_tenths=7)
 
