@@ -557,12 +557,16 @@ def test_epoch_shards_single_shuffle(spark, sf_dir):
 
 
 def test_hashed_classifier_broadcast_weights_one_shuffle(spark, sf_dir):
-    """Classifier inference = broadcast weight lookup + one groupBy(doc)
-    exchange; the weights table must never shuffle-join."""
+    """Classifier inference = broadcast weight lookup; the weights table
+    must never shuffle-join. Since the r9 spread(doc_id) fan-out, the
+    groupBy(doc_id) REUSES the fan-out's hashpartitioning (guide §2.4),
+    so at bench scale every remaining exchange is a REPARTITION_BY_NUM
+    fan-out and no ENSURE_REQUIREMENTS shuffle survives at all."""
     plan = plan_of(q("hashed_classifier_gate", spark, sf_dir))
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
-    assert plan.count(") Exchange") == 1, plan
+    assert "ENSURE_REQUIREMENTS" not in plan, plan
+    assert plan.count(") Exchange") <= 2, plan
 
 
 def test_token_budget_window_is_partitioned(spark, sf_dir):
