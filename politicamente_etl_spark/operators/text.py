@@ -667,6 +667,13 @@ def boilerplate_shingle_scores(
         F.col(id_col),
         F.explode(F.array_distinct(shingles_regex(text_col, n))).alias("sh"),
     ).withColumn("sh", F.xxhash64("sh"))
+    # r9 opt (guide §8 proxy-table pattern): this relation feeds BOTH the
+    # doc-freq aggregate and the join probe side; when doc_freq broadcasts
+    # there is no common exchange to reuse, so without a barrier the regex
+    # shingling + explode of every document runs TWICE (two Generate nodes
+    # in the plan). Materialize the 16-byte (doc_id, shingle-hash) rows
+    # once — text is parsed exactly once at any scale.
+    sh = sh.localCheckpoint(eager=False)
     doc_freq = sh.groupBy("sh").agg(F.count("*").alias("doc_freq"))
     return (
         sh.join(doc_freq, "sh")

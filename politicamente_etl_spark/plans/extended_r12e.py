@@ -188,7 +188,16 @@ def _register():
         index0 = dedup.with_minhash_signature(
             spread(t.snapshot(version=1).select("doc_id", "text"), "doc_id")
         ).drop("text")
-        delta = t.table_changes(1, 2, ["doc_id"], ["text"])
+        # r9 opt (guide §8 proxy-table pattern): the change feed is a
+        # multi-join relation (file-set diff + tombstone semi-joins) and
+        # BOTH consumers below — the broadcast `changed` key set and the
+        # re-sign input `fresh` — would re-derive it from scratch. Cut
+        # lineage once: the materialized delta is changeset-sized
+        # (∝ |merge batch|, never ∝ table), so the barrier costs one
+        # small write and removes a full second CDF derivation.
+        delta = t.table_changes(1, 2, ["doc_id"], ["text"]).localCheckpoint(
+            eager=False
+        )
         changed = delta.select("doc_id").distinct()
         fresh = dedup.with_minhash_signature(
             spread(

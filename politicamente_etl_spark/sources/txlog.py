@@ -1728,8 +1728,6 @@ class TxLogTable:
         commit — the lost-update guard of optimistic concurrency.
         Default (None) reads the current head, which is the same
         protocol with the read made as late as possible."""
-        from politicamente_etl_spark.sources.sinks import upsert
-
         base = (
             self.latest_version() if read_version is None else read_version
         )
@@ -1740,6 +1738,34 @@ class TxLogTable:
         # checks the incoming batch pre-write (see _enforce_constraints
         # docstring for the determinism contract split vs append)
         new, gen_checks = self._apply_generated(new)
+        # Materialize the batch once (r9 opt): the constraint check, the
+        # key-bounds aggregate, the touched-file semi-join, and the
+        # rewrite below otherwise each re-derive `new` from scratch — and
+        # a non-deterministic source could change rows BETWEEN those
+        # passes (the hazard Delta's merge closes the same way, by
+        # materializing the source). persist() rather than localCheckpoint
+        # so the batch's size estimate survives and its broadcast-join
+        # plans don't silently degrade to sort-merge; MEMORY_AND_DISK
+        # spills for large batches, and the handle is dropped before
+        # returning (nothing reads the batch after the staged write).
+        new = new.persist()
+        try:
+            return self._merge_materialized(new, gen_checks, keys, base, live)
+        finally:
+            new.unpersist(blocking=False)
+
+    def _merge_materialized(
+        self,
+        new: DataFrame,
+        gen_checks: dict,
+        keys: list[str],
+        base: int,
+        live: list[str],
+    ) -> dict:
+        """merge() body after the batch is persisted — split out so the
+        caller's try/finally can guarantee the unpersist."""
+        from politicamente_etl_spark.sources.sinks import upsert
+
         self._enforce_constraints(
             new, cons={**self._live_constraints(), **gen_checks}
         )

@@ -881,15 +881,31 @@ def stream_events_time_halves(
     ).collect()[0]["m"]
     stage = tempfile.mkdtemp(prefix="events_halves_")
     atexit.register(shutil.rmtree, stage, ignore_errors=True)
-    a_dir, b_dir = os.path.join(stage, "a"), os.path.join(stage, "b")
-    ev.filter(F.expr(f"unix_micros(ts) <= {mid}")).coalesce(1).write.mode(
-        "overwrite"
-    ).parquet(a_dir)
-    ev.filter(F.expr(f"unix_micros(ts) > {mid}")).coalesce(1).write.mode(
-        "overwrite"
-    ).parquet(b_dir)
+    # ONE write job stages both halves (r9 opt): repartition(flag) puts
+    # each half in its own task, partitionBy(flag) splits the output one
+    # file per half — the txlog _stage_write clustering pattern — instead
+    # of two sequential filter+coalesce(1) write jobs re-reading the
+    # source. recursiveFileLookup on the reader disables partition
+    # inference, so the flag lives only in directory names and the
+    # streamed schema stays exactly ev.schema. An all-ties edge (empty
+    # second half) stages no file for it; a missing and an empty
+    # micro-batch are both no-op state folds, so emissions are identical.
+    (
+        ev.withColumn(
+            "__half",
+            F.when(F.expr(f"unix_micros(ts) <= {mid}"), "a").otherwise("b"),
+        )
+        .repartition("__half")
+        .write.mode("overwrite")
+        .partitionBy("__half")
+        .parquet(stage)
+    )
+    a_dir = os.path.join(stage, "__half=a")
+    b_dir = os.path.join(stage, "__half=b")
     now = 1_700_000_000
     for d, t in ((a_dir, now), (b_dir, now + 1000)):
+        if not os.path.isdir(d):
+            continue
         for name in os.listdir(d):
             os.utime(os.path.join(d, name), (t, t))
     return (
