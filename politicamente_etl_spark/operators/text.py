@@ -168,30 +168,56 @@ def winnowing_fingerprints(
     single-pass regex-lookahead trick as shingles_regex, so the scan stays
     one linear sweep). Same fingerprint SET as the rolling version, O(k)
     per gram instead of O(1) — a constant factor inside one narrow
-    codegen'd projection, no shuffle anywhere until a consumer aggregates."""
-    return df.select(
-        "doc_id", F.explode(winnowing_fp_set(col, k=k, w=w)).alias("fp")
-    )
+    projection, no shuffle anywhere until a consumer aggregates.
+
+    The fingerprint relation is lineage-cut before the explode (r9 opt):
+    explode() makes the optimizer infer `size(fps) > 0 AND isnotnull(fps)`
+    and push it below the projections BY SUBSTITUTION, so the scan-stage
+    filter carried the fully-inlined fingerprint expression — evaluated
+    twice per row on top of the projection's own evaluation (the same
+    inferred-filter pathology minhash_near_dup_pairs documents). The
+    barrier makes the filter read a materialized array instead."""
+    from politicamente_etl_spark.operators.core import spread
+
+    fps = with_winnowing_fp_set(
+        spread(df.select("doc_id", col), "doc_id"), col, k=k, w=w
+    ).select("doc_id", "__fps").localCheckpoint(eager=False)
+    return fps.select("doc_id", F.explode("__fps").alias("fp"))
 
 
-def winnowing_fp_set(col: str = "text", k: int = 8, w: int = 4) -> Column:
-    """The winnowing fingerprint SET as an array column (see
-    winnowing_fingerprints) — for consumers that also need the set size
-    carried through an explode."""
+def with_winnowing_fp_set(
+    df: DataFrame, col: str = "text", k: int = 8, w: int = 4
+) -> DataFrame:
+    """Add the winnowing fingerprint SET as a `__fps` array column.
+
+    The k-gram hash array is bound to a REAL column in its own projection
+    before the window-min transform reads it (r9 opt — the same two-step
+    shape `with_minhash_signature` documents: Catalyst keeps non-cheap
+    aliases un-collapsed). Inlined, the window lambda's `slice(hashes, i,
+    w)` re-evaluated the ENTIRE md5-hash transform once per window
+    position — O(len²) md5 calls per document, measured 55 s for the
+    window stage alone at sf0.01 vs 0.3 s for the hash pass it repeats;
+    bound, each gram is hashed exactly once and the stage collapses to
+    the linear cost the algorithm is supposed to have."""
     grams = F.regexp_extract_all(F.col(col), F.lit(rf"(?=(.{{{k}}}))."), 1)
     hashes = F.transform(
         grams,
         lambda g: F.conv(F.substring(F.md5(g), 1, 15), 16, 10).cast("bigint"),
     )
-    n_win = F.size(hashes) - (w - 1)
+    step = df.withColumn("__wh", hashes)
+    bound = F.col("__wh")
+    n_win = F.size(bound) - (w - 1)
     wins = F.transform(
-        F.sequence(F.lit(1), n_win), lambda i: F.array_min(F.slice(hashes, i, w))
+        F.sequence(F.lit(1), n_win), lambda i: F.array_min(F.slice(bound, i, w))
     )
     # sequence(1, n) with n < 1 counts DOWN (and DuckDB range() would be
     # empty) — guard short docs to an empty fingerprint set explicitly
-    return F.when(n_win >= 1, F.array_distinct(wins)).otherwise(
-        F.array().cast("array<bigint>")
-    )
+    return step.withColumn(
+        "__fps",
+        F.when(n_win >= 1, F.array_distinct(wins)).otherwise(
+            F.array().cast("array<bigint>")
+        ),
+    ).drop("__wh")
 
 
 def winnowing_overlap_pairs(
@@ -210,11 +236,25 @@ def winnowing_overlap_pairs(
 
     The per-doc set size rides through the explode in the projection
     (same trick as ngram_jaccard_pairs) — no separate count aggregate,
-    no re-join."""
-    sized = df.select(
-        "doc_id", winnowing_fp_set(col, k=k, w=w).alias("fps")
-    ).select(
-        "doc_id", F.size("fps").alias("n_fp"), F.explode("fps").alias("fp")
+    no re-join.
+
+    The exploded (doc_id, n_fp, fp) posting relation is lineage-cut
+    before the self-join (r9 opt, the minhash_near_dup_pairs barrier):
+    without it BOTH join sides re-derive the full fingerprint pipeline,
+    and explode's inferred size/isnotnull filter is pushed into the scan
+    stage by substitution carrying the whole inlined expression."""
+    from politicamente_etl_spark.operators.core import spread
+
+    sized = (
+        with_winnowing_fp_set(
+            spread(df.select("doc_id", col), "doc_id"), col, k=k, w=w
+        )
+        .select(
+            "doc_id",
+            F.size("__fps").alias("n_fp"),
+            F.explode("__fps").alias("fp"),
+        )
+        .localCheckpoint(eager=False)
     )
     a, b = sized.alias("a"), sized.alias("b")
     return (

@@ -1506,9 +1506,10 @@ class TxLogTable:
         the staged files (validated rows == committed rows, immune to
         batch nondeterminism); merge() calls it on the incoming batch
         BEFORE the rewrite — checking the merged output would retro-
-        check pre-existing rows, which CHECK semantics exclude — so a
-        merge batch is assumed deterministic between the check and the
-        rewrite (the lakehouse-standard assumption)."""
+        check pre-existing rows, which CHECK semantics exclude. merge()
+        persists the batch first (r9), so checked rows == rewritten
+        rows even for a non-deterministic source — the same guarantee
+        Delta gets by materializing its merge source."""
         if cons is None:
             cons = self._live_constraints()
         if not cons:
