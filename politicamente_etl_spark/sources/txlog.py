@@ -2734,7 +2734,17 @@ class TxLogTable:
         )
         by_commit: dict[tuple, list[str]] = {}
         for f in files:
-            key = (os.path.dirname(f), file_version.get(f), addv.get(f, 0))
+            # group by the ORIGINATING COMMIT DIR (data/<commit-uuid>),
+            # not os.path.dirname: a clustered _stage_write puts every
+            # file in its own <col>=<val> partition subdir, so dirname
+            # grouping exploded one commit into one group PER FILE —
+            # a union of N single-file scans each with its own DV
+            # anti-join (measured 86 s vs 1.6 s for the single-group
+            # read on a 300-file clustered table, r9). Files of one
+            # commit come from one staged write and share a physical
+            # schema, which is all the grouping must guarantee.
+            commit_dir = os.sep.join(f.split(os.sep)[:2])
+            key = (commit_dir, file_version.get(f), addv.get(f, 0))
             by_commit.setdefault(key, []).append(f)
         parts = []
         for (_, ver, av), grp in by_commit.items():
