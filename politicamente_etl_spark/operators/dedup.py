@@ -431,7 +431,17 @@ def ml_minhash_near_dup_pairs(
     lsh = MinHashLSH(
         inputCol="__vec", outputCol="__hashes", numHashTables=num_hash_tables, seed=42
     ).fit(vecs)
-    pairs = lsh.approxSimilarityJoin(vecs, vecs, 1.0 - threshold, distCol="dist")
+    # r9 opt: approxSimilarityJoin(df, df) re-derives BOTH dataset sides
+    # from scratch — tokenizer, 2^18-dim HashingTF, and (when the hash
+    # column is absent) the per-row MinHash UDF each run twice. Transform
+    # once, cut lineage, and hand the join the hashed relation: the join
+    # sees `__hashes` present and skips its own transform, so the whole
+    # featurize+hash pipeline runs exactly once. Pairs are unchanged
+    # (same model, same hashes).
+    hashed = lsh.transform(vecs).localCheckpoint(eager=False)
+    pairs = lsh.approxSimilarityJoin(
+        hashed, hashed, 1.0 - threshold, distCol="dist"
+    )
     return (
         pairs.filter(F.col(f"datasetA.{id_col}") < F.col(f"datasetB.{id_col}"))
         .select(

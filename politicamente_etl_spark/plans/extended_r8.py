@@ -2498,12 +2498,21 @@ def _register_batch13():
         twin on a bounded audit sample, LSH recall measured, THEN the
         LSH path promoted to the full corpus."""
         emb = T(spark, sf_dir, "embeddings")
-        exact = sim.cosine_near_dup_pairs(emb, threshold=0.45).select(
-            "vec_a", "vec_b"
+        # r9 opt: both pair lists feed TWO consumers each (their count
+        # aggregate and the anti-join) — without a barrier the exact
+        # all-pairs verifier, the single most expensive subtree in the
+        # catalog, runs twice. The materialized lists are pair-count
+        # sized; results identical.
+        exact = (
+            sim.cosine_near_dup_pairs(emb, threshold=0.45)
+            .select("vec_a", "vec_b")
+            .localCheckpoint(eager=False)
         )
-        lsh = sim.cosine_near_dup_pairs_lsh(
-            emb, _DUP_PLANES, threshold=0.45
-        ).select("vec_a", "vec_b")
+        lsh = (
+            sim.cosine_near_dup_pairs_lsh(emb, _DUP_PLANES, threshold=0.45)
+            .select("vec_a", "vec_b")
+            .localCheckpoint(eager=False)
+        )
         n_exact = exact.agg(F.count("*").cast("long").alias("n_exact"))
         n_lsh = lsh.agg(F.count("*").cast("long").alias("n_lsh"))
         lsh_only = (
