@@ -1749,6 +1749,14 @@ class TxLogTable:
         # plans don't silently degrade to sort-merge; MEMORY_AND_DISK
         # spills for large batches, and the handle is dropped before
         # returning (nothing reads the batch after the staged write).
+        # Caveat (ADVICE r9, low): persist is best-effort caching — a
+        # partition evicted or lost mid-merge is recomputed from the
+        # source, so the checked-rows == rewritten-rows guarantee holds
+        # only while the cache is intact. Delta's eager source
+        # materialization is the hard-barrier version; the eager
+        # count()/localCheckpoint here would cost an extra pass or the
+        # size estimate on every merge to close a window that requires
+        # cache pressure AND a non-deterministic source to bite.
         new = new.persist()
         try:
             return self._merge_materialized(new, gen_checks, keys, base, live)
@@ -2743,7 +2751,20 @@ class TxLogTable:
             # read on a 300-file clustered table, r9). Files of one
             # commit come from one staged write and share a physical
             # schema, which is all the grouping must guarantee.
-            commit_dir = os.sep.join(f.split(os.sep)[:2])
+            # The commit dir is the component AFTER the LAST _DATA_DIR
+            # segment (mirrors _with_row_address's '.*/data/' regex) —
+            # NOT a fixed [:2] prefix: shallow-clone manifests carry
+            # files as '../<src>/data/<commit>/...', and a prefix cut
+            # collapsed every carried file into ONE group ('../<src>'),
+            # which read schema-evolved source commits in one
+            # first-footer-schema scan and silently dropped evolved
+            # columns (ADVICE r9, high).
+            parts = f.split(os.sep)
+            if _DATA_DIR in parts:
+                i = len(parts) - 1 - parts[::-1].index(_DATA_DIR)
+                commit_dir = os.sep.join(parts[: i + 2])
+            else:
+                commit_dir = os.path.dirname(f)
             key = (commit_dir, file_version.get(f), addv.get(f, 0))
             by_commit.setdefault(key, []).append(f)
         parts = []

@@ -116,19 +116,34 @@ def test_winnowing_results_unchanged_by_binding(spark, sf_dir):
 
 
 def test_merge_materializes_nondeterministic_batch(spark):
-    """A batch whose rows depend on rand() must merge CONSISTENTLY: the
-    committed snapshot equals the batch the constraint/semi-join passes
-    saw. Without the persist, each internal pass re-drew the random
-    rows and the rewrite could drop keys the semi-join matched."""
+    """A batch whose row set varies PER EVALUATION must merge
+    CONSISTENTLY: the committed snapshot equals the batch the
+    constraint/semi-join passes saw. Without the persist, each internal
+    pass re-draws the rows and the rewrite can drop keys the semi-join
+    matched.
+
+    ADVICE r9 (low): the original pin used F.rand(seed=None), whose
+    seed is FIXED at analysis time — recomputing the same DataFrame
+    yields identical rows per partition, so the test passed even with
+    the persist() removed. The coin flips now come from os.urandom in
+    a UDF marked non-deterministic: any re-evaluation draws a fresh
+    row set (P[two passes agree on 200 keys] = 2^-200)."""
     base = tempfile.mkdtemp(prefix="opt_r9_mg_")
     tgt = spark.range(0, 200).select(
         F.col("id").alias("k"), F.lit(0).cast("long").alias("v")
     )
     t = TxLogTable.create(spark, os.path.join(base, "t"), tgt)
+
+    def _coin(_k):
+        import os as _os
+
+        return int.from_bytes(_os.urandom(4), "little")
+
+    coin = F.udf(_coin, "long").asNondeterministic()
     batch = (
         spark.range(0, 200)
         .select(F.col("id").alias("k"))
-        .filter(F.rand(seed=None) < 0.5)  # non-deterministic row set
+        .filter(coin("id") % 2 == 0)  # re-drawn on every evaluation
         .withColumn("v", F.lit(1).cast("long"))
     )
     t.merge(batch, ["k"])
