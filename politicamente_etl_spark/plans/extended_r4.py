@@ -56,14 +56,14 @@ def _chunks(
 ) -> DataFrame:
     from politicamente_etl_spark.plans.catalog import T
 
-    from politicamente_etl_spark.operators.core import spread
-
-    # r9 opt: fan the one-split bench scan out before chunking + per-chunk
-    # md5 (single-core otherwise; no-op at production split counts).
-    docs = spread(
-        T(spark, sf_dir, "documents").select("doc_id", "source", "text"),
-        "doc_id",
-    )
+    # r10: the r9 spread() fan-out is REMOVED — fixed-stride slicing plus
+    # one md5 per ~8-token chunk is too cheap for the fan-out shuffle of
+    # the full text column to pay for itself (A/B at sf0.1: spread
+    # 0.80 s, no spread 0.64 s; the 8-core bench run was FASTER than the
+    # 32-core one under spread, PERF r9 scaling 0.66). At production
+    # split counts the scan is already parallel and the removed call was
+    # a no-op anyway.
+    docs = T(spark, sf_dir, "documents").select("doc_id", "source", "text")
     ch = text.chunk_documents(docs, window=CHUNK_W, stride=CHUNK_W)
     if with_source:
         # chunk_documents drops non-(id, text) columns; re-attach source

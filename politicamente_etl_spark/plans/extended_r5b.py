@@ -147,15 +147,18 @@ def _register():
         the payoff at 100 TB is a shuffle shrunk by the true-negative
         rate (~81% of lineitem here) without needing the build side to
         be broadcastable."""
-        from politicamente_etl_spark.operators.core import spread
         from politicamente_etl_spark.operators.joins import bloom_prefilter
 
-        # r9 opt: fan the one-split bench scan out before the per-row
-        # bloom membership test (5 hash probes/row) — single-core
-        # otherwise. At scale the scan has >= cores splits, spread() is
-        # a no-op, and the bloom filter stays scan-side ahead of any
-        # exchange as designed.
-        li = spread(T(spark, sf_dir, "lineitem"), "l_orderkey")
+        # r10: the r9 spread() fan-out is REMOVED — five xxhash64 probes
+        # plus two array lookups per row are codegen'd and too cheap for
+        # the fan-out shuffle of the (pre-filter!) fact rows to pay for
+        # itself; worse, spread() inserted an exchange BELOW the bloom
+        # test, moving unfiltered rows, the exact thing the operator
+        # exists to avoid (A/B at sf0.1: spread-before 1.50 s,
+        # spread-after 1.55 s, no spread 1.16 s). At scale the scan is
+        # already parallel and the probe runs scan-side ahead of the
+        # join exchange as designed.
+        li = T(spark, sf_dir, "lineitem")
         build = T(spark, sf_dir, "orders").filter(
             F.col("o_orderpriority") == "1-URGENT"
         )

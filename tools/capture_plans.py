@@ -1,9 +1,15 @@
 """Capture `.explain("formatted")` for bench headline queries into
-plans/r09/<query>_<suffix>.txt (driver-contract evidence for the
+plans/<round>/<query>_<suffix>.txt (driver-contract evidence for the
 optimization rounds — the judge checks plan claims against these files).
 
-Usage: python tools/capture_plans.py <suffix> [name ...]
-       (default: every bench-flagged catalog query)
+Usage: python tools/capture_plans.py [--round rNN] [--final] <suffix> [name ...]
+       (default round: r10; default names: every bench-flagged catalog query)
+
+--final executes the query (collect) BEFORE explaining, so the captured
+plan is the AQE FINAL plan (isFinalPlan=true) including runtime
+ReusedExchange / AQEShuffleRead nodes — the initial plan prints both
+sides of a self-join even when one shuffle stage is reused at runtime,
+so single-derivation claims are only checkable on the final plan.
 """
 
 from __future__ import annotations
@@ -15,8 +21,20 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def main() -> int:
-    suffix = sys.argv[1] if len(sys.argv) > 1 else "after"
-    names = sys.argv[2:]
+    args = sys.argv[1:]
+    rnd = "r10"
+    final = False
+    while args and args[0].startswith("--"):
+        if args[0] == "--round":
+            rnd = args[1]
+            args = args[2:]
+        elif args[0] == "--final":
+            final = True
+            args = args[1:]
+        else:
+            raise SystemExit(f"unknown flag {args[0]}")
+    suffix = args[0] if args else "after"
+    names = args[1:]
 
     from politicamente_etl_spark.plans.catalog import CATALOG
     from politicamente_etl_spark.session import get_spark
@@ -29,11 +47,13 @@ def main() -> int:
     out_dir = os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
         "plans",
-        "r09",
+        rnd,
     )
     os.makedirs(out_dir, exist_ok=True)
     for name in names:
         df = CATALOG[name].fn(spark, sf_dir)
+        if final:
+            df.collect()
         plan = spark._jvm.PythonSQLUtils.explainString(
             df._jdf.queryExecution(), "formatted"
         )
