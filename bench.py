@@ -9,6 +9,12 @@ Timing is end-to-end per query: plan construction + execution + a count-style
 materialization (collect of aggregates / count of row-level outputs), after a
 per-slot warmup pass so we measure the engine, not first-touch costs.
 
+Scaling probes (r10, VERDICT r9 item 6): two additive `scaleprobe_*`
+entries time the fan-out-dependent operators over an 8x-replicated input
+so the driver's low-core re-run can falsify parallelism claims; their
+seconds are reported separately in `scale_probe_total_sec` for
+round-over-round total comparisons on the original slots.
+
 Slot isolation (VERDICT r8 item 2): round 8's artifact drifted 21.8 s →
 35.2 s while standalone warm probes of the same queries stayed flat — the
 inflation was in-session accumulation across 20 sequential slots (txlog
@@ -40,6 +46,23 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
 
     headline = [name for name, q in CATALOG.items() if q.bench]
+    # Scaling probes (r10, VERDICT r9 item 6): two labeled extra entries
+    # that run the fan-out-dependent operators over an 8x-replicated
+    # input so the driver's 8-core vs 32-core comparison can actually
+    # falsify the §2 parallelism claims (at sf0.1 the catalog slots are
+    # fixed-overhead-bound and their core ratios sit at ~1.0). Additive
+    # only — existing entries unchanged (contract: entries may be ADDED,
+    # never removed/renamed); the probe seconds are included in `value`
+    # like every other entry and reported separately in
+    # `scale_probe_total_sec` so round-over-round totals can be compared
+    # on the original slots alone.
+    from politicamente_etl_spark.plans.scaleprobes import SCALE_PROBES
+
+    def run_query(name: str) -> None:
+        fn = SCALE_PROBES.get(name) or CATALOG[name].fn
+        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+
+    headline = headline + list(SCALE_PROBES)
 
     def calibrate() -> float:
         """Fixed-cost reference work (VERDICT r6 item 5): a deterministic
@@ -63,7 +86,7 @@ def main() -> None:
     errors: dict[str, str] = {}
 
     def run_once(name: str) -> None:
-        CATALOG[name].fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        run_query(name)
 
     import shutil
     import tempfile
@@ -205,6 +228,13 @@ def main() -> None:
         # reclaim between slots), so per-query times track standalone warm
         # probes instead of in-session accumulation
         "slot_isolation": "per_slot_warm_cache_clear_tmp_reclaim",
+        # r10: seconds contributed by the scaleprobe_* entries (VERDICT
+        # r9 item 6) — subtract from `value` to compare totals against
+        # rounds that predate the probes
+        "scale_probe_total_sec": round(
+            sum(t for n, t in timings.items() if n.startswith("scaleprobe_")),
+            4,
+        ),
     }
     if errors:
         # Mark the headline total as incomplete: it sums only surviving
