@@ -429,6 +429,51 @@ VERIFIED: frozenset[str] = frozenset(
         "lang_char_js_divergence",
         "hits_order_part_scores",
         "equi_depth_histogram_prices_approx",
+        # --- round 9 --- (CORRECTNESS_r09.json: all 50 rows full-pass —
+        # the 35 never-sim-checked leads + 15 txlog/stat/stream re-checks)
+        "txlog_rowindex_delete_proof",
+        "txlog_dv_vs_cow_report",
+        "txlog_dv_cdf_feed",
+        "pipe_syntax_revenue_report",
+        "sql_udf_price_bands",
+        "group_by_all_priority_matrix",
+        "offset_pagination_orders",
+        "parameterized_sql_filter",
+        "lateral_alias_margin_chain",
+        "mann_whitney_u_segments",
+        "benjamini_hochberg_fdr_gates",
+        "curriculum_schedule_by_difficulty",
+        "csv_quarantine_report",
+        "equi_depth_histogram_hashsketch",
+        "anova_oneway_segments",
+        "levene_brown_forsythe_segments",
+        "hash_randomization_test",
+        "tost_equivalence_gate",
+        "jsonl_quarantine_report",
+        "sentence_split_stats",
+        "identifier_clause_scan",
+        "try_arithmetic_audit",
+        "price_cume_dist_by_segment",
+        "numeric_mentions_stats",
+        "order_line_array_metrics",
+        "txlog_dv_restore_proof",
+        "jarque_bera_normality_gate",
+        "grubbs_max_outlier_gate",
+        "bleu2_pair_precision",
+        "twap_daily_value",
+        "pinball_loss_eval",
+        "split_gain_candidates",
+        "streaming_txlog_ignore_deletes",
+        "txlog_generated_column_proof",
+        "txlog_column_rename_proof",
+        "interval_union_coverage",
+        "ivm_agg_under_deletes",
+        "streaming_custom_sessions",
+        "getis_ord_hotspots",
+        "int8_quantization_recall",
+        "purged_walkforward_folds",
+        "negative_sampling_weights",
+        "txlog_shallow_clone_proof",
     }
 )
 
@@ -445,58 +490,70 @@ VERIFIED: frozenset[str] = frozenset(
 # (VERDICT r8 item 8 names merge/cdf/restore explicitly).
 REFACTORED_THIS_ROUND: frozenset[str] = frozenset(
     {
-        "txlog_deletion_vector_report",  # DV sidecars now path-addressed
-        "txlog_vacuum_erasure_proof",  # vacuum reclaims committed leases
-        "txlog_history_report",  # history rides the commit fold
-        "txlog_cdf_changes",  # table_changes reads path-addressed DVs
-        "txlog_merge_report",  # merge rebases past rename guards
-        "streaming_txlog_source_tail",  # stream column mapping rewrite
-        "txlog_restore_report",  # restore carries DV sidecar paths
+        # Round 10 (optimization): every query riding operator code the
+        # r9/r10 optimization sessions reshaped must get a driver row
+        # (entry-contract rule b; VERDICT r9 item 3 names the r9 set
+        # explicitly — their r9 refactors shipped after the window was
+        # fixed, so their parity rested on local sims only).
+        #
+        # dedup.py (_hashed_posting_list / _signature_table /
+        # minhash_near_dup_pairs barrier removal + has_shingle prefilter)
+        "minhash_near_dup_pairs",
+        "ngram_jaccard_pairs",
+        "shingle_containment_pairs",
+        "near_dup_edit_distance",
+        "cross_source_dup_matrix",
+        "minhash_calibration_report",
+        "jaccard_pairs_prefix_filter",
+        "near_dup_clusters",
+        "dedup_cluster_report",
+        "dedup_method_pr",
+        "frame_hash_dedup_pairs",
+        "canonical_keep_best_report",
+        "minhash_incremental_pairs",
+        # text.py (boilerplate barrier removal, winnowing explode_outer)
+        "boilerplate_shingle_score",
+        "winnowing_fingerprints",
+        "winnowing_overlap_pairs",
+        # sim.py (semdedup lazy checkpoint)
+        "semdedup_keep_list",
+        # graph.py (cooccurrence fan-out absorption; r9 pagerank rewrite)
+        "copurchase_triangles",
+        "copurchase_communities",
+        "copurchase_pagerank",
+        "personalized_pagerank_parts",
+        "kcore_peeling_rounds",
+        "sssp_weighted_histogram",
+        "copurchase_walk_corpus",
+        "copurchase_skipgram_pairs",
+        # plan-level spread changes (r10) + r9 spread additions that
+        # never got a driver row after their refactor
+        "chunk_dedup_report",
+        "template_chunks_cross_source",
+        "bloom_prefiltered_join",
+        "flagship_revenue_rollup",
+        "cosine_topk",
+        "bm25_topk_docs",
+        "hashed_classifier_gate",
+        "pq_code_assignment",
+        "mmr_diverse_topk",
+        "lsh_index_cdf_maintenance",
+        "streaming_alert_ttl",
+        # txlog.py (r10 snapshot commit-grouping fix for clone relpaths;
+        # r9 merge materialization)
+        "txlog_shallow_clone_proof",
+        "txlog_deletion_vector_report",
+        "txlog_merge_report",
     }
 )
 
 # Queries that jump the oldest-first catalog queue for the next driver
-# window: VERDICT r8 item 1 demands the 35 round-8 registrations (the
-# plans/extended_r13*.py batches, all 35 judge-parity-green in the r8
-# verdict sweep) lead the round-9 window; the refactor re-checks follow,
-# and the remaining slots drain the oldest pending queue.
-NEVER_SIM_CHECKED: tuple[str, ...] = (
-    "txlog_rowindex_delete_proof",
-    "txlog_dv_vs_cow_report",
-    "txlog_dv_cdf_feed",
-    "pipe_syntax_revenue_report",
-    "sql_udf_price_bands",
-    "group_by_all_priority_matrix",
-    "offset_pagination_orders",
-    "parameterized_sql_filter",
-    "lateral_alias_margin_chain",
-    "mann_whitney_u_segments",
-    "benjamini_hochberg_fdr_gates",
-    "curriculum_schedule_by_difficulty",
-    "csv_quarantine_report",
-    "equi_depth_histogram_hashsketch",
-    "anova_oneway_segments",
-    "levene_brown_forsythe_segments",
-    "hash_randomization_test",
-    "tost_equivalence_gate",
-    "jsonl_quarantine_report",
-    "sentence_split_stats",
-    "identifier_clause_scan",
-    "try_arithmetic_audit",
-    "price_cume_dist_by_segment",
-    "numeric_mentions_stats",
-    "order_line_array_metrics",
-    "txlog_dv_restore_proof",
-    "jarque_bera_normality_gate",
-    "grubbs_max_outlier_gate",
-    "bleu2_pair_precision",
-    "twap_daily_value",
-    "pinball_loss_eval",
-    "split_gain_candidates",
-    "streaming_txlog_ignore_deletes",
-    "txlog_generated_column_proof",
-    "txlog_column_rename_proof",
-)
+# window. The round-9 batch (35 never-sim-checked leads) all earned green
+# rows in CORRECTNESS_r09.json and moved to VERIFIED; round 10 is an
+# optimization round with no new registrations, so the lead list is
+# empty and the window is spent on the refactor re-checks (below) plus
+# the oldest still-unverified registrations.
+NEVER_SIM_CHECKED: tuple[str, ...] = ()
 
 
 def _ordered_names() -> list[str]:
