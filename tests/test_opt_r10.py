@@ -88,7 +88,7 @@ def test_cooccurrence_fanout_absorbed_by_groupby(spark, sf_dir):
 def test_scale_probes_compute_from_input(spark, sf_dir):
     from politicamente_etl_spark.operators.dedup import _hashed_posting_list
     from politicamente_etl_spark.plans.scaleprobes import (
-        REPLICATION,
+        REPLICATION_SHINGLE,
         SCALE_PROBES,
     )
 
@@ -97,7 +97,7 @@ def test_scale_probes_compute_from_input(spark, sf_dir):
         spark, sf_dir
     ).collect()
     assert len(row) == 1
-    assert row[0]["n_postings"] == REPLICATION * base
+    assert row[0]["n_postings"] == REPLICATION_SHINGLE * base
 
     sig_row = SCALE_PROBES["scaleprobe_minhash_signatures_x8"](
         spark, sf_dir
